@@ -1,13 +1,206 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB twin in [[oracleSql]] (same column
+  * names, same deterministic ORDER BY, cross-engine-safe numerics via
+  * [[graft.engine.Num]]); the driver hash-compares the two at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Kpis.topSuppliers(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4/§2.6/§2.8 analytical surface (Kpis) ----
+    "q01_pricing_summary"          -> (Kpis.pricingSummary _),
+    "q02_top5_suppliers"           -> (Kpis.topSuppliers _),
+    "q03_orders_by_nation_segment" -> (Kpis.ordersByNationSegment _),
+    "q04_avg_balance_by_nation"    -> (Kpis.avgBalanceByNation _),
+    "q05_monthly_revenue"          -> (Kpis.monthlyRevenue _),
+    "q06_pct_filled_by_priority"   -> (Kpis.pctFilledByPriority _),
+    "q07_week_orders"              -> (Kpis.weekOrders _),
+    // ---- §2.2/§2.3 gold star schema (Gold) ----
+    "q08_fact_orders"              -> ((s: SparkSession, d: String) =>
+      Gold.factOrders(s, d).orderBy("order_id")),
+    "q09_dim_date"                 -> (Gold.dimDate _),
+    "q10_dim_customer"             -> (Gold.dimCustomer _),
+    "q11_top3_customers_per_nation"-> (Kpis.top3CustomersPerNation _),
+    "q12_dim_region_nation"        -> (Gold.dimRegionNation _),
+    // ---- §2.11 silver quality ops ----
+    "q13_silver_dedup"             -> (Kpis.silverDedup _),
+    "q14_fk_orphans"               -> (Kpis.fkOrphanCounts _),
+    // ---- §2.8 scalar functions / §2.9 events ----
+    "q15_scalar_functions"         -> (Kpis.scalarFunctions _),
+    "q16_events_hourly"            -> (Kpis.eventsHourly _),
+    "q17_event_sessions"           -> (Kpis.eventSessions _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(l_quantity) AS sum_qty,
+        | CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(round((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order,
+        | SUM(l_quantity)/count(*) AS avg_qty,
+        | (CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE))/count(*) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top5_suppliers" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_items,
+        | CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY n_items DESC, s_suppkey LIMIT 5""".stripMargin,
+
+    "q03_orders_by_nation_segment" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_orders,
+        | count(DISTINCT c_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment""".stripMargin,
+
+    "q04_avg_balance_by_nation" ->
+      """SELECT n_name, count(*) AS n_customers,
+        | CAST(SUM(CAST(round((c_acctbal)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_balance,
+        | (CAST(SUM(CAST(round((c_acctbal)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE))/count(*) AS avg_balance
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q05_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin,
+
+    "q06_pct_filled_by_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        | CAST(round(100.0*CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)/count(*)*100) AS BIGINT)/CAST(100 AS DOUBLE) AS pct_filled
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q07_week_orders" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= date_trunc('week', DATE '1998-07-15')
+        |  AND o_orderdate < date_trunc('week', DATE '1998-07-15') + INTERVAL 7 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q08_fact_orders" ->
+      """SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
+        | c.c_name AS customer_name, c.c_mktsegment AS segment,
+        | c.c_nationkey AS nation_key, o.o_orderstatus AS order_status,
+        | o.o_orderpriority AS order_priority, o.o_totalprice AS total_price,
+        | CAST(o.o_orderdate AS DATE) AS order_date,
+        | year(o.o_orderdate) AS year, month(o.o_orderdate) AS month,
+        | CAST(strftime(o.o_orderdate, '%Y%m%d') AS BIGINT) AS date_key
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey IS NOT NULL ORDER BY order_id""".stripMargin,
+
+    "q09_dim_date" ->
+      """SELECT CAST(d AS DATE) AS cal_date,
+        | CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
+        | year(d) AS year, month(d) AS month, quarter(d) AS quarter,
+        | day(d) AS day_of_month, monthname(d) AS month_name,
+        | dayname(d) AS day_name, dayofweek(d) IN (0, 6) AS is_weekend
+        |FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY) t(d)
+        |ORDER BY cal_date""".stripMargin,
+
+    "q10_dim_customer" ->
+      """SELECT c.c_custkey AS customer_id,
+        | c.c_name || ' [' || n.n_name || ']' AS customer_label,
+        | n.n_name AS nation, r.r_name AS region,
+        | c.c_mktsegment AS segment, c.c_acctbal AS account_balance
+        |FROM customer c
+        | LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY customer_id""".stripMargin,
+
+    "q11_top3_customers_per_nation" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT n.n_name, c.c_custkey, c.c_name, r.rev_cents, r.n_orders,
+        |    row_number() OVER (PARTITION BY n.n_name
+        |                       ORDER BY r.rev_cents DESC, c.c_custkey) AS rank
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN rev r ON c.c_custkey = r.o_custkey)
+        |SELECT n_name, rank, c_custkey AS customer_id, c_name AS customer_name,
+        |  CAST(rev_cents AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue, n_orders
+        |FROM j WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin,
+
+    "q12_dim_region_nation" ->
+      """SELECT DISTINCT r.r_name AS region, n.n_name AS nation
+        |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY region, nation""".stripMargin,
+
+    "q13_silver_dedup" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus,
+        | year(l_shipdate) AS ship_year, l_quantity
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, ship_year, l_quantity""".stripMargin,
+
+    "q14_fk_orphans" ->
+      """SELECT * FROM (
+        | SELECT 'lineitem->orders' AS relationship, count(*) AS orphans
+        | FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        | UNION ALL
+        | SELECT 'lineitem->supplier', count(*) FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        | UNION ALL
+        | SELECT 'orders->customer', count(*) FROM orders o
+        | WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |) ORDER BY relationship""".stripMargin,
+
+    "q15_scalar_functions" ->
+      """SELECT o_orderkey AS order_id,
+        | CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_key,
+        | monthname(o_orderdate) AS month_name,
+        | quarter(o_orderdate) AS qtr,
+        | 'ORD-' || CAST(o_orderkey AS VARCHAR) AS label,
+        | upper(o_orderstatus) AS status_uc,
+        | CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+        |      THEN 'urgent' ELSE 'normal' END AS priority_class,
+        | CAST(round((o_totalprice*0.05)*100) AS BIGINT)/CAST(100 AS DOUBLE) AS fee
+        |FROM orders ORDER BY order_id""".stripMargin,
+
+    "q16_events_hourly" ->
+      """WITH h AS (
+        | SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_value
+        | FROM events GROUP BY 1, 2)
+        |SELECT hour_start, event_type, n_events, total_value,
+        | total_value/n_events AS avg_value
+        |FROM h ORDER BY hour_start, event_type""".stripMargin,
+
+    "q17_event_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
 }

@@ -1,0 +1,105 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gold-layer star-schema builders (SURVEY.md §2.2–§2.3, ref
+  * gold_data_curation_script.py).
+  *
+  * Domain mapping (SURVEY.md §7): orders≈bookings (fact), customer≈users,
+  * supplier≈service_providers, part≈services, nation/region≈locations.
+  *
+  * Scale notes: the fact build is a single equi-join; the dimension side is
+  * orders-of-magnitude smaller than the fact side, so we `broadcast()` it —
+  * no shuffle of the 100 TB fact table. Derived `year`/`month` columns feed
+  * the hive-partitioned write ([[writePartitioned]]), the same layout the
+  * reference uses (ref gold_data_curation_script.py:83) so downstream reads
+  * get partition pruning.
+  */
+object Gold {
+  import Tables._
+
+  /** Fact table: orders ⟕ customer with aliased projection, derived
+    * year/month/date_key, null-PK filter (J1 + P1–P4 + P7 + F1/F3). */
+  def factOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).alias("o")
+    val c = customer(spark, dir).alias("c")
+    o.join(broadcast(c), col("o.o_custkey") === col("c.c_custkey"), "left")
+      .select(
+        col("o.o_orderkey").as("order_id"),
+        col("o.o_custkey").as("customer_id"),
+        col("c.c_name").as("customer_name"),
+        col("c.c_mktsegment").as("segment"),
+        col("c.c_nationkey").as("nation_key"),
+        col("o.o_orderstatus").as("order_status"),
+        col("o.o_orderpriority").as("order_priority"),
+        col("o.o_totalprice").as("total_price"),
+        col("o.o_orderdate").cast("date").as("order_date"))
+      .withColumn("year", year(col("order_date")).cast("long"))
+      .withColumn("month", month(col("order_date")).cast("long"))
+      .withColumn("date_key", date_format(col("order_date"), "yyyyMMdd").cast("long"))
+      .filter(col("order_id").isNotNull)
+  }
+  // NOTE: no global orderBy here — a total sort of the fact table would be a
+  // needless full-shuffle at 100 TB. Verify-time determinism is added at the
+  // SparkEntry layer, on the (small) query outputs.
+
+  /** Calendar dimension via sequence + explode (F4/F5, ref
+    * gold_data_curation_script.py:96–111), covering the orders date range. */
+  def dimDate(spark: SparkSession, dir: String): DataFrame = {
+    spark.range(1)
+      .select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("2001-12-31")),
+        expr("interval 1 day"))).as("d"))
+      .select(
+        col("d").as("cal_date"),
+        date_format(col("d"), "yyyyMMdd").cast("long").as("date_key"),
+        year(col("d")).cast("long").as("year"),
+        month(col("d")).cast("long").as("month"),
+        quarter(col("d")).cast("long").as("quarter"),
+        dayofmonth(col("d")).cast("long").as("day_of_month"),
+        date_format(col("d"), "MMMM").as("month_name"),
+        date_format(col("d"), "EEEE").as("day_name"),
+        dayofweek(col("d")).isin(1, 7).as("is_weekend"))
+      .orderBy("cal_date")
+  }
+
+  /** Customer dimension: customer ⟕ nation ⟕ region with a concat-derived
+    * label (J2 + F6, ref gold_data_curation_script.py:120–145). */
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).alias("c")
+    val n = nation(spark, dir).alias("n")
+    val r = region(spark, dir).alias("r")
+    c.join(broadcast(n), col("c.c_nationkey") === col("n.n_nationkey"), "left")
+      .join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"), "left")
+      .select(
+        col("c.c_custkey").as("customer_id"),
+        concat(col("c.c_name"), lit(" ["), col("n.n_name"), lit("]")).as("customer_label"),
+        col("n.n_name").as("nation"),
+        col("r.r_name").as("region"),
+        col("c.c_mktsegment").as("segment"),
+        col("c.c_acctbal").as("account_balance"))
+      .orderBy("customer_id")
+  }
+
+  /** Location dimension: DISTINCT projection (A6, ref
+    * gold_data_curation_script.py:176–185). */
+  def dimRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val n = nation(spark, dir).alias("n")
+    val r = region(spark, dir).alias("r")
+    n.join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"), "left")
+      .select(col("r.r_name").as("region"), col("n.n_name").as("nation"))
+      .distinct()
+      .orderBy("region", "nation")
+  }
+
+  /** S4 — hive-partitioned fact write (ref gold_data_curation_script.py:83–84).
+    * year/month partitioning bounds file counts and enables partition pruning
+    * for the time-ranged KPI queries. */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("year", "month").parquet(path)
+
+  /** S5 — unpartitioned dimension write (ref gold_data_curation_script.py:111). */
+  def writeDim(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,238 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytical query surface (SURVEY.md §2.3, §2.4, §2.6,
+  * §2.8: the eight KPI queries of sql/service_provider_kpis,
+  * sql/service_seeker_kpis, sql/admin_kip_script) re-expressed over the
+  * TPC-H-ish testdata star schema.
+  *
+  * Scale discipline applied to every query:
+  *  - dimensions (nation/region/supplier at real scale: the small side) are
+  *    `broadcast()` so the fact table never shuffles for the join;
+  *  - aggregations are expressed as groupBy().agg() so Spark plans partial
+  *    (map-side) aggregation before the exchange;
+  *  - money sums go through integer cents ([[Num]]) — exact at any scale and
+  *    reproducible against the DuckDB oracle;
+  *  - top-k is orderBy().limit(k), which Spark executes as TakeOrderedAndProject
+  *    (per-partition heap + driver merge of k rows, not a global sort).
+  */
+object Kpis {
+  import Num._
+  import Tables._
+
+  /** A1/A2-family grouped aggregate over the full fact table (TPC-H Q1 shape;
+    * ref's dashboard aggregates, SURVEY.md §2.4 A7). Map-side partial agg on
+    * 4 groups → ~no shuffle volume. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dollars(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+        dollars(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** J5 + A1 + R1 + R2 — the admin "top providers by request count" KPI
+    * (ref sql/admin_kip_script:13–23): lineitem ⋈ supplier, grouped count,
+    * top-5 with deterministic tie-break. */
+  def topSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val s  = supplier(spark, dir)
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dollars(sum(cents(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("n_items").desc, col("s_suppkey").asc)
+      .limit(5)
+  }
+
+  /** A1 — grouped counts per (nation, segment) through a 3-way join
+    * (ref sql/admin_kip_script:1–11 "requests per location/service"). */
+  def ordersByNationSegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val o = orders(spark, dir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("n_name", "c_mktsegment")
+  }
+
+  /** A2 — average rating per provider analog: avg balance per nation
+    * (ref sql/service_provider_kpis:12–17). Averages are derived from exact
+    * cents sums so they are bit-identical to the oracle. */
+  def avgBalanceByNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dollars(sum(cents(col("c_acctbal")))).as("total_balance"))
+      .withColumn("avg_balance", col("total_balance") / col("n_customers"))
+      .orderBy("n_name")
+  }
+
+  /** A3 + F7 — monthly revenue: DATE_TRUNC('month') + SUM
+    * (ref sql/service_provider_kpis:19–28). */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("revenue"))
+      .orderBy("order_month")
+  }
+
+  /** A4 + F8 — conditional-aggregate percentage
+    * (ref sql/service_provider_kpis:30–36: % AI-generated providers):
+    * share of fulfilled orders per priority, 2dp via the integer path. */
+  def pctFilledByPriority(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"))
+      .withColumn("pct_filled",
+        round(lit(100.0) * col("n_filled") / col("n_orders") * 100).cast("long")
+          / lit(100.0))
+      .orderBy("o_orderpriority")
+  }
+
+  /** P6 — date-range predicate: the admin "current week" KPI
+    * (ref sql/admin_kip_script:8) pinned to a fixed anchor date so the result
+    * is reproducible (SURVEY.md §7 risk: CURRENT_DATE is nondeterministic). */
+  def weekOrders(spark: SparkSession, dir: String): DataFrame = {
+    val wk = date_trunc("week", to_date(lit("1998-07-15")))
+    orders(spark, dir)
+      .filter(col("o_orderdate") >= wk &&
+        col("o_orderdate") < wk + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** §2.5 — grouped top-N via row_number() over a partitioned window (the
+    * generalization of the dashboard's "Top 5 Cities" visual, SURVEY.md §2.5).
+    * Revenue ranks come from exact cents sums; ties break on customer_id. */
+  def top3CustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val rev = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(Num.cents(col("o_totalprice"))).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev_cents").desc, col("c_custkey").asc)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(rev, col("c_custkey") === col("o_custkey"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(
+        col("n_name"), col("rank"),
+        col("c_custkey").as("customer_id"), col("c_name").as("customer_name"),
+        dollars(col("rev_cents")).as("revenue"), col("n_orders"))
+      .orderBy("n_name", "rank")
+  }
+
+  /** §2.8 scalar-function sampler (F1–F3, F6–F9) as a pure projection —
+    * stays entirely inside WholeStageCodegen, no shuffle. */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir)
+      .select(
+        col("o_orderkey").as("order_id"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("long").as("date_key"),
+        date_format(col("o_orderdate"), "MMMM").as("month_name"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        concat(lit("ORD-"), col("o_orderkey").cast("string")).as("label"),
+        upper(col("o_orderstatus")).as("status_uc"),
+        when(col("o_orderpriority").startsWith("1") ||
+             col("o_orderpriority").startsWith("2"), "urgent")
+          .otherwise("normal").as("priority_class"),
+        Num.round2(col("o_totalprice") * lit(0.05)).as("fee"))
+      .orderBy("order_id")
+  }
+
+  /** §2.9 — tumbling-window aggregate over the event stream, batch form
+    * (`groupBy(window(...))` is the same operator Structured Streaming uses;
+    * see graft.streaming.EventsStream for the readStream variant). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dollars(sum(cents(col("value")))).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .withColumn("avg_value", col("total_value") / col("n_events"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Sessionization (gaps-and-islands) via lag() over a per-user window:
+    * a new session starts after a 30-minute silence. Exact integer µs
+    * arithmetic on both engines. */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+      .orderBy("user_id")
+  }
+
+  /** A5 as a query — dedup of a projected lineitem slice (SELECT DISTINCT
+    * twin; the full-row dropDuplicates lives in [[Silver.dedup]]). */
+  def silverDedup(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir)
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_quantity"))
+      .dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus", "ship_year", "l_quantity")
+  }
+
+  /** FK orphan counts over the star schema via left-anti joins
+    * ([[Silver.fkOrphans]]; the reference documents-but-never-implements this
+    * check — SURVEY.md §2.11). */
+  def fkOrphanCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val o  = orders(spark, dir)
+    val c  = customer(spark, dir)
+    val s  = supplier(spark, dir)
+    def cnt(name: String, orphans: DataFrame): DataFrame =
+      orphans.agg(count(lit(1)).as("orphans"))
+        .select(lit(name).as("relationship"), col("orphans"))
+    cnt("lineitem->orders",
+        Silver.fkOrphans(li, o, col("l_orderkey") === col("o_orderkey")))
+      .unionAll(cnt("lineitem->supplier",
+        Silver.fkOrphans(li, s, col("l_suppkey") === col("s_suppkey"))))
+      .unionAll(cnt("orders->customer",
+        Silver.fkOrphans(o, c, col("o_custkey") === col("c_custkey"))))
+      .orderBy("relationship")
+  }
+}

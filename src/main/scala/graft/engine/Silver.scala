@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Silver-layer data-quality operators (SURVEY.md §2.11).
+  *
+  * The reference enforces a declared schema by round-tripping through
+  * `spark.createDataFrame(df.rdd, schema)` (ref transformations_script.py:157)
+  * — an anti-pattern that destroys columnar locality and breaks Catalyst
+  * pushdown through the boundary. Here enforcement stays relational
+  * (`df.to(schema)`, Spark ≥3.4), so the plan keeps one scan with pruning
+  * and the whole silver stage stays inside WholeStageCodegen.
+  */
+object Silver {
+
+  /** V1 — schema enforcement, plan-preserving (ref transformations_script.py:154–157). */
+  def enforce(df: DataFrame, schema: StructType): DataFrame = df.to(schema)
+
+  /** V2 — field presence + type validation (ref transformations_script.py:160–165).
+    * Throws on the first mismatch, mirroring the reference's fail-fast channel
+    * (V3, ref :176–181) but as an exception instead of sys.exit. */
+  def validate(df: DataFrame, schema: StructType): Unit = {
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    schema.foreach { f =>
+      actual.get(f.name) match {
+        case None =>
+          throw new IllegalArgumentException(s"missing field: ${f.name}")
+        case Some(dt) if dt != f.dataType =>
+          throw new IllegalArgumentException(
+            s"type mismatch for ${f.name}: expected ${f.dataType}, got $dt")
+        case _ => ()
+      }
+    }
+  }
+
+  /** A5 — global de-duplication (ref transformations_script.py:168).
+    * All-column dropDuplicates is a single hash-aggregate shuffle on the full
+    * row — at 100 TB prefer the keyed variant (dedup on the natural key),
+    * which shuffles only once on a narrow key. */
+  def dedup(df: DataFrame, keys: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty) df.dropDuplicates() else df.dropDuplicates(keys)
+
+  /** FK orphan check — documented-but-unimplemented in the reference
+    * (README claims it, no code exists; SURVEY.md §2.11). A left-anti join:
+    * rows of `child` with no match in `parent`. Catalyst plans this as a
+    * broadcast-anti when `parent` is small; at scale it shuffles on the key
+    * only (both sides pruned to the join columns). */
+  def fkOrphans(child: DataFrame, parent: DataFrame, cond: Column): DataFrame =
+    child.join(parent, cond, "left_anti")
+
+  /** Enum-domain violations (Postgres CHECK/ENUM → filter; SURVEY.md §7 risk 2). */
+  def enumViolations(df: DataFrame, column: String, domain: Set[String]): DataFrame =
+    df.filter(!col(column).isin(domain.toSeq: _*) || col(column).isNull)
+}
