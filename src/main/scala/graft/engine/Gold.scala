@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * Domain mapping (SURVEY.md §7): orders≈bookings (fact), customer≈users,
   * supplier≈service_providers, part≈services, nation/region≈locations.
   *
-  * Scale notes: the fact build is a single equi-join; the dimension side is
-  * orders-of-magnitude smaller than the fact side, so we `broadcast()` it —
-  * no shuffle of the 100 TB fact table. Derived `year`/`month` columns feed
+  * Scale notes: broadcast hints go only on genuinely-bounded dimensions
+  * (nation/region/supplier). Customer is NOT one — it grows linearly with
+  * the fact (~150 GB at the 100 TB point), so the orders⟕customer join is
+  * left unhinted and AQE picks the strategy (broadcast at small SF,
+  * sort-merge/shuffled-hash at scale). Derived `year`/`month` columns feed
   * the hive-partitioned write ([[writePartitioned]]), the same layout the
   * reference uses (ref gold_data_curation_script.py:83) so downstream reads
   * get partition pruning.
@@ -24,7 +26,7 @@ object Gold {
   def factOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).alias("o")
     val c = customer(spark, dir).alias("c")
-    o.join(broadcast(c), col("o.o_custkey") === col("c.c_custkey"), "left")
+    o.join(c, col("o.o_custkey") === col("c.c_custkey"), "left")
       .select(
         col("o.o_orderkey").as("order_id"),
         col("o.o_custkey").as("customer_id"),

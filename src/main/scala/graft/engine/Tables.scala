@@ -1,7 +1,5 @@
 package graft.engine
 
-import java.util.Locale
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
@@ -15,20 +13,35 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * `.explain` of every downstream query shows `PushedFilters`/`ReadSchema`
   * reaching these scans).
   *
+  * Every loader runs through [[Silver.enforce]] against the declared
+  * [[Schemas]] StructType (the reference's silver schema-enforcement step,
+  * ref transformations_script.py:154–157) — plan-preserving `df.to(schema)`,
+  * so pushdown and pruning still reach the scan below the enforcement.
+  *
+  * Session-wide settings (locale, UTC, nanosAsLong) live in
+  * [[Sessions.tune]], applied once at the entry points — loaders do not
+  * mutate session state.
+  *
   * At 100 TB these would be partitioned/bucketed table scans behind the same
   * `DataFrame` surface — nothing downstream assumes single-file inputs.
   */
 object Tables {
-  // Month/day names produced by date_format("MMMM"/"EEEE") must match
-  // DuckDB's English monthname()/dayname() regardless of container locale.
-  Locale.setDefault(Locale.US)
 
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Raw scan, no schema enforcement (bronze shape). */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Enforced scan (silver shape): raw parquet reconciled to the declared
+    * StructType. V1 wired into the query path — every downstream query
+    * exercises it. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = if (name == "events") eventsRaw(spark, dir) else raw(spark, dir, name)
+    Schemas.all.get(name).map(Silver.enforce(df, _)).getOrElse(df)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -37,17 +50,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy conf) and convert to TimestampType via exact integer division —
-    * the same ns→µs truncation DuckDB's epoch_us() applies on its side. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS); with
+    * `nanosAsLong` set ([[Sessions.tune]]) it scans as raw nanos, converted
+    * to TimestampType via exact integer division — the same ns→µs truncation
+    * DuckDB's epoch_us() applies on its side. */
+  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    val df = raw(s, d, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
