@@ -1,0 +1,235 @@
+package graft
+
+import graft.engine.{Dedup, Sim, TextOps}
+import graft.functions.{TextFns, VecFns}
+
+/** DuckDB SQL twins for the LLM-pipeline queries, **generated from the same
+  * constants** as the Spark implementations ([[TextFns]]/[[VecFns]]/
+  * [[Dedup]]/[[Sim]]) — the hash family, band geometry, LSH planes and
+  * thresholds can't drift between the engine and its oracle.
+  *
+  * Every numeric path is a left fold (`list_reduce` ≡ Catalyst `aggregate`)
+  * or integer arithmetic, so results are bit-identical (see Num's scaladoc
+  * for the float-discipline rules).
+  */
+object OracleTwins {
+  private val P = TextFns.P
+
+  /** Polynomial rolling hash over code points — twin of TextFns.polyHash.
+    * Lambda vars are prefixed to survive nesting inside outer lambdas. */
+  def polyhash(s: String): String =
+    s"list_reduce(list_prepend(7::BIGINT, list_transform(" +
+      s"list_filter(string_split($s, ''), phc -> len(phc) > 0), " +
+      s"phd -> ascii(phd)::BIGINT)), (pha, phx) -> (pha * 31 + phx) % $P)"
+
+  /** Distinct word-3-gram shingle hashes of `w` (a token list). */
+  def shingleHashes(w: String): String =
+    s"list_distinct(list_transform(list_transform(" +
+      s"range(1, greatest(len($w) - 2, 1) + 1), " +
+      s"shi -> array_to_string(list_slice($w, shi, shi + 2), ' ')), " +
+      s"shs -> ${polyhash("shs")}))"
+
+  def minhashSig(i: Int, sh: String): String =
+    s"list_aggregate(list_transform($sh, mh -> " +
+      s"(${TextFns.A(i)} * mh + ${TextFns.B(i)}) % $P), 'min')"
+
+  /** Left-fold dot product — twin of VecFns.dot. */
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"range(1, len($a) + 1), di -> $a[di]::DOUBLE * $b[di]::DOUBLE)), " +
+      s"(da, dx) -> da + dx)"
+
+  def norm2(a: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"range(1, len($a) + 1), ni -> $a[ni]::DOUBLE * $a[ni]::DOUBLE)), " +
+      s"(na, nx) -> na + nx)"
+
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${norm2(a)}) * sqrt(${norm2(b)})))"
+
+  def round6(x: String): String =
+    s"CAST(round(($x)*1000000) AS BIGINT)/CAST(1000000 AS DOUBLE)"
+
+  /** Sign-LSH bucket — twin of VecFns.lshBucket. */
+  def lshBucket(v: String): String =
+    (0 until VecFns.NPLANES).map { p =>
+      val comp = s"(((${p}::BIGINT * 2654435761 + 12345) + pd * 40503) " +
+        s"% ${VecFns.PLANE_P})::DOUBLE / ${VecFns.PLANE_P}.0 - 0.5"
+      val dotP = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+        s"range(0, len($v)), pd -> ($comp) * $v[pd + 1]::DOUBLE)), " +
+        s"(pa, px) -> pa + px)"
+      s"(CASE WHEN $dotP > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---- full query twins ----
+
+  val exactDedup: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+       |h AS (
+       |  SELECT doc_id,
+       |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+       |  FROM corpus)
+       |SELECT content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       |  min(doc_id) AS canonical_doc_id
+       |FROM h GROUP BY content_hash HAVING count(*) > 1
+       |ORDER BY content_hash""".stripMargin
+
+  val minhashNearDup: String = {
+    val sigCols = (0 until TextFns.NH)
+      .map(i => s"${minhashSig(i, "sh")} AS s$i").mkString(",\n    ")
+    val bandExprs = (0 until TextFns.BANDS).map { b =>
+      val parts = (0 until TextFns.R)
+        .map(r => s"s${b * TextFns.R + r}::VARCHAR").mkString(" || '-' || ")
+      s"'$b:' || $parts"
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${shingleHashes("w")} AS sh FROM toks),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, unnest([$bandExprs]) AS band FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val simhashNearDup: String = {
+    val sumCols = (0 until Dedup.SIMHASH_BITS)
+      .map(b => s"CAST(SUM((((${TextFns.A(b)} * h + ${TextFns.B(b)}) % $P) % 2)" +
+        s" * 2 - 1) AS BIGINT) AS s$b")
+      .mkString(",\n    ")
+    val simExpr = (0 until Dedup.SIMHASH_BITS)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val bandExprs = (0 until Dedup.SIM_BANDS)
+      .map(b => s"'$b:' || ((simhash >> ${Dedup.BAND_WIDTH * b}) % " +
+        s"${1 << Dedup.BAND_WIDTH})::VARCHAR")
+      .mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, ${polyhash("tok")} AS h FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sumCols
+       |  FROM th GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM sums),
+       |bands AS (
+       |  SELECT doc_id, simhash, unnest([$bandExprs]) AS band FROM sim),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= ${Dedup.HAM_T}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val embeddingTopK: String =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+       |  WHERE vec_id < ${Sim.N_PROBES}),
+       |scored AS (
+       |  SELECT probe_id, vec_id, ${cosine("pv", "embedding")} AS cos
+       |  FROM embeddings JOIN probes ON vec_id <> probe_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+       |      AS rank
+       |  FROM scored)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("cos")} AS cosine
+       |FROM r WHERE rank <= ${Sim.TOP_K} ORDER BY probe_id, rank""".stripMargin
+
+  val lshBuckets: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, CAST(${lshBucket("embedding")} AS BIGINT) AS bucket
+       |  FROM embeddings)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val cosineNearDup: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(${lshBucket("embedding")} AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, unnest([
+       |    '0:' || (bucket % 16)::VARCHAR,
+       |    '1:' || (bucket // 16)::VARCHAR]) AS band
+       |  FROM e),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT vec_a, vec_b, ${cosine("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand
+       |  JOIN e ea ON vec_a = ea.vec_id
+       |  JOIN e eb ON vec_b = eb.vec_id)
+       |SELECT vec_a, vec_b, ${round6("cos")} AS cosine
+       |FROM p WHERE cos >= ${Sim.COS_T} ORDER BY vec_a, vec_b""".stripMargin
+
+  val textStats: String =
+    s"""WITH t AS (
+       |  SELECT lang, len(text)::BIGINT AS len,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len) AS BIGINT) AS total_chars,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |  FROM t GROUP BY lang)
+       |SELECT lang, n_docs, total_chars, total_tokens, min_tokens, max_tokens,
+       |  total_tokens::DOUBLE / n_docs AS avg_tokens
+       |FROM g ORDER BY lang""".stripMargin
+
+  val langQuality: String = {
+    val stopList = TextOps.STOPWORDS.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      sw -> sw IN ($stopList)))::BIGINT AS n_stop,
+       |    len(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS n_letters
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, n_stop::DOUBLE / n_tokens::DOUBLE AS stop_ratio,
+       |    n_letters::DOUBLE / n_tokens::DOUBLE AS avg_word_len
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, n_stop, n_letters, stop_ratio, avg_word_len,
+       |  CASE WHEN stop_ratio >= ${TextOps.STOP_RATIO_EN} THEN 'en' ELSE 'unk' END
+       |    AS predicted_lang,
+       |  CASE WHEN n_tokens < 20 THEN 'short'
+       |       WHEN stop_ratio > 0.15 THEN 'stopword_heavy'
+       |       ELSE 'ok' END AS quality_bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  val docFingerprint: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, list_transform(
+       |    range(1, greatest(len(text) - 7, 1) + 1),
+       |    fgi -> ${polyhash("substr(text, fgi, 8)")}) AS g
+       |  FROM documents)
+       |SELECT doc_id, list_aggregate(g, 'min') AS fp_min,
+       |  len(list_distinct(g))::BIGINT AS n_distinct_grams
+       |FROM g ORDER BY doc_id""".stripMargin
+}

@@ -41,6 +41,16 @@ object SparkEntry {
     "q15_scalar_functions"         -> (Kpis.scalarFunctions _),
     "q16_events_hourly"            -> (Kpis.eventsHourly _),
     "q17_event_sessions"           -> (Kpis.eventSessions _),
+    // ---- LLM-data-pipeline operators (north star; beyond-reference) ----
+    "q18_exact_dedup"              -> (Dedup.exactDedup _),
+    "q19_minhash_neardup"          -> (Dedup.minhashNearDup _),
+    "q20_embedding_topk"           -> (Sim.embeddingTopK _),
+    "q21_text_stats"               -> (TextOps.textStats _),
+    "q22_simhash_neardup"          -> (Dedup.simhashNearDup _),
+    "q23_doc_fingerprint"          -> (TextOps.docFingerprint _),
+    "q24_lang_quality"             -> (TextOps.langQuality _),
+    "q25_lsh_buckets"              -> (Sim.lshBuckets _),
+    "q26_cosine_neardup"           -> (Sim.cosineNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -202,5 +212,17 @@ object SparkEntry {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // LLM-pipeline twins are generated from the same constants as the Spark
+    // side (hash family, band geometry, LSH planes) — see OracleTwins.
+    "q18_exact_dedup"      -> OracleTwins.exactDedup,
+    "q19_minhash_neardup"  -> OracleTwins.minhashNearDup,
+    "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
+    "q21_text_stats"       -> OracleTwins.textStats,
+    "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,
+    "q23_doc_fingerprint"  -> OracleTwins.docFingerprint,
+    "q24_lang_quality"     -> OracleTwins.langQuality,
+    "q25_lsh_buckets"      -> OracleTwins.lshBuckets,
+    "q26_cosine_neardup"   -> OracleTwins.cosineNearDup,
   )
 }

@@ -1,0 +1,126 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Document deduplication operators over the `documents` table — the
+  * LLM-training-data-pipeline surface (brief north star; beyond-reference,
+  * no file:line cites because the reference has no text dedup).
+  *
+  * Three families, each with the 100 TB shape:
+  *  - exact: content-hash groupBy — one shuffle on a 64-hex-char key, the
+  *    canonical web-scale dedup pass.
+  *  - MinHash/LSH near-dup: shingle → signature → banded buckets →
+  *    candidate pairs *within buckets only* → exact-Jaccard verify of
+  *    candidates. Never all-pairs: cost is O(docs × bands) + O(candidates),
+  *    and candidates are vanishingly rare for dissimilar docs
+  *    (P[candidate | j=0.1] ≈ 0.4%).
+  *  - SimHash near-dup: 32-bit fingerprint from token hashes, byte-banded
+  *    buckets, Hamming-distance verify via bit_count(xor).
+  *
+  * All hashing is [[TextFns]] deterministic integer arithmetic, so the
+  * DuckDB oracle ([[graft.OracleTwins]]) replicates every result exactly.
+  */
+object Dedup {
+  import Tables._
+
+  /** Corpus with planted duplicates: every 7th doc repeated once. Dedup over
+    * pristine all-distinct testdata would be vacuous; the union gives the
+    * operator real dup groups while staying a pure function of the input. */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    d.unionAll(d.filter(col("doc_id") % 7 === 0))
+  }
+
+  /** Exact dedup: normalize (lowercase, collapse whitespace) → sha2-256 →
+    * hash groupBy. Output = the duplicate groups with their canonical
+    * (min) doc_id — what a pipeline would keep. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("doc_id"),
+        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+          .as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_doc_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy("content_hash")
+
+  /** MinHash + banded-LSH near-duplicate pairs (word-3-gram shingles,
+    * NH=12 signature, 4 bands × 3 rows), exact-Jaccard-verified at ≥ 0.8.
+    *
+    * Plan shape at scale: one map-only pass computes shingle-hash sets and
+    * band keys; the self-join shuffles on the band key (bucket join, the LSH
+    * point); the verify joins shuffle on doc_id carrying only (id, hash-set).
+    * Skew guard: a pathological bucket (all-identical corpus) would
+    * concentrate one key — cap or salt the bucket in that regime. */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
+    val bands = sh
+      .select(col("doc_id"),
+        explode(TextFns.bandKeys(TextFns.minhashSig(col("sh")))).as("band"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        TextFns.jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash geometry: 48-bit fingerprint in 4 bands of 12 bits, Hamming ≤
+    * HAM_T. Each bit draws an **independent** affine rehash of the token
+    * hash (`(A(b)*h+B(b)) mod P mod 2`) — using raw bits of a mod-P hash
+    * would leave bits ≥30 constant, collapsing the upper bands into one
+    * all-docs bucket (an O(n²) scale bug caught by band-occupancy checks). */
+  val SIMHASH_BITS = 48
+  val SIM_BANDS = 4
+  val BAND_WIDTH = 12
+  val HAM_T = 3
+
+  /** Per-document 48-bit SimHash: explode tokens (with multiplicity — the
+    * weighting), hash each, then one groupBy(doc_id) with 48 narrow
+    * conditional sums (map-side partial agg → scales linearly). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val th = documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), TextFns.polyHash(col("tok")).as("h"))
+    val sumCols = (0 until SIMHASH_BITS).map(b =>
+      sum((((lit(TextFns.A(b)) * col("h") + lit(TextFns.B(b))) % TextFns.P) % 2)
+        * 2 - 1).as(s"s$b"))
+    th.groupBy("doc_id")
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until SIMHASH_BITS)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: byte-band buckets → candidates within buckets →
+    * Hamming verify (bit_count of xor). Same banded-LSH scale shape as
+    * [[minhashNearDup]]. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhash(spark, dir)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SIM_BANDS).map(b =>
+        concat(lit(s"$b:"),
+          (shiftright(col("simhash"), BAND_WIDTH * b) % (1 << BAND_WIDTH)))): _*))
+        .as("band"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HAM_T)
+      .orderBy("doc_a", "doc_b")
+  }
+}

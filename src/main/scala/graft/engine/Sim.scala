@@ -1,0 +1,94 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFns
+
+/** Similarity search over the `embeddings` table (`array<float>` vectors) —
+  * LLM-pipeline surface (brief north star; beyond-reference).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k for a probe set: the correctness baseline.
+  *    Work is O(probes × corpus); the probe side broadcasts, so the corpus
+  *    never shuffles — at 100 TB this is one map pass per probe batch plus
+  *    a per-probe top-k (TakeOrdered-style, k rows per partition).
+  *  - sign-LSH bucketing: the scale path. One map-only pass assigns every
+  *    vector to a 2^NPLANES-bucket index; probes then search only their
+  *    bucket (recall traded for a 1/buckets cost factor; banded variant
+  *    recovers recall like MinHash bands do).
+  *
+  * Scores are [[VecFns]] left-fold arithmetic → bit-identical to the DuckDB
+  * oracle, displayed through [[Num.round6]].
+  */
+object Sim {
+  import Tables._
+
+  /** Probe set: a deterministic slice (vec_id < N_PROBES) standing in for
+    * "the query batch". */
+  val N_PROBES = 8
+  val TOP_K = 5
+
+  /** Brute-force cosine top-k per probe (the oracle-checkable ANN baseline).
+    * Probes broadcast; ranks via row_number over a per-probe window with
+    * vec_id tie-break. */
+  def embeddingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VecFns.cosine(col("pv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        Num.round6(col("cos")).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** The LSH index build: every vector assigned to its sign-bucket in one
+    * map-only pass, then per-bucket occupancy stats. At scale the bucket id
+    * is the partition/clustering key of the ANN index. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), VecFns.lshBucket(col("embedding")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"),
+        min("vec_id").as("min_vec_id"), max("vec_id").as("max_vec_id"))
+      .orderBy("bucket")
+
+  /** Embedding near-duplicate pairs via banded sign-LSH: the 8 sign bits
+    * split into two 4-bit half-buckets; vectors sharing either half are
+    * candidates; candidates verify with exact cosine ≥ COS_T. Approximate
+    * by design (recall < 1 for moderate similarity) — the oracle replicates
+    * the same bands, so results still match exactly. */
+  val COS_T = 0.35
+
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.lshBucket(col("embedding")).as("bucket"))
+    val bands = e.select(col("vec_id"),
+      explode(array(
+        concat(lit("0:"), col("bucket") % 16),
+        concat(lit("1:"), shiftright(col("bucket"), 4)))).as("band"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        VecFns.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= COS_T)
+      .select(col("vec_a"), col("vec_b"), Num.round6(col("cos")).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

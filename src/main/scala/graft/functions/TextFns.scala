@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text primitives for the LLM-data-pipeline operators
+  * (dedup, fingerprinting, MinHash). Beyond-reference surface — the
+  * reference has no text processing; these are the operators a training-data
+  * pipeline needs at 100 TB (brief north star).
+  *
+  * Everything here is **pure integer arithmetic over code points**, expressed
+  * as Catalyst higher-order functions (`aggregate`/`transform` — codegen'd,
+  * no UDFs), so the DuckDB oracle can replicate results bit-for-bit with
+  * `list_reduce`/`list_transform` left folds. The SQL twins are generated
+  * from the same constants in [[graft.OracleTwins]].
+  *
+  * Scale notes: every function is a map-only projection (no shuffle); the
+  * shuffling operators built on top (LSH band joins, hash-group dedup) live
+  * in [[graft.engine.Dedup]].
+  */
+object TextFns {
+  /** Modulus for all rolling hashes: largest 30-bit-ish prime, so
+    * `a*h + b < 2^60` never overflows a long. */
+  val P = 1000000007L
+
+  /** MinHash family g_i(h) = (A(i)*h + B(i)) mod P — affine permutations of
+    * the base shingle hash, constants derived from i so the oracle can
+    * regenerate them. */
+  def A(i: Int): Long = (i.toLong * 2654435761L + 1L) % P
+  def B(i: Int): Long = (i.toLong * 40503L + 2654435769L) % P
+
+  /** MinHash geometry: NH signature slots in BANDS bands of R rows.
+    * Two docs with Jaccard j share a band with prob 1-(1-j^R)^BANDS:
+    * j=0.9 → 99.5% caught; j=0.1 → ~0.4% false candidates. */
+  val NH = 12
+  val R = 3
+  val BANDS = 4
+
+  /** Whitespace tokenization (the cross-engine-safe baseline tokenizer). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Polynomial rolling hash over code points:
+    * fold(acc=7; acc = (acc*31 + codepoint) mod P). Left fold == DuckDB's
+    * `list_reduce`, so both engines run the identical op sequence. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => length(c) > 0),
+      lit(7L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % P)
+
+  /** Word k-gram shingles of a token array (>=1 shingle even for short docs;
+    * trailing slices truncate identically in both engines). */
+  def shingles(w: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(k))))
+
+  /** Distinct shingle hashes of a document — the set MinHash/Jaccard operate
+    * on. Order is engine-dependent, but only mins/sizes/intersections of the
+    * set are ever used. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(tokens(text), k), polyHash(_)))
+
+  /** MinHash signature: NH mins over the affine-permuted shingle hashes. */
+  def minhashSig(hashes: Column): Column =
+    array((0 until NH).map(i =>
+      array_min(transform(hashes, h => (lit(A(i)) * h + lit(B(i))) % P))): _*)
+
+  /** LSH band keys: one string per band ("b:s1-s2-s3"); docs sharing any
+    * band key become candidate pairs. The band join is the 100 TB path —
+    * candidates are generated per bucket, never all-pairs. */
+  def bandKeys(sig: Column): Column =
+    array((0 until BANDS).map { b =>
+      concat(lit(s"$b:"), concat_ws("-",
+        (0 until R).map(r => element_at(sig, b * R + r + 1)): _*))
+    }: _*)
+
+  /** Character k-gram rolling-hash fingerprints (winnowing-style document
+    * fingerprint = min over the gram hashes). */
+  def charGramHashes(text: Column, k: Int = 8): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => polyHash(substring(text, i, k)))
+
+  private def substring(c: Column, pos: Column, len: Int): Column =
+    c.substr(pos, lit(len))
+
+  /** Exact Jaccard of two distinct-hash arrays (verify step for LSH
+    * candidates): one integer ratio → one IEEE division, identical both
+    * engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}
