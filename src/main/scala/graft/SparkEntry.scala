@@ -51,6 +51,11 @@ object SparkEntry {
     "q24_lang_quality"             -> (TextOps.langQuality _),
     "q25_lsh_buckets"              -> (Sim.lshBuckets _),
     "q26_cosine_neardup"           -> (Sim.cosineNearDup _),
+    // ---- remaining gold dims + 4-way chain (J3/J4/J6) ----
+    "q27_dim_part"                 -> (Gold.dimPart _),
+    "q28_dim_review"               -> (Gold.dimReview _),
+    "q29_dim_dispute"              -> (Gold.dimDispute _),
+    "q30_orders_4way"              -> (Kpis.fourWayOrderStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -224,5 +229,44 @@ object SparkEntry {
     "q24_lang_quality"     -> OracleTwins.langQuality,
     "q25_lsh_buckets"      -> OracleTwins.lshBuckets,
     "q26_cosine_neardup"   -> OracleTwins.cosineNearDup,
+
+    "q27_dim_part" ->
+      """SELECT p.p_partkey AS part_id, p.p_name AS part_name,
+        | p.p_type AS part_type, p.p_brand AS brand, p.p_size AS size_units,
+        | p.p_retailprice AS retail_price,
+        | r.r_regionkey AS category_id, r.r_name AS category_name
+        |FROM part p LEFT JOIN region r ON p.p_type = r.r_name
+        |ORDER BY part_id""".stripMargin,
+
+    "q28_dim_review" ->
+      """SELECT d.doc_id AS review_id, d.lang, d.source,
+        | d.n_chars AS comment_chars,
+        | CASE e.label % 3 WHEN 0 THEN 'negative' WHEN 1 THEN 'neutral'
+        |   WHEN 2 THEN 'positive' END AS sentiment_label,
+        | e.label::DOUBLE / 10.0 AS sentiment_score,
+        | e.label = 9 AS is_suspicious
+        |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY review_id""".stripMargin,
+
+    "q29_dim_dispute" ->
+      """SELECT e.event_id AS dispute_id, e.user_id,
+        | c.c_name AS customer_name, c.c_mktsegment AS segment,
+        | e.value AS amount,
+        | CASE WHEN e.value > 50 THEN 'open' ELSE 'resolved' END AS status,
+        | strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS created_at
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'error' AND e.event_id IS NOT NULL
+        |ORDER BY dispute_id""".stripMargin,
+
+    "q30_orders_4way" ->
+      """SELECT n_name, o_orderstatus, count(*) AS n_items,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, o_orderstatus
+        |ORDER BY n_name, o_orderstatus""".stripMargin,
   )
 }

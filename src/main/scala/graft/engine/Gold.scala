@@ -95,6 +95,74 @@ object Gold {
       .orderBy("region", "nation")
   }
 
+  /** Service dimension analog (J3, ref gold_data_curation_script.py:150–167)
+    * — including the reference's **deliberately never-matching left join**:
+    * the reference joins free-text `service_type` against UUID `category_id`
+    * (ref :155), which can never match in v2 data, yielding all-null category
+    * fields. Reproduced behaviorally (SURVEY.md §7 risk 7): part.p_type (a
+    * type phrase) ⟕ region.r_name (a region name) — disjoint domains, so the
+    * category columns are null for every row, as in the reference. */
+  def dimPart(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).alias("p")
+    val r = region(spark, dir).alias("r")
+    p.join(broadcast(r), col("p.p_type") === col("r.r_name"), "left")
+      .select(
+        col("p.p_partkey").as("part_id"),
+        col("p.p_name").as("part_name"),
+        col("p.p_type").as("part_type"),
+        col("p.p_brand").as("brand"),
+        col("p.p_size").as("size_units"),
+        col("p.p_retailprice").as("retail_price"),
+        col("r.r_regionkey").as("category_id"),
+        col("r.r_name").as("category_name"))
+      .orderBy("part_id")
+  }
+
+  /** Dispute dimension analog (ref gold_data_curation_script.py:190–205):
+    * error events ⟕ customer, aliased projection, derived status, null-PK
+    * filter. Filter pushes to the events scan; customer join is unhinted
+    * (it scales with users). */
+  def dimDispute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).alias("e")
+    val c = customer(spark, dir).alias("c")
+    e.filter(col("e.event_type") === "error")
+      .join(c, col("e.user_id") === col("c.c_custkey"), "left")
+      .select(
+        col("e.event_id").as("dispute_id"),
+        col("e.user_id").as("user_id"),
+        col("c.c_name").as("customer_name"),
+        col("c.c_mktsegment").as("segment"),
+        col("e.value").as("amount"),
+        when(col("e.value") > 50, "open").otherwise("resolved").as("status"),
+        date_format(col("e.ts"), "yyyy-MM-dd HH:mm:ss").as("created_at"))
+      .filter(col("dispute_id").isNotNull)
+      .orderBy("dispute_id")
+  }
+
+  /** Review dimension with sentiment join (J4, ref
+    * gold_data_curation_script.py:211–228): documents-as-reviews ⟕
+    * embeddings-as-sentiment on doc_id=vec_id, with the sentiment fields
+    * (`sentiment_label`/`sentiment_score`/`is_suspicious`, ref
+    * transformations_script.py:130–135) derived deterministically from the
+    * embedding label. At sf>0.01 some reviews have no sentiment row —
+    * genuine left-join nulls. */
+  def dimReview(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).alias("d")
+    val e = embeddings(spark, dir).alias("e")
+    d.join(e, col("d.doc_id") === col("e.vec_id"), "left")
+      .select(
+        col("d.doc_id").as("review_id"),
+        col("d.lang").as("lang"),
+        col("d.source").as("source"),
+        col("d.n_chars").as("comment_chars"),
+        when(col("e.label") % 3 === 0, "negative")
+          .when(col("e.label") % 3 === 1, "neutral")
+          .when(col("e.label") % 3 === 2, "positive").as("sentiment_label"),
+        (col("e.label").cast("double") / lit(10.0)).as("sentiment_score"),
+        (col("e.label") === 9).as("is_suspicious"))
+      .orderBy("review_id")
+  }
+
   /** S4 — hive-partitioned fact write (ref gold_data_curation_script.py:83–84).
     * year/month partitioning bounds file counts and enables partition pruning
     * for the time-ranged KPI queries. */

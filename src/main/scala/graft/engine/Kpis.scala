@@ -204,6 +204,27 @@ object Kpis {
       .orderBy("user_id")
   }
 
+  /** J6 — inner 4-way join chain (ref sql/admin_kip_script:30–33: dispute
+    * counts per provider through a 4-table chain): lineitem ⋈ orders ⋈
+    * customer ⋈ nation, grouped counts + revenue. Only nation (bounded) is
+    * broadcast-hinted; the fact-to-fact joins shuffle on their keys and AQE
+    * picks strategies at runtime. */
+  def fourWayOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val o  = orders(spark, dir)
+    val c  = customer(spark, dir)
+    val n  = nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dollars(sum(cents(col("l_extendedprice")))).as("revenue"))
+      .orderBy("n_name", "o_orderstatus")
+  }
+
   /** A5 as a query — dedup of a projected lineitem slice (SELECT DISTINCT
     * twin; the full-row dropDuplicates lives in [[Silver.dedup]]). */
   def silverDedup(spark: SparkSession, dir: String): DataFrame = {
