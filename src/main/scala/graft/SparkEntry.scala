@@ -56,6 +56,9 @@ object SparkEntry {
     "q28_dim_review"               -> (Gold.dimReview _),
     "q29_dim_dispute"              -> (Gold.dimDispute _),
     "q30_orders_4way"              -> (Kpis.fourWayOrderStats _),
+    // ---- S8 sources as oracle-checked queries ----
+    "q31_csv_roundtrip"            -> (SourceOps.csvRoundtrip _),
+    "q32_json_props"               -> (SourceOps.jsonProps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,5 +271,22 @@ object SparkEntry {
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, o_orderstatus
         |ORDER BY n_name, o_orderstatus""".stripMargin,
+
+    // q31's Spark side routes through a CSV write+read round-trip; the
+    // oracle aggregates the parquet original, so CSV loss breaks the match.
+    "q31_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(SUM(len(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q32_json_props" ->
+      """WITH k AS (
+        | SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(SUM(k) AS BIGINT) AS total_k,
+        | CAST(SUM(k) AS BIGINT)::DOUBLE / count(*) AS avg_k
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

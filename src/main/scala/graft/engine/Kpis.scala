@@ -170,7 +170,8 @@ object Kpis {
 
   /** §2.9 — tumbling-window aggregate over the event stream, batch form
     * (`groupBy(window(...))` is the same operator Structured Streaming uses;
-    * see graft.streaming.EventsStream for the readStream variant). */
+    * [[graft.streaming.EventsStream.hourly]] is the readStream twin and
+    * StreamingSpec asserts the two agree). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

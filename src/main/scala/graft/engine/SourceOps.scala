@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.sources.Sources
+
+/** Query-surface proofs of the non-parquet sources (S8, SURVEY.md §2.1).
+  * Each is an oracle-checked query so the formats are covered by the
+  * correctness gate, not just unit tests.
+  */
+object SourceOps {
+  import Tables._
+
+  /** CSV round-trip: write `documents` (free text: quoted fields) as
+    * headered CSV, read it back with the explicit schema + quote/multiLine
+    * options, aggregate per language. The oracle aggregates the parquet
+    * original — any loss/corruption in the CSV path breaks the hash match. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Sources.writeCsv(documents(spark, dir), tmp)
+    Sources.readCsv(spark, tmp, Schemas.documents)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(length(col("text")).cast("long")).as("total_text_len"))
+      .orderBy("lang")
+  }
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  /** JSON column parsing: `events.props` is JSON text (ref
+    * `services.availability JSON`, sql/table_creation:58 — the reference
+    * stores but never parses it; we surface it via from_json). Map-only
+    * parse + narrow grouped agg. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("total_k"))
+      .withColumn("avg_k", col("total_k").cast("double") / col("n_events"))
+      .orderBy("event_type")
+}

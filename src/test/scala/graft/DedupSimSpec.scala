@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Dedup, Sim, Tables, TextOps}
+import graft.functions.{TextFns, VecFns}
+
+/** LLM-pipeline operator invariants: dedup recall, signature determinism,
+  * similarity self-consistency. */
+class DedupSimSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exactDedup finds exactly the planted duplicate groups") {
+    val groups = Dedup.exactDedup(spark, sf)
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(groups.count() == planted)
+    assert(groups.filter(col("n_copies") =!= 2).count() == 0)
+  }
+
+  test("identical text yields identical minhash signature; jaccard(x,x)=1") {
+    val df = Seq(
+      (1L, "spark table scan join filter agg window group"),
+      (2L, "spark table scan join filter agg window group"),
+      (3L, "completely different words entirely here now yes"))
+      .toDF("id", "text")
+      .select(col("id"), TextFns.shingleHashes(col("text")).as("sh"))
+      .select(col("id"), TextFns.minhashSig(col("sh")).as("sig"),
+        TextFns.jaccard(col("sh"), col("sh")).as("self_jac"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+    assert(rows(0).getSeq[Long](1) != rows(2).getSeq[Long](1))
+    assert(rows.forall(_.getDouble(2) == 1.0))
+    assert(rows(0).getSeq[Long](1).length == TextFns.NH)
+  }
+
+  test("minhashNearDup pairs all verify at jaccard >= 0.8 and a<b") {
+    val pairs = Dedup.minhashNearDup(spark, sf).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.8))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash is deterministic and xor-hamming of a doc with itself is 0") {
+    val a = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(s => s >= 0 && s < (1L << Dedup.SIMHASH_BITS)))
+  }
+
+  test("cosine(v,v) == 1 within one ulp; topk has full ranks and no self") {
+    val self = Tables.embeddings(spark, sf)
+      .select(VecFns.cosine(col("embedding"), col("embedding")).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-12)
+    assert(self.count() == 0)
+    val topk = Sim.embeddingTopK(spark, sf).collect()
+    assert(topk.forall(r => r.getLong(0) != r.getLong(2)))
+    val byProbe = topk.groupBy(_.getLong(0))
+    assert(byProbe.values.forall(_.map(_.getLong(1)).sorted.sameElements(1L to Sim.TOP_K)))
+  }
+
+  test("lsh buckets stay within [0, 2^NPLANES)") {
+    val b = Sim.lshBuckets(spark, sf).agg(min("bucket"), max("bucket")).collect().head
+    assert(b.getLong(0) >= 0 && b.getLong(1) < (1L << VecFns.NPLANES))
+  }
+
+  test("docFingerprint is deterministic and total") {
+    val fp1 = TextOps.docFingerprint(spark, sf).collect()
+    val fp2 = TextOps.docFingerprint(spark, sf).collect()
+    assert(fp1.sameElements(fp2))
+    assert(fp1.forall(!_.isNullAt(1)))
+  }
+}

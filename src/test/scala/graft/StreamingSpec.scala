@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.engine.Kpis
+import graft.streaming.EventsStream
+
+/** §2.9 — the streaming hourly aggregate must agree with its batch twin on
+  * a static directory (same operator, same results). */
+class StreamingSpec extends SparkSpecBase {
+
+  test("streamed hourly window agg equals the batch eventsHourly") {
+    // stage the events file into a stream-source directory
+    val dir = tmpDir("graft-stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventsStream.hourly(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName("events_hourly_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("events_hourly_stream")
+        .orderBy("hour_start", "event_type").collect()
+      val batch = Kpis.eventsHourly(spark, sf).collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toSeq).sameElements(batch.map(_.toSeq)))
+    } finally q.stop()
+  }
+}
