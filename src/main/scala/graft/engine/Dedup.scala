@@ -30,9 +30,17 @@ object Dedup {
     * pristine all-distinct testdata would be vacuous; the union gives the
     * operator real dup groups while staying a pure function of the input. */
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir)
+    val d = spread(documents(spark, dir))
     d.unionAll(d.filter(col("doc_id") % 7 === 0))
   }
+
+  /** The local testdata tables are single parquet files → one input split,
+    * which serializes the CPU-heavy hashing projections. Spread them across
+    * the cores first. At cluster scale the scan itself provides splits and
+    * this small-table repartition is noise; the keyed operators downstream
+    * (band joins, groupBys) shuffle on their own keys regardless. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact dedup: normalize (lowercase, collapse whitespace) → sha2-256 →
     * hash groupBy. Output = the duplicate groups with their canonical
@@ -56,21 +64,21 @@ object Dedup {
     * Skew guard: a pathological bucket (all-identical corpus) would
     * concentrate one key — cap or salt the bucket in that regime. */
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = documents(spark, dir)
+    // Compute the (expensive) shingle-hash set once per doc and carry it
+    // through the band join — re-joining the doc table per side would
+    // re-evaluate the hashing subtree for every reference. The set is
+    // ~shingles×8 bytes per row, cheap to shuffle next to the band key.
+    val sh = spread(documents(spark, dir))
       .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
     val bands = sh
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sh"),
         explode(TextFns.bandKeys(TextFns.minhashSig(col("sh")))).as("band"))
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        TextFns.jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        TextFns.jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+      .distinct() // a pair can collide in several bands; jaccard is a pure function of the pair
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }
@@ -89,7 +97,7 @@ object Dedup {
     * weighting), hash each, then one groupBy(doc_id) with 48 narrow
     * conditional sums (map-side partial agg → scales linearly). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val th = documents(spark, dir)
+    val th = spread(documents(spark, dir))
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), TextFns.polyHash(col("tok")).as("h"))
     val sumCols = (0 until SIMHASH_BITS).map(b =>

@@ -34,13 +34,20 @@ object Sim {
     * Probes broadcast; ranks via row_number over a per-probe window with
     * vec_id tie-break. */
   def embeddingTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
+    // Norms are per-vector, not per-pair: precompute sqrt(|v|²) once on
+    // each side so the scored join does a single dot fold per pair instead
+    // of three. Bit-identical to cosine(): IEEE ops in the same order.
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
     val probes = e.filter(col("vec_id") < N_PROBES)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pnrm"))
     val scored = e
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        VecFns.cosine(col("pv"), col("embedding")).as("cos"))
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored
@@ -54,8 +61,13 @@ object Sim {
   /** The LSH index build: every vector assigned to its sign-bucket in one
     * map-only pass, then per-bucket occupancy stats. At scale the bucket id
     * is the partition/clustering key of the ANN index. */
+  /** See Dedup.spread — parallelize the single-file local scans before the
+    * CPU-heavy vector projections. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir)
+    spread(embeddings(spark, dir))
       .select(col("vec_id"), VecFns.lshBucket(col("embedding")).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"),
@@ -70,23 +82,24 @@ object Sim {
   val COS_T = 0.35
 
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
+    // As in embeddingTopK: norms precomputed per vector; the vector and its
+    // norm ride through the band join so the verify step is one dot fold
+    // per candidate (vs three folds and two extra doc-table joins).
+    val e = spread(embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"),
         VecFns.lshBucket(col("embedding")).as("bucket"))
-    val bands = e.select(col("vec_id"),
+    val bands = e.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(
         concat(lit("0:"), col("bucket") % 16),
         concat(lit("1:"), shiftright(col("bucket"), 4)))).as("band"))
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    val va = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val vb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    cand.join(va, "vec_a").join(vb, "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        VecFns.cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (VecFns.dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .distinct() // pairs sharing both half-buckets appear twice; cos is pure per pair
       .filter(col("cos") >= COS_T)
       .select(col("vec_a"), col("vec_b"), Num.round6(col("cos")).as("cosine"))
       .orderBy("vec_a", "vec_b")
