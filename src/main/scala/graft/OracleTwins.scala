@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{Dedup, Sim, TextOps}
+import graft.engine.{Dedup, Schemas, Sim, TextOps}
 import graft.functions.{TextFns, VecFns}
 
 /** DuckDB SQL twins for the LLM-pipeline queries, **generated from the same
@@ -222,6 +222,72 @@ object OracleTwins {
        |       ELSE 'ok' END AS quality_bucket
        |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  val enumViolations: String =
+    Schemas.enums.toSeq.sortBy { case ((t, c), _) => (t, c) }
+      .map { case ((t, c), dom) =>
+        val list = dom.toSeq.sorted.map(v => s"'$v'").mkString(", ")
+        s"SELECT '$t' AS tbl, '$c' AS col_name, " +
+          s"CAST(SUM(CASE WHEN $c IS NULL OR $c NOT IN ($list) " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM $t"
+      }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY tbl, col_name")
+
+  val regexTokens: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS ws,
+       |    len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS re
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(re) AS BIGINT) AS re_tokens,
+       |  CAST(SUM(re) AS BIGINT)::DOUBLE / CAST(SUM(ws) AS BIGINT)::DOUBLE AS ratio
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Shared IVF CTE prefix: norms, centroid pick, N×K scoring, argmax
+    * assignment — same constants as Sim.ivfAssign. */
+  private def ivfPrefix: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2("embedding")}) AS nrm
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM e WHERE vec_id % ${Sim.IVF_STRIDE} = 0),
+       |s AS (
+       |  SELECT e.vec_id, c.cent_id, ${dot("embedding", "cv")} / (nrm * cnrm) AS cos
+       |  FROM e, c),
+       |a AS (
+       |  SELECT vec_id, cent_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |  FROM s),
+       |a1 AS (
+       |  SELECT vec_id, cent_id FROM a WHERE rn = 1)""".stripMargin
+
+  val ivfCells: String =
+    s"""$ivfPrefix
+       |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+       |FROM a1 GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
+  val ivfTopK: String =
+    s"""$ivfPrefix,
+       |p AS (
+       |  SELECT a1.vec_id AS probe_id, a1.cent_id AS pcell,
+       |    e.embedding AS pv, e.nrm AS pnrm
+       |  FROM a1 JOIN e ON a1.vec_id = e.vec_id WHERE a1.vec_id < 4),
+       |cand AS (
+       |  SELECT p.probe_id, a1.vec_id, ${dot("pv", "embedding")} / (pnrm * nrm) AS cos
+       |  FROM a1
+       |  JOIN p ON a1.cent_id = p.pcell AND a1.vec_id <> p.probe_id
+       |  JOIN e ON a1.vec_id = e.vec_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("cos")} AS cosine
+       |FROM r WHERE rank <= ${Sim.IVF_TOP_K} ORDER BY probe_id, rank""".stripMargin
 
   val docFingerprint: String =
     s"""WITH g AS (

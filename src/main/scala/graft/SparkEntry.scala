@@ -59,6 +59,14 @@ object SparkEntry {
     // ---- S8 sources as oracle-checked queries ----
     "q31_csv_roundtrip"            -> (SourceOps.csvRoundtrip _),
     "q32_json_props"               -> (SourceOps.jsonProps _),
+    // ---- multimodal binary columns (north star) ----
+    "q33_media_features"           -> (graft.multimodal.Multimodal.mediaFeatures _),
+    // ---- V2-as-query, catalog/SQL surface, BPE-ish tokens, IVF ANN ----
+    "q34_enum_violations"          -> (Kpis.enumViolationCounts _),
+    "q35_sql_over_views"           -> (Kpis.sqlOverViews _),
+    "q36_regex_tokens"             -> (TextOps.regexTokens _),
+    "q37_ivf_cells"                -> (Sim.ivfCells _),
+    "q38_ivf_topk"                 -> (Sim.ivfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -288,5 +296,37 @@ object SparkEntry {
         | CAST(SUM(k) AS BIGINT) AS total_k,
         | CAST(SUM(k) AS BIGINT)::DOUBLE / count(*) AS avg_k
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The Spark side computes these from the opaque binary payload (hex
+    // probes, binary md5); the oracle recomputes from the source text —
+    // for ASCII payloads byte k == ascii(char k), so any corruption in the
+    // binary path breaks the match.
+    "q33_media_features" ->
+      s"""SELECT doc_id AS media_id,
+         | CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         | CAST(n_chars % 64 + 1 AS INTEGER) AS width,
+         | CAST(n_chars % 48 + 1 AS INTEGER) AS height,
+         | strlen(text)::BIGINT AS n_bytes,
+         | md5(text) AS digest,
+         | ascii(substr(text, 1, 1))::BIGINT AS first_byte,
+         | list_reduce(list_prepend(7::BIGINT,
+         |   list_transform(range(0, least(strlen(text), 32)),
+         |     bi -> ascii(substr(text, bi::INTEGER + 1, 1))::BIGINT)),
+         |   (ba, bx) -> (ba * 31 + bx) % ${graft.functions.TextFns.P}) AS checksum
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q34_enum_violations" -> OracleTwins.enumViolations,
+
+    "q35_sql_over_views" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        | CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)
+        |   AS total_balance
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q36_regex_tokens"  -> OracleTwins.regexTokens,
+    "q37_ivf_cells"     -> OracleTwins.ivfCells,
+    "q38_ivf_topk"      -> OracleTwins.ivfTopK,
   )
 }

@@ -226,6 +226,35 @@ object Kpis {
       .orderBy("n_name", "o_orderstatus")
   }
 
+  /** V2-as-a-query — enum-domain violation counts for every declared enum
+    * (ref's Postgres ENUM CHECKs, SURVEY.md §7 risk 2): one row per
+    * (table, column), all-zero on clean data. Each count is a map-side
+    * conditional aggregate over one narrow column. */
+  def enumViolationCounts(spark: SparkSession, dir: String): DataFrame =
+    Schemas.enums.toSeq.sortBy { case ((t, c), _) => (t, c) }
+      .map { case ((t, c), domain) =>
+        Silver.enumViolations(table(spark, dir, t), c, domain)
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(t).as("tbl"), lit(c).as("col_name"), col("violations"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("tbl", "col_name")
+
+  /** §3 entry point 3 — the SQL surface: temp views registered in the
+    * session catalog (the reference's Glue-catalog analog, S3), queried
+    * with `spark.sql` text so the parse→analyze→optimize path is
+    * Catalyst's. */
+  def sqlOverViews(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "nation").foreach(n =>
+      table(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT n_name, count(*) AS n_suppliers,
+        | CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)
+        |   AS total_balance
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   /** A5 as a query — dedup of a projected lineitem slice (SELECT DISTINCT
     * twin; the full-row dropDuplicates lives in [[Silver.dedup]]). */
   def silverDedup(spark: SparkSession, dir: String): DataFrame = {

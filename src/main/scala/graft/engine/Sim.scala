@@ -66,6 +66,72 @@ object Sim {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** IVF geometry: every IVF_STRIDE-th vector is a centroid (deterministic
+    * stand-in for k-means training — the *index structure* is what's being
+    * exercised; swapping in trained centroids changes no plumbing). */
+  val IVF_STRIDE = 25
+  val IVF_TOP_K = 3
+
+  /** Vector → nearest-centroid assignment: the IVF index build. N×K work
+    * with the K centroids broadcast (the join condition is literal-true by
+    * design — every vector scores against every centroid; this is the
+    * intended N×K pass, not an accidental cartesian: K is tiny and
+    * broadcast, so the N side never shuffles). Argmax via row_number with
+    * centroid-id tie-break. */
+  private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val cents = e.filter(col("vec_id") % IVF_STRIDE === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id").asc)
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        (VecFns.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("cos"))
+  }
+
+  /** IVF cell occupancy — the coarse index a 100 TB ANN store partitions
+    * by. Probes then search only their own cell(s). */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    ivfAssign(spark, dir)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        min("vec_id").as("min_vec_id"), max("vec_id").as("max_vec_id"))
+      .orderBy("cent_id")
+
+  /** Cell-restricted ANN top-k: each probe searches only the vectors in its
+    * own IVF cell (1-probe search; recall/latency knob = cells probed). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivfAssign(spark, dir).select(col("vec_id"), col("cent_id"))
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val probes = a.filter(col("vec_id") < lit(4))
+      .select(col("vec_id").as("probe_id"), col("cent_id").as("pcell"))
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pnrm")), "probe_id")
+    val cands = a.join(broadcast(probes),
+        col("cent_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .join(e, "vec_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .select(col("probe_id"), col("vec_id"),
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= IVF_TOP_K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        Num.round6(col("cos")).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     spread(embeddings(spark, dir))
       .select(col("vec_id"), VecFns.lshBucket(col("embedding")).as("bucket"))

@@ -61,6 +61,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token counting two ways (brief: "whitespace + a BPE-ish regex"): the
+    * whitespace baseline vs a subword-ish regex (`\w+|[^\w\s]` — word runs
+    * and lone punctuation, the pre-tokenization split BPE tokenizers apply).
+    * Per-language totals + the regex/whitespace inflation ratio. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("long").as("re"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("re").as("re_tokens"))
+      .withColumn("ratio", col("re_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .orderBy("lang")
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.TextFns
+
+/** Multimodal-column surface (brief north star): image/audio/video payloads
+  * as **opaque `binary` columns with typed metadata**, plus the two
+  * processing paths a 100 TB media pipeline needs:
+  *
+  *  1. an expression path (codegen'd) for byte-level metadata/statistics —
+  *     digests, sizes, byte probes — that never leaves Tungsten;
+  *  2. a typed batch-decode path ([[decodeFeatures]]) — the Scala analog of
+  *     PySpark's `mapInPandas` decode UDF: per-partition batched rows in,
+  *     feature rows out, schema declared up front.
+  *
+  * The container ships no image/audio codecs, so the decoder is a
+  * **clearly-marked deterministic STUB** ([[decodeStub]]): it stands where
+  * libjpeg/ffmpeg decode would run, and everything around it — binary
+  * schema, metadata struct, batch shape, partition preservation — is real
+  * and tested (MultimodalSpec).
+  *
+  * The media table derives from `documents` (payload = UTF-8 bytes of the
+  * text, a pure function of driver testdata), so the DuckDB oracle can
+  * verify the byte-level expression path exactly: for ASCII payloads,
+  * byte k == ascii(char k).
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+    media_id: Long, kind: String, payload: Array[Byte], width: Int, height: Int)
+
+  final case class MediaFeatures(
+    media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+
+  /** The media table: opaque payload + typed metadata (kind/width/height),
+    * all derived deterministically from `documents`. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"))
+
+  /** Byte k (1-based) of a binary column as a long, via the hex round-trip —
+    * stays an expression (no UDF), works on any binary. */
+  def byteAt(payload: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    conv(hex(payload.substr(lit(k), lit(1))), 16, 10).cast("long")
+
+  /** Rolling checksum of the first `n` bytes: fold acc = (acc*31 + byte)
+    * mod P over the hex representation, two hex chars per byte. Identical
+    * integer sequence to the oracle's fold over ascii(char). */
+  def byteChecksum(payload: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    aggregate(
+      transform(sequence(lit(0), least(length(payload), lit(n)) - 1),
+        i => conv(substring_expr(hex(payload), i * 2 + 1, 2), 16, 10).cast("long")),
+      lit(7L),
+      (acc, b) => (acc * 31L + b) % TextFns.P)
+
+  private def substring_expr(c: org.apache.spark.sql.Column,
+                             pos: org.apache.spark.sql.Column,
+                             len: Int): org.apache.spark.sql.Column =
+    c.substr(pos, lit(len))
+
+  /** Expression-path feature query: per-media byte-level metadata. Map-only,
+    * fully codegen'd — the shape of a metadata-extraction pass over 100 TB
+    * of media files. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("media_id"), col("kind"), col("width"), col("height"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        byteAt(col("payload"), 1).as("first_byte"),
+        byteChecksum(col("payload"), 32).as("checksum"))
+      .orderBy("media_id")
+
+  /** ======== STUB ========
+    * Deterministic stand-in for the real media decoder (libjpeg/ffmpeg are
+    * not in this container). Produces a k-dim feature vector from byte
+    * statistics of the payload — same signature and batch behavior a real
+    * `bytes => float[]` decoder would have. Replace the body, keep the
+    * plumbing. */
+  def decodeStub(payload: Array[Byte], k: Int = 8): Array[Float] = {
+    val acc = new Array[Long](k)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % k) = (acc(i % k) * 31 + (payload(i) & 0xff)) % TextFns.P
+      i += 1
+    }
+    acc.map(v => (v.toDouble / TextFns.P).toFloat)
+  }
+
+  /** Typed batch-decode path — the `mapInPandas` analog: iterate each
+    * partition's rows (the batch), run the decoder, emit typed features.
+    * Partitioning is preserved (narrow op, no shuffle); at scale this is
+    * the one stage that wants GPU/codec-sized partitions, controlled by
+    * `spark.sql.files.maxPartitionBytes` at the scan. */
+  def decodeFeatures(media: Dataset[MediaRecord], k: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+        decodeStub(m.payload, k))
+    })
+  }
+
+  /** mediaTable as the typed Dataset the decode path consumes. */
+  def mediaDataset(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+  }
+}
