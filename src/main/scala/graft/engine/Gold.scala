@@ -76,11 +76,18 @@ object Gold {
       .join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"), "left")
       .select(
         col("c.c_custkey").as("customer_id"),
-        concat(col("c.c_name"), lit(" ["), col("n.n_name"), lit("]")).as("customer_label"),
+        col("c.c_name").as("name_raw"),
         col("n.n_name").as("nation"),
         col("r.r_name").as("region"),
         col("c.c_mktsegment").as("segment"),
         col("c.c_acctbal").as("account_balance"))
+      // derive-then-drop, the reference's concat full_name idiom
+      // (P2+P3, ref gold_data_curation_script.py:139–142)
+      .withColumn("customer_label",
+        concat(col("name_raw"), lit(" ["), col("nation"), lit("]")))
+      .drop("name_raw")
+      .select(col("customer_id"), col("customer_label"), col("nation"),
+        col("region"), col("segment"), col("account_balance"))
       .orderBy("customer_id")
   }
 

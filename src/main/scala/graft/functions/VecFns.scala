@@ -21,19 +21,22 @@ object VecFns {
 
   /** dot(a,b) = fold(acc=0.0; acc + double(a_i)*double(b_i)), in index
     * order. float→double casts are exact; each mul/add is one correctly
-    * rounded IEEE op. */
-  def dot(a: Column, b: Column): Column =
+    * rounded IEEE op. Declarative form — the cross-engine reference
+    * semantics the oracle twins mirror. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Squared L2 norm, same fold shape as [[dot]]. */
-  def norm2(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Hot-path dot product: the native codegen'd [[DotProductF]] expression —
+    * same IEEE sequence as [[dotFold]] (asserted bit-identical in
+    * DedupSimSpec), minus the per-element lambda dispatch. */
+  def dot(a: Column, b: Column): Column = DotProductF(a, b)
+
+  /** Squared L2 norm = dot(a,a), same op sequence as the declarative fold
+    * `acc + double(a_i)*double(a_i)`. */
+  def norm2(a: Column): Column = DotProductF(a, a)
 
   /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)) — sqrt/mul/div are each
     * correctly rounded, so equality with the oracle is exact. */

@@ -58,6 +58,17 @@ class DedupSimSpec extends SparkSpecBase {
     assert(byProbe.values.forall(_.map(_.getLong(1)).sorted.sameElements(1L to Sim.TOP_K)))
   }
 
+  test("codegen dot product is bit-identical to the declarative fold") {
+    val e = Tables.embeddings(spark, sf)
+    val cmp = e.as("a")
+      .join(e.as("b"), col("a.vec_id") === col("b.vec_id") - 1)
+      .select(
+        VecFns.dot(col("a.embedding"), col("b.embedding")).as("fast"),
+        VecFns.dotFold(col("a.embedding"), col("b.embedding")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(cmp.count() == 0)
+  }
+
   test("lsh buckets stay within [0, 2^NPLANES)") {
     val b = Sim.lshBuckets(spark, sf).agg(min("bucket"), max("bucket")).collect().head
     assert(b.getLong(0) >= 0 && b.getLong(1) < (1L << VecFns.NPLANES))
