@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.engine.{Num, Schemas}
@@ -46,4 +47,42 @@ object EventsStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
       .withColumn("avg_value", col("total_value") / col("n_events"))
+
+  final case class SessEvent(event_id: Long, user_id: Long, ts_us: Long)
+  final case class SessState(lastUs: Long, nEvents: Long, nSessions: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * streaming twin of [[graft.engine.Kpis.eventSessions]]'s lag-window
+    * gaps-and-islands: per-user state carries (last event time, counts)
+    * across micro-batches; a >30-minute silence starts a new session.
+    *
+    * Same semantics as the batch query (events ordered by (ts, event_id),
+    * exact integer-µs gap arithmetic), which is what StreamingSpec asserts.
+    * State is O(1) per user; at scale the state store shards on user_id —
+    * the same key the batch window partitions by. */
+  def sessionize(spark: SparkSession, dir: String): Dataset[UserSessions] = {
+    import spark.implicits._
+    val GAP_US = 1800L * 1000000L
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[SessEvent], st: GroupState[SessState]) => {
+          // events within a micro-batch arrive unordered: sort by event time
+          // (tie-break event_id) before folding into the carried state
+          val evs = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var s = st.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          evs.foreach { e =>
+            val newSession = s.lastUs == Long.MinValue || e.ts_us - s.lastUs > GAP_US
+            s = SessState(e.ts_us, s.nEvents + 1,
+              s.nSessions + (if (newSession) 1L else 0L))
+          }
+          st.update(s)
+          Iterator.single(UserSessions(uid, s.nEvents, s.nSessions))
+        })
+  }
 }

@@ -30,4 +30,27 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.map(_.toSeq).sameElements(batch.map(_.toSeq)))
     } finally q.stop()
   }
+
+  test("stateful flatMapGroupsWithState sessionization equals the batch lag-window") {
+    val dir = tmpDir("graft-stream-sess")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventsStream.sessionize(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName("events_sessions_stream")
+      .outputMode("update")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("events_sessions_stream")
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val batch = Kpis.eventSessions(spark, sf)
+        .select("user_id", "n_events", "n_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
 }
