@@ -67,6 +67,11 @@ object SparkEntry {
     "q36_regex_tokens"             -> (TextOps.regexTokens _),
     "q37_ivf_cells"                -> (Sim.ivfCells _),
     "q38_ivf_topk"                 -> (Sim.ivfTopK _),
+    // ---- OLAP extras, as-of join, typed Aggregator top-k ----
+    "q39_revenue_rollup"           -> (Kpis.revenueRollup _),
+    "q40_status_pivot"             -> (Kpis.statusPivot _),
+    "q41_event_order_asof"         -> (Kpis.eventOrderAsof _),
+    "q42_topk_aggregator"          -> (Sim.embeddingTopKAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -328,5 +333,34 @@ object SparkEntry {
     "q36_regex_tokens"  -> OracleTwins.regexTokens,
     "q37_ivf_cells"     -> OracleTwins.ivfCells,
     "q38_ivf_topk"      -> OracleTwins.ivfTopK,
+
+    "q39_revenue_rollup" ->
+      """SELECT year, month, count(*) AS n_orders,
+        | CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue,
+        | CAST(GROUPING(year, month) AS BIGINT) AS grp
+        |FROM (SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+        |        o_totalprice FROM orders)
+        |GROUP BY ROLLUP(year, month)
+        |ORDER BY grp, year, month""".stripMargin,
+
+    "q40_status_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q41_event_order_asof" ->
+      """WITH j AS (
+        | SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |  row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+        | FROM events e LEFT JOIN orders o
+        |   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS order_id,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q42_topk_aggregator" -> OracleTwins.embeddingTopK,
   )
 }

@@ -255,6 +255,63 @@ object Kpis {
         |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** Hierarchical subtotals via ROLLUP (beyond-reference OLAP surface — the
+    * reference has no grouping sets, SURVEY.md §2.4 note): per-(year,month)
+    * revenue with per-year and grand-total rows, disambiguated by
+    * grouping_id. One shuffle; subtotal rows are computed by partial
+    * re-aggregation, not extra scans. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("year"),
+        month(col("o_orderdate")).cast("long").as("month"),
+        col("o_totalprice"))
+      .rollup(col("year"), col("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("revenue"),
+        grouping_id().cast("long").as("grp"))
+      .orderBy(col("grp"), col("year"), col("month"))
+
+  /** Pivot (A4's pivot-style percentages as a real PIVOT): order counts per
+    * priority spread across status columns. Explicit pivot values keep the
+    * output schema static — at scale an un-valued pivot would need a
+    * distinct scan first. */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** As-of (temporal) join — brief-named operator family Spark lacks as a
+    * primitive; composed from built-ins per the preference order (SURVEY.md
+    * §7): each event matched to the latest order of its user at or before
+    * the event time. Declarative shape: range-conditioned left join +
+    * latest-wins window. At 100 TB the same semantics come from a
+    * range-partitioned sort-merge; this composition shuffles on event_id
+    * for the window, which AQE handles at bench scale. */
+  def eventOrderAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).alias("e")
+    val o = orders(spark, dir).alias("o")
+    val w = Window.partitionBy(col("e.event_id"))
+      .orderBy(col("o.o_orderdate").desc_nulls_last,
+        col("o.o_orderkey").desc_nulls_last)
+    e.join(o,
+        col("e.user_id") === col("o.o_custkey") &&
+          col("o.o_orderdate") <= col("e.ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("e.event_id"), col("e.user_id"),
+        col("o.o_orderkey").as("order_id"),
+        date_format(col("o.o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date"))
+      .orderBy("event_id")
+  }
+
   /** A5 as a query — dedup of a projected lineitem slice (SELECT DISTINCT
     * twin; the full-row dropDuplicates lives in [[Silver.dedup]]). */
   def silverDedup(spark: SparkSession, dir: String): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VecFns
+import graft.functions.{ScoredRow, TopKAgg, VecFns}
 
 /** Similarity search over the `embeddings` table (`array<float>` vectors) —
   * LLM-pipeline surface (brief north star; beyond-reference).
@@ -55,6 +55,37 @@ object Sim {
       .filter(col("rank") <= TOP_K)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         Num.round6(col("cos")).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Same result as [[embeddingTopK]] through the typed [[TopKAgg]]
+    * Aggregator instead of a window: per-group bounded buffers (≤ k rows
+    * cross partition boundaries) replace the materialize-and-sort-all
+    * window — the per-group TakeOrdered shape for probe batches whose
+    * candidate lists don't fit a window sort at 100 TB. Verified by the
+    * same oracle SQL as q20. */
+  def embeddingTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val probes = e.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pnrm"))
+    val scored = e
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
+      .as[ScoredRow]
+    scored.groupByKey(_.probe_id)
+      .agg(new TopKAgg(TOP_K).toColumn.name("topk"))
+      .toDF("probe_id", "topk")
+      .select(col("probe_id"),
+        posexplode(arrays_zip(col("topk.ids"), col("topk.scores"))))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.ids").as("neighbor_id"),
+        Num.round6(col("col.scores")).as("cosine"))
       .orderBy("probe_id", "rank")
   }
 
