@@ -29,5 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // English month/day names must match DuckDB's monthname()/dayname()
   // (belt to Sessions.tune's Locale.setDefault suspenders).
   "-Duser.language=en", "-Duser.country=US",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] keeps 32 task threads allocating concurrently; at 8g the
+  // allocation-heavy operators (array-building projections) spend more time
+  // in GC than in tasks (measured 5x slowdown on the LSH queries). The
+  // bench/verify host has 128 GiB; leave headroom for the sbt JVM + duckdb.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

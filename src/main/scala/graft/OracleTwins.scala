@@ -76,7 +76,9 @@ object OracleTwins {
        |FROM h GROUP BY content_hash HAVING count(*) > 1
        |ORDER BY content_hash""".stripMargin
 
-  val minhashNearDup: String = {
+  /** CTE chain producing verified MinHash candidate `pairs` (doc_a, doc_b,
+    * jaccard) — shared by the near-dup, cluster and curation twins. */
+  private val minhashPairsCte: String = {
     val sigCols = (0 until TextFns.NH)
       .map(i => s"${minhashSig(i, "sh")} AS s$i").mkString(",\n    ")
     val bandExprs = (0 until TextFns.BANDS).map { b =>
@@ -84,7 +86,7 @@ object OracleTwins {
         .map(r => s"s${b * TextFns.R + r}::VARCHAR").mkString(" || '-' || ")
       s"'$b:' || $parts"
     }.mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |sh AS (
        |  SELECT doc_id, ${shingleHashes("w")} AS sh FROM toks),
@@ -103,10 +105,39 @@ object OracleTwins {
        |      len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard
        |  FROM cand
        |  JOIN sh sa ON doc_a = sa.doc_id
-       |  JOIN sh sb ON doc_b = sb.doc_id)
+       |  JOIN sh sb ON doc_b = sb.doc_id)""".stripMargin
+  }
+
+  val minhashNearDup: String =
+    s"""WITH $minhashPairsCte
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** CTE chain from verified pairs to per-doc component labels `lab`
+    * (doc_id, cluster_id) — the recursive transitive closure the Spark side
+    * computes by min-label propagation. */
+  private val dupClusterCte: String =
+    s"""$minhashPairsCte,
+       |dup AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM dup
+       |  UNION ALL SELECT doc_b, doc_a FROM dup),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |lab AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  val dupClusters: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |sz AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size
+       |FROM lab JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   val simhashNearDup: String = {
     val sumCols = (0 until Dedup.SIMHASH_BITS)
@@ -201,9 +232,11 @@ object OracleTwins {
        |  total_tokens::DOUBLE / n_docs AS avg_tokens
        |FROM g ORDER BY lang""".stripMargin
 
-  val langQuality: String = {
+  /** CTE chain producing the per-doc quality row set `r` — shared by the
+    * langQuality and curation twins. */
+  private val langQualityCte: String = {
     val stopList = TextOps.STOPWORDS.map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, lang,
        |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
        |    len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -213,7 +246,11 @@ object OracleTwins {
        |r AS (
        |  SELECT *, n_stop::DOUBLE / n_tokens::DOUBLE AS stop_ratio,
        |    n_letters::DOUBLE / n_tokens::DOUBLE AS avg_word_len
-       |  FROM t)
+       |  FROM t)""".stripMargin
+  }
+
+  val langQuality: String =
+    s"""WITH $langQualityCte
        |SELECT doc_id, lang, n_tokens, n_stop, n_letters, stop_ratio, avg_word_len,
        |  CASE WHEN stop_ratio >= ${TextOps.STOP_RATIO_EN} THEN 'en' ELSE 'unk' END
        |    AS predicted_lang,
@@ -221,7 +258,36 @@ object OracleTwins {
        |       WHEN stop_ratio > 0.15 THEN 'stopword_heavy'
        |       ELSE 'ok' END AS quality_bucket
        |FROM r ORDER BY doc_id""".stripMargin
-  }
+
+  val curation: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |$langQualityCte,
+       |v AS (
+       |  SELECT r.doc_id,
+       |    CASE WHEN lab.cluster_id IS NOT NULL AND r.doc_id <> lab.cluster_id
+       |           THEN 'dup'
+       |         WHEN r.n_tokens < 20 THEN 'short'
+       |         WHEN r.stop_ratio > 0.15 THEN 'stopword_heavy'
+       |         WHEN r.stop_ratio < ${TextOps.STOP_RATIO_EN} THEN 'non_en'
+       |         ELSE 'kept' END AS verdict,
+       |    r.n_tokens
+       |  FROM r LEFT JOIN lab ON r.doc_id = lab.doc_id)
+       |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+
+  val tokenHistogram: String =
+    s"""WITH t AS (
+       |  SELECT len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT least(n_tokens // ${TextOps.HIST_WIDTH}, ${TextOps.HIST_LAST})
+       |    AS bucket FROM t),
+       |g AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket)
+       |SELECT bucket, n_docs, bucket * ${TextOps.HIST_WIDTH} AS lo_tokens,
+       |  (bucket + 1) * ${TextOps.HIST_WIDTH} AS hi_tokens
+       |FROM g ORDER BY bucket""".stripMargin
 
   val enumViolations: String =
     Schemas.enums.toSeq.sortBy { case ((t, c), _) => (t, c) }

@@ -72,6 +72,10 @@ object SparkEntry {
     "q40_status_pivot"             -> (Kpis.statusPivot _),
     "q41_event_order_asof"         -> (Kpis.eventOrderAsof _),
     "q42_topk_aggregator"          -> (Sim.embeddingTopKAgg _),
+    // ---- dup clustering + end-to-end curation + length profiling ----
+    "q43_dup_clusters"             -> (Dedup.dupClusters _),
+    "q44_curation"                 -> (TextOps.curation _),
+    "q45_token_histogram"          -> (TextOps.tokenHistogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -362,5 +366,8 @@ object SparkEntry {
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q42_topk_aggregator" -> OracleTwins.embeddingTopK,
+    "q43_dup_clusters"    -> OracleTwins.dupClusters,
+    "q44_curation"        -> OracleTwins.curation,
+    "q45_token_histogram" -> OracleTwins.tokenHistogram,
   )
 }

@@ -63,11 +63,18 @@ object Dedup {
     * point); the verify joins shuffle on doc_id carrying only (id, hash-set).
     * Skew guard: a pathological bucket (all-identical corpus) would
     * concentrate one key — cap or salt the bucket in that regime. */
-  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[minhashNearDup]] without the presentation sort — the composable form
+    * the cluster/curation operators build on. */
+  private[engine] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // Compute the (expensive) shingle-hash set once per doc and carry it
     // through the band join — re-joining the doc table per side would
     // re-evaluate the hashing subtree for every reference. The set is
     // ~shingles×8 bytes per row, cheap to shuffle next to the band key.
+    // (The self-join's two sides are identical plans shuffled on the same
+    // key, so exchange reuse evaluates the hashing subtree once.)
     val sh = spread(documents(spark, dir))
       .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
     val bands = sh
@@ -80,7 +87,6 @@ object Dedup {
         TextFns.jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
       .distinct() // a pair can collide in several bands; jaccard is a pure function of the pair
       .filter(col("jaccard") >= 0.8)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash geometry: 48-bit fingerprint in 4 bands of 12 bits, Hamming ≤
@@ -109,6 +115,67 @@ object Dedup {
         (0 until SIMHASH_BITS)
           .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Connected components over an undirected edge list (`src`, `dst` — one
+    * row per direction) by iterative min-label propagation: each node adopts
+    * the smallest label among itself and its neighbours until fixpoint.
+    *
+    * Scale shape: every iteration is one shuffle-join on `dst` plus one
+    * groupBy on `id`; rounds = graph diameter. Near-dup graphs are
+    * shallow (dup clusters are cliques-ish, diameter ≤ 3–4 in practice), so
+    * this converges in a handful of rounds; a deep-path degenerate graph
+    * would call for the large-star/small-star variant (same primitive ops,
+    * alternating edge rewrites) — the propagation loop below is the honest
+    * baseline that covers the dedup use case. `localCheckpoint` severs the
+    * per-round lineage so the plan doesn't grow with iterations.
+    *
+    * Returns (`id`, `label`) with `label` = min node id of the component. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val viaNeighbour = e.join(labels, e("dst") === labels("id"))
+        .select(e("src").as("id"), col("label"))
+      val next = labels.unionAll(viaNeighbour)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      iters += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** Near-dup cluster labels: verified MinHash pairs → undirected edges →
+    * [[connectedComponents]]. Only docs that participate in at least one
+    * near-dup pair appear (singletons are implicitly their own cluster). */
+  private[engine] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+  }
+
+  /** Duplicate clusters — the step *after* pairwise LSH in a dedup pipeline:
+    * pairs alone can't pick a canonical doc when A~B and B~C but A≁C; the
+    * transitive closure can. Output: per-doc cluster membership with the
+    * canonical (min) doc_id as the cluster id plus the cluster size. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: byte-band buckets → candidates within buckets →

@@ -41,7 +41,12 @@ object TextOps {
     * average word length, and a CASE-bucketed quality class — the
     * length/punct/stopword-ratio family a training-data filter runs before
     * anything expensive. */
-  def langQuality(spark: SparkSession, dir: String): DataFrame = {
+  def langQuality(spark: SparkSession, dir: String): DataFrame =
+    langQualityRaw(spark, dir).orderBy("doc_id")
+
+  /** [[langQuality]] without the presentation sort — the composable form
+    * other operators (the curation pipeline) build on. */
+  private[engine] def langQualityRaw(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -58,8 +63,50 @@ object TextOps {
         when(col("n_tokens") < 20, "short")
           .when(col("stop_ratio") > 0.15, "stopword_heavy")
           .otherwise("ok"))
-      .orderBy("doc_id")
   }
+
+  /** End-to-end training-data curation verdicts — the full filter a corpus
+    * pass applies, composed from the operators above: near-dup clustering
+    * ([[Dedup.dupClusters]] — keep only the canonical doc of each cluster),
+    * then length, stopword-density and language gates. First matching rule
+    * wins, mirroring how curation pipelines report drop reasons. Output is
+    * the per-verdict doc/token tally — the corpus-size accounting a 100 TB
+    * run emits per shard and sums.
+    *
+    * Scale shape: the quality gates are map-only; dedup contributes its own
+    * banded-LSH + CC cost; the final aggregate is a handful of groups. */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.clusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    langQualityRaw(spark, dir)
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id"), "dup")
+          .when(col("n_tokens") < 20, "short")
+          .when(col("stop_ratio") > 0.15, "stopword_heavy")
+          .when(col("predicted_lang") =!= "en", "non_en")
+          .otherwise("kept"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("verdict")
+  }
+
+  /** Token-count histogram: fixed-width buckets of [[TextFns.tokens]] counts
+    * (width 10, last bucket open-ended at 190+). Integer bucket arithmetic →
+    * map-side partial agg on ≤ 20 groups; the length-distribution profile a
+    * curation run reads before choosing its length gates. */
+  val HIST_WIDTH = 10
+  val HIST_LAST = 19
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(least(floor(col("n_tokens") / HIST_WIDTH), lit(HIST_LAST))
+        .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lo_tokens", col("bucket") * HIST_WIDTH)
+      .withColumn("hi_tokens", (col("bucket") + 1) * HIST_WIDTH)
+      .orderBy("bucket")
 
   /** Token counting two ways (brief: "whitespace + a BPE-ish regex"): the
     * whitespace baseline vs a subword-ish regex (`\w+|[^\w\s]` — word runs

@@ -74,6 +74,43 @@ class DedupSimSpec extends SparkSpecBase {
     assert(b.getLong(0) >= 0 && b.getLong(1) < (1L << VecFns.NPLANES))
   }
 
+  test("connectedComponents labels a chain, a cycle and an isolated pair") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), cycle 10-11-12,
+    // pair 20-21 — three components, labels = min id of each.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)).toDF("a", "b")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters covers every verified near-dup pair, cluster_id = min member") {
+    val pairs = Dedup.minhashNearDup(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both ends of every pair are clustered, and into the same cluster
+    assert(pairs.forall { case (a, b) => clusters(a) == clusters(b) })
+    // a cluster's id is one of its members and the minimum of them
+    val members = clusters.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    assert(members.forall { case (c, minId) => c == minId })
+  }
+
+  test("curation verdicts partition the corpus and tally all tokens") {
+    val docs = engine.Tables.documents(spark, sf)
+    val total = docs.count()
+    val tokens = docs.select(sum(size(TextFns.tokens(col("text")))).cast("long"))
+      .collect().head.getLong(0)
+    val cur = TextOps.curation(spark, sf).collect()
+    assert(cur.map(_.getLong(1)).sum == total)
+    assert(cur.map(_.getLong(2)).sum == tokens)
+    assert(cur.map(_.getString(0)).toSet.subsetOf(
+      Set("dup", "short", "stopword_heavy", "non_en", "kept")))
+  }
+
   test("docFingerprint is deterministic and total") {
     val fp1 = TextOps.docFingerprint(spark, sf).collect()
     val fp2 = TextOps.docFingerprint(spark, sf).collect()
