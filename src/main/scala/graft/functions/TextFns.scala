@@ -8,11 +8,17 @@ import org.apache.spark.sql.functions._
   * reference has no text processing; these are the operators a training-data
   * pipeline needs at 100 TB (brief north star).
   *
-  * Everything here is **pure integer arithmetic over code points**, expressed
-  * as Catalyst higher-order functions (`aggregate`/`transform` — codegen'd,
-  * no UDFs), so the DuckDB oracle can replicate results bit-for-bit with
+  * Everything here is **pure integer arithmetic over code points**, so the
+  * DuckDB oracle can replicate results bit-for-bit with
   * `list_reduce`/`list_transform` left folds. The SQL twins are generated
   * from the same constants in [[graft.OracleTwins]].
+  *
+  * Each hash primitive exists twice: a declarative Catalyst
+  * higher-order-function form (`*Fold` — the readable semantic spec, but
+  * interpreted lambda-per-element) and the native codegen expression
+  * ([[TextHashExprs]]) the public API routes through. TextHashSpec pins
+  * them bit-identical; the hot paths (LSH dedup over every shingle of every
+  * document) only ever run the codegen form.
   *
   * Scale notes: every function is a map-only projection (no shuffle); the
   * shuffling operators built on top (LSH band joins, hash-group dedup) live
@@ -41,8 +47,15 @@ object TextFns {
 
   /** Polynomial rolling hash over code points:
     * fold(acc=7; acc = (acc*31 + codepoint) mod P). Left fold == DuckDB's
-    * `list_reduce`, so both engines run the identical op sequence. */
-  def polyHash(s: Column): Column =
+    * `list_reduce`, so both engines run the identical op sequence.
+    *
+    * Evaluated by the codegen [[PolyHashE]] — the declarative fold
+    * ([[polyHashFold]]) is its semantic spec; TextHashSpec asserts they are
+    * bit-identical. Same split for the other three hash primitives below. */
+  def polyHash(s: Column): Column = TextHashExprs.polyHash(s)
+
+  /** Higher-order-function form of [[polyHash]] (interpreted; spec twin). */
+  def polyHashFold(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => length(c) > 0),
       lit(7L),
@@ -59,10 +72,17 @@ object TextFns {
     * on. Order is engine-dependent, but only mins/sizes/intersections of the
     * set are ever used. */
   def shingleHashes(text: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(tokens(text), k), polyHash(_)))
+    TextHashExprs.shingleHashes(text, k)
+
+  /** Higher-order-function form of [[shingleHashes]] (spec twin). */
+  def shingleHashesFold(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(tokens(text), k), polyHashFold(_)))
 
   /** MinHash signature: NH mins over the affine-permuted shingle hashes. */
-  def minhashSig(hashes: Column): Column =
+  def minhashSig(hashes: Column): Column = TextHashExprs.minhashSig(hashes)
+
+  /** Higher-order-function form of [[minhashSig]] (spec twin). */
+  def minhashSigFold(hashes: Column): Column =
     array((0 until NH).map(i =>
       array_min(transform(hashes, h => (lit(A(i)) * h + lit(B(i))) % P))): _*)
 
@@ -78,9 +98,13 @@ object TextFns {
   /** Character k-gram rolling-hash fingerprints (winnowing-style document
     * fingerprint = min over the gram hashes). */
   def charGramHashes(text: Column, k: Int = 8): Column =
+    TextHashExprs.charGramHashes(text, k)
+
+  /** Higher-order-function form of [[charGramHashes]] (spec twin). */
+  def charGramHashesFold(text: Column, k: Int = 8): Column =
     transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => polyHash(substring(text, i, k)))
+      i => polyHashFold(substring(text, i, k)))
 
   private def substring(c: Column, pos: Column, len: Int): Column =
     c.substr(pos, lit(len))

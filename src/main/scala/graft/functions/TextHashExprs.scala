@@ -1,0 +1,267 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass implementations of the [[TextFns]] hash pipeline, called from
+  * the codegen expressions below. Each method reproduces the exact op
+  * sequence of its declarative (higher-order-function) twin — same
+  * space-only `trim`, same `split` keep-empty semantics, same
+  * code-point values as `ascii`, same `% P` fold order — so results are
+  * bit-identical (TextHashSpec asserts it against the `*Fold` forms).
+  *
+  * Why this exists: Catalyst higher-order functions evaluate their lambda
+  * interpreted, one boxed element at a time. The MinHash pipeline evaluates
+  * ~(tokens × shingle-length) lambdas per document; at 32 local threads the
+  * allocation rate turns into GC contention and the LSH queries *anti-scale*
+  * (measured 2–6× slower at local[32] than local[8]). A tight primitive
+  * loop hashes a document with zero per-element allocation.
+  *
+  * A Scala `object` with no companion class compiles to static forwarders,
+  * so generated Java calls `graft.functions.TextHash.m(...)` directly. */
+object TextHash {
+  import TextFns.P
+
+  private val WS = Pattern.compile("\\s+")
+
+  /** `split(trim(text), "\\s+")` — Spark's space-only UTF8String.trim, then
+    * regex split with limit -1 (leading/trailing empty tokens kept). */
+  def tokenize(text: UTF8String): Array[String] =
+    WS.split(text.trim.toString, -1)
+
+  /** Fold acc = (acc*31 + codePoint) % P over the string, acc0 = 7 —
+    * identical to aggregate(filter(split(s,""),...), 7, ...) with `ascii`
+    * yielding the code point (empty-regex split keeps surrogate pairs). */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** polyHash of `concat_ws(" ", toks[from until until))` without building
+    * the joined string: the separator contributes code point 32 between
+    * consecutive tokens, matching the fold over the concatenated chars. */
+  private def hashJoined(toks: Array[String], from: Int, until: Int): Long = {
+    var acc = 7L
+    var t = from
+    while (t < until) {
+      if (t > from) acc = (acc * 31L + 32L) % P
+      val str = toks(t)
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        acc = (acc * 31L + cp) % P
+        i += Character.charCount(cp)
+      }
+      t += 1
+    }
+    acc
+  }
+
+  /** Distinct word-k-gram shingle hashes, first-occurrence order (the
+    * `array_distinct` contract). ≥1 shingle even for short/empty docs. */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val w = tokenize(text)
+    val nsh = math.max(w.length - (k - 1), 1)
+    val out = new Array[Long](nsh)
+    var n = 0
+    var i = 0
+    while (i < nsh) {
+      val h = hashJoined(w, i, math.min(i + k, w.length))
+      var seen = false
+      var j = 0
+      while (j < n && !seen) { seen = out(j) == h; j += 1 }
+      if (!seen) { out(n) = h; n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** NH affine-permutation minima over the shingle-hash set — all NH in one
+    * pass over the array. Empty input yields all-null (the `array_min` of an
+    * empty transform), matching the declarative form. */
+  def minhashSig(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](TextFns.NH))
+    val out = new Array[Long](TextFns.NH)
+    var i = 0
+    while (i < TextFns.NH) {
+      val a = TextFns.A(i)
+      val b = TextFns.B(i)
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * hashes.getLong(j) + b) % P
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val MAX_BITS = 64
+  private val AS = Array.tabulate(MAX_BITS)(TextFns.A)
+  private val BS = Array.tabulate(MAX_BITS)(TextFns.B)
+
+  /** Single-pass SimHash over whitespace tokens (with multiplicity): each
+    * token's polyHash feeds `bits` independent affine rehashes; counter b
+    * gets ±1 by the rehash parity; the sign vector is the fingerprint.
+    * Same math as the explode → groupBy(48 conditional sums) formulation
+    * (sum order is irrelevant for integer ±1 counters), but map-only: no
+    * explode blow-up, no shuffle, no wide hash-aggregate. */
+  def simHash(text: UTF8String, bits: Int): Long = {
+    val toks = tokenize(text)
+    val counts = new Array[Long](bits)
+    var t = 0
+    while (t < toks.length) {
+      val str = toks(t)
+      var h = 7L
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        h = (h * 31L + cp) % P
+        i += Character.charCount(cp)
+      }
+      var b = 0
+      while (b < bits) {
+        counts(b) += (((AS(b) * h + BS(b)) % P) % 2L) * 2L - 1L
+        b += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  /** Rolling character-k-gram hashes (code-point substrings, tail grams
+    * truncate): gram i = polyHash(substr(text, i, k)), 1-based, ≥1 gram. */
+  def charGramHashes(text: UTF8String, k: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    val ngrams = math.max(n - (k - 1), 1)
+    val out = new Array[Long](ngrams)
+    var i = 0
+    while (i < ngrams) {
+      var acc = 7L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) { acc = (acc * 31L + cps(j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen unary expression whose generated code is one static call into
+  * [[TextHash]] — keeps the whole hash pipeline inside whole-stage codegen
+  * with no lambda dispatch (same pattern as [[DotProductF]]). */
+abstract class TextHashExpr extends UnaryExpression {
+  /** Java expression for the result given the evaluated child term. */
+  protected def staticCall(childTerm: String): String
+  protected def expectedInput: DataType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, expectedInput,
+        ignoreNullability = true)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ${expectedInput.sql}, got ${child.dataType.sql}")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
+}
+
+case class PolyHashE(child: Expression) extends TextHashExpr {
+  override protected def expectedInput: DataType = StringType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+  override def nullSafeEval(s: Any): Any =
+    TextHash.polyHash(s.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash.polyHash($c)"
+  override protected def withNewChildInternal(c: Expression): PolyHashE =
+    copy(child = c)
+}
+
+case class ShingleHashesE(child: Expression, k: Int) extends TextHashExpr {
+  override protected def expectedInput: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(s: Any): Any =
+    TextHash.shingleHashes(s.asInstanceOf[UTF8String], k)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash.shingleHashes($c, $k)"
+  override protected def withNewChildInternal(c: Expression): ShingleHashesE =
+    copy(child = c)
+}
+
+case class MinHashSigE(child: Expression) extends TextHashExpr {
+  override protected def expectedInput: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(a: Any): Any =
+    TextHash.minhashSig(a.asInstanceOf[ArrayData])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash.minhashSig($c)"
+  override protected def withNewChildInternal(c: Expression): MinHashSigE =
+    copy(child = c)
+}
+
+case class CharGramHashesE(child: Expression, k: Int) extends TextHashExpr {
+  override protected def expectedInput: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+  override def nullSafeEval(s: Any): Any =
+    TextHash.charGramHashes(s.asInstanceOf[UTF8String], k)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash.charGramHashes($c, $k)"
+  override protected def withNewChildInternal(c: Expression): CharGramHashesE =
+    copy(child = c)
+}
+
+case class SimHashE(child: Expression, bits: Int) extends TextHashExpr {
+  override protected def expectedInput: DataType = StringType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sim_hash"
+  override def nullSafeEval(s: Any): Any =
+    TextHash.simHash(s.asInstanceOf[UTF8String], bits)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash.simHash($c, $bits)"
+  override protected def withNewChildInternal(c: Expression): SimHashE =
+    copy(child = c)
+}
+
+object TextHashExprs {
+  def polyHash(c: Column): Column =
+    SqlBridge.column(PolyHashE(SqlBridge.expression(c)))
+  def shingleHashes(c: Column, k: Int): Column =
+    SqlBridge.column(ShingleHashesE(SqlBridge.expression(c), k))
+  def minhashSig(c: Column): Column =
+    SqlBridge.column(MinHashSigE(SqlBridge.expression(c)))
+  def charGramHashes(c: Column, k: Int): Column =
+    SqlBridge.column(CharGramHashesE(SqlBridge.expression(c), k))
+  def simHash(c: Column, bits: Int): Column =
+    SqlBridge.column(SimHashE(SqlBridge.expression(c), bits))
+}

@@ -40,6 +40,14 @@ class DedupSimSpec extends SparkSpecBase {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("map-only codegen simhash == declarative explode/groupBy simhash") {
+    val fast = Dedup.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = Dedup.simhashAgg(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == ref)
+  }
+
   test("simhash is deterministic and xor-hamming of a doc with itself is 0") {
     val a = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.TextFns
+
+/** The codegen hash expressions ([[graft.functions.TextHashExprs]]) must be
+  * bit-identical to their declarative higher-order-function twins — the
+  * `*Fold` forms are the semantic spec the DuckDB oracle twins were written
+  * against, so any divergence would silently break the correctness gate. */
+class TextHashSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Edge corpus: empties, whitespace-only, leading/trailing separators
+    * (split keeps empty tokens), tabs (space-only trim), short docs
+    * (shingle truncation), code points beyond ASCII and beyond the BMP. */
+  private lazy val edges = Seq(
+    "", " ", "   ", "a", " a ", "a b", "a  b", "\ta\tb\t", "a\nb c",
+    "one two three four five", "repeat repeat repeat repeat",
+    "café naïve résumé",
+    "emoji " + new String(Character.toChars(0x1F600)) + " tail",
+    "x " + new String(Character.toChars(0x10348)) + " y",
+    ("tok " * 40).trim)
+    .toDF("text")
+
+  private lazy val docs =
+    Tables.documents(spark, sf).select(col("text"))
+
+  private def assertSame(df: org.apache.spark.sql.DataFrame): Unit = {
+    val bad = df.filter(col("fast").isNull || col("ref").isNull ||
+      col("fast") =!= col("ref"))
+    assert(bad.count() == 0, bad.take(3).mkString("; "))
+  }
+
+  test("polyHash codegen == declarative fold (docs + edge strings)") {
+    for (src <- Seq(docs, edges))
+      assertSame(src.select(
+        TextFns.polyHash(col("text")).as("fast"),
+        TextFns.polyHashFold(col("text")).as("ref")))
+  }
+
+  test("shingleHashes codegen == declarative (docs + edge strings)") {
+    for (src <- Seq(docs, edges))
+      assertSame(src.select(
+        TextFns.shingleHashes(col("text")).as("fast"),
+        TextFns.shingleHashesFold(col("text")).as("ref")))
+  }
+
+  test("minhashSig codegen == declarative (docs + edge strings)") {
+    for (src <- Seq(docs, edges))
+      assertSame(src.select(
+        TextFns.minhashSig(TextFns.shingleHashes(col("text"))).as("fast"),
+        TextFns.minhashSigFold(TextFns.shingleHashesFold(col("text"))).as("ref")))
+  }
+
+  test("charGramHashes codegen == declarative (docs + edge strings)") {
+    for (src <- Seq(docs, edges))
+      assertSame(src.select(
+        TextFns.charGramHashes(col("text")).as("fast"),
+        TextFns.charGramHashesFold(col("text")).as("ref")))
+  }
+
+  test("hash expressions survive both codegen and interpreted eval paths") {
+    // eval (nullSafeEval) is exercised via a plan Catalyst won't codegen:
+    // a driver-side literal Column outside any query stage.
+    val lit1 = spark.range(1).select(
+      TextFns.polyHash(lit("a b c")).as("h"),
+      size(TextFns.shingleHashes(lit("a b c d"))).as("n"))
+    val r = lit1.collect().head
+    assert(r.getLong(0) > 0 && r.getInt(1) >= 1)
+  }
+}
