@@ -73,15 +73,22 @@ object Dedup {
     // through the band join — re-joining the doc table per side would
     // re-evaluate the hashing subtree for every reference. The set is
     // ~shingles×8 bytes per row, cheap to shuffle next to the band key.
-    // (The self-join's two sides are identical plans shuffled on the same
-    // key, so exchange reuse evaluates the hashing subtree once.)
     val sh = spread(documents(spark, dir))
       .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
-    val bands = sh
-      .select(col("doc_id"), col("sh"),
-        explode(TextFns.bandKeys(TextFns.minhashSig(col("sh")))).as("band"))
+    // The signature must be its own projected column: feeding
+    // minhashSig(...) straight into bandKeys would splice the whole
+    // signature computation into every element_at — BANDS×R evaluations
+    // per document (visible as 12 minhash_sig calls in the plan).
+    val sig = sh.select(col("doc_id"), col("sh"),
+      TextFns.minhashSig(col("sh")).as("sig"))
+    val bands = sig.select(col("doc_id"), col("sh"),
+      explode(TextFns.bandKeys(col("sig"))).as("band"))
+    // hint("merge"): a corpus self-join can never broadcast at scale, and
+    // under sort-merge both sides are identical band-key shuffles →
+    // ReusedExchange evaluates the hashing subtree exactly once (a
+    // broadcast plan would compute it per side).
     bands.as("x")
-      .join(bands.as("y"),
+      .join(bands.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         TextFns.jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
@@ -214,7 +221,7 @@ object Dedup {
           (shiftright(col("simhash"), BAND_WIDTH * b) % (1 << BAND_WIDTH)))): _*))
         .as("band"))
     bands.as("x")
-      .join(bands.as("y"),
+      .join(bands.as("y").hint("merge"), // see nearDupPairs: self-join ⇒ merge + ReusedExchange
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")

@@ -191,7 +191,7 @@ object Sim {
         concat(lit("0:"), col("bucket") % 16),
         concat(lit("1:"), shiftright(col("bucket"), 4)))).as("band"))
     bands.as("x")
-      .join(bands.as("y"),
+      .join(bands.as("y").hint("merge"), // self-join ⇒ merge + ReusedExchange (see Dedup.nearDupPairs)
         col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         (VecFns.dot(col("x.embedding"), col("y.embedding")) /
