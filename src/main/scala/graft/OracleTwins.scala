@@ -355,6 +355,62 @@ object OracleTwins {
        |  ${round6("cos")} AS cosine
        |FROM r WHERE rank <= ${Sim.IVF_TOP_K} ORDER BY probe_id, rank""".stripMargin
 
+  /** Shared PQ CTE prefix: codebook from every PQ_STRIDE-th vector's
+    * subvectors, per-(vector, subspace) argmax-inner-product encoding —
+    * same constants as Sim.pqEncode. */
+  private def pqPrefix: String =
+    s"""WITH pe AS (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |pm AS (SELECT range AS m FROM range(0, ${Sim.PQ_M})),
+       |cb AS (
+       |  SELECT m, (vec_id // ${Sim.PQ_STRIDE})::INTEGER AS j,
+       |    embedding[m*${Sim.PQ_D}+1 : m*${Sim.PQ_D}+${Sim.PQ_D}] AS cv
+       |  FROM pe, pm
+       |  WHERE vec_id % ${Sim.PQ_STRIDE} = 0
+       |    AND vec_id < ${Sim.PQ_K * Sim.PQ_STRIDE}),
+       |sub AS (
+       |  SELECT vec_id, m, embedding[m*${Sim.PQ_D}+1 : m*${Sim.PQ_D}+${Sim.PQ_D}] AS sv
+       |  FROM pe, pm),
+       |sc AS (
+       |  SELECT vec_id, sub.m, j, ${dot("sv", "cv")} AS dp
+       |  FROM sub JOIN cb ON sub.m = cb.m),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dp DESC, j)
+       |    AS rn
+       |  FROM sc),
+       |enc AS (SELECT vec_id, m, j, dp FROM rk WHERE rn = 1)""".stripMargin
+
+  val pqCodes: String =
+    s"""$pqPrefix
+       |SELECT vec_id, string_agg(j::VARCHAR, '-' ORDER BY m) AS codes,
+       |  ${round6("list_reduce(list_prepend(0.0::DOUBLE, list(dp ORDER BY m)), " +
+                   "(qa, qx) -> qa + qx)")} AS approx_self_dot
+       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  val pqTopK: String =
+    s"""$pqPrefix,
+       |cds AS (SELECT vec_id, list(j ORDER BY m) AS code FROM enc GROUP BY vec_id),
+       |pl AS (
+       |  SELECT sub.vec_id AS probe_id, cb.m, cb.j, ${dot("sv", "cv")} AS dp
+       |  FROM sub JOIN cb ON sub.m = cb.m WHERE sub.vec_id < ${Sim.PQ_PROBES}),
+       |lut AS (SELECT probe_id, list(dp ORDER BY m, j) AS lut FROM pl
+       |        GROUP BY probe_id),
+       |adc AS (
+       |  SELECT probe_id, vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(0, ${Sim.PQ_M}),
+       |        am -> lut[(am*${Sim.PQ_K} + code[am+1] + 1)::INTEGER])),
+       |      (aa, ax) -> aa + ax) AS adc
+       |  FROM cds, lut WHERE vec_id <> probe_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, vec_id)
+       |      AS rank
+       |  FROM adc)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("adc")} AS adc_dot
+       |FROM r WHERE rank <= ${Sim.PQ_TOP_K} ORDER BY probe_id, rank""".stripMargin
+
   val docFingerprint: String =
     s"""WITH g AS (
        |  SELECT doc_id, list_transform(

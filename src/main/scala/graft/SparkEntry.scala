@@ -76,6 +76,9 @@ object SparkEntry {
     "q43_dup_clusters"             -> (Dedup.dupClusters _),
     "q44_curation"                 -> (TextOps.curation _),
     "q45_token_histogram"          -> (TextOps.tokenHistogram _),
+    // ---- product-quantization compressed ANN (codes + ADC search) ----
+    "q46_pq_codes"                 -> (Sim.pqCodes _),
+    "q47_pq_topk"                  -> (Sim.pqTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -369,5 +372,7 @@ object SparkEntry {
     "q43_dup_clusters"    -> OracleTwins.dupClusters,
     "q44_curation"        -> OracleTwins.curation,
     "q45_token_histogram" -> OracleTwins.tokenHistogram,
+    "q46_pq_codes"        -> OracleTwins.pqCodes,
+    "q47_pq_topk"         -> OracleTwins.pqTopK,
   )
 }

@@ -178,6 +178,107 @@ object Sim {
     * the same bands, so results still match exactly. */
   val COS_T = 0.35
 
+  /** Product-quantization geometry: PQ_M subspaces of PQ_D dims (M×D =
+    * the 64-dim embedding), PQ_K centroids per subspace, codebook entries
+    * drawn deterministically from the corpus (every PQ_STRIDE-th vector's
+    * subvectors — same trained-centroid stand-in as [[IVF_STRIDE]]). The
+    * metric is inner product (MIPS-style PQ), so every score is one
+    * [[VecFns.dot]] — codegen'd and bit-identical in the oracle. */
+  val PQ_M = 8
+  val PQ_D = 8
+  val PQ_K = 16
+  val PQ_STRIDE = 25
+  val PQ_PROBES = 4
+  val PQ_TOP_K = 3
+
+  /** Subvector explode: (id, m, 8-dim slice) — one row per subspace. */
+  private def subvectors(df: DataFrame, idCol: String, out: String): DataFrame =
+    df.select(col(idCol), explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("embedding"), m * PQ_D + 1, PQ_D).as(out))): _*)).as("e"))
+      .select(col(idCol), col("e.m").as("m"), col(s"e.$out").as(out))
+
+  /** PQ codebook: (m, j, centroid subvector), PQ_M×PQ_K rows — broadcast
+    * everywhere it's used (it is the index's only global state). */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    subvectors(
+      embeddings(spark, dir)
+        .filter(col("vec_id") % PQ_STRIDE === 0 &&
+          col("vec_id") < PQ_K * PQ_STRIDE)
+        .select((col("vec_id") / PQ_STRIDE).cast("int").as("j"), col("embedding")),
+      "j", "cv")
+
+  /** PQ encoding: per (vector, subspace) the argmax-inner-product centroid
+    * (tie → lowest j). N×M×K dot products with the codebook broadcast —
+    * map-only against the corpus; the argmax groups live inside one
+    * partition so the groupBy's partial aggregation collapses locally. */
+  private def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val sub = subvectors(spread(embeddings(spark, dir)), "vec_id", "sv")
+    val w = Window.partitionBy("vec_id", "m")
+      .orderBy(col("dp").desc, col("j").asc)
+    sub.join(broadcast(pqCodebook(spark, dir)), "m")
+      .select(col("vec_id"), col("m"), col("j"),
+        VecFns.dot(col("sv"), col("cv")).as("dp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("j"), col("dp"))
+  }
+
+  /** PQ codes per vector: the M-byte compressed representation a 100 TB
+    * vector store keeps in place of raw floats (64 dims × 4 B → 8 B, 32×),
+    * plus the reconstructed self-inner-product. The float sum folds in
+    * subspace order (sorted struct array → left fold), never through a
+    * float `sum()` aggregate whose order is partition-dependent. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqEncode(spark, dir)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("j"), col("dp"))))
+        .as("cs"))
+      .select(col("vec_id"),
+        concat_ws("-", transform(col("cs"), s => s.getField("j").cast("string")))
+          .as("codes"),
+        Num.round6(aggregate(transform(col("cs"), s => s.getField("dp")),
+          lit(0.0), (acc, x) => acc + x)).as("approx_self_dot"))
+      .orderBy("vec_id")
+
+  /** PQ asymmetric-distance top-k: each probe precomputes its M×K lookup
+    * table of subspace inner products (one tiny broadcast), and scoring a
+    * compressed vector is M table lookups — no floats ever read from the
+    * corpus side. This is the ADC search loop of an IVF-PQ index, the
+    * standard shape for billion-vector ANN. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val codes = pqEncode(spark, dir)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("j")))).as("cs"))
+      .select(col("vec_id"),
+        transform(col("cs"), s => s.getField("j")).as("code"))
+    val lut = subvectors(
+        spread(embeddings(spark, dir)).filter(col("vec_id") < PQ_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        "probe_id", "pv")
+      .join(broadcast(pqCodebook(spark, dir)), "m")
+      .select(col("probe_id"), col("m"), col("j"),
+        VecFns.dot(col("pv"), col("cv")).as("dp"))
+      .groupBy("probe_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("j"), col("dp"))))
+        .as("ls"))
+      .select(col("probe_id"),
+        transform(col("ls"), s => s.getField("dp")).as("lut"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    codes.join(broadcast(lut), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            (m * PQ_K + element_at(col("code"), m + 1) + 1).cast("int")))
+          .as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= PQ_TOP_K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        Num.round6(col("adc")).as("adc_dot"))
+      .orderBy("probe_id", "rank")
+  }
+
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     // As in embeddingTopK: norms precomputed per vector; the vector and its
     // norm ride through the band join so the verify step is one dot fold

@@ -119,6 +119,36 @@ class DedupSimSpec extends SparkSpecBase {
       Set("dup", "short", "stopword_heavy", "non_en", "kept")))
   }
 
+  test("pqCodes emits PQ_M codes in [0, PQ_K) for every vector") {
+    val rows = Sim.pqCodes(spark, sf).collect()
+    assert(rows.length == engine.Tables.embeddings(spark, sf).count())
+    assert(rows.forall { r =>
+      val parts = r.getString(1).split("-").map(_.toInt)
+      parts.length == Sim.PQ_M && parts.forall(c => c >= 0 && c < Sim.PQ_K)
+    })
+  }
+
+  test("pqTopK ranks are dense per probe and ADC tracks the exact dot") {
+    val topk = Sim.pqTopK(spark, sf).collect()
+    val byProbe = topk.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until Sim.PQ_PROBES).toSet)
+    assert(byProbe.values.forall(
+      _.map(_.getLong(1)).sorted.sameElements(1L to Sim.PQ_TOP_K)))
+    // sanity: quantized self-dot tracks the exact norm². Synthetic random
+    // vectors are near-orthogonal, so a 16-entry stride-sampled codebook
+    // quantizes coarsely (measured avg rel err ≈ 0.38 here) — the bound is
+    // a mechanics check (subspace misalignment or an off-by-one in the LUT
+    // indexing pushes it far past 1), not a recall claim.
+    val err = Sim.pqCodes(spark, sf)
+      .join(engine.Tables.embeddings(spark, sf), "vec_id")
+      .select((abs(col("approx_self_dot") -
+        graft.functions.VecFns.norm2(col("embedding"))) /
+        graft.functions.VecFns.norm2(col("embedding"))).as("rel"))
+      .agg(avg("rel"), max("rel")).collect().head
+    assert(err.getDouble(0) < 0.5 && err.getDouble(1) < 1.0,
+      s"reconstruction error avg=${err.getDouble(0)} max=${err.getDouble(1)}")
+  }
+
   test("docFingerprint is deterministic and total") {
     val fp1 = TextOps.docFingerprint(spark, sf).collect()
     val fp2 = TextOps.docFingerprint(spark, sf).collect()
