@@ -299,6 +299,45 @@ object OracleTwins {
       }
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY tbl, col_name")
 
+  val topBigrams: String =
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |b AS (
+       |  SELECT lang, unnest(list_transform(range(1, len(w)),
+       |    bgi -> array_to_string(list_slice(w, bgi, bgi + 1), ' '))) AS bigram
+       |  FROM t WHERE len(w) >= 2),
+       |c AS (
+       |  SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+       |  FROM b GROUP BY lang, bigram),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram)
+       |    AS rank
+       |  FROM c)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, n
+       |FROM r WHERE rank <= ${TextOps.BIGRAM_TOP_K} ORDER BY lang, rank""".stripMargin
+
+  val tfidfTopTerms: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tfq AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM t GROUP BY doc_id, term),
+       |dfq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |s AS (
+       |  SELECT doc_id, tfq.term, tf, df,
+       |    tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) AS score
+       |  FROM tfq JOIN dfq ON tfq.term = dfq.term, nq),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+       |    AS rank
+       |  FROM s)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+       |  ${round6("score")} AS score
+       |FROM r WHERE rank <= ${TextOps.TFIDF_TOP_K} ORDER BY doc_id, rank""".stripMargin
+
   val regexTokens: String =
     s"""WITH t AS (
        |  SELECT lang,

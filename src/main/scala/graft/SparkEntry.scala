@@ -79,6 +79,9 @@ object SparkEntry {
     // ---- product-quantization compressed ANN (codes + ADC search) ----
     "q46_pq_codes"                 -> (Sim.pqCodes _),
     "q47_pq_topk"                  -> (Sim.pqTopK _),
+    // ---- corpus statistics: n-gram counts, tf-idf feature extraction ----
+    "q48_top_bigrams"              -> (TextOps.topBigrams _),
+    "q49_tfidf_top_terms"          -> (TextOps.tfidfTopTerms _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -374,5 +377,7 @@ object SparkEntry {
     "q45_token_histogram" -> OracleTwins.tokenHistogram,
     "q46_pq_codes"        -> OracleTwins.pqCodes,
     "q47_pq_topk"         -> OracleTwins.pqTopK,
+    "q48_top_bigrams"     -> OracleTwins.topBigrams,
+    "q49_tfidf_top_terms" -> OracleTwins.tfidfTopTerms,
   )
 }

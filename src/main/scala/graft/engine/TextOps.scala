@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -125,6 +126,60 @@ object TextOps {
         sum("re").as("re_tokens"))
       .withColumn("ratio", col("re_tokens").cast("double") / col("ws_tokens").cast("double"))
       .orderBy("lang")
+
+  /** Top word-bigrams per language — the n-gram corpus-statistics job.
+    * Scale shape: explode emits one row per bigram, but the groupBy's
+    * map-side partial aggregation collapses repeats before the shuffle
+    * (the combiner is what makes n-gram counting tractable at 100 TB);
+    * the per-language top-k is a row_number over the aggregated counts. */
+  val BIGRAM_TOP_K = 5
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("w"))
+    val counts = toks.filter(size(col("w")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", slice(col("w"), i, lit(2))))).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BIGRAM_TOP_K)
+      .select(col("lang"), col("rank"), col("bigram"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Per-document top terms by tf·(N/df) — feature extraction over the
+    * corpus. The idf is the raw ratio N/df rather than its logarithm:
+    * ln() is not guaranteed correctly-rounded identically across engines,
+    * while one multiply and one divide in fixed order are bit-exact, and
+    * the ranking is monotone-equivalent for single-term scores.
+    *
+    * Scale shape: token explode → (doc, term) partial-agg groupBy (the
+    * combiner), document frequencies as a second aggregate over that
+    * result, corpus size N as a broadcast scalar, top-k per doc via
+    * row_number. The tf⋈df join shuffles on term — the natural key. */
+  val TFIDF_TOP_K = 3
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TFIDF_TOP_K)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        Num.round6(col("score")).as("score"))
+      .orderBy("doc_id", "rank")
+  }
 
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is

@@ -149,6 +149,20 @@ class DedupSimSpec extends SparkSpecBase {
       s"reconstruction error avg=${err.getDouble(0)} max=${err.getDouble(1)}")
   }
 
+  test("topBigrams / tfidfTopTerms rank densely inside every group") {
+    val bi = TextOps.topBigrams(spark, sf).collect()
+    assert(bi.groupBy(_.getString(0)).values.forall { g =>
+      val ranks = g.map(_.getLong(1)).sorted
+      ranks.sameElements(1L to ranks.length) && ranks.length <= TextOps.BIGRAM_TOP_K
+    })
+    val terms = TextOps.tfidfTopTerms(spark, sf).collect()
+    assert(terms.groupBy(_.getLong(0)).values.forall(
+      _.map(_.getLong(1)).sorted.sameElements(1L to TextOps.TFIDF_TOP_K)))
+    // every doc with >= 3 distinct terms appears
+    assert(terms.map(_.getLong(0)).distinct.length ==
+      engine.Tables.documents(spark, sf).count())
+  }
+
   test("docFingerprint is deterministic and total") {
     val fp1 = TextOps.docFingerprint(spark, sf).collect()
     val fp2 = TextOps.docFingerprint(spark, sf).collect()
