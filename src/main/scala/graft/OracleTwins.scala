@@ -139,7 +139,9 @@ object OracleTwins {
        |FROM lab JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
-  val simhashNearDup: String = {
+  /** CTE chain producing per-doc 48-bit fingerprints `sim` (doc_id,
+    * simhash) — shared by the SimHash near-dup and SQL-function twins. */
+  private val simhashCte: String = {
     val sumCols = (0 until Dedup.SIMHASH_BITS)
       .map(b => s"CAST(SUM((((${TextFns.A(b)} * h + ${TextFns.B(b)}) % $P) % 2)" +
         s" * 2 - 1) AS BIGINT) AS s$b")
@@ -147,11 +149,7 @@ object OracleTwins {
     val simExpr = (0 until Dedup.SIMHASH_BITS)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    val bandExprs = (0 until Dedup.SIM_BANDS)
-      .map(b => s"'$b:' || ((simhash >> ${Dedup.BAND_WIDTH * b}) % " +
-        s"${1 << Dedup.BAND_WIDTH})::VARCHAR")
-      .mkString(", ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents),
        |th AS (
@@ -161,7 +159,15 @@ object OracleTwins {
        |    $sumCols
        |  FROM th GROUP BY doc_id),
        |sim AS (
-       |  SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM sums),
+       |  SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  val simhashNearDup: String = {
+    val bandExprs = (0 until Dedup.SIM_BANDS)
+      .map(b => s"'$b:' || ((simhash >> ${Dedup.BAND_WIDTH * b}) % " +
+        s"${1 << Dedup.BAND_WIDTH})::VARCHAR")
+      .mkString(", ")
+    s"""WITH $simhashCte,
        |bands AS (
        |  SELECT doc_id, simhash, unnest([$bandExprs]) AS band FROM sim),
        |pairs AS (
@@ -171,6 +177,15 @@ object OracleTwins {
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= ${Dedup.HAM_T}
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  val sqlTextFunctions: String =
+    s"""WITH $simhashCte
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(${polyhash("d.text")}) AS min_hash,
+       |  max(${polyhash("d.text")}) AS max_hash,
+       |  CAST(sum(sim.simhash % 1000003) AS BIGINT) AS sim_checksum
+       |FROM documents d JOIN sim ON d.doc_id = sim.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   val embeddingTopK: String =
     s"""WITH probes AS (

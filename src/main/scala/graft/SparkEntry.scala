@@ -82,6 +82,8 @@ object SparkEntry {
     // ---- corpus statistics: n-gram counts, tf-idf feature extraction ----
     "q48_top_bigrams"              -> (TextOps.topBigrams _),
     "q49_tfidf_top_terms"          -> (TextOps.tfidfTopTerms _),
+    // ---- SQL registry surface for the native hash expressions ----
+    "q50_sql_text_functions"       -> (TextOps.sqlTextFunctions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -379,5 +381,6 @@ object SparkEntry {
     "q47_pq_topk"         -> OracleTwins.pqTopK,
     "q48_top_bigrams"     -> OracleTwins.topBigrams,
     "q49_tfidf_top_terms" -> OracleTwins.tfidfTopTerms,
+    "q50_sql_text_functions" -> OracleTwins.sqlTextFunctions,
   )
 }

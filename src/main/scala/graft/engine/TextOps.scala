@@ -181,6 +181,22 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** The SQL face of the native text-hash expressions: per-language hash
+    * aggregates written in plain `spark.sql`, with `poly_hash`/`sim_hash`
+    * resolved from the function registry ([[graft.functions.GraftExtensions]]
+    * injects them at session build; `register` covers foreign sessions).
+    * Same codegen expressions, same plans — only the API differs. */
+  def sqlTextFunctions(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    documents(spark, dir).createOrReplaceTempView("docs_v")
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  min(poly_hash(text)) AS min_hash,
+         |  max(poly_hash(text)) AS max_hash,
+         |  sum(sim_hash(text, ${Dedup.SIMHASH_BITS}) % 1000003) AS sim_checksum
+         |FROM docs_v GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the native expressions: `poly_hash`, `shingle_hashes`,
+  * `minhash_sig`, `char_gram_hashes`, `sim_hash`, `dot_product_f` become
+  * callable from `spark.sql(...)` exactly like built-ins (codegen included).
+  *
+  * Two registration paths, same builders:
+  *  - [[GraftExtensions]] via `spark.sql.extensions` config — the library
+  *    integration point (set in Sessions/Verify/Bench session builders);
+  *  - [[GraftFunctions.register]] for a session created elsewhere (e.g. a
+  *    host application's) — idempotent temp-function registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  /** name → expression builder, for both registration paths. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> ((es: Seq[Expression]) => PolyHashE(es.head)),
+    "shingle_hashes" -> ((es: Seq[Expression]) =>
+      ShingleHashesE(es.head,
+        if (es.length > 1) intArg(es(1), "shingle_hashes") else 3)),
+    "minhash_sig" -> ((es: Seq[Expression]) => MinHashSigE(es.head)),
+    "char_gram_hashes" -> ((es: Seq[Expression]) =>
+      CharGramHashesE(es.head,
+        if (es.length > 1) intArg(es(1), "char_gram_hashes") else 8)),
+    "sim_hash" -> ((es: Seq[Expression]) =>
+      SimHashE(es.head, if (es.length > 1) intArg(es(1), "sim_hash") else 48)),
+    "dot_product_f" -> ((es: Seq[Expression]) => DotProductF(es.head, es(1))))
+
+  /** Register into an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

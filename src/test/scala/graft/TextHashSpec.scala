@@ -61,6 +61,19 @@ class TextHashSpec extends SparkSpecBase {
         TextFns.charGramHashesFold(col("text")).as("ref")))
   }
 
+  test("SQL registry functions resolve to the same expressions as the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("texthash_docs")
+    val viaSql = spark.sql(
+      "SELECT poly_hash(text) AS h, size(shingle_hashes(text, 3)) AS n, " +
+        "sim_hash(text, 48) AS s FROM texthash_docs").collect()
+    val viaApi = docs.select(
+      TextFns.polyHash(col("text")).as("h"),
+      size(TextFns.shingleHashes(col("text"))).as("n"),
+      graft.functions.TextHashExprs.simHash(col("text"), 48).as("s")).collect()
+    assert(viaSql.map(_.toSeq).toSet == viaApi.map(_.toSeq).toSet)
+  }
+
   test("hash expressions survive both codegen and interpreted eval paths") {
     // eval (nullSafeEval) is exercised via a plan Catalyst won't codegen:
     // a driver-side literal Column outside any query stage.
