@@ -390,6 +390,22 @@ object OracleTwins {
        |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
        |FROM a1 GROUP BY cent_id ORDER BY cent_id""".stripMargin
 
+  val kmeansStep: String =
+    s"""$ivfPrefix,
+       |comps AS (
+       |  SELECT a1.cent_id, (di - 1)::BIGINT AS dim,
+       |    CAST(floor(e.embedding[di]::DOUBLE * ${Sim.KMEANS_SCALE}) AS BIGINT)
+       |      AS scaled
+       |  FROM a1 JOIN e ON a1.vec_id = e.vec_id,
+       |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS di) t),
+       |g AS (
+       |  SELECT cent_id, dim, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(scaled) AS BIGINT) AS ssum
+       |  FROM comps GROUP BY cent_id, dim)
+       |SELECT cent_id, dim, n_members,
+       |  ssum::DOUBLE / (n_members * ${Sim.KMEANS_SCALE})::DOUBLE AS new_coord
+       |FROM g ORDER BY cent_id, dim""".stripMargin
+
   val ivfTopK: String =
     s"""$ivfPrefix,
        |p AS (

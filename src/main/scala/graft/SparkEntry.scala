@@ -84,6 +84,8 @@ object SparkEntry {
     "q49_tfidf_top_terms"          -> (TextOps.tfidfTopTerms _),
     // ---- SQL registry surface for the native hash expressions ----
     "q50_sql_text_functions"       -> (TextOps.sqlTextFunctions _),
+    // ---- distributed k-means update (fixed-point deterministic) ----
+    "q51_kmeans_step"              -> (Sim.kmeansStep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -382,5 +384,6 @@ object SparkEntry {
     "q48_top_bigrams"     -> OracleTwins.topBigrams,
     "q49_tfidf_top_terms" -> OracleTwins.tfidfTopTerms,
     "q50_sql_text_functions" -> OracleTwins.sqlTextFunctions,
+    "q51_kmeans_step"     -> OracleTwins.kmeansStep,
   )
 }

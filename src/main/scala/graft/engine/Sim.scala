@@ -163,6 +163,36 @@ object Sim {
       .orderBy("probe_id", "rank")
   }
 
+  /** One distributed Lloyd (k-means) update step over the IVF assignment:
+    * per-(centroid, dimension) mean of the member vectors — the iterative
+    * half of index training ([[ivfAssign]] is the other half; alternating
+    * the two is k-means).
+    *
+    * Scale shape: assignment is the N×K broadcast pass; the update is one
+    * shuffle on (cent_id, dim) with map-side partial sums — the canonical
+    * distributed k-means shape, volume K×D rows after the combiner.
+    *
+    * Determinism: float components are scaled to fixed-point longs
+    * (floor(x·2^20)) before summing — integer sums are order-free, so the
+    * result is bit-identical regardless of partitioning, and one final
+    * division yields the mean (same trick as [[Num]]'s integer-cents money;
+    * a float sum() would be partition-order-dependent and unverifiable). */
+  val KMEANS_SCALE = 1L << 20
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivfAssign(spark, dir).select(col("vec_id"), col("cent_id"))
+    spread(embeddings(spark, dir))
+      .join(a, "vec_id")
+      .select(col("cent_id"), posexplode(col("embedding")))
+      .select(col("cent_id"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * KMEANS_SCALE).cast("long").as("scaled"))
+      .groupBy("cent_id", "dim")
+      .agg(count(lit(1)).as("n_members"), sum("scaled").as("ssum"))
+      .select(col("cent_id"), col("dim"), col("n_members"),
+        (col("ssum").cast("double") /
+          (col("n_members") * KMEANS_SCALE).cast("double")).as("new_coord"))
+      .orderBy("cent_id", "dim")
+  }
+
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     spread(embeddings(spark, dir))
       .select(col("vec_id"), VecFns.lshBucket(col("embedding")).as("bucket"))

@@ -163,6 +163,20 @@ class DedupSimSpec extends SparkSpecBase {
       engine.Tables.documents(spark, sf).count())
   }
 
+  test("kmeansStep covers every (centroid, dim) cell with consistent membership") {
+    val rows = Sim.kmeansStep(spark, sf).collect()
+    val dims = rows.groupBy(_.getLong(0)).map { case (_, g) =>
+      (g.map(_.getLong(1)).sorted.toSeq, g.map(_.getLong(2)).distinct.length)
+    }
+    // all 64 dims per centroid, and every dim of a centroid agrees on the
+    // member count (they aggregate the same vectors)
+    assert(dims.forall { case (ds, nCounts) =>
+      ds == (0L until 64L) && nCounts == 1
+    })
+    // new coords stay inside the data's coordinate range
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+  }
+
   test("docFingerprint is deterministic and total") {
     val fp1 = TextOps.docFingerprint(spark, sf).collect()
     val fp2 = TextOps.docFingerprint(spark, sf).collect()
