@@ -205,6 +205,7 @@ case class PolyHashE(child: Expression) extends TextHashExpr {
 }
 
 case class ShingleHashesE(child: Expression, k: Int) extends TextHashExpr {
+  require(k >= 1, s"shingle_hashes k must be >= 1, got $k")
   override protected def expectedInput: DataType = StringType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -230,6 +231,7 @@ case class MinHashSigE(child: Expression) extends TextHashExpr {
 }
 
 case class CharGramHashesE(child: Expression, k: Int) extends TextHashExpr {
+  require(k >= 1, s"char_gram_hashes k must be >= 1, got $k")
   override protected def expectedInput: DataType = StringType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_gram_hashes"
@@ -242,6 +244,9 @@ case class CharGramHashesE(child: Expression, k: Int) extends TextHashExpr {
 }
 
 case class SimHashE(child: Expression, bits: Int) extends TextHashExpr {
+  // the SQL registry exposes `bits` to users; the hash family and the long
+  // fingerprint both cap at 64
+  require(bits >= 1 && bits <= 64, s"sim_hash bits must be in [1, 64], got $bits")
   override protected def expectedInput: DataType = StringType
   override def dataType: DataType = LongType
   override def prettyName: String = "sim_hash"

@@ -74,6 +74,14 @@ class TextHashSpec extends SparkSpecBase {
     assert(viaSql.map(_.toSeq).toSet == viaApi.map(_.toSeq).toSet)
   }
 
+  test("SQL-exposed parameters are validated") {
+    graft.functions.GraftFunctions.register(spark)
+    assertThrows[Exception](spark.sql("SELECT sim_hash('a', 65)").collect())
+    assertThrows[Exception](spark.sql("SELECT shingle_hashes('a', 0)").collect())
+    assertThrows[Exception](
+      spark.sql("SELECT char_gram_hashes('a', -1)").collect())
+  }
+
   test("hash expressions survive both codegen and interpreted eval paths") {
     // eval (nullSafeEval) is exercised via a plan Catalyst won't codegen:
     // a driver-side literal Column outside any query stage.
