@@ -95,6 +95,20 @@ class DedupSimSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents converges on a 4096-node chain within O(log n) rounds") {
+    // a pure path graph is the worst case for plain min-label propagation
+    // (diameter = n); pointer doubling must close it in ~log2(n) rounds —
+    // maxIters 16 would take a propagation-only implementation to node 16.
+    val n = 4096
+    val pairs = spark.range(n - 1)
+      .selectExpr("id AS a", "id + 1 AS b")
+    val edges = pairs.selectExpr("a AS src", "b AS dst")
+      .unionAll(pairs.selectExpr("b AS src", "a AS dst"))
+    val labels = Dedup.connectedComponents(edges, maxIters = 16).collect()
+    assert(labels.length == n)
+    assert(labels.forall(_.getLong(1) == 0L))
+  }
+
   test("dupClusters covers every verified near-dup pair, cluster_id = min member") {
     val pairs = Dedup.minhashNearDup(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
