@@ -11,11 +11,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: one tiny-SF query exercises scan + shuffle + codegen
-    // paths so JVM/JIT/classloading startup cost doesn't land on whichever
-    // timed query happens to run first (in r01 it inflated the first query
-    // by ~5s; per-query numbers are only round-comparable in steady state).
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    // Untimed warmup: exercise parquet scan + shuffle + codegen against the
+    // bench directory itself (region is the smallest table; the synthetic
+    // aggregate warms codegen/JIT without matching any timed query's plan),
+    // so JVM/classloading startup cost doesn't land on whichever timed
+    // query runs first (in r01 it inflated the first query by ~5s). A
+    // failed warmup is loud — silently skipping it would make per-query
+    // numbers incomparable across rounds with no signal why.
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").count().count()
+      spark.range(1000000L).selectExpr("sum(id * 2) AS s").count()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // Optional comma-separated allowlist for iterating on one query's plan.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -183,7 +183,7 @@ object OracleTwins {
        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  min(${polyhash("d.text")}) AS min_hash,
        |  max(${polyhash("d.text")}) AS max_hash,
-       |  CAST(sum(sim.simhash % 1000003) AS BIGINT) AS sim_checksum
+       |  CAST(sum(sim.simhash % ${TextOps.SIM_CHECKSUM_MOD}) AS BIGINT) AS sim_checksum
        |FROM documents d JOIN sim ON d.doc_id = sim.doc_id
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 

@@ -17,7 +17,7 @@ import graft.functions.TextFns
   *    candidates. Never all-pairs: cost is O(docs × bands) + O(candidates),
   *    and candidates are vanishingly rare for dissimilar docs
   *    (P[candidate | j=0.1] ≈ 0.4%).
-  *  - SimHash near-dup: 32-bit fingerprint from token hashes, byte-banded
+  *  - SimHash near-dup: 48-bit fingerprint from token hashes, 12-bit-banded
   *    buckets, Hamming-distance verify via bit_count(xor).
   *
   * All hashing is [[TextFns]] deterministic integer arithmetic, so the

@@ -186,6 +186,10 @@ object TextOps {
     * resolved from the function registry ([[graft.functions.GraftExtensions]]
     * injects them at session build; `register` covers foreign sessions).
     * Same codegen expressions, same plans — only the API differs. */
+  /** Modulus for the q50 sim_hash checksum — shared with the oracle twin
+    * ([[graft.OracleTwins.sqlTextFunctions]]) so the two can't drift. */
+  val SIM_CHECKSUM_MOD = 1000003L
+
   def sqlTextFunctions(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     documents(spark, dir).createOrReplaceTempView("docs_v")
@@ -193,7 +197,8 @@ object TextOps {
       s"""SELECT lang, count(*) AS n_docs,
          |  min(poly_hash(text)) AS min_hash,
          |  max(poly_hash(text)) AS max_hash,
-         |  sum(sim_hash(text, ${Dedup.SIMHASH_BITS}) % 1000003) AS sim_checksum
+         |  sum(sim_hash(text, ${Dedup.SIMHASH_BITS}) % $SIM_CHECKSUM_MOD)
+         |    AS sim_checksum
          |FROM docs_v GROUP BY lang ORDER BY lang""".stripMargin)
   }
 

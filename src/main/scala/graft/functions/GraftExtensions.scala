@@ -27,25 +27,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def intArg(e: Expression, fn: String): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$fn expects a literal int argument, got $other")
+  private def arity(fn: String, es: Seq[Expression], min: Int, max: Int): Unit =
+    if (es.length < min || es.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects $min${if (max != min) s" to $max" else ""} argument(s), " +
+          s"got ${es.length}")
+
+  private def intArg(e: Expression, fn: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got non-literal ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal int argument, got $other")
+    }
   }
 
   /** name → expression builder, for both registration paths. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "poly_hash" -> ((es: Seq[Expression]) => PolyHashE(es.head)),
-    "shingle_hashes" -> ((es: Seq[Expression]) =>
+    "poly_hash" -> ((es: Seq[Expression]) => {
+      arity("poly_hash", es, 1, 1); PolyHashE(es.head)
+    }),
+    "shingle_hashes" -> ((es: Seq[Expression]) => {
+      arity("shingle_hashes", es, 1, 2)
       ShingleHashesE(es.head,
-        if (es.length > 1) intArg(es(1), "shingle_hashes") else 3)),
-    "minhash_sig" -> ((es: Seq[Expression]) => MinHashSigE(es.head)),
-    "char_gram_hashes" -> ((es: Seq[Expression]) =>
+        if (es.length > 1) intArg(es(1), "shingle_hashes") else 3)
+    }),
+    "minhash_sig" -> ((es: Seq[Expression]) => {
+      arity("minhash_sig", es, 1, 1); MinHashSigE(es.head)
+    }),
+    "char_gram_hashes" -> ((es: Seq[Expression]) => {
+      arity("char_gram_hashes", es, 1, 2)
       CharGramHashesE(es.head,
-        if (es.length > 1) intArg(es(1), "char_gram_hashes") else 8)),
-    "sim_hash" -> ((es: Seq[Expression]) =>
-      SimHashE(es.head, if (es.length > 1) intArg(es(1), "sim_hash") else 48)),
-    "dot_product_f" -> ((es: Seq[Expression]) => DotProductF(es.head, es(1))))
+        if (es.length > 1) intArg(es(1), "char_gram_hashes") else 8)
+    }),
+    "sim_hash" -> ((es: Seq[Expression]) => {
+      arity("sim_hash", es, 1, 2)
+      SimHashE(es.head, if (es.length > 1) intArg(es(1), "sim_hash") else 48)
+    }),
+    "dot_product_f" -> ((es: Seq[Expression]) => {
+      arity("dot_product_f", es, 2, 2); DotProductF(es.head, es(1))
+    }))
 
   /** Register into an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -73,43 +73,48 @@ object TextHash {
   }
 
   /** Distinct word-k-gram shingle hashes, first-occurrence order (the
-    * `array_distinct` contract). ≥1 shingle even for short/empty docs. */
+    * `array_distinct` contract, which is hash-based — the dedup here must
+    * stay O(shingles) too, or a 100k-token document turns quadratic). ≥1
+    * shingle even for short/empty docs. */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
     val w = tokenize(text)
     val nsh = math.max(w.length - (k - 1), 1)
     val out = new Array[Long](nsh)
+    val seen = new java.util.HashSet[java.lang.Long](nsh * 2)
     var n = 0
     var i = 0
     while (i < nsh) {
       val h = hashJoined(w, i, math.min(i + k, w.length))
-      var seen = false
-      var j = 0
-      while (j < n && !seen) { seen = out(j) == h; j += 1 }
-      if (!seen) { out(n) = h; n += 1 }
+      if (seen.add(h)) { out(n) = h; n += 1 }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, n))
   }
 
   /** NH affine-permutation minima over the shingle-hash set — all NH in one
-    * pass over the array. Empty input yields all-null (the `array_min` of an
-    * empty transform), matching the declarative form. */
+    * pass over the array. Null elements are skipped and an empty (or
+    * all-null) input yields null minima — exactly `array_min` over the
+    * transformed array, so the declarative twin can't diverge on the
+    * SQL-exposed surface either. */
   def minhashSig(hashes: ArrayData): ArrayData = {
     val n = hashes.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](TextFns.NH))
-    val out = new Array[Long](TextFns.NH)
+    val out = new Array[Any](TextFns.NH)
     var i = 0
     while (i < TextFns.NH) {
       val a = TextFns.A(i)
       val b = TextFns.B(i)
       var mn = Long.MaxValue
+      var found = false
       var j = 0
       while (j < n) {
-        val v = (a * hashes.getLong(j) + b) % P
-        if (v < mn) mn = v
+        if (!hashes.isNullAt(j)) {
+          val v = (a * hashes.getLong(j) + b) % P
+          if (v < mn) mn = v
+          found = true
+        }
         j += 1
       }
-      out(i) = mn
+      if (found) out(i) = mn
       i += 1
     }
     new GenericArrayData(out)
