@@ -304,6 +304,30 @@ object OracleTwins {
        |  (bucket + 1) * ${TextOps.HIST_WIDTH} AS hi_tokens
        |FROM g ORDER BY bucket""".stripMargin
 
+  val filteredTopK: String =
+    s"""WITH $langQualityCte,
+       |keep AS (
+       |  SELECT doc_id FROM r
+       |  WHERE n_tokens >= 20 AND stop_ratio <= 0.15
+       |    AND stop_ratio >= ${TextOps.STOP_RATIO_EN}),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+       |  WHERE vec_id < ${Sim.N_PROBES}),
+       |cand AS (
+       |  SELECT e.vec_id, e.embedding
+       |  FROM embeddings e JOIN keep ON e.vec_id = keep.doc_id),
+       |scored AS (
+       |  SELECT probe_id, vec_id, ${cosine("pv", "embedding")} AS cos
+       |  FROM cand JOIN probes ON vec_id <> probe_id),
+       |r2 AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+       |      AS rank
+       |  FROM scored)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("cos")} AS cosine
+       |FROM r2 WHERE rank <= ${Sim.TOP_K} ORDER BY probe_id, rank""".stripMargin
+
   val enumViolations: String =
     Schemas.enums.toSeq.sortBy { case ((t, c), _) => (t, c) }
       .map { case ((t, c), dom) =>

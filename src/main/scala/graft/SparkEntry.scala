@@ -86,6 +86,8 @@ object SparkEntry {
     "q50_sql_text_functions"       -> (TextOps.sqlTextFunctions _),
     // ---- distributed k-means update (fixed-point deterministic) ----
     "q51_kmeans_step"              -> (Sim.kmeansStep _),
+    // ---- hybrid filtered vector search (metadata gate before scoring) ----
+    "q52_filtered_topk"            -> (Sim.filteredTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -385,5 +387,6 @@ object SparkEntry {
     "q49_tfidf_top_terms" -> OracleTwins.tfidfTopTerms,
     "q50_sql_text_functions" -> OracleTwins.sqlTextFunctions,
     "q51_kmeans_step"     -> OracleTwins.kmeansStep,
+    "q52_filtered_topk"   -> OracleTwins.filteredTopK,
   )
 }

@@ -208,6 +208,38 @@ object Sim {
     * the same bands, so results still match exactly. */
   val COS_T = 0.35
 
+  /** Filtered vector search — the hybrid retrieval shape production systems
+    * run (RAG with metadata predicates): the quality/language gate applies
+    * *before* any scoring, so the per-probe work is proportional to the
+    * filtered corpus, not the full one. The filter side joins on the
+    * vector id (documents and embeddings share ids via dim_review's
+    * doc_id=vec_id identity); at scale that join is the pushed-down
+    * predicate of the ANN index scan. */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val keep = TextOps.langQualityRaw(spark, dir)
+      .filter(col("quality_bucket") === "ok" && col("predicted_lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val e = spread(embeddings(spark, dir))
+      .join(keep, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val probes = spread(embeddings(spark, dir))
+      .filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        sqrt(VecFns.norm2(col("embedding"))).as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        Num.round6(col("cos")).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Product-quantization geometry: PQ_M subspaces of PQ_D dims (M×D =
     * the 64-dim embedding), PQ_K centroids per subspace, codebook entries
     * drawn deterministically from the corpus (every PQ_STRIDE-th vector's
