@@ -505,6 +505,17 @@ object OracleTwins {
        |  ${round6("adc")} AS adc_dot
        |FROM r WHERE rank <= ${Sim.PQ_TOP_K} ORDER BY probe_id, rank""".stripMargin
 
+  val hashSample: String =
+    s"""WITH s AS (
+       |  SELECT lang, doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents
+       |  WHERE ${polyhash("text")} % ${TextOps.SAMPLE_BUCKETS} = 0)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sample_tokens
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   val docFingerprint: String =
     s"""WITH g AS (
        |  SELECT doc_id, list_transform(

@@ -88,6 +88,8 @@ object SparkEntry {
     "q51_kmeans_step"              -> (Sim.kmeansStep _),
     // ---- hybrid filtered vector search (metadata gate before scoring) ----
     "q52_filtered_topk"            -> (Sim.filteredTopK _),
+    // ---- reproducible hash-bucket sampling (eval-set carving) ----
+    "q53_hash_sample"              -> (TextOps.hashSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -388,5 +390,6 @@ object SparkEntry {
     "q50_sql_text_functions" -> OracleTwins.sqlTextFunctions,
     "q51_kmeans_step"     -> OracleTwins.kmeansStep,
     "q52_filtered_topk"   -> OracleTwins.filteredTopK,
+    "q53_hash_sample"     -> OracleTwins.hashSample,
   )
 }

@@ -202,6 +202,22 @@ object TextOps {
          |FROM docs_v GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** Deterministic hash-bucket sampling — how a pipeline carves
+    * reproducible eval/held-out sets: bucket = contentHash % K, sample =
+    * bucket 0 (train = the rest). Content-keyed, so the split survives
+    * re-shards, re-orders, and reruns — unlike `sample()`'s seeded RNG,
+    * which is partition-layout-dependent and not replicable cross-engine.
+    * Map-only + a tiny per-language aggregate. */
+  val SAMPLE_BUCKETS = 10
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .filter(TextFns.polyHash(col("text")) % SAMPLE_BUCKETS === 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("sample_tokens"))
+      .orderBy("lang")
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */
