@@ -269,8 +269,8 @@ object OracleTwins {
        |SELECT doc_id, lang, n_tokens, n_stop, n_letters, stop_ratio, avg_word_len,
        |  CASE WHEN stop_ratio >= ${TextOps.STOP_RATIO_EN} THEN 'en' ELSE 'unk' END
        |    AS predicted_lang,
-       |  CASE WHEN n_tokens < 20 THEN 'short'
-       |       WHEN stop_ratio > 0.15 THEN 'stopword_heavy'
+       |  CASE WHEN n_tokens < ${TextOps.MIN_TOKENS} THEN 'short'
+       |       WHEN stop_ratio > ${TextOps.MAX_STOP_RATIO} THEN 'stopword_heavy'
        |       ELSE 'ok' END AS quality_bucket
        |FROM r ORDER BY doc_id""".stripMargin
 
@@ -281,8 +281,8 @@ object OracleTwins {
        |  SELECT r.doc_id,
        |    CASE WHEN lab.cluster_id IS NOT NULL AND r.doc_id <> lab.cluster_id
        |           THEN 'dup'
-       |         WHEN r.n_tokens < 20 THEN 'short'
-       |         WHEN r.stop_ratio > 0.15 THEN 'stopword_heavy'
+       |         WHEN r.n_tokens < ${TextOps.MIN_TOKENS} THEN 'short'
+       |         WHEN r.stop_ratio > ${TextOps.MAX_STOP_RATIO} THEN 'stopword_heavy'
        |         WHEN r.stop_ratio < ${TextOps.STOP_RATIO_EN} THEN 'non_en'
        |         ELSE 'kept' END AS verdict,
        |    r.n_tokens
@@ -308,7 +308,8 @@ object OracleTwins {
     s"""WITH $langQualityCte,
        |keep AS (
        |  SELECT doc_id FROM r
-       |  WHERE n_tokens >= 20 AND stop_ratio <= 0.15
+       |  WHERE n_tokens >= ${TextOps.MIN_TOKENS}
+       |    AND stop_ratio <= ${TextOps.MAX_STOP_RATIO}
        |    AND stop_ratio >= ${TextOps.STOP_RATIO_EN}),
        |probes AS (
        |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings

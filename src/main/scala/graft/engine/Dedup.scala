@@ -210,9 +210,9 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: byte-band buckets → candidates within buckets →
-    * Hamming verify (bit_count of xor). Same banded-LSH scale shape as
-    * [[minhashNearDup]]. */
+  /** SimHash near-dup pairs: 12-bit band buckets → candidates within
+    * buckets → Hamming verify (bit_count of xor). Same banded-LSH scale
+    * shape as [[minhashNearDup]]. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sim = simhash(spark, dir)
     val bands = sim.select(col("doc_id"), col("simhash"),

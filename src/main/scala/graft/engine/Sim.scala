@@ -30,6 +30,20 @@ object Sim {
   val N_PROBES = 8
   val TOP_K = 5
 
+  /** Shared tail of every cosine search: rank scored candidates per probe
+    * (cos desc, vec_id tie-break), keep k, present through round6. Input
+    * must carry (probe_id, vec_id, cos). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        Num.round6(col("cos")).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Brute-force cosine top-k per probe (the oracle-checkable ANN baseline).
     * Probes broadcast; ranks via row_number over a per-probe window with
     * vec_id tie-break. */
@@ -43,19 +57,12 @@ object Sim {
     val probes = e.filter(col("vec_id") < N_PROBES)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         col("nrm").as("pnrm"))
-    val scored = e
-      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
-          .as("cos"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TOP_K)
-      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        Num.round6(col("cos")).as("cosine"))
-      .orderBy("probe_id", "rank")
+    rankTopK(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+            .as("cos")),
+      TOP_K)
   }
 
   /** Same result as [[embeddingTopK]] through the typed [[TopKAgg]]
@@ -150,17 +157,11 @@ object Sim {
     val cands = a.join(broadcast(probes),
         col("cent_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
       .join(e, "vec_id")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cands
-      .select(col("probe_id"), col("vec_id"),
+    rankTopK(
+      cands.select(col("probe_id"), col("vec_id"),
         (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
-          .as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= IVF_TOP_K)
-      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        Num.round6(col("cos")).as("cosine"))
-      .orderBy("probe_id", "rank")
+          .as("cos")),
+      IVF_TOP_K)
   }
 
   /** One distributed Lloyd (k-means) update step over the IVF assignment:
@@ -216,7 +217,7 @@ object Sim {
     * doc_id=vec_id identity); at scale that join is the pushed-down
     * predicate of the ANN index scan. */
   def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
-    val keep = TextOps.langQualityRaw(spark, dir)
+    val keep = TextOps.langQualityRaw(spark, dir) // gate thresholds: TextOps.MIN_TOKENS/MAX_STOP_RATIO
       .filter(col("quality_bucket") === "ok" && col("predicted_lang") === "en")
       .select(col("doc_id").as("vec_id"))
     val e = spread(embeddings(spark, dir))
@@ -227,17 +228,12 @@ object Sim {
       .filter(col("vec_id") < N_PROBES)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         sqrt(VecFns.norm2(col("embedding"))).as("pnrm"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
-          .as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TOP_K)
-      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        Num.round6(col("cos")).as("cosine"))
-      .orderBy("probe_id", "rank")
+    rankTopK(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+            .as("cos")),
+      TOP_K)
   }
 
   /** Product-quantization geometry: PQ_M subspaces of PQ_D dims (M×D =

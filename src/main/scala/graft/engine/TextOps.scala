@@ -37,6 +37,10 @@ object TextOps {
   /** Tiny English-stopword list for the language-ID heuristic. */
   val STOPWORDS: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   val STOP_RATIO_EN = 0.05
+  /** Quality-gate thresholds — shared with every oracle twin that restates
+    * the gate (langQuality, curation, filteredTopK) so they can't drift. */
+  val MIN_TOKENS = 20
+  val MAX_STOP_RATIO = 0.15
 
   /** Per-document language-ID heuristic + quality scoring: stopword ratio,
     * average word length, and a CASE-bucketed quality class — the
@@ -61,8 +65,8 @@ object TextOps {
       .withColumn("predicted_lang",
         when(col("stop_ratio") >= STOP_RATIO_EN, "en").otherwise("unk"))
       .withColumn("quality_bucket",
-        when(col("n_tokens") < 20, "short")
-          .when(col("stop_ratio") > 0.15, "stopword_heavy")
+        when(col("n_tokens") < MIN_TOKENS, "short")
+          .when(col("stop_ratio") > MAX_STOP_RATIO, "stopword_heavy")
           .otherwise("ok"))
   }
 
@@ -83,8 +87,8 @@ object TextOps {
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("verdict",
         when(col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id"), "dup")
-          .when(col("n_tokens") < 20, "short")
-          .when(col("stop_ratio") > 0.15, "stopword_heavy")
+          .when(col("n_tokens") < MIN_TOKENS, "short")
+          .when(col("stop_ratio") > MAX_STOP_RATIO, "stopword_heavy")
           .when(col("predicted_lang") =!= "en", "non_en")
           .otherwise("kept"))
       .groupBy("verdict")
@@ -181,15 +185,15 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Modulus for the q50 sim_hash checksum — shared with the oracle twin
+    * ([[graft.OracleTwins.sqlTextFunctions]]) so the two can't drift. */
+  val SIM_CHECKSUM_MOD = 1000003L
+
   /** The SQL face of the native text-hash expressions: per-language hash
     * aggregates written in plain `spark.sql`, with `poly_hash`/`sim_hash`
     * resolved from the function registry ([[graft.functions.GraftExtensions]]
     * injects them at session build; `register` covers foreign sessions).
     * Same codegen expressions, same plans — only the API differs. */
-  /** Modulus for the q50 sim_hash checksum — shared with the oracle twin
-    * ([[graft.OracleTwins.sqlTextFunctions]]) so the two can't drift. */
-  val SIM_CHECKSUM_MOD = 1000003L
-
   def sqlTextFunctions(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     documents(spark, dir).createOrReplaceTempView("docs_v")

@@ -75,18 +75,40 @@ object TextHash {
   /** Distinct word-k-gram shingle hashes, first-occurrence order (the
     * `array_distinct` contract, which is hash-based — the dedup here must
     * stay O(shingles) too, or a 100k-token document turns quadratic). ≥1
-    * shingle even for short/empty docs. */
+    * shingle even for short/empty docs.
+    *
+    * Dedup stays boxing-free in both regimes: a linear scan for typical
+    * short documents (cache-friendly, no table at all) and a primitive
+    * open-addressing long set for long ones. */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
     val w = tokenize(text)
     val nsh = math.max(w.length - (k - 1), 1)
     val out = new Array[Long](nsh)
-    val seen = new java.util.HashSet[java.lang.Long](nsh * 2)
     var n = 0
     var i = 0
-    while (i < nsh) {
-      val h = hashJoined(w, i, math.min(i + k, w.length))
-      if (seen.add(h)) { out(n) = h; n += 1 }
-      i += 1
+    if (nsh <= 64) {
+      while (i < nsh) {
+        val h = hashJoined(w, i, math.min(i + k, w.length))
+        var seen = false
+        var j = 0
+        while (j < n && !seen) { seen = out(j) == h; j += 1 }
+        if (!seen) { out(n) = h; n += 1 }
+        i += 1
+      }
+    } else {
+      // hash values are in [0, P) so -1 is a safe empty sentinel
+      var cap = 128
+      while (cap < nsh * 2) cap <<= 1
+      val table = new Array[Long](cap)
+      java.util.Arrays.fill(table, -1L)
+      val mask = cap - 1
+      while (i < nsh) {
+        val h = hashJoined(w, i, math.min(i + k, w.length))
+        var idx = ((h * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+        while (table(idx) != -1L && table(idx) != h) idx = (idx + 1) & mask
+        if (table(idx) == -1L) { table(idx) = h; out(n) = h; n += 1 }
+        i += 1
+      }
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, n))
   }

@@ -21,7 +21,11 @@ class TextHashSpec extends SparkSpecBase {
     "café naïve résumé",
     "emoji " + new String(Character.toChars(0x1F600)) + " tail",
     "x " + new String(Character.toChars(0x10348)) + " y",
-    ("tok " * 40).trim)
+    ("tok " * 40).trim,
+    // > 64 distinct shingles: exercises the open-addressing dedup regime
+    (1 to 300).map(i => s"w$i").mkString(" "),
+    // long with planted repeats: dedup must still collapse them
+    ((1 to 100).map(i => s"w$i") ++ (1 to 100).map(i => s"w$i")).mkString(" "))
     .toDF("text")
 
   private lazy val docs =
