@@ -115,4 +115,53 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
   }
+
+  /** ======== STUB ========
+    * Deterministic stand-in for an image resize (no codec in container):
+    * nearest-neighbour byte subsampling to the target dimensions. Real
+    * plumbing, fake pixels — replace the body, keep the signature. */
+  def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
+                 dstW: Int, dstH: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(dstW * dstH, 0))
+    val srcLen = math.max(srcW * srcH, 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload(((i.toLong * srcLen) / math.max(out.length, 1)).toInt
+        % math.max(payload.length, 1))
+      i += 1
+    }
+    out
+  }
+
+  /** Resize pass: every media row re-emitted at the target dimensions with
+    * updated metadata — map-only (narrow, no shuffle), the shape of a
+    * thumbnail/normalization stage over 100 TB of images. */
+  def resizeAll(media: Dataset[MediaRecord], dstW: Int, dstH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m =>
+      MediaRecord(m.media_id, m.kind,
+        resizeStub(m.payload, m.width, m.height, dstW, dstH), dstW, dstH)))
+  }
+
+  final case class MediaFrame(
+    media_id: Long, frame_no: Long, frame: Array[Byte])
+
+  /** Frame sampling: treat a video payload as consecutive `frameSize`-byte
+    * frames and keep every `stride`-th one — one media row fans out to many
+    * frame rows (`flatMap`, the row-expansion shape of video pipelines; at
+    * scale the expansion factor is why frame extraction runs *before* any
+    * shuffle, never after). Trailing partial frames are dropped, matching
+    * fixed-size decoder contracts. */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int,
+                   stride: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    require(frameSize >= 1 && stride >= 1)
+    media.flatMap { m =>
+      val nFrames = m.payload.length / frameSize
+      (0 until nFrames by stride).map { f =>
+        MediaFrame(m.media_id, f.toLong,
+          java.util.Arrays.copyOfRange(m.payload, f * frameSize, (f + 1) * frameSize))
+      }
+    }
+  }
 }

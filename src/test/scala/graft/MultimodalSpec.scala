@@ -42,6 +42,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(viaDs == Multimodal.decodeStub(one.payload).toSeq)
   }
 
+  test("resize updates metadata, emits exact target-size payloads, no shuffle") {
+    val media = Multimodal.mediaDataset(spark, sf).repartition(3)
+    val resized = Multimodal.resizeAll(media, 16, 12)
+    assert(resized.rdd.getNumPartitions == 3)
+    val rows = resized.collect()
+    assert(rows.length == media.count())
+    assert(rows.forall(r => r.width == 16 && r.height == 12 &&
+      r.payload.length == 16 * 12))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resizeAll(media, 16, 12).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(rows.forall(r => again(r.media_id) == r.payload.toSeq))
+  }
+
+  test("frame sampling fans out to floor(len/frameSize)/stride frames of exact size") {
+    val media = Multimodal.mediaDataset(spark, sf)
+    val frames = Multimodal.sampleFrames(media, frameSize = 32, stride = 2).collect()
+    val lens = media.collect().map(m => m.media_id -> m.payload.length).toMap
+    val byMedia = frames.groupBy(_.media_id)
+    assert(byMedia.forall { case (id, fs) =>
+      val expected = (0 until lens(id) / 32 by 2).map(_.toLong)
+      fs.map(_.frame_no).sorted.toSeq == expected &&
+        fs.forall(_.frame.length == 32)
+    })
+    // every frame's bytes match a driver-side slice of the source payload
+    val m0 = media.filter(col("media_id") === 0).collect().head
+    frames.filter(_.media_id == 0).foreach { f =>
+      val off = f.frame_no.toInt * 32
+      assert(f.frame.toSeq == m0.payload.slice(off, off + 32).toSeq)
+    }
+  }
+
   test("expression path and oracle-style text path agree on byte probes") {
     val m = Multimodal.mediaFeatures(spark, sf)
     val viaText = spark.read.parquet(s"$sf/documents.parquet")
