@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in GC than in tasks (measured 5x slowdown on the LSH queries). The
   // bench/verify host has 128 GiB; leave headroom for the sbt JVM + duckdb.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Throughput collector: batch queries care about total GC time, not
+  // pauses; parallel old-gen collection absorbs the allocation bursts of
+  // 32 concurrent task threads better than G1's pause-target heuristics.
+  "-XX:+UseParallelGC",
 )
