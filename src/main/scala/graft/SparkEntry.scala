@@ -90,6 +90,8 @@ object SparkEntry {
     "q52_filtered_topk"            -> (Sim.filteredTopK _),
     // ---- reproducible hash-bucket sampling (eval-set carving) ----
     "q53_hash_sample"              -> (TextOps.hashSample _),
+    // ---- CUBE lattice (completes the grouping-sets family with q39) ----
+    "q54_status_cube"              -> (Kpis.statusCube _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -391,5 +393,14 @@ object SparkEntry {
     "q51_kmeans_step"     -> OracleTwins.kmeansStep,
     "q52_filtered_topk"   -> OracleTwins.filteredTopK,
     "q53_hash_sample"     -> OracleTwins.hashSample,
+
+    "q54_status_cube" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY grp, status, priority""".stripMargin,
   )
 }

@@ -272,6 +272,21 @@ object Kpis {
         grouping_id().cast("long").as("grp"))
       .orderBy(col("grp"), col("year"), col("month"))
 
+  /** Full cross-dimensional subtotals via CUBE — ROLLUP's lattice
+    * completion: every subset of (status, priority) aggregated in one
+    * shuffle (4 grouping sets), disambiguated by grouping_id. The shape of
+    * a one-pass dashboard summary that would otherwise need 4 scans. */
+  def statusCube(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+      .cube(col("status"), col("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("revenue"),
+        grouping_id().cast("long").as("grp"))
+      .orderBy(col("grp"), col("status"), col("priority"))
+
   /** Pivot (A4's pivot-style percentages as a real PIVOT): order counts per
     * priority spread across status columns. Explicit pivot values keep the
     * output schema static — at scale an un-valued pivot would need a
