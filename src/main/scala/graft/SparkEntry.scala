@@ -92,6 +92,10 @@ object SparkEntry {
     "q53_hash_sample"              -> (TextOps.hashSample _),
     // ---- CUBE lattice (completes the grouping-sets family with q39) ----
     "q54_status_cube"              -> (Kpis.statusCube _),
+    // ---- sketch aggregates (HLL++, approx quantiles): no SQL twin —
+    // sketch internals are engine-specific; driver runs rows-only check,
+    // DedupSimSpec bounds the error against the exact columns ----
+    "q55_approx_stats"             -> (Kpis.approxStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

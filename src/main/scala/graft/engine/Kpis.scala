@@ -168,6 +168,25 @@ object Kpis {
       .orderBy("order_id")
   }
 
+  /** Sketch aggregates — the cardinality/quantile estimators a 100 TB scan
+    * actually runs (HyperLogLog++ `approx_count_distinct`, KLL-style
+    * `percentile_approx`): fixed-size mergeable state instead of the
+    * per-group hash set / full sort their exact twins need. Exact values
+    * ride along so the error is observable (and spec-bounded). Sketch
+    * internals are engine-specific, so this query has **no DuckDB twin** —
+    * the driver records its weaker rows-only check; DedupSimSpec bounds the
+    * approximation error against the exact columns instead. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+      .orderBy("event_type")
+
   /** §2.9 — tumbling-window aggregate over the event stream, batch form
     * (`groupBy(window(...))` is the same operator Structured Streaming uses;
     * [[graft.streaming.EventsStream.hourly]] is the readStream twin and

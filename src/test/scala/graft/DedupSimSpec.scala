@@ -191,6 +191,21 @@ class DedupSimSpec extends SparkSpecBase {
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
   }
 
+  test("sketch aggregates track their exact twins within tolerance") {
+    val rows = engine.Kpis.approxStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exactU = r.getLong(2).toDouble
+      val approxU = r.getLong(3).toDouble
+      assert(math.abs(approxU - exactU) / exactU < 0.05,
+        s"HLL off by ${math.abs(approxU - exactU) / exactU} on ${r.getString(0)}")
+      val exactP = r.getDouble(4)
+      val approxP = r.getDouble(5)
+      assert(math.abs(approxP - exactP) / math.max(math.abs(exactP), 1e-9) < 0.10,
+        s"approx p50 $approxP vs exact $exactP on ${r.getString(0)}")
+    }
+  }
+
   test("docFingerprint is deterministic and total") {
     val fp1 = TextOps.docFingerprint(spark, sf).collect()
     val fp2 = TextOps.docFingerprint(spark, sf).collect()
