@@ -162,23 +162,30 @@ object Dedup {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
-      val viaNeighbour = e.join(labels, e("dst") === labels("id"))
-        .select(e("src").as("id"), col("label"))
-      val stepped = labels.unionAll(viaNeighbour)
-        .groupBy("id").agg(min("label").as("label"))
-      // disjoint column names dodge self-join attribute dedup pitfalls
+      // Per-node min neighbour label, keyed by the node it updates.
+      val nmin = e.join(labels, e("dst") === labels("id"))
+        .groupBy(e("src").as("nid")).agg(min("label").as("nlabel"))
+      // Carry the round's starting label ("old") through the whole round:
+      // change detection then reads the checkpointed result directly — no
+      // extra next⟗labels join (two shuffles per round) just to diff.
+      val stepped = labels
+        .join(nmin, col("id") === col("nid"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+      // Pointer-doubling hop; disjoint column names dodge self-join
+      // attribute dedup pitfalls.
       val hop = stepped.select(col("id").as("cid"), col("label").as("clabel"))
       val next = stepped
         .join(hop, col("label") === col("cid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           coalesce(col("clabel"), col("label")).as("label"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       iters += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] iter=$iters changed=$changed")
     }
     e.unpersist()
     if (changed > 0)

@@ -123,15 +123,20 @@ object Sim {
     val cents = e.filter(col("vec_id") % IVF_STRIDE === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("nrm").as("cnrm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cent_id").asc)
+    // Argmax per vector via max_by, not a window: the groupBy's map-side
+    // partial aggregation collapses the N×K scored rows to one row per
+    // vector *before* the shuffle — a window would range-shuffle and sort
+    // all N×K. Tie-break (max cos, then min cent_id) is encoded in the
+    // ordering struct, so the result is fully deterministic.
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cent_id"),
         (VecFns.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
           .as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("cos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("cos")),
+        struct(col("cos"), -col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        col("best.cos").as("cos"))
   }
 
   /** IVF cell occupancy — the coarse index a 100 TB ANN store partitions
@@ -272,14 +277,16 @@ object Sim {
     * partition so the groupBy's partial aggregation collapses locally. */
   private def pqEncode(spark: SparkSession, dir: String): DataFrame = {
     val sub = subvectors(spread(embeddings(spark, dir)), "vec_id", "sv")
-    val w = Window.partitionBy("vec_id", "m")
-      .orderBy(col("dp").desc, col("j").asc)
+    // Same max_by-not-window argmax as ivfAssign: partial agg collapses the
+    // N×M×K scored rows map-side; tie (max dp, then min j) in the ordering.
     sub.join(broadcast(pqCodebook(spark, dir)), "m")
       .select(col("vec_id"), col("m"), col("j"),
         VecFns.dot(col("sv"), col("cv")).as("dp"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("j"), col("dp"))
+      .groupBy("vec_id", "m")
+      .agg(max_by(struct(col("j"), col("dp")),
+        struct(col("dp"), -col("j"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.j").as("j"),
+        col("best.dp").as("dp"))
   }
 
   /** PQ codes per vector: the M-byte compressed representation a 100 TB
