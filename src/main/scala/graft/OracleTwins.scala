@@ -517,6 +517,52 @@ object OracleTwins {
        |  CAST(sum(n_tokens) AS BIGINT) AS sample_tokens
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  val sequencePacking: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, COALESCE(CAST(SUM(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    AS cum_before
+       |  FROM t),
+       |b AS (SELECT *, cum_before // ${TextOps.PACK_BUDGET} AS bin_id FROM c)
+       |SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+       |FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
+
+  val percentileGate: String =
+    s"""WITH $langQualityCte,
+       |d AS (
+       |  SELECT doc_id, lang, n_tokens, stop_ratio,
+       |    ntile(10) OVER (PARTITION BY lang ORDER BY stop_ratio DESC, doc_id)
+       |      AS decile
+       |  FROM r)
+       |SELECT lang, CAST(decile AS BIGINT) AS decile,
+       |  decile <= ${TextOps.KEEP_DECILES} AS kept,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS decile_tokens,
+       |  ${round6("min(stop_ratio)")} AS min_stop_ratio,
+       |  ${round6("max(stop_ratio)")} AS max_stop_ratio
+       |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+
+  val stratifiedSplit: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    ${polyhash("text")} % ${TextOps.SAMPLE_BUCKETS} AS bucket
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN bucket = 0 THEN 'test' WHEN bucket = 1 THEN 'val'
+       |       ELSE 'train' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS split_tokens,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   val docFingerprint: String =
     s"""WITH g AS (
        |  SELECT doc_id, list_transform(

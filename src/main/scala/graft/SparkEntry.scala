@@ -96,6 +96,15 @@ object SparkEntry {
     // sketch internals are engine-specific; driver runs rows-only check,
     // DedupSimSpec bounds the error against the exact columns ----
     "q55_approx_stats"             -> (Kpis.approxStats _),
+    // ---- §2.7 set operations + full §2.5 window family ----
+    "q56_set_ops"                  -> (Kpis.setOps _),
+    "q57_window_family"            -> (Kpis.windowFamily _),
+    // ---- LLM-pipeline: packing, adaptive quality gate, 3-way split ----
+    "q58_sequence_packing"         -> (TextOps.sequencePacking _),
+    "q59_percentile_gate"          -> (TextOps.percentileGate _),
+    "q60_stratified_split"         -> (TextOps.stratifiedSplit _),
+    // ---- skew-mitigation salted aggregation (oracle = unsalted SQL) ----
+    "q61_salted_revenue"           -> (Kpis.saltedRevenueByNation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -406,5 +415,71 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY grp, status, priority""".stripMargin,
+
+    "q56_set_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT * FROM (
+        | SELECT 'anti_join' AS op, CAST(count(*) AS BIGINT) AS n_rows
+        |   FROM customer
+        |   WHERE NOT EXISTS (SELECT 1 FROM a WHERE o_custkey = c_custkey)
+        | UNION ALL
+        | SELECT 'except', CAST(count(*) AS BIGINT)
+        |   FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        | UNION ALL
+        | SELECT 'intersect', CAST(count(*) AS BIGINT)
+        |   FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        | UNION ALL
+        | SELECT 'semi_join', CAST(count(*) AS BIGINT)
+        |   FROM customer
+        |   WHERE EXISTS (SELECT 1 FROM a WHERE o_custkey = c_custkey)
+        | UNION ALL
+        | SELECT 'union', CAST(count(*) AS BIGINT)
+        |   FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+        | UNION ALL
+        | SELECT 'union_all', CAST(count(*) AS BIGINT)
+        |   FROM (SELECT o_custkey FROM a UNION ALL SELECT o_custkey FROM b)
+        |) ORDER BY op""".stripMargin,
+
+    "q57_window_family" ->
+      """WITH m AS (
+        | SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |   CAST(year(o_orderdate) AS BIGINT) AS year,
+        |   CAST(count(*) AS BIGINT) AS n_orders,
+        |   CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM orders GROUP BY 1, 2)
+        |SELECT order_month, year, n_orders,
+        | CAST(rev_cents AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue,
+        | lag(rev_cents) OVER sy AS prev_cents,
+        | lead(rev_cents) OVER sy AS next_cents,
+        | rev_cents - lag(rev_cents) OVER sy AS mom_delta_cents,
+        | CAST(SUM(rev_cents) OVER (PARTITION BY year ORDER BY order_month
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS running_cents,
+        | first_value(rev_cents) OVER wh AS year_first_cents,
+        | last_value(rev_cents) OVER wh AS year_last_cents,
+        | CAST(ntile(4) OVER br AS BIGINT) AS rev_quartile,
+        | percent_rank() OVER br AS pct_rank,
+        | cume_dist() OVER br AS cume_dist
+        |FROM m
+        |WINDOW sy AS (PARTITION BY year ORDER BY order_month),
+        |  wh AS (PARTITION BY year ORDER BY order_month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  br AS (PARTITION BY year ORDER BY rev_cents DESC, order_month)
+        |ORDER BY order_month""".stripMargin,
+
+    "q58_sequence_packing" -> OracleTwins.sequencePacking,
+    "q59_percentile_gate"  -> OracleTwins.percentileGate,
+    "q60_stratified_split" -> OracleTwins.stratifiedSplit,
+
+    // The oracle is deliberately the UNSALTED aggregate — the salted
+    // two-phase Spark plan must be semantics-preserving.
+    "q61_salted_revenue" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

@@ -377,4 +377,99 @@ object Kpis {
         Silver.fkOrphans(o, c, col("o_custkey") === col("c_custkey"))))
       .orderBy("relationship")
   }
+
+  /** §2.7 set-operation family (beyond-reference — the reference has none):
+    * UNION / UNION ALL / INTERSECT / EXCEPT over two order-year key sets,
+    * plus the left-semi / left-anti joins (the EXISTS / NOT EXISTS duals)
+    * against the customer dimension. One row per operator with its
+    * cardinality — exercising each physical shape: except/intersect plan as
+    * left-anti/left-semi aggregates, union-distinct as a hash aggregate,
+    * union-all as a zero-shuffle concatenation.
+    *
+    * Scale: every branch shuffles only the (narrow) key column; the semi/
+    * anti probes broadcast nothing and never materialize the join output. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    def custs(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val a = custs(1995)
+    val b = custs(1996)
+    val c = customer(spark, dir)
+    def tally(op: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows")).select(lit(op).as("op"), col("n_rows"))
+    tally("anti_join",
+        c.join(a, col("c_custkey") === col("o_custkey"), "left_anti"))
+      .unionAll(tally("except", a.except(b)))
+      .unionAll(tally("intersect", a.intersect(b)))
+      .unionAll(tally("semi_join",
+        c.join(a, col("c_custkey") === col("o_custkey"), "left_semi")))
+      .unionAll(tally("union", a.union(b).distinct()))
+      .unionAll(tally("union_all", a.unionAll(b)))
+      .orderBy("op")
+  }
+
+  /** §2.5 window-function family beyond row_number (beyond-reference):
+    * lag / lead / running sum / first / last / ntile / percent_rank /
+    * cume_dist over the monthly-revenue series, partitioned by year.
+    *
+    * Numeric discipline: every windowed value is integer cents (exact under
+    * any partitioning); percent_rank/cume_dist are rank ratios — one IEEE
+    * division on integers, bit-identical cross-engine; all orderings carry
+    * a unique tie-break column. Partition-by-year keeps the window state
+    * bounded (12 rows) no matter the fact-table scale below the aggregate. */
+  def windowFamily(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .withColumn("year", year(col("order_month")).cast("long"))
+    val series = Window.partitionBy("year").orderBy("order_month")
+    val running = series.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = series.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val byRev = Window.partitionBy("year")
+      .orderBy(col("rev_cents").desc, col("order_month"))
+    monthly
+      .withColumn("prev_cents", lag("rev_cents", 1).over(series))
+      .withColumn("next_cents", lead("rev_cents", 1).over(series))
+      .withColumn("mom_delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("running_cents", sum("rev_cents").over(running))
+      .withColumn("year_first_cents", first("rev_cents").over(whole))
+      .withColumn("year_last_cents", last("rev_cents").over(whole))
+      .withColumn("rev_quartile", ntile(4).over(byRev).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(byRev))
+      .withColumn("cume_dist", cume_dist().over(byRev))
+      .select(col("order_month"), col("year"), col("n_orders"),
+        Num.dollars(col("rev_cents")).as("revenue"),
+        col("prev_cents"), col("next_cents"), col("mom_delta_cents"),
+        col("running_cents"), col("year_first_cents"), col("year_last_cents"),
+        col("rev_quartile"), col("pct_rank"), col("cume_dist"))
+      .orderBy("order_month")
+  }
+
+  /** Skew-mitigation two-phase (salted) aggregation: revenue per nation with
+    * the per-key load spread over SALT_BUCKETS sub-keys first, then the
+    * partials combined. At 100 TB a hot nation (one reducer receiving a
+    * double-digit percentage of the fact table) is the classic straggler;
+    * salting bounds any reducer's share at 1/SALT_BUCKETS of the hot key.
+    * The oracle is the *unsalted* SQL — proving salt-then-combine is
+    * semantics-preserving (exact for sums/counts since integer partials
+    * commute). AQE's skew handling covers joins; salting covers aggregates. */
+  val SALT_BUCKETS = 8
+  def saltedRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = nation(spark, dir)
+    val partials = o
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("salt", col("o_orderkey") % SALT_BUCKETS)
+      .groupBy(col("n_name"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(cents(col("o_totalprice"))).as("pc"))
+    partials
+      .groupBy(col("n_name"))
+      .agg(sum("pn").as("n_orders"), dollars(sum(col("pc"))).as("revenue"))
+      .orderBy("n_name")
+  }
 }

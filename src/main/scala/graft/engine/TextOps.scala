@@ -222,6 +222,77 @@ object TextOps {
         sum(size(TextFns.tokens(col("text"))).cast("long")).as("sample_tokens"))
       .orderBy("lang")
 
+  /** Sequence packing — the concat-and-chunk step that turns a curated
+    * corpus into fixed-token-budget training sequences: documents are laid
+    * end to end in a deterministic order and a document belongs to the bin
+    * its first token lands in (bin = exclusive-prefix-tokens div budget).
+    * Output is the per-bin manifest (doc count, token sum, doc-id range) a
+    * packing run hands to the tokenizer shards.
+    *
+    * Scale shape: the prefix sum is a window partitioned by the pack group
+    * (lang here; lang × shard at 100 TB so no single partition holds a
+    * whole language), ordered by the stable doc id. PACK_BUDGET is a power
+    * of two, so the div is exact integer arithmetic cross-engine. */
+  val PACK_BUDGET = 512
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $PACK_BUDGET"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc_id"), max("doc_id").as("last_doc_id"))
+      .orderBy("lang", "bin_id")
+  }
+
+  /** Percentile-based quality gating — keep the best N deciles per language
+    * rather than a fixed threshold (the adaptive form of [[langQuality]]'s
+    * gates, standard when corpus quality drifts by source): ntile(10) over
+    * the stopword-density ranking, deciles above KEEP_DECILES dropped.
+    * Output is the per-(lang, decile) tally with its kept/dropped verdict.
+    *
+    * Determinism: the ranking orders a ratio of two integers (one IEEE
+    * division — bit-identical cross-engine) with doc_id as tie-break, so
+    * decile boundaries can't wobble. ntile keeps O(1) state per partition;
+    * at 100 TB the per-lang ranking is the only full-sort and would run on
+    * a pre-aggregated (doc_id, score) projection, never the text. */
+  val KEEP_DECILES = 8
+  def percentileGate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("stop_ratio").desc, col("doc_id"))
+    langQualityRaw(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("kept", col("decile") <= KEEP_DECILES)
+      .groupBy("lang", "decile", "kept")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("decile_tokens"),
+        Num.round6(min("stop_ratio")).as("min_stop_ratio"),
+        Num.round6(max("stop_ratio")).as("max_stop_ratio"))
+      .orderBy("lang", "decile")
+  }
+
+  /** Stratified train/val/test split: within every language stratum the
+    * content hash routes 10% to test, 10% to val, 80% to train — the
+    * reproducible-split discipline of [[hashSample]] extended to the full
+    * three-way partition a training run needs. Content-keyed ⇒ the split
+    * survives re-shards and reruns and never leaks a near-identical doc
+    * across splits when combined with dedup upstream. Map-only + a
+    * lang × split aggregate. */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextFns.polyHash(col("text")) % SAMPLE_BUCKETS
+    documents(spark, dir)
+      .withColumn("split",
+        when(bucket === 0, "test").when(bucket === 1, "val").otherwise("train"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("split_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("lang", "split")
+  }
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */
