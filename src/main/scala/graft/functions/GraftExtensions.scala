@@ -16,13 +16,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    host application's) — idempotent temp-function registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo(classOf[GraftExtensions].getName, name),
           builder))
     }
+    // Optimizer guard-rail: oversized broadcast() hints fall back to AQE
+    // instead of OOMing a 1000-executor job (graft.plans.BroadcastGuard).
+    ext.injectOptimizerRule(_ => new graft.plans.BroadcastGuard)
+  }
 }
 
 object GraftFunctions {
