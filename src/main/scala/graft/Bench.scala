@@ -46,6 +46,11 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
+        // Collect the previous query's garbage OUTSIDE any timing window:
+        // otherwise an allocation-heavy query's tenured garbage surfaces as
+        // a multi-second full-GC spike inside some later query's timing
+        // (observed: same query 2.7s vs 10.2s run-to-run).
+        System.gc()
         t
       }.min
       name -> dt

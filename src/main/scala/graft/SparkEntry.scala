@@ -456,6 +456,10 @@ object SparkEntry {
         | CAST(SUM(rev_cents) OVER (PARTITION BY year ORDER BY order_month
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS running_cents,
+        | CAST(SUM(rev_cents) OVER (PARTITION BY year
+        |   ORDER BY year * 12 + month(order_month)
+        |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS trailing3m_cents,
         | first_value(rev_cents) OVER wh AS year_first_cents,
         | last_value(rev_cents) OVER wh AS year_last_cents,
         | CAST(ntile(4) OVER br AS BIGINT) AS rev_quartile,

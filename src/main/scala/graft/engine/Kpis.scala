@@ -430,11 +430,18 @@ object Kpis {
       Window.unboundedPreceding, Window.unboundedFollowing)
     val byRev = Window.partitionBy("year")
       .orderBy(col("rev_cents").desc, col("order_month"))
+    // RANGE frame over a month ordinal: trailing-3-calendar-month sum —
+    // unlike a ROWS frame it is gap-aware (a missing month narrows it).
+    val trailing = Window.partitionBy("year").orderBy("month_ord")
+      .rangeBetween(-2, Window.currentRow)
     monthly
+      .withColumn("month_ord",
+        (col("year") * 12 + month(col("order_month"))).cast("long"))
       .withColumn("prev_cents", lag("rev_cents", 1).over(series))
       .withColumn("next_cents", lead("rev_cents", 1).over(series))
       .withColumn("mom_delta_cents", col("rev_cents") - col("prev_cents"))
       .withColumn("running_cents", sum("rev_cents").over(running))
+      .withColumn("trailing3m_cents", sum("rev_cents").over(trailing))
       .withColumn("year_first_cents", first("rev_cents").over(whole))
       .withColumn("year_last_cents", last("rev_cents").over(whole))
       .withColumn("rev_quartile", ntile(4).over(byRev).cast("long"))
@@ -443,7 +450,8 @@ object Kpis {
       .select(col("order_month"), col("year"), col("n_orders"),
         Num.dollars(col("rev_cents")).as("revenue"),
         col("prev_cents"), col("next_cents"), col("mom_delta_cents"),
-        col("running_cents"), col("year_first_cents"), col("year_last_cents"),
+        col("running_cents"), col("trailing3m_cents"),
+        col("year_first_cents"), col("year_last_cents"),
         col("rev_quartile"), col("pct_rank"), col("cume_dist"))
       .orderBy("order_month")
   }

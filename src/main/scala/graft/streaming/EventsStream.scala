@@ -48,6 +48,26 @@ object EventsStream {
         col("event_type"), col("n_events"), col("total_value"))
       .withColumn("avg_value", col("total_value") / col("n_events"))
 
+  /** Stream-static enrichment join — the standard streaming dimension
+    * lookup: each micro-batch of events joins the (static, broadcast)
+    * customer dimension, then aggregates per segment. The static side is
+    * re-planned per micro-batch, so a dimension refresh is picked up
+    * without restarting the query; at scale the dimension stays broadcast
+    * (it is bounded) and the stream side never shuffles for the join. */
+  def segmentTotals(spark: SparkSession, eventsDir: String,
+      tablesDir: String): DataFrame = {
+    val cust = graft.engine.Tables.customer(spark, tablesDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(eventsDir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.dollars(sum(Num.cents(col("value")))).as("total_value"))
+  }
+
   final case class SessEvent(event_id: Long, user_id: Long, ts_us: Long)
   final case class SessState(lastUs: Long, nEvents: Long, nSessions: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)

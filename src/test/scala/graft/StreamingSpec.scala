@@ -58,6 +58,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static dimension join equals the batch join") {
+    val dir = tmpDir("graft-stream-join")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventsStream.segmentTotals(spark, dir, sf)
+      .writeStream
+      .format("memory")
+      .queryName("events_segment_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("events_segment_stream")
+        .orderBy("segment").collect()
+      val batch = Tables.events(spark, sf)
+        .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.engine.Num.dollars(
+            sum(graft.engine.Num.cents(col("value")))).as("total_value"))
+        .orderBy("segment").collect()
+      assert(streamed.map(_.toSeq).sameElements(batch.map(_.toSeq)))
+    } finally q.stop()
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals the batch lag-window") {
     val dir = tmpDir("graft-stream-sess")
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
