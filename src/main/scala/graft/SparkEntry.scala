@@ -105,6 +105,10 @@ object SparkEntry {
     "q60_stratified_split"         -> (TextOps.stratifiedSplit _),
     // ---- skew-mitigation salted aggregation (oracle = unsalted SQL) ----
     "q61_salted_revenue"           -> (Kpis.saltedRevenueByNation _),
+    // ---- explicit GROUPING SETS lattice, map functions, interval join ----
+    "q62_grouping_sets"            -> (Kpis.statusGroupingSets _),
+    "q63_map_props"                -> (SourceOps.mapProps _),
+    "q64_order_event_window"       -> (Kpis.orderEventWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -475,6 +479,39 @@ object SparkEntry {
     "q58_sequence_packing" -> OracleTwins.sequencePacking,
     "q59_percentile_gate"  -> OracleTwins.percentileGate,
     "q60_stratified_split" -> OracleTwins.stratifiedSplit,
+
+    "q62_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority))
+        |ORDER BY grp, status, priority""".stripMargin,
+
+    "q63_map_props" ->
+      """WITH k AS (
+        | SELECT event_type, len(json_keys(props))::BIGINT AS n_keys,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  json_extract(props, '$.missing') IS NOT NULL AS has_missing
+        | FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(SUM(n_keys) AS BIGINT) AS total_keys,
+        | CAST(SUM(k) AS BIGINT) AS total_k,
+        | CAST(SUM(CASE WHEN has_missing THEN 1 ELSE 0 END) AS BIGINT) AS n_has_missing
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q64_order_event_window" ->
+      """WITH j AS (
+        | SELECT o.o_orderkey, e.user_id, e.event_type
+        | FROM orders o JOIN events e
+        |  ON e.user_id = o.o_custkey
+        |  AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+        |  AND e.ts < CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY)
+        |SELECT event_type, count(*) AS n_pairs,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The oracle is deliberately the UNSALTED aggregate — the salted
     // two-phase Spark plan must be semantics-preserving.

@@ -456,6 +456,45 @@ object Kpis {
       .orderBy("order_month")
   }
 
+  /** Explicit GROUPING SETS — the general lattice the ROLLUP (q39) and CUBE
+    * (q54) queries are special cases of: a custom set list {(status,
+    * priority), (priority)} that neither rollup nor cube produces. One
+    * Expand + one shuffle for all sets, like the other grouping-set forms. */
+  def statusGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("revenue"),
+        grouping_id().cast("long").as("grp"))
+      .withColumnRenamed("o_orderstatus", "status")
+      .withColumnRenamed("o_orderpriority", "priority")
+      .orderBy("grp", "status", "priority")
+
+  /** Interval (range) join — each order matched to the events its user
+    * produced in the 24 h following the order timestamp. The equi-key
+    * (user) drives the shuffle; the range predicate filters within each
+    * joined group, so the plan is a sort-merge join on user, never a
+    * cartesian. At 100 TB both sides would additionally be partitioned on
+    * coarse time buckets so a year of history never co-shuffles. */
+  def orderEventWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("t0"))
+    val e = events(spark, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts"))
+    o.join(e,
+        col("user_id") === col("o_custkey") &&
+          col("ts") >= col("t0") &&
+          col("ts") < col("t0") + expr("INTERVAL 1 DAY"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   /** Skew-mitigation two-phase (salted) aggregation: revenue per nation with
     * the per-key load spread over SALT_BUCKETS sub-keys first, then the
     * partials combined. At 100 TB a hot nation (one reducer receiving a

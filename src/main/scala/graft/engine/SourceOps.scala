@@ -46,4 +46,28 @@ object SourceOps {
         sum("k").as("total_k"))
       .withColumn("avg_k", col("total_k").cast("double") / col("n_events"))
       .orderBy("event_type")
+
+  /** MapType surface: the same props column parsed as a *dynamic* map
+    * (schema-on-read when keys aren't known in advance — the other half of
+    * the JSON story next to [[jsonProps]]'s fixed struct): `from_json` to
+    * map<string,string>, then `map_keys`/`element_at`/`map_contains_key`.
+    * Map-only parse + narrow grouped agg, like every scan-side operator. */
+  def mapProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+      .select(col("event_type"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k"),
+        map_contains_key(col("m"), "missing").as("has_missing"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("n_keys").as("total_keys"),
+        sum("k").as("total_k"),
+        sum(when(col("has_missing"), 1L).otherwise(0L)).as("n_has_missing"))
+      .orderBy("event_type")
 }
