@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.engine.{Dedup, Kpis, Sim}
+
+/** Physical-plan shape assertions — the executable form of PLANS.md.
+  * Each test pins a scale-critical plan property so a refactor that
+  * silently regresses the plan (a broadcast that becomes a cartesian, a
+  * window that sneaks back into an argmax) fails CI, not a cluster run.
+  * Plans are read AFTER execution so AQE's final shape is what's asserted.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    p.toString
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(Kpis.topSuppliers(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("LSH band self-join reuses one exchange under the merge hint") {
+    val plan = finalPlan(Dedup.minhashNearDup(spark, sf))
+    assert(plan.contains("SortMergeJoin"))
+    assert(plan.contains("ReusedExchange"),
+      "both sides of the band self-join must come from the same shuffle")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "a broadcast self-join would evaluate the hashing subtree twice")
+  }
+
+  test("interval join keeps the equi-key shuffle, never a cartesian") {
+    val plan = finalPlan(Kpis.orderEventWindow(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("IVF argmax is an aggregate, not a window sort") {
+    val plan = finalPlan(Sim.ivfCells(spark, sf))
+    assert(!plan.contains("Window"),
+      "argmax must partial-aggregate map-side (max_by), not range-sort NxK")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"))
+  }
+
+  test("as-of join bounds per-group state via WindowGroupLimit") {
+    val plan = finalPlan(Kpis.eventOrderAsof(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=1 must push a per-partition group limit below the window sort")
+  }
+
+  test("salted aggregation runs two aggregate phases") {
+    val plan = finalPlan(Kpis.saltedRevenueByNation(spark, sf))
+    // partial+final pairs for both the (key, salt) and the key phases
+    val n = "HashAggregate".r.findAllIn(plan).length
+    assert(n >= 4, s"expected two paired aggregate phases, saw $n HashAggregate nodes")
+  }
+
+  test("every aggregate query plans map-side partial aggregation") {
+    val plan = finalPlan(Kpis.pricingSummary(spark, sf))
+    val modes = "HashAggregate".r.findAllIn(plan).length
+    assert(modes >= 2, "partial+final HashAggregate pair expected")
+  }
+}
