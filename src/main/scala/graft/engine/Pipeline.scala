@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 import graft.sources.Sources
 
@@ -68,18 +69,28 @@ object Pipeline {
     }
 
   /** Silver: schema enforce + validate + dedup per table (ref
-    * transformations_script.py:147–181). */
-  def silver(spark: SparkSession, out: String): Unit =
-    Tables.names.foreach { t =>
+    * transformations_script.py:147–181). Returns per-table
+    * (rows_in, rows_out) read from `observe()` metrics — row accounting
+    * piggybacks on the write job itself (CollectMetrics), so the audit
+    * costs zero extra passes over the data. The reference logs row counts
+    * per table (transformations_script.py:171) with separate count()
+    * actions; at 100 TB a second pass per table is a second full scan. */
+  def silver(spark: SparkSession, out: String): Map[String, (Long, Long)] =
+    Tables.names.map { t =>
+      val obsIn = Observation(s"silver_in_$t")
+      val obsOut = Observation(s"silver_out_$t")
       val raw = Tables.raw(spark, s"$out/bronze", t)
+        .observe(obsIn, count(lit(1)).as("n"))
       val enforced = Schemas.all.get(t).map { s =>
         val e = Silver.enforce(raw, s)
         Silver.validate(e, s)
         e
       }.getOrElse(raw)
       Silver.dedup(enforced)
+        .observe(obsOut, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$out/silver/$t.parquet")
-    }
+      t -> (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
+    }.toMap
 
   /** Gold: star-schema builders over the silver layer, fact partitioned by
     * year/month, dims unpartitioned (ref gold_data_curation_script.py). */

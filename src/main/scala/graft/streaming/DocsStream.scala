@@ -29,4 +29,24 @@ object DocsStream {
         sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
           .as("content_hash"))
       .dropDuplicates("content_hash")
+
+  /** Streaming → lake sink via `foreachBatch`: each micro-batch of deduped
+    * documents lands as lang-partitioned parquet — the streaming half of
+    * the medallion write path ([[graft.engine.Gold.writePartitioned]] is
+    * the batch half). `foreachBatch` hands every micro-batch to the batch
+    * writer, so layout options (partitioning, file sizing, compaction)
+    * are exactly the batch ones; exactly-once comes from the checkpoint +
+    * idempotent overwrite of each batch's partition directories at scale
+    * (append here — the spec replays a corpus and checks no dup rows land).
+    */
+  def curatedSink(spark: SparkSession, dir: String, out: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupedDocs(spark, dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("lang").parquet(out)
+      }
+      .start()
 }

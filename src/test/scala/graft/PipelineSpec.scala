@@ -27,6 +27,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(calls == 3)
   }
 
+  test("silver observe() metrics account rows without extra passes") {
+    val out = tmpDir("graft-pipeline-obs")
+    Pipeline.bronze(spark, sf, out)
+    val metrics = Pipeline.silver(spark, out)
+    assert(metrics.keySet == Tables.names.toSet)
+    metrics.foreach { case (t, (rowsIn, rowsOut)) =>
+      assert(rowsIn >= rowsOut, s"$t: dedup cannot add rows")
+      // the observed output count must equal what actually landed
+      assert(rowsOut == Tables.table(spark, s"$out/silver", t).count(),
+        s"$t: observed rows_out != written rows")
+    }
+    // observed input/output counts match the independent batch counts
+    metrics.foreach { case (t, (rowsIn, rowsOut)) =>
+      assert(rowsIn == Tables.raw(spark, s"$out/bronze", t).count())
+      assert(rowsOut ==
+        Tables.raw(spark, s"$out/bronze", t).dropDuplicates().count())
+    }
+  }
+
   test("bronze->silver->gold runs end-to-end and lands a partitioned fact") {
     val out = tmpDir("graft-pipeline")
     val stages = Pipeline.run(spark, sf, out, initialBackoffMs = 1)

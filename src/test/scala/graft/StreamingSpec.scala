@@ -58,6 +58,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink lands deduped lang-partitioned parquet") {
+    val dir = tmpDir("graft-stream-sink-in")
+    val out = tmpDir("graft-stream-sink-out") + "/curated"
+    val ckpt = tmpDir("graft-stream-sink-ckpt")
+    // replayed corpus: the sink must land each distinct doc exactly once
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/batch2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = DocsStream.curatedSink(spark, dir, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(out)
+    val batchDistinct = Tables.documents(spark, sf)
+      .select(sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256))
+      .distinct().count()
+    assert(landed.count() == batchDistinct)
+    // lang partitioning survived (hive directories, column reconstructed)
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("lang=")))
+    assert(landed.select("lang").distinct().count() ==
+      Tables.documents(spark, sf).select("lang").distinct().count())
+  }
+
   test("stream-static dimension join equals the batch join") {
     val dir = tmpDir("graft-stream-join")
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
