@@ -109,6 +109,8 @@ object SparkEntry {
     "q62_grouping_sets"            -> (Kpis.statusGroupingSets _),
     "q63_map_props"                -> (SourceOps.mapProps _),
     "q64_order_event_window"       -> (Kpis.orderEventWindow _),
+    // ---- ORC round-trip (columnar interchange beyond parquet) ----
+    "q65_orc_roundtrip"            -> (SourceOps.orcRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -479,6 +481,15 @@ object SparkEntry {
     "q58_sequence_packing" -> OracleTwins.sequencePacking,
     "q59_percentile_gate"  -> OracleTwins.percentileGate,
     "q60_stratified_split" -> OracleTwins.stratifiedSplit,
+
+    // Oracle aggregates the parquet original; the Spark side routes
+    // through an ORC write+read, so format loss breaks the match.
+    "q65_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue,
+        | CAST(min(o_orderdate) AS DATE) AS first_date,
+        | CAST(max(o_orderdate) AS DATE) AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q62_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,

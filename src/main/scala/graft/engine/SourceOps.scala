@@ -47,6 +47,27 @@ object SourceOps {
       .withColumn("avg_k", col("total_k").cast("double") / col("n_events"))
       .orderBy("event_type")
 
+  /** ORC round-trip: orders through the other columnar format and back,
+    * aggregated per status. The oracle aggregates the parquet original, so
+    * any type/precision loss in the ORC path breaks the hash match
+    * (timestamps, doubles and strings all cross the boundary). */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Sources.writeOrc(orders(spark, dir), tmp)
+    Sources.readOrc(spark, tmp)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(Num.cents(col("o_totalprice"))).as("rev_cents"),
+        min(col("o_orderdate").cast("date")).as("first_date"),
+        max(col("o_orderdate").cast("date")).as("last_date"))
+      .select(col("o_orderstatus"), col("n_orders"),
+        Num.dollars(col("rev_cents")).as("revenue"),
+        col("first_date"), col("last_date"))
+      .orderBy("o_orderstatus")
+  }
+
   /** MapType surface: the same props column parsed as a *dynamic* map
     * (schema-on-read when keys aren't known in advance — the other half of
     * the JSON story next to [[jsonProps]]'s fixed struct): `from_json` to

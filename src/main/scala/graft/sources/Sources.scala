@@ -37,4 +37,13 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC — the other columnar interchange format warehouses hand around;
+    * types round-trip losslessly (unlike CSV), so the reader takes the
+    * written schema as-is. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }
