@@ -111,6 +111,8 @@ object SparkEntry {
     "q64_order_event_window"       -> (Kpis.orderEventWindow _),
     // ---- ORC round-trip (columnar interchange beyond parquet) ----
     "q65_orc_roundtrip"            -> (SourceOps.orcRoundtrip _),
+    // ---- latest-wins compaction (CDC/upsert merge shape) ----
+    "q66_latest_event"             -> (Kpis.latestEventPerUser _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -481,6 +483,16 @@ object SparkEntry {
     "q58_sequence_packing" -> OracleTwins.sequencePacking,
     "q59_percentile_gate"  -> OracleTwins.percentileGate,
     "q60_stratified_split" -> OracleTwins.stratifiedSplit,
+
+    "q66_latest_event" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, event_type, ts, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, event_id, event_type,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // Oracle aggregates the parquet original; the Spark side routes
     // through an ORC write+read, so format loss breaks the match.

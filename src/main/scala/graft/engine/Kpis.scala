@@ -495,6 +495,25 @@ object Kpis {
       .orderBy("event_type")
   }
 
+  /** Latest-wins compaction — the CDC/upsert shape a mutable-source ingest
+    * needs: keep each key's newest record (max event time, id tie-break).
+    * Same max_by-not-window argmax as [[Sim]]'s assignment: partial
+    * aggregation collapses each key map-side, so compacting a 100 TB
+    * changelog shuffles one record per key per map partition, never sorts
+    * per-key history. `dropDuplicates` keeps an *arbitrary* row; this
+    * keeps a *defined* one — the difference between a dedup and a merge. */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("last.value").as("value"))
+      .orderBy("user_id")
+
   /** Skew-mitigation two-phase (salted) aggregation: revenue per nation with
     * the per-key load spread over SALT_BUCKETS sub-keys first, then the
     * partials combined. At 100 TB a hot nation (one reducer receiving a
