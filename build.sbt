@@ -34,11 +34,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in GC than in tasks (measured 5x slowdown on the LSH queries). The
   // bench/verify host has 128 GiB; leave headroom for the sbt JVM + duckdb.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // Start the heap big enough that ParallelGC never full-GCs just to grow
+  // Start the heap at its max so ParallelGC never full-GCs just to grow
   // it mid-query ("Ergonomics" pauses), and raise the initial metaspace
   // trigger above what Spark+codegen load at startup ("Metadata GC
   // Threshold" caused 4 full GCs in the first seconds of every run).
-  "-Xms8g", "-XX:MetaspaceSize=512m",
+  // Xms tracks the same env knob as Xmx — a fixed value would refuse to
+  // start the JVM whenever SPARK_DRIVER_MEM is set below it.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:MetaspaceSize=512m",
   // Throughput collector: batch queries care about total GC time, not
   // pauses; parallel old-gen collection absorbs the allocation bursts of
   // 32 concurrent task threads better than G1's pause-target heuristics.

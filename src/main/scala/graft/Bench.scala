@@ -31,7 +31,7 @@ object Bench {
     // warm, codegen-compiled number — what the plan actually costs). The
     // driver sets no env, so official rounds keep the single-run cold+warm
     // mix and stay comparable with prior BENCH_r*.json.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -17,9 +17,15 @@ object SourceOps {
     * headered CSV, read it back with the explicit schema + quote/multiLine
     * options, aggregate per language. The oracle aggregates the parquet
     * original — any loss/corruption in the CSV path breaks the hash match. */
-  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip_" +
+  /** Per-(format, input-dir) scratch path for the round-trip queries —
+    * shared so a future change (cleanup, collision handling) hits every
+    * format at once. */
+  private def roundtripTmp(kind: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_roundtrip_" +
       java.lang.Integer.toHexString(dir.hashCode)
+
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = roundtripTmp("csv", dir)
     Sources.writeCsv(documents(spark, dir), tmp)
     Sources.readCsv(spark, tmp, Schemas.documents)
       .groupBy("lang")
@@ -52,8 +58,7 @@ object SourceOps {
     * any type/precision loss in the ORC path breaks the hash match
     * (timestamps, doubles and strings all cross the boundary). */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_roundtrip_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val tmp = roundtripTmp("orc", dir)
     Sources.writeOrc(orders(spark, dir), tmp)
     Sources.readOrc(spark, tmp)
       .groupBy("o_orderstatus")
