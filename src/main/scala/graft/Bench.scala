@@ -37,7 +37,12 @@ object Bench {
       .map { case (name, fn) =>
       val dt = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // A failed query must be LOUD: silently recording time-to-exception
+        // would make a broken query read as a performance win in the JSON.
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // Release state a query left behind (persisted/localCheckpointed RDDs
         // from iterative operators, cached views) so block-manager memory

@@ -34,14 +34,6 @@ object Dedup {
     d.unionAll(d.filter(col("doc_id") % 7 === 0))
   }
 
-  /** The local testdata tables are single parquet files → one input split,
-    * which serializes the CPU-heavy hashing projections. Spread them across
-    * the cores first. At cluster scale the scan itself provides splits and
-    * this small-table repartition is noise; the keyed operators downstream
-    * (band joins, groupBys) shuffle on their own keys regardless. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
   /** Exact dedup: normalize (lowercase, collapse whitespace) → sha2-256 →
     * hash groupBy. Output = the duplicate groups with their canonical
     * (min) doc_id — what a pipeline would keep. */

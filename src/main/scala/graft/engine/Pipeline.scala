@@ -28,7 +28,10 @@ object Pipeline {
     while (true) {
       try return f
       catch {
-        case e: Throwable if left > 1 =>
+        // NonFatal only: retrying after an OutOfMemoryError re-runs a full
+        // stage on a corrupted heap, and swallowing InterruptedException
+        // breaks cancellation — both must propagate immediately.
+        case e: Throwable if scala.util.control.NonFatal(e) && left > 1 =>
           left -= 1
           Thread.sleep(backoff)
           backoff *= 2

@@ -96,14 +96,6 @@ object Sim {
       .orderBy("probe_id", "rank")
   }
 
-  /** The LSH index build: every vector assigned to its sign-bucket in one
-    * map-only pass, then per-bucket occupancy stats. At scale the bucket id
-    * is the partition/clustering key of the ANN index. */
-  /** See Dedup.spread — parallelize the single-file local scans before the
-    * CPU-heavy vector projections. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
   /** IVF geometry: every IVF_STRIDE-th vector is a centroid (deterministic
     * stand-in for k-means training — the *index structure* is what's being
     * exercised; swapping in trained centroids changes no plumbing). */
@@ -199,6 +191,9 @@ object Sim {
       .orderBy("cent_id", "dim")
   }
 
+  /** The LSH index build: every vector assigned to its sign-bucket in one
+    * map-only pass, then per-bucket occupancy stats. At scale the bucket id
+    * is the partition/clustering key of the ANN index. */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     spread(embeddings(spark, dir))
       .select(col("vec_id"), VecFns.lshBucket(col("embedding")).as("bucket"))

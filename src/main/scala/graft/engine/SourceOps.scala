@@ -18,10 +18,15 @@ object SourceOps {
     * options, aggregate per language. The oracle aggregates the parquet
     * original — any loss/corruption in the CSV path breaks the hash match. */
   /** Per-(format, input-dir) scratch path for the round-trip queries —
-    * shared so a future change (cleanup, collision handling) hits every
-    * format at once. */
+    * shared so a future change hits every format at once. The per-JVM
+    * token keeps concurrent sessions (a Bench and a Verify on the same
+    * machine) from racing on one path, and breaks `dir.hashCode`
+    * collisions between different input dirs; within a JVM the path is
+    * stable, so repeated runs overwrite rather than accumulate. */
+  private val jvmToken: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid())
   private def roundtripTmp(kind: String, dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_roundtrip_" +
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_roundtrip_${jvmToken}_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {

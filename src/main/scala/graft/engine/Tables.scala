@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   */
 object Tables {
 
+  /** The local testdata tables are single parquet files → one input split,
+    * which would serialize CPU-heavy downstream projections (hashing,
+    * vector math). Spread across the cores first. At cluster scale the
+    * scan itself provides splits and this small-table repartition is
+    * noise; keyed operators downstream shuffle on their own keys
+    * regardless. Shared by the Dedup/Sim pipelines — one definition, so a
+    * future strategy change can't silently miss a copy. */
+  private[engine] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -22,8 +22,18 @@ final case class TopKBuf(ids: Seq[Long], scores: Seq[Double])
   */
 final class TopKAgg(k: Int) extends Aggregator[ScoredRow, TopKBuf, TopKBuf] {
 
+  /** (score desc, id asc) with Spark's SQL double ordering: comparisons go
+    * through java.lang.Double.compare, under which NaN sorts *greater* than
+    * +Inf — so a NaN score ranks first here exactly as it does under the
+    * row_number window's ORDER BY cos DESC (a `sortBy(-s)` would negate NaN
+    * to NaN and push it last instead, diverging from the window/oracle). */
+  private val ord: Ordering[(Long, Double)] = (a, b) => {
+    val byScore = java.lang.Double.compare(b._2, a._2) // desc, NaN greatest
+    if (byScore != 0) byScore else java.lang.Long.compare(a._1, b._1)
+  }
+
   private def bounded(pairs: Seq[(Long, Double)]): TopKBuf = {
-    val top = pairs.sortBy { case (id, s) => (-s, id) }.take(k)
+    val top = pairs.sorted(ord).take(k)
     TopKBuf(top.map(_._1), top.map(_._2))
   }
 

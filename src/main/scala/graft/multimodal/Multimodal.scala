@@ -49,19 +49,24 @@ object Multimodal {
         (col("n_chars") % 48 + 1).cast("int").as("height"))
 
   /** Byte k (1-based) of a binary column as a long, via the hex round-trip —
-    * stays an expression (no UDF), works on any binary. */
+    * stays an expression (no UDF), works on any binary. An empty payload
+    * yields 0 (matching the oracle's ascii('') convention), not NULL. */
   def byteAt(payload: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
-    conv(hex(payload.substr(lit(k), lit(1))), 16, 10).cast("long")
+    coalesce(conv(hex(payload.substr(lit(k), lit(1))), 16, 10).cast("long"), lit(0L))
 
   /** Rolling checksum of the first `n` bytes: fold acc = (acc*31 + byte)
     * mod P over the hex representation, two hex chars per byte. Identical
-    * integer sequence to the oracle's fold over ascii(char). */
+    * integer sequence to the oracle's fold over ascii(char). Guarded for
+    * the empty payload: `sequence(0, -1)` is a *descending* sequence in
+    * Spark (not an empty array), which would feed the fold garbage — an
+    * empty payload returns the seed, as the oracle's range(0,0) fold does. */
   def byteChecksum(payload: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
-    aggregate(
-      transform(sequence(lit(0), least(length(payload), lit(n)) - 1),
-        i => conv(substring_expr(hex(payload), i * 2 + 1, 2), 16, 10).cast("long")),
-      lit(7L),
-      (acc, b) => (acc * 31L + b) % TextFns.P)
+    when(length(payload) === 0, lit(7L)).otherwise(
+      aggregate(
+        transform(sequence(lit(0), least(length(payload), lit(n)) - 1),
+          i => conv(substring_expr(hex(payload), i * 2 + 1, 2), 16, 10).cast("long")),
+        lit(7L),
+        (acc, b) => (acc * 31L + b) % TextFns.P))
 
   private def substring_expr(c: org.apache.spark.sql.Column,
                              pos: org.apache.spark.sql.Column,
@@ -123,11 +128,12 @@ object Multimodal {
   def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
                  dstW: Int, dstH: Int): Array[Byte] = {
     val out = new Array[Byte](math.max(dstW * dstH, 0))
+    if (payload.isEmpty) return out // nothing to sample; all-zero frame
     val srcLen = math.max(srcW * srcH, 1)
     var i = 0
     while (i < out.length) {
       out(i) = payload(((i.toLong * srcLen) / math.max(out.length, 1)).toInt
-        % math.max(payload.length, 1))
+        % payload.length)
       i += 1
     }
     out

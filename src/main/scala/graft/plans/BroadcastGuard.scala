@@ -41,10 +41,18 @@ class BroadcastGuard extends Rule[LogicalPlan] {
       // already folded broadcast() hints into the Join node's JoinHint —
       // so the guard scrubs oversized sides there.
       case j @ Join(left, right, _, _, hint) =>
+        // Only act where the size-only estimate is trustworthy: a Join in
+        // the hinted subtree makes sizeInBytes the PRODUCT of its children
+        // (orders of magnitude high for derived sides like probe⋈embedding
+        // lookups), which would strip deliberate hints on tiny frames. The
+        // bug class this guards — a hint on a base table that outgrew its
+        // author's assumption — has a join-free subtree by definition.
+        def estimable(side: LogicalPlan): Boolean =
+          side.collectFirst { case jj: Join => jj }.isEmpty
         def scrub(h: Option[HintInfo], side: LogicalPlan): Option[HintInfo] =
           h match {
             case Some(HintInfo(Some(BROADCAST)))
-                if side.stats.sizeInBytes > maxBytes =>
+                if estimable(side) && side.stats.sizeInBytes > maxBytes =>
               logWarning("BroadcastGuard: dropping broadcast hint on a " +
                 s"join side estimated at ${side.stats.sizeInBytes} bytes " +
                 s"(> $MAX_BYTES_KEY=$maxBytes); letting AQE choose the join")

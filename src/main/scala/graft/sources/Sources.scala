@@ -30,6 +30,11 @@ object Sources {
       .option("header", header.toString)
       .option("quote", "\"")
       .option("escape", "\"")
+      // Spark's CSV writer trims field whitespace by DEFAULT — silent
+      // corruption of any text value with leading/trailing spaces (and a
+      // round-trip that no longer equals the parquet original).
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -80,7 +80,25 @@ object EventsStream {
     * Same semantics as the batch query (events ordered by (ts, event_id),
     * exact integer-µs gap arithmetic), which is what StreamingSpec asserts.
     * State is O(1) per user; at scale the state store shards on user_id —
-    * the same key the batch window partitions by. */
+    * the same key the batch window partitions by.
+    *
+    * Ordering contract: events are sorted *within* each micro-batch, so the
+    * stream ≡ batch equality holds when batches arrive time-ordered (the
+    * file-backfill case tested here). A feed that delivers late events in
+    * later micro-batches needs the watermark-aware built-in instead —
+    * `session_window` ([[sessionWindowCounts]]), which buffers and merges
+    * out-of-order events until the watermark closes the session. */
+  /** Gap-based sessionization via the built-in `session_window` — the
+    * watermark-aware form: out-of-order events are buffered and merged
+    * into their session until the watermark closes it, so this one is
+    * correct for late-arriving feeds where [[sessionize]]'s carried state
+    * assumes time-ordered batches. The same 30-minute gap as the batch
+    * lag-window query; works identically in batch (StreamingSpec pins
+    * per-user window counts ≡ Kpis.eventSessions n_sessions). */
+  def sessionWindowCounts(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+
   def sessionize(spark: SparkSession, dir: String): Dataset[UserSessions] = {
     import spark.implicits._
     val GAP_US = 1800L * 1000000L

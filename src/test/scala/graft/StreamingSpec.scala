@@ -108,6 +108,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session_window gap sessions agree with the lag-window session counts") {
+    // same operator in batch and streaming; batch mode pins the semantics
+    val windows = EventsStream.sessionWindowCounts(Tables.events(spark, sf))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = Kpis.eventSessions(spark, sf)
+      .select("user_id", "n_sessions", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(windows.sameElements(batch))
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals the batch lag-window") {
     val dir = tmpDir("graft-stream-sess")
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
