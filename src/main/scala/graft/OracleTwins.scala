@@ -563,6 +563,25 @@ object OracleTwins {
        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  val decontamination: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100001, lang, text FROM documents WHERE doc_id % 7 = 0),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |      AS content_hash,
+       |    CASE WHEN doc_id % 10 = 9 THEN 'heldout' ELSE 'train' END AS split
+       |  FROM corpus),
+       |ho AS (SELECT DISTINCT content_hash FROM h WHERE split = 'heldout')
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_contaminated,
+       |  min(doc_id) AS min_contaminated_id
+       |FROM h
+       |WHERE split = 'train'
+       |  AND EXISTS (SELECT 1 FROM ho WHERE ho.content_hash = h.content_hash)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val docFingerprint: String =
     s"""WITH g AS (
        |  SELECT doc_id, list_transform(

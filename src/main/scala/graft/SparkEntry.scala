@@ -113,6 +113,9 @@ object SparkEntry {
     "q65_orc_roundtrip"            -> (SourceOps.orcRoundtrip _),
     // ---- latest-wins compaction (CDC/upsert merge shape) ----
     "q66_latest_event"             -> (Kpis.latestEventPerUser _),
+    // ---- train/test decontamination (leakage audit; naive id split
+    // leaks where the content-hash split of q60 cannot) ----
+    "q67_decontamination"          -> (Dedup.decontamination _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -483,6 +486,8 @@ object SparkEntry {
     "q58_sequence_packing" -> OracleTwins.sequencePacking,
     "q59_percentile_gate"  -> OracleTwins.percentileGate,
     "q60_stratified_split" -> OracleTwins.stratifiedSplit,
+
+    "q67_decontamination" -> OracleTwins.decontamination,
 
     "q66_latest_event" ->
       """WITH r AS (

@@ -209,6 +209,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Train/test decontamination — the leakage audit every LLM data
+    * pipeline runs before training: count training documents whose exact
+    * (normalized) content also appears in the held-out split. The corpus
+    * here is deliberately split the *naive* way (by doc id, after re-iding
+    * the planted duplicates) so the leak is nonzero — demonstrating
+    * precisely why [[graft.engine.TextOps.stratifiedSplit]] keys on the
+    * content hash instead, which makes this count zero by construction.
+    *
+    * Scale shape: one map pass hashes the corpus; the held-out hash set is
+    * distinct-reduced and then left-semi joins the training side — only
+    * the 64-hex key ever shuffles, and the semi join materializes no
+    * payload. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val base = spread(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("text"))
+    // planted cross-split leak: every 7th doc re-appears under a new id
+    val corpus = base.unionAll(
+      base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100001))
+    val hashed = corpus.select(col("doc_id"), col("lang"),
+      sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+        .as("content_hash"),
+      when(col("doc_id") % 10 === 9, "heldout").otherwise("train").as("split"))
+    val heldoutHashes = hashed.filter(col("split") === "heldout")
+      .select(col("content_hash")).distinct()
+    val train = hashed.filter(col("split") === "train")
+    train
+      .join(heldoutHashes, Seq("content_hash"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_contaminated"),
+        min("doc_id").as("min_contaminated_id"))
+      .orderBy("lang")
+  }
+
   /** SimHash near-dup pairs: 12-bit band buckets → candidates within
     * buckets → Hamming verify (bit_count of xor). Same banded-LSH scale
     * shape as [[minhashNearDup]]. */
