@@ -179,4 +179,17 @@ object Gold {
   /** S5 — unpartitioned dimension write (ref gold_data_curation_script.py:111). */
   def writeDim(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Idempotent partition-level re-run: rewrite ONLY the (year, month)
+    * partitions present in `updated`, leaving every other partition's files
+    * untouched (dynamic partition overwrite). This is the 100 TB backfill
+    * primitive — re-running one bad day replaces that day's directories
+    * and nothing else, so the job is safely re-runnable and never rewrites
+    * the table ([[writePartitioned]]'s static overwrite would truncate all
+    * partitions first). */
+  def overwritePartitions(updated: DataFrame, path: String): Unit =
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month")
+      .parquet(path)
 }

@@ -61,6 +61,37 @@ class GoldSpec extends SparkSpecBase {
     assert(q.count() == expected)
   }
 
+  test("overwritePartitions rewrites only the updated month (idempotent backfill)") {
+    val out = tmpDir("graft-gold-dyn") + "/fact_orders"
+    val fact = Gold.factOrders(spark, sf)
+    Gold.writePartitioned(fact, out)
+    val before = spark.read.parquet(out)
+    val othersBefore = before.filter(!(col("year") === 1995 && col("month") === 3))
+      .count()
+    val targetBefore = before.filter(col("year") === 1995 && col("month") === 3)
+      .count()
+    assert(targetBefore > 0, "need a non-empty month to rewrite")
+    // materialize BEFORE the overwrite replaces the partition's files
+    val sumBefore = before.filter(col("year") === 1995 && col("month") === 3)
+      .agg(sum(graft.engine.Num.cents(col("total_price")))).collect().head.getLong(0)
+
+    // backfill: re-run one month with corrected prices (doubled)
+    val corrected = fact.filter(col("year") === 1995 && col("month") === 3)
+      .withColumn("total_price", col("total_price") * 2)
+    Gold.overwritePartitions(corrected, out)
+
+    val after = spark.read.parquet(out)
+    // untouched partitions: same rows as before
+    assert(after.filter(!(col("year") === 1995 && col("month") === 3)).count()
+      == othersBefore)
+    // rewritten partition: new values, same row count
+    val target = after.filter(col("year") === 1995 && col("month") === 3)
+    assert(target.count() == targetBefore)
+    val sumAfter = target
+      .agg(sum(graft.engine.Num.cents(col("total_price")))).collect().head.getLong(0)
+    assert(sumAfter == 2 * sumBefore)
+  }
+
   test("dimReview sentiment derivation is total on matched rows") {
     val r = Gold.dimReview(spark, sf)
     assert(r.filter(col("sentiment_score").isNotNull &&
