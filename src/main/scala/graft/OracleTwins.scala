@@ -582,6 +582,23 @@ object OracleTwins {
        |  AND EXISTS (SELECT 1 FROM ho WHERE ho.content_hash = h.content_hash)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  val sourceMixture: String =
+    s"""WITH s AS (
+       |  SELECT source, doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    50 * (1 + CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 19)
+       |      AS rate_permille,
+       |    ${polyhash("text")} % ${TextOps.MIX_DENOM} AS bucket
+       |  FROM documents),
+       |k AS (SELECT *, bucket < rate_permille AS kept FROM s)
+       |SELECT source, rate_permille, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE /
+       |    count(*)::DOUBLE AS effective_rate
+       |FROM k GROUP BY source, rate_permille ORDER BY source""".stripMargin
+
   val docFingerprint: String =
     s"""WITH g AS (
        |  SELECT doc_id, list_transform(

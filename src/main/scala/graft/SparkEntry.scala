@@ -116,6 +116,8 @@ object SparkEntry {
     // ---- train/test decontamination (leakage audit; naive id split
     // leaks where the content-hash split of q60 cannot) ----
     "q67_decontamination"          -> (Dedup.decontamination _),
+    // ---- source-mixture weighting (deterministic data mixing) ----
+    "q68_source_mixture"           -> (TextOps.sourceMixture _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -488,6 +490,7 @@ object SparkEntry {
     "q60_stratified_split" -> OracleTwins.stratifiedSplit,
 
     "q67_decontamination" -> OracleTwins.decontamination,
+    "q68_source_mixture"  -> OracleTwins.sourceMixture,
 
     "q66_latest_event" ->
       """WITH r AS (

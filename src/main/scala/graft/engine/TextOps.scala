@@ -293,6 +293,34 @@ object TextOps {
       .orderBy("lang", "split")
   }
 
+  /** Source-mixture weighting — the data-mixing step that turns per-source
+    * sampling weights into an actual training corpus (upsample curated
+    * sources, downsample crawl): every document keeps or drops by comparing
+    * its content hash against its source's per-mille rate. Deterministic —
+    * the same content always makes the same decision, so the mixture is
+    * reproducible across reruns and re-shards, composable with the
+    * hash-keyed split (q60) and dedup. The rate here derives from the
+    * source's numeric suffix (a stand-in for a weights table, which at
+    * scale is a broadcast map). Map-only + per-source aggregate. */
+  val MIX_DENOM = 1000
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val rate = (lit(50) * (lit(1) + srcNum % 19)).as("rate_permille")
+    documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        rate,
+        (TextFns.polyHash(col("text")) % MIX_DENOM).as("bucket"))
+      .withColumn("kept", col("bucket") < col("rate_permille"))
+      .groupBy("source", "rate_permille")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("effective_rate",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */
