@@ -1,0 +1,40 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** A library serves concurrent callers on one SparkSession. This spec runs a
+  * mixed batch of queries in parallel — including the ones that mutate
+  * session state (temp views in q35/q50, function registration in q50) —
+  * and pins every result to its sequential baseline. Catches races a
+  * sequential bench never sees (view name collisions, registry clobbering,
+  * conf mutation from loaders).
+  */
+class ConcurrencySpec extends SparkSpecBase {
+
+  test("parallel query mix matches sequential results on a shared session") {
+    val names = Seq("q02_top5_suppliers", "q35_sql_over_views",
+      "q50_sql_text_functions", "q56_set_ops", "q21_text_stats",
+      "q66_latest_event")
+    val qs = names.map(n => n -> SparkEntry.queries(n))
+    val sequential = qs.map { case (n, fn) =>
+      n -> fn(spark, sf).collect().map(_.toSeq).toSeq
+    }.toMap
+
+    val pool = Executors.newFixedThreadPool(names.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // two interleaved wavefronts to stress view/registry re-registration
+      (1 to 2).foreach { _ =>
+        val parallel = Future.sequence(qs.map { case (n, fn) =>
+          Future(n -> fn(spark, sf).collect().map(_.toSeq).toSeq)
+        })
+        Await.result(parallel, 5.minutes).foreach { case (n, rows) =>
+          assert(rows == sequential(n), s"$n diverged under concurrency")
+        }
+      }
+    } finally pool.shutdown()
+  }
+}
