@@ -118,6 +118,8 @@ object SparkEntry {
     "q67_decontamination"          -> (Dedup.decontamination _),
     // ---- source-mixture weighting (deterministic data mixing) ----
     "q68_source_mixture"           -> (TextOps.sourceMixture _),
+    // ---- exact-moment descriptive stats (deterministic covar/corr) ----
+    "q69_stats_moments"            -> (Kpis.statsMoments _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,6 +493,27 @@ object SparkEntry {
 
     "q67_decontamination" -> OracleTwins.decontamination,
     "q68_source_mixture"  -> OracleTwins.sourceMixture,
+
+    // Same fixed derivation from the same five integer power sums — the
+    // doubles are bit-identical because every input to the float math is
+    // an exact integer.
+    "q69_stats_moments" ->
+      """WITH m AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx2,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sy2
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | sx::DOUBLE / n AS mean_qty,
+        | sy::DOUBLE / n / 100.0 AS mean_price,
+        | (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n AS covar_pop_raw,
+        | ((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n) /
+        |  (sqrt(sx2::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n)) *
+        |   sqrt(sy2::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n))) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q66_latest_event" ->
       """WITH r AS (

@@ -495,6 +495,42 @@ object Kpis {
       .orderBy("event_type")
   }
 
+  /** Descriptive statistics (variance / covariance / correlation) from
+    * exact integer moments: built-in `covar_pop`/`corr` accumulate float
+    * sums whose value depends on partition order — unverifiable and
+    * nondeterministic under re-partitioning. Here the five power sums
+    * (Σx, Σy, Σxy, Σx², Σy²) are integer aggregates (quantity units ×
+    * price cents — exact at any partitioning), and the float moments
+    * derive from them in one fixed expression per column, so the result
+    * is bit-identical in any engine and at any parallelism.
+    *
+    * Overflow headroom: Σy² of cents ~1e12/row fits ~9e6 rows per group
+    * in a signed 64-bit sum — beyond that, scale the units (dollars not
+    * cents) or widen to decimal(38). */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val x = col("l_quantity").cast("long")
+    val y = cents(col("l_extendedprice"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mean_qty"),
+        (col("sy").cast("double") / col("n") / 100.0).as("mean_price"),
+        ((col("sxy").cast("double") - col("sx").cast("double")
+          * col("sy").cast("double") / col("n")) / col("n")).as("covar_pop_raw"),
+        (((col("sxy").cast("double") - col("sx").cast("double")
+            * col("sy").cast("double") / col("n")) / col("n")) /
+          (sqrt(col("sx2").cast("double") / col("n")
+              - (col("sx").cast("double") / col("n"))
+              * (col("sx").cast("double") / col("n"))) *
+            sqrt(col("sy2").cast("double") / col("n")
+              - (col("sy").cast("double") / col("n"))
+              * (col("sy").cast("double") / col("n"))))).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
   /** Latest-wins compaction — the CDC/upsert shape a mutable-source ingest
     * needs: keep each key's newest record (max event time, id tie-break).
     * Same max_by-not-window argmax as [[Sim]]'s assignment: partial
