@@ -120,6 +120,8 @@ object SparkEntry {
     "q68_source_mixture"           -> (TextOps.sourceMixture _),
     // ---- exact-moment descriptive stats (deterministic covar/corr) ----
     "q69_stats_moments"            -> (Kpis.statsMoments _),
+    // ---- exact grouped percentiles (non-sketch twin of q55) ----
+    "q70_exact_percentiles"        -> (Kpis.exactPercentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -493,6 +495,14 @@ object SparkEntry {
 
     "q67_decontamination" -> OracleTwins.decontamination,
     "q68_source_mixture"  -> OracleTwins.sourceMixture,
+
+    "q70_exact_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5)
+        |   AS median_price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Same fixed derivation from the same five integer power sums — the
     // doubles are bit-identical because every input to the float math is

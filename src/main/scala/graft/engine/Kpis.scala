@@ -531,6 +531,22 @@ object Kpis {
       .orderBy("l_returnflag")
   }
 
+  /** Exact grouped percentiles (median / p90) over an integer measure —
+    * the non-sketch counterpart of [[approxStats]]. `percentile` sorts the
+    * group's values exactly; with integer inputs the linear interpolation
+    * at fractional ranks is a fixed two-term float expression, identical
+    * cross-engine (DuckDB `quantile_cont`). At 100 TB the exact form costs
+    * a per-group sort — the approx sketch (q55) is the scale path; this is
+    * the small-group/high-stakes path (billing, SLAs). */
+  def exactPercentiles(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        percentile(cents(col("l_extendedprice")), lit(0.5)).as("median_price_cents"))
+      .orderBy("l_returnflag")
+
   /** Latest-wins compaction — the CDC/upsert shape a mutable-source ingest
     * needs: keep each key's newest record (max event time, id tie-break).
     * Same max_by-not-window argmax as [[Sim]]'s assignment: partial
