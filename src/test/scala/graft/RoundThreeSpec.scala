@@ -101,6 +101,32 @@ class RoundThreeSpec extends SparkSpecBase {
     }
   }
 
+  test("statsMoments correlation is bounded and covariance sign-consistent") {
+    val rows = Kpis.statsMoments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val corr = r.getAs[Double]("corr")
+      assert(corr >= -1.0 && corr <= 1.0)
+      // corr and covariance must carry the same sign (corr = covar/(sx*sy))
+      assert(math.signum(corr) == math.signum(r.getAs[Double]("covar_pop_raw")))
+    }
+  }
+
+  test("exactPercentiles are ordered and within the data range") {
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val stats = Kpis.exactPercentiles(spark, sf).collect()
+    val range = Tables.lineitem(spark, sf)
+      .agg(smin("l_quantity"), smax("l_quantity")).collect().head
+    val (lo, hi) = (range.getAs[Number](0).doubleValue,
+      range.getAs[Number](1).doubleValue)
+    stats.foreach { r =>
+      val med = r.getAs[Double]("median_qty")
+      val p90 = r.getAs[Double]("p90_qty")
+      assert(med <= p90, "median cannot exceed p90")
+      assert(med >= lo && p90 <= hi)
+    }
+  }
+
   test("saltedRevenueByNation equals the unsalted aggregate") {
     import Tables._
     val unsalted = orders(spark, sf)
