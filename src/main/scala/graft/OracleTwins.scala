@@ -608,4 +608,89 @@ object OracleTwins {
        |SELECT doc_id, list_aggregate(g, 'min') AS fp_min,
        |  len(list_distinct(g))::BIGINT AS n_distinct_grams
        |FROM g ORDER BY doc_id""".stripMargin
+
+  val repetition: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    greatest(len(w) - 2, 1)::BIGINT AS n_shingles,
+       |    len(${shingleHashes("w")})::BIGINT AS n_distinct_shingles
+       |  FROM toks)
+       |SELECT doc_id, lang, n_shingles, n_distinct_shingles,
+       |  ${round6("1.0 - n_distinct_shingles::DOUBLE / n_shingles::DOUBLE")}
+       |    AS rep_ratio,
+       |  (${round6("1.0 - n_distinct_shingles::DOUBLE / n_shingles::DOUBLE")})
+       |    > ${TextOps.REP_T} AS repetitive
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  val piiScan: String =
+    s"""WITH p AS (
+       |  SELECT lang, CASE WHEN doc_id % ${TextOps.PII_EVERY} = 0
+       |    THEN text || ' contact user' || doc_id::VARCHAR ||
+       |      '@example.com tel 555-0' || doc_id::VARCHAR
+       |    ELSE text END AS text2
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang,
+       |    len(regexp_extract_all(text2, '${TextOps.EMAIL_RE}'))::BIGINT AS n_emails,
+       |    len(regexp_extract_all(text2, '${TextOps.PHONE_RE}'))::BIGINT AS n_phones,
+       |    len(text2)::BIGINT AS len_raw,
+       |    len(regexp_replace(regexp_replace(text2,
+       |      '${TextOps.EMAIL_RE}', '<EMAIL>', 'g'),
+       |      '${TextOps.PHONE_RE}', '<PHONE>', 'g'))::BIGINT AS len_redacted
+       |  FROM p)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_with_pii,
+       |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       |  CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       |  CAST(SUM(len_raw) AS BIGINT) AS total_chars_raw,
+       |  CAST(SUM(len_redacted) AS BIGINT) AS total_chars_redacted
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
+  val docChunks: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, i::BIGINT AS i,
+       |    substr(text, i::INTEGER, ${TextOps.CHUNK_SIZE}) AS c
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(generate_series(1,
+       |      greatest(len(text), 1), ${TextOps.CHUNK_STRIDE})) AS i) g)
+       |SELECT doc_id,
+       |  ((i - 1) // ${TextOps.CHUNK_STRIDE} + 1)::BIGINT AS chunk_idx,
+       |  i AS chunk_start, len(c)::BIGINT AS chunk_len,
+       |  ${polyhash("c")} AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  val invertedIndex: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    string_split_regex(trim(text), '\\s+'))) AS term
+       |  FROM documents)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |  array_to_string(list_transform(
+       |    list_slice(list_sort(list(doc_id)), 1, ${TextOps.POSTINGS_HEAD}),
+       |    piv -> piv::VARCHAR), ',') AS postings_head
+       |FROM t GROUP BY term ORDER BY term""".stripMargin
+
+  val semanticDedup: String =
+    s"""$ivfPrefix,
+       |canon AS (
+       |  SELECT cent_id, min(vec_id) AS canon_id FROM a1 GROUP BY cent_id),
+       |cj AS (
+       |  SELECT canon.cent_id, canon.canon_id, a1.vec_id,
+       |    ${dot("ev.embedding", "ec.embedding")} / (ev.nrm * ec.nrm) AS cos
+       |  FROM a1
+       |  JOIN canon ON a1.cent_id = canon.cent_id
+       |  JOIN e ev ON a1.vec_id = ev.vec_id
+       |  JOIN e ec ON canon.canon_id = ec.vec_id)
+       |SELECT cent_id, canon_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN vec_id <> canon_id AND cos >= ${Sim.SEMDEDUP_T}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  ${round6("min(cos)")} AS min_cos,
+       |  ${round6("max(CASE WHEN vec_id <> canon_id THEN cos END)")}
+       |    AS max_nonself_cos
+       |FROM cj GROUP BY cent_id, canon_id ORDER BY cent_id""".stripMargin
 }

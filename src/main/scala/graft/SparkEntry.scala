@@ -122,6 +122,13 @@ object SparkEntry {
     "q69_stats_moments"            -> (Kpis.statsMoments _),
     // ---- exact grouped percentiles (non-sketch twin of q55) ----
     "q70_exact_percentiles"        -> (Kpis.exactPercentiles _),
+    // ---- round 4: curation quality signals + retrieval index ----
+    "q71_repetition"               -> (TextOps.repetition _),
+    "q72_pii_scan"                 -> (TextOps.piiScan _),
+    "q73_doc_chunks"               -> (TextOps.docChunks _),
+    "q74_schema_evolution"         -> (SourceOps.schemaEvolution _),
+    "q75_inverted_index"           -> (TextOps.invertedIndex _),
+    "q76_semantic_dedup"           -> (Sim.semanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -576,6 +583,30 @@ object SparkEntry {
         | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q71_repetition"      -> OracleTwins.repetition,
+    "q72_pii_scan"        -> OracleTwins.piiScan,
+    "q73_doc_chunks"      -> OracleTwins.docChunks,
+    "q75_inverted_index"  -> OracleTwins.invertedIndex,
+    "q76_semantic_dedup"  -> OracleTwins.semanticDedup,
+
+    "q74_schema_evolution" ->
+      """WITH v1 AS (
+        | SELECT o_orderkey AS order_id,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        | FROM orders WHERE year(o_orderdate) <= 1994),
+        |v2 AS (
+        | SELECT o_orderkey AS order_id, o_orderstatus AS status,
+        |  o_orderpriority AS priority
+        | FROM orders WHERE year(o_orderdate) >= 1995),
+        |u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+        |SELECT coalesce(status, '<legacy>') AS status, count(*) AS n_rows,
+        | CAST(SUM(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_missing_price,
+        | CAST(SUM(coalesce(price_cents, 0)) AS DOUBLE)/CAST(100 AS DOUBLE)
+        |   AS revenue,
+        | CAST(count(DISTINCT priority) AS BIGINT) AS n_priorities
+        |FROM u GROUP BY 1 ORDER BY status""".stripMargin,
 
     // The oracle is deliberately the UNSALTED aggregate — the salted
     // two-phase Spark plan must be semantics-preserving.

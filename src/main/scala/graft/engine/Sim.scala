@@ -339,6 +339,46 @@ object Sim {
       .orderBy("probe_id", "rank")
   }
 
+  /** Semantic-dedup drop threshold: a vector this cosine-close to its
+    * cell's canonical representative is considered a semantic duplicate
+    * (SemDeDup-style: cluster, then prune within clusters). */
+  val SEMDEDUP_T = 0.3
+
+  /** Semantic deduplication — embedding-space near-dup pruning: assign
+    * every vector to its IVF cell, elect the cell's canonical member
+    * (min id — a trained pipeline would use the member closest to the
+    * centroid; the plumbing is identical), and drop members whose cosine
+    * to the canonical exceeds the threshold. Output is the per-cell audit
+    * (kept/dropped counts + cosine range) a 100 TB curation run logs.
+    *
+    * Scale shape: the cell assignment is the broadcast N×K pass of
+    * [[ivfAssign]]; canonicals are one-per-cell (bounded ⇒ broadcast), so
+    * the scoring pass is map-only against the corpus — no all-pairs, no
+    * corpus shuffle. min/max over doubles are order-free, so the audit is
+    * deterministic under any partitioning. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivfAssign(spark, dir).select(col("vec_id"), col("cent_id"))
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val canon = a.groupBy("cent_id").agg(min("vec_id").as("canon_id"))
+      .join(e.select(col("vec_id").as("canon_id"),
+        col("embedding").as("canonv"), col("nrm").as("cnrm")), "canon_id")
+    a.join(e, "vec_id")
+      .join(broadcast(canon), "cent_id")
+      .select(col("cent_id"), col("canon_id"), col("vec_id"),
+        (VecFns.dot(col("embedding"), col("canonv")) /
+          (col("nrm") * col("cnrm"))).as("cos"))
+      .groupBy("cent_id", "canon_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") =!= col("canon_id") &&
+          col("cos") >= SEMDEDUP_T, 1L).otherwise(0L)).as("n_dropped"),
+        Num.round6(min("cos")).as("min_cos"),
+        Num.round6(max(when(col("vec_id") =!= col("canon_id"), col("cos"))))
+          .as("max_nonself_cos"))
+      .orderBy("cent_id")
+  }
+
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     // As in embeddingTopK: norms precomputed per vector; the vector and its
     // norm ride through the band join so the verify step is one dot fold

@@ -101,4 +101,33 @@ object SourceOps {
         sum("k").as("total_k"),
         sum(when(col("has_missing"), 1L).otherwise(0L)).as("n_has_missing"))
       .orderBy("event_type")
+
+  /** Schema evolution across snapshots — the union a long-lived lake table
+    * needs when columns are added/retired between writer versions: an old
+    * snapshot (id + price) and a new one (id + status/priority) align by
+    * *name* with `unionByName(allowMissingColumns = true)`; absent columns
+    * null-fill. The aggregate then accounts for the nulls explicitly —
+    * the migration-audit query run after every schema change.
+    *
+    * Scale shape: a by-name union is plan-level column alignment — zero
+    * extra passes; the aggregate is a handful of groups. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val v1 = o.filter(year(col("o_orderdate")) <= 1994)
+      .select(col("o_orderkey").as("order_id"),
+        Num.cents(col("o_totalprice")).as("price_cents"))
+    val v2 = o.filter(year(col("o_orderdate")) >= 1995)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(coalesce(col("status"), lit("<legacy>")).as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("price_cents").isNull, 1L).otherwise(0L))
+          .as("n_missing_price"),
+        (sum(coalesce(col("price_cents"), lit(0L))).cast("double") /
+          lit(100.0)).as("revenue"),
+        countDistinct(col("priority")).cast("long").as("n_priorities"))
+      .orderBy("status")
+  }
 }

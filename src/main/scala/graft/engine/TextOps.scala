@@ -331,4 +331,123 @@ object TextOps {
         array_min(col("g")).as("fp_min"),
         size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
       .orderBy("doc_id")
+
+  /** Repetition threshold: docs whose word-3-gram streams are more than
+    * half duplicates get flagged (the Gopher-style "repetition signals"
+    * family — heavily templated/looping text is a training-data smell). */
+  val REP_T = 0.5
+
+  /** Per-document repetition ratio: 1 − distinct/total word-3-gram
+    * shingles. A doc that repeats the same phrasing over and over scores
+    * high; natural prose scores near 0. Map-only (the shingle hashing is
+    * the same codegen pass the MinHash pipeline runs); at 100 TB this is
+    * one projection fused into whatever quality pass already reads the
+    * text. The ratio is one integer division — bit-exact cross-engine. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        greatest(size(TextFns.tokens(col("text"))) - 2, lit(1))
+          .cast("long").as("n_shingles"),
+        size(TextFns.shingleHashes(col("text"))).cast("long")
+          .as("n_distinct_shingles"))
+      .withColumn("rep_ratio", Num.round6(lit(1.0) -
+        col("n_distinct_shingles").cast("double") /
+          col("n_shingles").cast("double")))
+      .withColumn("repetitive", col("rep_ratio") > REP_T)
+      .orderBy("doc_id")
+
+  /** PII geometry: every PII_EVERY-th doc gets deterministic planted
+    * contact strings (pristine testdata has no PII — the plant makes the
+    * scrubber observable while staying a pure function of the input, same
+    * device as [[Dedup]]'s planted duplicates). Patterns are POSIX-simple
+    * char classes so Java regex (Spark) and RE2 (DuckDB) agree. */
+  val PII_EVERY = 5
+  val EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PHONE_RE = "[0-9]{3}-[0-9]+"
+
+  /** PII scan + redaction accounting — the scrub pass a training-data
+    * pipeline runs before anything leaves the raw zone: count email/phone
+    * matches per doc, measure the redacted length (matches replaced by
+    * fixed tags), aggregate per language. Map-only; at 100 TB the
+    * redacted text would be written back as a new column/partition and
+    * this query is its audit trail. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val planted = documents(spark, dir)
+      .withColumn("text2",
+        when(col("doc_id") % PII_EVERY === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com tel 555-0"),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")))
+    planted
+      .select(col("lang"),
+        regexp_count(col("text2"), lit(EMAIL_RE)).cast("long").as("n_emails"),
+        regexp_count(col("text2"), lit(PHONE_RE)).cast("long").as("n_phones"),
+        length(col("text2")).cast("long").as("len_raw"),
+        length(
+          regexp_replace(regexp_replace(col("text2"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>")).cast("long").as("len_redacted"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum("n_emails").as("total_emails"),
+        sum("n_phones").as("total_phones"),
+        sum("len_raw").as("total_chars_raw"),
+        sum("len_redacted").as("total_chars_redacted"))
+      .orderBy("lang")
+  }
+
+  /** Chunking geometry: fixed CHUNK_SIZE-char windows every CHUNK_STRIDE
+    * chars (stride < size ⇒ overlapping windows, the RAG-ingest shape).
+    * Start positions are 1, 1+stride, … while ≤ len — the final window
+    * may be short. */
+  val CHUNK_SIZE = 200
+  val CHUNK_STRIDE = 150
+
+  /** Document chunking — the split step that turns documents into
+    * retrieval/embedding units: one row per (doc, window) with its offset,
+    * length and content hash. The hash is what an incremental pipeline
+    * diffs against to re-embed only changed chunks.
+    *
+    * Scale shape: posexplode(sequence) is a generator — rows multiply
+    * ~len/stride × inside the scan projection, no shuffle; downstream
+    * embedding jobs partition by chunk hash. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(CHUNK_STRIDE))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col").cast("long").as("chunk_start"),
+        col("text").substr(col("col"), lit(CHUNK_SIZE)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        TextFns.polyHash(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Posting-list head length — full lists shard by (term, doc-range) at
+    * scale; the head is what a dictionary/stats page stores inline. */
+  val POSTINGS_HEAD = 20
+
+  /** Inverted index build: term → document frequency + the sorted head of
+    * its posting list — the retrieval-index construction job (BM25/boolean
+    * search backends start exactly here).
+    *
+    * Scale shape: per-doc `array_distinct` before the explode keeps the
+    * combiner input minimal; the groupBy shuffles on term (the natural
+    * index key — at 100 TB also the output partitioning); collect_list
+    * is bounded per term by slicing to the head after an explicit sort
+    * (full postings would be written sharded, never inlined). */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"),
+        concat_ws(",",
+          transform(slice(sort_array(collect_list(col("doc_id"))),
+            1, POSTINGS_HEAD), _.cast("string"))).as("postings_head"))
+      .orderBy("term")
 }

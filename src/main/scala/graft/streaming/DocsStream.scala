@@ -30,6 +30,31 @@ object DocsStream {
           .as("content_hash"))
       .dropDuplicates("content_hash")
 
+  /** Dedup horizon for the watermark-bounded variant: a duplicate arriving
+    * more than this long after the original may be re-emitted (state for
+    * older keys has been evicted). The 100 TB/day trade: bounded state for
+    * bounded-lookback dedup. */
+  val DEDUP_HORIZON = "1 hour"
+
+  /** The unbounded-feed form of [[dedupedDocs]]:
+    * `dropDuplicatesWithinWatermark` keyed on the same content hash, with
+    * state bounded by the watermark instead of growing forever. The feed's
+    * arrival time here derives deterministically from doc_id (the testdata
+    * has no ingest timestamp; a real feed supplies its own) — the operator,
+    * key and eviction semantics are exactly what a production crawler feed
+    * runs. Re-crawls inside the horizon are dropped; state size is
+    * O(distinct docs per horizon), not O(corpus). */
+  def dedupedDocsBounded(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.documents)
+      .parquet(dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+          .as("content_hash"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("arrival_ts"))
+      .withWatermark("arrival_ts", DEDUP_HORIZON)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming → lake sink via `foreachBatch`: each micro-batch of deduped
     * documents lands as lang-partitioned parquet — the streaming half of
     * the medallion write path ([[graft.engine.Gold.writePartitioned]] is

@@ -68,6 +68,40 @@ object EventsStream {
         Num.dollars(sum(Num.cents(col("value")))).as("total_value"))
   }
 
+  /** Stream-stream interval join — click→purchase attribution with both
+    * sides unbounded: purchases join the click that preceded them by at
+    * most ATTRIB_WINDOW, equi-keyed on user. Watermarks on *both* sides
+    * let the join evict buffered state once the time-range condition can
+    * no longer match (clicks older than watermark + window are dropped
+    * from the join buffer) — without them, a stream-stream join buffers
+    * forever. The equi-key (user_id) drives the shuffle; the range
+    * predicate filters within the key's buffered rows — the same
+    * shape as the batch interval join ([[graft.engine.Kpis]] q64).
+    * StreamingSpec asserts the streamed pairs equal the batch join. */
+  val ATTRIB_WINDOW = "1 hour"
+  def clickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    def side(t: String): DataFrame = spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .filter(col("event_type") === t)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = side("purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $ATTRIB_WINDOW"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   final case class SessEvent(event_id: Long, user_id: Long, ts_us: Long)
   final case class SessState(lastUs: Long, nEvents: Long, nSessions: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)

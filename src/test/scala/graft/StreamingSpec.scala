@@ -81,6 +81,69 @@ class StreamingSpec extends SparkSpecBase {
       Tables.documents(spark, sf).select("lang").distinct().count())
   }
 
+  test("watermark-bounded dedup drops in-horizon replays") {
+    // both copies of the corpus carry identical synthetic arrival times,
+    // so every replayed doc is inside the dedup horizon and must drop —
+    // emission count equals the batch distinct count, with state bounded
+    // by the watermark instead of global
+    val dir = tmpDir("graft-stream-dedup-wm")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/batch2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = DocsStream.dedupedDocsBounded(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName("docs_dedup_wm_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("docs_dedup_wm_stream").count()
+      val batchDistinct = Tables.documents(spark, sf)
+        .select(sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256))
+        .distinct().count()
+      assert(streamed == batchDistinct)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = tmpDir("graft-stream-ssj")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventsStream.clickPurchase(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName("click_purchase_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("click_purchase_stream")
+        .orderBy("click_id", "purchase_id")
+        .select("click_id", "purchase_id", "user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val ev = Tables.events(spark, sf)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      val batch = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .orderBy("click_id", "purchase_id")
+        .select("click_id", "purchase_id", "user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(batch.nonEmpty)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("stream-static dimension join equals the batch join") {
     val dir = tmpDir("graft-stream-join")
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
