@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Sim, SourceOps, Tables, TextOps}
+
+/** Invariants for the round-4 operators (q71–q76) — properties the oracle
+  * hash-match can't express: geometric coverage, idempotence, conservation
+  * of counts. */
+class RoundFourSpec extends SparkSpecBase {
+
+  test("repetition ratio is in [0,1) and distinct never exceeds total") {
+    val r = TextOps.repetition(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, d) = (row.getAs[Long]("n_shingles"),
+        row.getAs[Long]("n_distinct_shingles"))
+      val ratio = row.getAs[Double]("rep_ratio")
+      assert(d >= 1 && d <= n)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(row.getAs[Boolean]("repetitive") == (ratio > TextOps.REP_T))
+    }
+    // the tiny-vocab corpus must actually exercise both regimes
+    assert(r.exists(_.getAs[Double]("rep_ratio") > 0.0))
+  }
+
+  test("PII: every planted doc is detected, redaction is idempotent") {
+    val agg = TextOps.piiScan(spark, sf).collect()
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % TextOps.PII_EVERY === 0).count()
+    assert(agg.map(_.getAs[Long]("n_docs_with_pii")).sum == planted)
+    assert(agg.map(_.getAs[Long]("total_emails")).sum == planted)
+    assert(agg.map(_.getAs[Long]("total_phones")).sum == planted)
+    // redacted text is strictly shorter overall (tags < planted strings)
+    assert(agg.map(_.getAs[Long]("total_chars_redacted")).sum <
+      agg.map(_.getAs[Long]("total_chars_raw")).sum)
+    // idempotence: scrubbing already-scrubbed text is a no-op (the tags
+    // contain no characters the patterns can match)
+    def scrub(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, TextOps.EMAIL_RE, "<EMAIL>"),
+        TextOps.PHONE_RE, "<PHONE>")
+    val twice = Tables.documents(spark, sf)
+      .select(scrub(col("text")).as("once"))
+      .select(sum(when(scrub(col("once")) === col("once"), 0L).otherwise(1L)))
+      .collect()(0).getLong(0)
+    assert(twice == 0L)
+  }
+
+  test("chunks tile each document: stride-aligned starts, full coverage") {
+    val chunks = TextOps.docChunks(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == lens.keySet)
+    chunks.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      val len = lens(docId)
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_idx") == i + 1)
+        assert(c.getAs[Long]("chunk_start") ==
+          i.toLong * TextOps.CHUNK_STRIDE + 1)
+        val expectLen = math.min(TextOps.CHUNK_SIZE,
+          len - c.getAs[Long]("chunk_start") + 1)
+        assert(c.getAs[Long]("chunk_len") == expectLen)
+      }
+      // the last chunk reaches the end of the text
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len")
+        - 1 == len)
+      // every start is within the text (no empty trailing chunks)
+      assert(sorted.forall(_.getAs[Long]("chunk_start") <= len))
+    }
+  }
+
+  test("schema evolution: rows conserved, null accounting exact") {
+    val rows = SourceOps.schemaEvolution(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nOrders)
+    rows.foreach { r =>
+      if (r.getAs[String]("status") == "<legacy>") {
+        // v1 rows all carry a price and no status/priority
+        assert(r.getAs[Long]("n_missing_price") == 0L)
+        assert(r.getAs[Long]("n_priorities") == 0L)
+      } else {
+        // v2 rows never carry a price
+        assert(r.getAs[Long]("n_missing_price") == r.getAs[Long]("n_rows"))
+        assert(r.getAs[Double]("revenue") == 0.0)
+      }
+    }
+  }
+
+  test("inverted index: df conservation and sorted posting heads") {
+    val idx = TextOps.invertedIndex(spark, sf).collect()
+    // Σ df == total distinct (doc, term) pairs
+    val pairCount = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFns.tokens(col("text"))))
+          .as("term"))
+      .count()
+    assert(idx.map(_.getAs[Long]("df")).sum == pairCount)
+    idx.foreach { r =>
+      val head = r.getAs[String]("postings_head")
+        .split(",").filter(_.nonEmpty).map(_.toLong)
+      assert(head.length == math.min(r.getAs[Long]("df"),
+        TextOps.POSTINGS_HEAD.toLong))
+      assert(head.sameElements(head.sorted))
+      assert(head.headOption.contains(r.getAs[Long]("min_doc_id")))
+    }
+  }
+
+  test("semantic dedup: vectors conserved, canonical never dropped") {
+    val cells = Sim.semanticDedup(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_vectors")).sum == nVecs)
+    cells.foreach { r =>
+      // the canonical member can't drop itself
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_vectors") - 1)
+      // canonical is a real member of the cell: its self-cosine is 1
+      // (within round6), so the max over the cell is bounded by it
+      assert(r.getAs[Double]("min_cos") <= 1.0)
+    }
+    // the threshold actually separates: some cells drop, some keep all
+    assert(cells.exists(_.getAs[Long]("n_dropped") > 0))
+  }
+}
