@@ -129,6 +129,9 @@ object SparkEntry {
     "q74_schema_evolution"         -> (SourceOps.schemaEvolution _),
     "q75_inverted_index"           -> (TextOps.invertedIndex _),
     "q76_semantic_dedup"           -> (Sim.semanticDedup _),
+    // ---- full-outer reconciliation + time-series densification ----
+    "q77_reconciliation"           -> (Kpis.reconciliation _),
+    "q78_gap_fill"                 -> (Kpis.gapFill _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -583,6 +586,50 @@ object SparkEntry {
         | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q77_reconciliation" ->
+      """WITH o AS (
+        | SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        | FROM orders GROUP BY o_custkey),
+        |e AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY user_id),
+        |j AS (
+        | SELECT CASE
+        |   WHEN o_custkey IS NOT NULL AND user_id IS NOT NULL THEN 'both'
+        |   WHEN o_custkey IS NOT NULL THEN 'orders_only'
+        |   ELSE 'events_only' END AS side, n_orders, n_events
+        | FROM o FULL OUTER JOIN e ON o_custkey = user_id)
+        |SELECT side, count(*) AS n_keys,
+        | CAST(SUM(coalesce(n_orders, 0)) AS BIGINT) AS total_orders,
+        | CAST(SUM(coalesce(n_events, 0)) AS BIGINT) AS total_events
+        |FROM j GROUP BY side ORDER BY side""".stripMargin,
+
+    "q78_gap_fill" ->
+      """WITH rev AS (
+        | SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS rc
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2),
+        |bounds AS (
+        | SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+        |  CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        | FROM orders),
+        |months AS (
+        | SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |   CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month
+        | FROM bounds),
+        |spine AS (SELECT n_name, month FROM months, nation)
+        |SELECT s.n_name, s.month,
+        | coalesce(rev.n_orders, 0) AS n_orders,
+        | CAST(coalesce(rev.rc, 0) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue,
+        | rev.rc IS NULL AS is_gap
+        |FROM spine s
+        |LEFT JOIN rev ON s.n_name = rev.n_name AND s.month = rev.month
+        |ORDER BY s.n_name, s.month""".stripMargin,
 
     "q71_repetition"      -> OracleTwins.repetition,
     "q72_pii_scan"        -> OracleTwins.piiScan,

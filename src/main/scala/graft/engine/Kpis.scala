@@ -590,4 +590,67 @@ object Kpis {
       .agg(sum("pn").as("n_orders"), dollars(sum(col("pc"))).as("revenue"))
       .orderBy("n_name")
   }
+
+  /** Full-outer reconciliation — the audit join run when two systems
+    * should agree on a key universe (here: customers seen by the order
+    * system vs users seen by the event stream): FULL OUTER on the key,
+    * classify each key as both / left-only / right-only, tally per side.
+    * The one join type the rest of the surface doesn't exercise, and the
+    * canonical use for it.
+    *
+    * Scale shape: both sides pre-aggregate to one row per key *before*
+    * the join (the full outer then shuffles key-counts, never raw
+    * facts); the verdict aggregate is three groups. */
+  def reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val e = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    o.join(e, col("o_custkey") === col("user_id"), "full")
+      .select(
+        when(col("o_custkey").isNotNull && col("user_id").isNotNull, "both")
+          .when(col("o_custkey").isNotNull, "orders_only")
+          .otherwise("events_only").as("side"),
+        col("n_orders"), col("n_events"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"),
+        sum(coalesce(col("n_events"), lit(0L))).as("total_events"))
+      .orderBy("side")
+  }
+
+  /** Date-spine gap fill — the densification step before any time-series
+    * model or window sees the data: per-nation monthly revenue left-joined
+    * onto the complete nation × month lattice, missing months zero-filled
+    * and flagged. Without it, lag/trailing windows silently skip gaps.
+    *
+    * Scale shape: the spine is months × nations — tiny at any data scale
+    * (it grows with the calendar, not the fact table) — so it broadcasts;
+    * the fact side arrives pre-aggregated to (nation, month) grain. The
+    * month range derives from the data (global min/max order date), so
+    * the spine is a pure function of the input. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val rev = o
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rc"))
+    val bounds = o.agg(
+      date_trunc("month", min(col("o_orderdate"))).cast("date").as("lo"),
+      date_trunc("month", max(col("o_orderdate"))).cast("date").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 MONTH"))).as("month"))
+      .crossJoin(broadcast(n.select(col("n_name"))))
+    spine.join(rev, Seq("n_name", "month"), "left")
+      .select(col("n_name"), col("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        dollars(coalesce(col("rc"), lit(0L))).as("revenue"),
+        col("rc").isNull.as("is_gap"))
+      .orderBy("n_name", "month")
+  }
 }

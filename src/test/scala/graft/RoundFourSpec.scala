@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Sim, SourceOps, Tables, TextOps}
+import graft.engine.{Kpis, Sim, SourceOps, Tables, TextOps}
 
 /** Invariants for the round-4 operators (q71–q76) — properties the oracle
   * hash-match can't express: geometric coverage, idempotence, conservation
@@ -122,5 +122,44 @@ class RoundFourSpec extends SparkSpecBase {
     }
     // the threshold actually separates: some cells drop, some keep all
     assert(cells.exists(_.getAs[Long]("n_dropped") > 0))
+  }
+
+  test("reconciliation: key universe and per-side totals conserve") {
+    val rows = Kpis.reconciliation(spark, sf).collect()
+      .map(r => r.getAs[String]("side") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("total_orders"),
+          r.getAs[Long]("total_events"))).toMap
+    val orderKeys = Tables.orders(spark, sf).select("o_custkey")
+      .distinct().collect().map(_.getAs[Number](0).longValue).toSet
+    val eventKeys = Tables.events(spark, sf).select("user_id")
+      .distinct().collect().map(_.getAs[Number](0).longValue).toSet
+    def n(side: String) = rows.get(side).map(_._1).getOrElse(0L)
+    assert(n("both") == (orderKeys & eventKeys).size)
+    assert(n("orders_only") == (orderKeys -- eventKeys).size)
+    assert(n("events_only") == (eventKeys -- orderKeys).size)
+    assert(rows.values.map(_._2).sum == Tables.orders(spark, sf).count())
+    assert(rows.values.map(_._3).sum == Tables.events(spark, sf).count())
+  }
+
+  test("gap fill: complete nation-month lattice, zero-filled gaps flagged") {
+    val rows = Kpis.gapFill(spark, sf).collect()
+    val nNations = Tables.nation(spark, sf).count()
+    val months = rows.map(_.getAs[java.sql.Date]("month").toString).distinct
+    assert(rows.length == nNations * months.length)
+    // every nation covers every month exactly once — no holes, no dups
+    rows.groupBy(_.getAs[String]("n_name")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[java.sql.Date]("month").toString).distinct
+        .length == months.length)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_gap") == (r.getAs[Long]("n_orders") == 0L))
+      if (r.getAs[Boolean]("is_gap")) assert(r.getAs[Double]("revenue") == 0.0)
+    }
+    // filling adds no revenue: totals equal the plain grouped aggregate
+    val direct = Tables.orders(spark, sf)
+      .agg(sum(graft.engine.Num.cents(col("o_totalprice")))).collect()(0)
+      .getLong(0)
+    val filled = rows.map(r => math.round(r.getAs[Double]("revenue") * 100)).sum
+    assert(filled == direct)
   }
 }
