@@ -352,12 +352,18 @@ object Sim {
     * (kept/dropped counts + cosine range) a 100 TB curation run logs.
     *
     * Scale shape: the cell assignment is the broadcast N×K pass of
-    * [[ivfAssign]]; canonicals are one-per-cell (bounded ⇒ broadcast), so
-    * the scoring pass is map-only against the corpus — no all-pairs, no
-    * corpus shuffle. min/max over doubles are order-free, so the audit is
-    * deterministic under any partitioning. */
+    * [[ivfAssign]] — materialized once (localCheckpoint) because both the
+    * canonical election and the member scoring consume it; without the
+    * materialization each branch re-runs the N×K pass (exchange reuse does
+    * not dedupe it — verified in the AQE final plan), doubling the
+    * dominant cost. A production pipeline persists the assignment anyway:
+    * it *is* the index. Canonicals are one-per-cell (bounded ⇒ broadcast),
+    * so the scoring pass is map-only against the corpus — no all-pairs,
+    * no corpus shuffle. min/max over doubles are order-free, so the audit
+    * is deterministic under any partitioning. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val a = ivfAssign(spark, dir).select(col("vec_id"), col("cent_id"))
+      .localCheckpoint()
     val e = spread(embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
         sqrt(VecFns.norm2(col("embedding"))).as("nrm"))

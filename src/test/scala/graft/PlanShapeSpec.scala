@@ -55,6 +55,17 @@ class PlanShapeSpec extends SparkSpecBase {
       "rank<=1 must push a per-partition group limit below the window sort")
   }
 
+  test("semantic dedup computes the N×K assignment exactly once") {
+    // ivfAssign feeds both the canonical election and the member scoring;
+    // without materialization each branch re-runs the N×K broadcast pass
+    // (exchange reuse does not dedupe it). The checkpoint makes the query
+    // plan consume the assignment as a scan: zero N×K joins inside it.
+    val plan = finalPlan(Sim.semanticDedup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the N×K assignment pass leaked into the query plan — it must be " +
+        "materialized once, not recomputed per consumer")
+  }
+
   test("salted aggregation runs two aggregate phases") {
     val plan = finalPlan(Kpis.saltedRevenueByNation(spark, sf))
     // partial+final pairs for both the (key, salt) and the key phases
