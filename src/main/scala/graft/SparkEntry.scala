@@ -132,6 +132,9 @@ object SparkEntry {
     // ---- full-outer reconciliation + time-series densification ----
     "q77_reconciliation"           -> (Kpis.reconciliation _),
     "q78_gap_fill"                 -> (Kpis.gapFill _),
+    // ---- wide→long reshape + VariantType semi-structured path ----
+    "q79_unpivot"                  -> (Kpis.nationMetricsLong _),
+    "q80_variant_props"            -> (SourceOps.variantProps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -630,6 +633,31 @@ object SparkEntry {
         |FROM spine s
         |LEFT JOIN rev ON s.n_name = rev.n_name AND s.month = rev.month
         |ORDER BY s.n_name, s.month""".stripMargin,
+
+    "q79_unpivot" ->
+      """WITH w AS (
+        | SELECT n_name, CAST(count(*) AS DOUBLE) AS n_orders,
+        |  CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name)
+        |SELECT n_name, metric, CAST(value AS DOUBLE) AS value
+        |FROM w UNPIVOT (value FOR metric IN (n_orders, revenue))
+        |ORDER BY n_name, metric""".stripMargin,
+
+    "q80_variant_props" ->
+      """WITH v AS (
+        | SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS miss
+        | FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(SUM(k) AS BIGINT) AS total_k,
+        | min(k) AS min_k, max(k) AS max_k,
+        | CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_without_missing
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q71_repetition"      -> OracleTwins.repetition,
     "q72_pii_scan"        -> OracleTwins.piiScan,

@@ -591,6 +591,29 @@ object Kpis {
       .orderBy("n_name")
   }
 
+  /** Unpivot (wide → long reshape) — the melt every metrics store needs
+    * when a wide per-entity aggregate feeds a long-format consumer
+    * (dashboards, metric tables keyed by (entity, metric)). Spark's
+    * native `unpivot` is a zero-shuffle projection: each input row fans
+    * out to one row per value column in place.
+    *
+    * Both metrics are doubles derived from exact integer aggregates (one
+    * cast / one fixed division), so the long form stays bit-exact. */
+  def nationMetricsLong(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = nation(spark, dir)
+    val wide = o
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("revenue"))
+    wide.unpivot(Array(col("n_name")),
+        Array(col("n_orders"), col("revenue")), "metric", "value")
+      .orderBy("n_name", "metric")
+  }
+
   /** Full-outer reconciliation — the audit join run when two systems
     * should agree on a key universe (here: customers seen by the order
     * system vs users seen by the event stream): FULL OUTER on the key,

@@ -42,4 +42,28 @@ object Layouts {
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Small-file compaction — the maintenance pass every streaming/
+    * incremental lake table needs: micro-batches and per-task writers leave
+    * hundreds of KB-sized files, and at 100 TB the scan's task-scheduling
+    * and footer-reading overhead comes to dominate (the "small files
+    * problem"). Rewrite the directory into `targetFiles` right-sized files.
+    *
+    * `repartition(n)` (round-robin shuffle) rather than `coalesce(n)`:
+    * coalesce merges in place but caps upstream parallelism of everything
+    * it fuses with and can produce wildly uneven files from uneven inputs;
+    * the compaction shuffle is the price of even output sizes, paid once.
+    * Writes to a fresh directory then swaps — readers never see a
+    * half-compacted table. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
+    val tmp = dir + ".compacting"
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new IllegalStateException(s"compaction swap failed for $dir")
+  }
 }

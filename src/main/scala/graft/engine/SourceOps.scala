@@ -102,6 +102,26 @@ object SourceOps {
         sum(when(col("has_missing"), 1L).otherwise(0L)).as("n_has_missing"))
       .orderBy("event_type")
 
+  /** Semi-structured VariantType surface — the third face of the JSON
+    * story next to [[jsonProps]] (fixed struct) and [[mapProps]] (dynamic
+    * map): `parse_json` produces a VARIANT — the open-content binary
+    * encoding engines use when neither the schema nor the key set is
+    * known — and `variant_get` does typed path extraction with shredding-
+    * friendly access (at scale, variant columns store typed subcolumns a
+    * path read can prune to, unlike string-JSON reparsing). */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        variant_get(col("v"), "$.missing", "long").as("miss"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("total_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_without_missing"))
+      .orderBy("event_type")
+
   /** Schema evolution across snapshots — the union a long-lived lake table
     * needs when columns are added/retired between writer versions: an old
     * snapshot (id + price) and a new one (id + status/priority) align by

@@ -57,4 +57,25 @@ class LayoutsSpec extends SparkSpecBase {
     val b = salted.orderBy("k", "payload").collect().map(_.toSeq)
     assert(a.sameElements(b))
   }
+
+  test("compaction rewrites a many-small-file table into targetFiles, content intact") {
+    val dir = tmpDir("graft-compact") + "/t"
+    // a fragmented table: 64 single-row-ish files, the post-streaming state
+    Tables.orders(spark, sf).repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles == 64)
+    val before = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(graft.engine.Num.cents(col("o_totalprice"))))
+      .collect()(0)
+    Layouts.compact(spark, dir, 4)
+    assert(dataFiles == 4)
+    val after = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(graft.engine.Num.cents(col("o_totalprice"))))
+      .collect()(0)
+    assert(before == after)
+    // the swap left no working directory behind
+    assert(!new java.io.File(dir + ".compacting").exists())
+  }
 }

@@ -124,6 +124,29 @@ class RoundFourSpec extends SparkSpecBase {
     assert(cells.exists(_.getAs[Long]("n_dropped") > 0))
   }
 
+  test("variant path extraction agrees with the map-typed JSON path") {
+    // three faces of the same JSON column must extract identical values
+    val v = SourceOps.variantProps(spark, sf)
+      .select("event_type", "n_events", "total_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m = SourceOps.mapProps(spark, sf)
+      .select("event_type", "n_events", "total_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.sameElements(m))
+  }
+
+  test("unpivot emits one row per (entity, metric), values preserved") {
+    val long = Kpis.nationMetricsLong(spark, sf).collect()
+    val nNations = Tables.nation(spark, sf).count()
+    assert(long.length == nNations * 2)
+    assert(long.map(_.getAs[String]("metric")).toSet ==
+      Set("n_orders", "revenue"))
+    // the long form conserves the wide totals
+    val totalOrders = long.filter(_.getAs[String]("metric") == "n_orders")
+      .map(_.getAs[Double]("value")).sum
+    assert(totalOrders == Tables.orders(spark, sf).count().toDouble)
+  }
+
   test("reconciliation: key universe and per-side totals conserve") {
     val rows = Kpis.reconciliation(spark, sf).collect()
       .map(r => r.getAs[String]("side") ->
