@@ -675,6 +675,46 @@ object OracleTwins {
        |    piv -> piv::VARCHAR), ',') AS postings_head
        |FROM t GROUP BY term ORDER BY term""".stripMargin
 
+  val retrievalTopK: String = {
+    val terms = TextOps.PROBE_TERMS.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |docs AS (
+       |  SELECT doc_id, len(w)::BIGINT AS len, w FROM d),
+       |corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len) AS BIGINT) AS total_tokens FROM docs),
+       |tf AS (
+       |  SELECT doc_id, len, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, len, unnest(w) AS term FROM docs)
+       |  WHERE term IN ($terms)
+       |  GROUP BY doc_id, len, term),
+       |df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT doc_id,
+       |    {'term': tf.term,
+       |     'c': tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) /
+       |       (1.0 + len::DOUBLE / (total_tokens::DOUBLE / n_docs::DOUBLE))}
+       |      AS tc
+       |  FROM tf JOIN df ON tf.term = df.term, corpus),
+       |scored AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |      list_sort(list(tc)), rts -> rts.c)), (ra, rx) -> ra + rx)
+       |      AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM contrib GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, score, n_terms_hit,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
+       |  ${round6("score")} AS score
+       |FROM r WHERE rank <= ${TextOps.RETRIEVAL_TOP_K} ORDER BY rank""".stripMargin
+  }
+
   val semanticDedup: String =
     s"""$ivfPrefix,
        |canon AS (

@@ -135,6 +135,9 @@ object SparkEntry {
     // ---- wide→long reshape + VariantType semi-structured path ----
     "q79_unpivot"                  -> (Kpis.nationMetricsLong _),
     "q80_variant_props"            -> (SourceOps.variantProps _),
+    // ---- lexical retrieval scoring + CDC merge-apply ----
+    "q81_retrieval_topk"           -> (TextOps.retrievalTopK _),
+    "q82_cdc_merge"                -> (Kpis.cdcMergeApply _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -658,6 +661,40 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_without_missing
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q81_retrieval_topk"  -> OracleTwins.retrievalTopK,
+
+    "q82_cdc_merge" ->
+      s"""WITH o AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS pc, o_orderdate
+        | FROM orders),
+        |snapshot AS (
+        | SELECT k, status, pc FROM o WHERE year(o_orderdate) <= 1995),
+        |inserts AS (
+        | SELECT k, status, pc, 'I' AS op FROM o
+        | WHERE year(o_orderdate) >= 1996),
+        |updates AS (
+        | SELECT k, status, pc + 1 AS pc, 'U' AS op FROM snapshot
+        | WHERE k % ${Kpis.MERGE_UPD_EVERY} = 0
+        |   AND k % ${Kpis.MERGE_DEL_EVERY} <> 0),
+        |deletes AS (
+        | SELECT k, status, pc, 'D' AS op FROM snapshot
+        | WHERE k % ${Kpis.MERGE_DEL_EVERY} = 0),
+        |changes AS (
+        | SELECT * FROM inserts UNION ALL SELECT * FROM updates
+        | UNION ALL SELECT * FROM deletes),
+        |m AS (
+        | SELECT coalesce(c.status, s.status) AS status,
+        |  coalesce(c.pc, s.pc) AS pc,
+        |  CASE WHEN c.op = 'I' THEN 'inserted'
+        |       WHEN c.op = 'U' THEN 'updated'
+        |       ELSE 'unchanged' END AS provenance
+        | FROM snapshot s FULL OUTER JOIN changes c ON s.k = c.k
+        | WHERE coalesce(c.op, '') <> 'D')
+        |SELECT status, provenance, count(*) AS n_rows,
+        | CAST(SUM(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM m GROUP BY 1, 2 ORDER BY status, provenance""".stripMargin,
 
     "q71_repetition"      -> OracleTwins.repetition,
     "q72_pii_scan"        -> OracleTwins.piiScan,

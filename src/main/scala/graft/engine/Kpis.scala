@@ -591,6 +591,61 @@ object Kpis {
       .orderBy("n_name")
   }
 
+  /** CDC merge geometry: which snapshot keys the (derived) change batch
+    * updates and deletes. The batch is a pure function of the input —
+    * updates re-price every 7th order, deletes every 13th, and the
+    * post-snapshot years arrive as inserts. */
+  val MERGE_UPD_EVERY = 7
+  val MERGE_DEL_EVERY = 13
+
+  /** CDC merge-apply — MERGE INTO semantics without a table format: apply
+    * a change batch (inserts / updates / deletes) onto a snapshot via one
+    * FULL OUTER join on the key — matched+U takes the change row,
+    * matched+D drops, unmatched-change inserts, unmatched-snapshot
+    * persists. This is the upsert-compaction a lakehouse MERGE runs; the
+    * output audits the merged table per status with per-source row
+    * provenance.
+    *
+    * Scale shape: one key-shuffle of snapshot and batch (the batch is
+    * normally ≪ snapshot — AQE broadcasts it when small enough); no
+    * row-by-row driver logic, no rewrite of untouched data beyond the
+    * join itself. Delete-filter before aggregation, so tombstones never
+    * reach the output. */
+  def cdcMergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"), cents(col("o_totalprice")).as("pc"))
+    val snapshot = o.join(orders(spark, dir)
+        .filter(year(col("o_orderdate")) <= 1995)
+        .select(col("o_orderkey").as("k")), "k")
+    val inserts = o.join(orders(spark, dir)
+        .filter(year(col("o_orderdate")) >= 1996)
+        .select(col("o_orderkey").as("k")), "k")
+      .withColumn("op", lit("I"))
+    // delete wins over update on keys hit by both (a batch may carry at
+    // most ONE change per key — the MERGE contract; two rows for one key
+    // would fan out the full outer join)
+    val updates = snapshot.filter(col("k") % MERGE_UPD_EVERY === 0 &&
+        col("k") % MERGE_DEL_EVERY =!= 0)
+      .withColumn("pc", col("pc") + 1L).withColumn("op", lit("U"))
+    val deletes = snapshot.filter(col("k") % MERGE_DEL_EVERY === 0)
+      .withColumn("op", lit("D"))
+    val changes = inserts.unionAll(updates).unionAll(deletes)
+      .select(col("k").as("ck"), col("status").as("cstatus"),
+        col("pc").as("cpc"), col("op"))
+    snapshot
+      .join(changes, col("k") === col("ck"), "full")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("cstatus"), col("status")).as("status"),
+        coalesce(col("cpc"), col("pc")).as("pc"),
+        when(col("op") === "I", "inserted")
+          .when(col("op") === "U", "updated")
+          .otherwise("unchanged").as("provenance"))
+      .groupBy("status", "provenance")
+      .agg(count(lit(1)).as("n_rows"), dollars(sum(col("pc"))).as("revenue"))
+      .orderBy("status", "provenance")
+  }
+
   /** Unpivot (wide → long reshape) — the melt every metrics store needs
     * when a wide per-entity aggregate feeds a long-format consumer
     * (dashboards, metric tables keyed by (entity, metric)). Spark's

@@ -450,4 +450,66 @@ object TextOps {
           transform(slice(sort_array(collect_list(col("doc_id"))),
             1, POSTINGS_HEAD), _.cast("string"))).as("postings_head"))
       .orderBy("term")
+
+  /** Retrieval-scoring geometry: the probe query's terms and the result
+    * depth. The scoring is BM25-shaped — tf × idf × length normalization —
+    * with the ratio idf (N/df) in place of its logarithm and a plain
+    * (1 + len/avglen) length penalty: ln() is not correctly-rounded
+    * identically across engines ([[tfidfTopTerms]] has the full argument),
+    * and the ranking is what retrieval cares about. */
+  val PROBE_TERMS: Seq[String] = Seq("join", "spark", "table")
+  val RETRIEVAL_TOP_K = 10
+
+  /** Lexical retrieval: score every document against a probe term set and
+    * return the top-k — the query-time half of the [[invertedIndex]] build
+    * (BM25-family scoring over tf/df/length statistics).
+    *
+    * Scale shape: the tf pass touches only postings of the probe terms
+    * (filter before the explode's groupBy — at 100 TB this is the index
+    * lookup, not a corpus scan); df and the corpus aggregates (N, total
+    * tokens) are tiny broadcast scalars; per-doc scores fold term
+    * contributions in sorted term order (collect_list → array_sort →
+    * left fold), never a float `sum()` whose order is
+    * partition-dependent; top-k is one TakeOrdered-style window. */
+  def retrievalTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("len"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_tokens"))
+    val tf = docs
+      .select(col("doc_id"), col("len"), explode(col("w")).as("term"))
+      .filter(col("term").isin(PROBE_TERMS: _*))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        struct(col("term"),
+          (col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double")) /
+            (lit(1.0) + col("len").cast("double") /
+              (col("total_tokens").cast("double") / col("n_docs").cast("double"))))
+            .as("c")).as("tc"))
+    val scored = contrib
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("tc"))).as("cs"))
+      .select(col("doc_id"),
+        aggregate(transform(col("cs"), s => s.getField("c")),
+          lit(0.0), (acc, x) => acc + x).as("score"),
+        size(col("cs")).cast("long").as("n_terms_hit"))
+    // selection via orderBy+limit (TakeOrderedAndProject — k rows per
+    // partition, never a global sort); the rank window then sees only the
+    // k survivors, so the single-partition window is O(k), not O(corpus).
+    scored.orderBy(col("score").desc, col("doc_id").asc)
+      .limit(RETRIEVAL_TOP_K)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms_hit"),
+        Num.round6(col("score")).as("score"))
+      .orderBy("rank")
+  }
 }

@@ -124,6 +124,47 @@ class RoundFourSpec extends SparkSpecBase {
     assert(cells.exists(_.getAs[Long]("n_dropped") > 0))
   }
 
+  test("retrieval top-k: monotone scores, hits really contain probe terms") {
+    val top = TextOps.retrievalTopK(spark, sf).collect()
+    assert(top.length == TextOps.RETRIEVAL_TOP_K)
+    assert(top.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to TextOps.RETRIEVAL_TOP_K))
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    top.foreach(r => assert(r.getAs[Long]("n_terms_hit") >= 1 &&
+      r.getAs[Long]("n_terms_hit") <= TextOps.PROBE_TERMS.length))
+    // spot-check: every returned doc really contains at least one probe term
+    val ids = top.map(_.getAs[Long]("doc_id")).toSeq
+    val hits = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("w"))
+      .collect()
+    assert(hits.length == ids.length)
+    hits.foreach { r =>
+      val toks = r.getSeq[String](1).toSet
+      assert(TextOps.PROBE_TERMS.exists(toks.contains))
+    }
+  }
+
+  test("cdc merge: rows conserve snapshot - deletes + inserts, no tombstones") {
+    val m = Kpis.cdcMergeApply(spark, sf).collect()
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), year(col("o_orderdate")).as("y"))
+    val nSnap = o.filter(col("y") <= 1995).count()
+    val nIns = o.filter(col("y") >= 1996).count()
+    val nDel = o.filter(col("y") <= 1995 &&
+      col("k") % Kpis.MERGE_DEL_EVERY === 0).count()
+    val nUpd = o.filter(col("y") <= 1995 &&
+      col("k") % Kpis.MERGE_UPD_EVERY === 0 &&
+      col("k") % Kpis.MERGE_DEL_EVERY =!= 0).count()
+    def rows(p: String) = m.filter(_.getAs[String]("provenance") == p)
+      .map(_.getAs[Long]("n_rows")).sum
+    assert(rows("inserted") == nIns)
+    assert(rows("updated") == nUpd)
+    assert(rows("unchanged") == nSnap - nDel - nUpd)
+    assert(m.map(_.getAs[Long]("n_rows")).sum == nSnap - nDel + nIns)
+  }
+
   test("variant path extraction agrees with the map-typed JSON path") {
     // three faces of the same JSON column must extract identical values
     val v = SourceOps.variantProps(spark, sf)
