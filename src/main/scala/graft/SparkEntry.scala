@@ -138,6 +138,9 @@ object SparkEntry {
     // ---- lexical retrieval scoring + CDC merge-apply ----
     "q81_retrieval_topk"           -> (TextOps.retrievalTopK _),
     "q82_cdc_merge"                -> (Kpis.cdcMergeApply _),
+    // ---- product analytics: ordered funnel + retention cohorts ----
+    "q83_event_funnel"             -> (Kpis.eventFunnel _),
+    "q84_retention_cohorts"        -> (Kpis.retentionCohorts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -661,6 +664,43 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_without_missing
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q83_event_funnel" ->
+      """WITH ft AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        | FROM events GROUP BY user_id),
+        |r AS (
+        | SELECT
+        |  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        | FROM ft)
+        |SELECT stage, event_type, n_users FROM (
+        | SELECT 1::BIGINT AS stage, 'signup' AS event_type, s1 AS n_users FROM r
+        | UNION ALL
+        | SELECT 2::BIGINT, 'click', s2 FROM r
+        | UNION ALL
+        | SELECT 3::BIGINT, 'purchase', s3 FROM r)
+        |ORDER BY stage""".stripMargin,
+
+    "q84_retention_cohorts" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        | FROM events),
+        |c AS (
+        | SELECT user_id, min(active_week) AS cohort_week
+        | FROM e GROUP BY user_id)
+        |SELECT cohort_week,
+        | CAST((active_week - cohort_week) // 7 AS BIGINT) AS weeks_since,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY cohort_week, active_week
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     "q81_retrieval_topk"  -> OracleTwins.retrievalTopK,
 

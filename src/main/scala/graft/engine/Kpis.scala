@@ -591,6 +591,70 @@ object Kpis {
       .orderBy("n_name")
   }
 
+  /** Funnel stages in order — the product-analytics conversion sequence
+    * over the events stream. A user reaches stage k when their earliest
+    * stage-k event falls strictly after their earliest stage-(k-1) event
+    * (the standard ordered-funnel definition on first-touch timestamps). */
+  val FUNNEL_STAGES: Seq[String] = Seq("signup", "click", "purchase")
+
+  /** Event-funnel analysis: per-stage count of users who progressed
+    * through the ordered sequence. One groupBy(user) pass computes each
+    * stage's first-touch time (conditional min — no per-stage scans, no
+    * joins); the stage predicate is pure column logic over that single
+    * row per user.
+    *
+    * Scale shape: the only shuffle is the per-user aggregate (map-side
+    * partial mins collapse the event volume); the funnel tally is three
+    * groups. This is the shape funnel queries need at 100 TB — never
+    * a self-join per stage (the naive form is O(stages) scans). */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val touches = FUNNEL_STAGES.map(s =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t_$s"))
+    val firstTouch = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(touches.head, touches.tail: _*)
+    val reached1 = col(s"t_${FUNNEL_STAGES(0)}").isNotNull
+    val reached2 = reached1 && col(s"t_${FUNNEL_STAGES(1)}") >
+      col(s"t_${FUNNEL_STAGES(0)}")
+    val reached3 = reached2 && col(s"t_${FUNNEL_STAGES(2)}") >
+      col(s"t_${FUNNEL_STAGES(1)}")
+    firstTouch.select(
+        Seq(reached1, reached2, reached3).zip(FUNNEL_STAGES).zipWithIndex.map {
+          case ((cond, s), i) =>
+            sum(when(cond, 1L).otherwise(0L)).as(s"n_${i + 1}_$s")
+        }: _*)
+      .select(explode(array(
+        FUNNEL_STAGES.zipWithIndex.map { case (s, i) =>
+          struct(lit(i + 1L).as("stage"), lit(s).as("event_type"),
+            col(s"n_${i + 1}_$s").as("n_users"))
+        }: _*)).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.n_users"))
+      .orderBy("stage")
+  }
+
+  /** Retention cohorts — the grid every growth dashboard draws: users
+    * grouped by their first-activity week (the cohort; week grain because
+    * the events feed spans weeks, not years — the operator is
+    * grain-agnostic), counted in every later week they return. Two
+    * aggregates: first-touch per user (one shuffle on user), then the
+    * (cohort, active-week) matrix with distinct-user counts. The week
+    * offset is an integer day-difference divided by 7 — exact
+    * cross-engine. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("active_week"))
+    val cohort = e.groupBy("user_id")
+      .agg(min("active_week").as("cohort_week"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("active_week"))
+      .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+      .withColumn("weeks_since",
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("long"))
+      .select(col("cohort_week"), col("weeks_since"), col("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   /** CDC merge geometry: which snapshot keys the (derived) change batch
     * updates and deletes. The batch is a pure function of the input —
     * updates re-price every 7th order, deletes every 13th, and the

@@ -165,6 +165,37 @@ class RoundFourSpec extends SparkSpecBase {
     assert(m.map(_.getAs[Long]("n_rows")).sum == nSnap - nDel + nIns)
   }
 
+  test("funnel stages are monotone and stage 1 counts first-touch users") {
+    val f = Kpis.eventFunnel(spark, sf).collect()
+      .sortBy(_.getAs[Long]("stage")).map(_.getAs[Long]("n_users"))
+    assert(f.length == Kpis.FUNNEL_STAGES.length)
+    assert(f.zip(f.tail).forall { case (a, b) => a >= b },
+      "a later funnel stage can never exceed an earlier one")
+    val signups = Tables.events(spark, sf)
+      .filter(col("event_type") === Kpis.FUNNEL_STAGES.head)
+      .select("user_id").distinct().count()
+    assert(f.head == signups)
+  }
+
+  test("retention: week-0 cell holds the full cohort, grid conserves user-weeks") {
+    val grid = Kpis.retentionCohorts(spark, sf).collect()
+    // every user is active in their own cohort week by definition
+    grid.groupBy(_.getAs[java.sql.Date]("cohort_week").toString)
+      .foreach { case (_, rows) =>
+        assert(rows.exists(_.getAs[Long]("weeks_since") == 0L))
+        val w0 = rows.filter(_.getAs[Long]("weeks_since") == 0L)
+          .map(_.getAs[Long]("n_users")).sum
+        assert(rows.forall(_.getAs[Long]("n_users") <= w0),
+          "no later week can retain more users than the cohort started with")
+      }
+    // Σ n_users over the grid = distinct (user, active-week) pairs
+    val pairs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("w"))
+      .distinct().count()
+    assert(grid.map(_.getAs[Long]("n_users")).sum == pairs)
+  }
+
   test("variant path extraction agrees with the map-typed JSON path") {
     // three faces of the same JSON column must extract identical values
     val v = SourceOps.variantProps(spark, sf)
