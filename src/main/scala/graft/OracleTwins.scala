@@ -715,6 +715,29 @@ object OracleTwins {
        |FROM r WHERE rank <= ${TextOps.RETRIEVAL_TOP_K} ORDER BY rank""".stripMargin
   }
 
+  val int8Quant: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    list_aggregate(list_transform(embedding, qs -> abs(qs::DOUBLE)),
+       |      'max') AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, embedding, scale,
+       |    list_transform(embedding, qx ->
+       |      CAST(floor(qx::DOUBLE * ${Sim.QUANT_LEVELS} / scale + 0.5)
+       |        AS BIGINT)) AS q
+       |  FROM e)
+       |SELECT vec_id, ${round6("scale")} AS scale,
+       |  CAST(list_reduce(list_prepend(0::BIGINT, q), (qa, qb) -> qa + qb)
+       |    AS BIGINT) AS q_sum,
+       |  list_aggregate(q, 'min') AS q_min,
+       |  list_aggregate(q, 'max') AS q_max,
+       |  ${round6(
+        s"list_aggregate(list_transform(range(1, len(embedding) + 1), " +
+        s"qi -> abs(embedding[qi]::DOUBLE - q[qi]::DOUBLE * scale / ${Sim.QUANT_LEVELS})), 'max')")}
+       |    AS max_abs_err
+       |FROM q ORDER BY vec_id""".stripMargin
+
   val semanticDedup: String =
     s"""$ivfPrefix,
        |canon AS (

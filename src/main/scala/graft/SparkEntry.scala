@@ -141,6 +141,8 @@ object SparkEntry {
     // ---- product analytics: ordered funnel + retention cohorts ----
     "q83_event_funnel"             -> (Kpis.eventFunnel _),
     "q84_retention_cohorts"        -> (Kpis.retentionCohorts _),
+    // ---- int8 embedding quantization (vector-store compression) ----
+    "q85_int8_quant"               -> (Sim.int8Quant _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -703,6 +705,7 @@ object SparkEntry {
         |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     "q81_retrieval_topk"  -> OracleTwins.retrievalTopK,
+    "q85_int8_quant"      -> OracleTwins.int8Quant,
 
     "q82_cdc_merge" ->
       s"""WITH o AS (

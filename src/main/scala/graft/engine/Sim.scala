@@ -385,6 +385,47 @@ object Sim {
       .orderBy("cent_id")
   }
 
+  /** Int8 quantization scale: symmetric per-vector absmax → [-127, 127].
+    * The rounding is floor(x + 0.5) — never `round()`, whose half-even /
+    * half-up behaviour differs between engines. */
+  val QUANT_LEVELS = 127
+
+  /** Int8 embedding quantization — the 4× compression a billion-vector
+    * store applies before PQ even enters the picture (and the layout
+    * int8-SIMD distance kernels read): per-vector symmetric absmax scale,
+    * each component mapped to round(x/scale·127) via the floor(+0.5) form.
+    * Output is the per-vector audit: scale, quantized checksum/extrema,
+    * and the worst absolute reconstruction error (≤ scale/254 + ε by
+    * construction — DedupSimSpec-style bound pinned in RoundFourSpec).
+    *
+    * Scale shape: map-only — one projection over the corpus, no shuffle;
+    * the checksum aggregate is per-row (fold over the vector), not
+    * cross-row. */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val scale = array_max(transform(v, x => abs(x.cast("double"))))
+    val quant = transform(v, x =>
+      floor(x.cast("double") * QUANT_LEVELS / col("scale_raw") + 0.5)
+        .cast("long"))
+    // The raw scale keeps a distinct name end-to-end: the output column
+    // `scale` is a rounded alias in the same select list, and Spark's
+    // lateral-column-alias resolution would otherwise capture IT inside the
+    // zip_with lambda — reconstructing with the rounded scale and shifting
+    // max_abs_err by an ulp past the round6 boundary.
+    spread(embeddings(spark, dir))
+      .select(col("vec_id"), v, scale.as("scale_raw"))
+      .select(col("vec_id"), v, col("scale_raw"), quant.as("q"))
+      .select(col("vec_id"),
+        Num.round6(col("scale_raw")).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        Num.round6(array_max(zip_with(v, col("q"), (x, q) =>
+          abs(x.cast("double") - q.cast("double") * col("scale_raw") / QUANT_LEVELS))))
+          .as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     // As in embeddingTopK: norms precomputed per vector; the vector and its
     // norm ride through the band join so the verify step is one dot fold

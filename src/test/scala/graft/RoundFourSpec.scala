@@ -236,6 +236,21 @@ class RoundFourSpec extends SparkSpecBase {
     assert(rows.values.map(_._3).sum == Tables.events(spark, sf).count())
   }
 
+  test("int8 quant: codes in [-127,127], absmax hits the rail, error ≤ scale/254") {
+    val rows = Sim.int8Quant(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (qMin, qMax) = (r.getAs[Long]("q_min"), r.getAs[Long]("q_max"))
+      assert(qMin >= -Sim.QUANT_LEVELS && qMax <= Sim.QUANT_LEVELS)
+      // the absmax component maps exactly onto a rail
+      assert(math.max(math.abs(qMin), qMax) == Sim.QUANT_LEVELS)
+      // half-step reconstruction bound (round6 on both sides → 1 ulp slack)
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Double]("max_abs_err") <=
+        scale / (2 * Sim.QUANT_LEVELS) + 2e-6)
+    }
+  }
+
   test("gap fill: complete nation-month lattice, zero-filled gaps flagged") {
     val rows = Kpis.gapFill(spark, sf).collect()
     val nNations = Tables.nation(spark, sf).count()
