@@ -738,6 +738,102 @@ object OracleTwins {
        |    AS max_abs_err
        |FROM q ORDER BY vec_id""".stripMargin
 
+  val scd2Dimension: String =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    lag(o_orderstatus) OVER w AS prev
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |chg AS (
+      |  SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderstatus),
+      |v AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate,
+      |    row_number() OVER w AS version,
+      |    lead(o_orderdate) OVER w AS valid_to
+      |  FROM chg
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, CAST(version AS BIGINT) AS version,
+      |  o_orderstatus AS status, o_orderdate AS valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM v ORDER BY o_custkey, version""".stripMargin
+
+  val matryoshkaRerank: String = {
+    val head = s"list_slice(%s, 1, ${Sim.MRL_DIMS})"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${head.format("embedding")} AS head
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv, head AS ph FROM e
+       |  WHERE vec_id < ${Sim.N_PROBES}),
+       |coarse AS (
+       |  SELECT probe_id, vec_id, pv, embedding,
+       |    ${cosine("ph", "head")} AS coarse
+       |  FROM e JOIN probes ON vec_id <> probe_id),
+       |sl AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY coarse DESC, vec_id) AS coarse_rank
+       |  FROM coarse QUALIFY coarse_rank <= ${Sim.MRL_SHORTLIST}),
+       |rr AS (
+       |  SELECT probe_id, vec_id, coarse_rank,
+       |    ${cosine("pv", "embedding")} AS cos
+       |  FROM sl),
+       |r AS (
+       |  SELECT probe_id, vec_id, coarse_rank, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rr)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("cos")} AS cosine, CAST(coarse_rank AS BIGINT) AS coarse_rank
+       |FROM r WHERE rank <= ${Sim.TOP_K} ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Twin of Sim.packSigns: MSB-first left fold acc*2 + signbit over one
+    * 32-dim half. */
+  private def packSigns(v: String, from: Int, n: Int): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"range(${from + 1}, ${from + n + 1}), sb -> " +
+      s"CASE WHEN $v[sb] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+      s"(sa, sx) -> sa * 2 + sx)"
+
+  val binaryQuantHamming: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    ${packSigns("embedding", 0, 32)} AS sig_hi,
+       |    ${packSigns("embedding", 32, 32)} AS sig_lo
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv,
+       |    sig_hi AS p_hi, sig_lo AS p_lo
+       |  FROM e WHERE vec_id < ${Sim.N_PROBES}),
+       |scored AS (
+       |  SELECT probe_id, vec_id, pv, embedding,
+       |    CAST(bit_count(xor(p_hi, sig_hi)) + bit_count(xor(p_lo, sig_lo))
+       |      AS BIGINT) AS hamming
+       |  FROM e JOIN probes ON vec_id <> probe_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY hamming, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  hamming, ${round6(cosine("pv", "embedding"))} AS cosine
+       |FROM r WHERE rank <= ${Sim.TOP_K} ORDER BY probe_id, rank""".stripMargin
+
+  val columnProfile: String = {
+    def one(c: String, render: String => String): String =
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  ${render(s"min($c)")} AS min_val, ${render(s"max($c)")} AS max_val
+         |FROM customer""".stripMargin
+    val plain = (c: String) => s"CAST($c AS VARCHAR)"
+    val centsR = (c: String) => s"CAST(CAST(round(($c)*100) AS BIGINT) AS VARCHAR)"
+    Seq(one("c_acctbal", centsR), one("c_custkey", plain),
+      one("c_mktsegment", plain), one("c_name", plain),
+      one("c_nationkey", plain))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val semanticDedup: String =
     s"""$ivfPrefix,
        |canon AS (

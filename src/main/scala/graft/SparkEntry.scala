@@ -143,6 +143,14 @@ object SparkEntry {
     "q84_retention_cohorts"        -> (Kpis.retentionCohorts _),
     // ---- int8 embedding quantization (vector-store compression) ----
     "q85_int8_quant"               -> (Sim.int8Quant _),
+    // ---- SCD Type 2 dimension build (warehouse versioned history) ----
+    "q86_scd2_dim"                 -> (Kpis.scd2Dimension _),
+    // ---- matryoshka truncated-prefix ANN with full-dim rerank ----
+    "q87_matryoshka_rerank"        -> (Sim.matryoshkaRerank _),
+    // ---- binary sign quantization + Hamming top-k ----
+    "q88_binary_hamming"           -> (Sim.binaryQuantHamming _),
+    // ---- one-pass column profiler (catalog/data-quality stats) ----
+    "q89_column_profile"           -> (Kpis.columnProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -706,6 +714,10 @@ object SparkEntry {
 
     "q81_retrieval_topk"  -> OracleTwins.retrievalTopK,
     "q85_int8_quant"      -> OracleTwins.int8Quant,
+    "q86_scd2_dim"        -> OracleTwins.scd2Dimension,
+    "q87_matryoshka_rerank" -> OracleTwins.matryoshkaRerank,
+    "q88_binary_hamming"  -> OracleTwins.binaryQuantHamming,
+    "q89_column_profile"  -> OracleTwins.columnProfile,
 
     "q82_cdc_merge" ->
       s"""WITH o AS (

@@ -795,4 +795,39 @@ object Kpis {
         col("rc").isNull.as("is_gap"))
       .orderBy("n_name", "month")
   }
+
+  /** SCD Type 2 dimension build — collapse each customer's order-status
+    * timeline into versioned validity intervals: one row per status *run*
+    * with (version, valid_from, valid_to, is_current). The change-log →
+    * slowly-changing-dimension transform every warehouse runs nightly.
+    *
+    * Two windows, one shuffle: change detection (lag over the full
+    * timeline) and interval stitching (row_number + lead over the change
+    * rows) share the same (custkey) partitioning and (date, key) sort, so
+    * Catalyst plans a single exchange and chains the Window operators on
+    * it — the filter between them doesn't re-shuffle. Scales as pure
+    * per-key sequential work; no joins, no broadcast, skew bounded by the
+    * busiest single customer. */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
+  /** [[Silver.profile]] over the customer table — doubles rendered through
+    * integer cents so the bounds compare bit-identically cross-engine. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    Silver.profile(customer(spark, dir),
+      Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"),
+      Map("c_acctbal" -> (c => cents(c))))
 }

@@ -53,4 +53,39 @@ object Silver {
   /** Enum-domain violations (Postgres CHECK/ENUM → filter; SURVEY.md §7 risk 2). */
   def enumViolations(df: DataFrame, column: String, domain: Set[String]): DataFrame =
     df.filter(!col(column).isin(domain.toSeq: _*) || col(column).isNull)
+
+  /** Column profiler — the one-pass per-column summary (rows / nulls /
+    * distincts / min / max) a catalog or data-quality monitor computes on
+    * every ingest. One aggregate over the table computes every column's
+    * stats, then a zero-shuffle `stack` reshapes wide → long.
+    *
+    * Multiple exact count-distincts in one aggregate plan through Expand
+    * (input ×k before the shuffle) — the standard profiler trade: one scan
+    * of the table vs k. At 100 TB with wide tables, swap `countDistinct`
+    * for `approx_count_distinct` (HLL, no Expand) and keep the shape.
+    *
+    * `minMax` renders bounds engine-portably: integers/strings cast
+    * directly, doubles through scaled-integer cents (double→string
+    * formatting is not cross-engine stable). */
+  def profile(df: DataFrame, cols: Seq[String],
+      minMax: Map[String, Column => Column] = Map.empty): DataFrame = {
+    def render(c: String, x: Column): Column =
+      minMax.getOrElse(c, identity[Column] _)(x).cast("string")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        render(c, min(col(c))).as(s"mn_$c"),
+        render(c, max(col(c))).as(s"mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("column_name")
+  }
 }

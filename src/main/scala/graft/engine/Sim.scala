@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -424,6 +424,104 @@ object Sim {
           abs(x.cast("double") - q.cast("double") * col("scale_raw") / QUANT_LEVELS))))
           .as("max_abs_err"))
       .orderBy("vec_id")
+  }
+
+  /** Matryoshka geometry: coarse pass over the first MRL_DIMS dims, then a
+    * full-dim rerank of a bounded shortlist. */
+  val MRL_DIMS = 16
+  val MRL_SHORTLIST = 20
+
+  /** Matryoshka (truncated-prefix) two-stage ANN — the MRL retrieval
+    * pattern: embeddings trained so prefixes are themselves valid
+    * embeddings get searched coarse-first on the head slice (here 16 of 64
+    * dims = 4× less data touched), then a shortlist is reranked with the
+    * full vector. Output keeps the coarse rank next to the final rank so
+    * the reorder the rerank performs is visible (and spec-checked).
+    *
+    * Scale shape: the N×P coarse scoring reads only the prefix column
+    * (in a real layout, a separate narrow column/file — 4× the IO cut);
+    * full vectors are touched for P×SHORTLIST rows only. Shortlist and
+    * rerank are per-probe windows over ≤ N and ≤ SHORTLIST rows; probes
+    * broadcast, candidates never shuffle. */
+  def matryoshkaRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, MRL_DIMS).as("head"))
+      .select(col("vec_id"), col("embedding"), col("head"),
+        sqrt(VecFns.norm2(col("head"))).as("hnrm"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val probes = e.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("head").as("ph"), col("hnrm").as("phnrm"), col("nrm").as("pnrm"))
+    val coarseW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("coarse").desc, col("vec_id").asc)
+    val shortlist = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("pv"), col("embedding"),
+        col("pnrm"), col("nrm"),
+        (VecFns.dot(col("ph"), col("head")) / (col("phnrm") * col("hnrm")))
+          .as("coarse"))
+      .withColumn("coarse_rank", row_number().over(coarseW).cast("long"))
+      .filter(col("coarse_rank") <= MRL_SHORTLIST)
+    val fullW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist
+      .select(col("probe_id"), col("vec_id"), col("coarse_rank"),
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(fullW).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        Num.round6(col("cos")).as("cosine"), col("coarse_rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Pack sign bits of dims [from, from+n) into one BIGINT, MSB-first —
+    * a left fold (acc*2 + bit) in index order, so the oracle can rebuild
+    * it with the same fold. 32-bit halves keep the fold inside BIGINT
+    * range under ANSI mode (64 doublings would overflow the sign bit). */
+  private def packSigns(v: Column, from: Int, n: Int): Column =
+    aggregate(
+      transform(slice(v, from + 1, n),
+        x => when(x >= 0f, 1L).otherwise(0L)),
+      lit(0L),
+      (acc, b) => acc * 2L + b)
+
+  /** Binary (sign) quantization + Hamming search — the 32× compression
+    * tier under int8 ([[int8Quant]]): each vector becomes 64 sign bits in
+    * two BIGINT words; candidate distance is popcount(XOR) per word —
+    * integer-exact, no float discipline needed. Top-k per probe by
+    * (hamming asc, vec_id), with the true cosine of each survivor shown —
+    * the verify-stage read a binary-first store does anyway.
+    *
+    * Scale shape: the signature build is map-only (16 bytes/vector — the
+    * whole index of a billion vectors fits in executor memory); scoring is
+    * two XOR+popcounts per pair inside whole-stage codegen, no arrays
+    * touched until the cosine verify of ≤ k×P survivors. */
+  def binaryQuantHamming(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        packSigns(col("embedding"), 0, 32).as("sig_hi"),
+        packSigns(col("embedding"), 32, 32).as("sig_lo"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val probes = e.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("sig_hi").as("p_hi"), col("sig_lo").as("p_lo"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("pv"), col("embedding"),
+        col("pnrm"), col("nrm"),
+        (bit_count(col("p_hi").bitwiseXOR(col("sig_hi"))) +
+          bit_count(col("p_lo").bitwiseXOR(col("sig_lo")))).cast("long")
+          .as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("hamming"),
+        Num.round6(VecFns.dot(col("pv"), col("embedding")) /
+          (col("pnrm") * col("nrm"))).as("cosine"))
+      .orderBy("probe_id", "rank")
   }
 
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {

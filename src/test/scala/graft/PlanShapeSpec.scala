@@ -78,4 +78,27 @@ class PlanShapeSpec extends SparkSpecBase {
     val modes = "HashAggregate".r.findAllIn(plan).length
     assert(modes >= 2, "partial+final HashAggregate pair expected")
   }
+
+  test("SCD2 chains both windows on one custkey shuffle") {
+    // lag (change detection) and row_number+lead (interval stitching)
+    // share partitioning AND sort order — the filter between them must
+    // not force a second exchange; per-key history never re-shuffles.
+    val plan = finalPlan(Kpis.scd2Dimension(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one custkey shuffle, saw $shuffles")
+    assert("\\bWindow\\b".r.findAllIn(plan).length >= 2)
+  }
+
+  test("binary hamming scoring stays codegen'd scalar work until the window") {
+    // the XOR+popcount pairwise scoring must not materialize arrays: the
+    // only array touches are the signature build (before the join) and
+    // the ≤k×P cosine verify (after the rank filter)
+    val plan = finalPlan(Sim.binaryQuantHamming(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "probe side must broadcast — candidates never shuffle for scoring")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k must bound per-probe state below the window sort")
+  }
 }
