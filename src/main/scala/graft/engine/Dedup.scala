@@ -263,4 +263,40 @@ object Dedup {
       .filter(col("hamming") <= HAM_T)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Record-linkage geometry: candidate pairs form only inside a
+    * (lang, source) block; similarity is edit distance over a fixed-width
+    * prefix. */
+  val LINK_PREFIX = 32
+  val LINK_T = 12
+
+  /** Blocked record linkage — the entity-resolution pattern for joining
+    * datasets without a shared key: block on cheap deterministic
+    * attributes (here lang × source), compare pairs only within a block,
+    * score with an integer edit distance (`levenshtein`, exact in both
+    * engines) over a fixed prefix. Output is the per-block audit: pairs
+    * compared, pairs linked at the threshold, closest distance.
+    *
+    * Scale shape: the quadratic is bounded per block — the self-join
+    * shuffles on the block key and `x.id < y.id` halves the pairs; the
+    * merge hint + ReusedExchange read the blocked corpus shuffle once
+    * (the [[nearDupPairs]] pattern). Skewed blocks salt the same way a
+    * skewed LSH band does; the prefix cap bounds per-pair CPU. */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, LINK_PREFIX).as("pfx"))
+    d.as("x")
+      .join(d.as("y").hint("merge"),
+        col("x.lang") === col("y.lang") &&
+          col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.lang").as("lang"), col("x.source").as("source"),
+        levenshtein(col("x.pfx"), col("y.pfx")).cast("long").as("dist"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") <= LINK_T, 1L).otherwise(0L)).as("n_linked"),
+        min(col("dist")).as("min_dist"))
+      .orderBy("lang", "source")
+  }
 }

@@ -830,4 +830,60 @@ object Kpis {
     Silver.profile(customer(spark, dir),
       Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"),
       Map("c_acctbal" -> (c => cents(c))))
+
+  /** Incremental aggregate maintenance — the mergeable-state pattern that
+    * turns a nightly full recompute into "merge yesterday's state with
+    * today's batch": each side reduces to per-key partial states
+    * (count / sum / min / max are all associative+commutative), the merge
+    * is a re-aggregate over state rows only. The output provably equals
+    * the full recompute — that IS the oracle (one plain aggregate over
+    * everything).
+    *
+    * Scale shape: the expensive scans each aggregate map-side down to k
+    * state rows; the merge shuffles k rows, not data. At 100 TB the
+    * "state" side is a table you read back, not a recompute — the plan
+    * shape here (union of two partial aggregates → final aggregate) is
+    * exactly that plan with the state scan inlined. All counters are
+    * integer (cents), so merge order cannot perturb the result. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partial(lo: Int, hi: Int): DataFrame =
+      orders(spark, dir)
+        .filter(year(col("o_orderdate")).between(lo, hi))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sc"),
+          min(cents(col("o_totalprice"))).as("mn"),
+          max(cents(col("o_totalprice"))).as("mx"))
+    partial(0, 1995).unionByName(partial(1996, 9999))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).as("n_orders"),
+        dollars(sum(col("sc"))).as("revenue"),
+        dollars(min(col("mn"))).as("min_price"),
+        dollars(max(col("mx"))).as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Equal-frequency binning geometry: deciles within each priority
+    * class. */
+  val N_BINS = 10
+
+  /** Per-group equal-frequency binning (the quantile bucketizer of
+    * feature engineering): ntile(10) over order value *within each
+    * priority class*, then per-bin population and value range. The window
+    * partitions by group — per-key distributed sort, NOT a global
+    * single-reducer sort (the global-ntile trap; an ungrouped version at
+    * 100 TB should compute exact percentile edges and range-join
+    * instead). Total tie-break (cents, orderkey) makes bucket assignment
+    * deterministic cross-engine. */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("pc").asc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("pc"))
+      .withColumn("bin", ntile(N_BINS).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(min(col("pc"))).as("lo"), dollars(max(col("pc"))).as("hi"))
+      .orderBy("o_orderpriority", "bin")
+  }
 }
