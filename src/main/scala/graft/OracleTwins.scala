@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{Dedup, Schemas, Sim, TextOps}
+import graft.engine.{Dedup, Graph, Schemas, Sim, TextOps}
 import graft.functions.{TextFns, VecFns}
 
 /** DuckDB SQL twins for the LLM-pipeline queries, **generated from the same
@@ -852,4 +852,52 @@ object OracleTwins {
        |  ${round6("max(CASE WHEN vec_id <> canon_id THEN cos END)")}
        |    AS max_nonself_cos
        |FROM cj GROUP BY cent_id, canon_id ORDER BY cent_id""".stripMargin
+
+  /** Blocked record linkage — twin of [[Dedup.recordLinkage]]; block keys,
+    * prefix length and link threshold come from the same constants.
+    * `levenshtein` over ASCII prefixes is an integer metric, identical in
+    * both engines. */
+  val recordLinkage: String =
+    s"""WITH d AS (
+       | SELECT doc_id, lang, source,
+       |  substring(text, 1, ${Dedup.LINK_PREFIX}) AS pfx
+       | FROM documents)
+       |SELECT x.lang AS lang, x.source AS source,
+       | count(*) AS n_pairs,
+       | CAST(SUM(CASE WHEN levenshtein(x.pfx, y.pfx) <= ${Dedup.LINK_T}
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
+       | CAST(min(levenshtein(x.pfx, y.pfx)) AS BIGINT) AS min_dist
+       |FROM d x JOIN d y
+       | ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
+  /** One weighted-PageRank iteration — twin of [[Graph.pageRankStep]].
+    * Per-edge flow is BIGINT floor division ((w·SCALE) // outw ≡ Spark's
+    * `div`, all operands positive), the gather is an integer sum, and the
+    * two final float ops mirror the Spark expression tree term-for-term
+    * (literals CAST to DOUBLE — DuckDB decimal literals would round
+    * differently than IEEE `1.0 - 0.85`). */
+  val pageRankStep: String =
+    s"""WITH e AS (
+       | SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+       | FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       | GROUP BY 1, 2),
+       |od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+       |g AS (
+       | SELECT dst, CAST(SUM((w * ${Graph.PR_SCALE}) // outw) AS BIGINT)
+       |    AS inflow,
+       |  count(*) AS n_in_edges
+       | FROM e JOIN od USING (src) GROUP BY dst),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nation)
+       |SELECT n.n_name, CAST(coalesce(g.n_in_edges, 0) AS BIGINT) AS n_in_edges,
+       | ${round6(
+          s"(CAST(1.0 AS DOUBLE) - CAST(${Graph.PR_D} AS DOUBLE)) / nn" +
+          s" + CAST(${Graph.PR_D} AS DOUBLE) / nn" +
+          s" * (CAST(coalesce(g.inflow, 0) AS DOUBLE)" +
+          s" / CAST(${Graph.PR_SCALE} AS DOUBLE))")} AS rank
+       |FROM nation n LEFT JOIN g ON n.n_nationkey = g.dst CROSS JOIN nn
+       |ORDER BY n_name""".stripMargin
 }

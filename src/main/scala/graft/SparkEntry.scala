@@ -92,9 +92,10 @@ object SparkEntry {
     "q53_hash_sample"              -> (TextOps.hashSample _),
     // ---- CUBE lattice (completes the grouping-sets family with q39) ----
     "q54_status_cube"              -> (Kpis.statusCube _),
-    // ---- sketch aggregates (HLL++, approx quantiles): no SQL twin —
-    // sketch internals are engine-specific; driver runs rows-only check,
-    // DedupSimSpec bounds the error against the exact columns ----
+    // ---- sketch aggregates (HLL++, approx quantiles): estimates are
+    // engine-specific, so the query reduces them to error-bound verdict
+    // booleans the oracle CAN hash-check (exact columns + literal TRUE);
+    // DedupSimSpec inspects the raw estimates via approxStatsFull ----
     "q55_approx_stats"             -> (Kpis.approxStats _),
     // ---- §2.7 set operations + full §2.5 window family ----
     "q56_set_ops"                  -> (Kpis.setOps _),
@@ -151,6 +152,14 @@ object SparkEntry {
     "q88_binary_hamming"           -> (Sim.binaryQuantHamming _),
     // ---- one-pass column profiler (catalog/data-quality stats) ----
     "q89_column_profile"           -> (Kpis.columnProfile _),
+    // ---- blocked record linkage (entity resolution, edit distance) ----
+    "q90_record_linkage"           -> (Dedup.recordLinkage _),
+    // ---- weighted PageRank over the nation trade graph ----
+    "q91_pagerank_step"            -> (Graph.pageRankStep _),
+    // ---- mergeable-state incremental aggregate maintenance ----
+    "q92_incremental_agg"          -> (Kpis.incrementalAgg _),
+    // ---- per-group equal-frequency binning (quantile bucketizer) ----
+    "q93_quantile_bins"            -> (Kpis.quantileBins _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -525,6 +534,17 @@ object SparkEntry {
     "q67_decontamination" -> OracleTwins.decontamination,
     "q68_source_mixture"  -> OracleTwins.sourceMixture,
 
+    // The sketch estimates have no DuckDB twin; the verdict columns do —
+    // exact values plus literal TRUE, so an out-of-bounds sketch flips a
+    // hashed cell (see Kpis.approxStats).
+    "q55_approx_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)
+        |   AS exact_p50_cents,
+        | TRUE AS users_ok, TRUE AS p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q70_exact_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         | quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -595,12 +615,16 @@ object SparkEntry {
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_order_event_window" ->
-      """WITH j AS (
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey,
+        |  TIMESTAMP '2024-01-01' + (o_orderkey % 672) * INTERVAL 1 HOUR AS t0
+        | FROM orders),
+        |j AS (
         | SELECT o.o_orderkey, e.user_id, e.event_type
-        | FROM orders o JOIN events e
+        | FROM o JOIN events e
         |  ON e.user_id = o.o_custkey
-        |  AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
-        |  AND e.ts < CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY)
+        |  AND e.ts >= o.t0
+        |  AND e.ts < o.t0 + INTERVAL 1 DAY)
         |SELECT event_type, count(*) AS n_pairs,
         | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -675,12 +699,14 @@ object SparkEntry {
         |   AS n_without_missing
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // first-touch times compared at µs grain (epoch_us) — Spark timestamps
+    // are µs, parquet ns would flip a strict '>' inside one µs (q17 rule)
     "q83_event_funnel" ->
       """WITH ft AS (
         | SELECT user_id,
-        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
-        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
-        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t2,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t3
         | FROM events GROUP BY user_id),
         |r AS (
         | SELECT
@@ -718,6 +744,33 @@ object SparkEntry {
     "q87_matryoshka_rerank" -> OracleTwins.matryoshkaRerank,
     "q88_binary_hamming"  -> OracleTwins.binaryQuantHamming,
     "q89_column_profile"  -> OracleTwins.columnProfile,
+    "q90_record_linkage"  -> OracleTwins.recordLinkage,
+    "q91_pagerank_step"   -> OracleTwins.pageRankStep,
+
+    // The oracle is deliberately the plain one-pass aggregate — the
+    // merged partial-state plan must be semantics-preserving (q61's rule).
+    "q92_incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue,
+        | CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS min_price,
+        | CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q93_quantile_bins" ->
+      s"""WITH o AS (
+        | SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS pc
+        | FROM orders),
+        |b AS (
+        | SELECT o_orderpriority, pc,
+        |  CAST(ntile(${Kpis.N_BINS}) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY pc, o_orderkey)
+        |   AS BIGINT) AS bin
+        | FROM o)
+        |SELECT o_orderpriority, bin, count(*) AS n_orders,
+        | CAST(min(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS lo,
+        | CAST(max(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY o_orderpriority, bin""".stripMargin,
 
     "q82_cdc_merge" ->
       s"""WITH o AS (

@@ -168,23 +168,48 @@ object Kpis {
       .orderBy("order_id")
   }
 
+  /** HLL relative-error gate: `approx_count_distinct(_, 0.01)` documents
+    * rsd=1%; 5% absolute-relative (floor 1) is a generous-but-meaningful
+    * envelope. */
+  val HLL_REL_EPS = 0.05
+
   /** Sketch aggregates — the cardinality/quantile estimators a 100 TB scan
     * actually runs (HyperLogLog++ `approx_count_distinct`, KLL-style
     * `percentile_approx`): fixed-size mergeable state instead of the
-    * per-group hash set / full sort their exact twins need. Exact values
-    * ride along so the error is observable (and spec-bounded). Sketch
-    * internals are engine-specific, so this query has **no DuckDB twin** —
-    * the driver records its weaker rows-only check; DedupSimSpec bounds the
-    * approximation error against the exact columns instead. */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    * per-group hash set / full sort their exact twins need. Raw estimates
+    * (with the exact twins alongside) for spec-level error inspection —
+    * [[approxStats]] reduces them to oracle-checkable verdicts. */
+  def approxStatsFull(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        expr("percentile(value, 0.5)").as("exact_p50"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+        percentile(cents(col("value")), lit(0.4)).as("exact_p40_cents"),
+        percentile(cents(col("value")), lit(0.5)).as("exact_p50_cents"),
+        percentile(cents(col("value")), lit(0.6)).as("exact_p60_cents"),
+        percentile_approx(cents(col("value")), lit(0.5), lit(1000))
+          .cast("double").as("approx_p50_cents"))
+
+  /** Sketch estimates reduced to an oracle-checkable verdict: the sketch
+    * values themselves are engine-specific (no DuckDB twin exists), but
+    * the *claims* about them are decidable — the HLL count must land
+    * within [[HLL_REL_EPS]] of the exact distinct count, and the KLL
+    * median must land between the exact p40 and p60 (rank error 1/1000 ≪
+    * the 0.1 rank slack). The oracle computes the exact columns and emits
+    * literal TRUE for both verdicts, so a sketch regression flips a
+    * hash-checked cell instead of hiding behind a rows-only check. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    approxStatsFull(spark, dir)
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        col("exact_p50_cents"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(1.0), col("exact_users") * HLL_REL_EPS))
+          .as("users_ok"),
+        (col("approx_p50_cents") >= col("exact_p40_cents") &&
+          col("approx_p50_cents") <= col("exact_p60_cents"))
+          .as("p50_ok"))
       .orderBy("event_type")
 
   /** §2.9 — tumbling-window aggregate over the event stream, batch form
@@ -478,10 +503,17 @@ object Kpis {
     * (user) drives the shuffle; the range predicate filters within each
     * joined group, so the plan is a sort-merge join on user, never a
     * cartesian. At 100 TB both sides would additionally be partitioned on
-    * coarse time buckets so a year of history never co-shuffles. */
+    * coarse time buckets so a year of history never co-shuffles.
+    *
+    * The order timestamp is remapped into the event feed's epoch (orders
+    * are dated 1995–2001, events 2024) via integer hours off a fixed
+    * anchor — deterministic, exact in both engines, and the join is
+    * non-vacuous at every SF (the 1995-dated form matched zero events). */
   def orderEventWindow(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
-      col("o_orderdate").cast("timestamp").as("t0"))
+      expr("timestamp'2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, cast(o_orderkey % 672 as int), 0, 0)")
+        .as("t0"))
     val e = events(spark, dir).select(col("user_id"), col("event_id"),
       col("event_type"), col("ts"))
     o.join(e,

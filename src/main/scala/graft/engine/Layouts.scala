@@ -53,17 +53,28 @@ object Layouts {
     * coalesce merges in place but caps upstream parallelism of everything
     * it fuses with and can produce wildly uneven files from uneven inputs;
     * the compaction shuffle is the price of even output sizes, paid once.
-    * Writes to a fresh directory then swaps — readers never see a
-    * half-compacted table. */
+    * Writes to a fresh directory then swaps rename-first: the live copy is
+    * renamed aside before the compacted one takes its place, so a failed
+    * swap never loses data (the aside copy is restored) and the table is
+    * gone only between two renames, never while bytes are being deleted. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
+    import org.apache.hadoop.fs.Path
     val tmp = dir + ".compacting"
     spark.read.parquet(dir).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new IllegalStateException(s"compaction swap failed for $dir")
+    val dst = new Path(dir)
+    // the path's own filesystem, not the default FS — dir may be s3a://…
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new Path(dir + ".old")
+    fs.delete(aside, true) // leftover from a previously failed swap
+    if (!fs.rename(dst, aside))
+      throw new IllegalStateException(s"compaction swap failed for $dir: " +
+        s"could not move live dir aside")
+    if (!fs.rename(new Path(tmp), dst)) {
+      fs.rename(aside, dst) // restore the live copy; nothing was lost
+      throw new IllegalStateException(s"compaction swap failed for $dir: " +
+        s"could not move compacted dir into place (live dir restored)")
+    }
+    fs.delete(aside, true)
   }
 }

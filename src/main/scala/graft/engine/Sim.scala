@@ -141,9 +141,14 @@ object Sim {
       .orderBy("cent_id")
 
   /** Cell-restricted ANN top-k: each probe searches only the vectors in its
-    * own IVF cell (1-probe search; recall/latency knob = cells probed). */
+    * own IVF cell (1-probe search; recall/latency knob = cells probed).
+    *
+    * The assignment feeds both the probe lookup and the candidate join —
+    * localCheckpoint materializes the N×K scoring pass once (the
+    * [[semanticDedup]] rule); without it the dominant pass runs twice. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val a = ivfAssign(spark, dir).select(col("vec_id"), col("cent_id"))
+      .localCheckpoint()
     val e = spread(embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
         sqrt(VecFns.norm2(col("embedding"))).as("nrm"))

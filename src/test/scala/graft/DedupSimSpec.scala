@@ -192,18 +192,22 @@ class DedupSimSpec extends SparkSpecBase {
   }
 
   test("sketch aggregates track their exact twins within tolerance") {
-    val rows = engine.Kpis.approxStats(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
+    val full = engine.Kpis.approxStatsFull(spark, sf).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
       val exactU = r.getLong(2).toDouble
       val approxU = r.getLong(3).toDouble
       assert(math.abs(approxU - exactU) / exactU < 0.05,
         s"HLL off by ${math.abs(approxU - exactU) / exactU} on ${r.getString(0)}")
-      val exactP = r.getDouble(4)
-      val approxP = r.getDouble(5)
+      val exactP = r.getDouble(5)
+      val approxP = r.getDouble(7)
       assert(math.abs(approxP - exactP) / math.max(math.abs(exactP), 1e-9) < 0.10,
         s"approx p50 $approxP vs exact $exactP on ${r.getString(0)}")
     }
+    // the gated form every verdict cell must be TRUE (this is what the
+    // DuckDB oracle hash-checks)
+    val gated = engine.Kpis.approxStats(spark, sf).collect()
+    assert(gated.forall(r => r.getBoolean(4) && r.getBoolean(5)))
   }
 
   test("docFingerprint is deterministic and total") {

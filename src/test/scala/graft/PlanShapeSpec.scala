@@ -66,6 +66,16 @@ class PlanShapeSpec extends SparkSpecBase {
         "materialized once, not recomputed per consumer")
   }
 
+  test("IVF top-k computes the N×K assignment exactly once") {
+    // same rule as semantic dedup: the assignment feeds both the probe
+    // lookup and the candidate join — the checkpoint must make the query
+    // plan consume it as a scan, with no N×K join re-run inside.
+    val plan = finalPlan(Sim.ivfTopK(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the N×K assignment pass leaked into the query plan — it must be " +
+        "materialized once, not recomputed per consumer")
+  }
+
   test("salted aggregation runs two aggregate phases") {
     val plan = finalPlan(Kpis.saltedRevenueByNation(spark, sf))
     // partial+final pairs for both the (key, salt) and the key phases
