@@ -431,6 +431,52 @@ object OracleTwins {
        |  ssum::DOUBLE / (n_members * ${Sim.KMEANS_SCALE})::DOUBLE AS new_coord
        |FROM g ORDER BY cent_id, dim""".stripMargin
 
+  /** [[Sim.KMEANS_ITERS]] Lloyd rounds, unrolled — twin of
+    * Sim.kmeansIterated. Each round is the q37/q51 machinery verbatim
+    * (N×K cosine scoring, row_number argmax with cent_id tie-break,
+    * fixed-point mean), then the means reassemble into FLOAT-narrowed
+    * centroid lists (`::FLOAT` ≡ Spark's `cast("float")`, both IEEE
+    * round-to-nearest) for the next round's scoring. */
+  val kmeansIterated: String = {
+    val rounds = (1 to Sim.KMEANS_ITERS).map { i =>
+      s"""s$i AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    ${dot("embedding", "cv")} / (nrm * cnrm) AS cos
+         |  FROM e, c${i - 1} c),
+         |n$i AS (
+         |  SELECT vec_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id)
+         |      AS rn
+         |  FROM s$i),
+         |u$i AS (
+         |  SELECT a.cent_id, (di - 1)::BIGINT AS dim,
+         |    CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(CAST(floor(e.embedding[di]::DOUBLE *
+         |      ${Sim.KMEANS_SCALE}) AS BIGINT)) AS BIGINT) AS ssum
+         |  FROM (SELECT vec_id, cent_id FROM n$i WHERE rn = 1) a
+         |    JOIN e ON a.vec_id = e.vec_id,
+         |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS di) t
+         |  GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT cent_id, cv, sqrt(${norm2("cv")}) AS cnrm
+         |  FROM (
+         |    SELECT cent_id,
+         |      list((ssum::DOUBLE / (n_members * ${Sim.KMEANS_SCALE})::DOUBLE
+         |        )::FLOAT ORDER BY dim) AS cv
+         |    FROM u$i GROUP BY cent_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2("embedding")}) AS nrm
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM e WHERE vec_id % ${Sim.IVF_STRIDE} = 0),
+       |$rounds
+       |SELECT cent_id, dim, n_members,
+       |  ssum::DOUBLE / (n_members * ${Sim.KMEANS_SCALE})::DOUBLE AS new_coord
+       |FROM u${Sim.KMEANS_ITERS} ORDER BY cent_id, dim""".stripMargin
+  }
+
   val ivfTopK: String =
     s"""$ivfPrefix,
        |p AS (
@@ -900,4 +946,48 @@ object OracleTwins {
           s" / CAST(${Graph.PR_SCALE} AS DOUBLE))")} AS rank
        |FROM nation n LEFT JOIN g ON n.n_nationkey = g.dst CROSS JOIN nn
        |ORDER BY n_name""".stripMargin
+
+  /** [[Graph.PR_ITERS]] PageRank rounds, unrolled — twin of
+    * Graph.pageRankIterated. The whole recurrence is BIGINT: per-edge flow
+    * is (r·w) // outw, the new rank is base + (85·inflow) // 100, where
+    * base = (15·SCALE) // (100·N) — `//` is floor division on positive
+    * BIGINTs, ≡ Spark's `div`, so the scaled rank trajectory is exactly
+    * integer-equal in both engines. */
+  val pageRankIterated: String = {
+    val base = s"((${Graph.PR_D_DEN - Graph.PR_D_NUM} * ${Graph.PR_SCALE}) " +
+      s"// (${Graph.PR_D_DEN} * nn.nn))"
+    val rounds = (1 to Graph.PR_ITERS).map { i =>
+      s"""f$i AS (
+         |  SELECT e.dst, (r.r * e.w) // od.outw AS flow
+         |  FROM e JOIN od ON e.src = od.src JOIN r${i - 1} r ON r.node = e.src),
+         |g$i AS (
+         |  SELECT dst, CAST(SUM(flow) AS BIGINT) AS inflow
+         |  FROM f$i GROUP BY dst),
+         |r$i AS (
+         |  SELECT n.n_nationkey AS node,
+         |    $base + (${Graph.PR_D_NUM} * coalesce(g.inflow, 0)) //
+         |      ${Graph.PR_D_DEN} AS r
+         |  FROM nation n LEFT JOIN g$i g ON n.n_nationkey = g.dst
+         |    CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       | SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |  CAST(count(*) AS BIGINT) AS w
+       | FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       | GROUP BY 1, 2),
+       |od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nation),
+       |r0 AS (
+       | SELECT n_nationkey AS node, ${Graph.PR_SCALE} // nn.nn AS r
+       | FROM nation CROSS JOIN nn),
+       |$rounds
+       |SELECT n.n_name, CAST(r.r AS BIGINT) AS rank_scaled,
+       | ${round6(s"CAST(r.r AS DOUBLE) / CAST(${Graph.PR_SCALE} AS DOUBLE)")}
+       |   AS rank
+       |FROM nation n JOIN r${Graph.PR_ITERS} r ON n.n_nationkey = r.node
+       |ORDER BY n_name""".stripMargin
+  }
 }

@@ -160,6 +160,11 @@ object SparkEntry {
     "q92_incremental_agg"          -> (Kpis.incrementalAgg _),
     // ---- per-group equal-frequency binning (quantile bucketizer) ----
     "q93_quantile_bins"            -> (Kpis.quantileBins _),
+    // ---- k-means trained to KMEANS_ITERS Lloyd rounds (loop discipline:
+    // per-round localCheckpoint, centroids fed back) ----
+    "q94_kmeans_iterated"          -> (Sim.kmeansIterated _),
+    // ---- PR_ITERS-round PageRank, all-BIGINT rank recurrence ----
+    "q95_pagerank_iterated"        -> (Graph.pageRankIterated _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -746,6 +751,8 @@ object SparkEntry {
     "q89_column_profile"  -> OracleTwins.columnProfile,
     "q90_record_linkage"  -> OracleTwins.recordLinkage,
     "q91_pagerank_step"   -> OracleTwins.pageRankStep,
+    "q94_kmeans_iterated" -> OracleTwins.kmeansIterated,
+    "q95_pagerank_iterated" -> OracleTwins.pageRankIterated,
 
     // The oracle is deliberately the plain one-pass aggregate — the
     // merged partial-state plan must be semantics-preserving (q61's rule).

@@ -72,4 +72,66 @@ object Graph {
           .as("rank"))
       .orderBy("n_name")
   }
+
+  /** Power-iteration rounds for [[pageRankIterated]], and the damping
+    * factor as an exact rational (85/100 ≡ [[PR_D]]) so every rank update
+    * stays in BIGINT arithmetic — floor divisions are identical in both
+    * engines, and integer sums are order-free, so the rank vector is
+    * bit-exact after any number of rounds (a float recurrence would drift
+    * by partition order on round 2). */
+  val PR_ITERS = 5
+  val PR_D_NUM = 85L
+  val PR_D_DEN = 100L
+
+  /** Multi-round weighted PageRank: r ← (1-d)/N + d·Wᵀ(r/outdeg), run
+    * [[PR_ITERS]] times from the uniform start, entirely in scaled BIGINT
+    * (rank mass [[PR_SCALE]] ≡ 1.0). Each floor division leaks < 1 unit of
+    * 10¹² per edge per round — the spec pins the retained mass ≥
+    * (1 − 10⁻⁶)·SCALE every round (no dangling handling needed: every
+    * nation has out-edges at every SF, asserted by the loop's mass check).
+    *
+    * Scale shape: the edge×outdeg table is built once and
+    * localCheckpointed — per round the only moving data is the rank
+    * vector (|V| rows) joined onto it, a scatter of |E| flow rows, and a
+    * gather groupBy to |V| — the standard Pregel-style iteration with
+    * O(|E|) per-round traffic and flat lineage. Overflow bound: r·w <
+    * 2⁶³ needs max edge weight < 9.2·10⁶ at SCALE 10¹²; at larger scale
+    * drop SCALE a decade per weight decade. */
+  private[graft] def pageRankRun(
+      spark: SparkSession, dir: String, iters: Int): (DataFrame, Seq[Long]) = {
+    val edges = tradeEdges(spark, dir)
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ew = edges.join(broadcast(outdeg), "src").localCheckpoint()
+    val nodes = nation(spark, dir)
+      .select(col("n_nationkey").as("node"), col("n_name")).localCheckpoint()
+    val nNodes = nodes.count()
+    val base = (PR_D_DEN - PR_D_NUM) * PR_SCALE / (PR_D_DEN * nNodes)
+    var rank = nodes.select(col("node"), lit(PR_SCALE / nNodes).as("r"))
+      .localCheckpoint()
+    val mass = Seq.newBuilder[Long]
+    for (_ <- 1 to iters) {
+      val flows = ew.join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("(r * w) div outw").as("flow"))
+      val gathered = flows.groupBy(col("dst")).agg(sum(col("flow")).as("inflow"))
+      rank = nodes.select(col("node"))
+        .join(gathered, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(${PR_D_NUM}L * coalesce(inflow, 0L)) div ${PR_D_DEN}L"))
+            .as("r"))
+        .localCheckpoint()
+      // scalar mass-conservation check (the CC convergence-check pattern)
+      mass += rank.agg(sum(col("r"))).head.getLong(0)
+    }
+    val out = nodes.join(rank, "node")
+      .select(col("n_name"), col("r").as("rank_scaled"),
+        round6(col("r").cast("double") / lit(PR_SCALE.toDouble)).as("rank"))
+      .orderBy("n_name")
+    (out, mass.result())
+  }
+
+  /** [[PR_ITERS]]-round PageRank over the nation trade graph; the scaled
+    * BIGINT rank column makes the whole trajectory hash-checkable. */
+  def pageRankIterated(spark: SparkSession, dir: String): DataFrame =
+    pageRankRun(spark, dir, PR_ITERS)._1
 }

@@ -102,24 +102,31 @@ object Sim {
   val IVF_STRIDE = 25
   val IVF_TOP_K = 3
 
-  /** Vector → nearest-centroid assignment: the IVF index build. N×K work
-    * with the K centroids broadcast (the join condition is literal-true by
-    * design — every vector scores against every centroid; this is the
-    * intended N×K pass, not an accidental cartesian: K is tiny and
-    * broadcast, so the N side never shuffles). Argmax via row_number with
-    * centroid-id tie-break. */
-  private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = spread(embeddings(spark, dir))
+  /** Corpus with precomputed norms — the shared input of every IVF /
+    * k-means pass. */
+  private def vecsWithNorm(spark: SparkSession, dir: String): DataFrame =
+    spread(embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
         sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
-    val cents = e.filter(col("vec_id") % IVF_STRIDE === 0)
+
+  /** Initial centroids: the deterministic stride slice of the corpus. */
+  private def strideCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % IVF_STRIDE === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("nrm").as("cnrm"))
-    // Argmax per vector via max_by, not a window: the groupBy's map-side
-    // partial aggregation collapses the N×K scored rows to one row per
-    // vector *before* the shuffle — a window would range-shuffle and sort
-    // all N×K. Tie-break (max cos, then min cent_id) is encoded in the
-    // ordering struct, so the result is fully deterministic.
+
+  /** Vector → nearest-centroid assignment. N×K work with the K centroids
+    * broadcast (the join condition is literal-true by design — every
+    * vector scores against every centroid; this is the intended N×K pass,
+    * not an accidental cartesian: K is tiny and broadcast, so the N side
+    * never shuffles).
+    *
+    * Argmax per vector via max_by, not a window: the groupBy's map-side
+    * partial aggregation collapses the N×K scored rows to one row per
+    * vector *before* the shuffle — a window would range-shuffle and sort
+    * all N×K. Tie-break (max cos, then min cent_id) is encoded in the
+    * ordering struct, so the result is fully deterministic. */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cent_id"),
         (VecFns.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -129,6 +136,11 @@ object Sim {
         struct(col("cos"), -col("cent_id"))).as("best"))
       .select(col("vec_id"), col("best.cent_id").as("cent_id"),
         col("best.cos").as("cos"))
+
+  /** The IVF index build: assignment against the stride centroids. */
+  private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    assignTo(e, strideCentroids(e))
   }
 
   /** IVF cell occupancy — the coarse index a 100 TB ANN store partitions
@@ -181,10 +193,12 @@ object Sim {
     * division yields the mean (same trick as [[Num]]'s integer-cents money;
     * a float sum() would be partition-order-dependent and unverifiable). */
   val KMEANS_SCALE = 1L << 20
-  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
-    val a = ivfAssign(spark, dir).select(col("vec_id"), col("cent_id"))
-    spread(embeddings(spark, dir))
-      .join(a, "vec_id")
+
+  /** One Lloyd update from an assignment: per-(centroid, dimension)
+    * fixed-point mean of the member vectors (unordered output; callers
+    * order or rebuild arrays). */
+  private def lloydUpdate(e: DataFrame, assign: DataFrame): DataFrame =
+    e.join(assign.select(col("vec_id"), col("cent_id")), "vec_id")
       .select(col("cent_id"), posexplode(col("embedding")))
       .select(col("cent_id"), col("pos").cast("long").as("dim"),
         floor(col("col").cast("double") * KMEANS_SCALE).cast("long").as("scaled"))
@@ -193,8 +207,77 @@ object Sim {
       .select(col("cent_id"), col("dim"), col("n_members"),
         (col("ssum").cast("double") /
           (col("n_members") * KMEANS_SCALE).cast("double")).as("new_coord"))
+
+  /** Mean table → centroid vectors for the next assignment round: coords
+    * reassembled into arrays in dimension order and narrowed to float —
+    * the storage type of the corpus (and of every production vector
+    * index), and what keeps the next round's dot products inside the
+    * codegen'd float-array [[VecFns.dot]]. The double→float narrowing is
+    * round-to-nearest in both engines, so iterated centroids stay
+    * bit-identical cross-engine. */
+  private def toCentroidArrays(upd: DataFrame): DataFrame =
+    upd
+      .select(col("cent_id"), col("dim"),
+        col("new_coord").cast("float").as("coord"))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("coord")))).as("z"))
+      .select(col("cent_id"),
+        transform(col("z"), x => x.getField("coord")).as("cv"))
+      .withColumn("cnrm", sqrt(VecFns.norm2(col("cv"))))
+
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    lloydUpdate(e, assignTo(e, strideCentroids(e)))
       .orderBy("cent_id", "dim")
   }
+
+  /** Lloyd rounds to run in [[kmeansIterated]] (assignment + update each;
+    * the first assignment is against the stride centroids). */
+  val KMEANS_ITERS = 3
+
+  /** Internal k-means driver: runs `iters` Lloyd rounds, localCheckpointing
+    * each round's K×D centroid table so the lineage stays flat (the
+    * [[graft.engine.Dedup.connectedComponents]] loop discipline — an
+    * unmaterialized loop would re-run every prior N×K assignment pass each
+    * round). Returns the final round's raw update table plus the per-round
+    * mean-cosine trace for convergence monitoring (K×D scalar aggregates —
+    * convergence checks, not data collects).
+    *
+    * Monotonicity: assignment maximizes each vector's cosine given the
+    * centroids; the mean update maximizes the summed cosine given the
+    * assignment (cosine is scale-invariant, so the unnormalized mean and
+    * the spherical-k-means normalized mean induce identical cosines) —
+    * textbook alternating maximization, so mean assigned cosine is
+    * non-decreasing round over round (up to the 2^-20 fixed-point floor and
+    * the float narrowing, both ≪ any real movement). */
+  private[graft] def kmeansRun(
+      spark: SparkSession, dir: String, iters: Int): (DataFrame, Seq[Double]) = {
+    val e = vecsWithNorm(spark, dir).localCheckpoint()
+    var cents = strideCentroids(e)
+    var lastUpd: DataFrame = null
+    val trace = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val assign = assignTo(e, cents).localCheckpoint()
+      trace += assign.agg(avg(col("cos"))).head.getDouble(0)
+      lastUpd = lloydUpdate(e, assign)
+      cents = toCentroidArrays(lastUpd).localCheckpoint()
+    }
+    (lastUpd.orderBy("cent_id", "dim"), trace.result())
+  }
+
+  /** [[KMEANS_ITERS]] full Lloyd rounds (assign → mean-update, centroids
+    * fed back each round): the trained-index twin of the single-step
+    * [[kmeansStep]]. Output is the final round's update table — with
+    * iters = 1 this IS kmeansStep, which pins the loop plumbing to an
+    * already-proven base case.
+    *
+    * Scale shape per round: one broadcast N×K scoring pass (map-side
+    * argmax collapse) + one (cent, dim) shuffle of fixed-point partial
+    * sums — K×D rows after the combiner. Rounds are sequential by nature;
+    * the per-round localCheckpoint keeps each round's cost O(one round),
+    * not O(history). */
+  def kmeansIterated(spark: SparkSession, dir: String): DataFrame =
+    kmeansRun(spark, dir, KMEANS_ITERS)._1
 
   /** The LSH index build: every vector assigned to its sign-bucket in one
     * map-only pass, then per-bucket occupancy stats. At scale the bucket id
