@@ -990,4 +990,75 @@ object OracleTwins {
        |FROM nation n JOIN r${Graph.PR_ITERS} r ON n.n_nationkey = r.node
        |ORDER BY n_name""".stripMargin
   }
+
+  /** Twin of [[Graph.triangleCount]] — the same relative-threshold,
+    * degree-orientation, wedge-close pipeline in SQL. Integer cutoff
+    * (`// TRI_KEEP_DEN` ≡ Spark `div`) and integer counts throughout. */
+  val triangleCount: String =
+    s"""WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |e AS (
+       | SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+       |  CAST(count(*) AS BIGINT) AS w
+       | FROM sp a JOIN sp b
+       |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+       | GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS n_edges_total FROM e),
+       |kept AS (
+       | SELECT s1, s2 FROM (
+       |  SELECT s1, s2, row_number() OVER (ORDER BY w DESC, s1, s2) AS rk
+       |  FROM e) r
+       | WHERE rk <= (SELECT n_edges_total // ${Graph.TRI_KEEP_DEN} FROM tot)),
+       |deg AS (
+       | SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT s1 AS node FROM kept UNION ALL SELECT s2 AS node FROM kept) u
+       | GROUP BY 1),
+       |pos AS (
+       | SELECT node, row_number() OVER (ORDER BY deg, node) AS pos FROM deg),
+       |o AS (
+       | SELECT least(p1.pos, p2.pos) AS u, greatest(p1.pos, p2.pos) AS v
+       | FROM kept
+       |  JOIN pos p1 ON kept.s1 = p1.node
+       |  JOIN pos p2 ON kept.s2 = p2.node),
+       |wed AS (
+       | SELECT x.a AS a, x.b AS b, y.c AS c
+       | FROM (SELECT u AS a, v AS b FROM o) x
+       |  JOIN (SELECT u AS a, v AS c FROM o) y
+       |  ON x.a = y.a AND x.b < y.c),
+       |tri AS (
+       | SELECT count(*) AS n_triangles FROM wed
+       |  JOIN o ON wed.b = o.u AND wed.c = o.v)
+       |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       | (SELECT n_edges_total FROM tot) AS n_edges_total,
+       | (SELECT count(*) FROM kept) AS n_edges_kept,
+       | (SELECT max(deg) FROM deg) AS max_degree,
+       | (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
+
+  /** Twin of [[Indexing.zorderLocality]] — the Morton-interleave text is
+    * the SAME string the Spark plan compiles ([[Indexing.zInterleaveSql]]
+    * on [[Indexing.Z_X]]/[[Indexing.Z_Y]]), so the curve geometry cannot
+    * drift between engine and oracle. */
+  val zorderLocality: String = {
+    val z = graft.engine.Indexing.zInterleaveSql("x", "y")
+    def spans(src: String, cell: String, name: String): String =
+      s"""SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_cells,
+         | CAST(SUM(sx) AS BIGINT) AS sum_span_x,
+         | CAST(SUM(sy) AS BIGINT) AS sum_span_y,
+         | CAST(max(sx) AS BIGINT) AS max_span_x,
+         | CAST(max(sy) AS BIGINT) AS max_span_y,
+         | CAST(SUM(n) AS BIGINT) AS n_rows
+         |FROM (
+         | SELECT $cell AS cell, max(x) - min(x) AS sx, max(y) - min(y) AS sy,
+         |  count(*) AS n
+         | FROM $src GROUP BY 1) cells""".stripMargin
+    s"""WITH o AS (
+       | SELECT ${graft.engine.Indexing.Z_X} AS x,
+       |  ${graft.engine.Indexing.Z_Y} AS y
+       | FROM orders),
+       |zt AS (SELECT x, y, $z AS z FROM o)
+       |SELECT * FROM (
+       | ${spans("zt", "CAST(floor(z / 64.0) AS BIGINT)", "zorder")}
+       | UNION ALL
+       | ${spans("zt", "x * 4 + CAST(floor(y / 64.0) AS BIGINT)", "linear")}
+       |) layouts ORDER BY layout""".stripMargin
+  }
 }

@@ -165,6 +165,16 @@ object SparkEntry {
     "q94_kmeans_iterated"          -> (Sim.kmeansIterated _),
     // ---- PR_ITERS-round PageRank, all-BIGINT rank recurrence ----
     "q95_pagerank_iterated"        -> (Graph.pageRankIterated _),
+    // ---- round 5: scan-pruning index structures ----
+    "q96_bloom_prejoin"            -> (Indexing.bloomPrejoin _),
+    "q97_triangle_count"           -> (Graph.triangleCount _),
+    "q98_minmax_skipping"          -> (Indexing.minmaxSkipping _),
+    "q99_zorder_locality"          -> (Indexing.zorderLocality _),
+    // ---- round 5: exact statistical analytics ----
+    "q100_outlier_zscore"          -> (Analytics.outlierZscore _),
+    "q101_numeric_histogram"       -> (Analytics.numericHistogram _),
+    "q102_skyline"                 -> (Analytics.skylineParts _),
+    "q103_attribution"             -> (Analytics.attribution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -844,5 +854,126 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // The oracle is the plain join with no bitmap — the bloom pre-filter
+    // must be semantics-preserving (false positives die in the exact
+    // semi join; bucket-miss pruning only drops definite non-matches).
+    "q96_bloom_prejoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q97_triangle_count" -> OracleTwins.triangleCount,
+
+    "q98_minmax_skipping" ->
+      s"""WITH laid AS (
+        | SELECT l_shipdate, CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+        |  CAST(floor((row_number() OVER (
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1)
+        |   / ${Indexing.CHUNK_ROWS}.0) AS BIGINT) AS chunk
+        | FROM lineitem),
+        |stats AS (
+        | SELECT chunk, min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+        |  count(*) AS n
+        | FROM laid GROUP BY 1),
+        |surv AS (
+        | SELECT chunk FROM stats
+        | WHERE mx >= TIMESTAMP '${Indexing.SKIP_LO}'
+        |   AND mn < TIMESTAMP '${Indexing.SKIP_HI}'),
+        |sc AS (SELECT laid.* FROM laid JOIN surv USING (chunk))
+        |SELECT (SELECT count(*) FROM stats) AS n_chunks,
+        | (SELECT count(*) FROM surv) AS n_chunks_scanned,
+        | (SELECT count(*) FROM sc) AS rows_scanned,
+        | (SELECT CAST(coalesce(SUM(CASE WHEN l_shipdate >= TIMESTAMP '${Indexing.SKIP_LO}'
+        |    AND l_shipdate < TIMESTAMP '${Indexing.SKIP_HI}' THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) FROM sc) AS n_matching,
+        | (SELECT CAST(coalesce(SUM(CASE WHEN l_shipdate >= TIMESTAMP '${Indexing.SKIP_LO}'
+        |    AND l_shipdate < TIMESTAMP '${Indexing.SKIP_HI}' THEN pc ELSE 0 END), 0)
+        |   AS DOUBLE)/CAST(100 AS DOUBLE) FROM sc) AS revenue""".stripMargin,
+
+    "q99_zorder_locality" -> OracleTwins.zorderLocality,
+
+    // HUGEINT ≡ Spark decimal(38,0): the quadratic forms need ~1e26.
+    "q100_outlier_zscore" ->
+      """WITH d AS (
+        | SELECT l_returnflag,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+        | FROM lineitem),
+        |s AS (
+        | SELECT l_returnflag, count(*) AS n, SUM(pc) AS sx,
+        |  SUM(pc::HUGEINT * pc::HUGEINT) AS sxx
+        | FROM d GROUP BY 1),
+        |f AS (
+        | SELECT d.l_returnflag, d.pc FROM d JOIN s USING (l_returnflag)
+        | WHERE (n*pc - sx)::HUGEINT * (n*pc - sx)::HUGEINT >
+        |  9::HUGEINT * (n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT)),
+        |o AS (
+        | SELECT l_returnflag, count(*) AS n_outliers,
+        |  CAST(min(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS outlier_lo,
+        |  CAST(max(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS outlier_hi
+        | FROM f GROUP BY 1)
+        |SELECT s.l_returnflag, s.n AS n_rows,
+        | coalesce(o.n_outliers, 0) AS n_outliers, o.outlier_lo, o.outlier_hi
+        |FROM s LEFT JOIN o USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q101_numeric_histogram" ->
+      s"""WITH long4 AS (
+        | SELECT 'quantity' AS metric, CAST(l_quantity AS BIGINT) AS v
+        | FROM lineitem
+        | UNION ALL SELECT 'price_cents',
+        |  CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+        | UNION ALL SELECT 'discount_bp',
+        |  CAST(round(l_discount*10000) AS BIGINT) FROM lineitem
+        | UNION ALL SELECT 'tax_bp',
+        |  CAST(round(l_tax*10000) AS BIGINT) FROM lineitem),
+        |r AS (
+        | SELECT metric, min(v) AS mn,
+        |  (max(v) - min(v)) // ${Analytics.HIST_BUCKETS} + 1 AS width
+        | FROM long4 GROUP BY 1)
+        |SELECT l.metric, (v - mn) // width AS bucket,
+        | count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM long4 l JOIN r ON l.metric = r.metric
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The oracle is the quadratic NOT-EXISTS dominance definition — the
+    // O(n log n) sweep must reproduce it exactly.
+    "q102_skyline" ->
+      """WITH p AS (
+        | SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS pc,
+        |  CAST(p_size AS BIGINT) AS sz
+        | FROM part)
+        |SELECT c.p_partkey,
+        | CAST(c.pc AS DOUBLE)/CAST(100 AS DOUBLE) AS price,
+        | c.sz AS p_size
+        |FROM p c
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM p d
+        | WHERE d.pc <= c.pc AND d.sz >= c.sz
+        |  AND (d.pc < c.pc OR d.sz > c.sz))
+        |ORDER BY price, p_size DESC, p_partkey""".stripMargin,
+
+    "q103_attribution" ->
+      s"""WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS vc
+        | FROM events),
+        |x AS (
+        | SELECT *, max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |   PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        | FROM e),
+        |p AS (
+        | SELECT *, (last_click_us IS NOT NULL
+        |   AND us - last_click_us <= ${Analytics.ATTR_WINDOW_US}) AS attributed
+        | FROM x WHERE event_type = 'purchase')
+        |SELECT attributed,
+        | CASE WHEN attributed THEN (us - last_click_us) // ${86400L * 1000000L}
+        |      ELSE -1 END AS lag_days,
+        | count(*) AS n_purchases,
+        | CAST(SUM(vc) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM p GROUP BY 1, 2 ORDER BY attributed, lag_days""".stripMargin,
   )
 }

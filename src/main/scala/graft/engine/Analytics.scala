@@ -1,0 +1,166 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical / decision-analytics operators (beyond-reference depth).
+  * Every one keeps the float-discipline rule: comparisons and aggregations
+  * run on scaled integers (or decimals derived from them), so the oracle
+  * hash-match is independent of partitioning and engine.
+  */
+object Analytics {
+  import Tables._
+  import Num._
+
+  private val Dec = DecimalType(38, 0)
+
+  // ----------------------------------------------------------- outliers
+
+  /** 3σ outlier detection with exact integer algebra: row x is an outlier
+    * iff (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — the z-score test multiplied
+    * through by n² so no division or square root ever happens. Sums are
+    * price cents (BIGINT); the two quadratic forms are decimal(38,0)
+    * (DuckDB: HUGEINT), giving ~1e38 headroom — Σx² alone would overflow
+    * a signed 64-bit at ~1e6 rows/group, which is why the squares are
+    * accumulated wide from the start.
+    *
+    * Scale shape: one map-side partial aggregate to k=3 stat rows,
+    * broadcast back over the scan, flag map-only, re-aggregate. Two
+    * passes over the fact, zero wide shuffles. */
+  def outlierZscore(spark: SparkSession, dir: String): DataFrame = {
+    val d = lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
+    val stats = d.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sx"),
+        sum(col("pc").cast(Dec) * col("pc").cast(Dec)).as("sxx"))
+    val lhsRoot = (col("n") * col("pc") - col("sx")).cast(Dec)
+    val rhs = lit(9).cast(Dec) *
+      (col("n").cast(Dec) * col("sxx") - col("sx").cast(Dec) * col("sx").cast(Dec))
+    val flagged = d.join(broadcast(stats), "l_returnflag")
+      .filter(lhsRoot * lhsRoot > rhs)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_outliers"),
+        dollars(min(col("pc"))).as("outlier_lo"),
+        dollars(max(col("pc"))).as("outlier_hi"))
+    stats.select(col("l_returnflag"), col("n").as("n_rows"))
+      .join(flagged, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n_rows"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+        col("outlier_lo"), col("outlier_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------- histogram
+
+  /** Buckets per metric of the equi-width histogram. */
+  val HIST_BUCKETS = 12
+
+  /** Equi-width histograms for four lineitem metrics in one pass: unpivot
+    * to (metric, value) on integer scales (quantity units, price cents,
+    * discount/tax basis points), derive each metric's min/max, then
+    * bucket with integer width = (mx−mn) div NB + 1 — every boundary an
+    * integer, so bucket assignment is exact in both engines (the
+    * width_bucket float path is deliberately avoided).
+    *
+    * Scale shape: the unpivot is map-only (one scan, 4× rows), the
+    * min/max pass reduces to 4 rows broadcast back, the final aggregate
+    * shuffles only (metric, bucket) keys. This is the stats-collection
+    * query behind optimizer histograms (ANALYZE ... FOR COLUMNS). */
+  def numericHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val long4 = lineitem(spark, dir).selectExpr(
+      """stack(4,
+        | 'quantity',    CAST(l_quantity AS BIGINT),
+        | 'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT),
+        | 'discount_bp', CAST(round(l_discount * 10000) AS BIGINT),
+        | 'tax_bp',      CAST(round(l_tax * 10000) AS BIGINT)
+        |) AS (metric, v)""".stripMargin)
+    val ranges = long4.groupBy(col("metric"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .withColumn("width",
+        expr(s"(mx - mn) div ${HIST_BUCKETS}L + 1L"))
+    long4.join(broadcast(ranges), "metric")
+      .withColumn("bucket", expr("(v - mn) div width"))
+      .groupBy(col("metric"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy("metric", "bucket")
+  }
+
+  // ------------------------------------------------------------ skyline
+
+  /** 2-D Pareto frontier (skyline) of parts: minimize retail price,
+    * maximize size. Part d dominates c iff d.price ≤ c.price ∧ d.size ≥
+    * c.size with one strict; identical (price, size) points are mutually
+    * non-dominated and all kept.
+    *
+    * NOT the quadratic NOT-EXISTS anti-join (that's the oracle): collapse
+    * to one candidate per distinct price (its max size), sort by price,
+    * and keep a candidate iff its size strictly exceeds the running max
+    * over all cheaper prices — the classic O(n log n) sweep, expressed as
+    * one window. The window is a global sort over DISTINCT PRICES (already
+    * aggregated, ≪ row count); at 100 TB, pre-aggregate per price
+    * map-side first, and if even distinct prices overflow one reducer,
+    * range-partition the sweep and stitch boundary maxima — the frontier
+    * itself stays small. Rows join back against the frontier (price, size)
+    * pairs broadcast, keeping duplicates. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_cents"),
+        col("p_size").cast("long").as("size"))
+    val best = p.groupBy(col("price_cents"))
+      .agg(max(col("size")).as("size"))
+    val w = Window.orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best
+      .withColumn("prevmax", max(col("size")).over(w))
+      .filter(col("prevmax").isNull || col("size") > col("prevmax"))
+      .select(col("price_cents"), col("size"))
+    p.join(broadcast(frontier), Seq("price_cents", "size"))
+      .select(col("p_partkey"),
+        dollars(col("price_cents")).as("price"), col("size").as("p_size"))
+      .orderBy(col("price"), col("p_size").desc, col("p_partkey"))
+  }
+
+  // -------------------------------------------------------- attribution
+
+  /** Attribution lookback window, microseconds (7 days). */
+  val ATTR_WINDOW_US = 7L * 86400L * 1000000L
+
+  /** Last-touch click attribution over the event stream: each purchase is
+    * attributed to the user's most recent click strictly before it (never
+    * a later one), if that click falls inside the 7-day lookback. The
+    * per-user scan is one window (ROWS UNBOUNDED PRECEDING → 1 PRECEDING)
+    * carrying the running max click time — linear per user, one shuffle
+    * on user_id. Timestamps compare at µs grain (epoch_us) so the strict
+    * "before" is engine-independent; purchase values aggregate as cents.
+    *
+    * Output: purchases by (attributed?, age-in-days of the credited
+    * click) with counts and attributed revenue — the conversion-lag
+    * report every ads pipeline derives. At 100 TB: same plan; the window
+    * state is one BIGINT per user. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"), cents(col("value")).as("vc"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_us").isNotNull &&
+          (col("us") - col("last_click_us")) <= ATTR_WINDOW_US)
+      .withColumn("lag_days",
+        when(col("attributed"),
+          expr(s"(us - last_click_us) div ${86400L * 1000000L}L"))
+          .otherwise(lit(-1L)))
+      .groupBy(col("attributed"), col("lag_days"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dollars(sum(col("vc"))).as("revenue"))
+      .orderBy("attributed", "lag_days")
+  }
+}

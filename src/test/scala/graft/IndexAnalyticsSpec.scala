@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Analytics, Graph, Indexing}
+
+/** Invariants for the round-5 index-structure and analytics operators —
+  * the properties the sf0.01 oracle hash-match can't see: the bloom
+  * bitmap must be semantics-preserving, skipping must stay conservative,
+  * the z-curve must actually bound both spans, the skyline sweep must
+  * agree with the quadratic dominance definition, and the degree-ordered
+  * triangle count must agree with a brute-force closure. */
+class IndexAnalyticsSpec extends SparkSpecBase {
+
+  test("bloom pre-join equals the plain join (bitmap is semantics-free)") {
+    val got = Indexing.bloomPrejoin(spark, sf).collect()
+    val want = spark.read.parquet(s"$sf/lineitem.parquet").as("l")
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("revenue"))
+      .orderBy("l_returnflag").collect()
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("min/max skipping is conservative and exact") {
+    val r = Indexing.minmaxSkipping(spark, sf).collect().head
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(r.getAs[Long]("n_chunks_scanned") <= r.getAs[Long]("n_chunks"))
+    assert(r.getAs[Long]("rows_scanned") <= total)
+    assert(r.getAs[Long]("n_matching") <= r.getAs[Long]("rows_scanned"))
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(Indexing.SKIP_LO).cast("timestamp") &&
+        col("l_shipdate") < lit(Indexing.SKIP_HI).cast("timestamp"))
+      .agg(count(lit(1)),
+        sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+      .collect().head
+    assert(r.getAs[Long]("n_matching") == exact.getLong(0))
+    assert(r.getAs[Double]("revenue") == exact.getDouble(1))
+  }
+
+  test("z-order tiles bound both spans; linear layout only bounds one") {
+    val rows = Indexing.zorderLocality(spark, sf).collect()
+    val z = rows.find(_.getAs[String]("layout") == "zorder").get
+    val lin = rows.find(_.getAs[String]("layout") == "linear").get
+    // an 8×8 z-tile can never span more than 7 in either dimension
+    assert(z.getAs[Long]("max_span_x") <= 7 && z.getAs[Long]("max_span_y") <= 7)
+    // the customer-major cell pins x but sprawls along the date axis
+    assert(lin.getAs[Long]("max_span_x") == 0)
+    assert(lin.getAs[Long]("max_span_y") >= z.getAs[Long]("max_span_y"))
+    assert(z.getAs[Long]("n_rows") == lin.getAs[Long]("n_rows"))
+  }
+
+  test("integer-exact 3-sigma outliers agree with the float z-score") {
+    val got = Analytics.outlierZscore(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val stats = li.groupBy("l_returnflag")
+      .agg(avg(col("pc")).as("mu"), stddev_pop(col("pc")).as("sd"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    got.foreach { r =>
+      val s = stats(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Long]("n_rows") == s.getAs[Long]("n"))
+      // bracket the exact count between strict float thresholds on both
+      // sides of 3σ (boundary rows are the only legitimate disagreement)
+      val flag = r.getAs[String]("l_returnflag")
+      def countBeyond(k: Double): Long = li
+        .filter(col("l_returnflag") === flag)
+        .filter(abs(col("pc") - s.getAs[Double]("mu")) >
+          lit(k) * s.getAs[Double]("sd")).count()
+      val n = r.getAs[Long]("n_outliers")
+      assert(n >= countBeyond(3.0 + 1e-9) - 1 && n <= countBeyond(3.0 - 1e-9) + 1,
+        s"flag=$flag n=$n bracket=(${countBeyond(3.0 + 1e-9)}, ${countBeyond(3.0 - 1e-9)})")
+    }
+  }
+
+  test("histogram buckets partition every metric exactly") {
+    val rows = Analytics.numericHistogram(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val byMetric = rows.groupBy(_.getAs[String]("metric"))
+    assert(byMetric.keySet ==
+      Set("quantity", "price_cents", "discount_bp", "tax_bp"))
+    byMetric.foreach { case (m, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == total, s"metric $m lost rows")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("bucket") >= 0 &&
+          r.getAs[Long]("bucket") <= Analytics.HIST_BUCKETS)
+        assert(r.getAs[Long]("lo") <= r.getAs[Long]("hi"))
+      }
+    }
+  }
+
+  test("skyline sweep equals the quadratic dominance definition") {
+    val got = Analytics.skylineParts(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("price"),
+        r.getAs[Long]("p_size"))).toSet
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"),
+        col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = parts.filter { case (_, pc, sz) =>
+      !parts.exists { case (_, pc2, sz2) =>
+        pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+    }.map { case (k, pc, sz) => (k, pc / 100.0, sz) }.toSet
+    assert(got == brute)
+  }
+
+  test("attribution covers every purchase exactly once, lags in window") {
+    val rows = Analytics.attribution(spark, sf).collect()
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases)
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("attributed"))
+        assert(r.getAs[Long]("lag_days") >= 0 && r.getAs[Long]("lag_days") <= 7)
+      else assert(r.getAs[Long]("lag_days") == -1)
+    }
+  }
+
+  test("degree-ordered triangle count equals brute-force closure") {
+    val out = Graph.triangleCount(spark, sf).collect().head
+    // rebuild the kept-edge set the same way, then close triangles in
+    // plain Scala — an independent O(kept·deg) check at smoke scale
+    val edges = Graph.coSupplyEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nKeep = edges.length / Graph.TRI_KEEP_DEN
+    val kept = edges.sortBy { case (s1, s2, w) => (-w, s1, s2) }.take(nKeep)
+      .map { case (s1, s2, _) => (s1, s2) }
+    assert(out.getAs[Long]("n_edges_total") == edges.length.toLong)
+    assert(out.getAs[Long]("n_edges_kept") == kept.length.toLong)
+    val adj = kept.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    var tris = 0L
+    for (a <- nodes; b <- adj(a) if b > a; c <- adj(a) if c > b)
+      if (adj(b).contains(c)) tris += 1
+    assert(out.getAs[Long]("n_triangles") == tris)
+    assert(out.getAs[Long]("n_nodes") == nodes.length.toLong)
+  }
+}
