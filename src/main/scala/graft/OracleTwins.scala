@@ -991,11 +991,13 @@ object OracleTwins {
        |ORDER BY n_name""".stripMargin
   }
 
-  /** Twin of [[Graph.triangleCount]] — the same relative-threshold,
-    * degree-orientation, wedge-close pipeline in SQL. Integer cutoff
-    * (`// TRI_KEEP_DEN` ≡ Spark `div`) and integer counts throughout. */
-  val triangleCount: String =
-    s"""WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+  /** Shared CTE prefix: the distinct supplier-part projection, the
+    * weighted co-supply edge aggregate, and the top-1/TRI_KEEP_DEN kept
+    * edge set (integer cutoff `//` ≡ Spark `div`) — used by both the
+    * triangle-count and label-propagation twins so the graph derivation
+    * cannot drift between them. */
+  private val keptEdgesCte: String =
+    s"""sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
        |e AS (
        | SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
        |  CAST(count(*) AS BIGINT) AS w
@@ -1004,10 +1006,15 @@ object OracleTwins {
        | GROUP BY 1, 2),
        |tot AS (SELECT count(*) AS n_edges_total FROM e),
        |kept AS (
-       | SELECT s1, s2 FROM (
-       |  SELECT s1, s2, row_number() OVER (ORDER BY w DESC, s1, s2) AS rk
+       | SELECT s1, s2, w FROM (
+       |  SELECT s1, s2, w, row_number() OVER (ORDER BY w DESC, s1, s2) AS rk
        |  FROM e) r
-       | WHERE rk <= (SELECT n_edges_total // ${Graph.TRI_KEEP_DEN} FROM tot)),
+       | WHERE rk <= (SELECT n_edges_total // ${Graph.TRI_KEEP_DEN} FROM tot))""".stripMargin
+
+  /** Twin of [[Graph.triangleCount]] — the same relative-threshold,
+    * degree-orientation, wedge-close pipeline in SQL. */
+  val triangleCount: String =
+    s"""WITH $keptEdgesCte,
        |deg AS (
        | SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
        |  SELECT s1 AS node FROM kept UNION ALL SELECT s2 AS node FROM kept) u
@@ -1032,6 +1039,36 @@ object OracleTwins {
        | (SELECT count(*) FROM kept) AS n_edges_kept,
        | (SELECT max(deg) FROM deg) AS max_degree,
        | (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
+
+  /** Twin of [[Graph.labelPropagation]] — [[Graph.LP_ITERS]] unrolled
+    * synchronous rounds; the per-node argmax replays as a row_number
+    * window ordered (weight desc, label asc), exactly the total order of
+    * the Spark side's `max_by(lab, struct(s, -lab))`. */
+  val labelPropagation: String = {
+    val rounds = (1 to Graph.LP_ITERS).map { i =>
+      s"""l$i AS (
+         | SELECT n.node, coalesce(v.winner, p.lab) AS lab
+         | FROM nodes n JOIN l${i - 1} p ON n.node = p.node
+         | LEFT JOIN (
+         |  SELECT node, lab AS winner FROM (
+         |   SELECT a.node, r.lab, SUM(a.w) AS s,
+         |    row_number() OVER (PARTITION BY a.node
+         |     ORDER BY SUM(a.w) DESC, r.lab) AS rk
+         |   FROM adj a JOIN l${i - 1} r ON a.nb = r.node
+         |   GROUP BY a.node, r.lab) t
+         |  WHERE rk = 1) v ON v.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $keptEdgesCte,
+       |adj AS (
+       | SELECT s1 AS node, s2 AS nb, w FROM kept
+       | UNION ALL SELECT s2 AS node, s1 AS nb, w FROM kept),
+       |nodes AS (SELECT DISTINCT node FROM adj),
+       |l0 AS (SELECT node, node AS lab FROM nodes),
+       |$rounds
+       |SELECT lab, count(*) AS n_members,
+       | min(node) AS min_node, max(node) AS max_node
+       |FROM l${Graph.LP_ITERS} GROUP BY 1 ORDER BY lab""".stripMargin
+  }
 
   /** Twin of [[Indexing.zorderLocality]] — the Morton-interleave text is
     * the SAME string the Spark plan compiles ([[Indexing.zInterleaveSql]]

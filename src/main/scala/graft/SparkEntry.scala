@@ -175,6 +175,10 @@ object SparkEntry {
     "q101_numeric_histogram"       -> (Analytics.numericHistogram _),
     "q102_skyline"                 -> (Analytics.skylineParts _),
     "q103_attribution"             -> (Analytics.attribution _),
+    // ---- round 5: graph communities, drift monitoring, market basket ----
+    "q104_label_propagation"       -> (Graph.labelPropagation _),
+    "q105_distribution_drift"      -> (Analytics.distributionDrift _),
+    "q106_copurchase"              -> (Analytics.coPurchase _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -975,5 +979,43 @@ object SparkEntry {
         | count(*) AS n_purchases,
         | CAST(SUM(vc) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
         |FROM p GROUP BY 1, 2 ORDER BY attributed, lag_days""".stripMargin,
+
+    "q104_label_propagation" -> OracleTwins.labelPropagation,
+
+    "q105_distribution_drift" ->
+      s"""WITH o AS (
+        | SELECT year(o_orderdate) <= ${Analytics.DRIFT_SPLIT_YEAR} AS base,
+        |  least(CAST(round(o_totalprice*100) AS BIGINT)
+        |   // ${Analytics.DRIFT_BUCKET_CENTS}, ${Analytics.DRIFT_MAX_BUCKET})
+        |   AS bucket
+        | FROM orders),
+        |c AS (
+        | SELECT bucket,
+        |  CAST(SUM(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(SUM(CASE WHEN NOT base THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_current
+        | FROM o GROUP BY 1),
+        |t AS (
+        | SELECT CAST(SUM(n_base) AS BIGINT) AS ta,
+        |  CAST(SUM(n_current) AS BIGINT) AS tb FROM c)
+        |SELECT bucket, n_base, n_current,
+        | abs(n_base * tb - n_current * ta) * 1000000 // (ta * tb)
+        |  AS drift_ppm
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "q106_copurchase" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_co
+        | FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= ${Analytics.COP_MIN}),
+        |po AS (SELECT l_partkey, count(*) AS n_orders FROM li GROUP BY 1)
+        |SELECT p1, p2, n_co, a.n_orders AS n_p1, b.n_orders AS n_p2,
+        | n_co * 1000000 // least(a.n_orders, b.n_orders) AS overlap_ppm
+        |FROM pairs
+        | JOIN po a ON p1 = a.l_partkey
+        | JOIN po b ON p2 = b.l_partkey
+        |ORDER BY n_co DESC, p1, p2 LIMIT ${Analytics.COP_TOP}""".stripMargin,
   )
 }

@@ -123,6 +123,85 @@ object Analytics {
       .orderBy(col("price"), col("p_size").desc, col("p_partkey"))
   }
 
+  // ------------------------------------------------------------- drift
+
+  /** Fixed absolute bucket width for the drift histogram (price cents →
+    * $25k buckets; fixed edges, NOT data-derived, so the two periods bin
+    * identically — the point of a drift comparison). */
+  val DRIFT_BUCKET_CENTS = 2500000L
+  val DRIFT_MAX_BUCKET = 15L
+  /** Last year of the baseline period. */
+  val DRIFT_SPLIT_YEAR = 1996
+
+  /** Train/serve distribution-drift report — the skew check every
+    * pipeline runs before trusting a model trained on period A with
+    * period-B data: bucket both periods on fixed integer edges and emit
+    * per-bucket rate deltas in exact ppm. |n_a/T_A − n_b/T_B| renders as
+    * |n_a·T_B − n_b·T_A| · 10⁶ div (T_A·T_B) — all BIGINT (headroom to
+    * ~10⁹ rows/period), no IEEE division, so the report hashes
+    * identically at any parallelism. The summed ppm column is 2·10⁶×
+    * the total-variation distance between the two histograms.
+    *
+    * Scale shape: one scan, map-side bucket, aggregate to ≤17 buckets,
+    * broadcast the two scalar totals back — nothing wide ever moves. */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(
+      (year(col("o_orderdate")) <= DRIFT_SPLIT_YEAR).as("base"),
+      cents(col("o_totalprice")).as("pc"))
+      .select(col("base"), expr(
+        s"least(pc div ${DRIFT_BUCKET_CENTS}L, ${DRIFT_MAX_BUCKET}L)")
+        .as("bucket"))
+    val counts = o.groupBy(col("bucket"))
+      .agg(sum(when(col("base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("base"), 1L).otherwise(0L)).as("n_current"))
+    val totals = counts.agg(sum(col("n_base")).as("ta"),
+      sum(col("n_current")).as("tb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("drift_ppm",
+        expr("abs(n_base * tb - n_current * ta) * 1000000L div (ta * tb)"))
+      .select(col("bucket"), col("n_base"), col("n_current"), col("drift_ppm"))
+      .orderBy("bucket")
+  }
+
+  // -------------------------------------------------- co-purchase graph
+
+  /** Minimum co-occurrence count for a reported pair. */
+  val COP_MIN = 2L
+  /** Pairs reported (top by support, deterministic tie-break). */
+  val COP_TOP = 25
+
+  /** Item-item co-purchase similarity (the market-basket shape behind
+    * "customers also bought"): part pairs co-occurring within an order,
+    * with per-pair support and an exact overlap coefficient in ppm
+    * (co·10⁶ div min(n_a, n_b)). The per-order self-join fans out only
+    * O(k²) pairs for a k-line order — bounded by basket size, never by
+    * catalog size — and the pair aggregate shuffles (p1, p2) keys. The
+    * top-[[COP_TOP]] cut is a TakeOrderedAndProject on (support desc,
+    * pair), not a global sort. */
+  def coPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= COP_MIN)
+    val partOrders = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(partOrders.select(col("l_partkey").as("p1"),
+        col("n_orders").as("n_p1")), "p1")
+      .join(partOrders.select(col("l_partkey").as("p2"),
+        col("n_orders").as("n_p2")), "p2")
+      .withColumn("overlap_ppm",
+        expr("n_co * 1000000L div least(n_p1, n_p2)"))
+      .orderBy(col("n_co").desc, col("p1"), col("p2"))
+      .limit(COP_TOP)
+      .select(col("p1"), col("p2"), col("n_co"), col("n_p1"), col("n_p2"),
+        col("overlap_ppm"))
+  }
+
   // -------------------------------------------------------- attribution
 
   /** Attribution lookback window, microseconds (7 days). */

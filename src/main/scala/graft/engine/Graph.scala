@@ -208,4 +208,60 @@ object Graph {
       .select(col("n_nodes"), col("n_edges_total"), col("n_edges_kept"),
         col("max_degree"), col("n_triangles"))
   }
+
+  /** Synchronous label-propagation rounds. */
+  val LP_ITERS = 3
+
+  /** Top-decile kept edges (the triangle graph) as a bidirectional
+    * weighted adjacency list. */
+  private[graft] def keptAdjacency(spark: SparkSession, dir: String): DataFrame = {
+    val e = coSupplyEdges(spark, dir)
+    val nTotal = e.agg(count(lit(1)).as("n_edges_total"))
+    val kept = e.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("w").desc, col("s1"), col("s2"))))
+      .crossJoin(broadcast(nTotal))
+      .filter(col("rk") <= expr(s"n_edges_total div ${TRI_KEEP_DEN}L"))
+      .select(col("s1"), col("s2"), col("w"))
+    kept.select(col("s1").as("node"), col("s2").as("nb"), col("w"))
+      .unionAll(kept.select(col("s2").as("node"), col("s1").as("nb"), col("w")))
+  }
+
+  /** Community detection by synchronous label propagation over the kept
+    * co-supply graph: every node starts as its own label; each round a
+    * node adopts the label with the largest incident edge-weight sum
+    * among its neighbours (deterministic tie-break: smallest label), and
+    * isolated or tied-empty nodes keep their previous label. [[LP_ITERS]]
+    * synchronous rounds — fully deterministic, unlike the asynchronous
+    * variant whose result depends on visit order.
+    *
+    * Scale shape: per round one shuffle of |E| (adjacency ⋈ labels on the
+    * neighbour key), a (node, label) partial aggregate, and a per-node
+    * argmax via max_by — no window sort; the label table
+    * (localCheckpointed, CC loop discipline) is the only state carried
+    * between rounds. Output = the label histogram plus per-node labels
+    * for the oracle hash. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val adj = keptAdjacency(spark, dir).localCheckpoint()
+    val nodes = adj.select(col("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to LP_ITERS) {
+      val votes = adj
+        .join(labels.withColumnRenamed("node", "nb"), "nb")
+        .groupBy(col("node"), col("lab"))
+        .agg(sum(col("w")).as("s"))
+        // argmax with total order: max weight, then SMALLEST label — the
+        // struct max takes the largest tuple, so negate the label
+        .groupBy(col("node"))
+        .agg(expr("max_by(lab, struct(s, -lab))").as("winner"))
+      labels = labels
+        .join(votes, Seq("node"), "left")
+        .select(col("node"), coalesce(col("winner"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lab")).agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy("lab")
+  }
 }

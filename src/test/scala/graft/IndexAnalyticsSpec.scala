@@ -124,6 +124,60 @@ class IndexAnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("label propagation partitions all nodes and converges deterministically") {
+    val rows = Graph.labelPropagation(spark, sf).collect()
+    val nNodes = Graph.keptAdjacency(spark, sf)
+      .select("node").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nNodes)
+    // labels are real node ids, and each community's span contains them
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_node") <= r.getAs[Long]("max_node"))
+      assert(r.getAs[Long]("n_members") >= 1L)
+    }
+    // weighted-majority voting on a dense graph must merge communities
+    assert(rows.length < nNodes, "no labels propagated at all")
+    // synchronous rounds are deterministic: a second run is identical
+    val again = Graph.labelPropagation(spark, sf).collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("distribution drift accounts for every order, ppm bounded") {
+    val rows = Analytics.distributionDrift(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(rows.map(r => r.getAs[Long]("n_base") +
+      r.getAs[Long]("n_current")).sum == orders.count())
+    // both periods are populated (a vacuous period makes drift meaningless)
+    assert(rows.map(_.getAs[Long]("n_base")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_current")).sum > 0)
+    // |rate_a - rate_b| can never exceed 1.0 = 1e6 ppm
+    rows.foreach(r => assert(r.getAs[Long]("drift_ppm") >= 0 &&
+      r.getAs[Long]("drift_ppm") <= 1000000L))
+  }
+
+  test("co-purchase pairs equal brute force, overlap coefficient exact") {
+    val got = Analytics.coPurchase(spark, sf).collect()
+    assert(got.length <= Analytics.COP_TOP)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        co((parts(i), parts(j))) = co.getOrElse((parts(i), parts(j)), 0L) + 1
+    }
+    val nOrders = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val brute = co.toSeq.filter(_._2 >= Analytics.COP_MIN)
+      .sortBy { case ((p1, p2), n) => (-n, p1, p2) }
+      .take(Analytics.COP_TOP)
+      .map { case ((p1, p2), n) =>
+        (p1, p2, n, nOrders(p1), nOrders(p2),
+          n * 1000000L / math.min(nOrders(p1), nOrders(p2)))
+      }
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == brute)
+  }
+
   test("degree-ordered triangle count equals brute-force closure") {
     val out = Graph.triangleCount(spark, sf).collect().head
     // rebuild the kept-edge set the same way, then close triangles in
