@@ -992,12 +992,20 @@ object OracleTwins {
   }
 
   /** Shared CTE prefix: the distinct supplier-part projection, the
-    * weighted co-supply edge aggregate, and the top-1/TRI_KEEP_DEN kept
-    * edge set (integer cutoff `//` ≡ Spark `div`) — used by both the
-    * triangle-count and label-propagation twins so the graph derivation
-    * cannot drift between them. */
+    * weighted co-supply edge aggregate, and the union-kNN sparsified
+    * edge set (each node keeps its [[Graph.KNN_K]] strongest incident
+    * edges; an edge survives if either endpoint keeps it) — used by both
+    * the triangle-count and label-propagation twins so the graph
+    * derivation cannot drift between them. */
   private val keptEdgesCte: String =
-    s"""sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    s"""sp0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |sp AS (
+       | SELECT l_partkey, l_suppkey FROM (
+       |  SELECT l_partkey, l_suppkey,
+       |   row_number() OVER (PARTITION BY l_partkey ORDER BY l_suppkey)
+       |    AS srk
+       |  FROM sp0) c
+       | WHERE srk <= ${Graph.COSUPPLY_CAP}),
        |e AS (
        | SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
        |  CAST(count(*) AS BIGINT) AS w
@@ -1005,11 +1013,16 @@ object OracleTwins {
        |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
        | GROUP BY 1, 2),
        |tot AS (SELECT count(*) AS n_edges_total FROM e),
+       |inc AS (
+       | SELECT s1 AS node, s2 AS nb, w FROM e
+       | UNION ALL SELECT s2 AS node, s1 AS nb, w FROM e),
        |kept AS (
-       | SELECT s1, s2, w FROM (
-       |  SELECT s1, s2, w, row_number() OVER (ORDER BY w DESC, s1, s2) AS rk
-       |  FROM e) r
-       | WHERE rk <= (SELECT n_edges_total // ${Graph.TRI_KEEP_DEN} FROM tot))""".stripMargin
+       | SELECT DISTINCT least(node, nb) AS s1, greatest(node, nb) AS s2, w
+       | FROM (
+       |  SELECT node, nb, w,
+       |   row_number() OVER (PARTITION BY node ORDER BY w DESC, nb) AS rk
+       |  FROM inc) r
+       | WHERE rk <= ${Graph.KNN_K})""".stripMargin
 
   /** Twin of [[Graph.triangleCount]] — the same relative-threshold,
     * degree-orientation, wedge-close pipeline in SQL. */

@@ -179,6 +179,9 @@ object SparkEntry {
     "q104_label_propagation"       -> (Graph.labelPropagation _),
     "q105_distribution_drift"      -> (Analytics.distributionDrift _),
     "q106_copurchase"              -> (Analytics.coPurchase _),
+    // ---- round 5: robust stats + scale-correct global binning ----
+    "q107_mad_outliers"            -> (Analytics.madOutliers _),
+    "q108_equidepth_global"        -> (Analytics.equidepthGlobal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1017,5 +1020,53 @@ object SparkEntry {
         | JOIN po a ON p1 = a.l_partkey
         | JOIN po b ON p2 = b.l_partkey
         |ORDER BY n_co DESC, p1, p2 LIMIT ${Analytics.COP_TOP}""".stripMargin,
+
+    // 2·median and 2·MAD of integers are integers (interpolation only at
+    // .5), so the robust rule is pure BIGINT in both engines.
+    "q107_mad_outliers" ->
+      s"""WITH d AS (
+        | SELECT l_returnflag,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+        | FROM lineitem),
+        |m AS (
+        | SELECT l_returnflag,
+        |  CAST(quantile_cont(pc, 0.5)*2 AS BIGINT) AS med2
+        | FROM d GROUP BY 1),
+        |dev AS (
+        | SELECT d.l_returnflag, abs(pc*2 - med2) AS adev2, med2
+        | FROM d JOIN m USING (l_returnflag)),
+        |s AS (
+        | SELECT l_returnflag,
+        |  CAST(quantile_cont(adev2, 0.5)*2 AS BIGINT) AS mad4,
+        |  count(*) AS n_rows
+        | FROM dev GROUP BY 1)
+        |SELECT dev.l_returnflag, CAST(max(s.n_rows) AS BIGINT) AS n_rows,
+        | CAST(SUM(CASE WHEN adev2*2 > ${Analytics.MAD_K}*mad4
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | CAST(max(med2) AS DOUBLE)/2/CAST(100 AS DOUBLE) AS median,
+        | CAST(max(mad4) AS DOUBLE)/4/CAST(100 AS DOUBLE) AS mad
+        |FROM dev JOIN s USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Eighth-quantile positions are dyadic, so the interpolated edges are
+    // exactly-representable doubles in both engines; 8·edge is bit-exact.
+    "q108_equidepth_global" ->
+      s"""WITH d AS (
+        | SELECT CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders),
+        |e AS (
+        | SELECT list_transform(quantile_cont(pc,
+        |   [${(1 until Analytics.EQUIDEPTH_BINS)
+               .map(k => (k.toDouble / Analytics.EQUIDEPTH_BINS).toString)
+               .mkString(", ")}]),
+        |  x -> CAST(x*8 AS BIGINT)) AS edge8
+        | FROM d),
+        |b AS (
+        | SELECT CAST(len(list_filter(edge8, v -> v < pc*8)) AS BIGINT)
+        |  AS bin, pc
+        | FROM d CROSS JOIN e)
+        |SELECT bin, count(*) AS n_orders,
+        | CAST(min(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS lo,
+        | CAST(max(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS hi
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
   )
 }

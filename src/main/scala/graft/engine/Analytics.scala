@@ -163,6 +163,78 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  // ------------------------------------------------------ robust stats
+
+  /** MAD multiplier of the robust outlier rule. */
+  val MAD_K = 3L
+
+  /** Robust outlier detection — the median/MAD twin of the moment-based
+    * [[outlierZscore]] (one extreme value shifts a mean and explodes a
+    * variance, but moves a median by at most one rank): flag x where
+    * |x − median| > [[MAD_K]]·MAD. Exact cross-engine arithmetic: an
+    * integer-valued exact percentile interpolates only at .5, so 2·median
+    * and 2·MAD are integers, and the rule compares as
+    * 2·|2x − med2| > MAD_K·mad4 — all BIGINT, no float boundary.
+    *
+    * Scale shape: exact medians need a per-group sort — two aggregate
+    * passes (median, then MAD of deviations), each a partial-agg shuffle
+    * of (group, value) pairs; the 3-row stat table broadcasts back for
+    * the map-only flagging pass. At petabyte group sizes swap the exact
+    * percentile for approx_percentile and keep the identical plan. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("pc"))
+    val med = d.groupBy(col("l_returnflag"))
+      .agg((percentile(col("pc"), lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = d.join(broadcast(med), "l_returnflag")
+      .withColumn("adev2", abs(col("pc") * 2 - col("med2")))
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg((percentile(col("adev2"), lit(0.5)) * 2).cast("long").as("mad4"),
+        count(lit(1)).as("n_rows"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .withColumn("out", col("adev2") * 2 > lit(MAD_K) * col("mad4"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        sum(when(col("out"), 1L).otherwise(0L)).as("n_outliers"),
+        dollars(max(col("med2")) / lit(2)).as("median"),
+        dollars(max(col("mad4")) / lit(4)).as("mad"))
+      .orderBy("l_returnflag")
+  }
+
+  // --------------------------------------------------- equi-depth bins
+
+  /** Global equi-depth bin count. */
+  val EQUIDEPTH_BINS = 8
+
+  /** Global equal-frequency binning done the way 100 TB requires — the
+    * scale-correct form [[Kpis.quantileBins]]' doc promises: a global
+    * ntile would sort the whole table through one reducer; instead,
+    * compute the [[EQUIDEPTH_BINS]]−1 exact percentile EDGES (one
+    * aggregate), broadcast the tiny edge array, and assign each row its
+    * bin with a map-side comparison — no global sort ever materializes
+    * row order. Exactness: at p = k/8 the interpolation position
+    * k·(n−1)/8 is a dyadic rational, so over integer cents every
+    * intermediate (and the edge itself) is an exactly-representable
+    * double in BOTH engines — 8·edge is a bit-exact BIGINT, no rounding
+    * choice to disagree on. A row lands in the bin counting the edges
+    * strictly below 8·x (ties at an edge fall to the lower bin, like
+    * every production bucketizer); populations are approximately equal,
+    * counts/bounds exact. */
+  def equidepthGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val d = orders(spark, dir).select(cents(col("o_totalprice")).as("pc"))
+    val ps = (1 until EQUIDEPTH_BINS).map(_.toDouble / EQUIDEPTH_BINS)
+    val edges = d.agg(percentile(col("pc"),
+      array(ps.map(lit): _*)).as("p"))
+      .select(expr("transform(p, x -> CAST(x * 8 AS BIGINT))").as("edge8"))
+    d.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        expr("size(filter(edge8, e -> e < pc * 8L))").cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(min(col("pc"))).as("lo"), dollars(max(col("pc"))).as("hi"))
+      .orderBy("bin")
+  }
+
   // -------------------------------------------------- co-purchase graph
 
   /** Minimum co-occurrence count for a reported pair. */

@@ -135,32 +135,79 @@ object Graph {
   def pageRankIterated(spark: SparkSession, dir: String): DataFrame =
     pageRankRun(spark, dir, PR_ITERS)._1
 
-  /** Keep the top 1/TRI_KEEP_DEN of co-supply edges by weight
-    * (deterministic tie-break (w, s1, s2)) — a relative threshold, so the
-    * graph stays meaningful at every SF; integer division keeps the
-    * cutoff exact in both engines. */
-  val TRI_KEEP_DEN = 10
+  /** Per-node neighbour budget of the kNN graph. */
+  val KNN_K = 8
+  /** Basket cap of the co-supply projection (suppliers per part). */
+  val COSUPPLY_CAP = 12
 
   /** Supplier co-supply edges: (s1 < s2) weighted by the number of
-    * distinct parts both supply. The bipartite projection aggregates
-    * per-part supplier lists into pair counts — the join is bounded by
-    * per-part supplier multiplicity, not |V|². */
-  private[graft] def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
-    val sp = lineitem(spark, dir)
+    * distinct parts both supply. The bipartite projection goes through
+    * per-part supplier SETS, not a self-join: a part's sorted supplier
+    * array explodes into its C(k,2) ordered pairs map-side (a lambda over
+    * the array), so the plan never materializes the join's k² rows twice
+    * over nor sorts two full copies of the (part, supplier) relation —
+    * at sf1 the self-join form pushed 180M rows through a sort-merge
+    * join (~38 s); this shape shuffles 1× (part, supplier) rows and
+    * explodes locally.
+    *
+    * Fan-out is C(k,2) per part, and the pair shuffle it feeds cannot
+    * partial-aggregate (each pair appears < 1× per map partition), so k
+    * is capped at [[COSUPPLY_CAP]] deterministically (lowest supplier
+    * ids of the sorted set) — the basket-size cap every production
+    * co-occurrence pipeline applies, mirrored exactly by the oracle. The
+    * synthetic catalog runs ~30 suppliers/part; the cap cuts the pair
+    * shuffle 6.7× while leaving a graph with the same node set. */
+  private[graft] def coSupplyEdges(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val a = sp.select(col("l_partkey"), col("l_suppkey").as("s1"))
-    val b = sp.select(col("l_partkey"), col("l_suppkey").as("s2"))
-    a.join(b, Seq("l_partkey")).filter(col("s1") < col("s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
+      .groupBy(col("l_partkey"))
+      .agg(slice(sort_array(collect_set(col("l_suppkey"))), 1, COSUPPLY_CAP)
+        .as("sups"))
+      .select(explode(expr(
+        """flatten(transform(sups, (x, i) ->
+          |  transform(slice(sups, i + 2, size(sups)),
+          |    y -> struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Union-kNN sparsification of the co-supply graph: each node keeps its
+    * [[KNN_K]] strongest incident edges (weight desc, neighbour-id
+    * tie-break), an edge survives if EITHER endpoint keeps it, and the
+    * survivor set deduplicates back to undirected (s1 < s2) pairs.
+    *
+    * This is the construction similarity graphs use at billion scale
+    * (kNN graphs over ANN neighbours), and it is what makes downstream
+    * graph algorithms scale-PROOF rather than scale-lucky: the co-supply
+    * projection of a dense catalog approaches |V|² edges, so any
+    * global-fraction threshold (round-5's first cut used top-decile via
+    * a single-partition row_number) still yields a dense graph AND a
+    * single-reducer sort — at sf1 that was 40 s of wedge explosion. The
+    * per-node window is a distributed partitioned top-k (WindowGroupLimit
+    * prunes per group), |E| ≤ K·|V| by construction, and every
+    * downstream wedge/vote is degree-bounded forever.
+    *
+    * `e` must be MATERIALIZED by the caller (localCheckpoint): the
+    * incident view unions the edge aggregate with itself, and an
+    * unmaterialized subtree would execute the expensive candidate
+    * aggregate once per branch (the q38 double-assignment lesson — at
+    * sf1 that doubled a ~20 s pass). */
+  private[graft] def knnEdgesFrom(e: DataFrame): DataFrame = {
+    val incident = e.select(col("s1").as("node"), col("s2").as("nb"), col("w"))
+      .unionAll(e.select(col("s2").as("node"), col("s1").as("nb"), col("w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("w").desc, col("nb"))
+    incident.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KNN_K)
+      .select(least(col("node"), col("nb")).as("s1"),
+        greatest(col("node"), col("nb")).as("s2"), col("w"))
+      .distinct()
   }
 
-  /** Degree-ordered triangle counting over the thresholded co-supply
-    * graph — the shape that survives web-scale graphs:
+  /** Degree-ordered triangle counting over the union-kNN co-supply graph
+    * — the shape that survives web-scale graphs:
     *
-    *  1. Keep the top 1/[[TRI_KEEP_DEN]] of edges by weight (exact
-    *     rank over the EDGE AGGREGATE, which is |V|²-bounded and tiny
-    *     next to the fact table; at true web scale the threshold comes
-    *     from an approx quantile instead of a global rank).
+    *  1. Sparsify to the kNN graph ([[knnEdges]]): |E| ≤ K·|V| no matter
+    *     how dense the raw projection gets.
     *  2. Orient each edge from lower to higher (degree, node) — every
     *     triangle {a,b,c} then materializes exactly once, and the
     *     out-adjacency of any node is O(√m), which bounds the wedge
@@ -168,15 +215,13 @@ object Graph {
     *  3. Wedges (a→b, a→c, b≺c) semi-join the oriented edge list.
     *
     * All counts are integers; output is one row the oracle hash-checks
-    * (the DuckDB twin recomputes the same rank/orientation in SQL). */
+    * (the DuckDB twin recomputes the same kNN cut and orientation). */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val e = coSupplyEdges(spark, dir)
+    // the candidate aggregate feeds both the total count and the kNN cut —
+    // materialize it once
+    val e = coSupplyEdges(spark, dir).localCheckpoint()
     val nTotal = e.agg(count(lit(1)).as("n_edges_total"))
-    val ranked = e.withColumn("rk",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("w").desc, col("s1"), col("s2"))))
-      .crossJoin(broadcast(nTotal))
-      .filter(col("rk") <= expr(s"n_edges_total div ${TRI_KEEP_DEN}L"))
+    val ranked = knnEdgesFrom(e)
       .select(col("s1"), col("s2")).localCheckpoint()
     val deg = ranked.select(col("s1").as("node"))
       .unionAll(ranked.select(col("s2").as("node")))
@@ -212,23 +257,18 @@ object Graph {
   /** Synchronous label-propagation rounds. */
   val LP_ITERS = 3
 
-  /** Top-decile kept edges (the triangle graph) as a bidirectional
-    * weighted adjacency list. */
+  /** The union-kNN graph ([[knnEdgesFrom]]) as a bidirectional weighted
+    * adjacency list — |rows| ≤ 2K·|V| by construction. Both the candidate
+    * aggregate and the kNN cut are materialized exactly once. */
   private[graft] def keptAdjacency(spark: SparkSession, dir: String): DataFrame = {
-    val e = coSupplyEdges(spark, dir)
-    val nTotal = e.agg(count(lit(1)).as("n_edges_total"))
-    val kept = e.withColumn("rk",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("w").desc, col("s1"), col("s2"))))
-      .crossJoin(broadcast(nTotal))
-      .filter(col("rk") <= expr(s"n_edges_total div ${TRI_KEEP_DEN}L"))
-      .select(col("s1"), col("s2"), col("w"))
+    val kept = knnEdgesFrom(coSupplyEdges(spark, dir).localCheckpoint())
+      .localCheckpoint()
     kept.select(col("s1").as("node"), col("s2").as("nb"), col("w"))
       .unionAll(kept.select(col("s2").as("node"), col("s1").as("nb"), col("w")))
   }
 
-  /** Community detection by synchronous label propagation over the kept
-    * co-supply graph: every node starts as its own label; each round a
+  /** Community detection by synchronous label propagation over the
+    * union-kNN co-supply graph: every node starts as its own label; each
     * node adopts the label with the largest incident edge-weight sum
     * among its neighbours (deterministic tie-break: smallest label), and
     * isolated or tied-empty nodes keep their previous label. [[LP_ITERS]]

@@ -178,15 +178,61 @@ class IndexAnalyticsSpec extends SparkSpecBase {
       r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == brute)
   }
 
+  test("MAD outliers equal a brute-force median/MAD computation") {
+    val got = Analytics.madOutliers(spark, sf).collect()
+    val byFlag = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    // exact percentile at p=0.5 under the (n-1) convention, scaled 2×
+    def med2(xs: Array[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) 2L * s(s.length / 2)
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    got.foreach { r =>
+      val xs = byFlag(r.getAs[String]("l_returnflag")).map(_._2)
+      val m2 = med2(xs)
+      val adev2 = xs.map(x => math.abs(2 * x - m2))
+      val mad4 = med2(adev2)
+      assert(r.getAs[Long]("n_rows") == xs.length.toLong)
+      assert(r.getAs[Long]("n_outliers") ==
+        adev2.count(_ * 2 > Analytics.MAD_K * mad4).toLong)
+      assert(r.getAs[Double]("median") == m2 / 2.0 / 100.0)
+      assert(r.getAs[Double]("mad") == mad4 / 4.0 / 100.0)
+    }
+  }
+
+  test("equi-depth bins cover all rows in near-equal, ordered slices") {
+    val rows = Analytics.equidepthGlobal(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == n)
+    assert(rows.map(_.getAs[Long]("bin")).toSeq ==
+      (0L until Analytics.EQUIDEPTH_BINS.toLong))
+    // near-continuous prices: every bin within one row of n/8 ± ties
+    val target = n.toDouble / Analytics.EQUIDEPTH_BINS
+    rows.foreach(r => assert(
+      math.abs(r.getAs[Long]("n_orders") - target) <= target * 0.05 + 2,
+      s"bin ${r.getAs[Long]("bin")} holds ${r.getAs[Long]("n_orders")} of ~$target"))
+    // disjoint, ordered value ranges
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    case _ => }
+  }
+
   test("degree-ordered triangle count equals brute-force closure") {
     val out = Graph.triangleCount(spark, sf).collect().head
-    // rebuild the kept-edge set the same way, then close triangles in
-    // plain Scala — an independent O(kept·deg) check at smoke scale
+    // rebuild the union-kNN edge set the same way, then close triangles
+    // in plain Scala — an independent O(kept·deg) check at smoke scale
     val edges = Graph.coSupplyEdges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val nKeep = edges.length / Graph.TRI_KEEP_DEN
-    val kept = edges.sortBy { case (s1, s2, w) => (-w, s1, s2) }.take(nKeep)
-      .map { case (s1, s2, _) => (s1, s2) }
+    val incident = edges.flatMap { case (s1, s2, w) =>
+      Seq((s1, s2, w), (s2, s1, w))
+    }
+    val kept = incident.groupBy(_._1).values.flatMap { inc =>
+      inc.sortBy { case (_, nb, w) => (-w, nb) }.take(Graph.KNN_K)
+    }.map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+      .toSet.toArray.sorted
     assert(out.getAs[Long]("n_edges_total") == edges.length.toLong)
     assert(out.getAs[Long]("n_edges_kept") == kept.length.toLong)
     val adj = kept.flatMap { case (a, b) => Seq(a -> b, b -> a) }
