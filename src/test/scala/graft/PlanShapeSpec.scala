@@ -111,4 +111,45 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"),
       "rank<=k must bound per-probe state below the window sort")
   }
+
+  test("bloom pre-join broadcasts the bitmap and semi-joins the dim") {
+    val plan = finalPlan(graft.engine.Indexing.bloomPrejoin(spark, sf))
+    // the fixed-size bitmap and the dim keyset both broadcast — the fact
+    // side must never shuffle for either the pre-filter or the exact join
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      "bitmap join and exact semi join must both be broadcast")
+    assert(plan.contains("LeftSemi"),
+      "the exact filter must be a semi join, not a row-multiplying inner")
+  }
+
+  test("kNN graph cut prunes per-node state via WindowGroupLimit") {
+    // assert on the cut subplan itself — triangleCount localCheckpoints
+    // it, which hides the window from the downstream executed plan
+    val plan = finalPlan(graft.engine.Graph.knnEdgesFrom(
+      graft.engine.Graph.coSupplyEdges(spark, sf)))
+    assert(plan.contains("WindowGroupLimit"),
+      "rk<=K must push a per-node group limit below the window sort — " +
+        "this is what keeps the cut distributed (no global edge sort)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("equi-depth binning plans no window and no global sort before agg") {
+    val plan = finalPlan(graft.engine.Analytics.equidepthGlobal(spark, sf))
+    assert(!plan.contains("Window"),
+      "bin assignment must be a broadcast edge lookup, not a global ntile")
+    // the only sort allowed is the final ORDER BY over ≤8 result rows
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the percentile-edge array must broadcast to the scan")
+  }
+
+  test("attribution window carries user partitioning, never a global sort") {
+    val plan = finalPlan(graft.engine.Analytics.attribution(spark, sf))
+    assert(plan.contains("Window"),
+      "the running last-click max is one per-user window pass")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      !plan.contains("Window [max"),
+      "the window must partition by user_id, not collapse to one reducer")
+  }
 }
