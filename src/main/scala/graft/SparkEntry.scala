@@ -182,6 +182,10 @@ object SparkEntry {
     // ---- round 5: robust stats + scale-correct global binning ----
     "q107_mad_outliers"            -> (Analytics.madOutliers _),
     "q108_equidepth_global"        -> (Analytics.equidepthGlobal _),
+    // ---- round 5: behavioral analytics (paths, multi-touch, seasonal) ----
+    "q109_event_paths"             -> (Analytics.eventPaths _),
+    "q110_multitouch"              -> (Analytics.multiTouchAttribution _),
+    "q111_seasonal_residuals"      -> (Analytics.seasonalResiduals _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1068,5 +1072,71 @@ object SparkEntry {
         | CAST(min(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS lo,
         | CAST(max(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS hi
         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q109_event_paths" ->
+      s"""WITH r AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id) AS rk
+        | FROM events),
+        |p AS (
+        | SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+        | FROM r WHERE rk <= ${Analytics.PATH_LEN} GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT ${Analytics.PATH_TOP}""".stripMargin,
+
+    "q110_multitouch" ->
+      s"""WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |  CAST(hour(ts) AS BIGINT) AS hr,
+        |  CAST(round(value*100) AS BIGINT) AS vc
+        | FROM events),
+        |pu AS (
+        | SELECT user_id, pus, pid, vc, k FROM (
+        |  SELECT user_id, event_type, us AS pus, event_id AS pid, vc,
+        |   coalesce(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us
+        |     RANGE BETWEEN ${Analytics.ATTR_WINDOW_US} PRECEDING
+        |      AND 1 PRECEDING), 0) AS k
+        |  FROM e) x
+        | WHERE event_type = 'purchase'),
+        |ck AS (
+        | SELECT user_id, us AS cus, event_id AS cid, hr FROM e
+        | WHERE event_type = 'click'),
+        |cr AS (
+        | SELECT hr,
+        |  vc // k + CASE WHEN rn = 1 THEN vc - k*(vc // k) ELSE 0 END
+        |   AS credit
+        | FROM (
+        |  SELECT pu.pid, pu.vc, pu.k, ck.hr,
+        |   row_number() OVER (PARTITION BY pu.pid
+        |    ORDER BY ck.cus, ck.cid) AS rn
+        |  FROM pu JOIN ck ON pu.user_id = ck.user_id
+        |   AND ck.cus >= pu.pus - ${Analytics.ATTR_WINDOW_US}
+        |   AND ck.cus < pu.pus
+        |  WHERE pu.k > 0) j),
+        |dr AS (
+        | SELECT CAST(-1 AS BIGINT) AS hr, vc AS credit FROM pu
+        | WHERE k = 0)
+        |SELECT hr AS click_hour, count(*) AS n_credits,
+        | CAST(SUM(credit) AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue
+        |FROM (SELECT * FROM cr UNION ALL SELECT * FROM dr) u
+        |GROUP BY 1 ORDER BY click_hour""".stripMargin,
+
+    "q111_seasonal_residuals" ->
+      s"""WITH p AS (
+        | SELECT event_id, user_id, CAST(isodow(ts) AS BIGINT) AS dow,
+        |  CAST(round(value*100) AS BIGINT) AS vc
+        | FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        | SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(vc) AS BIGINT) AS sx
+        | FROM p GROUP BY 1)
+        |SELECT event_id, user_id, dow,
+        | CAST(vc AS DOUBLE)/CAST(100 AS DOUBLE) AS value,
+        | n AS n_dow, n*vc - sx AS resid_scaled
+        |FROM p JOIN s USING (dow)
+        |ORDER BY abs(n*vc - sx) DESC, event_id
+        |LIMIT ${Analytics.SEASONAL_TOP}""".stripMargin,
   )
 }

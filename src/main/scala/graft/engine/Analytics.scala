@@ -274,6 +274,132 @@ object Analytics {
         col("overlap_ppm"))
   }
 
+  // ------------------------------------------------------- event paths
+
+  /** Events per user kept in a path. */
+  val PATH_LEN = 3
+  /** Paths reported. */
+  val PATH_TOP = 10
+
+  /** Top user journeys: each user's first [[PATH_LEN]] events (by time,
+    * event-id tie-break) joined into a `a>b>c` path string, then the
+    * [[PATH_TOP]] most common paths — the product-analytics "path
+    * analysis" view. Per-user work is one partitioned window (group-limit
+    * pruned) plus a collect of ≤ PATH_LEN structs sorted by rank — order
+    * never depends on shuffle arrival because the rank is carried INTO
+    * the collected struct and sorted inside the row. Final cut is a
+    * TakeOrderedAndProject over the path aggregate. */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PATH_LEN)
+      .groupBy(col("user_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(rk, event_type)))," +
+          " x -> x.event_type)"), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(PATH_TOP)
+  }
+
+  // ------------------------------------------------- multi-touch split
+
+  /** Linear (multi-touch) attribution with EXACT value conservation:
+    * every purchase's cents split equally across the user's clicks in
+    * the 7-day lookback — integer division per click, with the remainder
+    * credited to the earliest click, so the sum of credits equals the
+    * purchase value to the cent (the property the spec pins; float
+    * shares never reconcile). Purchases with no in-window click surface
+    * as the `click_hour = -1` bucket, keeping the report a partition of
+    * all purchase revenue.
+    *
+    * Plan: one value-range window counts each purchase's in-window
+    * clicks (k); the credit rows come from the q64-shaped interval join
+    * (user equi-key drives the shuffle, the time range filters
+    * in-group); the earliest-click remainder is a per-purchase
+    * row_number — group-limit bounded. Output buckets by click
+    * hour-of-day: the "what time of day earns conversions" report. */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        hour(col("ts")).cast("long").as("hr"),
+        cents(col("value")).as("vc"))
+    val wk = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-ATTR_WINDOW_US, -1)
+    val purchases = e
+      // coalesce: a purchase with NOTHING in its frame gets a NULL sum,
+      // not 0 — uncoalesced it would vanish from both branches and break
+      // the to-the-cent conservation the spec pins
+      .withColumn("k", coalesce(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(wk),
+        lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"),
+        col("event_id").as("pid"), col("k"), col("vc"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"),
+        col("event_id").as("cid"), col("hr"))
+    val credits = purchases.filter(col("k") > 0)
+      .join(clicks, Seq("user_id"))
+      .filter(col("cus") >= col("pus") - ATTR_WINDOW_US &&
+        col("cus") < col("pus"))
+      .withColumn("first",
+        row_number().over(Window.partitionBy(col("pid"))
+          .orderBy(col("cus"), col("cid"))) === 1)
+      .select(col("hr"),
+        (expr("vc div k") +
+          when(col("first"), expr("vc - k * (vc div k)"))
+            .otherwise(lit(0L))).as("credit"))
+    val direct = purchases.filter(col("k") === 0)
+      .select(lit(-1L).as("hr"), col("vc").as("credit"))
+    credits.unionByName(direct)
+      .groupBy(col("hr").as("click_hour"))
+      .agg(count(lit(1)).as("n_credits"),
+        dollars(sum(col("credit"))).as("revenue"))
+      .orderBy("click_hour")
+  }
+
+  // -------------------------------------------------- seasonal residual
+
+  /** Anomalies reported. */
+  val SEASONAL_TOP = 10
+
+  /** Day-of-week seasonal baseline + residual anomalies over purchase
+    * values: the residual of x against its weekday mean is computed as
+    * the INTEGER n·x − Σx (the mean times n — no division, no floats),
+    * so "most anomalous" ranks identically in any engine and at any
+    * parallelism. Top [[SEASONAL_TOP]] |residual| purchases with
+    * deterministic tie-break — the scaled residual column lets the
+    * consumer recover x − μ as resid/n exactly.
+    *
+    * Plan: weekday stats are a 7-row broadcast; ranking is a
+    * TakeOrderedAndProject. The de-seasonalization every ops dashboard
+    * needs before flagging "weekend dips" as incidents. */
+  def seasonalResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        // ISO weekday (1=Mon..7=Sun): Spark dayofweek() is Sunday-based
+        // while DuckDB's is 0-based — weekday()+1 ≡ isodow is the only
+        // numbering the two engines agree on
+        expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"),
+        cents(col("value")).as("vc"))
+    val stats = p.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sx"))
+    p.join(broadcast(stats), "dow")
+      .withColumn("resid_scaled", col("n") * col("vc") - col("sx"))
+      .orderBy(abs(col("resid_scaled")).desc, col("event_id"))
+      .limit(SEASONAL_TOP)
+      .select(col("event_id"), col("user_id"), col("dow"),
+        dollars(col("vc")).as("value"), col("n").as("n_dow"),
+        col("resid_scaled"))
+  }
+
   // -------------------------------------------------------- attribution
 
   /** Attribution lookback window, microseconds (7 days). */

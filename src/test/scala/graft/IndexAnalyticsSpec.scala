@@ -220,6 +220,62 @@ class IndexAnalyticsSpec extends SparkSpecBase {
     case _ => }
   }
 
+  test("event paths cover users, respect PATH_LEN, rank deterministically") {
+    val rows = Analytics.eventPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Analytics.PATH_TOP)
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.length <= Analytics.PATH_LEN && steps.nonEmpty)
+      assert(steps.forall(Set("signup", "click", "view", "purchase",
+        "error").contains))
+    }
+    // ranked by count desc then path — no unordered ties
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (na, nb) = (a.getAs[Long]("n_users"), b.getAs[Long]("n_users"))
+      assert(na > nb ||
+        (na == nb && a.getAs[String]("path") < b.getAs[String]("path")))
+    case _ => }
+  }
+
+  test("multi-touch attribution conserves purchase revenue to the cent") {
+    val rows = Analytics.multiTouchAttribution(spark, sf).collect()
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).collect().head
+      .getLong(0)
+    // integer split + remainder-to-earliest ⇒ the buckets sum EXACTLY to
+    // total purchase cents — the reconciliation float shares cannot pass
+    val credited = rows.map(r =>
+      math.round(r.getAs[Double]("revenue") * 100)).sum
+    assert(credited == purchases,
+      s"credited $credited cents vs purchased $purchases")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("click_hour")
+      assert(h == -1L || (h >= 0L && h <= 23L))
+    }
+  }
+
+  test("seasonal residuals are exact n*x - sum and rank by magnitude") {
+    val rows = Analytics.seasonalResiduals(spark, sf).collect()
+    assert(rows.length == Analytics.SEASONAL_TOP)
+    val p = graft.engine.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"),
+        round(col("value") * 100).cast("long").as("vc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (d, xs) => d -> (xs.length.toLong, xs.map(_._2).sum) }
+    rows.foreach { r =>
+      val (n, sx) = p(r.getAs[Long]("dow"))
+      assert(r.getAs[Long]("n_dow") == n)
+      val vc = math.round(r.getAs[Double]("value") * 100)
+      assert(r.getAs[Long]("resid_scaled") == n * vc - sx)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a.getAs[Long]("resid_scaled")) >=
+        math.abs(b.getAs[Long]("resid_scaled")))
+    case _ => }
+  }
+
   test("degree-ordered triangle count equals brute-force closure") {
     val out = Graph.triangleCount(spark, sf).collect().head
     // rebuild the union-kNN edge set the same way, then close triangles
