@@ -186,7 +186,23 @@ object SparkEntry {
     "q109_event_paths"             -> (Analytics.eventPaths _),
     "q110_multitouch"              -> (Analytics.multiTouchAttribution _),
     "q111_seasonal_residuals"      -> (Analytics.seasonalResiduals _),
+    // ---- round 5: native sorted-merge as-of join (custom LogicalPlan +
+    // SparkStrategy + SparkPlan; q41's semantics, O(n+m) execution) ----
+    "q112_asof_native"             -> (Kpis.eventOrderAsofNative _),
   )
+
+  /** Shared by q41 (window form) and q112 (native sorted-merge form):
+    * one as-of semantics, two execution strategies, one oracle. */
+  private val asofOracle: String =
+    """WITH j AS (
+      | SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |  row_number() OVER (PARTITION BY e.event_id
+      |    ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+      | FROM events e LEFT JOIN orders o
+      |   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      |SELECT event_id, user_id, o_orderkey AS order_id,
+      | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -464,16 +480,10 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-    "q41_event_order_asof" ->
-      """WITH j AS (
-        | SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
-        |  row_number() OVER (PARTITION BY e.event_id
-        |    ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
-        | FROM events e LEFT JOIN orders o
-        |   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
-        |SELECT event_id, user_id, o_orderkey AS order_id,
-        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q41_event_order_asof" -> asofOracle,
+    // same oracle on purpose: the native sorted-merge operator must be
+    // indistinguishable from the window form, row for row
+    "q112_asof_native" -> asofOracle,
 
     "q42_topk_aggregator" -> OracleTwins.embeddingTopK,
     "q43_dup_clusters"    -> OracleTwins.dupClusters,

@@ -371,6 +371,23 @@ object Kpis {
       .orderBy("event_id")
   }
 
+  /** [[eventOrderAsof]]'s semantics through the NATIVE sorted-merge as-of
+    * operator ([[graft.plans.AsOfJoin]]): same output row for row (the
+    * driver checks both against one oracle), but the plan is a two-pointer
+    * per-partition sweep instead of expand-all-pairs + window — the
+    * difference between O(n+m) and O(pairs) at a 100 TB event feed. */
+  def eventOrderAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    graft.plans.AsOf.join(e, o,
+        "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("order_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date"))
+      .orderBy("event_id")
+  }
+
   /** A5 as a query — dedup of a projected lineitem slice (SELECT DISTINCT
     * twin; the full-row dropDuplicates lives in [[Silver.dedup]]). */
   def silverDedup(spark: SparkSession, dir: String): DataFrame = {

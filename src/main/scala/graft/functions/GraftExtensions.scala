@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer guard-rail: oversized broadcast() hints fall back to AQE
     // instead of OOMing a 1000-executor job (graft.plans.BroadcastGuard).
     ext.injectOptimizerRule(_ => new graft.plans.BroadcastGuard)
+    // Whole-operator extension: the native sorted-merge as-of join
+    // (graft.plans.AsOfJoin logical node → AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

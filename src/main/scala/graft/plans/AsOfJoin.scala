@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DateType, DataType, IntegerType,
+  LongType, TimestampType}
+
+/** Native as-of join — the whole-operator Catalyst extension path
+  * (LogicalPlan node → SparkStrategy → SparkPlan) reserved for semantics
+  * the built-in operators can only express wastefully.
+  *
+  * The DataFrame form of a backward as-of join (q41) is
+  * `left ⟕ right ON key ∧ rtime ≤ ltime` followed by `row_number = 1`:
+  * the join MATERIALIZES every (event, earlier-order) pair — O(Σ per-key
+  * n·m) rows — only for the window to throw all but one away
+  * (WindowGroupLimit bounds the state, not the join's output). The
+  * sorted-merge form below never builds that intermediate: both sides
+  * arrive clustered by key and sorted by (key, time) — the exact layout
+  * a sort-merge equi-join would demand anyway — and one forward sweep
+  * emits each left row joined to its as-of match, O(n + m) per
+  * partition with one retained right row of state. This is how the
+  * time-series engines that own this operator (kdb, QuestDB, Flink
+  * temporal joins) execute it.
+  *
+  * Winner semantics: the right row maximizing (rightTime, rightTie)
+  * among rows with rightTime ≤ leftTime — identical to q41's
+  * `row_number() over (order by time desc, tie desc) = 1`. Because the
+  * right side is sorted (key, time, tie) ascending, "last row seen with
+  * time ≤ t" IS that maximum, so the sweep needs no comparison beyond
+  * the advance condition.
+  *
+  * Key/time/tie columns are restricted to integral/timestamp/date types
+  * (the as-of domain) so the hot loop compares primitive longs — checked
+  * at plan-build time by [[AsOf.join]]. */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: [[AsOfJoin]] → [[AsOfJoinExec]]. Injected via
+  * `GraftExtensions.injectPlannerStrategy`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sorted-merge as-of join. `requiredChildDistribution` asks the
+  * planner to cluster both sides on the key (EnsureRequirements inserts
+  * co-partitioned exchanges exactly as for a shuffled equi-join);
+  * `requiredChildOrdering` asks for the (key, time[, tie]) sort. The
+  * operator itself is then a zipPartitions two-pointer sweep holding ONE
+  * copied right row — no join buffer, no window state, no codegen needed
+  * because the per-row work is four primitive reads. */
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression,
+    left: SparkPlan, right: SparkPlan)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)),
+      ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+        SortOrder(rightTie, Ascending)))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def toL(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.longValue()
+    case other => throw new IllegalStateException(
+      s"as-of join key/time must evaluate to a long/int, got $other")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val nRight = right.output.length
+    val leftAttrs = left.output
+    val rightAttrs = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      val proj = UnsafeProjection.create(
+        (leftAttrs ++ rightAttrs).map(_.withNullability(true)),
+        leftAttrs ++ rightAttrs)
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var cand: InternalRow = null
+      var candKey = 0L
+      def advance(): Unit =
+        rRow = if (rIter.hasNext) rIter.next() else null
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyB.eval(l)
+          val lt = lTimeB.eval(l)
+          if (lk == null || lt == null) return proj(joined(l, nullRight))
+          val lkL = toL(lk)
+          val ltL = toL(lt)
+          if (cand != null && candKey != lkL) cand = null
+          var scanning = true
+          while (scanning && rRow != null) {
+            val rk = rKeyB.eval(rRow)
+            val rt = rTimeB.eval(rRow)
+            if (rk == null || rt == null) advance() // nulls-first: skip
+            else {
+              val rkL = toL(rk)
+              if (rkL < lkL) { cand = null; advance() }
+              else if (rkL == lkL && toL(rt) <= ltL) {
+                // sorted (key, time, tie) asc ⇒ last seen = max (time, tie)
+                cand = rRow.copy(); candKey = lkL; advance()
+              } else scanning = false
+            }
+          }
+          proj(joined(l, if (cand != null) cand else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Public API over the native operator. */
+object AsOf {
+  private val okTypes: Set[DataType] =
+    Set(LongType, IntegerType, TimestampType, DateType)
+
+  /** Backward as-of LEFT join: each left row paired with the right row
+    * holding the greatest (rightTime, rightTie) among rows of the same
+    * key with rightTime ≤ leftTime; unmatched left rows keep null right
+    * columns. Column names must be unambiguous across the two inputs. */
+  def join(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           rightTie: String): DataFrame = {
+    val lPlan = org.apache.spark.sql.graft.Shim.analyzed(left)
+    val rPlan = org.apache.spark.sql.graft.Shim.analyzed(right)
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no column '$n' on the $side side " +
+          s"(have: ${p.output.map(_.name).mkString(", ")})"))
+    val cols = Seq(
+      attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"),
+      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"),
+      attr(rPlan, rightTie, "right"))
+    cols.foreach { a =>
+      require(okTypes.contains(a.dataType),
+        s"as-of join column '${a.name}' must be integral/timestamp/date, " +
+          s"got ${a.dataType.simpleString}")
+    }
+    org.apache.spark.sql.graft.Shim.ofRows(left.sparkSession,
+      AsOfJoin(lPlan, rPlan, cols(0), cols(1), cols(2), cols(3), cols(4)))
+  }
+}
