@@ -189,6 +189,8 @@ object SparkEntry {
     // ---- round 5: native sorted-merge as-of join (custom LogicalPlan +
     // SparkStrategy + SparkPlan; q41's semantics, O(n+m) execution) ----
     "q112_asof_native"             -> (Kpis.eventOrderAsofNative _),
+    // ---- round 5: UDTF-class Generator through the SQL registry ----
+    "q113_pair_generator"          -> (Graph.coSupplyTopEdges _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -1148,5 +1150,22 @@ object SparkEntry {
         |FROM p JOIN s USING (dow)
         |ORDER BY abs(n*vc - sx) DESC, event_id
         |LIMIT ${Analytics.SEASONAL_TOP}""".stripMargin,
+
+    // The oracle rebuilds the capped pair fan-out relationally — the
+    // generator must be just an execution strategy, not new semantics.
+    "q113_pair_generator" ->
+      s"""WITH sp0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |sp AS (
+        | SELECT l_partkey, l_suppkey FROM (
+        |  SELECT l_partkey, l_suppkey,
+        |   row_number() OVER (PARTITION BY l_partkey ORDER BY l_suppkey)
+        |    AS srk
+        |  FROM sp0) c
+        | WHERE srk <= ${Graph.COSUPPLY_CAP})
+        |SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+        |FROM sp a JOIN sp b
+        | ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY w DESC, s1, s2 LIMIT ${Graph.COSUPPLY_TOP}""".stripMargin,
   )
 }

@@ -254,6 +254,26 @@ object Graph {
         col("max_degree"), col("n_triangles"))
   }
 
+  /** Edges reported by [[coSupplyTopEdges]]. */
+  val COSUPPLY_TOP = 20
+
+  /** The strongest co-supply edges, with the pair fan-out running through
+    * the `explode_pairs` GENERATOR ([[graft.functions.ExplodePairsE]] via
+    * the SQL registry) instead of [[coSupplyEdges]]' higher-order-function
+    * lambdas — the UDTF-class extension exercised end-to-end under the
+    * oracle gate. Same plan skeleton: one (part, supplier) shuffle, local
+    * fan-out (GenerateExec), pair aggregate, TakeOrdered cut. */
+  def coSupplyTopEdges(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_partkey"))
+      .agg(slice(sort_array(collect_set(col("l_suppkey"))), 1, COSUPPLY_CAP)
+        .as("sups"))
+      .selectExpr("explode_pairs(sups) AS (s1, s2)")
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("s1"), col("s2"))
+      .limit(COSUPPLY_TOP)
+
   /** Synchronous label-propagation rounds. */
   val LP_ITERS = 3
 

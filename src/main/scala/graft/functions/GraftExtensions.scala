@@ -74,6 +74,9 @@ object GraftFunctions {
     }),
     "dot_product_f" -> ((es: Seq[Expression]) => {
       arity("dot_product_f", es, 2, 2); DotProductF(es.head, es(1))
+    }),
+    "explode_pairs" -> ((es: Seq[Expression]) => {
+      arity("explode_pairs", es, 1, 1); ExplodePairsE(es.head)
     }))
 
   /** Register into an existing session (idempotent). */

@@ -48,4 +48,26 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       "the as-of pairing happens inside the operator, not a pre-join")
   }
+
+  test("explode_pairs generator matches the lambda fan-out and plans Generate") {
+    import spark.implicits._
+    // micro: ordered pairs, empty and single arrays fan out to nothing
+    val micro = Seq(Seq(3L, 1L, 2L), Seq(7L), Seq.empty[Long]).toDF("xs")
+      .selectExpr("explode_pairs(xs) AS (s1, s2)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(micro == Set((3L, 1L), (3L, 2L), (1L, 2L)))
+    // the generator query equals its relational oracle shape: the edge
+    // aggregate from the lambda-based coSupplyEdges, cut the same way
+    val fromGen = graft.engine.Graph.coSupplyTopEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fromLambda = graft.engine.Graph.coSupplyEdges(spark, sf)
+      .orderBy(col("w").desc, col("s1"), col("s2"))
+      .limit(graft.engine.Graph.COSUPPLY_TOP).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fromGen.sameElements(fromLambda))
+    val df = graft.engine.Graph.coSupplyTopEdges(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("Generate"),
+      "the UDTF must plan through GenerateExec")
+  }
 }
