@@ -191,6 +191,9 @@ object SparkEntry {
     "q112_asof_native"             -> (Kpis.eventOrderAsofNative _),
     // ---- round 5: UDTF-class Generator through the SQL registry ----
     "q113_pair_generator"          -> (Graph.coSupplyTopEdges _),
+    // ---- round 5: time-constrained funnel + native XML round-trip ----
+    "q114_windowed_funnel"         -> (Kpis.windowedFunnel _),
+    "q115_xml_roundtrip"           -> (SourceOps.xmlRoundtrip _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -1167,5 +1170,38 @@ object SparkEntry {
         | ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2
         |ORDER BY w DESC, s1, s2 LIMIT ${Graph.COSUPPLY_TOP}""".stripMargin,
+
+    "q114_windowed_funnel" ->
+      s"""WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        | SELECT user_id, min(us) AS t1 FROM e
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, min(us) AS t2, min(t1) AS t1
+        | FROM e JOIN s1 USING (user_id)
+        | WHERE event_type = 'click'
+        |  AND us > t1 AND us <= t1 + ${Kpis.FUNNEL_WINDOW_US}
+        | GROUP BY 1),
+        |s3 AS (
+        | SELECT e.user_id, min(us) AS t3, min(t1) AS t1
+        | FROM e JOIN s2 USING (user_id)
+        | WHERE event_type = 'purchase'
+        |  AND us > t2 AND us <= t2 + ${Kpis.FUNNEL_WINDOW_US}
+        | GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+        | (SELECT CAST(coalesce(SUM(t3 - t1), 0) AS BIGINT) FROM s3)
+        |  AS conv_us_sum""".stripMargin,
+
+    // The oracle aggregates the parquet ORIGINAL — any escaping or
+    // numeric loss in the XML text boundary breaks the hash (q65's rule).
+    "q115_xml_roundtrip" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nation_key,
+        | count(*) AS n_suppliers,
+        | CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_balance,
+        | min(s_name) AS first_name, max(s_name) AS last_name
+        |FROM supplier GROUP BY 1 ORDER BY nation_key""".stripMargin,
   )
 }

@@ -388,6 +388,44 @@ object Kpis {
       .orderBy("event_id")
   }
 
+  /** Per-stage window of the time-constrained funnel (7 days, µs). */
+  val FUNNEL_WINDOW_US = 7L * 86400L * 1000000L
+
+  /** Time-constrained ordered funnel (the ClickHouse `windowFunnel`
+    * shape): signup → first click within 7 days OF THE SIGNUP → first
+    * purchase within 7 days OF THAT CLICK. [[eventFunnel]] (q83) orders
+    * stages but never bounds the gaps; bounding each stage on the
+    * *previous stage's achieved time* is what real conversion windows
+    * mean, and it breaks the single-pass conditional-min trick — stage
+    * k's predicate needs stage k−1's result.
+    *
+    * Scale shape: one aggregate pass per stage (3 total), each joining
+    * the events of one type against the ≤1-row-per-user previous-stage
+    * table on the user key — never a per-user event buffer (the
+    * collect-sorted-list form OOMs on power users; this form's state is
+    * one timestamp per user per stage). Timestamps stay integer µs;
+    * the conversion-time sum is exact. */
+  def windowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("us") > col("t1") &&
+        col("us") <= col("t1") + FUNNEL_WINDOW_US)
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("us") > col("t2") &&
+        col("us") <= col("t2") + FUNNEL_WINDOW_US)
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t3"), min(col("t1")).as("t1"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchase"),
+        coalesce(sum(col("t3") - col("t1")), lit(0L)).as("conv_us_sum"))))
+  }
+
   /** A5 as a query — dedup of a projected lineitem slice (SELECT DISTINCT
     * twin; the full-row dropDuplicates lives in [[Silver.dedup]]). */
   def silverDedup(spark: SparkSession, dir: String): DataFrame = {

@@ -78,6 +78,27 @@ object SourceOps {
       .orderBy("o_orderstatus")
   }
 
+  /** XML round-trip (S8 family, Spark 4 native XML source): suppliers out
+    * through row-per-element XML and back under an explicit schema, then
+    * a per-nation aggregate the oracle computes from the parquet original
+    * — name strings (attribute-escaping), integral keys and double
+    * balances all cross the text boundary, so any escaping or numeric
+    * formatting loss breaks the hash. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = roundtripTmp("xml", dir)
+    Sources.writeXml(supplier(spark, dir), tmp, rowTag = "supplier")
+    Sources.readXml(spark, tmp, Schemas.supplier, rowTag = "supplier")
+      .groupBy(col("s_nationkey").cast("long").as("nation_key"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(Num.cents(col("s_acctbal"))).as("bal_cents"),
+        min(col("s_name")).as("first_name"),
+        max(col("s_name")).as("last_name"))
+      .select(col("nation_key"), col("n_suppliers"),
+        Num.dollars(col("bal_cents")).as("total_balance"),
+        col("first_name"), col("last_name"))
+      .orderBy("nation_key")
+  }
+
   /** MapType surface: the same props column parsed as a *dynamic* map
     * (schema-on-read when keys aren't known in advance — the other half of
     * the JSON story next to [[jsonProps]]'s fixed struct): `from_json` to

@@ -51,4 +51,16 @@ object Sources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** XML — Spark 4's native XML source (the Databricks spark-xml lineage,
+    * merged upstream): row-per-element with an explicit schema, the
+    * interchange shape B2B feeds still arrive in. Explicit `rowTag` on
+    * both sides; schema passed to the reader for the same
+    * no-inference-at-scale reason as CSV/JSON. */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
 }

@@ -276,6 +276,48 @@ class IndexAnalyticsSpec extends SparkSpecBase {
     case _ => }
   }
 
+  test("windowed funnel equals brute force; stages shrink monotonically") {
+    val r = graft.engine.Kpis.windowedFunnel(spark, sf).collect().head
+    assert(r.getAs[Long]("n_signup") >= r.getAs[Long]("n_click"))
+    assert(r.getAs[Long]("n_click") >= r.getAs[Long]("n_purchase"))
+    val w = graft.engine.Kpis.FUNNEL_WINDOW_US
+    val byUser = graft.engine.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1)
+    var (n1, n2, n3, conv) = (0L, 0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      val t1 = es.filter(_._2 == "signup").map(_._3).minOption
+      t1.foreach { a =>
+        n1 += 1
+        val t2 = es.filter(e => e._2 == "click" && e._3 > a && e._3 <= a + w)
+          .map(_._3).minOption
+        t2.foreach { b =>
+          n2 += 1
+          val t3 = es.filter(e =>
+            e._2 == "purchase" && e._3 > b && e._3 <= b + w)
+            .map(_._3).minOption
+          t3.foreach { c => n3 += 1; conv += c - a }
+        }
+      }
+    }
+    assert(r.getAs[Long]("n_signup") == n1)
+    assert(r.getAs[Long]("n_click") == n2)
+    assert(r.getAs[Long]("n_purchase") == n3)
+    assert(r.getAs[Long]("conv_us_sum") == conv)
+  }
+
+  test("XML round-trip preserves strings, keys and balances exactly") {
+    val got = graft.engine.SourceOps.xmlRoundtrip(spark, sf).collect()
+    val want = spark.read.parquet(s"$sf/supplier.parquet")
+      .groupBy(col("s_nationkey").cast("long").as("nation_key"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("s_acctbal") * 100).cast("long")) / 100.0).as("bal"),
+        min(col("s_name")), max(col("s_name")))
+      .orderBy("nation_key").collect()
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("degree-ordered triangle count equals brute-force closure") {
     val out = Graph.triangleCount(spark, sf).collect().head
     // rebuild the union-kNN edge set the same way, then close triangles
