@@ -194,6 +194,9 @@ object SparkEntry {
     // ---- round 5: time-constrained funnel + native XML round-trip ----
     "q114_windowed_funnel"         -> (Kpis.windowedFunnel _),
     "q115_xml_roundtrip"           -> (SourceOps.xmlRoundtrip _),
+    // ---- round 5: exact-moment model fits ----
+    "q116_ols_regression"          -> (Analytics.olsRegression _),
+    "q117_chi_square"              -> (Analytics.chiSquare _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -1203,5 +1206,58 @@ object SparkEntry {
         | CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)/CAST(100 AS DOUBLE) AS total_balance,
         | min(s_name) AS first_name, max(s_name) AS last_name
         |FROM supplier GROUP BY 1 ORDER BY nation_key""".stripMargin,
+
+    // HUGEINT ≡ decimal(38,0); the one float derivation replays in the
+    // same operation order, then round6 — q69's moment discipline.
+    "q116_ols_regression" ->
+      """WITH d AS (
+        | SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS y
+        | FROM lineitem),
+        |s AS (
+        | SELECT l_returnflag, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |  SUM(x::HUGEINT * y::HUGEINT) AS sxy,
+        |  SUM(x::HUGEINT * x::HUGEINT) AS sxx,
+        |  SUM(y::HUGEINT * y::HUGEINT) AS syy
+        | FROM d GROUP BY 1),
+        |c AS (
+        | SELECT l_returnflag, n, sx, sy,
+        |  (n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT) AS num,
+        |  (n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT) AS denx,
+        |  (n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT) AS deny
+        | FROM s),
+        |b AS (
+        | SELECT *, CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope
+        | FROM c)
+        |SELECT l_returnflag, n AS n_rows,
+        | CAST(round(slope*1000000) AS BIGINT)/CAST(1000000 AS DOUBLE)
+        |  AS slope_cents_per_unit,
+        | CAST(round(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE))*1000000) AS BIGINT)/CAST(1000000 AS DOUBLE)
+        |  AS intercept_cents,
+        | CAST(round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+        |   (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)))*1000000)
+        |  AS BIGINT)/CAST(1000000 AS DOUBLE) AS r2
+        |FROM b ORDER BY l_returnflag""".stripMargin,
+
+    "q117_chi_square" ->
+      """WITH d AS (
+        | SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS day_part
+        | FROM events),
+        |cells AS (
+        | SELECT event_type, day_part, count(*) AS o FROM d GROUP BY 1, 2),
+        |rm AS (SELECT event_type, count(*) AS rn FROM d GROUP BY 1),
+        |cm AS (SELECT day_part, count(*) AS cn FROM d GROUP BY 1),
+        |t AS (SELECT count(*) AS nn FROM d)
+        |SELECT cells.event_type, cells.day_part, o,
+        | CAST(round((CAST(o::HUGEINT * nn - rn::HUGEINT * cn AS DOUBLE) *
+        |   CAST(o::HUGEINT * nn - rn::HUGEINT * cn AS DOUBLE) /
+        |   (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |  *1000000) AS BIGINT)/CAST(1000000 AS DOUBLE) AS contrib
+        |FROM cells
+        | JOIN rm ON cells.event_type = rm.event_type
+        | JOIN cm ON cells.day_part = cm.day_part
+        | CROSS JOIN t
+        |ORDER BY cells.event_type, cells.day_part""".stripMargin,
   )
 }

