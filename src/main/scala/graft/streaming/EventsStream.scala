@@ -48,6 +48,28 @@ object EventsStream {
         col("event_type"), col("n_events"), col("total_value"))
       .withColumn("avg_value", col("total_value") / col("n_events"))
 
+  /** Streaming drift monitor — the stream side of
+    * [[graft.engine.Analytics.distributionDrift]]: per-type value
+    * histogram on FIXED integer bucket edges (data-derived edges would
+    * make early micro-batches disagree with the final answer; fixed
+    * edges make the complete-mode state at any point exactly the batch
+    * histogram of everything seen so far — what a serving-skew monitor
+    * compares against its training baseline). State is |types|×|buckets|
+    * rows, bounded regardless of stream length. */
+  val DRIFT_BUCKET_CENTS = 2000L
+  val DRIFT_MAX_BUCKET = 15L
+
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .select(col("event_type"), Num.cents(col("value")).as("vc"))
+      .select(col("event_type"), expr(
+        s"least(vc div ${DRIFT_BUCKET_CENTS}L, ${DRIFT_MAX_BUCKET}L)")
+        .as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Stream-static enrichment join — the standard streaming dimension
     * lookup: each micro-batch of events joins the (static, broadcast)
     * customer dimension, then aggregates per segment. The static side is

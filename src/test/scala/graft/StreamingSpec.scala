@@ -33,6 +33,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamed fixed-edge value histogram equals the batch histogram") {
+    val dir = tmpDir("graft-stream-hist")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.valueHistogram(spark, dir)
+      .writeStream.format("memory").queryName("events_hist_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("events_hist_stream")
+        .orderBy("event_type", "bucket").collect()
+      val batch = Tables.events(spark, sf)
+        .select(col("event_type"),
+          expr(s"least(CAST(round(value*100) AS BIGINT) div " +
+            s"${EventsStream.DRIFT_BUCKET_CENTS}L, " +
+            s"${EventsStream.DRIFT_MAX_BUCKET}L)").as("bucket"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket").collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      assert(streamed.map(_.toSeq).sameElements(batch.map(_.toSeq)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops a full replay of the corpus") {
     // the same corpus lands twice (a re-crawl): every document is a
     // duplicate the second time and must not be emitted again
