@@ -408,13 +408,18 @@ object Kpis {
   def windowedFunnel(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
+    // each stage table feeds the next stage AND its own count — without
+    // materialization the final counts would re-run the whole chain
+    // (stage 1 three times); each is ≤ 1 row per user
     val s1 = e.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      .localCheckpoint()
     val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
       .filter(col("us") > col("t1") &&
         col("us") <= col("t1") + FUNNEL_WINDOW_US)
       .groupBy(col("user_id"))
       .agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+      .localCheckpoint()
     val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
       .filter(col("us") > col("t2") &&
         col("us") <= col("t2") + FUNNEL_WINDOW_US)
