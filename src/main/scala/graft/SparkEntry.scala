@@ -197,6 +197,8 @@ object SparkEntry {
     // ---- round 5: exact-moment model fits ----
     "q116_ols_regression"          -> (Analytics.olsRegression _),
     "q117_chi_square"              -> (Analytics.chiSquare _),
+    // ---- round 5: two-phase exact heavy hitters (scale path of q48) ----
+    "q118_heavy_hitters"           -> (TextOps.heavyHitters _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -1259,5 +1261,14 @@ object SparkEntry {
         | JOIN cm ON cells.day_part = cm.day_part
         | CROSS JOIN t
         |ORDER BY cells.event_type, cells.day_part""".stripMargin,
+
+    // The oracle is the PLAIN top-k — candidate pruning must be an
+    // execution detail, invisible in the result (q61/q96's rule).
+    "q118_heavy_hitters" ->
+      s"""WITH w AS (
+        | SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        | FROM documents)
+        |SELECT word, count(*) AS n FROM w WHERE len(word) > 0
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT ${TextOps.HH_TOP_K}""".stripMargin,
   )
 }

@@ -350,6 +350,30 @@ class IndexAnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("heavy hitters are exact and the Misra-Gries margin holds") {
+    val got = graft.engine.TextOps.heavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // exact truth by full aggregation
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(graft.engine.TextOps.HH_TOP_K).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(truth))
+    // the correctness precondition: every true top-k count clears the
+    // union bound N/m by a wide margin at this candidate budget
+    val totalWords = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0).count()
+    val bound = totalWords.toDouble /
+      graft.engine.TextOps.HH_CANDIDATES_PER_PART
+    truth.foreach { case (w, n) =>
+      assert(n > 10 * bound, s"'$w' ($n) too close to the N/m bound $bound")
+    }
+  }
+
   test("degree-ordered triangle count equals brute-force closure") {
     val out = Graph.triangleCount(spark, sf).collect().head
     // rebuild the union-kNN edge set the same way, then close triangles
