@@ -1024,6 +1024,35 @@ object OracleTwins {
        |  FROM inc) r
        | WHERE rk <= ${Graph.KNN_K})""".stripMargin
 
+  /** Twin of [[Sim.annRecall]] — the IVF twin runs verbatim as a derived
+    * table (same text as q38's oracle, so the approx side cannot drift),
+    * the exact side is the brute-force top-IVF_TOP_K for the same
+    * probes, and recall reduces to integer ppm. */
+  val annRecall: String =
+    s"""WITH iv AS (
+       |  SELECT probe_id, neighbor_id FROM ($ivfTopK) ivq),
+       |ex AS (
+       |  SELECT probe_id, vec_id AS neighbor_id FROM (
+       |   SELECT probe_id, vec_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |   FROM (
+       |    SELECT p.probe_id, e.vec_id,
+       |     ${cosine("p.pv", "e.embedding")} AS cos
+       |    FROM embeddings e
+       |    JOIN (SELECT vec_id AS probe_id, embedding AS pv
+       |          FROM embeddings WHERE vec_id < 4) p
+       |     ON e.vec_id <> p.probe_id) sc) rk
+       |  WHERE rank <= ${Sim.IVF_TOP_K}),
+       |h AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM iv JOIN ex USING (probe_id, neighbor_id)),
+       |t AS (
+       |  SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes FROM ex)
+       |SELECT n_probes, CAST(${Sim.IVF_TOP_K} AS BIGINT) AS k, n_hits,
+       | n_hits * 1000000 // (n_probes * ${Sim.IVF_TOP_K}) AS recall_ppm
+       |FROM t CROSS JOIN h""".stripMargin
+
   /** Twin of [[Graph.triangleCount]] — the same relative-threshold,
     * degree-orientation, wedge-close pipeline in SQL. */
   val triangleCount: String =

@@ -199,6 +199,8 @@ object SparkEntry {
     "q117_chi_square"              -> (Analytics.chiSquare _),
     // ---- round 5: two-phase exact heavy hitters (scale path of q48) ----
     "q118_heavy_hitters"           -> (TextOps.heavyHitters _),
+    // ---- round 5: ANN index evaluation (recall@k vs brute force) ----
+    "q119_ann_recall"              -> (Sim.annRecall _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -1270,5 +1272,7 @@ object SparkEntry {
         | FROM documents)
         |SELECT word, count(*) AS n FROM w WHERE len(word) > 0
         |GROUP BY 1 ORDER BY n DESC, word LIMIT ${TextOps.HH_TOP_K}""".stripMargin,
+
+    "q119_ann_recall" -> OracleTwins.annRecall,
   )
 }

@@ -178,6 +178,44 @@ object Sim {
       IVF_TOP_K)
   }
 
+  /** Recall@k evaluation of the IVF index against brute force — the eval
+    * harness every ANN deployment runs before trusting an index: the
+    * ground truth is the exact cosine top-[[IVF_TOP_K]] for the SAME
+    * probes the IVF query serves, recall is |approx ∩ exact| per probe
+    * summed, reported as an exact ppm fraction (integer arithmetic — a
+    * float recall would be the one nondeterministic number in an
+    * otherwise exact pipeline).
+    *
+    * Scale shape: the exact side is one broadcast-probe scan (ground
+    * truth over a SAMPLE of probes — the standard practice; never all
+    * probes); the intersection is a tiny semi join on (probe, neighbor).
+    * A recall drop at constant geometry is how you catch index-build
+    * drift in CI. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val approx = ivfTopK(spark, dir)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val probes = e.filter(col("vec_id") < lit(4))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pnrm"))
+    val exact = rankTopK(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+            .as("cos")),
+      IVF_TOP_K)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+    val hits = approx.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(countDistinct(col("probe_id")).as("n_probes"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_probes"), lit(IVF_TOP_K.toLong).as("k"), col("n_hits"),
+        expr(s"n_hits * 1000000L div (n_probes * ${IVF_TOP_K}L)")
+          .as("recall_ppm"))
+  }
+
   /** One distributed Lloyd (k-means) update step over the IVF assignment:
     * per-(centroid, dimension) mean of the member vectors — the iterative
     * half of index training ([[ivfAssign]] is the other half; alternating

@@ -374,6 +374,19 @@ class IndexAnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("ANN recall is a valid fraction and hits are real intersections") {
+    val r = graft.engine.Sim.annRecall(spark, sf).collect().head
+    val (n, k, hits) = (r.getAs[Long]("n_probes"), r.getAs[Long]("k"),
+      r.getAs[Long]("n_hits"))
+    assert(n > 0 && k == graft.engine.Sim.IVF_TOP_K.toLong)
+    assert(hits >= 0 && hits <= n * k)
+    assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / (n * k))
+    // cell-restricted search can only return cell members, so recall < 1
+    // is expected; but the probe's own cell always holds SOME true
+    // neighbors on clustered data — zero recall would mean a broken index
+    assert(hits > 0, "IVF returned zero true neighbors")
+  }
+
   test("degree-ordered triangle count equals brute-force closure") {
     val out = Graph.triangleCount(spark, sf).collect().head
     // rebuild the union-kNN edge set the same way, then close triangles
