@@ -76,6 +76,12 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
 
+  override lazy val metrics =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+      "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -101,6 +107,8 @@ case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
@@ -123,6 +131,7 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
+          outRows += 1
           val lk = lKeyB.eval(l)
           val lt = lTimeB.eval(l)
           if (lk == null || lt == null) return proj(joined(l, nullRight))
@@ -143,6 +152,7 @@ case class AsOfJoinExec(
               } else scanning = false
             }
           }
+          if (cand != null) matched += 1
           proj(joined(l, if (cand != null) cand else nullRight))
         }
       }
