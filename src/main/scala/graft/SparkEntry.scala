@@ -201,6 +201,9 @@ object SparkEntry {
     "q118_heavy_hitters"           -> (TextOps.heavyHitters _),
     // ---- round 5: ANN index evaluation (recall@k vs brute force) ----
     "q119_ann_recall"              -> (Sim.annRecall _),
+    // ---- round 5: weighted median + revenue-concentration (Gini) ----
+    "q120_weighted_median"         -> (Analytics.weightedMedian _),
+    "q121_gini_by_nation"          -> (Analytics.giniByNation _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -1274,5 +1277,50 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, word LIMIT ${TextOps.HH_TOP_K}""".stripMargin,
 
     "q119_ann_recall" -> OracleTwins.annRecall,
+
+    "q120_weighted_median" ->
+      """WITH d AS (
+        | SELECT l_returnflag,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
+        |  CAST(l_quantity AS BIGINT) AS wt
+        | FROM lineitem),
+        |bv AS (
+        | SELECT l_returnflag, pc, CAST(SUM(wt) AS BIGINT) AS w
+        | FROM d GROUP BY 1, 2),
+        |cw AS (
+        | SELECT l_returnflag, pc,
+        |  CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cumw,
+        |  CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+        | FROM bv)
+        |SELECT l_returnflag, max(totw) AS total_weight,
+        | CAST(min(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS weighted_median
+        |FROM cw WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q121_gini_by_nation" ->
+      """WITH rev AS (
+        | SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |r AS (
+        | SELECT n_name, x, o_custkey,
+        |  CAST(row_number() OVER (PARTITION BY n_name
+        |   ORDER BY x, o_custkey) AS BIGINT) AS i
+        | FROM rev
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (
+        | SELECT n_name, count(*) AS n_customers,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(i*x) AS BIGINT) AS six
+        | FROM r GROUP BY 1)
+        |SELECT n_name, n_customers,
+        | CAST(sx AS DOUBLE)/CAST(100 AS DOUBLE) AS revenue,
+        | CAST(round(((2.0 * CAST(six AS DOUBLE) -
+        |   CAST(n_customers + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)))*1000000)
+        |  AS BIGINT)/CAST(1000000 AS DOUBLE) AS gini
+        |FROM g ORDER BY n_name""".stripMargin,
   )
 }

@@ -277,6 +277,67 @@ object Analytics {
         col("overlap_ppm"))
   }
 
+  // ---------------------------------------------------- weighted median
+
+  /** Per-group weighted median — the "median order value weighted by
+    * units" statistic plain medians misreport: the smallest price whose
+    * cumulative quantity weight reaches half the total. Exact and
+    * order-free: duplicates pre-aggregate per (group, value) map-side,
+    * the running weight is a per-group window over DISTINCT values
+    * (≪ rows), and the pick is an integer comparison 2·cumw ≥ totw — no
+    * interpolation, no floats anywhere. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val d = lineitem(spark, dir).select(col("l_returnflag"),
+      cents(col("l_extendedprice")).as("pc"),
+      col("l_quantity").cast("long").as("wt"))
+    val byValue = d.groupBy(col("l_returnflag"), col("pc"))
+      .agg(sum(col("wt")).as("w"))
+    val win = Window.partitionBy(col("l_returnflag")).orderBy(col("pc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("cumw", sum(col("w")).over(win))
+      .withColumn("totw",
+        sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("totw")).as("total_weight"),
+        dollars(min(col("pc"))).as("weighted_median"))
+      .orderBy("l_returnflag")
+  }
+
+  // --------------------------------------------------------------- gini
+
+  /** Revenue-concentration (Gini) per nation — the inequality measure
+    * behind "top-1% of customers" dashboards: over each nation's
+    * customers sorted by revenue ascending (custkey tie-break),
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx). Both Σᵢ i·xᵢ and the margins
+    * are exact BIGINTs (rank ≤ ~10⁵ × cents ≤ ~10⁹ leaves int64 room to
+    * ~10⁵ customers/nation; widen to decimal beyond), so the single
+    * closing division is the only float op — same order in the oracle.
+    * The rank window partitions by nation: a distributed per-group sort,
+    * never a global one. */
+  def giniByNation(spark: SparkSession, dir: String): DataFrame = {
+    val rev = orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(sum(cents(col("o_totalprice"))).as("x"))
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val ranked = rev
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("i", row_number().over(Window.partitionBy(col("n_name"))
+        .orderBy(col("x"), col("o_custkey"))).cast("long"))
+    ranked.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("sx"), sum(col("i") * col("x")).as("six"))
+      .select(col("n_name"), col("n_customers"),
+        dollars(col("sx")).as("revenue"),
+        round6((lit(2.0) * col("six").cast("double") -
+          (col("n_customers") + 1).cast("double") * col("sx").cast("double"))
+          / (col("n_customers").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+      .orderBy("n_name")
+  }
+
   // -------------------------------------------------------- regression
 
   /** Per-group simple OLS (y = a + b·x) from exact integer power sums —

@@ -387,6 +387,49 @@ class IndexAnalyticsSpec extends SparkSpecBase {
     assert(hits > 0, "IVF returned zero true neighbors")
   }
 
+  test("weighted median equals brute force on cumulative weights") {
+    val got = Analytics.weightedMedian(spark, sf).collect()
+    val data = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    got.foreach { r =>
+      val xs = data(r.getAs[String]("l_returnflag"))
+      val tot = xs.map(_._3).sum
+      assert(r.getAs[Long]("total_weight") == tot)
+      val sorted = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val wm = sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      assert(r.getAs[Double]("weighted_median") == wm / 100.0)
+    }
+  }
+
+  test("Gini is in [0,1) and matches brute force per nation") {
+    val got = Analytics.giniByNation(spark, sf).collect()
+    assert(got.length == 25)
+    val rev = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    got.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0)
+      val xs = rev(r.getAs[String]("n_name"))
+        .sortBy(t => (t._3, t._2)).map(_._3.toDouble)
+      val n = xs.length
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val brute = (2.0 * six - (n + 1) * xs.sum) / (n * xs.sum)
+      assert(math.abs(g - brute) < 1e-6, s"${r.getString(0)}: $g vs $brute")
+    }
+  }
+
   test("degree-ordered triangle count equals brute-force closure") {
     val out = Graph.triangleCount(spark, sf).collect().head
     // rebuild the union-kNN edge set the same way, then close triangles
