@@ -904,23 +904,32 @@ object SparkEntry {
     "q97_triangle_count" -> OracleTwins.triangleCount,
 
     "q98_minmax_skipping" ->
-      s"""WITH laid AS (
-        | SELECT l_shipdate, CAST(round(l_extendedprice*100) AS BIGINT) AS pc,
-        |  CAST(floor((row_number() OVER (
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1)
-        |   / ${Indexing.CHUNK_ROWS}.0) AS BIGINT) AS chunk
-        | FROM lineitem),
+      s"""WITH bd AS (
+        | SELECT l_shipdate, CAST(count(*) AS BIGINT) AS n_d
+        | FROM lineitem GROUP BY 1),
+        |cum AS (
+        | SELECT a.l_shipdate, a.n_d,
+        |  CAST(coalesce(SUM(b.n_d), 0) AS BIGINT) AS cum_before
+        | FROM bd a LEFT JOIN bd b ON b.l_shipdate < a.l_shipdate
+        | GROUP BY a.l_shipdate, a.n_d),
+        |cm AS (
+        | SELECT l_shipdate, n_d,
+        |  cum_before // ${Indexing.CHUNK_ROWS} AS chunk FROM cum),
         |stats AS (
         | SELECT chunk, min(l_shipdate) AS mn, max(l_shipdate) AS mx,
-        |  count(*) AS n
-        | FROM laid GROUP BY 1),
+        |  CAST(SUM(n_d) AS BIGINT) AS n
+        | FROM cm GROUP BY 1),
         |surv AS (
         | SELECT chunk FROM stats
         | WHERE mx >= TIMESTAMP '${Indexing.SKIP_LO}'
         |   AND mn < TIMESTAMP '${Indexing.SKIP_HI}'),
-        |sc AS (SELECT laid.* FROM laid JOIN surv USING (chunk))
+        |sd AS (SELECT l_shipdate, chunk FROM cm JOIN surv USING (chunk)),
+        |sc AS (
+        | SELECT l.l_shipdate,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS pc, sd.chunk
+        | FROM lineitem l JOIN sd USING (l_shipdate))
         |SELECT (SELECT count(*) FROM stats) AS n_chunks,
-        | (SELECT count(*) FROM surv) AS n_chunks_scanned,
+        | (SELECT count(DISTINCT chunk) FROM sc) AS n_chunks_scanned,
         | (SELECT count(*) FROM sc) AS rows_scanned,
         | (SELECT CAST(coalesce(SUM(CASE WHEN l_shipdate >= TIMESTAMP '${Indexing.SKIP_LO}'
         |    AND l_shipdate < TIMESTAMP '${Indexing.SKIP_HI}' THEN 1 ELSE 0 END), 0)

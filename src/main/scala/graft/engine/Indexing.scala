@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -84,41 +83,52 @@ object Indexing {
   val SKIP_HI = "1997-01-01"
 
   /** Date-clustered layout + per-chunk min/max stats + pruned range scan,
-    * in one plan. The layout pass assigns each row a position in shipdate
-    * order (deterministic tie-break on (orderkey, linenumber)) and chunks
-    * every [[CHUNK_ROWS]] rows — the one-time write-side sort every
-    * skipping index amortizes. The stats table is one row per chunk
-    * (min/max shipdate, rowcount); the range query consults it, scans
-    * only surviving chunks, and still returns the exact answer because
-    * skipping is conservative (a chunk is dropped only when its whole
-    * [min,max] misses the range).
+    * in one plan. The layout is date-granular equi-depth: a per-date row
+    * count (one map-side-combine aggregate, bounded by the number of
+    * distinct ship dates — ~2.5k for a 7-year calendar at ANY row count),
+    * each date's cumulative start position from a bounded self-join on
+    * that tiny aggregate, and chunk = start `div` [[CHUNK_ROWS]] — every
+    * row of one date lands in one chunk, so the layout is deterministic
+    * regardless of cluster partitioning (the property the oracle needs).
+    * The stats table is one row per chunk (min/max shipdate, rowcount);
+    * the range query consults it, scans only surviving chunks, and still
+    * returns the exact answer because skipping is conservative (a chunk
+    * is dropped only when its whole [min,max] misses the range).
     *
-    * Scale shape: the global row_number here stands in for the write
-    * path's `repartitionByRange(shipdate)` + per-file ordering — at
-    * 100 TB the layout is a range-partitioned sort (no single reducer)
-    * and the stats are parquet footers; the pruning math is identical.
-    * Output = one summary row: chunk counts prove the skipping, the
-    * aggregate proves the scan stayed exact. */
+    * Scale shape: NO window and NO global sort anywhere (the old form's
+    * global `row_number` was the one single-reducer stage in the surface;
+    * PlanShapeSpec now pins its absence). The fact table is touched by
+    * exactly two passes — the per-date count (write-time stats work) and
+    * the pruned scan, which reads only chunks surviving the min/max test
+    * via a broadcast date→chunk map. The O(D²) cumulative self-join is
+    * over the D-row date aggregate, never the data; for a finer-grained
+    * layout key, bucket to day granularity first or read real parquet
+    * footers (the write path's form). Output = one summary row: chunk
+    * counts prove the skipping, the aggregate proves the scan stayed
+    * exact. */
   def minmaxSkipping(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("l_shipdate"), col("l_orderkey"),
-      col("l_linenumber"))
-    val laid = lineitem(spark, dir)
-      .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        cents(col("l_extendedprice")).as("pc"))
-      .withColumn("chunk",
-        ((row_number().over(w) - 1) / CHUNK_ROWS).cast("long"))
-      // the layout pass is one-time write-side work: materialize it so the
-      // stats build and the pruned scan read one copy (q38's lesson)
-      .localCheckpoint()
-    val stats = laid.groupBy(col("chunk"))
+    val li = lineitem(spark, dir)
+      .select(col("l_shipdate"), cents(col("l_extendedprice")).as("pc"))
+    val byDate = li.groupBy(col("l_shipdate")).agg(count(lit(1)).as("n_d"))
+    val cum = byDate
+      .join(broadcast(byDate.select(col("l_shipdate").as("d2"),
+        col("n_d").as("n2"))), col("d2") < col("l_shipdate"), "left")
+      .groupBy(col("l_shipdate"), col("n_d"))
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("cum_before"))
+    val chunkMap = cum.select(col("l_shipdate"), col("n_d"),
+      expr(s"cum_before div ${CHUNK_ROWS}L").as("chunk"))
+    val stats = chunkMap.groupBy(col("chunk"))
       .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"),
-        count(lit(1)).as("n"))
+        sum(col("n_d")).as("n"))
     val lo = lit(SKIP_LO).cast("timestamp")
     val hi = lit(SKIP_HI).cast("timestamp")
     val surviving = stats.filter(col("mx") >= lo && col("mn") < hi)
     val totals = stats.agg(count(lit(1)).as("n_chunks"))
-    val scanned = laid
-      .join(broadcast(surviving.select(col("chunk"), col("n"))), "chunk")
+    // the pruned scan: only dates belonging to surviving chunks are read
+    val survDates = chunkMap
+      .join(surviving.select(col("chunk")), "chunk")
+      .select(col("l_shipdate"), col("chunk"))
+    val scanned = li.join(broadcast(survDates), "l_shipdate")
     val res = scanned
       .agg(countDistinct(col("chunk")).as("n_chunks_scanned"),
         count(lit(1)).as("rows_scanned"),

@@ -144,12 +144,47 @@ class PlanShapeSpec extends SparkSpecBase {
       "the percentile-edge array must broadcast to the scan")
   }
 
+  // walk the whole physical tree, crossing AQE query-stage boundaries
+  // (plain collect() stops at QueryStageExec, hiding materialized stages)
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
   test("attribution window carries user partitioning, never a global sort") {
-    val plan = finalPlan(graft.engine.Analytics.attribution(spark, sf))
-    assert(plan.contains("Window"),
+    val df = graft.engine.Analytics.attribution(spark, sf)
+    df.collect()
+    // walk the physical tree: every Window node must carry a non-empty
+    // partition spec mentioning the user key — a substring check on the
+    // rendered plan is vacuous (formatting-dependent) and can trip on
+    // unrelated SinglePartition exchanges
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty,
       "the running last-click max is one per-user window pass")
-    assert(!plan.contains("Exchange SinglePartition") ||
-      !plan.contains("Window [max"),
-      "the window must partition by user_id, not collapse to one reducer")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.exists(_.toString.contains("user_id")),
+        s"window must partition by user_id, got: ${w.partitionSpec}")
+    }
+  }
+
+  test("min/max skipping layout plans no window and no data-side sort") {
+    // the layout build is a per-date aggregate + bounded cumulative
+    // self-join on the D-row date table — the old global row_number
+    // (single reducer over unaggregated data) must never come back
+    val plan = finalPlan(graft.engine.Indexing.minmaxSkipping(spark, sf))
+    assert(!plan.contains("Window"),
+      "chunk assignment must be a broadcast date->chunk map, not a " +
+        "global row_number")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the pruned scan must consume the surviving-dates map as a broadcast")
   }
 }
