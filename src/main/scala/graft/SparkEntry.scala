@@ -204,6 +204,9 @@ object SparkEntry {
     // ---- round 5: weighted median + revenue-concentration (Gini) ----
     "q120_weighted_median"         -> (Analytics.weightedMedian _),
     "q121_gini_by_nation"          -> (Analytics.giniByNation _),
+    // ---- round 6: grouped equal-frequency binning, scale path of q93
+    // (exact ntile via broadcast rank-edges, no per-group data sort) ----
+    "q122_quantile_bins_grouped"   -> (Analytics.quantileBinsGrouped _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -1331,5 +1334,23 @@ object SparkEntry {
         |  / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)))*1000000)
         |  AS BIGINT)/CAST(1000000 AS DOUBLE) AS gini
         |FROM g ORDER BY n_name""".stripMargin,
+
+    // q122 computes the SAME result as q93 through the scale path —
+    // the oracle is deliberately the identical grouped-ntile twin.
+    "q122_quantile_bins_grouped" ->
+      s"""WITH o AS (
+        | SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS pc
+        | FROM orders),
+        |b AS (
+        | SELECT o_orderpriority, pc,
+        |  CAST(ntile(${Kpis.N_BINS}) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY pc, o_orderkey)
+        |   AS BIGINT) AS bin
+        | FROM o)
+        |SELECT o_orderpriority, bin, count(*) AS n_orders,
+        | CAST(min(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS lo,
+        | CAST(max(pc) AS DOUBLE)/CAST(100 AS DOUBLE) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY o_orderpriority, bin""".stripMargin,
   )
 }

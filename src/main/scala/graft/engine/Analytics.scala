@@ -235,6 +235,79 @@ object Analytics {
       .orderBy("bin")
   }
 
+  /** Per-group equal-frequency binning at scale — the grouped form of
+    * [[equidepthGlobal]], reproducing `ntile` semantics EXACTLY without
+    * ever sorting a group's data rows in one partition (the
+    * [[Kpis.quantileBins]] trap this replaces at 100 TB). The trick is
+    * rank-edges instead of value-percentiles: ntile over a total order
+    * (pc, orderkey) puts rank r in bin 1 + #{b : R_b < r} where
+    * R_b = b·(n div B) + min(b, n mod B) is the last rank of bin b. So
+    * binning reduces to knowing, per group, the B−1 boundary ROWS — and a
+    * row's bin is a map-side count of boundary rows strictly below it.
+    *
+    * Boundary rows are found without a data sort:
+    *  1. per-(group, value) counts — an aggregate bounded by the VALUE
+    *     DOMAIN (≤ ~6·10⁷ distinct cent values), not the row count;
+    *  2. cumulative positions via one window over that aggregate (each
+    *     group's partition holds its distinct values, never its rows);
+    *  3. the value run containing each boundary rank via a broadcast
+    *     range-join of the (B−1)·G boundary table;
+    *  4. the exact orderkey at the in-run offset via a window partitioned
+    *     by (group, edge value) — each partition is ONE tied run, a few
+    *     rows, reached through a broadcast semi-join of ≤(B−1)·G values;
+    *  5. the ≤(B−1) (value, orderkey) edges per group broadcast back, bin
+    *     assigned by a codegen'd lexicographic filter-count.
+    *
+    * Bins are bit-identical to grouped ntile (the oracle IS the q93 ntile
+    * twin) including tie splits and the n < B degenerate case, because
+    * the (pc, orderkey) order is total and all edge math is integer. */
+  def quantileBinsGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val B = Kpis.N_BINS
+    val d = orders(spark, dir)
+      .select(col("o_orderpriority").as("g"), col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("pc"))
+    val vc = d.groupBy(col("g"), col("pc")).agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("g")).orderBy(col("pc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.withColumn("cum_hi", sum(col("c")).over(wv))
+      .withColumn("cum_lo", col("cum_hi") - col("c"))
+    val bounds = vc.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .select(col("g").as("bg"), col("n"),
+        explode(sequence(lit(1L), lit((B - 1).toLong))).as("b"))
+      .withColumn("rb", expr(s"b * (n div ${B}L) + least(b, n % ${B}L)"))
+      .select(col("bg"), col("b"), col("rb"))
+    val edgesV = cum.join(broadcast(bounds),
+        col("g") === col("bg") && col("cum_lo") < col("rb") &&
+          col("rb") <= col("cum_hi"))
+      .select(col("g"), col("b"), col("pc").as("epc"),
+        (col("rb") - col("cum_lo")).as("k"))
+    // resolve the orderkey at offset k inside each edge value's tied run
+    val evs = edgesV.select(col("g").as("vg"), col("epc")).distinct()
+    val tied = d.join(broadcast(evs),
+      col("g") === col("vg") && col("pc") === col("epc"), "left_semi")
+    val wt = Window.partitionBy(col("g"), col("pc")).orderBy(col("okey"))
+    val tiedRn = tied.withColumn("rn", row_number().over(wt).cast("long"))
+      .select(col("g").as("tg"), col("pc").as("tpc"), col("okey").as("eok"),
+        col("rn"))
+    val edges = edgesV.join(broadcast(tiedRn),
+        col("g") === col("tg") && col("epc") === col("tpc") &&
+          col("k") === col("rn"))
+      .select(col("g"), col("epc"), col("eok"))
+    val earr = edges.groupBy(col("g"))
+      .agg(collect_list(struct(col("epc"), col("eok"))).as("es"))
+    d.join(broadcast(earr), Seq("g"))
+      .withColumn("bin", (size(filter(col("es"), e =>
+        e("epc") < col("pc") ||
+          (e("epc") === col("pc") && e("eok") < col("okey")))) + 1)
+        .cast("long"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(min(col("pc"))).as("lo"), dollars(max(col("pc"))).as("hi"))
+      .select(col("g").as("o_orderpriority"), col("bin"), col("n_orders"),
+        col("lo"), col("hi"))
+      .orderBy("o_orderpriority", "bin")
+  }
+
   // -------------------------------------------------- co-purchase graph
 
   /** Minimum co-occurrence count for a reported pair. */

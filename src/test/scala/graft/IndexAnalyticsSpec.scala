@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Analytics, Graph, Indexing}
+import graft.engine.{Analytics, Graph, Indexing, Kpis}
 
 /** Invariants for the round-5 index-structure and analytics operators —
   * the properties the sf0.01 oracle hash-match can't see: the bloom
@@ -40,6 +40,17 @@ class IndexAnalyticsSpec extends SparkSpecBase {
       .collect().head
     assert(r.getAs[Long]("n_matching") == exact.getLong(0))
     assert(r.getAs[Double]("revenue") == exact.getDouble(1))
+  }
+
+  test("grouped rank-edge binning equals grouped ntile row-for-row") {
+    // q122's broadcast-edge path must reproduce q93's window ntile
+    // EXACTLY — same bins, same populations, same bounds — including tie
+    // splits (ntile separates equal values across a boundary; the edge
+    // carries the boundary row's orderkey so the split point is identical)
+    val got = Analytics.quantileBinsGrouped(spark, sf).collect()
+    val want = Kpis.quantileBins(spark, sf).collect()
+    assert(got.length == want.length)
+    assert(got.sameElements(want))
   }
 
   test("z-order tiles bound both spans; linear layout only bounds one") {

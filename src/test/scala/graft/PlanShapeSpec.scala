@@ -152,6 +152,9 @@ class PlanShapeSpec extends SparkSpecBase {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         Seq(q.plan)
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // a leaf that points at the stage it reuses — descend into it
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
       case other => other.children
     }
     p +: kids.flatMap(allNodes)
@@ -173,6 +176,33 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(w.partitionSpec.nonEmpty &&
         w.partitionSpec.exists(_.toString.contains("user_id")),
         s"window must partition by user_id, got: ${w.partitionSpec}")
+    }
+  }
+
+  test("grouped binning never sorts a group's data rows in one partition") {
+    // the scale contract of q122: any Window partitioned by the group key
+    // alone must consume the distinct-value AGGREGATE (bounded by value
+    // domain), never raw data; the only raw-data window is the tied-run
+    // resolver, partitioned by (group, edge value)
+    val df = graft.engine.Analytics.quantileBinsGrouped(spark, sf)
+    df.collect()
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val overAggregate = allNodes(w.child).exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+          true
+        case _: org.apache.spark.sql.execution.aggregate
+            .ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate
+            .SortAggregateExec => true
+        case _ => false
+      }
+      assert(w.partitionSpec.size >= 2 || overAggregate,
+        s"window partitioned by ${w.partitionSpec} reads raw data rows — " +
+          "per-group data sort regression")
     }
   }
 
