@@ -207,6 +207,10 @@ object SparkEntry {
     // ---- round 6: grouped equal-frequency binning, scale path of q93
     // (exact ntile via broadcast rank-edges, no per-group data sort) ----
     "q122_quantile_bins_grouped"   -> (Analytics.quantileBinsGrouped _),
+    // ---- round 6: direction + tolerance knobs on the native as-of
+    // operator (kdb aj / pandas merge_asof parity) ----
+    "q123_asof_forward"            -> (Kpis.eventOrderAsofForward _),
+    "q124_asof_nearest"            -> (Kpis.eventOrderAsofNearest _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -502,6 +506,46 @@ object SparkEntry {
     // same oracle on purpose: the native sorted-merge operator must be
     // indistinguishable from the window form, row for row
     "q112_asof_native" -> asofOracle,
+
+    // direction/tolerance knobs of the native operator, each against an
+    // independent window-form twin (expand within tolerance + rank)
+    "q123_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event_id, user_id AS p_user_id,
+        |       ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        | SELECT c.event_id, c.user_id, p.p_event_id, p.p_ts,
+        |  row_number() OVER (PARTITION BY c.event_id
+        |    ORDER BY p.p_ts ASC NULLS LAST, p.p_event_id ASC NULLS LAST) AS rn
+        | FROM c LEFT JOIN p
+        |   ON c.user_id = p.p_user_id AND p.p_ts >= c.ts
+        |    AND epoch_us(p.p_ts) - epoch_us(c.ts) <= 86400000000)
+        |SELECT event_id, user_id, p_event_id AS purchase_id,
+        | strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // nearest: rank by |Δt|, backward preferred on a distance tie; among
+    // equal times the backward side takes the max tie (event_id DESC,
+    // hence the negated CASE branch), the forward side the min
+    "q124_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event_id, user_id AS p_user_id,
+        |       ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        | SELECT c.event_id, c.user_id, p.p_event_id, p.p_ts,
+        |  row_number() OVER (PARTITION BY c.event_id
+        |    ORDER BY abs(epoch_us(p.p_ts) - epoch_us(c.ts)) ASC,
+        |     (p.p_ts > c.ts) ASC,
+        |     CASE WHEN p.p_ts > c.ts THEN p.p_event_id
+        |          ELSE -p.p_event_id END ASC) AS rn
+        | FROM c LEFT JOIN p
+        |   ON c.user_id = p.p_user_id
+        |    AND abs(epoch_us(p.p_ts) - epoch_us(c.ts)) <= 86400000000)
+        |SELECT event_id, user_id, p_event_id AS purchase_id,
+        | strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q42_topk_aggregator" -> OracleTwins.embeddingTopK,
     "q43_dup_clusters"    -> OracleTwins.dupClusters,
@@ -1043,8 +1087,8 @@ object SparkEntry {
         | SELECT CAST(SUM(n_base) AS BIGINT) AS ta,
         |  CAST(SUM(n_current) AS BIGINT) AS tb FROM c)
         |SELECT bucket, n_base, n_current,
-        | abs(n_base * tb - n_current * ta) * 1000000 // (ta * tb)
-        |  AS drift_ppm
+        | CAST(abs(CAST(n_base AS HUGEINT) * tb - CAST(n_current AS HUGEINT) * ta)
+        |  * 1000000 // (CAST(ta AS HUGEINT) * tb) AS BIGINT) AS drift_ppm
         |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
 
     "q106_copurchase" ->

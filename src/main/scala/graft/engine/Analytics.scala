@@ -137,10 +137,13 @@ object Analytics {
     * pipeline runs before trusting a model trained on period A with
     * period-B data: bucket both periods on fixed integer edges and emit
     * per-bucket rate deltas in exact ppm. |n_a/T_A − n_b/T_B| renders as
-    * |n_a·T_B − n_b·T_A| · 10⁶ div (T_A·T_B) — all BIGINT (headroom to
-    * ~10⁹ rows/period), no IEEE division, so the report hashes
-    * identically at any parallelism. The summed ppm column is 2·10⁶×
-    * the total-variation distance between the two histograms.
+    * |n_a·T_B − n_b·T_A| · 10⁶ div (T_A·T_B) — the numerator routed
+    * through decimal(38,0) (HUGEINT in the oracle) because int64
+    * overflows it at only ~3·10⁶ fully-one-sided rows/period; 38 digits
+    * give headroom past 10¹⁵ rows/period. No IEEE division anywhere, so
+    * the report hashes identically at any parallelism. The summed ppm
+    * column is 2·10⁶× the total-variation distance between the two
+    * histograms.
     *
     * Scale shape: one scan, map-side bucket, aggregate to ≤17 buckets,
     * broadcast the two scalar totals back — nothing wide ever moves. */
@@ -158,7 +161,9 @@ object Analytics {
       sum(col("n_current")).as("tb"))
     counts.crossJoin(broadcast(totals))
       .withColumn("drift_ppm",
-        expr("abs(n_base * tb - n_current * ta) * 1000000L div (ta * tb)"))
+        expr("abs(cast(n_base AS decimal(38,0)) * tb " +
+          "- cast(n_current AS decimal(38,0)) * ta) * 1000000 " +
+          "div (cast(ta AS decimal(38,0)) * tb)"))
       .select(col("bucket"), col("n_base"), col("n_current"), col("drift_ppm"))
       .orderBy("bucket")
   }

@@ -388,6 +388,58 @@ object Kpis {
       .orderBy("event_id")
   }
 
+  /** Tolerance of the bounded as-of joins (24 h, µs). */
+  val ASOF_TOLERANCE_US = 86400L * 1000000L
+
+  private def clickPurchaseSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    (c, p)
+  }
+
+  /** FORWARD as-of with a 24 h tolerance through the native operator —
+    * the "next purchase after the click, if it came within a day"
+    * question (kdb `aj` direction knob, pandas
+    * `merge_asof(direction='forward', tolerance=...)`): each click
+    * matched to the EARLIEST purchase of its user at or after the click
+    * time, unmatched unless within [[ASOF_TOLERANCE_US]]. Same O(n+m)
+    * sweep as q112; the forward candidate is simply the sweep's first
+    * not-yet-consumed right row, so the operator holds zero extra
+    * state. (Orders cannot serve as the right side here: the synthetic
+    * order dates all precede the 2024 event window, so a bounded
+    * forward join over them would be vacuously empty.) */
+  def eventOrderAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val (c, p) = clickPurchaseSides(spark, dir)
+    graft.plans.AsOf.join(c, p,
+        "user_id", "p_user_id", "ts", "p_ts", "p_event_id",
+        direction = "forward", tolerance = Some(ASOF_TOLERANCE_US))
+      .select(col("event_id"), col("user_id"),
+        col("p_event_id").as("purchase_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  /** NEAREST as-of with a 24 h tolerance: the time-closer of the
+    * backward and forward purchase candidates, backward preferred on an
+    * exact distance tie (deterministic and SQL-expressible, unlike
+    * "either"). One sweep holds both candidates: the retained backward
+    * row plus the not-yet-consumed stop row. */
+  def eventOrderAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val (c, p) = clickPurchaseSides(spark, dir)
+    graft.plans.AsOf.join(c, p,
+        "user_id", "p_user_id", "ts", "p_ts", "p_event_id",
+        direction = "nearest", tolerance = Some(ASOF_TOLERANCE_US))
+      .select(col("event_id"), col("user_id"),
+        col("p_event_id").as("purchase_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
   /** Per-stage window of the time-constrained funnel (7 days, µs). */
   val FUNNEL_WINDOW_US = 7L * 86400L * 1000000L
 

@@ -30,21 +30,37 @@ import org.apache.spark.sql.types.{DateType, DataType, IntegerType,
   * time-series engines that own this operator (kdb, QuestDB, Flink
   * temporal joins) execute it.
   *
-  * Winner semantics: the right row maximizing (rightTime, rightTie)
-  * among rows with rightTime ≤ leftTime — identical to q41's
-  * `row_number() over (order by time desc, tie desc) = 1`. Because the
-  * right side is sorted (key, time, tie) ascending, "last row seen with
-  * time ≤ t" IS that maximum, so the sweep needs no comparison beyond
-  * the advance condition.
+  * Winner semantics per direction (the three knobs kdb's `aj`, pandas
+  * `merge_asof` and Flink temporal joins expose):
+  *  - `backward` (default): the right row maximizing (rightTime,
+  *    rightTie) among rows with rightTime ≤ leftTime — identical to
+  *    q41's `row_number() over (order by time desc, tie desc) = 1`.
+  *    Because the right side is sorted (key, time, tie) ascending,
+  *    "last row seen with time ≤ t" IS that maximum.
+  *  - `forward`: the right row minimizing (rightTime, rightTie) among
+  *    rows with rightTime ≥ leftTime — the first not-yet-consumed right
+  *    row of the sweep, so it needs no state at all.
+  *  - `nearest`: whichever of the backward/forward candidates is
+  *    closer in time; equal distance prefers backward (the pandas
+  *    convention would pick either; fixing backward keeps the result
+  *    deterministic and SQL-expressible).
+  * An optional `tolerance` (raw units of the time columns: µs for
+  * timestamps, days for dates) bounds |leftTime − rightTime|; a
+  * candidate outside it leaves the left row unmatched. Because the
+  * backward candidate is the LATEST time ≤ t and the forward one the
+  * EARLIEST ≥ t, tolerance never needs to look past them.
   *
   * Key/time/tie columns are restricted to integral/timestamp/date types
-  * (the as-of domain) so the hot loop compares primitive longs — checked
-  * at plan-build time by [[AsOf.join]]. */
+  * (the as-of domain) so the hot loop compares primitive longs; the two
+  * time columns (and the two key columns) must share a physical unit —
+  * both checked at plan-build time by [[AsOf.join]]. */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression,
+    direction: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -56,8 +72,9 @@ case class AsOfJoin(
   * `GraftExtensions.injectPlannerStrategy`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, dir, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -73,6 +90,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression,
+    direction: String, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
 
@@ -116,6 +134,12 @@ case class AsOfJoinExec(
     val nRight = right.output.length
     val leftAttrs = left.output
     val rightAttrs = right.output
+    // backward/nearest consume rows with rt == lt into the backward
+    // candidate (max tie wins); forward must stop there instead (min tie
+    // wins among rt ≥ lt, and the stop row is exactly that minimum)
+    val isForward = direction == "forward"
+    val needBackward = direction != "forward"
+    val tol = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
@@ -125,6 +149,7 @@ case class AsOfJoinExec(
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       var cand: InternalRow = null
       var candKey = 0L
+      var candTime = 0L
       def advance(): Unit =
         rRow = if (rIter.hasNext) rIter.next() else null
       new Iterator[InternalRow] {
@@ -145,15 +170,44 @@ case class AsOfJoinExec(
             if (rk == null || rt == null) advance() // nulls-first: skip
             else {
               val rkL = toL(rk)
+              val consumes = rkL == lkL &&
+                (if (isForward) toL(rt) < ltL else toL(rt) <= ltL)
               if (rkL < lkL) { cand = null; advance() }
-              else if (rkL == lkL && toL(rt) <= ltL) {
+              else if (consumes) {
                 // sorted (key, time, tie) asc ⇒ last seen = max (time, tie)
-                cand = rRow.copy(); candKey = lkL; advance()
+                if (needBackward) {
+                  cand = rRow.copy(); candKey = lkL; candTime = toL(rt)
+                }
+                advance()
               } else scanning = false
             }
           }
-          if (cand != null) matched += 1
-          proj(joined(l, if (cand != null) cand else nullRight))
+          // the stop row (if same key) is the forward candidate: the
+          // minimum (time, tie) among rows with rt ≥ lt (forward) or
+          // rt > lt (nearest)
+          var fwdTime = 0L
+          var fwdOk = false
+          if (!needBackward || direction == "nearest") {
+            if (rRow != null) {
+              val rk = rKeyB.eval(rRow)
+              val rt = rTimeB.eval(rRow)
+              if (rk != null && rt != null && toL(rk) == lkL) {
+                fwdTime = toL(rt); fwdOk = true
+              }
+            }
+          }
+          val bwOk = needBackward && cand != null && ltL - candTime <= tol
+          val fOk = fwdOk && fwdTime - ltL <= tol
+          val m: InternalRow = direction match {
+            case "forward" => if (fOk) rRow else null
+            case "nearest" =>
+              if (bwOk && fOk) {
+                if (ltL - candTime <= fwdTime - ltL) cand else rRow
+              } else if (bwOk) cand else if (fOk) rRow else null
+            case _ => if (bwOk) cand else null
+          }
+          if (m != null) matched += 1
+          proj(joined(l, if (m != null) m else nullRight))
         }
       }
     }
@@ -164,15 +218,39 @@ case class AsOfJoinExec(
 object AsOf {
   private val okTypes: Set[DataType] =
     Set(LongType, IntegerType, TimestampType, DateType)
+  private val okDirections = Set("backward", "forward", "nearest")
 
-  /** Backward as-of LEFT join: each left row paired with the right row
-    * holding the greatest (rightTime, rightTie) among rows of the same
-    * key with rightTime ≤ leftTime; unmatched left rows keep null right
-    * columns. Column names must be unambiguous across the two inputs. */
+  /** The physical-unit family of a column: the sweep compares raw
+    * physical values (µs for timestamps, days for dates, the value
+    * itself for integrals), so a cross-side pair must share a family or
+    * the comparison is silently meaningless (µs vs days). Int vs Long is
+    * fine — both are the raw value, widened. */
+  private def unitFamily(dt: DataType): String = dt match {
+    case TimestampType => "timestamp (epoch-µs)"
+    case DateType => "date (epoch-days)"
+    case _ => "integral"
+  }
+
+  /** As-of LEFT join: each left row paired with its `direction`-winning
+    * right row of the same key (backward: greatest (rightTime, rightTie)
+    * with rightTime ≤ leftTime; forward: least with rightTime ≥
+    * leftTime; nearest: the time-closer of the two, backward on ties),
+    * optionally bounded by `tolerance` in the time columns' raw units
+    * (µs for timestamps, days for dates); unmatched left rows keep null
+    * right columns. Column names must be unambiguous across the two
+    * inputs; the key pair and the time pair must each share a physical
+    * unit. */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightTie: String): DataFrame = {
+           rightTie: String,
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
+    require(okDirections.contains(direction),
+      s"as-of join direction must be one of ${okDirections.mkString("/")}, " +
+        s"got '$direction'")
+    tolerance.foreach(t => require(t >= 0,
+      s"as-of join tolerance must be non-negative, got $t"))
     val lPlan = org.apache.spark.sql.graft.Shim.analyzed(left)
     val rPlan = org.apache.spark.sql.graft.Shim.analyzed(right)
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
@@ -188,7 +266,15 @@ object AsOf {
         s"as-of join column '${a.name}' must be integral/timestamp/date, " +
           s"got ${a.dataType.simpleString}")
     }
+    def sameUnit(l: Attribute, r: Attribute, what: String): Unit =
+      require(unitFamily(l.dataType) == unitFamily(r.dataType),
+        s"as-of join $what columns compare raw physical values and must " +
+          s"share a unit: '${l.name}' is ${unitFamily(l.dataType)} but " +
+          s"'${r.name}' is ${unitFamily(r.dataType)}")
+    sameUnit(cols(0), cols(1), "key")
+    sameUnit(cols(2), cols(3), "time")
     org.apache.spark.sql.graft.Shim.ofRows(left.sparkSession,
-      AsOfJoin(lPlan, rPlan, cols(0), cols(1), cols(2), cols(3), cols(4)))
+      AsOfJoin(lPlan, rPlan, cols(0), cols(1), cols(2), cols(3), cols(4),
+        direction, tolerance))
   }
 }

@@ -49,6 +49,122 @@ class AsOfJoinSpec extends SparkSpecBase {
       "the as-of pairing happens inside the operator, not a pre-join")
   }
 
+  test("forward direction: min (time, tie) at-or-after, empty-match nulls") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 1L, "r11"), (1L, 10L, 2L, "r12"),
+      (1L, 15L, 3L, "r15"), (2L, 99L, 4L, "r99"))
+      .toDF("rk", "rt", "tie", "payload")
+    val got = AsOf.join(l, r, "k", "rk", "t", "rt", "tie",
+        direction = "forward")
+      .select(col("tag"), col("payload")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    // boundary tie rt == t IS a forward match, and among equal times the
+    // SMALLER tie wins (mirror image of backward's larger-tie-wins)
+    assert(got("a") == "r11")
+    // nothing at-or-after t=20 -> null
+    assert(got("b") == null)
+    assert(got("c") == "r99")
+    assert(got("d") == null)
+  }
+
+  test("tolerance bounds both directions; nearest prefers backward on ties") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (4L, 12L, "e"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 1L, "r11"), (1L, 10L, 2L, "r12"),
+      (1L, 15L, 3L, "r15"), (2L, 99L, 4L, "r99"),
+      (4L, 10L, 1L, "rA"), (4L, 14L, 2L, "rB"))
+      .toDF("rk", "rt", "tie", "payload")
+    def run(dir: String, tol: Option[Long]): Map[String, String] =
+      AsOf.join(l, r, "k", "rk", "t", "rt", "tie",
+          direction = dir, tolerance = tol)
+        .select(col("tag"), col("payload")).collect()
+        .map(x => x.getString(0) -> x.getString(1)).toMap
+    // forward with tolerance 5: c's only candidate is 94 away -> null
+    val fwd = run("forward", Some(5L))
+    assert(fwd("a") == "r11" && fwd("c") == null)
+    // nearest, unbounded: equal-time beats later (a), only-backward (b),
+    // only-forward (c), and an exact distance tie (e: 10 vs 14 from 12)
+    // resolves backward
+    val near = run("nearest", None)
+    assert(near("a") == "r12") // dist 0 backward beats dist 5 forward
+    assert(near("b") == "r15") // backward only
+    assert(near("c") == "r99") // forward only
+    assert(near("e") == "rA")  // tie: backward preferred
+    // nearest with tolerance 5 drops c's distant forward match, keeps b
+    val nearTol = run("nearest", Some(5L))
+    assert(nearTol("b") == "r15" && nearTol("c") == null)
+    // backward with tolerance: b's candidate r15 is 5 back (kept at 5,
+    // dropped at 4)
+    assert(run("backward", Some(5L))("b") == "r15")
+    assert(run("backward", Some(4L))("b") == null)
+  }
+
+  test("mixed time units are rejected at plan-build time") {
+    import spark.implicits._
+    val l = Seq((1L, "2024-01-02 03:04:05", "a")).toDF("k", "ts", "tag")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Seq((1L, "2024-01-01", 1L)).toDF("rk", "d", "tie")
+      .withColumn("d", col("d").cast("date"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "rk", "ts", "d", "tie")
+    }
+    assert(e.getMessage.contains("share a unit"))
+    // same family (timestamp vs timestamp) is fine
+    val r2 = r.withColumn("d", col("d").cast("timestamp"))
+    assert(AsOf.join(l, r2, "k", "rk", "ts", "d", "tie").count() == 1)
+  }
+
+  test("forward/nearest with tolerance equal their window-form twins") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.engine.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts")).alias("c")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts")).alias("p")
+    val tolUs = Kpis.ASOF_TOLERANCE_US
+    val diff = unix_micros(col("p.p_ts")) - unix_micros(col("c.ts"))
+    val wf = Window.partitionBy(col("c.event_id"))
+      .orderBy(col("p.p_ts").asc_nulls_last,
+        col("p.p_event_id").asc_nulls_last)
+    val windowFwd = c.join(p,
+        col("c.user_id") === col("p.p_user_id") &&
+          col("p.p_ts") >= col("c.ts") && diff <= tolUs, "left")
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") === 1)
+      .select(col("c.event_id"), col("c.user_id"),
+        col("p.p_event_id").as("purchase_id"),
+        date_format(col("p.p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("event_id").collect()
+    val nativeFwd = Kpis.eventOrderAsofForward(spark, sf).collect()
+    assert(nativeFwd.length == windowFwd.length && nativeFwd.nonEmpty)
+    assert(nativeFwd.exists(_.get(2) != null),
+      "the 24h forward tolerance must leave some matches at sf0.001")
+    assert(nativeFwd.exists(_.get(2) == null),
+      "the 24h forward tolerance must drop some matches at sf0.001")
+    nativeFwd.zip(windowFwd).foreach { case (a, b) => assert(a == b) }
+
+    val wn = Window.partitionBy(col("c.event_id"))
+      .orderBy(abs(diff).asc_nulls_last,
+        (col("p.p_ts") > col("c.ts")).asc_nulls_last,
+        when(col("p.p_ts") > col("c.ts"), col("p.p_event_id"))
+          .otherwise(-col("p.p_event_id")).asc_nulls_last)
+    val windowNear = c.join(p,
+        col("c.user_id") === col("p.p_user_id") && abs(diff) <= tolUs, "left")
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("c.event_id"), col("c.user_id"),
+        col("p.p_event_id").as("purchase_id"),
+        date_format(col("p.p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("event_id").collect()
+    val nativeNear = Kpis.eventOrderAsofNearest(spark, sf).collect()
+    assert(nativeNear.length == windowNear.length)
+    nativeNear.zip(windowNear).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("explode_pairs generator matches the lambda fan-out and plans Generate") {
     import spark.implicits._
     // micro: ordered pairs, empty and single arrays fan out to nothing
