@@ -168,12 +168,18 @@ object Dedup {
       // Pointer-doubling hop; disjoint column names dodge self-join
       // attribute dedup pitfalls.
       val hop = stepped.select(col("id").as("cid"), col("label").as("clabel"))
+      // convergence count rides the checkpoint job via observe() — the
+      // round's change detection costs zero extra jobs (previously one
+      // filter().count() job per round)
+      val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iters")
       val next = stepped
         .join(hop, col("label") === col("cid"), "left")
         .select(col("id"), col("old"),
           coalesce(col("clabel"), col("label")).as("label"))
+        .observe(obs, sum(when(col("label") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select(col("id"), col("label"))
       iters += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))

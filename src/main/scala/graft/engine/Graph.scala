@@ -109,19 +109,24 @@ object Graph {
     var rank = nodes.select(col("node"), lit(PR_SCALE / nNodes).as("r"))
       .localCheckpoint()
     val mass = Seq.newBuilder[Long]
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val flows = ew.join(rank, col("src") === col("node"))
         .select(col("dst"), expr("(r * w) div outw").as("flow"))
       val gathered = flows.groupBy(col("dst")).agg(sum(col("flow")).as("inflow"))
+      // mass-conservation check rides the checkpoint job via observe():
+      // CollectMetrics accumulates during the SAME pass that materializes
+      // the round's rank vector — the per-round hard-fail semantics cost
+      // zero extra jobs (previously one agg().head job per round)
+      val obs = new org.apache.spark.sql.Observation(s"pr_mass_$i")
       rank = nodes.select(col("node"))
         .join(gathered, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"(${PR_D_NUM}L * coalesce(inflow, 0L)) div ${PR_D_DEN}L"))
             .as("r"))
+        .observe(obs, sum(col("r")).as("mass"))
         .localCheckpoint()
-      // scalar mass-conservation check (the CC convergence-check pattern)
-      mass += rank.agg(sum(col("r"))).head.getLong(0)
+      mass += obs.get("mass").asInstanceOf[Long]
     }
     val out = nodes.join(rank, "node")
       .select(col("n_name"), col("r").as("rank_scaled"),

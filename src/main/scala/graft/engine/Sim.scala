@@ -294,9 +294,13 @@ object Sim {
     var cents = strideCentroids(e)
     var lastUpd: DataFrame = null
     val trace = Seq.newBuilder[Double]
-    for (_ <- 1 to iters) {
-      val assign = assignTo(e, cents).localCheckpoint()
-      trace += assign.agg(avg(col("cos"))).head.getDouble(0)
+    for (i <- 1 to iters) {
+      // objective trace rides the checkpoint job via observe() — the
+      // monotonicity monitor costs zero extra jobs per round
+      val obs = new org.apache.spark.sql.Observation(s"km_cos_$i")
+      val assign = assignTo(e, cents)
+        .observe(obs, avg(col("cos")).as("mean_cos")).localCheckpoint()
+      trace += obs.get("mean_cos").asInstanceOf[Double]
       lastUpd = lloydUpdate(e, assign)
       cents = toCentroidArrays(lastUpd).localCheckpoint()
     }
