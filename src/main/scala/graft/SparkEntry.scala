@@ -211,6 +211,9 @@ object SparkEntry {
     // operator (kdb aj / pandas merge_asof parity) ----
     "q123_asof_forward"            -> (Kpis.eventOrderAsofForward _),
     "q124_asof_nearest"            -> (Kpis.eventOrderAsofNearest _),
+    // ---- round 6: selective salted join (join twin of q61's salted
+    // agg; oracle is the unsalted join, proving semantics preserved) ----
+    "q125_salted_skew_join"        -> (Skew.saltedSkewJoin _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -546,6 +549,14 @@ object SparkEntry {
         |SELECT event_id, user_id, p_event_id AS purchase_id,
         | strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // the UNSALTED join: hot-path + cold-path + union must be invisible
+    "q125_salted_skew_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS DOUBLE)
+        |  / CAST(100 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q42_topk_aggregator" -> OracleTwins.embeddingTopK,
     "q43_dup_clusters"    -> OracleTwins.dupClusters,
