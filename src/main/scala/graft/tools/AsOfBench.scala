@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Measures what whole-stage codegen could possibly buy AsOfJoinExec
+  * (VERDICT r5 ask #3): the operator executes its two-pointer sweep as an
+  * iterator `doExecute` outside WholeStageCodegen, while its children
+  * (shuffle exchange + per-partition sort on both sides) codegen normally.
+  * Fusing the sweep could at most remove the sweep's own per-row virtual
+  * calls — so time the exec's exact inputs drained WITHOUT the sweep
+  * (same distribution + ordering, `toRdd.foreachPartition` drain, no agg
+  * on top that could let the optimizer elide the sort) against the full
+  * native join, and against the window form it replaces.
+  *
+  * Usage: runMain graft.tools.AsOfBench [sfDir] — prints one JSON line:
+  * children_sec (exchange+sort both sides), native_sec (children +
+  * sweep + unsafe projection), sweep_share (native − children, as a
+  * fraction of native), window_sec (the expand+rank form, for scale).
+  */
+object AsOfBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.Sessions.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def drain(df: DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
+    def time(df: => DataFrame, repeat: Int = 3): Double =
+      (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        drain(df)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    def leftSide = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    def rightSide = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+
+    // the exec's requiredChildDistribution/Ordering, reproduced exactly;
+    // the explicit top-level sortWithinPartitions cannot be elided
+    // because the drain consumes the sorted output itself
+    def childrenOnly: Double =
+      time(leftSide.repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts")) +
+      time(rightSide.repartition(col("o_custkey"))
+        .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey"))
+
+    def native = graft.plans.AsOf.join(leftSide, rightSide,
+      "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+
+    def window = {
+      import org.apache.spark.sql.expressions.Window
+      val e = leftSide.alias("e")
+      val o = rightSide.alias("o")
+      val w = Window.partitionBy(col("e.event_id"))
+        .orderBy(col("o.o_orderdate").desc_nulls_last,
+          col("o.o_orderkey").desc_nulls_last)
+      e.join(o, col("e.user_id") === col("o.o_custkey") &&
+          col("o.o_orderdate") <= col("e.ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+
+    // warmup: JIT + codegen compile outside any timing window
+    drain(native); drain(window)
+
+    val childrenSec = childrenOnly
+    val nativeSec = time(native)
+    val windowSec = time(window)
+    val sweepSec = math.max(0.0, nativeSec - childrenSec)
+    println(s"""{"sf_dir":"$sfDir","children_sec":$childrenSec,""" +
+      s""""native_sec":$nativeSec,"sweep_sec":$sweepSec,""" +
+      s""""sweep_share":${sweepSec / nativeSec},""" +
+      s""""window_sec":$windowSec}""")
+    spark.stop()
+  }
+}
