@@ -398,7 +398,9 @@ object OracleTwins {
        |  FROM embeddings),
        |c AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
-       |  FROM e WHERE vec_id % ${Sim.IVF_STRIDE} = 0),
+       |  FROM e WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |    FROM e) = 0),
        |s AS (
        |  SELECT e.vec_id, c.cent_id, ${dot("embedding", "cv")} / (nrm * cnrm) AS cos
        |  FROM e, c),
@@ -470,7 +472,9 @@ object OracleTwins {
        |  FROM embeddings),
        |c0 AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
-       |  FROM e WHERE vec_id % ${Sim.IVF_STRIDE} = 0),
+       |  FROM e WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |    FROM e) = 0),
        |$rounds
        |SELECT cent_id, dim, n_members,
        |  ssum::DOUBLE / (n_members * ${Sim.KMEANS_SCALE})::DOUBLE AS new_coord

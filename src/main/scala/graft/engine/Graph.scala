@@ -108,16 +108,19 @@ object Graph {
     val base = (PR_D_DEN - PR_D_NUM) * PR_SCALE / (PR_D_DEN * nNodes)
     var rank = nodes.select(col("node"), lit(PR_SCALE / nNodes).as("r"))
       .localCheckpoint()
-    val mass = Seq.newBuilder[Long]
-    for (i <- 1 to iters) {
+    // mass-conservation checks ride the checkpoint jobs via observe():
+    // CollectMetrics accumulates during the SAME pass that materializes
+    // each round's rank vector — zero extra jobs (previously one
+    // agg().head job per round). The blocking get() calls are DEFERRED
+    // until after the loop: the values exist as soon as each job ends,
+    // but the listener-bus delivery is async, and awaiting it inside the
+    // loop would serialize rounds behind the event queue (measured 4×
+    // on sf1, where each round's job is milliseconds).
+    val observations = (1 to iters).map { i =>
+      val obs = new org.apache.spark.sql.Observation(s"pr_mass_$i")
       val flows = ew.join(rank, col("src") === col("node"))
         .select(col("dst"), expr("(r * w) div outw").as("flow"))
       val gathered = flows.groupBy(col("dst")).agg(sum(col("flow")).as("inflow"))
-      // mass-conservation check rides the checkpoint job via observe():
-      // CollectMetrics accumulates during the SAME pass that materializes
-      // the round's rank vector — the per-round hard-fail semantics cost
-      // zero extra jobs (previously one agg().head job per round)
-      val obs = new org.apache.spark.sql.Observation(s"pr_mass_$i")
       rank = nodes.select(col("node"))
         .join(gathered, col("node") === col("dst"), "left")
         .select(col("node"),
@@ -126,8 +129,10 @@ object Graph {
             .as("r"))
         .observe(obs, sum(col("r")).as("mass"))
         .localCheckpoint()
-      mass += obs.get("mass").asInstanceOf[Long]
+      obs
     }
+    val mass = Seq.newBuilder[Long]
+    observations.foreach(o => mass += o.get("mass").asInstanceOf[Long])
     val out = nodes.join(rank, "node")
       .select(col("n_name"), col("r").as("rank_scaled"),
         round6(col("r").cast("double") / lit(PR_SCALE.toDouble)).as("rank"))

@@ -102,6 +102,20 @@ object Sim {
   val IVF_STRIDE = 25
   val IVF_TOP_K = 3
 
+  /** Cap on the centroid count. A fixed stride makes K grow linearly
+    * with N, which turns every N×K assignment pass quadratic in the
+    * corpus — caught at the ×100 scale point (sf10: 200k vectors → 8,000
+    * cells → 1.6B scored pairs per pass). Past IVF_STRIDE·IVF_MAX_CELLS
+    * vectors the stride grows with N instead, holding K at
+    * [[IVF_MAX_CELLS]] — real IVF indexes likewise fix nlist (or grow it
+    * ~√N), never linearly. 80 = the K at sf0.1, so every tested SF's
+    * results are byte-identical to the uncapped form. */
+  val IVF_MAX_CELLS = 80L
+
+  /** Stride that keeps the centroid count ≤ [[IVF_MAX_CELLS]]. */
+  private[graft] def centroidStride(n: Long): Long =
+    math.max(IVF_STRIDE.toLong, (n + IVF_MAX_CELLS - 1) / IVF_MAX_CELLS)
+
   /** Corpus with precomputed norms — the shared input of every IVF /
     * k-means pass. */
   private def vecsWithNorm(spark: SparkSession, dir: String): DataFrame =
@@ -109,9 +123,12 @@ object Sim {
       .select(col("vec_id"), col("embedding"),
         sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
 
-  /** Initial centroids: the deterministic stride slice of the corpus. */
+  /** Initial centroids: the deterministic stride slice of the corpus,
+    * stride widened past [[IVF_MAX_CELLS]]·[[IVF_STRIDE]] vectors so K
+    * never scales with N (the one corpus-size scalar read; the oracle
+    * computes the identical stride via a COUNT subquery). */
   private def strideCentroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % IVF_STRIDE === 0)
+    e.filter(col("vec_id") % centroidStride(e.count()) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("nrm").as("cnrm"))
 
@@ -294,16 +311,18 @@ object Sim {
     var cents = strideCentroids(e)
     var lastUpd: DataFrame = null
     val trace = Seq.newBuilder[Double]
-    for (i <- 1 to iters) {
-      // objective trace rides the checkpoint job via observe() — the
-      // monotonicity monitor costs zero extra jobs per round
+    // objective trace rides the checkpoint jobs via observe() — zero
+    // extra jobs; the blocking get() calls are deferred past the loop so
+    // rounds never await the async listener bus (see Graph.pageRankRun)
+    val observations = (1 to iters).map { i =>
       val obs = new org.apache.spark.sql.Observation(s"km_cos_$i")
       val assign = assignTo(e, cents)
         .observe(obs, avg(col("cos")).as("mean_cos")).localCheckpoint()
-      trace += obs.get("mean_cos").asInstanceOf[Double]
       lastUpd = lloydUpdate(e, assign)
       cents = toCentroidArrays(lastUpd).localCheckpoint()
+      obs
     }
+    observations.foreach(o => trace += o.get("mean_cos").asInstanceOf[Double])
     (lastUpd.orderBy("cent_id", "dim"), trace.result())
   }
 

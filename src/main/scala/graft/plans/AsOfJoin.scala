@@ -103,6 +103,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override def outputPartitioning: Partitioning = left.outputPartitioning
+  // rows are emitted in the left child's order, so a downstream sort on
+  // (key, time) — e.g. a per-key window right after the join — is elided
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)),

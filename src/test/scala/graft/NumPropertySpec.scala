@@ -44,4 +44,23 @@ class NumPropertySpec extends SparkSpecBase {
       .collect().take(5).map(r => (r.getLong(0), r.getLong(1)))
     assert(top.toSeq == full.toSeq)
   }
+
+  test("centroid stride caps K at IVF_MAX_CELLS for any corpus size") {
+    import graft.engine.Sim
+    // below the cap boundary the stride is the fixed training stride
+    // (tested SFs stay byte-identical); above it K is bounded and the
+    // stride is minimal for that bound
+    for (n <- Seq(1L, 100L, 500L, 2000L, Sim.IVF_STRIDE * Sim.IVF_MAX_CELLS,
+        2001L, 20000L, 200000L, 2000000L, 987654321L)) {
+      val stride = Sim.centroidStride(n)
+      val k = (n + stride - 1) / stride // upper bound on selected ids
+      assert(stride >= Sim.IVF_STRIDE)
+      assert(k <= Sim.IVF_MAX_CELLS,
+        s"n=$n stride=$stride k=$k exceeds the cell cap")
+      if (n <= Sim.IVF_STRIDE * Sim.IVF_MAX_CELLS)
+        assert(stride == Sim.IVF_STRIDE, s"cap must not engage at n=$n")
+      else assert((n + stride - 1) / stride == Sim.IVF_MAX_CELLS ||
+        stride == (n + Sim.IVF_MAX_CELLS - 1) / Sim.IVF_MAX_CELLS)
+    }
+  }
 }
