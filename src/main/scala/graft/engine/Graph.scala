@@ -213,6 +213,29 @@ object Graph {
       .distinct()
   }
 
+  /** Per-node degrees of an (s1, s2) undirected edge list. */
+  private[graft] def degreesOf(ranked: DataFrame): DataFrame =
+    ranked.select(col("s1").as("node"))
+      .unionAll(ranked.select(col("s2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Orient each edge from lower to higher (deg, node). The orientation
+    * only needs a TOTAL ORDER on (deg, node) — the (deg, node) struct IS
+    * one (lexicographic least/greatest), so no global row_number rank is
+    * ever materialized (round 5 ranked nodes through an unpartitioned
+    * window: a single reducer sorting |V| rows, the q98 anti-pattern). */
+  private[graft] def orientEdges(ranked: DataFrame, deg: DataFrame): DataFrame =
+    ranked
+      .join(broadcast(deg), col("s1") === col("node"))
+      .withColumnRenamed("deg", "d1").drop("node")
+      .join(broadcast(deg), col("s2") === col("node"))
+      .withColumnRenamed("deg", "d2").drop("node")
+      .select(
+        least(struct(col("d1").as("d"), col("s1").as("n")),
+          struct(col("d2").as("d"), col("s2").as("n"))).as("u"),
+        greatest(struct(col("d1").as("d"), col("s1").as("n")),
+          struct(col("d2").as("d"), col("s2").as("n"))).as("v"))
+
   /** Degree-ordered triangle counting over the union-kNN co-supply graph
     * — the shape that survives web-scale graphs:
     *
@@ -233,19 +256,8 @@ object Graph {
     val nTotal = e.agg(count(lit(1)).as("n_edges_total"))
     val ranked = knnEdgesFrom(e)
       .select(col("s1"), col("s2")).localCheckpoint()
-    val deg = ranked.select(col("s1").as("node"))
-      .unionAll(ranked.select(col("s2").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val pos = deg.withColumn("pos",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("deg"), col("node")))).select(col("node"), col("pos"))
-    val oriented = ranked
-      .join(broadcast(pos), col("s1") === col("node"))
-      .withColumnRenamed("pos", "p1").drop("node")
-      .join(broadcast(pos), col("s2") === col("node"))
-      .withColumnRenamed("pos", "p2").drop("node")
-      .select(least(col("p1"), col("p2")).as("u"),
-        greatest(col("p1"), col("p2")).as("v"))
+    val deg = degreesOf(ranked)
+    val oriented = orientEdges(ranked, deg)
       .localCheckpoint() // read 3× (two wedge legs + the closing semi join)
     val wedges = oriented.select(col("u").as("a"), col("v").as("b"))
       .join(oriented.select(col("u").as("a"), col("v").as("c")), Seq("a"))

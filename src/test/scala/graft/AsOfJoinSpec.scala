@@ -39,14 +39,18 @@ class AsOfJoinSpec extends SparkSpecBase {
   }
 
   test("plan contains AsOfJoinExec and neither Window nor expanded join") {
-    val df = Kpis.eventOrderAsofNative(spark, sf)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin"), "native operator must be planned")
-    assert(!plan.contains("Window"),
-      "the native form must not fall back to the expand+rank plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
-      "the as-of pairing happens inside the operator, not a pre-join")
+    // all three directions plan through the native operator
+    for (df <- Seq(Kpis.eventOrderAsofNative(spark, sf),
+        Kpis.eventOrderAsofForward(spark, sf),
+        Kpis.eventOrderAsofNearest(spark, sf))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), "native operator must be planned")
+      assert(!plan.contains("Window"),
+        "the native form must not fall back to the expand+rank plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        "the as-of pairing happens inside the operator, not a pre-join")
+    }
   }
 
   test("forward direction: min (time, tie) at-or-after, empty-match nulls") {

@@ -122,6 +122,29 @@ class PlanShapeSpec extends SparkSpecBase {
       "the exact filter must be a semi join, not a row-multiplying inner")
   }
 
+  test("triangle orientation plans no window at all (struct order, not rank)") {
+    // the (deg, node) total order replaces round-5's global row_number —
+    // assert on the un-checkpointed subplan (triangleCount materializes
+    // it, which would hide the window from the final executed plan)
+    val ranked = graft.engine.Graph.knnEdgesFrom(
+      graft.engine.Graph.coSupplyEdges(spark, sf))
+      .select(org.apache.spark.sql.functions.col("s1"),
+        org.apache.spark.sql.functions.col("s2"))
+    val oriented = graft.engine.Graph.orientEdges(
+      ranked, graft.engine.Graph.degreesOf(ranked))
+    oriented.collect()
+    // the kNN cut's per-node top-K window (partitioned by node) is the
+    // legitimate distributed group limit; what must never appear is an
+    // UNPARTITIONED window — the single-reducer global rank
+    val globalWindows = allNodes(oriented.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"orientation must not rank nodes through a global window, " +
+        s"got $globalWindows")
+  }
+
   test("kNN graph cut prunes per-node state via WindowGroupLimit") {
     // assert on the cut subplan itself — triangleCount localCheckpoints
     // it, which hides the window from the downstream executed plan
