@@ -214,6 +214,9 @@ object SparkEntry {
     // ---- round 6: selective salted join (join twin of q61's salted
     // agg; oracle is the unsalted join, proving semantics preserved) ----
     "q125_salted_skew_join"        -> (Skew.saltedSkewJoin _),
+    // ---- round 6: broadcast as-of strategy (zero probe-side shuffle;
+    // third execution of the same as-of semantics, same oracle) ----
+    "q126_asof_broadcast"          -> (Kpis.eventOrderAsofBroadcast _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -509,6 +512,8 @@ object SparkEntry {
     // same oracle on purpose: the native sorted-merge operator must be
     // indistinguishable from the window form, row for row
     "q112_asof_native" -> asofOracle,
+    // and the broadcast strategy from both
+    "q126_asof_broadcast" -> asofOracle,
 
     // direction/tolerance knobs of the native operator, each against an
     // independent window-form twin (expand within tolerance + rank)

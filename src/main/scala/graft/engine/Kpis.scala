@@ -391,6 +391,25 @@ object Kpis {
   /** Tolerance of the bounded as-of joins (24 h, µs). */
   val ASOF_TOLERANCE_US = 86400L * 1000000L
 
+  /** [[eventOrderAsofNative]]'s semantics through the BROADCAST as-of
+    * strategy ([[graft.plans.BroadcastAsOfJoinExec]]): the orders side
+    * broadcasts as a per-key sorted time index and the event stream is
+    * probed map-side — no shuffle, no sort on the probe side at all.
+    * Same oracle as q41/q112 on purpose: window form, sorted-merge form
+    * and broadcast form must be row-for-row indistinguishable. */
+  def eventOrderAsofBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    graft.plans.AsOf.join(e, o,
+        "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
+        broadcastRight = true)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("order_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date"))
+      .orderBy("event_id")
+  }
+
   private def clickPurchaseSides(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val ev = events(spark, dir)

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, Partitioning}
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{DateType, DataType, IntegerType,
   LongType, TimestampType}
@@ -60,7 +61,8 @@ case class AsOfJoin(
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression,
     direction: String = "backward",
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    broadcastRight: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -68,13 +70,18 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: [[AsOfJoin]] → [[AsOfJoinExec]]. Injected via
+/** Planner rule: [[AsOfJoin]] → [[AsOfJoinExec]] (sorted-merge) or
+  * [[BroadcastAsOfJoinExec]] (map-side binary search). Injected via
   * `GraftExtensions.injectPlannerStrategy`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, dir, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, dir, tol,
-        planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, dir, tol, bcast) =>
+      if (bcast)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tie, dir, tol,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, tie, dir, tol,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -218,6 +225,141 @@ case class AsOfJoinExec(
   }
 }
 
+/** Map-side as-of join against a BROADCAST right side — the strategy for
+  * the reference-table shape (currency rates, config epochs, dimension
+  * versions): the sorted-merge exec shuffles BOTH sides on the key, so a
+  * 100 TB probe stream pays a full exchange + sort to join a right side
+  * of a few thousand rows. Here the right side broadcasts once
+  * (EnsureRequirements inserts the BroadcastExchange from the declared
+  * BroadcastDistribution), each task builds the per-key sorted time index
+  * from it, and every left row resolves by binary search — zero probe
+  * shuffle, zero probe sort, left partitioning and ordering preserved.
+  * Same winner semantics as [[AsOfJoinExec]], all three directions plus
+  * tolerance (AsOfJoinSpec pins equality operator-vs-operator). */
+case class BroadcastAsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression,
+    direction: String, tolerance: Option[Long],
+    left: SparkPlan, right: SparkPlan)
+  extends SparkPlan with BinaryExecNode {
+
+  override lazy val metrics =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+      "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched rows"))
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  // the probe side is never moved or re-sorted — that is the point
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def toL(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.longValue()
+    case other => throw new IllegalStateException(
+      s"as-of join key/time must evaluate to a long/int, got $other")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val rTieB = BindReferences.bindReference(rightTie, right.output)
+    val nRight = right.output.length
+    val leftAttrs = left.output
+    val rightAttrs = right.output
+    val isForward = direction == "forward"
+    val isNearest = direction == "nearest"
+    val tol = tolerance.getOrElse(Long.MaxValue)
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      // per-task index: key → rows sorted by (time, tie); the broadcast
+      // side is small by contract, so the build is O(m log m) cheap
+      val index = new java.util.HashMap[Long, Array[(Long, Long, InternalRow)]]
+      val staging =
+        new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[
+          (Long, Long, InternalRow)]]
+      broadcastRows.value.foreach { r =>
+        val k = rKeyB.eval(r)
+        val t = rTimeB.eval(r)
+        if (k != null && t != null) { // nulls never match, as in the sweep
+          val tie = rTieB.eval(r)
+          val tieL = if (tie == null) Long.MinValue else toL(tie)
+          staging.computeIfAbsent(toL(k),
+            _ => scala.collection.mutable.ArrayBuffer.empty)
+            .append((toL(t), tieL, r))
+        }
+      }
+      staging.forEach { (k, buf) =>
+        index.put(k, buf.sortBy(x => (x._1, x._2)).toArray)
+      }
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      val proj = UnsafeProjection.create(
+        (leftAttrs ++ rightAttrs).map(_.withNullability(true)),
+        leftAttrs ++ rightAttrs)
+      lIter.map { l =>
+        outRows += 1
+        val lk = lKeyB.eval(l)
+        val lt = lTimeB.eval(l)
+        var m: InternalRow = null
+        if (lk != null && lt != null) {
+          val arr = index.get(toL(lk))
+          if (arr != null) {
+            val ltL = toL(lt)
+            // first index with time > ltL (backward boundary);
+            // equivalently: forward candidates start at the first index
+            // with time ≥ ltL
+            var lo = 0
+            var hi = arr.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (arr(mid)._1 <= ltL) lo = mid + 1 else hi = mid
+            }
+            val bwIdx = lo - 1 // last time ≤ ltL (max tie: sorted asc)
+            // forward: first time ≥ ltL — step back over equal times to
+            // their FIRST occurrence (min tie wins, mirror of backward)
+            var fwIdx = lo
+            if (isForward) {
+              var i = lo - 1
+              while (i >= 0 && arr(i)._1 == ltL) { fwIdx = i; i -= 1 }
+            }
+            val bwOk = !isForward && bwIdx >= 0 &&
+              ltL - arr(bwIdx)._1 <= tol
+            val fwOk = (isForward || isNearest) && fwIdx < arr.length &&
+              arr(fwIdx)._1 - ltL <= tol
+            m =
+              if (isForward) { if (fwOk) arr(fwIdx)._3 else null }
+              else if (isNearest) {
+                if (bwOk && fwOk) {
+                  if (ltL - arr(bwIdx)._1 <= arr(fwIdx)._1 - ltL)
+                    arr(bwIdx)._3
+                  else arr(fwIdx)._3
+                } else if (bwOk) arr(bwIdx)._3
+                else if (fwOk) arr(fwIdx)._3 else null
+              } else { if (bwOk) arr(bwIdx)._3 else null }
+          }
+        }
+        if (m != null) matched += 1
+        proj(joined(l, if (m != null) m else nullRight))
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 /** Public API over the native operator. */
 object AsOf {
   private val okTypes: Set[DataType] =
@@ -243,13 +385,20 @@ object AsOf {
     * (µs for timestamps, days for dates); unmatched left rows keep null
     * right columns. Column names must be unambiguous across the two
     * inputs; the key pair and the time pair must each share a physical
-    * unit. */
+    * unit.
+    *
+    * `broadcastRight = true` switches to the map-side strategy
+    * ([[BroadcastAsOfJoinExec]]): the right side broadcasts as a per-key
+    * sorted time index and the probe side is never shuffled or sorted —
+    * the right call when the right side is a bounded reference table and
+    * the left is the 100 TB stream. Same results, spec-pinned. */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightTie: String,
            direction: String = "backward",
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None,
+           broadcastRight: Boolean = false): DataFrame = {
     require(okDirections.contains(direction),
       s"as-of join direction must be one of ${okDirections.mkString("/")}, " +
         s"got '$direction'")
@@ -279,6 +428,6 @@ object AsOf {
     sameUnit(cols(2), cols(3), "time")
     org.apache.spark.sql.graft.Shim.ofRows(left.sparkSession,
       AsOfJoin(lPlan, rPlan, cols(0), cols(1), cols(2), cols(3), cols(4),
-        direction, tolerance))
+        direction, tolerance, broadcastRight))
   }
 }

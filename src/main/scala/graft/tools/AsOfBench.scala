@@ -74,17 +74,38 @@ object AsOfBench {
         .drop("rn")
     }
 
+    // scenario 2 — the broadcast strategy's regime: a fact-scale probe
+    // (lineitem, 6M rows at sf1) as-of joining a SMALL reference table
+    // (one rate epoch per supplier, |supplier| rows). The sorted-merge
+    // form must exchange+sort the whole probe side; the broadcast form
+    // ships the reference index and never moves the probe.
+    def probe = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    def rates = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"),
+        expr("timestamp'1995-01-01' + make_interval(0, 0, 0, " +
+          "cast(s_suppkey % 365 AS int), 0, 0, 0)").as("rate_from"),
+        col("s_suppkey").as("rate_id"))
+    def refMerge = graft.plans.AsOf.join(probe, rates,
+      "l_suppkey", "s_suppkey", "l_shipdate", "rate_from", "rate_id")
+    def refBcast = graft.plans.AsOf.join(probe, rates,
+      "l_suppkey", "s_suppkey", "l_shipdate", "rate_from", "rate_id",
+      broadcastRight = true)
+
     // warmup: JIT + codegen compile outside any timing window
-    drain(native); drain(window)
+    drain(native); drain(window); drain(refMerge); drain(refBcast)
 
     val childrenSec = childrenOnly
     val nativeSec = time(native)
     val windowSec = time(window)
     val sweepSec = math.max(0.0, nativeSec - childrenSec)
+    val refMergeSec = time(refMerge)
+    val refBcastSec = time(refBcast)
     println(s"""{"sf_dir":"$sfDir","children_sec":$childrenSec,""" +
       s""""native_sec":$nativeSec,"sweep_sec":$sweepSec,""" +
       s""""sweep_share":${sweepSec / nativeSec},""" +
-      s""""window_sec":$windowSec}""")
+      s""""window_sec":$windowSec,""" +
+      s""""ref_merge_sec":$refMergeSec,"ref_broadcast_sec":$refBcastSec}""")
     spark.stop()
   }
 }

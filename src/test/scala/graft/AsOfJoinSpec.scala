@@ -169,6 +169,51 @@ class AsOfJoinSpec extends SparkSpecBase {
     nativeNear.zip(windowNear).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("broadcast strategy: micro semantics match the sweep in all directions") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"),
+      (4L, 12L, "e")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 1L, "r11"), (1L, 10L, 2L, "r12"),
+      (1L, 15L, 3L, "r15"), (2L, 99L, 4L, "r99"),
+      (4L, 10L, 1L, "rA"), (4L, 14L, 2L, "rB"))
+      .toDF("rk", "rt", "tie", "payload")
+    def run(dir: String, tol: Option[Long], bcast: Boolean) =
+      AsOf.join(l, r, "k", "rk", "t", "rt", "tie",
+          direction = dir, tolerance = tol, broadcastRight = bcast)
+        .select(col("tag"), col("payload")).collect()
+        .map(x => x.getString(0) -> x.getString(1)).toMap
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(5L), Some(0L))) {
+      val sweep = run(dir, tol, bcast = false)
+      val bcast = run(dir, tol, bcast = true)
+      assert(bcast == sweep, s"direction=$dir tolerance=$tol: " +
+        s"broadcast $bcast != sweep $sweep")
+    }
+  }
+
+  test("broadcast strategy equals the merge operator on real data") {
+    val merge = Kpis.eventOrderAsofNative(spark, sf).collect()
+    val bcast = Kpis.eventOrderAsofBroadcast(spark, sf).collect()
+    assert(bcast.length == merge.length && bcast.nonEmpty)
+    bcast.zip(merge).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("broadcast plan: BroadcastExchange, zero probe-side shuffle or sort") {
+    val df = Kpis.eventOrderAsofBroadcast(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"),
+      "the broadcast strategy must plan the dedicated exec")
+    assert(plan.contains("BroadcastExchange"),
+      "the right side must broadcast")
+    // the probe side must reach the operator unshuffled and unsorted;
+    // the only exchange below the join is the broadcast one (the final
+    // ORDER BY above the join is the query's own presentation sort)
+    val joinSubtree = plan.substring(plan.indexOf("BroadcastAsOfJoin"))
+    assert(!joinSubtree.contains("Exchange hashpartitioning"),
+      s"no hash exchange may appear below the broadcast as-of:\n$joinSubtree")
+  }
+
   test("explode_pairs generator matches the lambda fan-out and plans Generate") {
     import spark.implicits._
     // micro: ordered pairs, empty and single arrays fan out to nothing
