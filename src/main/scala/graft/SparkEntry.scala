@@ -217,6 +217,8 @@ object SparkEntry {
     // ---- round 6: broadcast as-of strategy (zero probe-side shuffle;
     // third execution of the same as-of semantics, same oracle) ----
     "q126_asof_broadcast"          -> (Kpis.eventOrderAsofBroadcast _),
+    // ---- round 6: multi-column-key as-of (kdb aj by-columns parity) ----
+    "q127_asof_multikey"           -> (Kpis.lineitemRateAsof _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -514,6 +516,30 @@ object SparkEntry {
     "q112_asof_native" -> asofOracle,
     // and the broadcast strategy from both
     "q126_asof_broadcast" -> asofOracle,
+
+    // multi-key as-of: the reference epochs are synthesized identically
+    // (EXACTLY ONE per supplier × flag code, so the backward winner is
+    // that row iff its epoch has started — no rank needed, which also
+    // sidesteps the synthetic lineitem's non-unique (orderkey, line#))
+    "q127_asof_multikey" ->
+      """WITH r AS (
+        | SELECT s_suppkey, fc,
+        |  TIMESTAMP '1995-01-01'
+        |   + INTERVAL ((s_suppkey * 7 + fc * 11) % 1000) DAY AS rate_from,
+        |  s_suppkey * 10 + fc AS rate_id
+        | FROM supplier CROSS JOIN (SELECT unnest([1, 2, 3]) AS fc)),
+        |l AS (
+        | SELECT l_suppkey,
+        |  CAST(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END
+        |   AS BIGINT) AS fc,
+        |  l_shipdate
+        | FROM lineitem)
+        |SELECT l.l_suppkey, l.fc, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(count(r.rate_id) AS BIGINT) AS n_matched,
+        | CAST(sum(r.rate_id) AS BIGINT) AS sum_rate_ids
+        |FROM l LEFT JOIN r ON l.l_suppkey = r.s_suppkey AND l.fc = r.fc
+        |  AND r.rate_from <= l.l_shipdate
+        |GROUP BY l.l_suppkey, l.fc ORDER BY l.l_suppkey, l.fc""".stripMargin,
 
     // direction/tolerance knobs of the native operator, each against an
     // independent window-form twin (expand within tolerance + rank)

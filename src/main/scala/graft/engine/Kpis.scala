@@ -410,6 +410,38 @@ object Kpis {
       .orderBy("event_id")
   }
 
+  /** MULTI-KEY as-of (kdb `aj` takes any number of by-columns — (symbol,
+    * exchange) quotes are the classic): each lineitem resolves the rate
+    * epoch in force for its (supplier, return-flag-code) pair at ship
+    * time. The reference table is synthesized identically in both
+    * engines (one epoch per supplier × flag code, deterministic offsets),
+    * and the output aggregates per key pair so the 60k joined rows stay
+    * a compact oracle surface. String enums enter the integral key
+    * domain via an explicit code map — the operator's key columns stay
+    * primitive longs by contract. */
+  def lineitemRateAsof(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+      expr("CASE l_returnflag WHEN 'A' THEN 1L WHEN 'N' THEN 2L ELSE 3L END")
+        .as("fc"),
+      col("l_shipdate"))
+    val r = supplier(spark, dir).select(col("s_suppkey"))
+      .crossJoin(broadcast(spark.range(1, 4).select(col("id").as("rfc"))))
+      .select(col("s_suppkey"), col("rfc"),
+        expr("timestamp'1995-01-01' + make_interval(0, 0, 0, " +
+          "cast((s_suppkey * 7 + rfc * 11) % 1000 AS int), 0, 0, 0)")
+          .as("rate_from"),
+        (col("s_suppkey") * 10 + col("rfc")).as("rate_id"))
+    graft.plans.AsOf.joinMulti(l, r,
+        Seq("l_suppkey" -> "s_suppkey", "fc" -> "rfc"),
+        "l_shipdate", "rate_from", "rate_id")
+      .groupBy(col("l_suppkey"), col("fc"))
+      .agg(count(lit(1)).as("n_items"),
+        count(col("rate_id")).as("n_matched"),
+        sum(col("rate_id")).as("sum_rate_ids"))
+      .orderBy("l_suppkey", "fc")
+  }
+
   private def clickPurchaseSides(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val ev = events(spark, dir)

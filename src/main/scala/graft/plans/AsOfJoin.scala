@@ -57,7 +57,7 @@ import org.apache.spark.sql.types.{DateType, DataType, IntegerType,
   * both checked at plan-build time by [[AsOf.join]]. */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression,
     direction: String = "backward",
@@ -75,12 +75,12 @@ case class AsOfJoin(
   * `GraftExtensions.injectPlannerStrategy`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, dir, tol, bcast) =>
+    case AsOfJoin(l, r, lks, rks, lt, rt, tie, dir, tol, bcast) =>
       if (bcast)
-        BroadcastAsOfJoinExec(lk, rk, lt, rt, tie, dir, tol,
+        BroadcastAsOfJoinExec(lks, rks, lt, rt, tie, dir, tol,
           planLater(l), planLater(r)) :: Nil
       else
-        AsOfJoinExec(lk, rk, lt, rt, tie, dir, tol,
+        AsOfJoinExec(lks, rks, lt, rt, tie, dir, tol,
           planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -94,7 +94,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   * copied right row — no join buffer, no window state, no codegen needed
   * because the per-row work is four primitive reads. */
 case class AsOfJoinExec(
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression,
     direction: String, tolerance: Option[Long],
@@ -111,37 +111,34 @@ case class AsOfJoinExec(
     left.output ++ right.output.map(_.withNullability(true))
   override def outputPartitioning: Partitioning = left.outputPartitioning
   // rows are emitted in the left child's order, so a downstream sort on
-  // (key, time) — e.g. a per-key window right after the join — is elided
+  // (keys..., time) — e.g. a per-key window right after the join — is
+  // elided
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(leftKey)),
-      ClusteredDistribution(Seq(rightKey)))
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-        SortOrder(rightTie, Ascending)))
+    Seq(leftKeys.map(SortOrder(_, Ascending)) :+
+        SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) ++
+        Seq(SortOrder(rightTime, Ascending), SortOrder(rightTie, Ascending)))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  private def toL(v: Any): Long = v match {
-    case l: java.lang.Long => l
-    case i: java.lang.Integer => i.longValue()
-    case other => throw new IllegalStateException(
-      s"as-of join key/time must evaluate to a long/int, got $other")
-  }
-
   override protected def doExecute(): RDD[InternalRow] = {
     val outRows = longMetric("numOutputRows")
     val matched = longMetric("numMatched")
-    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lKeyBs = leftKeys.map(BindReferences.bindReference(_, left.output))
+      .toArray
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
-    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rKeyBs = rightKeys.map(BindReferences.bindReference(_, right.output))
+      .toArray
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val nKeys = lKeyBs.length
     val nRight = right.output.length
     val leftAttrs = left.output
     val rightAttrs = right.output
@@ -159,35 +156,64 @@ case class AsOfJoinExec(
         leftAttrs ++ rightAttrs)
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       var cand: InternalRow = null
-      var candKey = 0L
+      val candKey = new Array[Long](nKeys)
+      var candValid = false
       var candTime = 0L
+      val lKey = new Array[Long](nKeys)
+      val rKey = new Array[Long](nKeys)
       def advance(): Unit =
         rRow = if (rIter.hasNext) rIter.next() else null
+      /** Evaluate a composite key into `out`; false if any part is null. */
+      def evalKeys(bs: Array[Expression], row: InternalRow,
+                   out: Array[Long]): Boolean = {
+        var i = 0
+        while (i < nKeys) {
+          val v = bs(i).eval(row)
+          if (v == null) return false
+          out(i) = AsOf.toL(v)
+          i += 1
+        }
+        true
+      }
+      /** Lexicographic compare of two evaluated composite keys. */
+      def cmpKeys(a: Array[Long], b: Array[Long]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          if (a(i) < b(i)) return -1
+          if (a(i) > b(i)) return 1
+          i += 1
+        }
+        0
+      }
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           outRows += 1
-          val lk = lKeyB.eval(l)
           val lt = lTimeB.eval(l)
-          if (lk == null || lt == null) return proj(joined(l, nullRight))
-          val lkL = toL(lk)
-          val ltL = toL(lt)
-          if (cand != null && candKey != lkL) cand = null
+          if (!evalKeys(lKeyBs, l, lKey) || lt == null)
+            return proj(joined(l, nullRight))
+          val ltL = AsOf.toL(lt)
+          if (candValid && cmpKeys(candKey, lKey) != 0) {
+            cand = null; candValid = false
+          }
           var scanning = true
           while (scanning && rRow != null) {
-            val rk = rKeyB.eval(rRow)
             val rt = rTimeB.eval(rRow)
-            if (rk == null || rt == null) advance() // nulls-first: skip
+            if (!evalKeys(rKeyBs, rRow, rKey) || rt == null)
+              advance() // nulls-first: null keys/times never match
             else {
-              val rkL = toL(rk)
-              val consumes = rkL == lkL &&
-                (if (isForward) toL(rt) < ltL else toL(rt) <= ltL)
-              if (rkL < lkL) { cand = null; advance() }
+              val kc = cmpKeys(rKey, lKey)
+              val consumes = kc == 0 &&
+                (if (isForward) AsOf.toL(rt) < ltL else AsOf.toL(rt) <= ltL)
+              if (kc < 0) { cand = null; candValid = false; advance() }
               else if (consumes) {
-                // sorted (key, time, tie) asc ⇒ last seen = max (time, tie)
+                // sorted (keys, time, tie) asc ⇒ last seen = max (time, tie)
                 if (needBackward) {
-                  cand = rRow.copy(); candKey = lkL; candTime = toL(rt)
+                  cand = rRow.copy()
+                  System.arraycopy(rKey, 0, candKey, 0, nKeys)
+                  candValid = true
+                  candTime = AsOf.toL(rt)
                 }
                 advance()
               } else scanning = false
@@ -200,10 +226,10 @@ case class AsOfJoinExec(
           var fwdOk = false
           if (!needBackward || direction == "nearest") {
             if (rRow != null) {
-              val rk = rKeyB.eval(rRow)
               val rt = rTimeB.eval(rRow)
-              if (rk != null && rt != null && toL(rk) == lkL) {
-                fwdTime = toL(rt); fwdOk = true
+              if (rt != null && evalKeys(rKeyBs, rRow, rKey) &&
+                  cmpKeys(rKey, lKey) == 0) {
+                fwdTime = AsOf.toL(rt); fwdOk = true
               }
             }
           }
@@ -237,7 +263,7 @@ case class AsOfJoinExec(
   * Same winner semantics as [[AsOfJoinExec]], all three directions plus
   * tolerance (AsOfJoinSpec pins equality operator-vs-operator). */
 case class BroadcastAsOfJoinExec(
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression,
     direction: String, tolerance: Option[Long],
@@ -263,21 +289,17 @@ case class BroadcastAsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  private def toL(v: Any): Long = v match {
-    case l: java.lang.Long => l
-    case i: java.lang.Integer => i.longValue()
-    case other => throw new IllegalStateException(
-      s"as-of join key/time must evaluate to a long/int, got $other")
-  }
-
   override protected def doExecute(): RDD[InternalRow] = {
     val outRows = longMetric("numOutputRows")
     val matched = longMetric("numMatched")
-    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lKeyBs = leftKeys.map(BindReferences.bindReference(_, left.output))
+      .toArray
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
-    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rKeyBs = rightKeys.map(BindReferences.bindReference(_, right.output))
+      .toArray
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
     val rTieB = BindReferences.bindReference(rightTie, right.output)
+    val nKeys = lKeyBs.length
     val nRight = right.output.length
     val leftAttrs = left.output
     val rightAttrs = right.output
@@ -286,21 +308,34 @@ case class BroadcastAsOfJoinExec(
     val tol = tolerance.getOrElse(Long.MaxValue)
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
-      // per-task index: key → rows sorted by (time, tie); the broadcast
-      // side is small by contract, so the build is O(m log m) cheap
-      val index = new java.util.HashMap[Long, Array[(Long, Long, InternalRow)]]
+      // per-task index: composite key → rows sorted by (time, tie); the
+      // broadcast side is small by contract, so the build is O(m log m)
+      def keyOf(bs: Array[Expression], row: InternalRow)
+          : Option[Vector[Long]] = {
+        val out = Vector.newBuilder[Long]
+        var i = 0
+        while (i < nKeys) {
+          val v = bs(i).eval(row)
+          if (v == null) return None
+          out += AsOf.toL(v)
+          i += 1
+        }
+        Some(out.result())
+      }
+      val index =
+        new java.util.HashMap[Vector[Long], Array[(Long, Long, InternalRow)]]
       val staging =
-        new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[
-          (Long, Long, InternalRow)]]
+        new java.util.HashMap[Vector[Long],
+          scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]
       broadcastRows.value.foreach { r =>
-        val k = rKeyB.eval(r)
+        val k = keyOf(rKeyBs, r)
         val t = rTimeB.eval(r)
-        if (k != null && t != null) { // nulls never match, as in the sweep
+        if (k.isDefined && t != null) { // nulls never match, as in the sweep
           val tie = rTieB.eval(r)
-          val tieL = if (tie == null) Long.MinValue else toL(tie)
-          staging.computeIfAbsent(toL(k),
+          val tieL = if (tie == null) Long.MinValue else AsOf.toL(tie)
+          staging.computeIfAbsent(k.get,
             _ => scala.collection.mutable.ArrayBuffer.empty)
-            .append((toL(t), tieL, r))
+            .append((AsOf.toL(t), tieL, r))
         }
       }
       staging.forEach { (k, buf) =>
@@ -313,13 +348,13 @@ case class BroadcastAsOfJoinExec(
         leftAttrs ++ rightAttrs)
       lIter.map { l =>
         outRows += 1
-        val lk = lKeyB.eval(l)
+        val lk = keyOf(lKeyBs, l)
         val lt = lTimeB.eval(l)
         var m: InternalRow = null
-        if (lk != null && lt != null) {
-          val arr = index.get(toL(lk))
+        if (lk.isDefined && lt != null) {
+          val arr = index.get(lk.get)
           if (arr != null) {
-            val ltL = toL(lt)
+            val ltL = AsOf.toL(lt)
             // first index with time > ltL (backward boundary);
             // equivalently: forward candidates start at the first index
             // with time ≥ ltL
@@ -366,6 +401,15 @@ object AsOf {
     Set(LongType, IntegerType, TimestampType, DateType)
   private val okDirections = Set("backward", "forward", "nearest")
 
+  /** Raw physical value of an as-of key/time/tie (µs, days, or the
+    * integral itself) — the execs' hot loops compare these as longs. */
+  private[plans] def toL(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.longValue()
+    case other => throw new IllegalStateException(
+      s"as-of join key/time must evaluate to a long/int, got $other")
+  }
+
   /** The physical-unit family of a column: the sweep compares raw
     * physical values (µs for timestamps, days for dates, the value
     * itself for integrals), so a cross-side pair must share a family or
@@ -398,7 +442,24 @@ object AsOf {
            rightTie: String,
            direction: String = "backward",
            tolerance: Option[Long] = None,
-           broadcastRight: Boolean = false): DataFrame = {
+           broadcastRight: Boolean = false): DataFrame =
+    joinMulti(left, right, Seq(leftKey -> rightKey), leftTime, rightTime,
+      rightTie, direction, tolerance, broadcastRight)
+
+  /** Multi-column-key as-of join (kdb `aj` takes any number of by
+    * columns before the time: (symbol, exchange) quotes are the classic
+    * case). `keys` pairs (leftCol, rightCol) in match-precedence order;
+    * rows match when EVERY pair is equal (SQL equality: a null key on
+    * either side never matches). Semantics otherwise identical to the
+    * single-key [[join]]. */
+  def joinMulti(left: DataFrame, right: DataFrame,
+                keys: Seq[(String, String)],
+                leftTime: String, rightTime: String,
+                rightTie: String,
+                direction: String = "backward",
+                tolerance: Option[Long] = None,
+                broadcastRight: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key pair")
     require(okDirections.contains(direction),
       s"as-of join direction must be one of ${okDirections.mkString("/")}, " +
         s"got '$direction'")
@@ -410,11 +471,12 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of join: no column '$n' on the $side side " +
           s"(have: ${p.output.map(_.name).mkString(", ")})"))
-    val cols = Seq(
-      attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"),
-      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"),
-      attr(rPlan, rightTie, "right"))
-    cols.foreach { a =>
+    val lKeys = keys.map(k => attr(lPlan, k._1, "left"))
+    val rKeys = keys.map(k => attr(rPlan, k._2, "right"))
+    val lTime = attr(lPlan, leftTime, "left")
+    val rTime = attr(rPlan, rightTime, "right")
+    val rTie = attr(rPlan, rightTie, "right")
+    (lKeys ++ rKeys ++ Seq(lTime, rTime, rTie)).foreach { a =>
       require(okTypes.contains(a.dataType),
         s"as-of join column '${a.name}' must be integral/timestamp/date, " +
           s"got ${a.dataType.simpleString}")
@@ -424,10 +486,10 @@ object AsOf {
         s"as-of join $what columns compare raw physical values and must " +
           s"share a unit: '${l.name}' is ${unitFamily(l.dataType)} but " +
           s"'${r.name}' is ${unitFamily(r.dataType)}")
-    sameUnit(cols(0), cols(1), "key")
-    sameUnit(cols(2), cols(3), "time")
+    lKeys.zip(rKeys).foreach { case (l, r) => sameUnit(l, r, "key") }
+    sameUnit(lTime, rTime, "time")
     org.apache.spark.sql.graft.Shim.ofRows(left.sparkSession,
-      AsOfJoin(lPlan, rPlan, cols(0), cols(1), cols(2), cols(3), cols(4),
+      AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTime, rTime, rTie,
         direction, tolerance, broadcastRight))
   }
 }

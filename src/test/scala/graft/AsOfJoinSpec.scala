@@ -214,6 +214,63 @@ class AsOfJoinSpec extends SparkSpecBase {
       s"no hash exchange may appear below the broadcast as-of:\n$joinSubtree")
   }
 
+  test("multi-key: both key columns must match, sweep and broadcast agree") {
+    import spark.implicits._
+    // (k1, k2) composite: same k1 with different k2 must NOT match
+    val l = Seq((1L, 1L, 10L, "a"), (1L, 2L, 10L, "b"), (2L, 1L, 9L, "c"))
+      .toDF("k1", "k2", "t", "tag")
+    val r = Seq((1L, 1L, 5L, 1L, "x11"), (1L, 1L, 9L, 2L, "x19"),
+      (1L, 2L, 7L, 3L, "x27"), (2L, 2L, 1L, 4L, "y"))
+      .toDF("rk1", "rk2", "rt", "tie", "payload")
+    def run(bcast: Boolean): Map[String, String] =
+      AsOf.joinMulti(l, r, Seq("k1" -> "rk1", "k2" -> "rk2"),
+          "t", "rt", "tie", broadcastRight = bcast)
+        .select(col("tag"), col("payload")).collect()
+        .map(x => x.getString(0) -> x.getString(1)).toMap
+    val sweep = run(bcast = false)
+    // latest (1,1) row at-or-before 10 is x19; (1,2) only sees x27;
+    // (2,1) matches nothing — (2,2) and (1,*) must not leak in
+    assert(sweep == Map("a" -> "x19", "b" -> "x27", "c" -> null))
+    assert(run(bcast = true) == sweep)
+  }
+
+  test("multi-key q127 equals its window twin and plans the native exec") {
+    import org.apache.spark.sql.expressions.Window
+    val native = Kpis.lineitemRateAsof(spark, sf)
+    val got = native.collect()
+    val l = graft.engine.Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+      expr("CASE l_returnflag WHEN 'A' THEN 1L WHEN 'N' THEN 2L ELSE 3L END")
+        .as("fc"),
+      col("l_shipdate"))
+    val r = graft.engine.Tables.supplier(spark, sf).select(col("s_suppkey"))
+      .crossJoin(spark.range(1, 4).select(col("id").as("rfc")))
+      .select(col("s_suppkey"), col("rfc"),
+        expr("timestamp'1995-01-01' + make_interval(0, 0, 0, " +
+          "cast((s_suppkey * 7 + rfc * 11) % 1000 AS int), 0, 0, 0)")
+          .as("rate_from"),
+        (col("s_suppkey") * 10 + col("rfc")).as("rate_id"))
+    // exactly one epoch per (supplier, flag) key pair, so the backward
+    // winner is that row iff its epoch has started — no rank needed
+    // (lineitem's (orderkey, linenumber) is NOT unique in the synthetic
+    // data, so a per-probe-row window would silently collapse rows)
+    val twin = l.join(r,
+        col("l_suppkey") === col("s_suppkey") && col("fc") === col("rfc") &&
+          col("rate_from") <= col("l_shipdate"), "left")
+      .groupBy(col("l_suppkey"), col("fc"))
+      .agg(count(lit(1)).as("n_items"),
+        count(col("rate_id")).as("n_matched"),
+        sum(col("rate_id")).as("sum_rate_ids"))
+      .orderBy("l_suppkey", "fc").collect()
+    assert(got.length == twin.length && got.nonEmpty)
+    got.zip(twin).foreach { case (a, b) => assert(a == b) }
+    // some probes precede their epoch and some follow it — both paths real
+    assert(got.exists(r0 => r0.getLong(2) != r0.getLong(3)))
+    assert(got.exists(r0 => r0.getLong(3) > 0))
+    native.collect()
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
   test("explode_pairs generator matches the lambda fan-out and plans Generate") {
     import spark.implicits._
     // micro: ordered pairs, empty and single arrays fan out to nothing
