@@ -158,8 +158,11 @@ object SparkEntry {
     "q91_pagerank_step"            -> (Graph.pageRankStep _),
     // ---- mergeable-state incremental aggregate maintenance ----
     "q92_incremental_agg"          -> (Kpis.incrementalAgg _),
-    // ---- per-group equal-frequency binning (quantile bucketizer) ----
-    "q93_quantile_bins"            -> (Kpis.quantileBins _),
+    // ---- per-group equal-frequency binning (quantile bucketizer).
+    // Served by the rank-edge scale path (no per-group data sort); the
+    // grouped-ntile window form it reproduces bit-for-bit lives in
+    // Kpis.quantileBins as the spec-pinned semantic reference ----
+    "q93_quantile_bins"            -> (Analytics.quantileBinsGrouped _),
     // ---- k-means trained to KMEANS_ITERS Lloyd rounds (loop discipline:
     // per-round localCheckpoint, centroids fed back) ----
     "q94_kmeans_iterated"          -> (Sim.kmeansIterated _),

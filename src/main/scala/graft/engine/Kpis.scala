@@ -1061,14 +1061,16 @@ object Kpis {
     * class. */
   val N_BINS = 10
 
-  /** Per-group equal-frequency binning (the quantile bucketizer of
-    * feature engineering): ntile(10) over order value *within each
-    * priority class*, then per-bin population and value range. The window
-    * partitions by group — per-key distributed sort, NOT a global
-    * single-reducer sort (the global-ntile trap; an ungrouped version at
-    * 100 TB should compute exact percentile edges and range-join
-    * instead). Total tie-break (cents, orderkey) makes bucket assignment
-    * deterministic cross-engine. */
+  /** Per-group equal-frequency binning, grouped-ntile REFERENCE form —
+    * the semantic spec for q93, not the query surface. The window
+    * partitions by group, so each group's rows sort inside one partition:
+    * fine when groups are bounded (5 priority classes), a per-group-sort
+    * cliff when a group's rows outgrow an executor. q93 is served by
+    * [[graft.engine.Analytics.quantileBinsGrouped]], which reproduces
+    * this bit-for-bit (IndexAnalyticsSpec pins the row-for-row match)
+    * without ever sorting a group's data rows in one partition. Total
+    * tie-break (cents, orderkey) makes bucket assignment deterministic
+    * cross-engine. */
   def quantileBins(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("pc").asc, col("o_orderkey").asc)
