@@ -158,11 +158,11 @@ object SparkEntry {
     "q91_pagerank_step"            -> (Graph.pageRankStep _),
     // ---- mergeable-state incremental aggregate maintenance ----
     "q92_incremental_agg"          -> (Kpis.incrementalAgg _),
-    // ---- per-group equal-frequency binning (quantile bucketizer).
-    // Served by the rank-edge scale path (no per-group data sort); the
-    // grouped-ntile window form it reproduces bit-for-bit lives in
-    // Kpis.quantileBins as the spec-pinned semantic reference ----
-    "q93_quantile_bins"            -> (Analytics.quantileBinsGrouped _),
+    // ---- per-group equal-frequency binning (quantile bucketizer),
+    // grouped-ntile window REFERENCE form — the semantic spec. Its scale
+    // path (run-level rank arithmetic, no per-group data sort) is q122;
+    // IndexAnalyticsSpec pins the two bit-for-bit equal ----
+    "q93_quantile_bins"            -> (Kpis.quantileBins _),
     // ---- k-means trained to KMEANS_ITERS Lloyd rounds (loop discipline:
     // per-round localCheckpoint, centroids fed back) ----
     "q94_kmeans_iterated"          -> (Sim.kmeansIterated _),
@@ -208,7 +208,8 @@ object SparkEntry {
     "q120_weighted_median"         -> (Analytics.weightedMedian _),
     "q121_gini_by_nation"          -> (Analytics.giniByNation _),
     // ---- round 6: grouped equal-frequency binning, scale path of q93
-    // (exact ntile via broadcast rank-edges, no per-group data sort) ----
+    // (exact ntile output via run-level rank arithmetic over the
+    // distinct-value aggregate — one sharded window, no data sort) ----
     "q122_quantile_bins_grouped"   -> (Analytics.quantileBinsGrouped _),
     // ---- round 6: direction + tolerance knobs on the native as-of
     // operator (kdb aj / pandas merge_asof parity) ----

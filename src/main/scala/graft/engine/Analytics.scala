@@ -240,73 +240,91 @@ object Analytics {
       .orderBy("bin")
   }
 
+  /** Value-range shard width (log2) for the grouped-binning prefix sum:
+    * no window partition ever exceeds 2^QB_SHARD_BITS distinct values,
+    * regardless of group size or corpus size. */
+  val QB_SHARD_BITS = 16
+
   /** Per-group equal-frequency binning at scale — the grouped form of
-    * [[equidepthGlobal]], reproducing `ntile` semantics EXACTLY without
-    * ever sorting a group's data rows in one partition (the
-    * [[Kpis.quantileBins]] trap this replaces at 100 TB). The trick is
-    * rank-edges instead of value-percentiles: ntile over a total order
-    * (pc, orderkey) puts rank r in bin 1 + #{b : R_b < r} where
-    * R_b = b·(n div B) + min(b, n mod B) is the last rank of bin b. So
-    * binning reduces to knowing, per group, the B−1 boundary ROWS — and a
-    * row's bin is a map-side count of boundary rows strictly below it.
+    * [[equidepthGlobal]], reproducing `ntile` OUTPUT exactly without ever
+    * sorting a group's data rows in one partition (the
+    * [[Kpis.quantileBins]] trap this replaces at 100 TB).
     *
-    * Boundary rows are found without a data sort:
+    * The key observation: the query aggregates each bin to
+    * (count, min pc, max pc) — and ntile's tie-break (orderkey) only
+    * decides WHICH rows of a tied value run straddle a bin boundary,
+    * never how many or what their value is. So the output is invariant
+    * to the tie-break, and bins can be assigned per (group, value run)
+    * from cumulative counts alone: ntile over (pc, okey) puts rank r in
+    * bin 1 + #{b : R_b < r} with R_b = b·(n div B) + min(b, n mod B), so
+    * a run occupying ranks (cum_lo, cum_hi] contributes
+    * min(cum_hi, R_b) − max(cum_lo, R_{b−1}) rows to each bin b it
+    * overlaps — pure integer arithmetic, no boundary ROW needed.
+    *
+    * The plan is two pruned data passes plus domain-bounded bookkeeping:
     *  1. per-(group, value) counts — an aggregate bounded by the VALUE
     *     DOMAIN (≤ ~6·10⁷ distinct cent values), not the row count;
-    *  2. cumulative positions via one window over that aggregate (each
-    *     group's partition holds its distinct values, never its rows);
-    *  3. the value run containing each boundary rank via a broadcast
-    *     range-join of the (B−1)·G boundary table;
-    *  4. the exact orderkey at the in-run offset via a window partitioned
-    *     by (group, edge value) — each partition is ONE tied run, a few
-    *     rows, reached through a broadcast semi-join of ≤(B−1)·G values;
-    *  5. the ≤(B−1) (value, orderkey) edges per group broadcast back, bin
-    *     assigned by a codegen'd lexicographic filter-count.
+    *  2. cumulative positions via ONE window partitioned by
+    *     (group, value-range shard): two-level prefix sum where the
+    *     in-shard pass caps every partition at 2^[[QB_SHARD_BITS]]
+    *     distinct values and the cross-shard offsets come from an
+    *     independent pass that map-side-combines straight down to the
+    *     G × ~1k shard subtotals (a 2-column scan reducing to ~1k rows
+    *     per task moves less than materializing the value-count table
+    *     would), broadcast back;
+    *  3. per run: overlapped bin range via the closed-form inverse of
+    *     R_b, exploded to ≤(B−1)+1 segments, counted by integer min/max;
+    *  4. final (group, bin) aggregate — B·G rows.
     *
-    * Bins are bit-identical to grouped ntile (the oracle IS the q93 ntile
-    * twin) including tie splits and the n < B degenerate case, because
-    * the (pc, orderkey) order is total and all edge math is integer. */
+    * Output is bit-identical to grouped ntile (the oracle IS the q93
+    * ntile twin) including tie splits across boundaries and the n < B
+    * degenerate case, because all rank math is exact integer. */
   def quantileBinsGrouped(spark: SparkSession, dir: String): DataFrame = {
     val B = Kpis.N_BINS
     val d = orders(spark, dir)
-      .select(col("o_orderpriority").as("g"), col("o_orderkey").as("okey"),
+      .select(col("o_orderpriority").as("g"),
         cents(col("o_totalprice")).as("pc"))
     val vc = d.groupBy(col("g"), col("pc")).agg(count(lit(1)).as("c"))
-    val wv = Window.partitionBy(col("g")).orderBy(col("pc"))
+      .withColumn("s", shiftright(col("pc"), QB_SHARD_BITS))
+    // per-(group, shard) prefix offsets + group total: an independent
+    // map-side-combined pass over the data that reduces to G × ~1k shard
+    // subtotals (the one-time O(S²) slice scan is ~1k² per group —
+    // metadata work, never per data/value row), broadcast back
+    val offsets = d
+      .groupBy(col("g"), shiftright(col("pc"), QB_SHARD_BITS).as("s"))
+      .agg(count(lit(1)).as("sc"))
+      .groupBy(col("g"))
+      .agg(sum(col("sc")).as("n"),
+        sort_array(collect_list(struct(col("s"), col("sc")))).as("shards"))
+      .select(col("g").as("og"), col("n"), col("shards"),
+        posexplode(col("shards")))
+      .withColumn("off",
+        expr("aggregate(slice(shards, 1, pos), 0L, (a, x) -> a + x.sc)"))
+      .select(col("og"), col("col.s").as("os"), col("n"), col("off"))
+    // in-shard prefix sum — the ONE window; partition = one (g, shard)
+    val ws = Window.partitionBy(col("g"), col("s")).orderBy(col("pc"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = vc.withColumn("cum_hi", sum(col("c")).over(wv))
+    val cum = vc.withColumn("cs", sum(col("c")).over(ws))
+      .join(broadcast(offsets), col("g") === col("og") && col("s") === col("os"))
+      .withColumn("cum_hi", col("cs") + col("off"))
       .withColumn("cum_lo", col("cum_hi") - col("c"))
-    val bounds = vc.groupBy(col("g")).agg(sum(col("c")).as("n"))
-      .select(col("g").as("bg"), col("n"),
-        explode(sequence(lit(1L), lit((B - 1).toLong))).as("b"))
-      .withColumn("rb", expr(s"b * (n div ${B}L) + least(b, n % ${B}L)"))
-      .select(col("bg"), col("b"), col("rb"))
-    val edgesV = cum.join(broadcast(bounds),
-        col("g") === col("bg") && col("cum_lo") < col("rb") &&
-          col("rb") <= col("cum_hi"))
-      .select(col("g"), col("b"), col("pc").as("epc"),
-        (col("rb") - col("cum_lo")).as("k"))
-    // resolve the orderkey at offset k inside each edge value's tied run
-    val evs = edgesV.select(col("g").as("vg"), col("epc")).distinct()
-    val tied = d.join(broadcast(evs),
-      col("g") === col("vg") && col("pc") === col("epc"), "left_semi")
-    val wt = Window.partitionBy(col("g"), col("pc")).orderBy(col("okey"))
-    val tiedRn = tied.withColumn("rn", row_number().over(wt).cast("long"))
-      .select(col("g").as("tg"), col("pc").as("tpc"), col("okey").as("eok"),
-        col("rn"))
-    val edges = edgesV.join(broadcast(tiedRn),
-        col("g") === col("tg") && col("epc") === col("tpc") &&
-          col("k") === col("rn"))
-      .select(col("g"), col("epc"), col("eok"))
-    val earr = edges.groupBy(col("g"))
-      .agg(collect_list(struct(col("epc"), col("eok"))).as("es"))
-    d.join(broadcast(earr), Seq("g"))
-      .withColumn("bin", (size(filter(col("es"), e =>
-        e("epc") < col("pc") ||
-          (e("epc") === col("pc") && e("eok") < col("okey")))) + 1)
-        .cast("long"))
+    // closed-form bin geometry: R_b = b*q + least(b, m);
+    // binOf(r) = r ≤ m(q+1) ? ceil(r/(q+1)) : m + ceil((r − m(q+1))/q)
+    // (q = 0 ⇒ r ≤ n = m, first branch, = r — no special case)
+    def binOf(r: String) =
+      s"CASE WHEN ($r) <= m * (q + 1L) THEN (($r) + q) div (q + 1L) " +
+        s"ELSE m + (($r) - m * (q + 1L) + q - 1L) div q END"
+    def rEdge(b: String) = s"($b) * q + least(($b), m)"
+    cum
+      .withColumn("q", expr(s"n div ${B}L"))
+      .withColumn("m", expr(s"n % ${B}L"))
+      .withColumn("bin",
+        explode(expr(s"sequence(${binOf("cum_lo + 1L")}, ${binOf("cum_hi")})")))
+      .withColumn("n_in",
+        expr(s"least(cum_hi, ${rEdge("bin")}) - " +
+          s"greatest(cum_lo, ${rEdge("bin - 1L")})"))
       .groupBy(col("g"), col("bin"))
-      .agg(count(lit(1)).as("n_orders"),
+      .agg(sum(col("n_in")).as("n_orders"),
         dollars(min(col("pc"))).as("lo"), dollars(max(col("pc"))).as("hi"))
       .select(col("g").as("o_orderpriority"), col("bin"), col("n_orders"),
         col("lo"), col("hi"))

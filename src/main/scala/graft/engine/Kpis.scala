@@ -1062,15 +1062,15 @@ object Kpis {
   val N_BINS = 10
 
   /** Per-group equal-frequency binning, grouped-ntile REFERENCE form —
-    * the semantic spec for q93, not the query surface. The window
-    * partitions by group, so each group's rows sort inside one partition:
-    * fine when groups are bounded (5 priority classes), a per-group-sort
-    * cliff when a group's rows outgrow an executor. q93 is served by
-    * [[graft.engine.Analytics.quantileBinsGrouped]], which reproduces
-    * this bit-for-bit (IndexAnalyticsSpec pins the row-for-row match)
-    * without ever sorting a group's data rows in one partition. Total
-    * tie-break (cents, orderkey) makes bucket assignment deterministic
-    * cross-engine. */
+    * the semantic spec (q93). The window partitions by group, so each
+    * group's rows sort inside one partition: fine when groups are bounded
+    * (5 priority classes), a per-group-sort cliff when a group's rows
+    * outgrow an executor. The scale path is
+    * [[graft.engine.Analytics.quantileBinsGrouped]] (q122), which
+    * reproduces this bit-for-bit (IndexAnalyticsSpec pins the row-for-row
+    * match) without ever sorting a group's data rows in one partition.
+    * Total tie-break (cents, orderkey) makes bucket assignment
+    * deterministic cross-engine. */
   def quantileBins(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("pc").asc, col("o_orderkey").asc)

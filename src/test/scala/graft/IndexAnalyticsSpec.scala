@@ -43,10 +43,11 @@ class IndexAnalyticsSpec extends SparkSpecBase {
   }
 
   test("grouped rank-edge binning equals grouped ntile row-for-row") {
-    // q122's broadcast-edge path must reproduce q93's window ntile
+    // q122's run-arithmetic path must reproduce q93's window ntile
     // EXACTLY — same bins, same populations, same bounds — including tie
-    // splits (ntile separates equal values across a boundary; the edge
-    // carries the boundary row's orderkey so the split point is identical)
+    // splits (a value run straddling a bin boundary contributes exactly
+    // min(cum_hi,R_b)−max(cum_lo,R_{b−1}) rows to bin b; the tie-break
+    // orderkey is output-invariant because tied rows share one value)
     val got = Analytics.quantileBinsGrouped(spark, sf).collect()
     val want = Kpis.quantileBins(spark, sf).collect()
     assert(got.length == want.length)

@@ -203,30 +203,34 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("grouped binning never sorts a group's data rows in one partition") {
-    // the scale contract of q122: any Window partitioned by the group key
-    // alone must consume the distinct-value AGGREGATE (bounded by value
-    // domain), never raw data; the only raw-data window is the tied-run
-    // resolver, partitioned by (group, edge value)
+    // the scale contract of q122: exactly ONE window, it consumes the
+    // distinct-value AGGREGATE (bounded by the value domain, never raw
+    // data rows), and it is sharded — partitioned by (group, value-range
+    // shard), so no partition exceeds 2^QB_SHARD_BITS distinct values
+    // even for a single giant group
     val df = graft.engine.Analytics.quantileBinsGrouped(spark, sf)
     df.collect()
     val windows = allNodes(df.queryExecution.executedPlan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.nonEmpty)
-    windows.foreach { w =>
-      val overAggregate = allNodes(w.child).exists {
-        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
-          true
-        case _: org.apache.spark.sql.execution.aggregate
-            .ObjectHashAggregateExec => true
-        case _: org.apache.spark.sql.execution.aggregate
-            .SortAggregateExec => true
-        case _ => false
-      }
-      assert(w.partitionSpec.size >= 2 || overAggregate,
-        s"window partitioned by ${w.partitionSpec} reads raw data rows — " +
-          "per-group data sort regression")
+    assert(windows.size == 1,
+      s"grouped binning must run exactly one window, got ${windows.size}")
+    val w = windows.head
+    assert(w.partitionSpec.size == 2,
+      s"the prefix-sum window must partition by (group, shard), got: " +
+        s"${w.partitionSpec}")
+    val overAggregate = allNodes(w.child).exists {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        true
+      case _: org.apache.spark.sql.execution.aggregate
+          .ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate
+          .SortAggregateExec => true
+      case _ => false
     }
+    assert(overAggregate,
+      "the window must consume the per-(group, value) count aggregate, " +
+        "never raw data rows — per-group data sort regression")
   }
 
   test("min/max skipping layout plans no window and no data-side sort") {
