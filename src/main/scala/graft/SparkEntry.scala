@@ -218,9 +218,11 @@ object SparkEntry {
     // ---- round 6: selective salted join (join twin of q61's salted
     // agg; oracle is the unsalted join, proving semantics preserved) ----
     "q125_salted_skew_join"        -> (Skew.saltedSkewJoin _),
-    // ---- round 6: broadcast as-of strategy (zero probe-side shuffle;
-    // third execution of the same as-of semantics, same oracle) ----
-    "q126_asof_broadcast"          -> (Kpis.eventOrderAsofBroadcast _),
+    // ---- round 6: broadcast as-of strategy (zero probe-side shuffle),
+    // round 7: re-pointed at its contract shape — the broadcast side is
+    // a reference table bounded by CONSTRUCTION, not a scale-growing
+    // fact (the broadcast≡merge equality proof stays in AsOfJoinSpec) ----
+    "q126_asof_broadcast"          -> (Kpis.eventNationRateAsof _),
     // ---- round 6: multi-column-key as-of (kdb aj by-columns parity) ----
     "q127_asof_multikey"           -> (Kpis.lineitemRateAsof _),
   )
@@ -519,31 +521,53 @@ object SparkEntry {
     // indistinguishable from the window form, row for row
     "q112_asof_native" -> asofOracle,
     // and the broadcast strategy from both
-    "q126_asof_broadcast" -> asofOracle,
+    // broadcast as-of on its contract shape: bounded nation×epoch rate
+    // book, latest epoch ≤ ts per event, aggregated per nation (the
+    // window twin mirrors q41's rank form)
+    "q126_asof_broadcast" ->
+      s"""WITH e AS (
+        | SELECT event_id, user_id % ${Kpis.RATE_NATIONS} AS nk, ts
+        | FROM events),
+        |r AS (
+        | SELECT nk.v AS rnk, ep.v AS ep,
+        |  TIMESTAMP '${Kpis.RATE_START}' + INTERVAL (ep.v) DAY AS rate_from,
+        |  nk.v * 1000 + ep.v AS rate_id
+        | FROM (SELECT unnest(range(0, ${Kpis.RATE_NATIONS})) AS v) nk
+        | CROSS JOIN (SELECT unnest(range(0, ${Kpis.RATE_EPOCHS})) AS v) ep),
+        |j AS (
+        | SELECT e.event_id, e.nk, r.rate_id,
+        |  row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY r.rate_from DESC, r.rate_id DESC) AS rn
+        | FROM e LEFT JOIN r ON e.nk = r.rnk AND r.rate_from <= e.ts)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(rate_id) AS BIGINT) AS n_matched,
+        | CAST(sum(rate_id) AS BIGINT) AS sum_rate_ids
+        |FROM j WHERE rn = 1 GROUP BY nk ORDER BY nk""".stripMargin,
 
-    // multi-key as-of: the reference epochs are synthesized identically
-    // (EXACTLY ONE per supplier × flag code, so the backward winner is
-    // that row iff its epoch has started — no rank needed, which also
-    // sidesteps the synthetic lineitem's non-unique (orderkey, line#))
+    // multi-key as-of with a NATIVE STRING key (no code map): the
+    // reference epochs are synthesized identically (EXACTLY ONE per
+    // supplier × flag, so the backward winner is that row iff its epoch
+    // has started — no rank needed, which also sidesteps the synthetic
+    // lineitem's non-unique (orderkey, line#))
     "q127_asof_multikey" ->
       """WITH r AS (
         | SELECT s_suppkey, fc,
+        |  CASE fc WHEN 1 THEN 'A' WHEN 2 THEN 'N' ELSE 'R' END AS rf,
         |  TIMESTAMP '1995-01-01'
         |   + INTERVAL ((s_suppkey * 7 + fc * 11) % 1000) DAY AS rate_from,
         |  s_suppkey * 10 + fc AS rate_id
         | FROM supplier CROSS JOIN (SELECT unnest([1, 2, 3]) AS fc)),
         |l AS (
-        | SELECT l_suppkey,
-        |  CAST(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END
-        |   AS BIGINT) AS fc,
-        |  l_shipdate
-        | FROM lineitem)
-        |SELECT l.l_suppkey, l.fc, CAST(count(*) AS BIGINT) AS n_items,
+        | SELECT l_suppkey, l_returnflag, l_shipdate FROM lineitem)
+        |SELECT l.l_suppkey, l.l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_items,
         | CAST(count(r.rate_id) AS BIGINT) AS n_matched,
         | CAST(sum(r.rate_id) AS BIGINT) AS sum_rate_ids
-        |FROM l LEFT JOIN r ON l.l_suppkey = r.s_suppkey AND l.fc = r.fc
+        |FROM l LEFT JOIN r ON l.l_suppkey = r.s_suppkey
+        |  AND l.l_returnflag = r.rf
         |  AND r.rate_from <= l.l_shipdate
-        |GROUP BY l.l_suppkey, l.fc ORDER BY l.l_suppkey, l.fc""".stripMargin,
+        |GROUP BY l.l_suppkey, l.l_returnflag
+        |ORDER BY l.l_suppkey, l.l_returnflag""".stripMargin,
 
     // direction/tolerance knobs of the native operator, each against an
     // independent window-form twin (expand within tolerance + rank)

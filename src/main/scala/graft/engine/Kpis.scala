@@ -410,36 +410,72 @@ object Kpis {
       .orderBy("event_id")
   }
 
+  /** Nations in the synthetic rate book (domain constant). */
+  val RATE_NATIONS = 25L
+  /** Daily rate epochs per nation (domain constant). */
+  val RATE_EPOCHS = 28L
+  /** First rate epoch — two days into the event window, so early events
+    * are genuinely unmatched and the null path stays exercised. */
+  val RATE_START = "2024-01-03"
+
+  /** The broadcast as-of strategy on its CONTRACT shape: a probe stream
+    * (events, the 100 TB side) resolving the latest rate epoch of its
+    * nation — a reference table of [[RATE_NATIONS]]×[[RATE_EPOCHS]] rows,
+    * bounded by CONSTRUCTION (domain constants, not scale factor), which
+    * is what 'right side is small by contract' means. The exec enforces
+    * it too ([[graft.plans.AsOf.BROADCAST_MAX_ROWS_KEY]]). The probe is
+    * never shuffled or sorted; the per-executor index is built once and
+    * memoized. (The broadcast≡merge equality proof on arbitrary data
+    * lives in AsOfJoinSpec via [[eventOrderAsofBroadcast]].) */
+  def eventNationRateAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), (col("user_id") % RATE_NATIONS).as("nk"),
+        col("ts"))
+    val r = spark.range(0, RATE_NATIONS).select(col("id").as("rnk"))
+      .crossJoin(broadcast(
+        spark.range(0, RATE_EPOCHS).select(col("id").as("ep"))))
+      .select(col("rnk"), col("ep"),
+        expr(s"timestamp'$RATE_START' + make_interval(0, 0, 0, " +
+          "cast(ep AS int), 0, 0, 0)").as("rate_from"),
+        (col("rnk") * 1000 + col("ep")).as("rate_id"))
+    graft.plans.AsOf.join(e, r, "nk", "rnk", "ts", "rate_from", "rate_id",
+        broadcastRight = true)
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("rate_id")).as("n_matched"),
+        sum(col("rate_id")).as("sum_rate_ids"))
+      .orderBy("nk")
+  }
+
   /** MULTI-KEY as-of (kdb `aj` takes any number of by-columns — (symbol,
     * exchange) quotes are the classic): each lineitem resolves the rate
-    * epoch in force for its (supplier, return-flag-code) pair at ship
-    * time. The reference table is synthesized identically in both
-    * engines (one epoch per supplier × flag code, deterministic offsets),
-    * and the output aggregates per key pair so the 60k joined rows stay
-    * a compact oracle surface. String enums enter the integral key
-    * domain via an explicit code map — the operator's key columns stay
-    * primitive longs by contract. */
+    * epoch in force for its (supplier, return-flag) pair at ship time.
+    * The reference table is synthesized identically in both engines (one
+    * epoch per supplier × flag, deterministic offsets), and the output
+    * aggregates per key pair so the 60k joined rows stay a compact
+    * oracle surface. The return flag joins AS A STRING — the operator
+    * compares string keys natively (UTF8String binary order), kdb's
+    * symbol `aj` shape, with no caller-side code map. */
   def lineitemRateAsof(spark: SparkSession, dir: String): DataFrame = {
     val l = lineitem(spark, dir).select(
-      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-      expr("CASE l_returnflag WHEN 'A' THEN 1L WHEN 'N' THEN 2L ELSE 3L END")
-        .as("fc"),
-      col("l_shipdate"))
+      col("l_suppkey"), col("l_returnflag"), col("l_shipdate"))
     val r = supplier(spark, dir).select(col("s_suppkey"))
       .crossJoin(broadcast(spark.range(1, 4).select(col("id").as("rfc"))))
-      .select(col("s_suppkey"), col("rfc"),
+      .select(col("s_suppkey"),
+        expr("CASE rfc WHEN 1 THEN 'A' WHEN 2 THEN 'N' ELSE 'R' END")
+          .as("rf"),
         expr("timestamp'1995-01-01' + make_interval(0, 0, 0, " +
           "cast((s_suppkey * 7 + rfc * 11) % 1000 AS int), 0, 0, 0)")
           .as("rate_from"),
         (col("s_suppkey") * 10 + col("rfc")).as("rate_id"))
     graft.plans.AsOf.joinMulti(l, r,
-        Seq("l_suppkey" -> "s_suppkey", "fc" -> "rfc"),
+        Seq("l_suppkey" -> "s_suppkey", "l_returnflag" -> "rf"),
         "l_shipdate", "rate_from", "rate_id")
-      .groupBy(col("l_suppkey"), col("fc"))
+      .groupBy(col("l_suppkey"), col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         count(col("rate_id")).as("n_matched"),
         sum(col("rate_id")).as("sum_rate_ids"))
-      .orderBy("l_suppkey", "fc")
+      .orderBy("l_suppkey", "l_returnflag")
   }
 
   private def clickPurchaseSides(spark: SparkSession, dir: String)

@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, ClusteredDistribution, Distribution,
   IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.{DateType, DataType, IntegerType,
-  LongType, TimestampType}
+  LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native as-of join — the whole-operator Catalyst extension path
   * (LogicalPlan node → SparkStrategy → SparkPlan) reserved for semantics
@@ -51,10 +53,12 @@ import org.apache.spark.sql.types.{DateType, DataType, IntegerType,
   * backward candidate is the LATEST time ≤ t and the forward one the
   * EARLIEST ≥ t, tolerance never needs to look past them.
   *
-  * Key/time/tie columns are restricted to integral/timestamp/date types
-  * (the as-of domain) so the hot loop compares primitive longs; the two
-  * time columns (and the two key columns) must share a physical unit —
-  * both checked at plan-build time by [[AsOf.join]]. */
+  * Time/tie columns are restricted to integral/timestamp/date types
+  * (the as-of domain) so the hot loop compares primitive longs; key
+  * columns additionally admit strings (kdb's `aj` takes symbols), which
+  * compare as UTF8String binary — no caller-side dictionary encoding
+  * needed. The two time columns (and each key pair) must share a
+  * physical unit — checked at plan-build time by [[AsOf.join]]. */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
@@ -151,36 +155,41 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
-      val proj = UnsafeProjection.create(
-        (leftAttrs ++ rightAttrs).map(_.withNullability(true)),
-        leftAttrs ++ rightAttrs)
+      // nullability must widen on the INPUT schema too: bindReference
+      // takes nullable from the input attribute, and a non-nullable right
+      // column (e.g. a CASE..ELSE literal) read from the null-filled row
+      // would otherwise skip the null check and NPE on strings
+      val outAttrs = (leftAttrs ++ rightAttrs).map(_.withNullability(true))
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       var cand: InternalRow = null
-      val candKey = new Array[Long](nKeys)
+      val candKey = new Array[AnyRef](nKeys)
       var candValid = false
       var candTime = 0L
-      val lKey = new Array[Long](nKeys)
-      val rKey = new Array[Long](nKeys)
+      val lKey = new Array[AnyRef](nKeys)
+      val rKey = new Array[AnyRef](nKeys)
       def advance(): Unit =
         rRow = if (rIter.hasNext) rIter.next() else null
-      /** Evaluate a composite key into `out`; false if any part is null. */
+      /** Evaluate a composite key into `out`; false if any part is null.
+        * Values are normalized (int → boxed long, strings stay
+        * UTF8String) so cross-side compares are type-stable. */
       def evalKeys(bs: Array[Expression], row: InternalRow,
-                   out: Array[Long]): Boolean = {
+                   out: Array[AnyRef]): Boolean = {
         var i = 0
         while (i < nKeys) {
           val v = bs(i).eval(row)
           if (v == null) return false
-          out(i) = AsOf.toL(v)
+          out(i) = AsOf.normKey(v)
           i += 1
         }
         true
       }
       /** Lexicographic compare of two evaluated composite keys. */
-      def cmpKeys(a: Array[Long], b: Array[Long]): Int = {
+      def cmpKeys(a: Array[AnyRef], b: Array[AnyRef]): Int = {
         var i = 0
         while (i < nKeys) {
-          if (a(i) < b(i)) return -1
-          if (a(i) > b(i)) return 1
+          val c = AsOf.cmpKey(a(i), b(i))
+          if (c != 0) return c
           i += 1
         }
         0
@@ -211,7 +220,11 @@ case class AsOfJoinExec(
                 // sorted (keys, time, tie) asc ⇒ last seen = max (time, tie)
                 if (needBackward) {
                   cand = rRow.copy()
-                  System.arraycopy(rKey, 0, candKey, 0, nKeys)
+                  var i = 0
+                  while (i < nKeys) { // own the key: a UTF8String may point
+                    candKey(i) = AsOf.ownKey(rKey(i)) // into the reused row
+                    i += 1
+                  }
                   candValid = true
                   candTime = AsOf.toL(rt)
                 }
@@ -270,11 +283,15 @@ case class BroadcastAsOfJoinExec(
     left: SparkPlan, right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
 
-  override lazy val metrics =
-    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of output rows"),
-      "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
-        .createMetric(sparkContext, "number of matched rows"))
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" ->
+      SQLMetrics.createMetric(sparkContext, "number of matched rows"),
+    "indexRows" ->
+      SQLMetrics.createMetric(sparkContext, "broadcast index rows"),
+    "indexBuildTime" ->
+      SQLMetrics.createTimingMetric(sparkContext, "index build time"))
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -292,6 +309,8 @@ case class BroadcastAsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val outRows = longMetric("numOutputRows")
     val matched = longMetric("numMatched")
+    val indexRows = longMetric("indexRows")
+    val indexBuildTime = longMetric("indexBuildTime")
     val lKeyBs = leftKeys.map(BindReferences.bindReference(_, left.output))
       .toArray
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
@@ -306,46 +325,70 @@ case class BroadcastAsOfJoinExec(
     val isForward = direction == "forward"
     val isNearest = direction == "nearest"
     val tol = tolerance.getOrElse(Long.MaxValue)
+    // "right side is small by contract" is enforced, not assumed: past
+    // this many rows the index build (and the IdentityBroadcastMode array
+    // before it) is the wrong strategy — fail loudly toward the merge exec
+    val maxIndexRows = conf.getConfString(
+      AsOf.BROADCAST_MAX_ROWS_KEY, AsOf.BROADCAST_MAX_ROWS_DEFAULT.toString)
+      .toLong
+    val planId = id
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
-      // per-task index: composite key → rows sorted by (time, tie); the
-      // broadcast side is small by contract, so the build is O(m log m)
       def keyOf(bs: Array[Expression], row: InternalRow)
-          : Option[Vector[Long]] = {
-        val out = Vector.newBuilder[Long]
+          : Option[Vector[Any]] = {
+        val out = Vector.newBuilder[Any]
         var i = 0
         while (i < nKeys) {
           val v = bs(i).eval(row)
           if (v == null) return None
-          out += AsOf.toL(v)
+          out += AsOf.normKey(v)
           i += 1
         }
         Some(out.result())
       }
-      val index =
-        new java.util.HashMap[Vector[Long], Array[(Long, Long, InternalRow)]]
-      val staging =
-        new java.util.HashMap[Vector[Long],
-          scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]
-      broadcastRows.value.foreach { r =>
-        val k = keyOf(rKeyBs, r)
-        val t = rTimeB.eval(r)
-        if (k.isDefined && t != null) { // nulls never match, as in the sweep
-          val tie = rTieB.eval(r)
-          val tieL = if (tie == null) Long.MinValue else AsOf.toL(tie)
-          staging.computeIfAbsent(k.get,
-            _ => scala.collection.mutable.ArrayBuffer.empty)
-            .append((AsOf.toL(t), tieL, r))
+      // per-EXECUTOR index (memoized on the broadcast value identity +
+      // plan id): composite key → rows sorted by (time, tie). Without the
+      // cache every task repeats the O(m log m) sort over the broadcast
+      // rows; with it the build runs once per executor per broadcast.
+      val index = AsOfIndexCache.getOrBuild(broadcastRows.value, planId) {
+        val t0 = System.nanoTime()
+        val rows = broadcastRows.value
+        require(rows.length <= maxIndexRows,
+          s"broadcast as-of right side has ${rows.length} rows, over the " +
+            s"${AsOf.BROADCAST_MAX_ROWS_KEY}=$maxIndexRows guard: the " +
+            "right side must be a bounded reference table — use the " +
+            "sorted-merge strategy (broadcastRight=false) for large sides")
+        val built =
+          new java.util.HashMap[Vector[Any], Array[(Long, Long, InternalRow)]]
+        val staging =
+          new java.util.HashMap[Vector[Any],
+            scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]
+        rows.foreach { r =>
+          val k = keyOf(rKeyBs, r)
+          val t = rTimeB.eval(r)
+          if (k.isDefined && t != null) { // nulls never match, as in the sweep
+            val tie = rTieB.eval(r)
+            val tieL = if (tie == null) Long.MinValue else AsOf.toL(tie)
+            staging.computeIfAbsent(k.get,
+              _ => scala.collection.mutable.ArrayBuffer.empty)
+              .append((AsOf.toL(t), tieL, r))
+          }
         }
-      }
-      staging.forEach { (k, buf) =>
-        index.put(k, buf.sortBy(x => (x._1, x._2)).toArray)
+        staging.forEach { (k, buf) =>
+          built.put(k, buf.sortBy(x => (x._1, x._2)).toArray)
+        }
+        indexRows += built.values().stream().mapToLong(_.length.toLong).sum()
+        indexBuildTime += (System.nanoTime() - t0) / 1000000L
+        built
       }
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
-      val proj = UnsafeProjection.create(
-        (leftAttrs ++ rightAttrs).map(_.withNullability(true)),
-        leftAttrs ++ rightAttrs)
+      // nullability must widen on the INPUT schema too: bindReference
+      // takes nullable from the input attribute, and a non-nullable right
+      // column (e.g. a CASE..ELSE literal) read from the null-filled row
+      // would otherwise skip the null check and NPE on strings
+      val outAttrs = (leftAttrs ++ rightAttrs).map(_.withNullability(true))
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
       lIter.map { l =>
         outRows += 1
         val lk = keyOf(lKeyBs, l)
@@ -395,13 +438,43 @@ case class BroadcastAsOfJoinExec(
   }
 }
 
+/** Per-executor memo of built broadcast as-of indexes, keyed on the
+  * IDENTITY of the broadcast value array (so a re-broadcast builds fresh)
+  * plus the plan id (two different as-of execs may consume one broadcast
+  * with different key/time bindings). WeakHashMap on the array: when the
+  * broadcast block is dropped and its row array collected, the entry —
+  * and the index holding references into it — goes with it. */
+private[plans] object AsOfIndexCache {
+  private val cache = new java.util.WeakHashMap[
+    AnyRef, java.util.concurrent.ConcurrentHashMap[Int, AnyRef]]
+  def getOrBuild[T <: AnyRef](rows: AnyRef, planId: Int)(build: => T): T = {
+    val per = cache.synchronized {
+      var m = cache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
+        cache.put(rows, m)
+      }
+      m
+    }
+    per.computeIfAbsent(planId, _ => build).asInstanceOf[T]
+  }
+}
+
 /** Public API over the native operator. */
 object AsOf {
-  private val okTypes: Set[DataType] =
+  private val okTimeTypes: Set[DataType] =
     Set(LongType, IntegerType, TimestampType, DateType)
+  private val okKeyTypes: Set[DataType] = okTimeTypes + StringType
   private val okDirections = Set("backward", "forward", "nearest")
 
-  /** Raw physical value of an as-of key/time/tie (µs, days, or the
+  /** Row-count guard on the broadcast strategy's right side (override via
+    * this SQL conf): past it [[BroadcastAsOfJoinExec]] fails loudly
+    * instead of building a driver-size index — the merge strategy is the
+    * right plan for a data-proportional right side. */
+  val BROADCAST_MAX_ROWS_KEY = "graft.asof.broadcastMaxRows"
+  val BROADCAST_MAX_ROWS_DEFAULT = 10000000L
+
+  /** Raw physical value of an as-of time/tie (µs, days, or the
     * integral itself) — the execs' hot loops compare these as longs. */
   private[plans] def toL(v: Any): Long = v match {
     case l: java.lang.Long => l
@@ -410,14 +483,40 @@ object AsOf {
       s"as-of join key/time must evaluate to a long/int, got $other")
   }
 
+  /** Normalized key value: integrals widen to boxed long (so int-vs-long
+    * pairs compare equal), strings stay UTF8String (binary order). */
+  private[plans] def normKey(v: Any): AnyRef = v match {
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+    case other => other.asInstanceOf[AnyRef]
+  }
+
+  /** Compare two normalized key values of the same family. */
+  private[plans] def cmpKey(a: AnyRef, b: AnyRef): Int = a match {
+    case l: java.lang.Long =>
+      java.lang.Long.compare(l, b.asInstanceOf[java.lang.Long])
+    case s: UTF8String => s.compareTo(b.asInstanceOf[UTF8String])
+    case other => throw new IllegalStateException(
+      s"as-of join key must normalize to long/UTF8String, got $other")
+  }
+
+  /** Take ownership of a normalized key value that may point into a
+    * reused row buffer (UTF8String over an UnsafeRow): clone strings,
+    * boxed longs are immutable already. */
+  private[plans] def ownKey(v: AnyRef): AnyRef = v match {
+    case s: UTF8String => s.clone()
+    case other => other
+  }
+
   /** The physical-unit family of a column: the sweep compares raw
     * physical values (µs for timestamps, days for dates, the value
     * itself for integrals), so a cross-side pair must share a family or
     * the comparison is silently meaningless (µs vs days). Int vs Long is
-    * fine — both are the raw value, widened. */
+    * fine — both are the raw value, widened. Strings only ever pair with
+    * strings. */
   private def unitFamily(dt: DataType): String = dt match {
     case TimestampType => "timestamp (epoch-µs)"
     case DateType => "date (epoch-days)"
+    case StringType => "string (binary order)"
     case _ => "integral"
   }
 
@@ -476,8 +575,13 @@ object AsOf {
     val lTime = attr(lPlan, leftTime, "left")
     val rTime = attr(rPlan, rightTime, "right")
     val rTie = attr(rPlan, rightTie, "right")
-    (lKeys ++ rKeys ++ Seq(lTime, rTime, rTie)).foreach { a =>
-      require(okTypes.contains(a.dataType),
+    (lKeys ++ rKeys).foreach { a =>
+      require(okKeyTypes.contains(a.dataType),
+        s"as-of join key '${a.name}' must be " +
+          s"integral/timestamp/date/string, got ${a.dataType.simpleString}")
+    }
+    Seq(lTime, rTime, rTie).foreach { a =>
+      require(okTimeTypes.contains(a.dataType),
         s"as-of join column '${a.name}' must be integral/timestamp/date, " +
           s"got ${a.dataType.simpleString}")
     }

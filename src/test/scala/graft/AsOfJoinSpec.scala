@@ -235,17 +235,15 @@ class AsOfJoinSpec extends SparkSpecBase {
   }
 
   test("multi-key q127 equals its window twin and plans the native exec") {
-    import org.apache.spark.sql.expressions.Window
     val native = Kpis.lineitemRateAsof(spark, sf)
     val got = native.collect()
     val l = graft.engine.Tables.lineitem(spark, sf).select(
-      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-      expr("CASE l_returnflag WHEN 'A' THEN 1L WHEN 'N' THEN 2L ELSE 3L END")
-        .as("fc"),
-      col("l_shipdate"))
+      col("l_suppkey"), col("l_returnflag"), col("l_shipdate"))
     val r = graft.engine.Tables.supplier(spark, sf).select(col("s_suppkey"))
       .crossJoin(spark.range(1, 4).select(col("id").as("rfc")))
-      .select(col("s_suppkey"), col("rfc"),
+      .select(col("s_suppkey"),
+        expr("CASE rfc WHEN 1 THEN 'A' WHEN 2 THEN 'N' ELSE 'R' END")
+          .as("rf"),
         expr("timestamp'1995-01-01' + make_interval(0, 0, 0, " +
           "cast((s_suppkey * 7 + rfc * 11) % 1000 AS int), 0, 0, 0)")
           .as("rate_from"),
@@ -255,13 +253,14 @@ class AsOfJoinSpec extends SparkSpecBase {
     // (lineitem's (orderkey, linenumber) is NOT unique in the synthetic
     // data, so a per-probe-row window would silently collapse rows)
     val twin = l.join(r,
-        col("l_suppkey") === col("s_suppkey") && col("fc") === col("rfc") &&
+        col("l_suppkey") === col("s_suppkey") &&
+          col("l_returnflag") === col("rf") &&
           col("rate_from") <= col("l_shipdate"), "left")
-      .groupBy(col("l_suppkey"), col("fc"))
+      .groupBy(col("l_suppkey"), col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         count(col("rate_id")).as("n_matched"),
         sum(col("rate_id")).as("sum_rate_ids"))
-      .orderBy("l_suppkey", "fc").collect()
+      .orderBy("l_suppkey", "l_returnflag").collect()
     assert(got.length == twin.length && got.nonEmpty)
     got.zip(twin).foreach { case (a, b) => assert(a == b) }
     // some probes precede their epoch and some follow it — both paths real
@@ -269,6 +268,78 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(got.exists(r0 => r0.getLong(3) > 0))
     native.collect()
     assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
+  test("string keys: native symbol-style aj, sweep and broadcast agree") {
+    import spark.implicits._
+    // kdb-aj shape: symbol key, no dictionary encoding on the caller side
+    val l = Seq(("ibm", 10L, "a"), ("ibm", 20L, "b"), ("msft", 5L, "c"),
+      ("aapl", 7L, "d"), (null.asInstanceOf[String], 9L, "e"))
+      .toDF("sym", "t", "tag")
+    val r = Seq(("ibm", 10L, 1L, "i10"), ("ibm", 10L, 2L, "i10b"),
+      ("ibm", 15L, 3L, "i15"), ("msft", 99L, 4L, "m99"),
+      (null.asInstanceOf[String], 1L, 5L, "nul"))
+      .toDF("rsym", "rt", "tie", "payload")
+    def run(dir: String, bcast: Boolean): Map[String, String] =
+      AsOf.join(l, r, "sym", "rsym", "t", "rt", "tie",
+          direction = dir, broadcastRight = bcast)
+        .select(col("tag"), col("payload")).collect()
+        .map(x => x.getString(0) -> x.getString(1)).toMap
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val sweep = run(dir, bcast = false)
+      assert(run(dir, bcast = true) == sweep,
+        s"direction=$dir: broadcast != sweep")
+    }
+    val bw = run("backward", bcast = false)
+    // equal times: larger tie wins; missing key and NULL keys never match
+    assert(bw == Map("a" -> "i10b", "b" -> "i15", "c" -> null, "d" -> null,
+      "e" -> null))
+    // string key against integral key is rejected at plan-build time
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r.withColumn("rsym", lit(1L)), "sym", "rsym", "t", "rt",
+        "tie")
+    }
+    assert(e.getMessage.contains("share a unit"))
+  }
+
+  test("broadcast exec reports index metrics and enforces the size guard") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 1L), (1L, 15L, 2L), (2L, 1L, 3L))
+      .toDF("rk", "rt", "tie")
+    val df = AsOf.join(l, r, "k", "rk", "t", "rt", "tie",
+      broadcastRight = true)
+    df.collect()
+    def descend(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(descend)
+    }
+    val exec = descend(df.queryExecution.executedPlan).collectFirst {
+      case b: graft.plans.BroadcastAsOfJoinExec => b
+    }.getOrElse(fail("BroadcastAsOfJoinExec not planned"))
+    assert(exec.metrics("indexRows").value == 3,
+      s"index must report its rows, got ${exec.metrics("indexRows").value}")
+    assert(exec.metrics("numOutputRows").value == 3)
+    // the guard: right side over graft.asof.broadcastMaxRows fails loudly
+    // with a pointer at the merge strategy instead of building the index
+    val key = graft.plans.AsOf.BROADCAST_MAX_ROWS_KEY
+    spark.conf.set(key, "2")
+    try {
+      val err = intercept[org.apache.spark.SparkException] {
+        AsOf.join(l, r, "k", "rk", "t", "rt", "tie",
+          broadcastRight = true).collect()
+      }
+      assert(err.getMessage.contains("bounded reference table") ||
+        Option(err.getCause).exists(
+          _.getMessage.contains("bounded reference table")))
+    } finally spark.conf.unset(key)
   }
 
   test("explode_pairs generator matches the lambda fan-out and plans Generate") {

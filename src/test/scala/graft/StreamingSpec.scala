@@ -262,11 +262,24 @@ class StreamingSpec extends SparkSpecBase {
           .start()
         try {
           q.processAllAvailable()
-          // the provider actually engaged: the running query's state
-          // operator must report the requested store implementation
           val streamed = spark.table(s"docs_dedup_$tag").count()
           assert(streamed == batchDistinct,
             s"provider $tag emitted $streamed of $batchDistinct distinct docs")
+          // the provider actually engaged: the running query's state
+          // operators must report implementation-specific custom metrics
+          // (a conf that silently failed to switch would still count right)
+          val customKeys = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq)
+            .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+            .toSet
+          assert(customKeys.nonEmpty,
+            s"provider $tag: no state operator progress recorded")
+          if (tag == "rocksdb")
+            assert(customKeys.exists(_.toLowerCase.contains("rocksdb")),
+              s"RocksDB leg ran without RocksDB state metrics: $customKeys")
+          else
+            assert(customKeys.exists(_.contains("loadedMapCache")),
+              s"HDFSBacked leg missing its map-cache metrics: $customKeys")
         } finally q.stop()
       }
     } finally {
@@ -274,6 +287,47 @@ class StreamingSpec extends SparkSpecBase {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
       }
+    }
+  }
+
+  test("stream-static as-of join equals the batch operator, all directions") {
+    // the temporal-join lifecycle: an unbounded click stream resolves
+    // each row against a static purchase reference through the broadcast
+    // as-of index, micro-batch by micro-batch (maxFilesPerTrigger=1
+    // forces >1 batch) — and the landed union is row-for-row the batch
+    // operator's answer on the same data, for every direction knob
+    import graft.plans.AsOf
+    import graft.streaming.AsOfStream
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    val probeDir = tmpDir("graft-stream-asof-in")
+    clicks.repartition(2).write.mode("overwrite").parquet(probeDir)
+    val probeSchema = spark.read.parquet(probeDir).schema
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = tmpDir(s"graft-stream-asof-out-$dir") + "/landed"
+      val ckpt = tmpDir(s"graft-stream-asof-ckpt-$dir")
+      val probe = spark.readStream.schema(probeSchema)
+        .option("maxFilesPerTrigger", "1").parquet(probeDir)
+      val q = AsOfStream.asOfSink(probe, purchases,
+        Seq("user_id" -> "p_user_id"), "ts", "p_ts", "p_event_id",
+        direction = dir, tolerance = Some(Kpis.ASOF_TOLERANCE_US),
+        outDir = out, checkpointDir = ckpt)
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.read.parquet(out)
+        .orderBy("event_id").collect().map(_.toSeq)
+      val batch = AsOf.join(clicks, purchases, "user_id", "p_user_id",
+          "ts", "p_ts", "p_event_id", direction = dir,
+          tolerance = Some(Kpis.ASOF_TOLERANCE_US))
+        .orderBy("event_id").collect().map(_.toSeq)
+      assert(streamed.length == batch.length && streamed.nonEmpty,
+        s"direction=$dir: ${streamed.length} streamed vs ${batch.length}")
+      assert(streamed.sameElements(batch), s"direction=$dir mismatch")
+      assert(batch.exists(_.last != null) && batch.exists(_.last == null),
+        s"direction=$dir: both matched and unmatched paths must be real")
     }
   }
 
@@ -300,8 +354,14 @@ class StreamingSpec extends SparkSpecBase {
         .select("user_id", "n_events", "n_sessions").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(streamed.sameElements(batch))
-      // the custom-state operator genuinely ran on RocksDB
-      assert(q.lastProgress.stateOperators.nonEmpty)
+      // the custom-state operator genuinely ran on RocksDB: its progress
+      // must carry RocksDB-specific custom metrics, not just any state op
+      val customKeys = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+        .toSet
+      assert(customKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"sessionization ran without RocksDB state metrics: $customKeys")
     } finally {
       q.stop()
       prior match {
