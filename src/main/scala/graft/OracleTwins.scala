@@ -113,6 +113,17 @@ object OracleTwins {
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q128's twin: the FULL-corpus pair recompute restricted to pairs that
+    * cross the delta split — exactly what probing the persisted index
+    * with the delta must find (and nothing else). */
+  val incrementalNearDup: String =
+    s"""WITH $minhashPairsCte
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |WHERE jaccard >= 0.8
+       |  AND ((doc_a % ${graft.engine.Dedup.DELTA_MOD} = 0)
+       |       <> (doc_b % ${graft.engine.Dedup.DELTA_MOD} = 0))
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** CTE chain from verified pairs to per-doc component labels `lab`
     * (doc_id, cluster_id) — the recursive transitive closure the Spark side
     * computes by min-label propagation. */

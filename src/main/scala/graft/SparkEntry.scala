@@ -225,6 +225,9 @@ object SparkEntry {
     "q126_asof_broadcast"          -> (Kpis.eventNationRateAsof _),
     // ---- round 6: multi-column-key as-of (kdb aj by-columns parity) ----
     "q127_asof_multikey"           -> (Kpis.lineitemRateAsof _),
+    // ---- round 7: incremental near-dup against a PERSISTED band index
+    // (build once, probe each delta — no corpus signature recompute) ----
+    "q128_incremental_neardup"     -> (Dedup.incrementalNearDup _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -404,6 +407,7 @@ object SparkEntry {
     // side (hash family, band geometry, LSH planes) — see OracleTwins.
     "q18_exact_dedup"      -> OracleTwins.exactDedup,
     "q19_minhash_neardup"  -> OracleTwins.minhashNearDup,
+    "q128_incremental_neardup" -> OracleTwins.incrementalNearDup,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -58,23 +58,31 @@ object Dedup {
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** Banded MinHash signature rows of a document set — one row per
+    * (doc_id, sh, band): the unit of both the self-join dedup and the
+    * persisted index.
+    *
+    * Compute the (expensive) shingle-hash set once per doc and carry it
+    * through the band join — re-joining the doc table per side would
+    * re-evaluate the hashing subtree for every reference. The set is
+    * ~shingles×8 bytes per row, cheap to shuffle next to the band key.
+    * The signature must be its own projected column: feeding
+    * minhashSig(...) straight into bandKeys would splice the whole
+    * signature computation into every element_at — BANDS×R evaluations
+    * per document (visible as 12 minhash_sig calls in the plan). */
+  private def bandRows(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
+    val sig = sh.select(col("doc_id"), col("sh"),
+      TextFns.minhashSig(col("sh")).as("sig"))
+    sig.select(col("doc_id"), col("sh"),
+      explode(TextFns.bandKeys(col("sig"))).as("band"))
+  }
+
   /** [[minhashNearDup]] without the presentation sort — the composable form
     * the cluster/curation operators build on. */
   private[engine] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Compute the (expensive) shingle-hash set once per doc and carry it
-    // through the band join — re-joining the doc table per side would
-    // re-evaluate the hashing subtree for every reference. The set is
-    // ~shingles×8 bytes per row, cheap to shuffle next to the band key.
-    val sh = spread(documents(spark, dir))
-      .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
-    // The signature must be its own projected column: feeding
-    // minhashSig(...) straight into bandKeys would splice the whole
-    // signature computation into every element_at — BANDS×R evaluations
-    // per document (visible as 12 minhash_sig calls in the plan).
-    val sig = sh.select(col("doc_id"), col("sh"),
-      TextFns.minhashSig(col("sh")).as("sig"))
-    val bands = sig.select(col("doc_id"), col("sh"),
-      explode(TextFns.bandKeys(col("sig"))).as("band"))
+    val bands = bandRows(spread(documents(spark, dir)))
     // hint("merge"): a corpus self-join can never broadcast at scale, and
     // under sort-merge both sides are identical band-key shuffles →
     // ReusedExchange evaluates the hashing subtree exactly once (a
@@ -267,6 +275,64 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= HAM_T)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------ incremental dedup (index lifecycle)
+
+  /** The delta split modulus of [[incrementalNearDup]]'s demonstration:
+    * doc_id % 5 == 0 is "today's crawl", the rest is the indexed corpus. */
+  val DELTA_MOD = 5L
+
+  /** Build-once half of the index lifecycle: persist the banded MinHash
+    * index of `docs` (one row per (band, doc_id, sh)) as parquet at
+    * `indexDir`, repartitioned and sorted by band so each file covers a
+    * narrow band range and min/max stats prune probe scans. Append a new
+    * increment to the same layout with `.mode("append")` semantics by
+    * writing its [[bandRows]] — the probe side needs no rebuild. */
+  def buildMinhashIndex(docs: DataFrame, indexDir: String): Unit =
+    bandRows(docs)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"))
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Per-increment half: dedup a DELTA batch against the persisted index
+    * WITHOUT recomputing a single corpus signature — the operator shape a
+    * real training-data pipeline runs daily (the full recompute in
+    * [[minhashNearDup]] is the build tool, not the steady state).
+    * Signatures are computed for the delta only; the delta's banded rows
+    * then broadcast INTO the index scan, so the index is never shuffled
+    * or re-hashed and only index rows whose band matches a delta band
+    * survive the join — the probe touches matching band buckets and
+    * nothing else (DedupSimSpec pins the no-index-shuffle plan). Output:
+    * exact-Jaccard-verified cross pairs in canonical (min, max) order. */
+  def probeMinhashIndex(spark: SparkSession, delta: DataFrame,
+      indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    idx.as("x")
+      .join(broadcast(bandRows(delta).as("y")),
+        col("x.band") === col("y.band") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        TextFns.jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+      .distinct() // several band collisions, one pair
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** q128: the incremental lifecycle end-to-end — index 4/5 of the
+    * documents table, probe the held-out 1/5 as the day's delta. The
+    * oracle is the FULL-corpus recompute restricted to split-crossing
+    * pairs, so a probe that misses a bucket (or re-hashes the corpus
+    * differently) hash-mismatches. The index persists at a deterministic
+    * temp path, rebuilt idempotently per run. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir))
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-minhash-index-" +
+      Integer.toHexString(dir.hashCode)
+    buildMinhashIndex(d.filter(col("doc_id") % DELTA_MOD =!= 0), indexDir)
+    probeMinhashIndex(spark, d.filter(col("doc_id") % DELTA_MOD === 0),
+      indexDir)
       .orderBy("doc_a", "doc_b")
   }
 

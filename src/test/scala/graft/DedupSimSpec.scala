@@ -34,6 +34,59 @@ class DedupSimSpec extends SparkSpecBase {
     assert(rows(0).getSeq[Long](1).length == TextFns.NH)
   }
 
+  test("incremental probe equals the full recompute on split-crossing pairs") {
+    // lifecycle proof: indexing 4/5 of the corpus and probing the 1/5
+    // delta must find EXACTLY the full recompute's pairs that cross the
+    // split — same pairs, same verified jaccard, nothing extra
+    val inc = Dedup.incrementalNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val full = Dedup.minhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) =>
+        (a % Dedup.DELTA_MOD == 0) != (b % Dedup.DELTA_MOD == 0) }
+    assert(inc.sameElements(full))
+    assert(inc.nonEmpty, "the delta split must cross some near-dup pairs")
+  }
+
+  test("incremental probe never shuffles or re-hashes the persisted index") {
+    val df = Dedup.incrementalNearDup(spark, sf)
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    val bhj = all.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.getOrElse(fail("the probe must be a broadcast hash join"))
+    val (streamedPlan, buildPlan) = bhj.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+        (bhj.left, bhj.right)
+      case _ => (bhj.right, bhj.left)
+    }
+    // the index (streamed) side: a bare parquet scan of the index files —
+    // no exchange (the index never moves) and no signature recompute (no
+    // Generate/explode of band keys on that side)
+    val streamed = nodes(streamedPlan).map(_.getClass.getSimpleName)
+    assert(!streamed.exists(_.contains("ShuffleExchange")),
+      s"index side must not shuffle: $streamed")
+    assert(!streamed.exists(_.contains("Generate")),
+      s"index side must not recompute band rows: $streamed")
+    assert(streamed.exists(_.contains("Scan")),
+      s"index side must be a file scan: $streamed")
+    // the delta side is the broadcast one, and IT carries the banding
+    val broadcastSide = nodes(buildPlan).map(_.getClass.getSimpleName)
+    assert(broadcastSide.exists(_.contains("Generate")),
+      s"delta side must compute band rows: $broadcastSide")
+  }
+
   test("minhashNearDup pairs all verify at jaccard >= 0.8 and a<b") {
     val pairs = Dedup.minhashNearDup(spark, sf).collect()
     assert(pairs.forall(r => r.getDouble(2) >= 0.8))
