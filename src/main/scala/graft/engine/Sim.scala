@@ -125,12 +125,29 @@ object Sim {
 
   /** Initial centroids: the deterministic stride slice of the corpus,
     * stride widened past [[IVF_MAX_CELLS]]·[[IVF_STRIDE]] vectors so K
-    * never scales with N (the one corpus-size scalar read; the oracle
-    * computes the identical stride via a COUNT subquery). */
-  private def strideCentroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % centroidStride(e.count()) === 0)
+    * never scales with N. The corpus-size scalar stays IN-PLAN — an
+    * uncorrelated scalar COUNT subquery feeding the stride expression
+    * (the oracle computes the identical stride the same way) — so no IVF
+    * query pays a driver-side count job before it starts. A scalar
+    * subquery, not a crossJoin of a 1-row aggregate: the crossJoin form
+    * multiplies the corpus stats into the centroid subtree's size
+    * estimate, which tripped BroadcastGuard into dropping the broadcast
+    * hint on the N×K assignment join. The subquery leaves the filter's
+    * stats (and the broadcast of the centroids) untouched. */
+  private def strideCentroids(e: DataFrame): DataFrame = {
+    val view = "__graft_ivf_corpus_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    e.createOrReplaceTempView(view)
+    // Dataset construction analyzes eagerly, so the subquery is resolved
+    // before the view is dropped below
+    val cents = e.filter(expr(
+        s"vec_id % greatest(${IVF_STRIDE}L, ((select count(1) from $view)" +
+          s" + ${IVF_MAX_CELLS - 1}L) div ${IVF_MAX_CELLS}L) = 0"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("nrm").as("cnrm"))
+    e.sparkSession.catalog.dropTempView(view)
+    cents
+  }
 
   /** Vector → nearest-centroid assignment. N×K work with the K centroids
     * broadcast (the join condition is literal-true by design — every

@@ -43,42 +43,56 @@ object Skew {
   /** Fact rows per key above which the key takes the salted path. */
   val HOT_THRESHOLD = 3L
 
+  /** Helper-column name guaranteed absent from every input schema —
+    * inputs that already carry a `__hotkey`/`__salt_*` column must not
+    * collide with the plan's own bookkeeping (the schema contract below
+    * promises fact.* ++ dim.* untouched for ARBITRARY inputs). */
+  private def fresh(base: String, inputs: Seq[DataFrame]): String = {
+    var n = base
+    while (inputs.exists(_.columns.contains(n))) n += "_"
+    n
+  }
+
   /** Inner equi-join `fact ⋈ dim` on `factKey = dimKey`, with keys whose
     * fact-side row count exceeds `hotThreshold` routed through a salted
     * two-path plan. `saltSrc` is any fact column (or expression) whose
     * hash spreads a hot key's rows across salts — it never affects the
     * result, only the distribution. Output columns: fact.* ++ dim.*
-    * (both key columns retained), exactly the plain join's schema. */
+    * (both key columns retained), exactly the plain join's schema —
+    * helper columns are collision-proofed against the input schemas. */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String, saltSrc: Column,
                  salts: Int = JOIN_SALTS,
                  hotThreshold: Long = HOT_THRESHOLD): DataFrame = {
     val spark = fact.sparkSession
+    val hotK = fresh("__hotkey", Seq(fact, dim))
+    val saltF = fresh("__salt_f", Seq(fact, dim))
+    val saltD = fresh("__salt_d", Seq(fact, dim))
     // exact hot-key census: partial-aggregated, skew-free, and the
     // result set is ≤ N/hotThreshold keys — always broadcastable
-    val hot = fact.groupBy(col(factKey).as("__hotkey"))
+    val hot = fact.groupBy(col(factKey).as(hotK))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
-      .select(col("__hotkey"))
+      .select(col(hotK))
     val factHot = fact.join(broadcast(hot),
-      col(factKey) === col("__hotkey"), "left_semi")
+      col(factKey) === col(hotK), "left_semi")
     val factCold = fact.join(broadcast(hot),
-      col(factKey) === col("__hotkey"), "left_anti")
+      col(factKey) === col(hotK), "left_anti")
     val dimHot = dim.join(broadcast(hot),
-      col(dimKey) === col("__hotkey"), "left_semi")
+      col(dimKey) === col(hotK), "left_semi")
     val dimCold = dim.join(broadcast(hot),
-      col(dimKey) === col("__hotkey"), "left_anti")
+      col(dimKey) === col(hotK), "left_anti")
     // hot path: fact rows take a deterministic salt in [0, salts);
     // ONLY the hot dim rows replicate across the full salt domain
     val saltDomain = spark.range(salts.toLong)
-      .select(col("id").as("__salt_d"))
+      .select(col("id").as(saltD))
     val saltedFact = factHot
-      .withColumn("__salt_f", pmod(hash(saltSrc), lit(salts)).cast("long"))
+      .withColumn(saltF, pmod(hash(saltSrc), lit(salts)).cast("long"))
     val saltedDim = dimHot.crossJoin(broadcast(saltDomain))
     val hotJoined = saltedFact
       .join(saltedDim, col(factKey) === col(dimKey) &&
-        col("__salt_f") === col("__salt_d"))
-      .drop("__salt_f", "__salt_d")
+        col(saltF) === col(saltD))
+      .drop(saltF, saltD)
     val coldJoined = factCold.join(dimCold, col(factKey) === col(dimKey))
     hotJoined.unionByName(coldJoined)
   }

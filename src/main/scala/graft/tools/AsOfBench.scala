@@ -50,7 +50,13 @@ object AsOfBench {
 
     // the exec's requiredChildDistribution/Ordering, reproduced exactly;
     // the explicit top-level sortWithinPartitions cannot be elided
-    // because the drain consumes the sorted output itself
+    // because the drain consumes the sorted output itself.
+    // MEASUREMENT BIAS: the two child pipelines run as separate
+    // sequential jobs here, while the native run overlaps both subtrees
+    // inside one job — so sweep_sec = native − children is an ESTIMATE
+    // that can over- or understate the sweep (and is clamped at 0). The
+    // JSON carries the estimator name so readers don't mistake it for a
+    // direct measurement.
     def childrenOnly: Double =
       time(leftSide.repartition(col("user_id"))
         .sortWithinPartitions("user_id", "ts")) +
@@ -104,6 +110,7 @@ object AsOfBench {
     println(s"""{"sf_dir":"$sfDir","children_sec":$childrenSec,""" +
       s""""native_sec":$nativeSec,"sweep_sec":$sweepSec,""" +
       s""""sweep_share":${sweepSec / nativeSec},""" +
+      s""""sweep_estimator":"native_minus_sequential_children_clamped_at_0",""" +
       s""""window_sec":$windowSec,""" +
       s""""ref_merge_sec":$refMergeSec,"ref_broadcast_sec":$refBcastSec}""")
     spark.stop()

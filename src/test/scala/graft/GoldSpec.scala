@@ -61,6 +61,31 @@ class GoldSpec extends SparkSpecBase {
     assert(q.count() == expected)
   }
 
+  test("dim-side filter dynamically prunes the fact scan (DPP fires)") {
+    // the read-path twin of the S4 layout: a fact ⋈ dim_date join whose
+    // only date restriction sits on the DIM side must still prune the
+    // fact's year/month partitions — via a dynamicpruning subquery on
+    // the scan (static pruning can't see through the join; at 100 TB the
+    // difference is scanning one year vs the whole table)
+    val out = tmpDir("graft-gold-dpp") + "/fact_orders"
+    Gold.writePartitioned(Gold.factOrders(spark, sf), out)
+    val fact = spark.read.parquet(out)
+    val dim = Gold.dimDate(spark, sf)
+      .filter(col("month_name") === "March" && col("year") === 1995)
+      .select(col("year").as("d_year"), col("month").as("d_month"))
+      .distinct()
+    val q = fact.join(dim,
+        col("year") === col("d_year") && col("month") === col("d_month"))
+      .agg(count(lit(1)).as("n"))
+    val n = q.collect().head.getLong(0)
+    val scans = q.queryExecution.executedPlan.toString
+    assert(scans.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning subquery:\n$scans")
+    val expected = Gold.factOrders(spark, sf)
+      .filter(col("year") === 1995 && col("month") === 3).count()
+    assert(n == expected)
+  }
+
   test("overwritePartitions rewrites only the updated month (idempotent backfill)") {
     val out = tmpDir("graft-gold-dyn") + "/fact_orders"
     val fact = Gold.factOrders(spark, sf)

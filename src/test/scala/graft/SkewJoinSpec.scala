@@ -66,6 +66,33 @@ class SkewJoinSpec extends SparkSpecBase {
     salted.zip(plain).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("inputs already named __hotkey/__salt_f survive the salted join") {
+    // the schema contract (fact.* ++ dim.* untouched) must hold for
+    // ARBITRARY inputs — helper names are derived collision-free, so a
+    // fact that happens to carry the old fixed names is neither
+    // ambiguous nor dropped
+    val fact = skewedFact(2000L, 20)
+      .withColumn("__hotkey", col("k") * 10)
+      .withColumn("__salt_f", lit(7L))
+    val dim = spark.range(20L).select(col("id").as("dk"),
+      concat(lit("d"), col("id")).as("name"), lit(3L).as("__salt_d"))
+    val salted = Skew.saltedJoin(fact, dim, "k", "dk", col("payload"),
+      salts = 4, hotThreshold = 50L)
+    assert(salted.columns.toSeq ==
+      fact.columns.toSeq ++ dim.columns.toSeq)
+    val got = salted.groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("__hotkey").as("s"),
+        min("__salt_f").as("sf"), min("__salt_d").as("sd"))
+      .orderBy("name").collect()
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("__hotkey").as("s"),
+        min("__salt_f").as("sf"), min("__salt_d").as("sd"))
+      .orderBy("name").collect()
+    assert(got.length == plain.length && got.nonEmpty)
+    got.zip(plain).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("salting bounds any reducer's share of a hot key at ~1/salts") {
     val salts = 4
     val fact = skewedFact(20000L, 100) // key 0 holds 10k of 20k rows
