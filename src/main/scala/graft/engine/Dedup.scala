@@ -287,14 +287,38 @@ object Dedup {
   /** Build-once half of the index lifecycle: persist the banded MinHash
     * index of `docs` (one row per (band, doc_id, sh)) as parquet at
     * `indexDir`, repartitioned and sorted by band so each file covers a
-    * narrow band range and min/max stats prune probe scans. Append a new
-    * increment to the same layout with `.mode("append")` semantics by
-    * writing its [[bandRows]] — the probe side needs no rebuild. */
+    * narrow band range and min/max stats prune probe scans. The layout is
+    * partitioned by `increment` (the build is increment 0) so that
+    * [[appendMinhashIndex]] can add a delta as its own partition with
+    * dynamic partition overwrite — a retried append REPLACES its
+    * increment instead of duplicating it, which is what makes the
+    * streaming form ([[graft.streaming.DedupStream]]) exactly-once on
+    * the index under micro-batch retry. */
   def buildMinhashIndex(docs: DataFrame, indexDir: String): Unit =
-    bandRows(docs)
+    writeIndexBands(bandRows(docs), indexDir, increment = 0L)
+
+  /** Append-an-increment half: write `delta`'s band rows as partition
+    * `increment=<increment>` of the index — same band-clustered file
+    * layout as the build, no rebuild, idempotent per increment. */
+  def appendMinhashIndex(delta: DataFrame, indexDir: String,
+      increment: Long): Unit =
+    writeIndexBands(bandRows(delta), indexDir, increment)
+
+  private def writeIndexBands(bands: DataFrame, indexDir: String,
+      increment: Long): Unit =
+    bands.withColumn("increment", lit(increment))
       .repartition(col("band"))
       .sortWithinPartitions(col("band"))
-      .write.mode("overwrite").parquet(indexDir)
+      .write.partitionBy("increment")
+      // build (increment 0): STATIC overwrite — a rebuild must clear any
+      // stale increments from a previous lifecycle. Append: DYNAMIC
+      // overwrite — only the partitions present in the written data
+      // (exactly increment=<n>) are replaced, so a retried increment
+      // lands once no matter how many times it runs.
+      .option("partitionOverwriteMode",
+        if (increment == 0L) "static" else "dynamic")
+      .mode("overwrite")
+      .parquet(indexDir)
 
   /** Per-increment half: dedup a DELTA batch against the persisted index
     * WITHOUT recomputing a single corpus signature — the operator shape a
@@ -307,10 +331,14 @@ object Dedup {
     * nothing else (DedupSimSpec pins the no-index-shuffle plan). Output:
     * exact-Jaccard-verified cross pairs in canonical (min, max) order. */
   def probeMinhashIndex(spark: SparkSession, delta: DataFrame,
-      indexDir: String): DataFrame = {
-    val idx = spark.read.parquet(indexDir)
+      indexDir: String): DataFrame =
+    crossPairs(spark.read.parquet(indexDir), bandRows(delta))
+
+  /** Index-vs-delta pairs: the delta's band rows broadcast INTO the index
+    * scan (see [[probeMinhashIndex]]'s contract). */
+  private def crossPairs(idx: DataFrame, deltaBands: DataFrame): DataFrame =
     idx.as("x")
-      .join(broadcast(bandRows(delta).as("y")),
+      .join(broadcast(deltaBands.as("y")),
         col("x.band") === col("y.band") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
@@ -318,6 +346,45 @@ object Dedup {
         TextFns.jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
       .distinct() // several band collisions, one pair
       .filter(col("jaccard") >= 0.8)
+
+  /** Delta-internal pairs via a broadcast banded self-join — the
+    * within-batch half of an increment. Unlike the corpus-scale
+    * [[nearDupPairs]] (merge-hinted: a corpus can never broadcast), a
+    * delta batch is bounded by the ingest trigger, and with its band rows
+    * persisted both sides read the same materialized RDD, so broadcast
+    * costs no recompute and no shuffle. */
+  private def selfPairs(bands: DataFrame): DataFrame =
+    bands.as("x")
+      .join(broadcast(bands.as("y")),
+        col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        TextFns.jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= 0.8)
+
+  /** One full increment of the steady-state dedup pipeline, the unit
+    * [[graft.streaming.DedupStream]] runs per micro-batch: verified
+    * near-dup pairs of `batch` against everything indexed so far
+    * ([[crossPairs]]) PLUS within `batch` itself ([[selfPairs]]) land
+    * append-only at `outDir`; then the batch's band rows join the index
+    * as partition `increment=<increment>` so the NEXT increment dedups
+    * against this one too. The two pair sets are disjoint by
+    * construction (cross requires exactly one end in the index, self
+    * requires both in the batch; doc_ids are assumed unique across the
+    * corpus), so the union needs no cross-set distinct. Band rows are
+    * computed ONCE and persisted across the three consumers — the
+    * shingle/signature hashing is the expensive part of an increment. */
+  def dedupIncrement(batch: DataFrame, indexDir: String, increment: Long,
+      outDir: String, appendToIndex: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val bands = bandRows(batch).persist()
+    try {
+      crossPairs(spark.read.parquet(indexDir), bands)
+        .unionByName(selfPairs(bands))
+        .write.mode("append").parquet(outDir)
+      if (appendToIndex) writeIndexBands(bands, indexDir, increment)
+    } finally { bands.unpersist(blocking = false); () }
   }
 
   /** q128: the incremental lifecycle end-to-end — index 4/5 of the

@@ -331,6 +331,78 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streamed incremental near-dup equals the batch recompute across appended increments") {
+    // the index lifecycle as a stream: build the band index over 4/5 of
+    // the corpus, then stream the held-out delta through in single-file
+    // micro-batches. Each batch probes the index (which, via the
+    // per-batch increment appends, contains the base AND every earlier
+    // batch), self-dedups within the batch, and joins the index. The
+    // accumulated pairs must equal the FULL-corpus batch recompute
+    // restricted to pairs touching a delta doc — delta-delta pairs can
+    // only come from the within-batch join or a cross-batch index probe,
+    // so a skipped append or self-join loses them and fails the equality
+    import graft.engine.Dedup
+    import graft.streaming.DedupStream
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    val indexDir = tmpDir("graft-stream-ndx") + "/index"
+    Dedup.buildMinhashIndex(base, indexDir)
+    val inDir = tmpDir("graft-stream-ndx-in")
+    delta.repartition(3).write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val out = tmpDir("graft-stream-ndx-out") + "/pairs"
+    val ckpt = tmpDir("graft-stream-ndx-ckpt")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = DedupStream.nearDupSink(stream, indexDir, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val expected = Dedup.minhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) =>
+        a % Dedup.DELTA_MOD == 0 || b % Dedup.DELTA_MOD == 0 }
+      .sorted
+    assert(streamed.length == expected.length,
+      s"${streamed.length} streamed vs ${expected.length} expected")
+    assert(streamed.sameElements(expected))
+    // non-vacuity: some pair must have BOTH ends in the delta (i.e. the
+    // base-probe alone could not have produced it)
+    assert(expected.exists { case (a, b, _) =>
+      a % Dedup.DELTA_MOD == 0 && b % Dedup.DELTA_MOD == 0 },
+      "the delta split must contain delta-internal near-dup pairs")
+    // and the index must have actually grown one increment per batch
+    val incs = spark.read.parquet(indexDir)
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(incs.length > 2 && incs.head == 0L,
+      s"index must hold the build plus one increment per batch: ${incs.toSeq}")
+  }
+
+  test("index append is idempotent: a retried increment replaces, not duplicates") {
+    import graft.engine.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    val indexDir = tmpDir("graft-ndx-idem") + "/index"
+    Dedup.buildMinhashIndex(base, indexDir)
+    Dedup.appendMinhashIndex(delta, indexDir, increment = 1L)
+    val once = spark.read.parquet(indexDir).count()
+    // the retry: same increment written again — dynamic partition
+    // overwrite must replace increment=1, leaving the total unchanged
+    Dedup.appendMinhashIndex(delta, indexDir, increment = 1L)
+    val twice = spark.read.parquet(indexDir).count()
+    assert(once == twice, s"retried append duplicated rows: $once -> $twice")
+    // and a rebuild clears stale increments (static overwrite)
+    Dedup.buildMinhashIndex(base, indexDir)
+    val incs = spark.read.parquet(indexDir)
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(incs == Seq(0L), s"rebuild must clear old increments: $incs")
+  }
+
   test("flatMapGroupsWithState sessionization runs on RocksDB state store") {
     val dir = tmpDir("graft-stream-sess-rocks")
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
