@@ -422,6 +422,49 @@ object OracleTwins {
        |a1 AS (
        |  SELECT vec_id, cent_id FROM a WHERE rn = 1)""".stripMargin
 
+  /** q129's twin: the persisted-index lifecycle recomputed in one pass —
+    * centroids stride-picked from the BUILD corpus (vec_id % ANN_DELTA_MOD
+    * <> 0) with the stride derived from the BUILD count, every vector
+    * (build + appended delta) assigned against those frozen centroids,
+    * probes searching only their own cell. An append that retrained the
+    * centroids (stride over the full count, or delta ids eligible as
+    * centroids) diverges here. */
+  val ivfIndexProbe: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2("embedding")}) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % ${Sim.ANN_DELTA_MOD} <> 0),
+       |c AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |    FROM b) = 0),
+       |s AS (
+       |  SELECT e.vec_id, c.cent_id, ${dot("embedding", "cv")} / (nrm * cnrm) AS cos
+       |  FROM e, c),
+       |a AS (
+       |  SELECT vec_id, cent_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |  FROM s),
+       |a1 AS (
+       |  SELECT vec_id, cent_id FROM a WHERE rn = 1),
+       |p AS (
+       |  SELECT a1.vec_id AS probe_id, a1.cent_id AS pcell,
+       |    e.embedding AS pv, e.nrm AS pnrm
+       |  FROM a1 JOIN e ON a1.vec_id = e.vec_id WHERE a1.vec_id < 4),
+       |cand AS (
+       |  SELECT p.probe_id, a1.vec_id, ${dot("pv", "embedding")} / (pnrm * nrm) AS cos
+       |  FROM a1
+       |  JOIN p ON a1.cent_id = p.pcell AND a1.vec_id <> p.probe_id
+       |  JOIN e ON a1.vec_id = e.vec_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("cos")} AS cosine
+       |FROM r WHERE rank <= ${Sim.IVF_TOP_K} ORDER BY probe_id, rank""".stripMargin
+
   val ivfCells: String =
     s"""$ivfPrefix
        |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,

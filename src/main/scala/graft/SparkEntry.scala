@@ -228,6 +228,9 @@ object SparkEntry {
     // ---- round 7: incremental near-dup against a PERSISTED band index
     // (build once, probe each delta — no corpus signature recompute) ----
     "q128_incremental_neardup"     -> (Dedup.incrementalNearDup _),
+    // ---- round 7: persisted IVF index lifecycle (train once, append
+    // deltas against frozen centroids, cell-pruned probes) ----
+    "q129_ivf_index_probe"         -> (Sim.ivfIndexProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -408,6 +411,7 @@ object SparkEntry {
     "q18_exact_dedup"      -> OracleTwins.exactDedup,
     "q19_minhash_neardup"  -> OracleTwins.minhashNearDup,
     "q128_incremental_neardup" -> OracleTwins.incrementalNearDup,
+    "q129_ivf_index_probe" -> OracleTwins.ivfIndexProbe,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -250,6 +250,125 @@ object Sim {
           .as("recall_ppm"))
   }
 
+  // ---- Persisted IVF index lifecycle (q129): the ANN twin of the
+  // MinHash band index ([[Dedup.buildMinhashIndex]]). A production vector
+  // store trains its coarse quantizer ONCE, then adds vectors and serves
+  // probes against the frozen cells — never retraining per ingest. ----
+
+  /** Delta split for the index lifecycle demo. Coprime to [[IVF_STRIDE]]
+    * (unlike Dedup's mod-5 split): a mod-5 delta would swallow every
+    * vec_id % 25 == 0 centroid candidate and leave the build corpus with
+    * zero centroids. */
+  val ANN_DELTA_MOD = 7L
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+
+  /** Nearest-cell assignment that KEEPS the vector payload: the argmax
+    * aggregation carries (embedding, nrm) through `first` — functionally
+    * dependent on the group key, so deterministic — instead of re-joining
+    * the corpus on vec_id afterwards (which would add an N-row shuffle
+    * join to every index write). */
+  private def assignWithVec(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        (VecFns.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("cos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("cos")),
+          struct(col("cos"), -col("cent_id"))).as("best"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("best.cent_id").as("cell"))
+
+  /** Build-once half: train (stride-pick) the centroids from the build
+    * corpus, persist them at `indexDir/centroids`, and lay the assigned
+    * vectors out at `indexDir/vectors` partitioned by (increment, cell) —
+    * cell-partitioning is what lets a probe's scan skip every file
+    * outside its own cells, increment-partitioning is what makes
+    * [[appendIvfIndex]] idempotent per delta (same contract as the
+    * MinHash index: build = static overwrite clears stale increments). */
+  def buildIvfIndex(base: DataFrame, indexDir: String): Unit = {
+    val e = withNorm(base)
+    strideCentroids(e).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    writeIndexCells(e, indexDir, increment = 0L)
+  }
+
+  /** Append-a-delta half: assign the delta against the PERSISTED (frozen)
+    * centroids — no retrain, the real IVF add-vectors contract — and
+    * write it as partition increment=<n> (dynamic overwrite: a retried
+    * increment replaces itself). */
+  def appendIvfIndex(delta: DataFrame, indexDir: String,
+      increment: Long): Unit =
+    writeIndexCells(withNorm(delta), indexDir, increment)
+
+  private def writeIndexCells(e: DataFrame, indexDir: String,
+      increment: Long): Unit = {
+    val cents = e.sparkSession.read.parquet(s"$indexDir/centroids")
+    assignWithVec(e, cents)
+      .withColumn("increment", lit(increment))
+      .write.partitionBy("increment", "cell")
+      .option("partitionOverwriteMode",
+        if (increment == 0L) "static" else "dynamic")
+      .mode("overwrite")
+      .parquet(s"$indexDir/vectors")
+  }
+
+  /** Serve a probe batch against the persisted index: assign each probe
+    * vector to its cell against the frozen centroids (|probes|×K, all
+    * broadcast-side), then search ONLY that cell — the broadcast join on
+    * the `cell` partition column lets dynamic partition pruning drop
+    * every other cell's files from the index scan (DedupSimSpec pins the
+    * dynamicpruning subquery), so probe cost scales with cell size, not
+    * index size. `probes` needs (probe_id, embedding). */
+  def probeIvfIndex(probes: DataFrame, indexDir: String,
+      k: Int = IVF_TOP_K): DataFrame = {
+    val spark = probes.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val p = probes.select(col("probe_id"), col("embedding").as("pv"),
+      sqrt(VecFns.norm2(col("embedding"))).as("pnrm"))
+    val assigned = p.join(broadcast(cents), lit(true))
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("cent_id"),
+        (VecFns.dot(col("pv"), col("cv")) / (col("pnrm") * col("cnrm")))
+          .as("cos"))
+      .groupBy("probe_id")
+      .agg(max_by(struct(col("cent_id"), col("cos")),
+          struct(col("cos"), -col("cent_id"))).as("best"),
+        first(col("pv")).as("pv"), first(col("pnrm")).as("pnrm"))
+      .select(col("probe_id"), col("pv"), col("pnrm"),
+        col("best.cent_id").as("pcell"))
+    val idx = spark.read.parquet(s"$indexDir/vectors")
+    rankTopK(
+      idx.join(broadcast(assigned),
+          col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+            .as("cos")),
+      k)
+  }
+
+  /** q129: the ANN index lifecycle end-to-end — build over 6/7 of the
+    * embeddings, append the held-out 1/7 as a delta (frozen centroids),
+    * probe. The oracle recomputes the same geometry in one pass: stride
+    * centroids over the BUILD corpus count, every vector (build + delta)
+    * assigned against them, probes searching their own cell — so a probe
+    * that misses the appended increment, or an append that retrains the
+    * centroids, hash-mismatches. */
+  def ivfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(embeddings(spark, dir))
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
+      Integer.toHexString(dir.hashCode)
+    buildIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir)
+    appendIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD === 0), indexDir,
+      increment = 1L)
+    probeIvfIndex(
+      e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("probe_id"), col("embedding")),
+      indexDir)
+  }
+
   /** One distributed Lloyd (k-means) update step over the IVF assignment:
     * per-(centroid, dimension) mean of the member vectors — the iterative
     * half of index training ([[ivfAssign]] is the other half; alternating

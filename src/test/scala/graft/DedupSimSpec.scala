@@ -269,4 +269,79 @@ class DedupSimSpec extends SparkSpecBase {
     assert(fp1.sameElements(fp2))
     assert(fp1.forall(!_.isNullAt(1)))
   }
+
+  test("IVF probe dynamically prunes to its own cells' files") {
+    // the scale contract of the persisted index: a probe batch's scan of
+    // indexDir/vectors must carry a dynamicpruning subquery on the `cell`
+    // partition column (fed by the broadcast probe assignment) and read
+    // strictly fewer files than the index holds — probe cost scales with
+    // cell size, not index size
+    val e = Tables.embeddings(spark, sf)
+    val indexDir = tmpDir("graft-ivf-ndx-dpp") + "/index"
+    Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      indexDir)
+    Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      indexDir, increment = 1L)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val q = Sim.probeIvfIndex(probes, indexDir)
+    // collect() drives q's OWN queryExecution (count() would build and
+    // execute a different plan, leaving these scans' metrics empty)
+    assert(q.collect().nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"index scan must carry a dynamicpruning subquery on cell:\n$plan")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val idxScans = scans(q.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains("graft-ivf-ndx-dpp")))
+    assert(idxScans.nonEmpty, "no file scan over the index found")
+    // the scan's own metrics report post-pruning file counts: with DPP
+    // engaged, numFiles (actually read) must undercut staticFilesNum
+    // (what the static filters alone would have read)
+    val pruned = idxScans.filter(_.metrics.contains("staticFilesNum"))
+    assert(pruned.nonEmpty, "no index scan reports dynamic-pruning metrics")
+    val readFiles = pruned.map(_.metrics("numFiles").value).max
+    val staticFiles = pruned.map(_.metrics("staticFilesNum").value).max
+    assert(readFiles < staticFiles,
+      s"probe must not scan the whole index: $readFiles vs $staticFiles files")
+  }
+
+  test("IVF append is idempotent and never retrains the centroids") {
+    val e = Tables.embeddings(spark, sf)
+    val indexDir = tmpDir("graft-ivf-ndx-idem") + "/index"
+    val base = e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0)
+    val delta = e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0)
+    Sim.buildIvfIndex(base, indexDir)
+    val centsBefore = spark.read.parquet(s"$indexDir/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    Sim.appendIvfIndex(delta, indexDir, increment = 1L)
+    val once = spark.read.parquet(s"$indexDir/vectors").count()
+    // retry of the same increment must replace, not duplicate
+    Sim.appendIvfIndex(delta, indexDir, increment = 1L)
+    val twice = spark.read.parquet(s"$indexDir/vectors").count()
+    assert(once == twice, s"retried append duplicated vectors: $once -> $twice")
+    assert(once == e.count(), "index must hold build + delta exactly once")
+    // appends assign against FROZEN centroids — the set cannot change
+    val centsAfter = spark.read.parquet(s"$indexDir/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(centsAfter == centsBefore, "append must not retrain centroids")
+    // and no delta vec_id is a centroid (they arrived after training)
+    assert(centsAfter.forall(_ % Sim.ANN_DELTA_MOD != 0))
+    // rebuild clears stale increments (static overwrite)
+    Sim.buildIvfIndex(base, indexDir)
+    val incs = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(incs == Seq(0L), s"rebuild must clear old increments: $incs")
+  }
 }
