@@ -729,6 +729,32 @@ object OracleTwins {
        |    > ${TextOps.REP_T} AS repetitive
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q130's twin: the same relative-df gate in integer arithmetic —
+    * distinct-per-doc gram hashes make `count(*)` the document
+    * frequency, and `df*100 >= n_docs*pct` is the exact comparison the
+    * Spark side runs. */
+  val boilerplateNgrams: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${shingleHashes("w")} AS sh FROM toks),
+       |gr AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh),
+       |tot AS (SELECT count(*) AS n_total FROM sh),
+       |heavy AS (
+       |  SELECT g FROM gr GROUP BY g
+       |  HAVING count(*) * 100 >= (SELECT n_total FROM tot)
+       |    * ${TextOps.BOILER_DF_PCT}),
+       |per AS (
+       |  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(count(h.g) AS BIGINT) AS n_boiler
+       |  FROM gr LEFT JOIN heavy h ON gr.g = h.g
+       |  GROUP BY gr.doc_id)
+       |SELECT doc_id, n_grams, n_boiler,
+       |  ${round6("n_boiler::DOUBLE / n_grams::DOUBLE")} AS boiler_ratio
+       |FROM per ORDER BY doc_id""".stripMargin
+
   val piiScan: String =
     s"""WITH p AS (
        |  SELECT lang, CASE WHEN doc_id % ${TextOps.PII_EVERY} = 0

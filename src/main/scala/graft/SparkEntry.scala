@@ -231,6 +231,9 @@ object SparkEntry {
     // ---- round 7: persisted IVF index lifecycle (train once, append
     // deltas against frozen centroids, cell-pruned probes) ----
     "q129_ivf_index_probe"         -> (Sim.ivfIndexProbe _),
+    // ---- round 7: C4-style cross-document boilerplate accounting
+    // (relative-df heavy grams, broadcast back — corpus never shuffled) --
+    "q130_boilerplate_ngrams"      -> (TextOps.boilerplateNgrams _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -412,6 +415,7 @@ object SparkEntry {
     "q19_minhash_neardup"  -> OracleTwins.minhashNearDup,
     "q128_incremental_neardup" -> OracleTwins.incrementalNearDup,
     "q129_ivf_index_probe" -> OracleTwins.ivfIndexProbe,
+    "q130_boilerplate_ngrams" -> OracleTwins.boilerplateNgrams,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -394,6 +394,49 @@ object TextOps {
       .withColumn("repetitive", col("rep_ratio") > REP_T)
       .orderBy("doc_id")
 
+  /** Boilerplate document-frequency gate: a word-3-gram present in at
+    * least this percentage of ALL documents is corpus boilerplate
+    * (header/footer/license text — the C4-style cross-document hygiene
+    * signal, as opposed to [[repetition]]'s within-document signal).
+    * Relative, so the semantics are scale-invariant; compared with exact
+    * integer arithmetic (`df × 100 ≥ n_docs × pct`) so every engine
+    * agrees at every corpus size. */
+  val BOILER_DF_PCT = 1
+
+  /** Cross-document boilerplate accounting: per document, how many of its
+    * distinct word-3-grams occur in ≥ [[BOILER_DF_PCT]]% of the corpus.
+    *
+    * Scale shape: one map-only shingle pass, one shuffle keyed on the
+    * gram hash (partial aggregation combines map-side — distinct-per-doc
+    * hashes mean `count(*)` IS document frequency, no `countDistinct`
+    * expansion), then the heavy set joins back by BROADCAST. The
+    * broadcast is safe by a counting bound, not luck: with S shingles
+    * per doc, Σdf ≈ S·N instances over a df ≥ (pct/100)·N threshold
+    * caps the heavy set at S·100/pct grams — independent of corpus
+    * size (~3k entries at ANY scale for 30-shingle docs at 1%). The
+    * corpus itself is never shuffled, only its exploded gram stream. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val sh = spread(documents(spark, dir))
+      .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
+    val g = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // corpus size as a broadcast scalar, not a driver-side count() — the
+    // threshold resolves inside the one plan (same device as Sim's
+    // in-plan IVF stride)
+    val total = sh.agg(count(lit(1)).as("n_total"))
+    val heavy = g.groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(total), lit(true))
+      .filter(col("n_docs") * 100 >= col("n_total") * BOILER_DF_PCT)
+      .select(col("g").as("bg"))
+    g.join(broadcast(heavy), col("g") === col("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("bg")).as("n_boiler"))
+      .select(col("doc_id"),
+        col("n_grams"), col("n_boiler"),
+        Num.round6(col("n_boiler").cast("double") /
+          col("n_grams").cast("double")).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** PII geometry: every PII_EVERY-th doc gets deterministic planted
     * contact strings (pristine testdata has no PII — the plant makes the
     * scrubber observable while staying a pure function of the input, same

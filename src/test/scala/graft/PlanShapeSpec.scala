@@ -244,4 +244,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"),
       "the pruned scan must consume the surviving-dates map as a broadcast")
   }
+
+  test("boilerplate heavy-gram set joins back by broadcast, never shuffling the corpus") {
+    // the counting bound caps the heavy set at S·100/pct grams regardless
+    // of corpus size, so the join back onto the gram stream must be a
+    // broadcast — a sort-merge there would shuffle the whole exploded
+    // corpus a second time at scale
+    val df = graft.engine.TextOps.boilerplateNgrams(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"heavy-gram set must broadcast back onto the gram stream:\n$plan")
+    // non-vacuous: the relative-df gate actually fires on this corpus,
+    // and no doc's boilerplate count exceeds its gram count
+    assert(rows.exists(_.getAs[Long]("n_boiler") > 0),
+      "threshold produced an empty heavy set — gate is vacuous")
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_grams")))
+  }
 }
