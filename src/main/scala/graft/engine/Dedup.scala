@@ -320,6 +320,21 @@ object Dedup {
       .mode("overwrite")
       .parquet(indexDir)
 
+  /** Fold every increment of the band index back into `increment=0`,
+    * preserving the build pass's band-clustered layout — probe results
+    * are bit-identical (the index is a bag of (doc_id, sh, band) rows;
+    * only the file layout changes), but a probe scan opens one
+    * increment's worth of files instead of the whole ingest history.
+    * Run OFF the ingest path; see [[IndexMaintenance]] for the swap
+    * contract. */
+  def compactMinhashIndex(spark: SparkSession, indexDir: String): Unit =
+    IndexMaintenance.rewrite(spark, indexDir) { staging =>
+      writeIndexBands(
+        spark.read.parquet(indexDir)
+          .select(col("doc_id"), col("sh"), col("band")),
+        staging, increment = 0L)
+    }
+
   /** Per-increment half: dedup a DELTA batch against the persisted index
     * WITHOUT recomputing a single corpus signature — the operator shape a
     * real training-data pipeline runs daily (the full recompute in

@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Compaction for the persisted incremental indexes ([[Dedup]]'s MinHash
+  * band index, [[Sim]]'s IVF cell index). Each ingest lands as its own
+  * `increment=<n>` partition — correct and idempotent, but after many
+  * deltas the index is a pile of small increment files and every probe
+  * scan opens all of them. Compaction folds the increments back into the
+  * build partition (`increment=0`) with the layout the build pass writes,
+  * leaving probe results bit-identical while collapsing the file count —
+  * the maintenance task a real index runs off the ingest path.
+  *
+  * At cluster scale the rewrite is one distributed read→write of the
+  * index (no shuffle beyond the layout's own clustering repartition) and
+  * the cutover is two directory renames — probes racing the swap see
+  * either the old or the new layout, never a half-written mix.
+  */
+object IndexMaintenance {
+
+  /** Rewrite `dir` through a staging sibling and swap it in: `write` lays
+    * the new copy at `<dir>.compacting`, the old dataset moves aside,
+    * staging renames into place, the old copy is dropped. On a failed
+    * swap the original is restored — the index is never left missing. */
+  private[engine] def rewrite(spark: SparkSession, dir: String)(
+      write: String => Unit): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(dir + ".compacting")
+    val backup = new Path(dir + ".old")
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    write(staging.toString)
+    if (!fs.rename(target, backup))
+      throw new IllegalStateException(s"compaction: cannot move aside $dir")
+    if (!fs.rename(staging, target)) {
+      fs.rename(backup, target)
+      throw new IllegalStateException(s"compaction: cannot swap in $dir")
+    }
+    fs.delete(backup, true)
+    ()
+  }
+
+  /** Parquet data-file count under `dir` — the quantity compaction exists
+    * to shrink (specs assert it drops). */
+  def parquetFileCount(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+}

@@ -316,6 +316,21 @@ object Sim {
       .parquet(s"$indexDir/vectors")
   }
 
+  /** IVF twin of [[Dedup.compactMinhashIndex]]: fold the vector
+    * increments into `increment=0`, keeping the `cell` partitioning that
+    * probes prune on. No reassignment — the stored
+    * (vec_id, embedding, nrm, cell) rows ARE the assignment against the
+    * frozen centroids; compaction is pure layout maintenance (the
+    * centroids file is one small parquet and is left untouched). */
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
+    IndexMaintenance.rewrite(spark, s"$indexDir/vectors") { staging =>
+      spark.read.parquet(s"$indexDir/vectors")
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          lit(0L).as("increment"), col("cell"))
+        .write.partitionBy("increment", "cell")
+        .mode("overwrite").parquet(staging)
+    }
+
   /** Serve a probe batch against the persisted index: assign each probe
     * vector to its cell against the frozen centroids (|probes|×K, all
     * broadcast-side), then search ONLY that cell — the broadcast join on

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Dedup, Sim, Tables, TextOps}
+import graft.engine.{Dedup, IndexMaintenance, Sim, Tables, TextOps}
 import graft.functions.{TextFns, VecFns}
 
 /** LLM-pipeline operator invariants: dedup recall, signature determinism,
@@ -314,6 +314,59 @@ class DedupSimSpec extends SparkSpecBase {
     val staticFiles = pruned.map(_.metrics("staticFilesNum").value).max
     assert(readFiles < staticFiles,
       s"probe must not scan the whole index: $readFiles vs $staticFiles files")
+  }
+
+  test("compaction folds band-index increments; probes bit-identical, fewer files") {
+    val d = Tables.documents(spark, sf)
+    val indexDir = tmpDir("graft-compact-mh") + "/index"
+    Dedup.buildMinhashIndex(d.filter(col("doc_id") % 3 === 0), indexDir)
+    Dedup.appendMinhashIndex(d.filter(col("doc_id") % 3 === 1), indexDir,
+      increment = 1L)
+    val probe = d.filter(col("doc_id") % 3 === 2)
+    def pairs(): Seq[String] = Dedup.probeMinhashIndex(spark, probe, indexDir)
+      .collect().map(_.toString).sorted.toSeq
+    def rows(): Long = spark.read.parquet(indexDir).count()
+    val (pairsBefore, rowsBefore) = (pairs(), rows())
+    val filesBefore = IndexMaintenance.parquetFileCount(spark, indexDir)
+    Dedup.compactMinhashIndex(spark, indexDir)
+    assert(pairs() == pairsBefore, "probe results changed across compaction")
+    assert(rows() == rowsBefore, "compaction lost or duplicated index rows")
+    val filesAfter = IndexMaintenance.parquetFileCount(spark, indexDir)
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file pile: $filesBefore -> $filesAfter")
+    val incs = spark.read.parquet(indexDir)
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(incs == Seq(0L), s"increments must fold into the build: $incs")
+  }
+
+  test("compaction folds IVF increments; probes bit-identical, cells intact") {
+    val e = Tables.embeddings(spark, sf)
+    val indexDir = tmpDir("graft-compact-ivf") + "/index"
+    Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      indexDir)
+    Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      indexDir, increment = 1L)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    def top(): Seq[String] = Sim.probeIvfIndex(probes, indexDir)
+      .collect().map(_.toString).sorted.toSeq
+    val before = top()
+    val filesBefore =
+      IndexMaintenance.parquetFileCount(spark, s"$indexDir/vectors")
+    Sim.compactIvfIndex(spark, indexDir)
+    assert(top() == before, "probe top-k changed across compaction")
+    val filesAfter =
+      IndexMaintenance.parquetFileCount(spark, s"$indexDir/vectors")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file pile: $filesBefore -> $filesAfter")
+    // the cell partitioning (what probes prune on) must survive the fold
+    val cols = spark.read.parquet(s"$indexDir/vectors").columns.toSeq
+    assert(cols.contains("cell") && cols.contains("increment"))
+    val incs = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(incs == Seq(0L), s"increments must fold into the build: $incs")
   }
 
   test("IVF append is idempotent and never retrains the centroids") {
