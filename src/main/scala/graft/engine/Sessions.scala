@@ -17,10 +17,12 @@ object Sessions {
     *    match DuckDB's English `monthname()`/`dayname()` regardless of the
     *    container locale (build.sbt additionally pins -Duser.language=en for
     *    forked JVMs; this covers driver-created sessions).
-    *  - `nanosAsLong`: the events table stores `ts` as parquet
-    *    TIMESTAMP(NANOS), which Spark's vectorized reader otherwise rejects
-    *    ([PARQUET_TYPE_ILLEGAL]); [[Tables.events]] converts the raw nanos
-    *    to TimestampType with exact integer division.
+    *  - `nanosAsLong`: a TIMESTAMP(NANOS)-written events file would
+    *    otherwise be rejected by Spark's vectorized reader
+    *    ([PARQUET_TYPE_ILLEGAL]); with the flag it scans as raw-nanos long
+    *    and [[Tables.events]] converts to TimestampType with exact integer
+    *    division. Harmless for TIMESTAMP(MICROS) files, which scan as
+    *    TimestampType regardless — the loaders key off the scanned type.
     *  - UTC: date arithmetic (sequence/date_trunc) must agree with DuckDB
     *    (SURVEY.md §7 risk 5).
     */

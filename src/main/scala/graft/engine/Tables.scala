@@ -64,10 +64,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS); with
-    * `nanosAsLong` set ([[Sessions.tune]]) it scans as raw nanos, converted
-    * to TimestampType via exact integer division — the same ns→µs truncation
-    * DuckDB's epoch_us() applies on its side. */
+  /** The events table's `ts` physical parquet type varies by writer:
+    * TIMESTAMP(NANOS) scans as raw-nanos long under `nanosAsLong`
+    * ([[Sessions.tune]]) and is converted to TimestampType via exact integer
+    * division (the same ns→µs truncation DuckDB's epoch_us() applies);
+    * TIMESTAMP(MICROS) scans as TimestampType directly and is left
+    * untouched. The guard keys off the *scanned* type, so both kinds of
+    * file read correctly without configuration. The streaming twin
+    * ([[graft.streaming.EventsStream.readEvents]]) applies the same guard
+    * from a footer probe. */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     val df = raw(s, d, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -3,9 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-import graft.engine.{Num, Schemas}
+import graft.engine.Num
 
 /** Structured Streaming surface (SURVEY.md §2.9 — optional in the
   * reference, which is batch-only; this is the streaming twin of
@@ -23,21 +23,38 @@ import graft.engine.{Num, Schemas}
   */
 object EventsStream {
 
-  /** Raw on-disk schema of the events table: `ts` is parquet
-    * TIMESTAMP(NANOS), scanned as long under nanosAsLong. */
-  val rawSchema: StructType = StructType(
-    Schemas.events.map {
-      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-      case f => f
-    })
+  /** Physical-type-agnostic events stream source. A file stream needs its
+    * schema declared up front, but the `ts` column's *physical* parquet type
+    * varies by writer: TIMESTAMP(NANOS) files scan as raw-nanos long under
+    * `nanosAsLong` ([[graft.engine.Sessions.tune]]), TIMESTAMP(MICROS) files
+    * scan as TimestampType directly. Hard-coding either assumption silently
+    * shifts every event time ×1000 on the other kind of file — so probe the
+    * directory's footer once with a *batch* schema read (metadata only, no
+    * data scan), declare the stream schema from what is actually there, and
+    * normalize `ts` to TimestampType(µs) the same way the batch path does
+    * ([[graft.engine.Tables]] events loader: nanos → exact integer `div
+    * 1000`, micros untouched). Every readStream site below goes through
+    * this one helper, so a new physical type is a one-place change. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(physical).parquet(dir)
+    physical("ts").dataType match {
+      // TIMESTAMP(NANOS) under nanosAsLong: raw nanos → exact µs division
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false): value-preserving cast
+      // under the session's pinned UTC zone (Sessions.tune) — the same
+      // reconciliation Silver.enforce applies on the batch path
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
+  }
 
   /** Hourly tumbling-window aggregate over a parquet file stream, 2-hour
     * watermark for late data. Columns match Kpis.eventsHourly exactly. */
   def hourly(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -60,9 +77,7 @@ object EventsStream {
   val DRIFT_MAX_BUCKET = 15L
 
   def valueHistogram(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
+    readEvents(spark, dir)
       .select(col("event_type"), Num.cents(col("value")).as("vc"))
       .select(col("event_type"), expr(
         s"least(vc div ${DRIFT_BUCKET_CENTS}L, ${DRIFT_MAX_BUCKET}L)")
@@ -80,9 +95,7 @@ object EventsStream {
       tablesDir: String): DataFrame = {
     val cust = graft.engine.Tables.customer(spark, tablesDir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(eventsDir)
+    readEvents(spark, eventsDir)
       .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .agg(
@@ -102,11 +115,8 @@ object EventsStream {
     * StreamingSpec asserts the streamed pairs equal the batch join. */
   val ATTRIB_WINDOW = "1 hour"
   def clickPurchase(spark: SparkSession, dir: String): DataFrame = {
-    def side(t: String): DataFrame = spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .filter(col("event_type") === t)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(t: String): DataFrame =
+      readEvents(spark, dir).filter(col("event_type") === t)
     val clicks = side("click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -158,10 +168,8 @@ object EventsStream {
   def sessionize(spark: SparkSession, dir: String): Dataset[UserSessions] = {
     import spark.implicits._
     val GAP_US = 1800L * 1000000L
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    readEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[SessEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(

@@ -33,6 +33,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hourly stream is physical-type-agnostic: micros and nanos files agree") {
+    // the testdata ships ts as TIMESTAMP(MICROS); stage it as-is, then
+    // re-write the same rows with ts as a raw-nanos LONG (how a
+    // TIMESTAMP(NANOS) file scans under nanosAsLong). readEvents must
+    // probe each directory's footer and normalize both physical types to
+    // the identical hourly answer — a hard-coded unit assumption shifts
+    // one of them ×1000 into 1970 and fails this equality
+    val microsDir = tmpDir("graft-stream-us")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$microsDir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val nanosDir = tmpDir("graft-stream-ns")
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      .write.mode("overwrite").parquet(nanosDir)
+    assert(spark.read.parquet(nanosDir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    def run(dir: String, name: String): Array[Seq[Any]] = {
+      val q = EventsStream.hourly(spark, dir)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        spark.table(name).orderBy("hour_start", "event_type")
+          .collect().map(_.toSeq)
+      } finally q.stop()
+    }
+    val us = run(microsDir, "events_hourly_us")
+    val ns = run(nanosDir, "events_hourly_ns")
+    val batch = Kpis.eventsHourly(spark, sf).collect().map(_.toSeq)
+    assert(us.length == batch.length && us.nonEmpty)
+    assert(us.sameElements(batch))
+    assert(ns.sameElements(batch))
+  }
+
   test("streamed fixed-edge value histogram equals the batch histogram") {
     val dir = tmpDir("graft-stream-hist")
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"),
