@@ -471,6 +471,63 @@ object OracleTwins {
        |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
        |FROM a1 GROUP BY cent_id ORDER BY cent_id""".stripMargin
 
+  /** q131's twin: the recall@k-vs-nprobe curve over one shared geometry —
+    * index assignment (a1, argmax), probe→cell ranking (pc), and for each
+    * measured nprobe the candidates from the probe's top-nprobe cells,
+    * top-k'd and intersected with the brute-force ground truth. LEFT JOIN
+    * from the nprobe list so a zero-hit setting still yields its row
+    * (Spark's global count over an empty semi join does). */
+  val ivfNprobeRecall: String =
+    s"""$ivfPrefix,
+       |p AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv, nrm AS pnrm
+       |  FROM e WHERE vec_id < ${Sim.N_PROBES}),
+       |pc AS (
+       |  SELECT probe_id, cent_id, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY ${dot("pv", "cv")} / (pnrm * cnrm) DESC, cent_id) AS crn
+       |  FROM p, c),
+       |np AS (SELECT unnest([${Sim.NPROBES_MEASURED.mkString(", ")}]) AS nprobe),
+       |cand AS (
+       |  SELECT np.nprobe, pc.probe_id, a1.vec_id,
+       |    ${dot("pv", "embedding")} / (pnrm * nrm) AS cos
+       |  FROM np
+       |  JOIN pc ON pc.crn <= np.nprobe
+       |  JOIN a1 ON a1.cent_id = pc.cent_id AND a1.vec_id <> pc.probe_id
+       |  JOIN e ON a1.vec_id = e.vec_id
+       |  JOIN p ON p.probe_id = pc.probe_id),
+       |r AS (
+       |  SELECT nprobe, probe_id, vec_id, row_number() OVER (
+       |    PARTITION BY nprobe, probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand),
+       |approx AS (
+       |  SELECT nprobe, probe_id, vec_id AS neighbor_id
+       |  FROM r WHERE rank <= ${Sim.IVF_TOP_K}),
+       |xs AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    ${dot("pv", "embedding")} / (pnrm * nrm) AS cos
+       |  FROM e JOIN p ON e.vec_id <> p.probe_id),
+       |xr AS (
+       |  SELECT probe_id, vec_id, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM xs),
+       |exact AS (
+       |  SELECT probe_id, vec_id AS neighbor_id
+       |  FROM xr WHERE rank <= ${Sim.IVF_TOP_K}),
+       |hits AS (
+       |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM approx JOIN exact USING (probe_id, neighbor_id)
+       |  GROUP BY nprobe),
+       |tot AS (
+       |  SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes
+       |  FROM exact)
+       |SELECT CAST(np.nprobe AS BIGINT) AS nprobe, tot.n_probes,
+       |  CAST(${Sim.IVF_TOP_K} AS BIGINT) AS k,
+       |  COALESCE(hits.n_hits, 0::BIGINT) AS n_hits,
+       |  COALESCE(hits.n_hits, 0::BIGINT) * 1000000
+       |    // (tot.n_probes * ${Sim.IVF_TOP_K}) AS recall_ppm
+       |FROM np LEFT JOIN hits ON np.nprobe = hits.nprobe, tot
+       |ORDER BY nprobe""".stripMargin
+
   val kmeansStep: String =
     s"""$ivfPrefix,
        |comps AS (

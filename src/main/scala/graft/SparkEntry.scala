@@ -234,6 +234,9 @@ object SparkEntry {
     // ---- round 7: C4-style cross-document boilerplate accounting
     // (relative-df heavy grams, broadcast back — corpus never shuffled) --
     "q130_boilerplate_ngrams"      -> (TextOps.boilerplateNgrams _),
+    // ---- round 8: IVF recall@k as a function of nprobe on one persisted
+    // index — the measurement behind probeIvfIndex's multi-cell knob ----
+    "q131_ivf_nprobe_recall"       -> (Sim.ivfNprobeRecall _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -416,6 +419,7 @@ object SparkEntry {
     "q128_incremental_neardup" -> OracleTwins.incrementalNearDup,
     "q129_ivf_index_probe" -> OracleTwins.ivfIndexProbe,
     "q130_boilerplate_ngrams" -> OracleTwins.boilerplateNgrams,
+    "q131_ivf_nprobe_recall" -> OracleTwins.ivfNprobeRecall,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -331,29 +331,44 @@ object Sim {
         .mode("overwrite").parquet(staging)
     }
 
-  /** Serve a probe batch against the persisted index: assign each probe
-    * vector to its cell against the frozen centroids (|probes|×K, all
-    * broadcast-side), then search ONLY that cell — the broadcast join on
-    * the `cell` partition column lets dynamic partition pruning drop
-    * every other cell's files from the index scan (DedupSimSpec pins the
-    * dynamicpruning subquery), so probe cost scales with cell size, not
-    * index size. `probes` needs (probe_id, embedding). */
+  /** Serve a probe batch against the persisted index: score each probe
+    * vector against the frozen centroids (|probes|×K, all broadcast-side),
+    * keep its top-`nprobe` cells, then search ONLY those cells — the
+    * broadcast join on the `cell` partition column lets dynamic partition
+    * pruning drop every other cell's files from the index scan (DedupSimSpec
+    * pins the dynamicpruning subquery), so probe cost scales with
+    * nprobe × cell size, not index size.
+    *
+    * `nprobe` is the standard IVF recall/latency knob: a true neighbor
+    * sitting just across a cell boundary is invisible at nprobe=1 and found
+    * once its cell enters the probe set — [[ivfNprobeRecall]] measures the
+    * recall curve on this exact code path. nprobe=1 ranks the same
+    * (cos desc, cent_id asc) order the previous argmax encoded, so the
+    * default stays bit-identical. Each index vector lives in exactly one
+    * cell, so multi-cell candidate sets are disjoint — no dedup step.
+    * `probes` needs (probe_id, embedding). */
   def probeIvfIndex(probes: DataFrame, indexDir: String,
-      k: Int = IVF_TOP_K): DataFrame = {
+      k: Int = IVF_TOP_K, nprobe: Int = 1): DataFrame = {
     val spark = probes.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val p = probes.select(col("probe_id"), col("embedding").as("pv"),
       sqrt(VecFns.norm2(col("embedding"))).as("pnrm"))
+    // top-nprobe cells via an aggregate (sorted top-n slice of the ≤K
+    // scored cells), not a window: the aggregate keeps the build side in
+    // the plan shape AQE's DPP broadcast-reuse matches (a window here
+    // made AQE drop the pruning filter to `true` — the probe would scan
+    // the whole index). (-cos, cent_id) struct sort ≡ (cos desc, cent_id
+    // asc), the argmax's exact order, so nprobe=1 stays bit-identical.
     val assigned = p.join(broadcast(cents), lit(true))
       .select(col("probe_id"), col("pv"), col("pnrm"), col("cent_id"),
         (VecFns.dot(col("pv"), col("cv")) / (col("pnrm") * col("cnrm")))
           .as("cos"))
       .groupBy("probe_id")
-      .agg(max_by(struct(col("cent_id"), col("cos")),
-          struct(col("cos"), -col("cent_id"))).as("best"),
+      .agg(slice(array_sort(collect_list(struct(-col("cos"), col("cent_id")))),
+          1, nprobe).as("cells"),
         first(col("pv")).as("pv"), first(col("pnrm")).as("pnrm"))
       .select(col("probe_id"), col("pv"), col("pnrm"),
-        col("best.cent_id").as("pcell"))
+        explode(col("cells.cent_id")).as("pcell"))
     val idx = spark.read.parquet(s"$indexDir/vectors")
     rankTopK(
       idx.join(broadcast(assigned),
@@ -382,6 +397,54 @@ object Sim {
       e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("probe_id"), col("embedding")),
       indexDir)
+  }
+
+  /** nprobe values [[ivfNprobeRecall]] measures — the knee of the IVF
+    * recall curve is between these at any corpus size (cells ≈
+    * [[IVF_MAX_CELLS]] regardless of N). */
+  val NPROBES_MEASURED: Seq[Int] = Seq(1, 2, 4)
+
+  /** q131: recall@k as a function of nprobe on the SAME persisted index —
+    * the measurement that justifies [[probeIvfIndex]]'s nprobe knob: a true
+    * neighbor just across a cell boundary is invisible at nprobe=1 and
+    * recovered once its cell enters the probe set, so recall must be
+    * non-decreasing in nprobe (and strictly rising somewhere, or the knob
+    * is dead weight — DedupSimSpec asserts both against this output).
+    *
+    * One index build + one brute-force ground truth (localCheckpointed —
+    * both are consumed [[NPROBES_MEASURED]].size times), then one
+    * DPP-pruned probe pass per nprobe. Scale shape: the ground truth is
+    * the documented eval-harness cost over a probe SAMPLE ([[annRecall]]);
+    * each probe pass touches nprobe/K of the index's files. */
+  def ivfNprobeRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spread(embeddings(spark, dir))).localCheckpoint()
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-nprobe-" +
+      Integer.toHexString(dir.hashCode)
+    buildIvfIndex(e.select(col("vec_id"), col("embedding")), indexDir)
+    val probes = e.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val pn = e.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pnrm"))
+    val exact = rankTopK(
+      e.join(broadcast(pn), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+            .as("cos")),
+      IVF_TOP_K)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+    val denom = exact.agg(countDistinct(col("probe_id")).as("n_probes"))
+    NPROBES_MEASURED.map { np =>
+      val hits = probeIvfIndex(probes, indexDir, IVF_TOP_K, np)
+        .select(col("probe_id"), col("neighbor_id"))
+        .join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      denom.crossJoin(broadcast(hits))
+        .select(lit(np.toLong).as("nprobe"), col("n_probes"),
+          lit(IVF_TOP_K.toLong).as("k"), col("n_hits"),
+          expr(s"n_hits * 1000000L div (n_probes * ${IVF_TOP_K}L)")
+            .as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
   /** One distributed Lloyd (k-means) update step over the IVF assignment:

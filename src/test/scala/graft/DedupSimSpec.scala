@@ -316,6 +316,50 @@ class DedupSimSpec extends SparkSpecBase {
       s"probe must not scan the whole index: $readFiles vs $staticFiles files")
   }
 
+  test("IVF recall@k rises with nprobe; multi-cell probes still prune") {
+    // the nprobe knob's contract: more cells probed can only add candidates
+    // (each index vector lives in exactly one cell), so recall@k is
+    // non-decreasing in nprobe — and on this data the knob must be LIVE
+    // (strictly lift recall end-to-end), or it's dead weight
+    val rows = Sim.ivfNprobeRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Sim.NPROBES_MEASURED.map(_.toLong))
+    val recalls = rows.map(_._3).toSeq
+    assert(recalls == recalls.sorted, s"recall must be non-decreasing: $recalls")
+    assert(recalls.last > recalls.head,
+      s"the nprobe knob must lift recall on this corpus: $recalls")
+    // multi-cell probes keep the scale contract: the index scan still
+    // carries the dynamicpruning subquery on `cell` (nprobe cells of
+    // files read, not the whole index)
+    val e = Tables.embeddings(spark, sf)
+    val indexDir = tmpDir("graft-ivf-ndx-np") + "/index"
+    Sim.buildIvfIndex(e, indexDir)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val q = Sim.probeIvfIndex(probes, indexDir, nprobe = 2)
+    assert(q.collect().nonEmpty)
+    // the post-pruning metrics, not the plan string: a dropped DPP filter
+    // still prints "dynamicpruningexpression(true)"
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val pruned = scans(q.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains("graft-ivf-ndx-np")))
+      .filter(_.metrics.contains("staticFilesNum"))
+    assert(pruned.nonEmpty, "nprobe>1 probe lost dynamic partition pruning")
+    assert(pruned.map(_.metrics("numFiles").value).max <
+      pruned.map(_.metrics("staticFilesNum").value).max,
+      "nprobe>1 probe must not scan the whole index")
+  }
+
   test("compaction folds band-index increments; probes bit-identical, fewer files") {
     val d = Tables.documents(spark, sf)
     val indexDir = tmpDir("graft-compact-mh") + "/index"
