@@ -381,23 +381,40 @@ object Dedup {
   /** One full increment of the steady-state dedup pipeline, the unit
     * [[graft.streaming.DedupStream]] runs per micro-batch: verified
     * near-dup pairs of `batch` against everything indexed so far
-    * ([[crossPairs]]) PLUS within `batch` itself ([[selfPairs]]) land
-    * append-only at `outDir`; then the batch's band rows join the index
-    * as partition `increment=<increment>` so the NEXT increment dedups
+    * ([[crossPairs]]) PLUS within `batch` itself ([[selfPairs]]) land at
+    * `outDir` under partition `batch=<increment>` with dynamic partition
+    * overwrite — the same idempotence device as the index append, so a
+    * RETRIED micro-batch replaces its own pairs instead of appending
+    * them twice: both sinks of an increment are exactly-once under
+    * micro-batch retry. Then the batch's band rows join the index as
+    * partition `increment=<increment>` so the NEXT increment dedups
     * against this one too. The two pair sets are disjoint by
     * construction (cross requires exactly one end in the index, self
     * requires both in the batch; doc_ids are assumed unique across the
     * corpus), so the union needs no cross-set distinct. Band rows are
     * computed ONCE and persisted across the three consumers — the
-    * shingle/signature hashing is the expensive part of an increment. */
+    * shingle/signature hashing is the expensive part of an increment.
+    *
+    * The probe excludes the batch's OWN `increment` partition (partition-
+    * pruned, zero cost on a first run where it doesn't exist): a retried
+    * batch has already appended itself, and probing its own band rows
+    * would emit every within-batch pair twice — once as a cross pair,
+    * once as a self pair — breaking the disjointness the union relies
+    * on. With the exclusion, a retry recomputes exactly the first
+    * attempt's pairs. */
   def dedupIncrement(batch: DataFrame, indexDir: String, increment: Long,
       outDir: String, appendToIndex: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val bands = bandRows(batch).persist()
     try {
-      crossPairs(spark.read.parquet(indexDir), bands)
+      crossPairs(spark.read.parquet(indexDir)
+          .filter(col("increment").cast("long") =!= increment), bands)
         .unionByName(selfPairs(bands))
-        .write.mode("append").parquet(outDir)
+        .withColumn("batch", lit(increment))
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(outDir)
       if (appendToIndex) writeIndexBands(bands, indexDir, increment)
     } finally { bands.unpersist(blocking = false); () }
   }

@@ -42,6 +42,18 @@ object IndexMaintenance {
     ()
   }
 
+  /** Number of `increment=<n>` partitions currently in the index — what a
+    * compaction trigger policy keys on ([[graft.streaming.DedupStream]]:
+    * compact once the delta pile exceeds a threshold). One directory
+    * listing, no data read. */
+  def incrementCount(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(s => s.isDirectory &&
+      s.getPath.getName.startsWith("increment=")).toLong
+  }
+
   /** Parquet data-file count under `dir` — the quantity compaction exists
     * to shrink (specs assert it drops). */
   def parquetFileCount(spark: SparkSession, dir: String): Long = {

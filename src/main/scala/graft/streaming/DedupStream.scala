@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.engine.IndexMaintenance
+
 /** Streaming incremental near-dup — the steady state of a training-data
   * ingest pipeline as a STREAM: documents arrive continuously, and each
   * micro-batch is deduplicated against everything ever indexed (the
@@ -15,33 +17,55 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    min/max pruning), the index is never shuffled or re-hashed;
   *  - within-batch pairs come from a broadcast banded self-join over the
   *    same persisted band rows;
-  *  - verified pairs land append-only at `outDir`;
+  *  - verified pairs land at `outDir` under partition `batch=<batchId+1>`
+  *    via dynamic partition overwrite;
   *  - the batch's band rows are appended as index partition
-  *    `increment=<batchId+1>` (the build is increment 0) via dynamic
-  *    partition overwrite, so a RETRIED micro-batch replaces its own
-  *    increment instead of duplicating it — the index is exactly-once.
+  *    `increment=<batchId+1>` (the build is increment 0) the same way.
   *
-  * The pairs sink itself is at-least-once on retry (append parquet, the
-  * same delivery contract as [[AsOfStream]]); pairs are globally unique
-  * across batches in normal operation because a pair is emitted only by
-  * the batch containing its LATER document. StreamingSpec pins the
-  * accumulated stream output equal to the full-corpus batch recompute
-  * restricted to pairs touching the streamed delta — cross-batch pairs
-  * exist only if the per-batch index appends actually happened. */
+  * Delivery contract: BOTH sinks are exactly-once under micro-batch
+  * retry — each is keyed by the batch id and dynamic partition overwrite
+  * replaces rather than appends, so a replayed batch lands once no matter
+  * how many times it runs (StreamingSpec simulates the retry and asserts
+  * both sinks unchanged). Pairs are globally unique across batches
+  * because a pair is emitted only by the batch containing its LATER
+  * document. StreamingSpec pins the accumulated stream output equal to
+  * the full-corpus batch recompute restricted to pairs touching the
+  * streamed delta — cross-batch pairs exist only if the per-batch index
+  * appends actually happened. */
 object DedupStream {
 
   /** Start the incremental near-dup stream: probe + self-dedup each
     * micro-batch of `docs` (needs `doc_id`, `text`) against the band
     * index at `indexDir`, landing verified pairs at `outDir`.
+    *
     * `appendToIndex=false` degrades to probe-only against a frozen
-    * index (no cross-batch pairs, no index growth). */
+    * index (no cross-batch pairs, no index growth).
+    *
+    * `compactEvery > 0` arms the compaction trigger policy: once the
+    * index holds more than `compactEvery` delta increments beyond the
+    * build, [[graft.engine.Dedup.compactMinhashIndex]] folds them into
+    * `increment=0` before the next batch — bounding the probe-side file
+    * count at (compactEvery + 1) increments' worth regardless of stream
+    * length. The check is one directory listing; the fold runs inside
+    * foreachBatch, which is sequential, so no probe in THIS stream races
+    * the staging swap (external readers see old-or-new atomically — the
+    * [[IndexMaintenance.rewrite]] contract). Probe results are
+    * bit-identical across the fold (spec-pinned mid-stream). If the
+    * process dies between a compaction and the batch's checkpoint, the
+    * replayed batch re-appends band rows that were already folded —
+    * duplicate index rows, which cost storage until the next fold but
+    * cannot change output: pair emission dedups on (doc_a, doc_b). */
   def nearDupSink(docs: DataFrame, indexDir: String, outDir: String,
-                  checkpointDir: String, appendToIndex: Boolean = true)
-      : StreamingQuery =
+                  checkpointDir: String, appendToIndex: Boolean = true,
+                  compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (compactEvery > 0 &&
+            IndexMaintenance.incrementCount(spark, indexDir) > compactEvery + 1L)
+          graft.engine.Dedup.compactMinhashIndex(spark, indexDir)
         graft.engine.Dedup.dedupIncrement(batch, indexDir,
           increment = batchId + 1L, outDir = outDir,
           appendToIndex = appendToIndex)

@@ -416,6 +416,70 @@ class StreamingSpec extends SparkSpecBase {
       s"index must hold the build plus one increment per batch: ${incs.toSeq}")
   }
 
+  test("dedup stream pairs sink is exactly-once: a retried micro-batch replaces its pairs") {
+    // dedupIncrement is the unit foreachBatch runs; re-running it with the
+    // same increment IS the micro-batch retry. Both sinks — pairs and
+    // index — must land identically, not doubled
+    import graft.engine.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    val indexDir = tmpDir("graft-pairs-idem") + "/index"
+    Dedup.buildMinhashIndex(base, indexDir)
+    val out = tmpDir("graft-pairs-idem-out") + "/pairs"
+    Dedup.dedupIncrement(delta, indexDir, increment = 1L, outDir = out)
+    val once = spark.read.parquet(out)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(_.toString).sorted.toSeq
+    val idxOnce = spark.read.parquet(indexDir).count()
+    assert(once.nonEmpty)
+    Dedup.dedupIncrement(delta, indexDir, increment = 1L, outDir = out)
+    val twice = spark.read.parquet(out)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(_.toString).sorted.toSeq
+    assert(twice == once, s"retry changed the pairs sink: ${once.length} " +
+      s"rows -> ${twice.length}")
+    assert(spark.read.parquet(indexDir).count() == idxOnce,
+      "retry changed the index")
+  }
+
+  test("compaction trigger policy folds the index mid-stream, results unchanged") {
+    // compactEvery=1 with four single-file micro-batches: the trigger must
+    // fire at least once (else the increment pile reaches build+4), and the
+    // accumulated pairs must still equal the full-corpus batch recompute
+    // restricted to delta-touching pairs — folding mid-stream is invisible
+    import graft.engine.{Dedup, IndexMaintenance}
+    import graft.streaming.DedupStream
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    val indexDir = tmpDir("graft-stream-compact") + "/index"
+    Dedup.buildMinhashIndex(base, indexDir)
+    val inDir = tmpDir("graft-stream-compact-in")
+    delta.repartition(4).write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val out = tmpDir("graft-stream-compact-out") + "/pairs"
+    val ckpt = tmpDir("graft-stream-compact-ckpt")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = DedupStream.nearDupSink(stream, indexDir, out, ckpt,
+      compactEvery = 1)
+    try q.processAllAvailable() finally q.stop()
+    val nIncs = IndexMaintenance.incrementCount(spark, indexDir)
+    assert(nIncs <= 3, s"compaction never fired: $nIncs increment partitions")
+    val streamed = spark.read.parquet(out)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val expected = Dedup.minhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) =>
+        a % Dedup.DELTA_MOD == 0 || b % Dedup.DELTA_MOD == 0 }
+      .sorted
+    assert(streamed.length == expected.length && streamed.nonEmpty,
+      s"${streamed.length} streamed vs ${expected.length} expected")
+    assert(streamed.sameElements(expected))
+  }
+
   test("index append is idempotent: a retried increment replaces, not duplicates") {
     import graft.engine.Dedup
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
