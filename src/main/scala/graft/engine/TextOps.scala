@@ -415,7 +415,12 @@ object TextOps {
     * caps the heavy set at S·100/pct grams — independent of corpus
     * size (~3k entries at ANY scale for 30-shingle docs at 1%). The
     * corpus itself is never shuffled, only its exploded gram stream. */
-  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus's heavy (boilerplate) gram set — `bg` rows, bounded at
+    * S·100/pct entries by the counting argument above. Shared by the
+    * batch accounting below and the streaming drift monitor
+    * ([[graft.streaming.DocsStream.heavyGramMonitor]]), which watches
+    * this set against a live feed. */
+  def heavyGramSet(spark: SparkSession, dir: String): DataFrame = {
     val sh = spread(documents(spark, dir))
       .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
     val g = sh.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -423,10 +428,16 @@ object TextOps {
     // threshold resolves inside the one plan (same device as Sim's
     // in-plan IVF stride)
     val total = sh.agg(count(lit(1)).as("n_total"))
-    val heavy = g.groupBy("g").agg(count(lit(1)).as("n_docs"))
+    g.groupBy("g").agg(count(lit(1)).as("n_docs"))
       .join(broadcast(total), lit(true))
       .filter(col("n_docs") * 100 >= col("n_total") * BOILER_DF_PCT)
       .select(col("g").as("bg"))
+  }
+
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val g = spread(documents(spark, dir))
+      .select(col("doc_id"), explode(TextFns.shingleHashes(col("text"))).as("g"))
+    val heavy = heavyGramSet(spark, dir)
     g.join(broadcast(heavy), col("g") === col("bg"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("bg")).as("n_boiler"))

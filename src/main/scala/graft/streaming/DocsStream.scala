@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Schemas
+import graft.functions.TextFns
 
 /** Streaming ingest-time deduplication of a document feed — the streaming
   * twin of [[graft.engine.Dedup.exactDedup]]'s content-hash identity: a
@@ -54,6 +55,40 @@ object DocsStream {
         timestamp_seconds(lit(1700000000L) + col("doc_id")).as("arrival_ts"))
       .withWatermark("arrival_ts", DEDUP_HORIZON)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Sentinel "gram" every document contributes exactly once, so the doc
+    * count rides the monitor's single aggregation (a second streaming
+    * aggregation in the same query would be unsupported). Real gram
+    * hashes are non-negative (mod-P), so -1 cannot collide. */
+  val DOC_SENTINEL = -1L
+
+  /** Streaming heavy-gram (boilerplate) drift monitor — the ingest-path
+    * extension of [[graft.engine.TextOps.boilerplateNgrams]]: the batch
+    * job elects the corpus's heavy set
+    * ([[graft.engine.TextOps.heavyGramSet]], bounded at S·100/pct grams
+    * at ANY corpus size); the stream counts, per watched gram, how many
+    * streamed documents contain it — whether yesterday's boilerplate is
+    * still today's, and whether new docs keep arriving (the sentinel row
+    * carries total docs streamed). Divergence between a gram's streamed
+    * share and its reference share is the curation drift alarm.
+    *
+    * Scale shape: the watched set is bounded ⇒ broadcast; the semi join
+    * is map-only on the stream; the complete-mode aggregation state is
+    * ≤ |watched|+1 rows no matter how long the stream runs (spec-pinned
+    * via the state-operator progress metrics). The monitor is the same
+    * operator in batch mode — StreamingSpec asserts stream ≡ batch over
+    * a static corpus. */
+  def heavyGramMonitor(docs: DataFrame, watched: DataFrame): DataFrame = {
+    val w = watched.select(col("bg"))
+      .unionByName(docs.sparkSession.range(1)
+        .select(lit(DOC_SENTINEL).as("bg")))
+    docs
+      .select(explode(concat(array(lit(DOC_SENTINEL)),
+        TextFns.shingleHashes(col("text")))).as("g"))
+      .join(broadcast(w), col("g") === col("bg"), "left_semi")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs_stream"))
+  }
 
   /** Streaming → lake sink via `foreachBatch`: each micro-batch of deduped
     * documents lands as lang-partitioned parquet — the streaming half of

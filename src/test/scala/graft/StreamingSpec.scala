@@ -416,6 +416,51 @@ class StreamingSpec extends SparkSpecBase {
       s"index must hold the build plus one increment per batch: ${incs.toSeq}")
   }
 
+  test("streaming heavy-gram monitor equals batch accounting; state stays bounded") {
+    import graft.engine.{Schemas, TextOps}
+    import graft.functions.TextFns
+    val dir = tmpDir("graft-stream-boiler")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val watched = TextOps.heavyGramSet(spark, sf)
+    val nWatched = watched.count()
+    assert(nWatched > 0, "corpus must have heavy grams for the monitor to watch")
+    val stream = spark.readStream.schema(Schemas.documents).parquet(dir)
+    val q = DocsStream.heavyGramMonitor(stream, watched)
+      .writeStream.format("memory").queryName("heavy_gram_monitor")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("heavy_gram_monitor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      // the same operator in batch mode over the same static corpus
+      val batch = DocsStream.heavyGramMonitor(
+          Tables.documents(spark, sf), watched).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(streamed.nonEmpty && streamed.sameElements(batch))
+      // the sentinel row carries total docs streamed
+      val sentinel = streamed.find(_._1 == DocsStream.DOC_SENTINEL)
+      assert(sentinel.map(_._2).contains(Tables.documents(spark, sf).count()))
+      // and per-gram counts are the true document frequencies
+      val dfMap = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          explode(TextFns.shingleHashes(col("text"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+        .join(watched, col("g") === col("bg"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      streamed.filter(_._1 != DocsStream.DOC_SENTINEL).foreach { case (g, n) =>
+        assert(dfMap(g) == n, s"gram $g: streamed $n vs batch ${dfMap(g)}")
+      }
+      // the state bound: complete-mode state holds one row per watched
+      // gram plus the sentinel, regardless of stream length
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+      assert(stateRows.nonEmpty && stateRows.max <= nWatched + 1,
+        s"monitor state must stay bounded: ${stateRows.max} rows " +
+          s"for $nWatched watched grams")
+    } finally q.stop()
+  }
+
   test("dedup stream pairs sink is exactly-once: a retried micro-batch replaces its pairs") {
     // dedupIncrement is the unit foreachBatch runs; re-running it with the
     // same increment IS the micro-batch retry. Both sinks — pairs and
