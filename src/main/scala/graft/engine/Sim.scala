@@ -347,19 +347,18 @@ object Sim {
     * default stays bit-identical. Each index vector lives in exactly one
     * cell, so multi-cell candidate sets are disjoint — no dedup step.
     * `probes` needs (probe_id, embedding). */
-  def probeIvfIndex(probes: DataFrame, indexDir: String,
-      k: Int = IVF_TOP_K, nprobe: Int = 1): DataFrame = {
-    val spark = probes.sparkSession
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-    val p = probes.select(col("probe_id"), col("embedding").as("pv"),
-      sqrt(VecFns.norm2(col("embedding"))).as("pnrm"))
-    // top-nprobe cells via an aggregate (sorted top-n slice of the ≤K
-    // scored cells), not a window: the aggregate keeps the build side in
-    // the plan shape AQE's DPP broadcast-reuse matches (a window here
-    // made AQE drop the pruning filter to `true` — the probe would scan
-    // the whole index). (-cos, cent_id) struct sort ≡ (cos desc, cent_id
-    // asc), the argmax's exact order, so nprobe=1 stays bit-identical.
-    val assigned = p.join(broadcast(cents), lit(true))
+  /** Probe→cell assignment of [[probeIvfIndex]]: top-nprobe cells via an
+    * aggregate (sorted top-n slice of the ≤K scored cells), not a window
+    * — the aggregate keeps the build side in the plan shape AQE's DPP
+    * broadcast-reuse matches (a window here made AQE drop the pruning
+    * filter to `true` — the probe would scan the whole index).
+    * (-cos, cent_id) struct sort ≡ (cos desc, cent_id asc), the argmax's
+    * exact order, so nprobe=1 stays bit-identical. */
+  private def probeAssignments(probes: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    probes.select(col("probe_id"), col("embedding").as("pv"),
+        sqrt(VecFns.norm2(col("embedding"))).as("pnrm"))
+      .join(broadcast(cents), lit(true))
       .select(col("probe_id"), col("pv"), col("pnrm"), col("cent_id"),
         (VecFns.dot(col("pv"), col("cv")) / (col("pnrm") * col("cnrm")))
           .as("cos"))
@@ -369,7 +368,10 @@ object Sim {
         first(col("pv")).as("pv"), first(col("pnrm")).as("pnrm"))
       .select(col("probe_id"), col("pv"), col("pnrm"),
         explode(col("cells.cent_id")).as("pcell"))
-    val idx = spark.read.parquet(s"$indexDir/vectors")
+
+  private def probeSearch(assigned: DataFrame, indexDir: String,
+      k: Int): DataFrame = {
+    val idx = assigned.sparkSession.read.parquet(s"$indexDir/vectors")
     rankTopK(
       idx.join(broadcast(assigned),
           col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
@@ -377,6 +379,34 @@ object Sim {
           (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
             .as("cos")),
       k)
+  }
+
+  def probeIvfIndex(probes: DataFrame, indexDir: String,
+      k: Int = IVF_TOP_K, nprobe: Int = 1): DataFrame = {
+    val cents = probes.sparkSession.read.parquet(s"$indexDir/centroids")
+    probeSearch(probeAssignments(probes, cents, nprobe), indexDir, k)
+  }
+
+  /** [[probeIvfIndex]] with the serving metrics a production index
+    * reports per probe batch: the returned Observation yields
+    * `assignment_rows` (probe→cell pairs entering the index join —
+    * |probes| × nprobe, the hot-loop size item 8 of the round-7 review
+    * asked to surface) and `cells_probed` (distinct cells actually
+    * touched; every cell NOT in this set is pruned from the scan — the
+    * file-level complement is spec-pinned via the scan's DPP metrics).
+    * Metrics ride the probe job itself via `observe` — zero extra jobs,
+    * the [[kmeansRun]] discipline; `collect_set` over the bounded
+    * assignment set is exact, not approximate. */
+  def probeIvfIndexObserved(probes: DataFrame, indexDir: String,
+      k: Int = IVF_TOP_K, nprobe: Int = 1)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val cents = probes.sparkSession.read.parquet(s"$indexDir/centroids")
+    val obs = new org.apache.spark.sql.Observation("ivf_probe")
+    val assigned = probeAssignments(probes, cents, nprobe)
+      .observe(obs,
+        count(lit(1)).as("assignment_rows"),
+        size(collect_set(col("pcell"))).cast("long").as("cells_probed"))
+    (probeSearch(assigned, indexDir, k), obs)
   }
 
   /** q129: the ANN index lifecycle end-to-end — build over 6/7 of the

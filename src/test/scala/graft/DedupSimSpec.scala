@@ -336,8 +336,17 @@ class DedupSimSpec extends SparkSpecBase {
     Sim.buildIvfIndex(e, indexDir)
     val probes = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("probe_id"), col("embedding"))
-    val q = Sim.probeIvfIndex(probes, indexDir, nprobe = 2)
+    val (q, obs) = Sim.probeIvfIndexObserved(probes, indexDir, nprobe = 2)
     assert(q.collect().nonEmpty)
+    // the probe path's serving metrics ride the job: assignment rows are
+    // exactly |probes|×nprobe, and the probed-cell set is a subset of it
+    val m = obs.get
+    assert(m("assignment_rows") == 4L * 2L,
+      s"assignment_rows: ${m("assignment_rows")}")
+    val cellsProbed = m("cells_probed").asInstanceOf[Long]
+    val totalCells = spark.read.parquet(s"$indexDir/centroids").count()
+    assert(cellsProbed >= 1L && cellsProbed <= math.min(8L, totalCells),
+      s"cells_probed $cellsProbed outside [1, min(8, $totalCells)]")
     // the post-pruning metrics, not the plan string: a dropped DPP filter
     // still prints "dynamicpruningexpression(true)"
     import org.apache.spark.sql.execution.FileSourceScanExec
