@@ -812,6 +812,30 @@ object OracleTwins {
        |  ${round6("n_boiler::DOUBLE / n_grams::DOUBLE")} AS boiler_ratio
        |FROM per ORDER BY doc_id""".stripMargin
 
+  /** q132's twin: the heavy-gram monitor's table — per heavy gram its
+    * document frequency, plus the -1 sentinel row carrying total docs
+    * (graft.streaming.DocsStream.heavyGramMonitor is the same operator
+    * run as a stream; StreamingSpec pins stream ≡ batch, this oracle
+    * pins batch ≡ DuckDB). */
+  val heavyGramMonitor: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${shingleHashes("w")} AS sh FROM toks),
+       |gr AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sh),
+       |heavy AS (
+       |  SELECT g FROM gr GROUP BY g
+       |  HAVING count(*) * 100 >= (SELECT n_total FROM tot)
+       |    * ${TextOps.BOILER_DF_PCT})
+       |SELECT gr.g, CAST(count(*) AS BIGINT) AS n_docs_stream
+       |FROM gr JOIN heavy h ON gr.g = h.g GROUP BY gr.g
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS g, n_total AS n_docs_stream FROM tot
+       |ORDER BY g""".stripMargin
+
   val piiScan: String =
     s"""WITH p AS (
        |  SELECT lang, CASE WHEN doc_id % ${TextOps.PII_EVERY} = 0

@@ -237,6 +237,12 @@ object SparkEntry {
     // ---- round 8: IVF recall@k as a function of nprobe on one persisted
     // index — the measurement behind probeIvfIndex's multi-cell knob ----
     "q131_ivf_nprobe_recall"       -> (Sim.ivfNprobeRecall _),
+    // ---- round 8: the heavy-gram drift monitor's table (same operator
+    // streams in DocsStream.heavyGramMonitor; StreamingSpec pins ≡) ----
+    "q132_heavy_gram_monitor"      -> ((s, dir) =>
+      graft.streaming.DocsStream.heavyGramMonitor(
+        Tables.documents(s, dir), TextOps.heavyGramSet(s, dir))
+        .orderBy("g")),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -420,6 +426,7 @@ object SparkEntry {
     "q129_ivf_index_probe" -> OracleTwins.ivfIndexProbe,
     "q130_boilerplate_ngrams" -> OracleTwins.boilerplateNgrams,
     "q131_ivf_nprobe_recall" -> OracleTwins.ivfNprobeRecall,
+    "q132_heavy_gram_monitor" -> OracleTwins.heavyGramMonitor,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,
