@@ -150,6 +150,24 @@ object OracleTwins {
        |FROM lab JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q134's twin: the keep/drop decision over the same recursive
+    * transitive closure — kept iff unclustered or canonical (min id) of
+    * its cluster. */
+  val dedupKeepList: String =
+    s"""WITH RECURSIVE $dupClusterCte
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN lab.cluster_id IS NULL
+       |    OR lab.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN lab.cluster_id IS NULL
+       |    OR lab.cluster_id = d.doc_id THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dropped,
+       |  ${round6("sum(CASE WHEN lab.cluster_id IS NULL OR " +
+                   "lab.cluster_id = d.doc_id THEN 1 ELSE 0 END)::DOUBLE " +
+                   "/ count(*)::DOUBLE")} AS kept_ratio
+       |FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** CTE chain producing per-doc 48-bit fingerprints `sim` (doc_id,
     * simhash) — shared by the SimHash near-dup and SQL-function twins. */
   private val simhashCte: String = {
@@ -835,6 +853,47 @@ object OracleTwins {
        |UNION ALL
        |SELECT CAST(-1 AS BIGINT) AS g, n_total AS n_docs_stream FROM tot
        |ORDER BY g""".stripMargin
+
+  /** q133's twin — positions kept (unlike the distinct shingle set), the
+    * same rolling hash, a df≥2 duplicated set, and gaps-and-islands for
+    * the longest duplicated run. `list_slice` end-index is inclusive;
+    * Spark's `slice(w, i, W)` takes W elements — both truncate at the
+    * tail identically. */
+  val repeatedSpans: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, (pos - 1)::BIGINT AS pos,
+       |    ${polyhash(s"array_to_string(list_slice(w, pos, pos + ${TextOps.SPAN_W - 1}), ' ')")} AS h
+       |  FROM toks, LATERAL (SELECT unnest(range(1,
+       |    greatest(len(w) - ${TextOps.SPAN_W - 1}, 1) + 1)) AS pos) t),
+       |dup AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |fl AS (
+       |  SELECT win.doc_id, win.pos, (dup.h IS NOT NULL) AS is_dup
+       |  FROM win LEFT JOIN dup ON win.h = dup.h),
+       |runs AS (
+       |  SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run FROM (
+       |    SELECT doc_id,
+       |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |        AS island
+       |    FROM fl WHERE is_dup)
+       |  GROUP BY doc_id, island),
+       |runlen AS (
+       |  SELECT doc_id, CAST(max(run) AS BIGINT) AS longest_dup_run
+       |  FROM runs GROUP BY doc_id),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_windows
+       |  FROM fl GROUP BY doc_id)
+       |SELECT per.doc_id, n_windows, n_dup_windows,
+       |  ${round6("n_dup_windows::DOUBLE / n_windows::DOUBLE")} AS dup_ratio,
+       |  COALESCE(runlen.longest_dup_run, 0::BIGINT) AS longest_dup_run
+       |FROM per LEFT JOIN runlen ON per.doc_id = runlen.doc_id
+       |ORDER BY per.doc_id""".stripMargin
 
   val piiScan: String =
     s"""WITH p AS (

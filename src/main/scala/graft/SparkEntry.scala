@@ -243,6 +243,11 @@ object SparkEntry {
       graft.streaming.DocsStream.heavyGramMonitor(
         Tables.documents(s, dir), TextOps.heavyGramSet(s, dir))
         .orderBy("g")),
+    // ---- round 8: exact-substring (repeated-span) dedup signal —
+    // position-kept window fingerprints, cross-document df≥2 ----
+    "q133_repeated_spans"          -> (TextOps.repeatedSpans _),
+    // ---- round 8: the dedup keep/drop decision over q43's clusters ----
+    "q134_dedup_keep_list"         -> (Dedup.dedupKeepList _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -427,6 +432,8 @@ object SparkEntry {
     "q130_boilerplate_ngrams" -> OracleTwins.boilerplateNgrams,
     "q131_ivf_nprobe_recall" -> OracleTwins.ivfNprobeRecall,
     "q132_heavy_gram_monitor" -> OracleTwins.heavyGramMonitor,
+    "q133_repeated_spans" -> OracleTwins.repeatedSpans,
+    "q134_dedup_keep_list" -> OracleTwins.dedupKeepList,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

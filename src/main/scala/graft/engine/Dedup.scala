@@ -223,6 +223,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup keep-list — the curation DECISION the cluster analysis feeds:
+    * every document either survives dedup (unclustered, or it IS its
+    * cluster's canonical = min doc_id) or is dropped in favor of its
+    * canonical. Output: per-language accounting (docs seen / kept /
+    * dropped / kept ratio) — the audit line a 100 TB curation run logs
+    * per shard before materializing the kept corpus.
+    *
+    * Scale shape: the label table is bounded by clustered docs (near-dup
+    * participants only — typically a small corpus fraction), joined to a
+    * two-column projection of the corpus on doc_id; the keep predicate
+    * is one null/equality check, and the audit is a lang-keyed aggregate
+    * with map-side combine. The kept corpus itself would be the same
+    * join with a filter instead of the aggregate — identical plan shape. */
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label"))
+    val d = spread(documents(spark, dir)).select(col("doc_id"), col("lang"))
+    d.join(labels, Seq("doc_id"), "left")
+      .select(col("lang"),
+        (col("label").isNull || col("label") === col("doc_id")).as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .withColumn("kept_ratio", Num.round6(
+        col("n_kept").cast("double") / col("n_docs").cast("double")))
+      .orderBy("lang")
+  }
+
   /** Train/test decontamination — the leakage audit every LLM data
     * pipeline runs before training: count training documents whose exact
     * (normalized) content also appears in the held-out split. The corpus

@@ -448,6 +448,61 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repeated-span window width (tokens). The exact-substring dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") works on ~50-token spans over a suffix
+    * array; the distributed approximation below fingerprints every
+    * W-token window with the same rolling hash the MinHash pipeline uses
+    * and marks windows whose fingerprint occurs in MORE THAN ONE
+    * document. 8 tokens keeps the signal observable on the short
+    * synthetic docs; the operator shape is W-independent. */
+  val SPAN_W = 8
+
+  /** Cross-document repeated-substring accounting — per document: window
+    * count, windows duplicated in ≥1 OTHER document, their ratio, and the
+    * longest consecutive duplicated run (the span an exact-substring
+    * dedup pass would cut).
+    *
+    * Scale shape: one map-only windowing pass (position-KEPT, unlike the
+    * distinct shingle set), then two keyed shuffles of the exploded gram
+    * stream — (doc, h) distinct, then df-per-hash — and one shuffle join
+    * back on the hash. Unlike [[boilerplateNgrams]]'s ≥pct% heavy set,
+    * the duplicated-hash set is NOT bounded by a counting argument (df ≥
+    * 2 admits O(distinct grams) hashes), so it must NOT broadcast: the
+    * join back is hash-partitioned on `h`, the aggregate's own
+    * partitioning — the corpus text itself still never shuffles, only
+    * its fingerprint stream. The run-length window partitions by doc_id
+    * over the (bounded) duplicated windows of each doc. */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextFns.tokens(col("text"))
+    val g = spread(documents(spark, dir))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), greatest(size(w) - (SPAN_W - 1), lit(1))),
+        i => TextFns.polyHash(concat_ws(" ", slice(w, i, lit(SPAN_W)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    val dup = g.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h").as("dh"))
+    val fl = g.join(dup, col("h") === col("dh"), "left")
+      .select(col("doc_id"), col("pos"), col("dh").isNotNull.as("is_dup"))
+    val rw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = fl.filter(col("is_dup"))
+      .withColumn("island", col("pos") - row_number().over(rw))
+      .groupBy("doc_id", "island").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("longest_dup_run"))
+    fl.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        Num.round6(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double")).as("dup_ratio"),
+        coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"))
+      .orderBy("doc_id")
+  }
+
   /** PII geometry: every PII_EVERY-th doc gets deterministic planted
     * contact strings (pristine testdata has no PII — the plant makes the
     * scrubber observable while staying a pure function of the input, same
