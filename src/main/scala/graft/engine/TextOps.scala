@@ -465,14 +465,17 @@ object TextOps {
     *
     * Scale shape: one map-only windowing pass (position-KEPT, unlike the
     * distinct shingle set), then two keyed shuffles of the exploded gram
-    * stream — (doc, h) distinct, then df-per-hash — and one shuffle join
-    * back on the hash. Unlike [[boilerplateNgrams]]'s ≥pct% heavy set,
-    * the duplicated-hash set is NOT bounded by a counting argument (df ≥
-    * 2 admits O(distinct grams) hashes), so it must NOT broadcast: the
-    * join back is hash-partitioned on `h`, the aggregate's own
-    * partitioning — the corpus text itself still never shuffles, only
-    * its fingerprint stream. The run-length window partitions by doc_id
-    * over the (bounded) duplicated windows of each doc. */
+    * stream — (doc, h) distinct, then df-per-hash — and one join back on
+    * the hash. Unlike [[boilerplateNgrams]]'s ≥pct% heavy set, the
+    * duplicated-hash set has NO counting bound (df ≥ 2 admits O(distinct
+    * grams) hashes), so it carries no broadcast hint: AQE broadcasts it
+    * only when its measured size allows (it does at tested SFs), and the
+    * fallback is the hash-partitioned shuffle join on `h` — the
+    * aggregate's own partitioning, so only the probe side of the join
+    * re-shuffles. The corpus text itself never shuffles, only its
+    * fingerprint stream (the scan is ReusedExchange'd across the two
+    * consumers). The run-length window partitions by doc_id over the
+    * (bounded) duplicated windows of each doc. */
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     val w = TextFns.tokens(col("text"))
     val g = spread(documents(spark, dir))

@@ -22,16 +22,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    to the operator, so stream ≡ batch row-for-row on the same data
   *    (StreamingSpec pins all three directions against the batch run).
   *
-  * `foreachBatch` + append parquet gives at-least-once delivery on
-  * retry (a re-run micro-batch re-appends); exactly-once needs an
-  * idempotent or transactional sink keyed on the batch id, which is a
-  * sink property, not an operator one. */
+  * Delivery is exactly-once under micro-batch retry: each batch lands
+  * under its own `batch=<id>` partition with dynamic partition
+  * overwrite, so a replayed batch replaces itself instead of
+  * re-appending — the same batch-id-keyed idempotence device as
+  * [[DedupStream]] (StreamingSpec simulates the retry). Readers that
+  * don't care about provenance just read `outDir`; `batch` is one more
+  * hive column. */
 object AsOfStream {
 
-  /** Start a stream-static as-of join landing append-only parquet at
-    * `outDir`. `probe` must be a streaming DataFrame; `reference` a batch
-    * (static) one. Key/time/tie/direction/tolerance semantics are those
-    * of [[graft.plans.AsOf.joinMulti]]. */
+  /** The landing half of [[asOfSink]], exposed for retry simulation:
+    * idempotent per (batchId, outDir). */
+  private[graft] def landAsOf(enriched: DataFrame, batchId: Long,
+      outDir: String): Unit =
+    enriched
+      .withColumn("batch", org.apache.spark.sql.functions.lit(batchId))
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(outDir)
+
+  /** Start a stream-static as-of join landing batch-partitioned parquet
+    * at `outDir`. `probe` must be a streaming DataFrame; `reference` a
+    * batch (static) one. Key/time/tie/direction/tolerance semantics are
+    * those of [[graft.plans.AsOf.joinMulti]]. */
   def asOfSink(probe: DataFrame, reference: DataFrame,
                keys: Seq[(String, String)],
                leftTime: String, rightTime: String, rightTie: String,
@@ -42,11 +55,12 @@ object AsOfStream {
     probe.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.plans.AsOf.joinMulti(batch, reference, keys,
-          leftTime, rightTime, rightTie, direction, tolerance,
-          broadcastRight = true)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landAsOf(
+          graft.plans.AsOf.joinMulti(batch, reference, keys,
+            leftTime, rightTime, rightTie, direction, tolerance,
+            broadcastRight = true),
+          batchId, outDir)
       }
       .start()
 }

@@ -90,23 +90,35 @@ object DocsStream {
       .agg(count(lit(1)).as("n_docs_stream"))
   }
 
+  /** The landing half of [[curatedSink]], exposed for retry simulation:
+    * lang-partitioned with a `batch=<id>` sub-partition under dynamic
+    * overwrite, so re-running a batch replaces exactly its own
+    * (lang, batch) leaves — idempotent per (batchId, out). */
+  private[graft] def landCurated(batch: DataFrame, batchId: Long,
+      out: String): Unit =
+    batch.withColumn("batch", lit(batchId))
+      .write.partitionBy("lang", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(out)
+
   /** Streaming → lake sink via `foreachBatch`: each micro-batch of deduped
     * documents lands as lang-partitioned parquet — the streaming half of
     * the medallion write path ([[graft.engine.Gold.writePartitioned]] is
     * the batch half). `foreachBatch` hands every micro-batch to the batch
     * writer, so layout options (partitioning, file sizing, compaction)
-    * are exactly the batch ones; exactly-once comes from the checkpoint +
-    * idempotent overwrite of each batch's partition directories at scale
-    * (append here — the spec replays a corpus and checks no dup rows land).
-    */
+    * are exactly the batch ones. Delivery is exactly-once under
+    * micro-batch retry: the checkpoint dedups batch DELIVERY, and
+    * [[landCurated]]'s batch-keyed dynamic partition overwrite makes a
+    * replayed batch replace its own partitions instead of re-appending
+    * (the [[DedupStream]] device; StreamingSpec simulates the retry). */
   def curatedSink(spark: SparkSession, dir: String, out: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     dedupedDocs(spark, dir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("lang").parquet(out)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landCurated(batch, batchId, out)
       }
       .start()
 }

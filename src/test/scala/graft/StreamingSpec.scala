@@ -352,7 +352,7 @@ class StreamingSpec extends SparkSpecBase {
         direction = dir, tolerance = Some(Kpis.ASOF_TOLERANCE_US),
         outDir = out, checkpointDir = ckpt)
       try q.processAllAvailable() finally q.stop()
-      val streamed = spark.read.parquet(out)
+      val streamed = spark.read.parquet(out).drop("batch")
         .orderBy("event_id").collect().map(_.toSeq)
       val batch = AsOf.join(clicks, purchases, "user_id", "p_user_id",
           "ts", "p_ts", "p_event_id", direction = dir,
@@ -523,6 +523,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.length == expected.length && streamed.nonEmpty,
       s"${streamed.length} streamed vs ${expected.length} expected")
     assert(streamed.sameElements(expected))
+  }
+
+  test("curated and as-of sinks are exactly-once: a replayed batch replaces its partitions") {
+    // both sinks land under batch=<id> with dynamic partition overwrite —
+    // re-running the landing half with the same batch id (the micro-batch
+    // retry) must leave the landed row count unchanged
+    import graft.streaming.AsOfStream
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+          .as("content_hash"))
+    val out1 = tmpDir("graft-sink-idem-curated") + "/curated"
+    DocsStream.landCurated(docs, 3L, out1)
+    val once1 = spark.read.parquet(out1).count()
+    assert(once1 > 0)
+    DocsStream.landCurated(docs, 3L, out1)
+    assert(spark.read.parquet(out1).count() == once1,
+      "replayed curated batch duplicated rows")
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    val enriched = graft.plans.AsOf.joinMulti(clicks, purchases,
+      Seq("user_id" -> "p_user_id"), "ts", "p_ts", "p_event_id",
+      "backward", Some(Kpis.ASOF_TOLERANCE_US), broadcastRight = true)
+    val out2 = tmpDir("graft-sink-idem-asof") + "/landed"
+    AsOfStream.landAsOf(enriched, 5L, out2)
+    val once2 = spark.read.parquet(out2).count()
+    assert(once2 > 0)
+    AsOfStream.landAsOf(enriched, 5L, out2)
+    assert(spark.read.parquet(out2).count() == once2,
+      "replayed as-of batch duplicated rows")
   }
 
   test("index append is idempotent: a retried increment replaces, not duplicates") {
