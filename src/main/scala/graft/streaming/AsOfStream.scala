@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Streaming as-of (temporal) join — the canonical production consumer of
   * "latest rate ≤ event time" is a stream, not a batch (Flink calls this a
@@ -40,6 +41,112 @@ object AsOfStream {
       .write.partitionBy("batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(outDir)
+
+  // ---- stream-STREAM as-of: both sides unbounded ----
+
+  /** One tagged row of the union stream: probe (click-like) or reference
+    * (rate-like), keyed on `k`, event time in exact µs. `ts` is the
+    * watermarked TimestampType twin of `ts_us` — the event-time timeout
+    * requires the watermark column to reach the state operator (which
+    * also gives the exec's standard late-row drop: rows older than the
+    * watermark are gone before the handler, the watermark contract's
+    * documented loss); all arithmetic stays on the exact µs long. */
+  final case class SSIn(k: Long, ts_us: Long, is_ref: Boolean, id: Long,
+    ts: java.sql.Timestamp)
+
+  /** Per-key carried state: reference rows a future probe may still
+    * match, and probes awaiting finalization (their answer isn't final
+    * until the watermark passes their event time). */
+  final case class SSBuf(refs: List[(Long, Long)], probes: List[(Long, Long)])
+
+  /** A finalized probe: the latest reference at-or-before its time
+    * (within tolerance), or None. */
+  final case class SSOut(k: Long, ts_us: Long, id: Long, ref_id: Option[Long])
+
+  /** Stream-stream as-of (temporal) join — BOTH sides unbounded: probes
+    * and references ride one union stream (tagged rows, same key), and a
+    * probe's match is the reference maximizing (ts, id) among refs ≤ its
+    * time within `tolerance` — exactly [[graft.plans.AsOf]]'s backward
+    * (time, tie)-max contract, which is what lets StreamingSpec pin
+    * stream ≡ batch row-for-row.
+    *
+    * Why custom state: Spark's stream-stream joins are interval joins —
+    * "latest row ≤ t" is not an interval predicate (without a tolerance
+    * it is unbounded-lookback; with one, it is still an argmax within
+    * the window, not a cross product). `flatMapGroupsWithState` holds
+    * per-key buffers instead:
+    *
+    *  - a probe FINALIZES only once the watermark passes its event time
+    *    (any not-yet-arrived reference must be later than the watermark,
+    *    hence later than the probe — the match can no longer change);
+    *    pending probes re-awake via an event-time timeout;
+    *  - reference state is pruned to what a future (> watermark) probe
+    *    could still match: everything above `wm − tolerance`, or with no
+    *    tolerance the single (ts, id)-max reference at-or-below wm plus
+    *    everything above — bounded by the lateness horizon × arrival
+    *    rate, never stream length;
+    *  - out-of-order arrival WITHIN the lateness horizon is handled by
+    *    construction (finalization waits for the watermark); data later
+    *    than that is the watermark contract's documented loss, as in any
+    *    watermarked operator. State shards on the join key — the same
+    *    key a shuffle-based join would partition by.
+    *
+    * `events` must carry [[SSIn]]'s fields with the watermark declared
+    * on `ts` upstream (see [[clickPurchaseAsOf]] for the wiring). */
+  def streamStreamAsOf(events: Dataset[SSIn], tolerance: Option[Long])
+      : Dataset[SSOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (k: Long, it: Iterator[SSIn], state: GroupState[SSBuf]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = state.getOption.getOrElse(SSBuf(Nil, Nil))
+          val in = it.toArray
+          val refs = buf.refs ++ in.filter(_.is_ref).map(e => (e.ts_us, e.id))
+          val (ready, pending) =
+            (buf.probes ++ in.filter(!_.is_ref).map(e => (e.ts_us, e.id)))
+              .partition(_._1 <= wmUs)
+          val out = ready.sorted.map { case (pts, pid) =>
+            val cand = refs.filter(r => r._1 <= pts &&
+              tolerance.forall(t => pts - r._1 <= t))
+            SSOut(k, pts, pid,
+              if (cand.isEmpty) None else Some(cand.max._2))
+          }
+          val keptRefs = tolerance match {
+            case Some(t) => refs.filter(_._1 > wmUs - t)
+            case None =>
+              val (below, above) = refs.partition(_._1 <= wmUs)
+              (if (below.isEmpty) Nil else List(below.max)) ++ above
+          }
+          if (keptRefs.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(SSBuf(keptRefs, pending))
+            // re-awake when the watermark passes the earliest pending
+            // probe (strictly future: pending ts > wm by construction)
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1L)
+          }
+          out.iterator
+        })
+  }
+
+  /** The events-table instantiation of [[streamStreamAsOf]]: clicks probe
+    * the purchase stream (same shape as the batch q41 family). `lateness`
+    * is the watermark delay — the disorder horizon the state buffers
+    * absorb. */
+  def clickPurchaseAsOf(spark: SparkSession, dir: String,
+      tolerance: Option[Long], lateness: String = "0 seconds")
+      : Dataset[SSOut] = {
+    import spark.implicits._
+    val ev = EventsStream.readEvents(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "purchase").as("is_ref"),
+        col("event_id").as("id"), col("ts"))
+      .as[SSIn]
+    streamStreamAsOf(ev, tolerance)
+  }
 
   /** Start a stream-static as-of join landing batch-partitioned parquet
     * at `outDir`. `probe` must be a streaming DataFrame; `reference` a

@@ -366,6 +366,88 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-STREAM as-of join equals the batch as-of, multi-batch and single-batch") {
+    // both sides unbounded: clicks and purchases ride one tagged stream;
+    // a probe finalizes only once the watermark passes its event time, so
+    // the accumulated output must equal the batch backward-as-of exactly
+    import graft.plans.AsOf
+    import graft.streaming.AsOfStream
+    import graft.streaming.AsOfStream.SSIn
+    import spark.implicits._
+    val tol = Kpis.ASOF_TOLERANCE_US
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    val expected = AsOf.join(clicks, purchases, "user_id", "p_user_id",
+        "ts", "p_ts", "p_event_id", "backward", Some(tol))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("p_event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(expected.exists(_._4.isDefined) && expected.exists(_._4.isEmpty),
+      "both matched and unmatched probes must be real")
+
+    // multi-batch: value-ranged files arrive time-monotone (each append
+    // gets a later mtime, and the file source orders by mtime), so the
+    // watermark climbs between batches and state carries across them
+    val inDir = tmpDir("graft-ss-asof-in")
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val mm = tagged.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val lo = mm.getLong(0)
+    val width = (mm.getLong(1) - lo) / 3 + 1
+    for (b <- 0 until 3) {
+      tagged.filter(floor((unix_micros(col("ts")) - lo) / width) === b)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1100)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "purchase").as("is_ref"),
+        col("event_id").as("id"), col("ts"))
+      .as[SSIn]
+    val q = AsOfStream.streamStreamAsOf(stream, Some(tol))
+      .writeStream.format("memory").queryName("ss_asof")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_asof").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(streamed.length == expected.length,
+        s"${streamed.length} streamed vs ${expected.length} expected")
+      assert(streamed.sameElements(expected), "multi-batch mismatch")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "must have processed >= 3 data micro-batches")
+    } finally q.stop()
+
+    // single-batch regime through the events-table convenience wrapper
+    val dir2 = tmpDir("graft-ss-asof-single")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir2/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q2 = AsOfStream.clickPurchaseAsOf(spark, dir2, Some(tol))
+      .filter(col("k") >= 0)
+      .writeStream.format("memory").queryName("ss_asof_single")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val streamed2 = spark.table("ss_asof_single").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(streamed2.sameElements(expected), "single-batch mismatch")
+    } finally q2.stop()
+  }
+
   test("streamed incremental near-dup equals the batch recompute across appended increments") {
     // the index lifecycle as a stream: build the band index over 4/5 of
     // the corpus, then stream the held-out delta through in single-file
