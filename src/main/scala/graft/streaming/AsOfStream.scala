@@ -93,9 +93,45 @@ object AsOfStream {
     *
     * `events` must carry [[SSIn]]'s fields with the watermark declared
     * on `ts` upstream (see [[clickPurchaseAsOf]] for the wiring). */
-  def streamStreamAsOf(events: Dataset[SSIn], tolerance: Option[Long])
-      : Dataset[SSOut] = {
+  def streamStreamAsOf(events: Dataset[SSIn], tolerance: Option[Long],
+      direction: String = "backward"): Dataset[SSOut] = {
     import events.sparkSession.implicits._
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown direction $direction")
+    // forward/nearest look AHEAD of the probe: without a tolerance the
+    // probe could wait on an arbitrarily-late future reference and never
+    // finalize — the stream-stream forms of those directions require the
+    // bound (the batch operator does not, it can see the whole table)
+    require(direction == "backward" || tolerance.isDefined,
+      s"stream-stream direction=$direction requires a tolerance")
+    // a probe's answer is final once the watermark passes the last
+    // instant a qualifying reference could carry: its own time
+    // (backward) or its time + tolerance (forward / nearest)
+    val finalizeLag = if (direction == "backward") 0L else tolerance.get
+    def resolve(pts: Long, refs: List[(Long, Long)]): Option[Long] =
+      direction match {
+        case "backward" =>
+          val c = refs.filter(r => r._1 <= pts &&
+            tolerance.forall(t => pts - r._1 <= t))
+          if (c.isEmpty) None else Some(c.max._2)
+        case "forward" =>
+          val c = refs.filter(r => r._1 >= pts && r._1 - pts <= tolerance.get)
+          if (c.isEmpty) None else Some(c.min._2)
+        case "nearest" =>
+          // batch contract: best-backward vs the sweep's stop row (first
+          // strictly-later (time, tie)), closer wins, backward on ties
+          val t = tolerance.get
+          val b = refs.filter(r => r._1 <= pts && pts - r._1 <= t)
+          val f = refs.filter(r => r._1 > pts && r._1 - pts <= t)
+          (b.nonEmpty, f.nonEmpty) match {
+            case (false, false) => None
+            case (true, false)  => Some(b.max._2)
+            case (false, true)  => Some(f.min._2)
+            case (true, true) =>
+              val (bb, ff) = (b.max, f.min)
+              Some(if (pts - bb._1 <= ff._1 - pts) bb._2 else ff._2)
+          }
+      }
     events.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         (k: Long, it: Iterator[SSIn], state: GroupState[SSBuf]) => {
@@ -105,15 +141,17 @@ object AsOfStream {
           val refs = buf.refs ++ in.filter(_.is_ref).map(e => (e.ts_us, e.id))
           val (ready, pending) =
             (buf.probes ++ in.filter(!_.is_ref).map(e => (e.ts_us, e.id)))
-              .partition(_._1 <= wmUs)
+              .partition(_._1 + finalizeLag <= wmUs)
           val out = ready.sorted.map { case (pts, pid) =>
-            val cand = refs.filter(r => r._1 <= pts &&
-              tolerance.forall(t => pts - r._1 <= t))
-            SSOut(k, pts, pid,
-              if (cand.isEmpty) None else Some(cand.max._2))
+            SSOut(k, pts, pid, resolve(pts, refs))
           }
+          // prune refs no future probe can need: unfinalized probes have
+          // pts > wm − finalizeLag, and their candidate window reaches
+          // back at most `tolerance` before pts (backward without a
+          // tolerance instead keeps the single (ts, id)-max at-or-below
+          // the watermark — the unbounded-lookback fallback)
           val keptRefs = tolerance match {
-            case Some(t) => refs.filter(_._1 > wmUs - t)
+            case Some(t) => refs.filter(_._1 > wmUs - finalizeLag - t)
             case None =>
               val (below, above) = refs.partition(_._1 <= wmUs)
               (if (below.isEmpty) Nil else List(below.max)) ++ above
@@ -122,9 +160,11 @@ object AsOfStream {
           else {
             state.update(SSBuf(keptRefs, pending))
             // re-awake when the watermark passes the earliest pending
-            // probe (strictly future: pending ts > wm by construction)
+            // probe's finalization instant (strictly future by the
+            // partition above)
             if (pending.nonEmpty)
-              state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1L)
+              state.setTimeoutTimestamp(
+                (pending.map(_._1).min + finalizeLag) / 1000L + 1L)
           }
           out.iterator
         })
@@ -135,8 +175,8 @@ object AsOfStream {
     * is the watermark delay — the disorder horizon the state buffers
     * absorb. */
   def clickPurchaseAsOf(spark: SparkSession, dir: String,
-      tolerance: Option[Long], lateness: String = "0 seconds")
-      : Dataset[SSOut] = {
+      tolerance: Option[Long], direction: String = "backward",
+      lateness: String = "0 seconds"): Dataset[SSOut] = {
     import spark.implicits._
     val ev = EventsStream.readEvents(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
@@ -145,7 +185,7 @@ object AsOfStream {
         (col("event_type") === "purchase").as("is_ref"),
         col("event_id").as("id"), col("ts"))
       .as[SSIn]
-    streamStreamAsOf(ev, tolerance)
+    streamStreamAsOf(ev, tolerance, direction)
   }
 
   /** Start a stream-static as-of join landing batch-partitioned parquet

@@ -430,22 +430,46 @@ class StreamingSpec extends SparkSpecBase {
         "must have processed >= 3 data micro-batches")
     } finally q.stop()
 
-    // single-batch regime through the events-table convenience wrapper
+    // single-batch regime through the events-table convenience wrapper,
+    // every direction knob pinned to its batch twin
     val dir2 = tmpDir("graft-ss-asof-single")
     Files.copy(Paths.get(s"$sf/events.parquet"),
       Paths.get(s"$dir2/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val q2 = AsOfStream.clickPurchaseAsOf(spark, dir2, Some(tol))
-      .filter(col("k") >= 0)
-      .writeStream.format("memory").queryName("ss_asof_single")
-      .outputMode("append").start()
-    try {
-      q2.processAllAvailable()
-      val streamed2 = spark.table("ss_asof_single").collect()
+    // forward/nearest probes near the end of the feed have windows
+    // reaching past the last real event; a far-future flush reference
+    // (key -1, filtered from the output) advances the watermark past
+    // every probe's finalization instant — the same role a heartbeat
+    // event plays in a production feed
+    spark.read.parquet(s"$sf/events.parquet")
+      .orderBy(col("ts").desc).limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 72 HOURS"))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+      .coalesce(1).write.mode("append").parquet(dir2)
+    for (dirn <- Seq("backward", "forward", "nearest")) {
+      val exp = AsOf.join(clicks, purchases, "user_id", "p_user_id",
+          "ts", "p_ts", "p_event_id", dirn, Some(tol))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("p_event_id"))
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          Option(r.get(3)).map(_.asInstanceOf[Long])))
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
         .sortBy(t => (t._1, t._2, t._3))
-      assert(streamed2.sameElements(expected), "single-batch mismatch")
-    } finally q2.stop()
+      val q2 = AsOfStream.clickPurchaseAsOf(spark, dir2, Some(tol), dirn)
+        .filter(col("k") >= 0)
+        .writeStream.format("memory").queryName(s"ss_asof_$dirn")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val streamed2 = spark.table(s"ss_asof_$dirn").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))
+          .sortBy(t => (t._1, t._2, t._3))
+        assert(streamed2.sameElements(exp), s"direction=$dirn mismatch " +
+          s"(${streamed2.length} streamed vs ${exp.length})")
+      } finally q2.stop()
+    }
   }
 
   test("streamed incremental near-dup equals the batch recompute across appended increments") {
