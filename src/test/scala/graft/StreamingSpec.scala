@@ -428,6 +428,16 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.sameElements(expected), "multi-batch mismatch")
       assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
         "must have processed >= 3 data micro-batches")
+      // state cannot hoard the stream: every probe finalized (the
+      // watermark passed them all) and refs are pruned per key, so the
+      // keyed state holds at most one row per user that ever produced a
+      // reference — not one per event
+      val stateRows = q.recentProgress.toSeq.reverse
+        .flatMap(_.stateOperators.toSeq).headOption.map(_.numRowsTotal)
+      val refUsers = ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct().count()
+      assert(stateRows.exists(n => n > 0 && n <= refUsers),
+        s"state rows $stateRows outside (0, $refUsers]")
     } finally q.stop()
 
     // single-batch regime through the events-table convenience wrapper,
