@@ -441,18 +441,21 @@ object Sim {
     * non-decreasing in nprobe (and strictly rising somewhere, or the knob
     * is dead weight — DedupSimSpec asserts both against this output).
     *
-    * One index build + one brute-force ground truth (localCheckpointed —
-    * both are consumed [[NPROBES_MEASURED]].size times), then one
-    * DPP-pruned probe pass per nprobe. Scale shape: the ground truth is
-    * the documented eval-harness cost over a probe SAMPLE ([[annRecall]]);
-    * each probe pass touches nprobe/K of the index's files. */
+    * One index build, one brute-force ground truth, and ONE DPP-pruned
+    * index pass at max(nprobe): every candidate keeps the rank (`crn`) of
+    * the cell it came from, so the nprobe=n probe is exactly the
+    * candidates with crn ≤ n — each smaller setting is a filter over the
+    * materialized superset, not another index scan (the per-candidate
+    * scores are identical, so the per-np top-k is bit-identical to an
+    * independent [[probeIvfIndex]] run at that nprobe). Scale shape: the
+    * ground truth is the documented eval-harness cost over a probe
+    * SAMPLE ([[annRecall]]); the one index pass touches
+    * max(nprobe)/K of the index's files. */
   def ivfNprobeRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(spread(embeddings(spark, dir))).localCheckpoint()
     val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-nprobe-" +
       Integer.toHexString(dir.hashCode)
     buildIvfIndex(e.select(col("vec_id"), col("embedding")), indexDir)
-    val probes = e.filter(col("vec_id") < N_PROBES)
-      .select(col("vec_id").as("probe_id"), col("embedding"))
     val pn = e.filter(col("vec_id") < N_PROBES)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         col("nrm").as("pnrm"))
@@ -464,8 +467,35 @@ object Sim {
       IVF_TOP_K)
       .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
     val denom = exact.agg(countDistinct(col("probe_id")).as("n_probes"))
+    val maxNp = NPROBES_MEASURED.max
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    // top-maxNp cells per probe with their rank — the same aggregate
+    // shape as probeIvfIndex's assignment (AQE keeps DPP), rank via
+    // posexplode of the sorted slice
+    val assigned = pn.join(broadcast(cents), lit(true))
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("cent_id"),
+        (VecFns.dot(col("pv"), col("cv")) / (col("pnrm") * col("cnrm")))
+          .as("cos"))
+      .groupBy("probe_id")
+      .agg(slice(array_sort(collect_list(struct(-col("cos"), col("cent_id")))),
+          1, maxNp).as("cells"),
+        first(col("pv")).as("pv"), first(col("pnrm")).as("pnrm"))
+      .select(col("probe_id"), col("pv"), col("pnrm"),
+        posexplode(col("cells.cent_id")))
+      .select(col("probe_id"), col("pv"), col("pnrm"),
+        (col("pos") + 1).as("crn"), col("col").as("pcell"))
+    val idx = spark.read.parquet(s"$indexDir/vectors")
+    val cands = idx.join(broadcast(assigned),
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("crn"), col("vec_id"),
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
+      .localCheckpoint()
     NPROBES_MEASURED.map { np =>
-      val hits = probeIvfIndex(probes, indexDir, IVF_TOP_K, np)
+      val hits = rankTopK(
+          cands.filter(col("crn") <= np)
+            .select(col("probe_id"), col("vec_id"), col("cos")),
+          IVF_TOP_K)
         .select(col("probe_id"), col("neighbor_id"))
         .join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
