@@ -476,7 +476,18 @@ object TextOps {
     * fingerprint stream (the scan is ReusedExchange'd across the two
     * consumers). The run-length window partitions by doc_id over the
     * (bounded) duplicated windows of each doc. */
-  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** The flag stream of [[repeatedSpans]] — (doc_id, pos, is_dup), one
+    * row per window. Two consumers follow (the per-doc aggregate and the
+    * run-length branch); they RECOMPUTE this subplan rather than
+    * materialize it — measured both ways at sf10 (×100): checkpointing
+    * the flag stream costs 39.3s vs 25.2s for the double computation,
+    * because the pipeline is codegen'd map work while the flag stream is
+    * the query's largest intermediate (one row per token window). The
+    * opposite trade holds for the N×K passes ([[graft.engine.Sim]]),
+    * whose recompute is the dominant cost — materialize-vs-recompute is
+    * a measurement, not a rule. PlanShapeSpec pins this subplan's
+    * single-corpus-scan shape. */
+  private[graft] def spanFlags(spark: SparkSession, dir: String): DataFrame = {
     val w = TextFns.tokens(col("text"))
     val g = spread(documents(spark, dir))
       .select(col("doc_id"), posexplode(transform(
@@ -488,8 +499,12 @@ object TextOps {
       .groupBy("h").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select(col("h").as("dh"))
-    val fl = g.join(dup, col("h") === col("dh"), "left")
+    g.join(dup, col("h") === col("dh"), "left")
       .select(col("doc_id"), col("pos"), col("dh").isNotNull.as("is_dup"))
+  }
+
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val fl = spanFlags(spark, dir)
     val rw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val runs = fl.filter(col("is_dup"))
       .withColumn("island", col("pos") - row_number().over(rw))

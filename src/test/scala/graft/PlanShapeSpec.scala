@@ -262,4 +262,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(rows.forall(r =>
       r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_grams")))
   }
+
+  test("repeated-span accounting scans the corpus once and never nest-loops") {
+    // the duplicated-hash set has no size bound (df≥2), so the operator
+    // carries no broadcast hint — but whatever join AQE picks, the plan
+    // must stay hash-keyed (no nested-loop/cartesian fallback), and the
+    // documents file must be scanned exactly once, reused across the
+    // dup-set and flag branches (the corpus TEXT never re-reads). The
+    // public operator checkpoints this subplan (which would truncate the
+    // scan from its executedPlan), so the pin targets the subplan.
+    val df = graft.engine.TextOps.spanFlags(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val plan = df.queryExecution.executedPlan
+    val docScans = scans(plan).filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents.parquet")))
+    assert(docScans.length == 1,
+      s"documents must scan once (ReusedExchange elsewhere): ${docScans.length}")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"span join degenerated to a nested loop:\n$s")
+  }
 }
