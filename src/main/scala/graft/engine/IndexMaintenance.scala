@@ -23,7 +23,7 @@ object IndexMaintenance {
     * the new copy at `<dir>.compacting`, the old dataset moves aside,
     * staging renames into place, the old copy is dropped. On a failed
     * swap the original is restored — the index is never left missing. */
-  private[engine] def rewrite(spark: SparkSession, dir: String)(
+  private[graft] def rewrite(spark: SparkSession, dir: String)(
       write: String => Unit): Unit = {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())

@@ -101,6 +101,23 @@ object DocsStream {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(out)
 
+  /** Fold the curated sink's accumulated `batch=<id>` sub-partitions into
+    * `batch=0` per language — the lake-side twin of
+    * [[graft.engine.IndexMaintenance]]'s index compaction: the batch
+    * partitions exist for retry idempotence, but a checkpoint-committed
+    * batch is never replayed, so folding history is safe and bounds the
+    * per-lang file pile. Runs through the same staging-swap (readers see
+    * old-or-new, never a mix); rows and the lang partitioning are
+    * untouched. Run off the ingest path, or between batches like
+    * [[DedupStream]]'s `compactEvery`. */
+  def compactCurated(spark: SparkSession, out: String): Unit =
+    graft.engine.IndexMaintenance.rewrite(spark, out) { staging =>
+      spark.read.parquet(out)
+        .withColumn("batch", lit(0L))
+        .write.partitionBy("lang", "batch")
+        .mode("overwrite").parquet(staging)
+    }
+
   /** Streaming → lake sink via `foreachBatch`: each micro-batch of deduped
     * documents lands as lang-partitioned parquet — the streaming half of
     * the medallion write path ([[graft.engine.Gold.writePartitioned]] is

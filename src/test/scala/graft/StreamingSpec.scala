@@ -137,6 +137,18 @@ class StreamingSpec extends SparkSpecBase {
       .exists(_.getName.startsWith("lang=")))
     assert(landed.select("lang").distinct().count() ==
       Tables.documents(spark, sf).select("lang").distinct().count())
+    // compaction folds the batch= retry partitions; rows + langs intact
+    val rowsBefore = spark.read.parquet(out)
+      .select("doc_id", "lang", "content_hash")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    graft.streaming.DocsStream.compactCurated(spark, out)
+    val after = spark.read.parquet(out)
+    assert(after.select("doc_id", "lang", "content_hash")
+      .collect().map(_.toSeq).sortBy(_.toString).sameElements(rowsBefore),
+      "compaction changed the curated rows")
+    val batches = after.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(batches == Seq(0L), s"batch partitions must fold to 0: $batches")
   }
 
   test("watermark-bounded dedup drops in-horizon replays") {
