@@ -854,6 +854,29 @@ object OracleTwins {
        |SELECT CAST(-1 AS BIGINT) AS g, n_total AS n_docs_stream FROM tot
        |ORDER BY g""".stripMargin
 
+  /** q135's twin: global top-N word-bigram inventory with the
+    * deterministic (count desc, bigram asc) boundary, coverage per lang
+    * in exact ppm. Bigrams use the same truncating trailing-slice
+    * convention as TextFns.shingles (≥1 entry even for 1-token docs). */
+  val vocabCoverage: String =
+    s"""WITH toks AS (
+       |  SELECT lang, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |bg AS (
+       |  SELECT lang, array_to_string(list_slice(w, i, i + 1), ' ') AS b
+       |  FROM toks, LATERAL (SELECT unnest(range(1,
+       |    greatest(len(w) - 1, 1) + 1)) AS i) t),
+       |vocab AS (
+       |  SELECT b FROM (
+       |    SELECT b, count(*) AS n FROM bg GROUP BY b)
+       |  ORDER BY n DESC, b ASC LIMIT ${TextOps.VOCAB_N})
+       |SELECT g.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(count(v.b) AS BIGINT) AS n_covered,
+       |  CAST(count(v.b) AS BIGINT) * 1000000
+       |    // CAST(count(*) AS BIGINT) AS coverage_ppm
+       |FROM bg g LEFT JOIN vocab v ON g.b = v.b
+       |GROUP BY g.lang ORDER BY g.lang""".stripMargin
+
   /** q133's twin — positions kept (unlike the distinct shingle set), the
     * same rolling hash, a df≥2 duplicated set, and gaps-and-islands for
     * the longest duplicated run. `list_slice` end-index is inclusive;

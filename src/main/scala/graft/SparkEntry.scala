@@ -248,6 +248,8 @@ object SparkEntry {
     "q133_repeated_spans"          -> (TextOps.repeatedSpans _),
     // ---- round 8: the dedup keep/drop decision over q43's clusters ----
     "q134_dedup_keep_list"         -> (Dedup.dedupKeepList _),
+    // ---- round 8: tokenizer-sizing signal — top-N vocab coverage ----
+    "q135_vocab_coverage"          -> (TextOps.vocabCoverage _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -434,6 +436,7 @@ object SparkEntry {
     "q132_heavy_gram_monitor" -> OracleTwins.heavyGramMonitor,
     "q133_repeated_spans" -> OracleTwins.repeatedSpans,
     "q134_dedup_keep_list" -> OracleTwins.dedupKeepList,
+    "q135_vocab_coverage" -> OracleTwins.vocabCoverage,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -448,6 +448,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Merge-inventory size for [[vocabCoverage]] — the top-N cut of the
+    * corpus's word-bigram distribution (the BPE question "which adjacent
+    * merges earn a vocabulary slot" asked at word granularity, the only
+    * granularity the synthetic corpus's 31-token lexicon makes
+    * non-degenerate). The operator shape is N-independent: the inventory
+    * is a bounded broadcast at any N. */
+  val VOCAB_N = 200
+
+  /** Merge-inventory coverage — the tokenizer-sizing signal: induce the
+    * corpus-global top-[[VOCAB_N]] word-bigram inventory, then measure
+    * per language what fraction of its bigram stream the inventory
+    * covers (the remainder is the tail a subword tokenizer must absorb
+    * as longer byte sequences). Coverage is an exact ppm integer, same
+    * discipline as recall.
+    *
+    * Scale shape: one bigram-keyed shuffle with map-side combine builds
+    * the global counts; the top-N cut is a TakeOrdered over the counts
+    * table (deterministic (count desc, bigram asc) boundary); the
+    * inventory is bounded by construction ⇒ broadcasts back onto the
+    * bigram stream, which never shuffles for the join — then one
+    * lang-keyed aggregate. The corpus text is read once per pass at
+    * 100 TB, the same fusion budget as the other map-only text signals. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val bg = spread(documents(spark, dir))
+      .select(col("lang"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("b"))
+    val vocab = bg.groupBy("b").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("b").asc)
+      .limit(VOCAB_N)
+      .select(col("b").as("vb"))
+    bg.join(broadcast(vocab), col("b") === col("vb"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("vb")).as("n_covered"))
+      .select(col("lang"), col("n_bigrams"), col("n_covered"),
+        expr("n_covered * 1000000L div n_bigrams").as("coverage_ppm"))
+      .orderBy("lang")
+  }
+
   /** Repeated-span window width (tokens). The exact-substring dedup
     * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better") works on ~50-token spans over a suffix
