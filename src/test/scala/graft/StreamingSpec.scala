@@ -494,6 +494,22 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-stream as-of rejects unbounded-lookahead directions") {
+    // forward/nearest finalize at probe time + tolerance; without the
+    // bound a probe could wait forever on a future reference — the
+    // operator must refuse rather than silently never emit
+    import graft.streaming.AsOfStream
+    val dirG = tmpDir("graft-ss-asof-guard")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dirG/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    for (dirn <- Seq("forward", "nearest")) {
+      val e = intercept[IllegalArgumentException] {
+        AsOfStream.clickPurchaseAsOf(spark, dirG, tolerance = None, dirn)
+      }
+      assert(e.getMessage.contains("tolerance"), e.getMessage)
+    }
+  }
+
   test("streamed incremental near-dup equals the batch recompute across appended increments") {
     // the index lifecycle as a stream: build the band index over 4/5 of
     // the corpus, then stream the held-out delta through in single-file
