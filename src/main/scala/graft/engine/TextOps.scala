@@ -519,19 +519,19 @@ object TextOps {
     * row per window. Two consumers follow (the per-doc aggregate and the
     * run-length branch); they RECOMPUTE this subplan rather than
     * materialize it — measured both ways at sf10 (×100): checkpointing
-    * the flag stream costs 39.3s vs 25.2s for the double computation,
-    * because the pipeline is codegen'd map work while the flag stream is
-    * the query's largest intermediate (one row per token window). The
-    * opposite trade holds for the N×K passes ([[graft.engine.Sim]]),
+    * the flag stream cost 39.3s vs 25.2s for the double computation even
+    * when the hashing was an interpreted lambda, because the flag stream
+    * is the query's largest intermediate (one row per token window);
+    * moving the hashing into the codegen'd [[TextFns.spanHashes]] then
+    * cut the whole query to 1.70s, making the recompute cheaper still.
+    * The opposite trade holds for the N×K passes ([[graft.engine.Sim]]),
     * whose recompute is the dominant cost — materialize-vs-recompute is
     * a measurement, not a rule. PlanShapeSpec pins this subplan's
     * single-corpus-scan shape. */
   private[graft] def spanFlags(spark: SparkSession, dir: String): DataFrame = {
-    val w = TextFns.tokens(col("text"))
     val g = spread(documents(spark, dir))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), greatest(size(w) - (SPAN_W - 1), lit(1))),
-        i => TextFns.polyHash(concat_ws(" ", slice(w, i, lit(SPAN_W)))))))
+      .select(col("doc_id"),
+        posexplode(TextFns.spanHashes(col("text"), SPAN_W)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("h"))
     val dup = g.select("doc_id", "h").distinct()

@@ -60,6 +60,12 @@ object GraftFunctions {
       ShingleHashesE(es.head,
         if (es.length > 1) intArg(es(1), "shingle_hashes") else 3)
     }),
+    "span_hashes" -> ((es: Seq[Expression]) => {
+      arity("span_hashes", es, 1, 2)
+      SpanHashesE(es.head,
+        if (es.length > 1) intArg(es(1), "span_hashes")
+        else graft.engine.TextOps.SPAN_W)
+    }),
     "minhash_sig" -> ((es: Seq[Expression]) => {
       arity("minhash_sig", es, 1, 1); MinHashSigE(es.head)
     }),

@@ -78,6 +78,18 @@ object TextFns {
   def shingleHashesFold(text: Column, k: Int = 3): Column =
     array_distinct(transform(shingles(tokens(text), k), polyHashFold(_)))
 
+  /** Positioned (non-distinct) word-k-gram window hashes — one hash per
+    * window in document order; the array index is the window position
+    * ([[graft.engine.TextOps.repeatedSpans]] explodes it with
+    * `posexplode`). Codegen'd ([[SpanHashesE]]); the Fold form is its
+    * declarative spec twin. */
+  def spanHashes(text: Column, k: Int): Column =
+    TextHashExprs.spanHashes(text, k)
+
+  /** Higher-order-function form of [[spanHashes]] (spec twin). */
+  def spanHashesFold(text: Column, k: Int): Column =
+    transform(shingles(tokens(text), k), polyHashFold(_))
+
   /** MinHash signature: NH mins over the affine-permuted shingle hashes. */
   def minhashSig(hashes: Column): Column = TextHashExprs.minhashSig(hashes)
 

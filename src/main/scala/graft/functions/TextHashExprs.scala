@@ -113,6 +113,23 @@ object TextHash {
     new GenericArrayData(java.util.Arrays.copyOf(out, n))
   }
 
+  /** Positioned word-k-gram window hashes — the NON-distinct twin of
+    * [[shingleHashes]]: one hash per window in document order (the array
+    * index IS the window position), which is what the repeated-span
+    * accounting explodes with `posexplode`. Same tokenization, same
+    * rolling hash, same ≥1-window trailing-truncation contract. */
+  def spanHashes(text: UTF8String, k: Int): ArrayData = {
+    val w = tokenize(text)
+    val nsh = math.max(w.length - (k - 1), 1)
+    val out = new Array[Long](nsh)
+    var i = 0
+    while (i < nsh) {
+      out(i) = hashJoined(w, i, math.min(i + k, w.length))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** NH affine-permutation minima over the shingle-hash set — all NH in one
     * pass over the array. Null elements are skipped and an empty (or
     * all-null) input yields null minima — exactly `array_min` over the
@@ -244,6 +261,19 @@ case class ShingleHashesE(child: Expression, k: Int) extends TextHashExpr {
     copy(child = c)
 }
 
+case class SpanHashesE(child: Expression, k: Int) extends TextHashExpr {
+  require(k >= 1, s"span_hashes k must be >= 1, got $k")
+  override protected def expectedInput: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_hashes"
+  override def nullSafeEval(s: Any): Any =
+    TextHash.spanHashes(s.asInstanceOf[UTF8String], k)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash.spanHashes($c, $k)"
+  override protected def withNewChildInternal(c: Expression): SpanHashesE =
+    copy(child = c)
+}
+
 case class MinHashSigE(child: Expression) extends TextHashExpr {
   override protected def expectedInput: DataType =
     ArrayType(LongType, containsNull = false)
@@ -290,6 +320,8 @@ object TextHashExprs {
     SqlBridge.column(PolyHashE(SqlBridge.expression(c)))
   def shingleHashes(c: Column, k: Int): Column =
     SqlBridge.column(ShingleHashesE(SqlBridge.expression(c), k))
+  def spanHashes(c: Column, k: Int): Column =
+    SqlBridge.column(SpanHashesE(SqlBridge.expression(c), k))
   def minhashSig(c: Column): Column =
     SqlBridge.column(MinHashSigE(SqlBridge.expression(c)))
   def charGramHashes(c: Column, k: Int): Column =

@@ -51,6 +51,13 @@ class TextHashSpec extends SparkSpecBase {
         TextFns.shingleHashesFold(col("text")).as("ref")))
   }
 
+  test("spanHashes codegen == declarative (docs + edge strings)") {
+    for (src <- Seq(docs, edges))
+      assertSame(src.select(
+        TextFns.spanHashes(col("text"), graft.engine.TextOps.SPAN_W).as("fast"),
+        TextFns.spanHashesFold(col("text"), graft.engine.TextOps.SPAN_W).as("ref")))
+  }
+
   test("minhashSig codegen == declarative (docs + edge strings)") {
     for (src <- Seq(docs, edges))
       assertSame(src.select(
