@@ -863,7 +863,8 @@ object OracleTwins {
        |  SELECT lang, string_split_regex(trim(text), '\\s+') AS w
        |  FROM documents),
        |bg AS (
-       |  SELECT lang, array_to_string(list_slice(w, i, i + 1), ' ') AS b
+       |  SELECT lang,
+       |    ${polyhash("array_to_string(list_slice(w, i, i + 1), ' ')")} AS b
        |  FROM toks, LATERAL (SELECT unnest(range(1,
        |    greatest(len(w) - 1, 1) + 1)) AS i) t),
        |vocab AS (

@@ -471,9 +471,13 @@ object TextOps {
     * lang-keyed aggregate. The corpus text is read once per pass at
     * 100 TB, the same fusion budget as the other map-only text signals. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // bigrams counted by their rolling-hash identity (the codegen'd
+    // spanHashes pass), not by building bigram STRINGS through an
+    // interpreted transform lambda — the q133 lesson; at scale the
+    // inventory maps hashes back to strings once, off the hot path
     val bg = spread(documents(spark, dir))
       .select(col("lang"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("b"))
+        explode(TextFns.spanHashes(col("text"), 2)).as("b"))
     val vocab = bg.groupBy("b").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("b").asc)
       .limit(VOCAB_N)
