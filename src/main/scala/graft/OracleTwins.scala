@@ -632,8 +632,10 @@ object OracleTwins {
   /** Shared PQ CTE prefix: codebook from every PQ_STRIDE-th vector's
     * subvectors, per-(vector, subspace) argmax-inner-product encoding —
     * same constants as Sim.pqEncode. */
-  private def pqPrefix: String =
-    s"""WITH pe AS (
+  private def pqPrefix: String = s"WITH $pqPrefixBody"
+
+  private def pqPrefixBody: String =
+    s"""pe AS (
        |  SELECT vec_id, embedding FROM embeddings),
        |pm AS (SELECT range AS m FROM range(0, ${Sim.PQ_M})),
        |cb AS (
@@ -684,6 +686,58 @@ object OracleTwins {
        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
        |  ${round6("adc")} AS adc_dot
        |FROM r WHERE rank <= ${Sim.PQ_TOP_K} ORDER BY probe_id, rank""".stripMargin
+
+  /** Twin of Sim.ivfpqTopK — the composed IVF-PQ search. Reuses the IVF
+    * prefix (e/c/s/a: every vector scored against the stride centroids,
+    * ranked per vector) and the PQ prefix (pe/pm/cb/sub/sc/rk/enc: codes)
+    * verbatim — their CTE names are disjoint. Probe cells are the
+    * top-IVFPQ_NPROBE rows of the SAME ranking `a` the assignment uses
+    * (cos DESC, cent_id tie-break ≡ the sorted-slice aggregate); ADC folds
+    * the probe's LUT in subspace order; only the top-IVFPQ_RERANK ADC
+    * survivors are re-ranked by exact cosine. */
+  val ivfpqTopK: String =
+    s"""$ivfPrefix,
+       |$pqPrefixBody,
+       |cds AS (SELECT vec_id, list(j ORDER BY m) AS code FROM enc GROUP BY vec_id),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, cent_id AS pcell FROM a
+       |  WHERE vec_id < ${Sim.PQ_PROBES} AND rn <= ${Sim.IVFPQ_NPROBE}),
+       |pl AS (
+       |  SELECT sub.vec_id AS probe_id, cb.m, cb.j, ${dot("sv", "cv")} AS dp
+       |  FROM sub JOIN cb ON sub.m = cb.m WHERE sub.vec_id < ${Sim.PQ_PROBES}),
+       |lut AS (SELECT probe_id, list(dp ORDER BY m, j) AS lut FROM pl
+       |        GROUP BY probe_id),
+       |adc AS (
+       |  SELECT pc.probe_id, a1.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(0, ${Sim.PQ_M}),
+       |        am -> lut[(am*${Sim.PQ_K} + code[am+1] + 1)::INTEGER])),
+       |      (aa, ax) -> aa + ax) AS adc
+       |  FROM a1
+       |  JOIN pc ON a1.cent_id = pc.pcell AND a1.vec_id <> pc.probe_id
+       |  JOIN cds ON a1.vec_id = cds.vec_id
+       |  JOIN lut ON pc.probe_id = lut.probe_id),
+       |sl AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adc DESC, vec_id) AS arank
+       |  FROM adc),
+       |rr AS (
+       |  SELECT sl.probe_id, sl.vec_id, sl.adc,
+       |    ${dot("pv", "embedding")} / (pnrm * nrm) AS cos
+       |  FROM sl
+       |  JOIN e ON sl.vec_id = e.vec_id
+       |  JOIN (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pnrm
+       |        FROM e WHERE vec_id < ${Sim.PQ_PROBES}) p
+       |    ON sl.probe_id = p.probe_id
+       |  WHERE sl.arank <= ${Sim.IVFPQ_RERANK}),
+       |r AS (
+       |  SELECT probe_id, vec_id, adc, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+       |      AS rank
+       |  FROM rr)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("adc")} AS adc_dot, ${round6("cos")} AS cosine
+       |FROM r WHERE rank <= ${Sim.IVF_TOP_K} ORDER BY probe_id, rank""".stripMargin
 
   val hashSample: String =
     s"""WITH s AS (
@@ -1008,6 +1062,103 @@ object OracleTwins {
        |  ${round6("score")} AS score
        |FROM r WHERE rank <= ${TextOps.RETRIEVAL_TOP_K} ORDER BY rank""".stripMargin
   }
+
+  /** Twin of TextOps.hybridRetrieval: distinct-token Jaccard ranking and
+    * embedding-cosine ranking per probe, RRF-fused (lex contribution
+    * added first, matching the Spark column order). */
+  val hybridRetrieval: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |tc AS (SELECT doc_id, len(w)::BIGINT AS nt, w FROM t),
+       |px AS (
+       |  SELECT doc_id AS probe_id, nt AS pnt, unnest(w) AS tok
+       |  FROM tc WHERE doc_id < ${TextOps.HR_PROBES}),
+       |cx AS (SELECT doc_id, nt, unnest(w) AS tok FROM tc),
+       |sh AS (
+       |  SELECT probe_id, doc_id, pnt, nt, CAST(count(*) AS BIGINT) AS shared
+       |  FROM cx JOIN px USING (tok) WHERE doc_id <> probe_id
+       |  GROUP BY 1, 2, 3, 4),
+       |lj AS (
+       |  SELECT probe_id, doc_id,
+       |    shared::DOUBLE / (pnt + nt - shared)::DOUBLE AS jac
+       |  FROM sh),
+       |lr AS (
+       |  SELECT probe_id, doc_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY jac DESC, doc_id)
+       |      AS lex_rank
+       |  FROM lj),
+       |lex AS (SELECT probe_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank
+       |        FROM lr WHERE lex_rank <= ${TextOps.HR_DEPTH}),
+       |e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2("embedding")}) AS nrm
+       |  FROM embeddings),
+       |pe AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv, nrm AS pnrm
+       |  FROM e WHERE vec_id < ${TextOps.HR_PROBES}),
+       |dc AS (
+       |  SELECT probe_id, vec_id AS doc_id,
+       |    ${dot("pv", "embedding")} / (pnrm * nrm) AS cos
+       |  FROM e, pe WHERE vec_id <> probe_id),
+       |dr AS (
+       |  SELECT probe_id, doc_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, doc_id)
+       |      AS dense_rank
+       |  FROM dc),
+       |dens AS (SELECT probe_id, doc_id, CAST(dense_rank AS BIGINT) AS dense_rank
+       |         FROM dr WHERE dense_rank <= ${TextOps.HR_DEPTH}),
+       |k AS (
+       |  SELECT probe_id, doc_id FROM lex
+       |  UNION SELECT probe_id, doc_id FROM dens),
+       |f AS (
+       |  SELECT k.probe_id, k.doc_id, lex.lex_rank, dens.dense_rank,
+       |    COALESCE(1.0 / (${TextOps.HR_RRF_K} + lex.lex_rank), 0.0) +
+       |    COALESCE(1.0 / (${TextOps.HR_RRF_K} + dens.dense_rank), 0.0) AS rrf
+       |  FROM k
+       |  LEFT JOIN lex ON k.probe_id = lex.probe_id AND k.doc_id = lex.doc_id
+       |  LEFT JOIN dens ON k.probe_id = dens.probe_id AND k.doc_id = dens.doc_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM f)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  lex_rank, dense_rank, ${round6("rrf")} AS rrf_score
+       |FROM r WHERE rank <= ${TextOps.HR_TOP_K} ORDER BY probe_id, rank""".stripMargin
+
+  /** Twin of TextOps.lmScore: top-V vocabulary, `<unk>` folding, smoothed
+    * bigram counts, per-pair probability floored to 2^-30 fixed point so
+    * the per-doc sum is order-free integer arithmetic. */
+  val lmScore: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |vc AS (
+       |  SELECT tok, count(*) AS c
+       |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+       |vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT ${TextOps.LM_VOCAB}),
+       |pr AS (
+       |  SELECT doc_id, lang, w[pi] AS w1, w[pi + 1] AS w2
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS pi) x
+       |  WHERE len(w) >= 2),
+       |m1 AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN w1 IN (SELECT tok FROM vocab) THEN w1 ELSE '<unk>' END AS v1,
+       |    CASE WHEN w2 IN (SELECT tok FROM vocab) THEN w2 ELSE '<unk>' END AS v2
+       |  FROM pr),
+       |bg AS (SELECT v1, v2, CAST(count(*) AS BIGINT) AS c2 FROM m1 GROUP BY 1, 2),
+       |ug AS (SELECT v1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id, lang, (v1 = '<unk>' OR v2 = '<unk>') AS oov,
+       |    CAST(floor(((2 * c2 + 1)::DOUBLE /
+       |      (2 * c1 + ${TextOps.LM_VOCAB + 1})::DOUBLE) *
+       |      ${TextOps.LM_SCALE}) AS BIGINT) AS sp
+       |  FROM m1 JOIN bg USING (v1, v2) JOIN ug USING (v1))
+       |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_pairs,
+       |  ${round6("sum(sp)::DOUBLE / (count(*) * " + TextOps.LM_SCALE + ".0)")}
+       |    AS lm_score
+       |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
   val int8Quant: String =
     s"""WITH e AS (

@@ -250,6 +250,13 @@ object SparkEntry {
     "q134_dedup_keep_list"         -> (Dedup.dedupKeepList _),
     // ---- round 8: tokenizer-sizing signal — top-N vocab coverage ----
     "q135_vocab_coverage"          -> (TextOps.vocabCoverage _),
+    // ---- round 8: composed IVF-PQ search (coarse cells → ADC scan of
+    // compressed codes → exact rerank of the shortlist) ----
+    "q136_ivfpq_topk"              -> (Sim.ivfpqTopK _),
+    // ---- round 8: RRF fusion of lexical + dense similar-doc rankings ----
+    "q137_hybrid_retrieval"        -> (TextOps.hybridRetrieval _),
+    // ---- round 8: bigram-LM fluency scoring (CCNet-style quality) ----
+    "q138_lm_score"                -> (TextOps.lmScore _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -437,6 +444,9 @@ object SparkEntry {
     "q133_repeated_spans" -> OracleTwins.repeatedSpans,
     "q134_dedup_keep_list" -> OracleTwins.dedupKeepList,
     "q135_vocab_coverage" -> OracleTwins.vocabCoverage,
+    "q136_ivfpq_topk" -> OracleTwins.ivfpqTopK,
+    "q137_hybrid_retrieval" -> OracleTwins.hybridRetrieval,
+    "q138_lm_score" -> OracleTwins.lmScore,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -970,4 +970,103 @@ object Sim {
       .select(col("vec_a"), col("vec_b"), Num.round6(col("cos")).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** IVF-PQ probe geometry: coarse cells searched per probe and the ADC
+    * shortlist depth handed to the exact re-ranker. nprobe trades recall
+    * for cells touched (q131 measures that curve on the IVF half); the
+    * rerank depth bounds how many full-precision vectors a probe ever
+    * reads — the IVF-PQ contract is that the corpus's floats are touched
+    * only for this shortlist, never for a whole cell. */
+  val IVFPQ_NPROBE = 2
+  val IVFPQ_RERANK = 8
+
+  /** q136: the composed IVF-PQ search — the standard billion-vector ANN
+    * shape (coarse quantizer → ADC scan of compressed codes → exact
+    * re-rank), assembled from the engine's IVF ([[ivfAssign]]) and PQ
+    * ([[pqEncode]]) halves. Per probe: (1) the coarse quantizer picks the
+    * top-[[IVFPQ_NPROBE]] cells; (2) every candidate in those cells is
+    * scored by asymmetric distance — [[PQ_M]] lookups into the probe's
+    * M×K table, no corpus floats read; (3) only the top-[[IVFPQ_RERANK]]
+    * ADC survivors are re-ranked by exact cosine. Codes are on raw
+    * vectors (not cell residuals) — the non-residual IVFADC variant —
+    * so the PQ half is exactly the q46/q47 encoder and the two indexes
+    * stay independently verifiable.
+    *
+    * Scale shape: the stored index row is (vec_id, cell, code) — cell
+    * from the coarse quantizer, an [[PQ_M]]-byte code in place of the
+    * floats (32× smaller); persisted it would be partitioned by cell
+    * exactly like [[buildIvfIndex]], making step (2) a DPP-pruned scan
+    * of nprobe/K of the files (the path q129's probe spec-pins). The
+    * probe side (cells + LUT) is |probes|·nprobe rows broadcast; the
+    * re-rank broadcasts |probes|·RERANK survivors into one corpus join.
+    * Nothing in the pipeline shuffles the corpus. */
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir).localCheckpoint()
+    val cents = strideCentroids(e)
+    // the persisted IVF-PQ index row: cell + compressed code per vector
+    val codes = pqEncode(spark, dir)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("j")))).as("cs"))
+      .select(col("vec_id"), transform(col("cs"), s => s.getField("j")).as("code"))
+    val index = assignTo(e, cents)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+      .join(codes, "vec_id")
+      .localCheckpoint()
+    // top-nprobe cells per probe via the sorted-slice aggregate (the
+    // AQE-safe form ivfNprobeRecall uses — a window here kills DPP reuse)
+    val pn = e.filter(col("vec_id") < PQ_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pnrm"))
+    val pcells = pn.join(broadcast(cents), lit(true))
+      .select(col("probe_id"), col("cent_id"),
+        (VecFns.dot(col("pv"), col("cv")) / (col("pnrm") * col("cnrm")))
+          .as("cos"))
+      .groupBy("probe_id")
+      .agg(slice(array_sort(collect_list(struct(-col("cos"), col("cent_id")))),
+        1, IVFPQ_NPROBE).as("cells"))
+      .select(col("probe_id"), explode(col("cells.cent_id")).as("pcell"))
+    // per-probe ADC lookup table: M×K inner products against the codebook
+    val lut = subvectors(
+        e.filter(col("vec_id") < PQ_PROBES)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        "probe_id", "pv")
+      .join(broadcast(pqCodebook(spark, dir)), "m")
+      .select(col("probe_id"), col("m"), col("j"),
+        VecFns.dot(col("pv"), col("cv")).as("dp"))
+      .groupBy("probe_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("j"), col("dp"))))
+        .as("ls"))
+      .select(col("probe_id"), transform(col("ls"), s => s.getField("dp"))
+        .as("lut"))
+    // ADC scan: candidates restricted to the probed cells; scoring a
+    // candidate is PQ_M table lookups folded in subspace order
+    val adc = index.join(broadcast(pcells.join(broadcast(lut), "probe_id")),
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            (m * PQ_K + element_at(col("code"), m + 1) + 1).cast("int")))
+          .as("adc"))
+    val wa = Window.partitionBy("probe_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = adc
+      .withColumn("arank", row_number().over(wa).cast("long"))
+      .filter(col("arank") <= IVFPQ_RERANK)
+      .select(col("probe_id"), col("vec_id"), col("adc"))
+    // exact re-rank: full-precision floats are read for the broadcast
+    // shortlist only — |probes|·RERANK rows against one corpus join
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(pn), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("adc"),
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= IVF_TOP_K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        Num.round6(col("adc")).as("adc_dot"),
+        Num.round6(col("cos")).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{TextFns, VecFns}
 
 /** Text-analysis operators over the `documents` table — language stats,
   * heuristic language ID, quality scoring, document fingerprinting
@@ -719,5 +719,158 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("n_terms_hit"),
         Num.round6(col("score")).as("score"))
       .orderBy("rank")
+  }
+
+  /** Hybrid-retrieval geometry: probe documents, per-modality candidate
+    * depth, fused result depth, and the standard RRF damping constant
+    * (Cormack et al.'s k=60). */
+  val HR_PROBES = 4
+  val HR_DEPTH = 10
+  val HR_TOP_K = 5
+  val HR_RRF_K = 60
+
+  /** q137: hybrid similar-document retrieval — the lexical and dense
+    * rankings for each probe document fused by Reciprocal Rank Fusion
+    * (score = Σ 1/(k + rank) over the lists a candidate appears in).
+    * The lexical half ranks by distinct-token Jaccard against the probe;
+    * the dense half by embedding cosine (doc_id ≡ vec_id in the
+    * testdata). This is the standard two-tower retrieval/near-dup sweep:
+    * each modality catches duplicates the other is blind to (paraphrase
+    * ≡ dense-only, template/boilerplate twins ≡ lexical-only), and RRF
+    * needs no score calibration between them — only ranks.
+    *
+    * Scale shape: lexical candidates come from postings of the PROBE's
+    * tokens only (corpus tokens join the broadcast probe-token set — the
+    * q81 index-lookup shape, never corpus×corpus); per-probe ranking is
+    * a row_number window with a pushed rank limit (WindowGroupLimit
+    * prunes to depth per partition map-side). The dense half is the
+    * brute-force q20 baseline here; [[graft.engine.Sim.ivfpqTopK]] /
+    * probeIvfIndex are its indexed drop-ins. The fusion join is over two
+    * |probes|·depth lists — broadcast-sized at any corpus size.
+    * Determinism: Jaccard is one integer division; RRF is two exact
+    * divisions summed in fixed (lex, dense) order. */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("nt"))
+    val probeToks = toks.filter(col("doc_id") < HR_PROBES)
+      .select(col("doc_id").as("probe_id"), col("nt").as("pnt"),
+        explode(col("w")).as("tok"))
+    val shared = toks
+      .select(col("doc_id"), col("nt"), explode(col("w")).as("tok"))
+      .join(broadcast(probeToks), "tok")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"), col("pnt"), col("nt"))
+      .agg(count(lit(1)).as("shared"))
+    val wl = Window.partitionBy("probe_id")
+      .orderBy(col("jac").desc, col("doc_id").asc)
+    val lex = shared
+      .select(col("probe_id"), col("doc_id"),
+        (col("shared").cast("double") /
+          (col("pnt") + col("nt") - col("shared")).cast("double")).as("jac"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= HR_DEPTH)
+      .select(col("probe_id"), col("doc_id"), col("lex_rank"))
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val pe = e.filter(col("vec_id") < HR_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pnrm"))
+    val wd = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val dense = e.join(broadcast(pe), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .filter(col("dense_rank") <= HR_DEPTH)
+      .select(col("probe_id"), col("doc_id"), col("dense_rank"))
+    val keys = lex.select("probe_id", "doc_id")
+      .union(dense.select("probe_id", "doc_id")).distinct()
+    val wr = Window.partitionBy("probe_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    keys
+      .join(lex, Seq("probe_id", "doc_id"), "left")
+      .join(dense, Seq("probe_id", "doc_id"), "left")
+      .select(col("probe_id"), col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (coalesce(lit(1.0) / (lit(HR_RRF_K) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(HR_RRF_K) + col("dense_rank")), lit(0.0)))
+          .as("rrf"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= HR_TOP_K)
+      .select(col("probe_id"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("dense_rank"), Num.round6(col("rrf")).as("rrf_score"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Bigram-LM geometry: vocabulary cap (top-V tokens by frequency, the
+    * rest folded to `<unk>`) and the add-α smoothing written as exact
+    * integer arithmetic: with α = ½ over V+1 symbols,
+    * p(w2|w1) = (c(w1,w2)+½)/(c(w1)+½(V+1)) = (2·c2+1)/(2·c1+V+1). */
+  val LM_VOCAB = 256
+  /** Fixed-point scale for order-free probability sums (the KMEANS_SCALE
+    * discipline): per-pair p is floored to units of 2^-30 so the per-doc
+    * aggregate is an integer sum — deterministic under any partitioning. */
+  val LM_SCALE = 1073741824L // 2^30
+
+  /** q138: bigram language-model fluency scoring — the CCNet-style
+    * quality signal: train a smoothed bigram model on the corpus itself,
+    * score every document by its mean bigram probability (higher = more
+    * predictable/fluent text; gibberish and boilerplate-free word salad
+    * score low). The mean-probability form keeps the whole computation
+    * in rational arithmetic — no ln(), whose last-ulp rounding differs
+    * across engines ([[tfidfTopTerms]] has the argument) — and ranks
+    * documents the same way a mean-log score would at equal pair counts.
+    *
+    * Scale shape: the model is counting-bounded — tokens outside the
+    * top-[[LM_VOCAB]] vocabulary fold to `<unk>`, so the bigram table
+    * has ≤ (V+1)² rows at ANY corpus size (the q130 broadcast
+    * discipline); vocabulary selection is one corpus pass ending in a
+    * TakeOrdered top-V. Scoring is a map-side pass: pairs join the
+    * broadcast model, fixed-point partial sums combine per doc. Three
+    * corpus passes total (vocab, model, score) — the two consumers of
+    * the pair stream recompute it rather than checkpointing a
+    * corpus-sized intermediate (the q133 measurement). Pair formation
+    * is `arrays_zip(slice,slice)` + explode — codegen'd built-ins, no
+    * interpreted HOF lambda in the hot path (the q133/q135 lesson). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("w"))
+    val vocab = t.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(LM_VOCAB)
+      .select("tok").localCheckpoint()
+    val pairs = t.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("pz"))
+      .select(col("doc_id"), col("lang"),
+        col("pz.0").as("w1"), col("pz.1").as("w2"))
+    val mapped = pairs
+      .join(broadcast(vocab.select(col("tok").as("w1"), lit(1).as("in1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocab.select(col("tok").as("w2"), lit(1).as("in2"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("in1").isNotNull, col("w1")).otherwise(lit("<unk>")).as("v1"),
+        when(col("in2").isNotNull, col("w2")).otherwise(lit("<unk>")).as("v2"))
+    val bg = mapped.groupBy("v1", "v2").agg(count(lit(1)).as("c2"))
+    val model = bg
+      .join(bg.groupBy("v1").agg(sum(col("c2")).as("c1")), "v1")
+      .localCheckpoint() // bounded ≤ (V+1)² rows — blocking anyway
+    mapped.join(broadcast(model), Seq("v1", "v2"))
+      .select(col("doc_id"), col("lang"),
+        (col("v1") === "<unk>" || col("v2") === "<unk>").as("oov"),
+        floor(((col("c2") * 2 + 1).cast("double") /
+          (col("c1") * 2 + (LM_VOCAB + 1)).cast("double")) *
+          lit(LM_SCALE.toDouble)).cast("long").as("sp"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("oov_pairs"),
+        Num.round6(sum(col("sp")).cast("double") /
+          (count(lit(1)).cast("double") * lit(LM_SCALE.toDouble))).as("lm_score"))
+      .orderBy("doc_id")
   }
 }

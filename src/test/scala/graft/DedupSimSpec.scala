@@ -450,4 +450,84 @@ class DedupSimSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq
     assert(incs == Seq(0L), s"rebuild must clear old increments: $incs")
   }
+
+  test("ivfpqTopK reranks exactly and joins everything broadcast") {
+    val df = Sim.ivfpqTopK(spark, sf)
+    val rows = df.collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until Sim.PQ_PROBES).toSet)
+    byProbe.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to Sim.IVF_TOP_K))
+      // exact rerank ⇒ final order is by true cosine, not ADC
+      val byRank = g.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    // the reported cosine IS the true cosine of that pair (the rerank read
+    // full-precision floats for the shortlist)
+    val e = engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val truth = df.select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
+        "probe_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        "neighbor_id")
+      .select((col("cosine") -
+        engine.Num.round6(
+          graft.functions.VecFns.dot(col("pv"), col("nv")) /
+          (sqrt(graft.functions.VecFns.norm2(col("pv"))) *
+            sqrt(graft.functions.VecFns.norm2(col("nv")))))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(truth == 0.0, s"rerank cosine must be the exact cosine: $truth")
+    // scale shape: the corpus is never shuffled for a join — the ADC scan
+    // and the rerank both take the probe side broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "ivfpq must not sort-merge-join the corpus")
+  }
+
+  test("hybridRetrieval fuses ranks consistently; dense half matches brute force") {
+    val rows = TextOps.hybridRetrieval(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until TextOps.HR_PROBES.toLong).toSet)
+    byProbe.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to TextOps.HR_TOP_K))
+    }
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val den = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(lex.nonEmpty || den.nonEmpty, "a fused row must come from a list")
+      // the fused score is exactly the two reciprocal contributions
+      val expect = lex.map(v => 1.0 / (TextOps.HR_RRF_K + v)).getOrElse(0.0) +
+        den.map(v => 1.0 / (TextOps.HR_RRF_K + v)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(5) - expect) < 1e-6)
+    }
+    // survivors carrying dense_rank <= TOP_K must agree with the exact
+    // brute-force ranking (q20's baseline restricted to these probes)
+    val brute = Sim.embeddingTopK(spark, sf)
+      .filter(col("probe_id") < TextOps.HR_PROBES)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.filter(r => !r.isNullAt(4) && r.getLong(4) <= Sim.TOP_K).foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(4))) == r.getLong(2),
+        s"dense rank disagrees with brute force for ${r}")
+    }
+  }
+
+  test("lmScore is total, bounded, and its pair accounting is exact") {
+    val rows = TextOps.lmScore(spark, sf).collect()
+    // one row per doc with >= 2 tokens, n_pairs = tokens - 1
+    val expected = engine.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") >= 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - 1)).toMap
+    assert(rows.map(_.getLong(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)), s"n_pairs wrong: $r")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2))
+      val s = r.getDouble(4)
+      assert(s > 0.0 && s < 1.0, s"mean bigram probability out of range: $s")
+    }
+  }
 }
