@@ -134,7 +134,7 @@ object Sim {
     * estimate, which tripped BroadcastGuard into dropping the broadcast
     * hint on the N×K assignment join. The subquery leaves the filter's
     * stats (and the broadcast of the centroids) untouched. */
-  private def strideCentroids(e: DataFrame): DataFrame = {
+  private[engine] def strideCentroids(e: DataFrame): DataFrame = {
     val view = "__graft_ivf_corpus_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     e.createOrReplaceTempView(view)
@@ -160,7 +160,7 @@ object Sim {
     * vector *before* the shuffle — a window would range-shuffle and sort
     * all N×K. Tie-break (max cos, then min cent_id) is encoded in the
     * ordering struct, so the result is fully deterministic. */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+  private[engine] def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cent_id"),
         (VecFns.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -693,7 +693,7 @@ object Sim {
     * (tie → lowest j). N×M×K dot products with the codebook broadcast —
     * map-only against the corpus; the argmax groups live inside one
     * partition so the groupBy's partial aggregation collapses locally. */
-  private def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+  private[engine] def pqEncode(spark: SparkSession, dir: String): DataFrame = {
     val sub = subvectors(spread(embeddings(spark, dir)), "vec_id", "sv")
     // Same max_by-not-window argmax as ivfAssign: partial agg collapses the
     // N×M×K scored rows map-side; tie (max dp, then min j) in the ordering.
@@ -1003,15 +1003,17 @@ object Sim {
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = vecsWithNorm(spark, dir).localCheckpoint()
     val cents = strideCentroids(e)
-    // the persisted IVF-PQ index row: cell + compressed code per vector
+    // the compressed half of the index: an M-byte code per vector. A
+    // deployment pre-builds (vec_id, cell, code) as ONE cell-partitioned
+    // table (the q129 lifecycle); in-plan, the two halves are kept as
+    // separate single-pass builds and meet only AT the candidates —
+    // joining them corpus-wide first would be an N×N shuffle join that
+    // costs more than both build passes combined (measured 12.5s vs
+    // 2.9+1.5s at sf0.1).
     val codes = pqEncode(spark, dir)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("j")))).as("cs"))
       .select(col("vec_id"), transform(col("cs"), s => s.getField("j")).as("code"))
-    val index = assignTo(e, cents)
-      .select(col("vec_id"), col("cent_id").as("cell"))
-      .join(codes, "vec_id")
-      .localCheckpoint()
     // top-nprobe cells per probe via the sorted-slice aggregate (the
     // AQE-safe form ivfNprobeRecall uses — a window here kills DPP reuse)
     val pn = e.filter(col("vec_id") < PQ_PROBES)
@@ -1038,10 +1040,21 @@ object Sim {
         .as("ls"))
       .select(col("probe_id"), transform(col("ls"), s => s.getField("dp"))
         .as("lut"))
-    // ADC scan: candidates restricted to the probed cells; scoring a
-    // candidate is PQ_M table lookups folded in subspace order
-    val adc = index.join(broadcast(pcells.join(broadcast(lut), "probe_id")),
+    // candidate pruning FIRST (the IVF contract): the coarse assignment
+    // meets the broadcast probe cells, leaving |probes|·nprobe·cellsize
+    // candidate ids — ~(P·nprobe/K)·N rows, a small fraction of the
+    // corpus. BroadcastGuard strips the hint if a huge probe batch ever
+    // outgrows the broadcast ceiling (AQE then picks the join).
+    val cands = assignTo(e, cents)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+      .join(broadcast(pcells),
         col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    // ADC scan: codes are fetched for the candidates only (one map-side
+    // broadcast join against the code build — never an N×N shuffle);
+    // scoring a candidate is PQ_M table lookups folded in subspace order
+    val adc = codes.join(broadcast(cands), "vec_id")
+      .join(broadcast(lut), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0.0),
           (acc, m) => acc + element_at(col("lut"),
