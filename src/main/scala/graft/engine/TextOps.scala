@@ -835,20 +835,35 @@ object TextOps {
     * is `arrays_zip(slice,slice)` + explode — codegen'd built-ins, no
     * interpreted HOF lambda in the hot path (the q133/q135 lesson). */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val t = documents(spark, dir)
-      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("w"))
-    val vocab = t.select(explode(col("w")).as("tok"))
+    val docs = documents(spark, dir)
+    val vocab = lmVocab(docs).localCheckpoint()
+    val model = lmModel(docs, vocab)
+      .localCheckpoint() // bounded ≤ (V+1)² rows — blocking anyway
+    lmScoreAgainst(docs, vocab, model).orderBy("doc_id")
+  }
+
+  /** Top-[[LM_VOCAB]] vocabulary of a corpus (count desc, token asc
+    * tie-break) — one corpus pass ending in a TakeOrdered top-V. */
+  def lmVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok").asc).limit(LM_VOCAB)
-      .select("tok").localCheckpoint()
-    val pairs = t.filter(size(col("w")) >= 2)
+      .select("tok")
+
+  /** The corpus's adjacent-token pair stream, each side folded into the
+    * vocabulary (or `<unk>`). Pair formation is codegen built-ins
+    * (`arrays_zip(slice, slice)` + explode), vocabulary folding two
+    * broadcast left joins — map-only over the corpus. */
+  private def lmPairs(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(arrays_zip(
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1))).as("pz"))
       .select(col("doc_id"), col("lang"),
         col("pz.0").as("w1"), col("pz.1").as("w2"))
-    val mapped = pairs
       .join(broadcast(vocab.select(col("tok").as("w1"), lit(1).as("in1"))),
         Seq("w1"), "left")
       .join(broadcast(vocab.select(col("tok").as("w2"), lit(1).as("in2"))),
@@ -856,11 +871,26 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         when(col("in1").isNotNull, col("w1")).otherwise(lit("<unk>")).as("v1"),
         when(col("in2").isNotNull, col("w2")).otherwise(lit("<unk>")).as("v2"))
-    val bg = mapped.groupBy("v1", "v2").agg(count(lit(1)).as("c2"))
-    val model = bg
-      .join(bg.groupBy("v1").agg(sum(col("c2")).as("c1")), "v1")
-      .localCheckpoint() // bounded ≤ (V+1)² rows — blocking anyway
-    mapped.join(broadcast(model), Seq("v1", "v2"))
+
+  /** The trained bigram model: (v1, v2, c2, c1) — pair count and
+    * conditioning-context count over the vocabulary-folded corpus.
+    * Counting-bounded at ≤ (V+1)² rows for ANY corpus size. */
+  def lmModel(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val bg = lmPairs(docs, vocab).groupBy("v1", "v2")
+      .agg(count(lit(1)).as("c2"))
+    bg.join(bg.groupBy("v1").agg(sum(col("c2")).as("c1")), "v1")
+  }
+
+  /** Score `docs` against a FROZEN (vocab, model) pair — the deployable
+    * half: the model trains once on the reference corpus and any batch
+    * OR micro-batch scores against it (per-doc scores depend only on the
+    * doc and the model, so stream ≡ batch exactly;
+    * [[graft.streaming.DocsStream.lmGateSink]] is the ingest-path form).
+    * Map-only: pairs join the broadcast model, fixed-point partial sums
+    * combine per doc. */
+  def lmScoreAgainst(docs: DataFrame, vocab: DataFrame,
+      model: DataFrame): DataFrame =
+    lmPairs(docs, vocab).join(broadcast(model), Seq("v1", "v2"))
       .select(col("doc_id"), col("lang"),
         (col("v1") === "<unk>" || col("v2") === "<unk>").as("oov"),
         floor(((col("c2") * 2 + 1).cast("double") /
@@ -871,6 +901,4 @@ object TextOps {
         sum(when(col("oov"), 1L).otherwise(0L)).as("oov_pairs"),
         Num.round6(sum(col("sp")).cast("double") /
           (count(lit(1)).cast("double") * lit(LM_SCALE.toDouble))).as("lm_score"))
-      .orderBy("doc_id")
-  }
 }

@@ -138,4 +138,50 @@ object DocsStream {
         landCurated(batch, batchId, out)
       }
       .start()
+
+  /** Minimum mean-bigram-probability a streamed document must score to
+    * pass the quality gate ([[graft.engine.TextOps.lmScore]] semantics;
+    * calibrate against the reference corpus's score distribution). */
+  val LM_GATE_MIN = 0.03
+
+  /** The landing half of [[lmGateSink]]: batch-keyed partition + dynamic
+    * overwrite, so a replayed micro-batch replaces its own partition —
+    * the exactly-once device every sink in this library uses. */
+  private[graft] def landScored(batch: DataFrame, batchId: Long,
+      out: String): Unit =
+    batch.withColumn("batch", lit(batchId))
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(out)
+
+  /** Streaming bigram-LM quality gate — the ingest-path form of
+    * [[graft.engine.TextOps.lmScore]]: the model trains ONCE on a
+    * reference corpus (pass the [[graft.engine.TextOps.lmVocab]] /
+    * [[graft.engine.TextOps.lmModel]] outputs, checkpointed), and every
+    * micro-batch of arriving documents scores against that frozen model
+    * via [[graft.engine.TextOps.lmScoreAgainst]] — a map-only pass
+    * (pairs join the broadcast model; the per-doc aggregation is
+    * complete within the batch because a document arrives whole).
+    * Docs land with their score and a `kept` verdict
+    * (≥ [[LM_GATE_MIN]]); per-doc scores depend only on (doc, model),
+    * so stream ≡ batch exactly — StreamingSpec pins the landed scores
+    * against the batch recompute across a multi-batch feed.
+    *
+    * Scale shape: the model is counting-bounded at (V+1)² rows
+    * (broadcast at any corpus size); no streaming state at all — the
+    * gate is stateless per doc, so an unbounded feed runs at constant
+    * memory. Exactly-once under retry via [[landScored]]. */
+  def lmGateSink(docs: DataFrame, vocab: DataFrame, model: DataFrame,
+      out: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landScored(
+          graft.engine.TextOps.lmScoreAgainst(batch, vocab, model)
+            .withColumn("kept", col("lm_score") >= LM_GATE_MIN),
+          batchId, out)
+      }
+      .start()
 }

@@ -669,6 +669,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.sameElements(expected))
   }
 
+  test("LM quality gate stream equals the batch score against the frozen model") {
+    import graft.engine.TextOps
+    // model frozen on the full reference corpus
+    val ref = Tables.documents(spark, sf)
+    val vocab = TextOps.lmVocab(ref).localCheckpoint()
+    val model = TextOps.lmModel(ref, vocab).localCheckpoint()
+    // feed the same corpus as two files → two micro-batches
+    val dir = tmpDir("graft-lmgate-in")
+    ref.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/half0")
+    ref.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/half1")
+    val out = tmpDir("graft-lmgate-out") + "/scored"
+    val ckpt = tmpDir("graft-lmgate-ckpt")
+    val stream = spark.readStream
+      .schema(graft.engine.Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val q = DocsStream.lmGateSink(stream, vocab, model, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(out)
+    // the stateless gate scored each doc exactly as the batch operator
+    // that trains AND scores on the same corpus (model is identical)
+    val streamed = landed
+      .select("doc_id", "lang", "n_pairs", "oov_pairs", "lm_score")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = TextOps.lmScore(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.sameElements(batch), "stream scores != batch scores")
+    // the verdict column is exactly the threshold applied to the score
+    assert(landed.filter(col("kept") =!=
+      (col("lm_score") >= DocsStream.LM_GATE_MIN)).count() == 0)
+    // the feed really arrived as multiple micro-batches
+    assert(landed.select(col("batch").cast("long")).distinct().count() >= 2,
+      "expected a multi-batch feed")
+    // retry idempotence: replaying a batch id replaces its partition
+    val n = spark.read.parquet(out).count()
+    DocsStream.landScored(
+      TextOps.lmScoreAgainst(ref.filter(col("doc_id") % 2 === 0), vocab, model)
+        .withColumn("kept", col("lm_score") >= DocsStream.LM_GATE_MIN),
+      0L, out)
+    assert(spark.read.parquet(out).count() == n,
+      "replayed LM-gate batch duplicated rows")
+  }
+
   test("curated and as-of sinks are exactly-once: a replayed batch replaces its partitions") {
     // both sinks land under batch=<id> with dynamic partition overwrite —
     // re-running the landing half with the same batch id (the micro-batch
