@@ -1023,8 +1023,14 @@ object OracleTwins {
        |    piv -> piv::VARCHAR), ',') AS postings_head
        |FROM t GROUP BY term ORDER BY term""".stripMargin
 
-  val retrievalTopK: String = {
-    val terms = TextOps.PROBE_TERMS.map(t => s"'$t'").mkString(", ")
+  val retrievalTopK: String = retrievalSql(TextOps.PROBE_TERMS)
+
+  /** Twin of both TextOps.retrievalTopK (q81, corpus one-pass) and
+    * TermIndex.termIndexProbe (q139, lifecycle probe): the scoring is
+    * shared by construction, so the q139 binding proves the persisted
+    * build+append+probe path equals the one-pass corpus retrieval. */
+  def retrievalSql(probeTerms: Seq[String]): String = {
+    val terms = probeTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH d AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
        |  FROM documents),

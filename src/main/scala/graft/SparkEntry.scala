@@ -257,6 +257,9 @@ object SparkEntry {
     "q137_hybrid_retrieval"        -> (TextOps.hybridRetrieval _),
     // ---- round 8: bigram-LM fluency scoring (CCNet-style quality) ----
     "q138_lm_score"                -> (TextOps.lmScore _),
+    // ---- round 8: persisted inverted-index lifecycle (lexical twin of
+    // the MinHash/IVF indexes — build/append/probe/compact) ----
+    "q139_term_index_probe"        -> (TermIndex.termIndexProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -447,6 +450,7 @@ object SparkEntry {
     "q136_ivfpq_topk" -> OracleTwins.ivfpqTopK,
     "q137_hybrid_retrieval" -> OracleTwins.hybridRetrieval,
     "q138_lm_score" -> OracleTwins.lmScore,
+    "q139_term_index_probe" -> OracleTwins.retrievalSql(engine.TermIndex.TI_TERMS),
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -1,0 +1,178 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Persisted inverted-index lifecycle — the lexical twin of the MinHash
+  * band index ([[Dedup.buildMinhashIndex]]) and the IVF cell index
+  * ([[Sim.buildIvfIndex]]): build once, append each ingest as its own
+  * idempotent increment, serve retrieval probes that touch only the
+  * probe terms' postings, compact the increment pile off the ingest
+  * path. Completes the index-lifecycle story across all three retrieval
+  * modalities (near-dup, dense, lexical) — [[TextOps.hybridRetrieval]]'s
+  * lexical half gets the same indexed drop-in its dense half already has.
+  *
+  * Layout: `indexDir/postings` holds one row per (term, doc_id) with the
+  * term frequency and the document's token length, partitioned by
+  * `increment` and term-sorted within files so parquet min/max stats
+  * prune a probe's scan to files covering its terms; `indexDir/stats`
+  * holds one row per increment with the corpus-level scoring constants
+  * (doc count, total tokens) so a probe never aggregates the corpus.
+  *
+  * Scale shape: the probe reads ONLY postings whose term is in the probe
+  * set — the filter is pushed into the parquet scan (spec-pinned via
+  * PushedFilters) and the term-clustered layout turns it into file-level
+  * pruning, so probe cost tracks the probed terms' document frequency,
+  * never index size. Scoring constants come from the stats sidecar
+  * (|increments| rows). The BM25-family scoring is [[TextOps
+  * .retrievalTopK]]'s exactly — the oracle twin proves a lifecycle probe
+  * (build + appended increment) bit-equals the one-pass corpus
+  * retrieval, so a probe that misses an increment, or an append that
+  * double-counts a document, hash-mismatches.
+  */
+object TermIndex {
+  import Tables._
+
+  /** Postings rows of a document batch: (term, doc_id, tf, len). The
+    * groupBy shuffles on (term, doc_id) with map-side combine; len rides
+    * along functionally determined by doc_id. */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("len"),
+        explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "len")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Build-once half: persist `docs`' postings as increment 0. STATIC
+    * overwrite — a rebuild must clear stale increments from a previous
+    * lifecycle (same contract as [[Dedup.buildMinhashIndex]]). */
+  def buildTermIndex(docs: DataFrame, indexDir: String): Unit =
+    writeIncrement(docs, indexDir, increment = 0L)
+
+  /** Append-an-increment half: `delta`'s postings land as partition
+    * `increment=<n>` under DYNAMIC overwrite — a retried append REPLACES
+    * its increment instead of duplicating it (exactly-once under
+    * micro-batch retry, the [[Dedup.appendMinhashIndex]] device). */
+  def appendTermIndex(delta: DataFrame, indexDir: String,
+      increment: Long): Unit =
+    writeIncrement(delta, indexDir, increment)
+
+  private def writeIncrement(docs: DataFrame, indexDir: String,
+      increment: Long): Unit = {
+    val mode = if (increment == 0L) "static" else "dynamic"
+    postings(docs).withColumn("increment", lit(increment))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.partitionBy("increment")
+      .option("partitionOverwriteMode", mode)
+      .mode("overwrite")
+      .parquet(s"$indexDir/postings")
+    // Scoring constants, derived from the increment's just-written
+    // postings (a columnar (doc_id, tf) read — the text is never
+    // re-tokenized): sum(tf) over a doc's postings IS its token count,
+    // so total_tokens = sum(tf) and n_docs = distinct doc_id. One row
+    // per increment; probes sum the sidecar instead of the corpus.
+    docs.sparkSession.read.parquet(s"$indexDir/postings")
+      .filter(col("increment") === increment)
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        sum("tf").as("total_tokens"))
+      .withColumn("increment", lit(increment))
+      .coalesce(1)
+      .write.partitionBy("increment")
+      .option("partitionOverwriteMode", mode)
+      .mode("overwrite")
+      .parquet(s"$indexDir/stats")
+  }
+
+  /** Fold every increment back into `increment=0`, preserving the
+    * term-clustered file layout — probe results bit-identical (postings
+    * are a bag of (term, doc_id, tf, len) rows; only file layout
+    * changes), stats sidecar re-summed to one row. Runs off the ingest
+    * path through [[IndexMaintenance.rewrite]]'s staging swap. */
+  def compactTermIndex(spark: SparkSession, indexDir: String): Unit =
+    IndexMaintenance.rewrite(spark, indexDir) { staging =>
+      spark.read.parquet(s"$indexDir/postings")
+        .select(col("term"), col("doc_id"), col("tf"), col("len"))
+        .withColumn("increment", lit(0L))
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.partitionBy("increment")
+        .mode("overwrite")
+        .parquet(s"$staging/postings")
+      spark.read.parquet(s"$indexDir/stats")
+        .agg(sum("n_docs").as("n_docs"),
+          sum("total_tokens").as("total_tokens"))
+        .withColumn("increment", lit(0L))
+        .coalesce(1)
+        .write.partitionBy("increment")
+        .mode("overwrite")
+        .parquet(s"$staging/stats")
+    }
+
+  /** Serve a retrieval probe from the persisted index: BM25-family
+    * scoring ([[TextOps.retrievalTopK]]'s exact arithmetic — ratio idf,
+    * (1 + len/avglen) length penalty, term contributions folded in
+    * sorted term order so the double sum is partition-order-free) over
+    * ONLY the probed terms' postings. df(term) = count of that term's
+    * fetched postings (each document appears in exactly one increment);
+    * n_docs / total_tokens come from the stats sidecar. */
+  def probeTermIndex(spark: SparkSession, terms: Seq[String],
+      indexDir: String, k: Int): DataFrame = {
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(terms: _*))
+    val corpus = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("total_tokens").cast("long").as("total_tokens"))
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = post
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        struct(col("term"),
+          (col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double")) /
+            (lit(1.0) + col("len").cast("double") /
+              (col("total_tokens").cast("double") / col("n_docs").cast("double"))))
+            .as("c")).as("tc"))
+    contrib
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("tc"))).as("cs"))
+      .select(col("doc_id"),
+        aggregate(transform(col("cs"), s => s.getField("c")),
+          lit(0.0), (acc, x) => acc + x).as("score"),
+        size(col("cs")).cast("long").as("n_terms_hit"))
+      // TakeOrderedAndProject; the rank window sees only the k survivors
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms_hit"),
+        Num.round6(col("score")).as("score"))
+      .orderBy("rank")
+  }
+
+  /** Probe terms of the q139 lifecycle demonstration — distinct from
+    * [[TextOps.PROBE_TERMS]] so the two queries exercise different
+    * posting lists. */
+  val TI_TERMS: Seq[String] = Seq("data", "query", "filter")
+
+  /** q139: the lexical index lifecycle end-to-end — build over docs with
+    * doc_id % [[Dedup.DELTA_MOD]] != 0, append the rest as increment 1,
+    * serve [[TI_TERMS]] from the persisted index. The oracle recomputes
+    * the same scoring in one pass over the WHOLE corpus, so a probe that
+    * misses the appended increment (stale df / n_docs) or double-counts
+    * a retried append hash-mismatches. */
+  def termIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir))
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-term-index-" +
+      Integer.toHexString(dir.hashCode)
+    buildTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0), indexDir)
+    appendTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD === 0), indexDir,
+      increment = 1L)
+    probeTermIndex(spark, TI_TERMS, indexDir, TextOps.RETRIEVAL_TOP_K)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Dedup, IndexMaintenance, Tables, TermIndex, TextOps}
+
+/** Persisted inverted-index lifecycle invariants (q139): probes read only
+  * the probed terms' postings, appends are idempotent, compaction is
+  * invisible to probes. */
+class TermIndexSpec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("probe pushes the term filter into the postings scan; " +
+      "lifecycle probe equals a fresh full-corpus build") {
+    val indexDir = tmpDir("graft-term-ndx") + "/index"
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 =!= 0), indexDir)
+    TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0), indexDir,
+      increment = 1L)
+    val probe = TermIndex.probeTermIndex(spark, TermIndex.TI_TERMS, indexDir,
+      TextOps.RETRIEVAL_TOP_K)
+    val rows = probe.collect().map(_.toString).toSeq
+    // the term filter must reach the parquet scan as a pushed filter —
+    // with the term-sorted file layout that is what makes probe cost
+    // track df(term), not index size
+    probe.collect() // ensure executed plan is final
+    val scanStr = probe.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PushedFilters") &&
+      scanStr.contains("In(term"),
+      s"probe must push the term filter into the postings scan")
+    // lifecycle (build + append) ≡ one-shot build over the whole corpus
+    val fullDir = tmpDir("graft-term-ndx-full") + "/index"
+    TermIndex.buildTermIndex(docs, fullDir)
+    val full = TermIndex.probeTermIndex(spark, TermIndex.TI_TERMS, fullDir,
+      TextOps.RETRIEVAL_TOP_K).collect().map(_.toString).toSeq
+    assert(rows == full, "append increment must be indistinguishable from " +
+      "having built over the full corpus")
+  }
+
+  test("append is idempotent; rebuild clears stale increments; " +
+      "stats sidecar tracks the corpus") {
+    val indexDir = tmpDir("graft-term-ndx-idem") + "/index"
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    TermIndex.buildTermIndex(base, indexDir)
+    TermIndex.appendTermIndex(delta, indexDir, increment = 1L)
+    val once = spark.read.parquet(s"$indexDir/postings").count()
+    TermIndex.appendTermIndex(delta, indexDir, increment = 1L)
+    val twice = spark.read.parquet(s"$indexDir/postings").count()
+    assert(once == twice, s"retried append duplicated postings: $once -> $twice")
+    // the stats sidecar must account every doc exactly once
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(stats == docs.count(), "stats sidecar must count build + delta docs")
+    // rebuild (static overwrite) clears the increment pile
+    TermIndex.buildTermIndex(base, indexDir)
+    val incs = spark.read.parquet(s"$indexDir/postings")
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(incs == Seq(0L), s"rebuild must clear old increments: $incs")
+    val statIncs = spark.read.parquet(s"$indexDir/stats")
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(statIncs == Seq(0L), s"rebuild must clear stale stats: $statIncs")
+  }
+
+  test("compaction folds increments; probes bit-identical, fewer files") {
+    val indexDir = tmpDir("graft-term-ndx-compact") + "/index"
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 === 0), indexDir)
+    TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 1), indexDir,
+      increment = 1L)
+    TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 2), indexDir,
+      increment = 2L)
+    def top(): Seq[String] = TermIndex.probeTermIndex(spark,
+        TermIndex.TI_TERMS, indexDir, TextOps.RETRIEVAL_TOP_K)
+      .collect().map(_.toString).toSeq
+    val before = top()
+    val rowsBefore = spark.read.parquet(s"$indexDir/postings").count()
+    val filesBefore =
+      IndexMaintenance.parquetFileCount(spark, s"$indexDir/postings")
+    TermIndex.compactTermIndex(spark, indexDir)
+    assert(top() == before, "probe results changed across compaction")
+    assert(spark.read.parquet(s"$indexDir/postings").count() == rowsBefore,
+      "compaction lost or duplicated postings")
+    val filesAfter =
+      IndexMaintenance.parquetFileCount(spark, s"$indexDir/postings")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file pile: $filesBefore -> $filesAfter")
+    val incs = spark.read.parquet(s"$indexDir/postings")
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(incs == Seq(0L), s"increments must fold into the build: $incs")
+    // the stats sidecar folds to one row with the same sums
+    val s = spark.read.parquet(s"$indexDir/stats").collect()
+    assert(s.length == 1, "compacted stats must be a single row")
+  }
+}
