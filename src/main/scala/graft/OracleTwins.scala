@@ -168,6 +168,65 @@ object OracleTwins {
        |FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** q140's twin: the banding-geometry recall/precision sweep, recomputed
+    * over the same planted corpus — signatures built per-slot (s0..s11),
+    * a geometry's collision flag = OR over its bands of per-slot AND
+    * chains, exact Jaccard from the shingle sets, counters and ppm
+    * ratios in exact integer arithmetic. */
+  val lshRecall: String = {
+    val sigCols = (0 until TextFns.NH)
+      .map(i => s"${minhashSig(i, "sh")} AS s$i").mkString(",\n    ")
+    def collide(b: Int, r: Int): String =
+      (0 until b).map { i =>
+        (0 until r).map(j => s"p.s${i * r + j} = d.s${i * r + j}")
+          .mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+    val collideCols = Dedup.LSH_SETTINGS.map { case (b, r) =>
+      s"${collide(b, r)} AS c_${b}_$r" }.mkString(",\n    ")
+    val aggCols = Dedup.LSH_SETTINGS.map { case (b, r) =>
+      s"CAST(sum(CASE WHEN c_${b}_$r THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS cand_${b}_$r,\n    " +
+        s"CAST(sum(CASE WHEN c_${b}_$r AND jac >= 0.8 THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) AS hit_${b}_$r" }.mkString(",\n    ")
+    val settingRows = Dedup.LSH_SETTINGS.map { case (b, r) =>
+      s"SELECT ${b}::BIGINT AS bands, ${r}::BIGINT AS rows_per_band, " +
+        s"n_true, cand_${b}_$r AS n_candidates, hit_${b}_$r AS n_hits, " +
+        s"CASE WHEN n_true = 0 THEN NULL " +
+        s"ELSE hit_${b}_$r * 1000000 // n_true END AS recall_ppm, " +
+        s"CASE WHEN cand_${b}_$r = 0 THEN NULL " +
+        s"ELSE hit_${b}_$r * 1000000 // cand_${b}_$r END AS precision_ppm " +
+        s"FROM agg" }.mkString("\nUNION ALL ")
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |aug AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL SELECT doc_id + 10000000, text || ' seven near dup tail'
+       |    FROM base WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 20000000,
+       |    substr(text, 1, CAST(floor(len(text)/2) AS BIGINT))
+       |    FROM base WHERE doc_id % 11 = 0
+       |  UNION ALL SELECT doc_id + 30000000, text FROM base
+       |    WHERE doc_id % 13 = 0),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
+       |sh AS (SELECT doc_id, ${shingleHashes("w")} AS sh FROM toks),
+       |sigs AS (SELECT doc_id, sh,
+       |    $sigCols
+       |  FROM sh),
+       |pairs AS (
+       |  SELECT p.doc_id AS probe_id, d.doc_id AS doc_id,
+       |    len(list_intersect(p.sh, d.sh))::DOUBLE /
+       |      len(list_distinct(p.sh || d.sh))::DOUBLE AS jac,
+       |    $collideCols
+       |  FROM sigs p JOIN sigs d
+       |    ON p.doc_id < ${Dedup.LSH_PROBES} AND d.doc_id <> p.doc_id),
+       |agg AS (
+       |  SELECT CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_true,
+       |    $aggCols
+       |  FROM pairs)
+       |SELECT * FROM ($settingRows) ORDER BY bands DESC""".stripMargin
+  }
+
   /** CTE chain producing per-doc 48-bit fingerprints `sim` (doc_id,
     * simhash) — shared by the SimHash near-dup and SQL-function twins. */
   private val simhashCte: String = {

@@ -260,6 +260,8 @@ object SparkEntry {
     // ---- round 8: persisted inverted-index lifecycle (lexical twin of
     // the MinHash/IVF indexes — build/append/probe/compact) ----
     "q139_term_index_probe"        -> (TermIndex.termIndexProbe _),
+    // ---- round 8: LSH banding-geometry recall/precision sweep ----
+    "q140_lsh_recall"              -> (Dedup.lshRecall _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -451,6 +453,7 @@ object SparkEntry {
     "q137_hybrid_retrieval" -> OracleTwins.hybridRetrieval,
     "q138_lm_score" -> OracleTwins.lmScore,
     "q139_term_index_probe" -> OracleTwins.retrievalSql(engine.TermIndex.TI_TERMS),
+    "q140_lsh_recall" -> OracleTwins.lshRecall,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

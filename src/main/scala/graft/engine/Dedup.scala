@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -498,5 +498,94 @@ object Dedup {
         sum(when(col("dist") <= LINK_T, 1L).otherwise(0L)).as("n_linked"),
         min(col("dist")).as("min_dist"))
       .orderBy("lang", "source")
+  }
+
+  // ------------------------------------------ LSH banding eval harness
+
+  /** Banding geometries [[lshRecall]] measures — every (bands, rows) split
+    * of the NH=12 signature, from one-row bands (catch-almost-anything,
+    * terrible precision) to the single all-rows band (high precision,
+    * recall decays as J^NH). Production is (4, 3). */
+  val LSH_SETTINGS: Seq[(Int, Int)] =
+    Seq((12, 1), (6, 2), (4, 3), (2, 6), (1, 12))
+
+  /** Probe-sample size of the harness (the q119/q131 eval discipline:
+    * ground truth over a bounded probe set, never corpus × corpus). */
+  val LSH_PROBES = 16L
+
+  /** q140: candidate recall AND precision of banded MinHash-LSH as a
+    * function of banding geometry — the measurement that justifies the
+    * production (BANDS, R) choice the whole near-dup family rides, the
+    * dedup-side twin of [[Sim.ivfNprobeRecall]]. A true pair (exact
+    * shingle-Jaccard ≥ 0.8) missed by a geometry is a duplicate the
+    * pipeline would ship to training; a false candidate is a wasted
+    * verify — the curve shows both costs at once.
+    *
+    * The corpus is augmented with graded plants so every similarity
+    * regime exists at any SF (a pure function of the input, replicated
+    * by the oracle): exact copies (J=1, every geometry must catch),
+    * tail-appended near-dups (J ≈ 0.95, the recall knee), and half-docs
+    * (J ≈ 0.5 — below threshold: false-candidate fodder that separates
+    * the geometries' precision).
+    *
+    * One pass scores every (probe, doc) pair once: the exact Jaccard and
+    * ALL five geometries' collision flags come from the same signature
+    * arrays (a geometry's flag = any of its band slices equal), so the
+    * per-geometry rows are conditional sums over one joined stream —
+    * never a per-geometry index pass. Scale shape: probes broadcast into
+    * the corpus scan (|probes| bounded); the aggregate is 11 counters. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir)).select(col("doc_id"), col("text"))
+    def plant(mod: Int, offset: Long, txt: Column): DataFrame =
+      d.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + offset).as("doc_id"), txt.as("text"))
+    val aug = d
+      .unionAll(plant(7, 10000000L,
+        concat(col("text"), lit(" seven near dup tail"))))
+      .unionAll(plant(11, 20000000L,
+        col("text").substr(lit(1),
+          floor(length(col("text")) / 2).cast("int"))))
+      .unionAll(plant(13, 30000000L, col("text")))
+    // signatures once per doc, materialized so the bounded probe side
+    // reads them back instead of re-hashing the corpus (q131 discipline)
+    val sigs = aug
+      .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"), TextFns.minhashSig(col("sh")).as("sig"))
+      .localCheckpoint()
+    val probes = sigs.filter(col("doc_id") < LSH_PROBES)
+      .select(col("doc_id").as("probe_id"), col("sh").as("psh"),
+        col("sig").as("psig"))
+    val collideCols = LSH_SETTINGS.map { case (b, r) =>
+      (0 until b).map(i =>
+          slice(col("psig"), i * r + 1, r) === slice(col("sig"), i * r + 1, r))
+        .reduce(_ or _).as(s"c_${b}_$r")
+    }
+    val pairs = sigs.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
+      .select(Seq(col("probe_id"), col("doc_id"),
+        TextFns.jaccard(col("psh"), col("sh")).as("jac")) ++ collideCols: _*)
+    val isTrue = col("jac") >= 0.8
+    val aggCols =
+      Seq(sum(when(isTrue, 1L).otherwise(0L)).as("n_true")) ++
+        LSH_SETTINGS.flatMap { case (b, r) => Seq(
+          sum(when(col(s"c_${b}_$r"), 1L).otherwise(0L)).as(s"cand_${b}_$r"),
+          sum(when(col(s"c_${b}_$r") && isTrue, 1L).otherwise(0L))
+            .as(s"hit_${b}_$r"))
+        }
+    pairs.agg(aggCols.head, aggCols.tail: _*)
+      .select(col("n_true"),
+        explode(array(LSH_SETTINGS.map { case (b, r) =>
+          struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col(s"cand_${b}_$r").as("n_candidates"),
+            col(s"hit_${b}_$r").as("n_hits"))
+        }: _*)).as("s"))
+      .select(col("s.bands").as("bands"),
+        col("s.rows_per_band").as("rows_per_band"),
+        col("n_true"), col("s.n_candidates").as("n_candidates"),
+        col("s.n_hits").as("n_hits"),
+        expr("CASE WHEN n_true = 0 THEN NULL " +
+          "ELSE s.n_hits * 1000000L div n_true END").as("recall_ppm"),
+        expr("CASE WHEN s.n_candidates = 0 THEN NULL " +
+          "ELSE s.n_hits * 1000000L div s.n_candidates END").as("precision_ppm"))
+      .orderBy(col("bands").desc)
   }
 }

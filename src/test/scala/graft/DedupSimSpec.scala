@@ -530,4 +530,34 @@ class DedupSimSpec extends SparkSpecBase {
       assert(s > 0.0 && s < 1.0, s"mean bigram probability out of range: $s")
     }
   }
+
+  test("lshRecall: hits and candidates are monotone along the geometry " +
+      "chain; production (4,3) is measured") {
+    // the settings chain (12,1)…(1,12) has provable subset structure: a
+    // band match at geometry g implies a band match at every finer
+    // geometry (each aligned r-slot window contains an aligned window of
+    // the finer split), so candidates and hits must be non-increasing as
+    // bands shrink — a violation means the banding arithmetic is wrong
+    val rows = Dedup.lshRecall(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Dedup.LSH_SETTINGS.map { case (b, r) => (b.toLong, r.toLong) },
+      "one row per measured geometry, coarse→fine")
+    val nTrue = rows.map(_.getLong(2)).distinct
+    assert(nTrue.length == 1 && nTrue.head > 0,
+      "planted corpus must yield a fixed, nonzero ground-truth pair set")
+    val cands = rows.map(_.getLong(3))
+    val hits = rows.map(_.getLong(4))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      s"candidates must shrink as bands coarsen: ${cands.toSeq}")
+    assert(hits.zip(hits.tail).forall { case (a, b) => a >= b },
+      s"hits must shrink as bands coarsen: ${hits.toSeq}")
+    // exact-copy plants (mod-13) collide in EVERY geometry: recall of the
+    // all-rows band is still nonzero
+    assert(hits.last > 0, "exact-copy plants must survive the (1,12) band")
+    // the production geometry's recall is the one the near-dup family
+    // rides — it must not be the weakest point of the curve
+    val prod = rows.find(r => r.getLong(0) == TextFns.BANDS.toLong).get
+    assert(prod.getLong(4) >= hits.last,
+      "production (BANDS,R) recall must dominate the all-rows band")
+  }
 }
