@@ -901,6 +901,41 @@ object OracleTwins {
        |  len(list_distinct(g))::BIGINT AS n_distinct_grams
        |FROM g ORDER BY doc_id""".stripMargin
 
+  /** q141's twin: same α=0.5 flattening — sqrt weights, normalizer folded
+    * in sorted-lang order, rate floored to ppm BEFORE gating, identical
+    * float op sequence to TextOps.temperatureSample. */
+  val temperatureSample: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    ${polyhash("text")} % 1000000 AS bucket
+       |  FROM documents),
+       |counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY lang),
+       |z AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(list(n_docs ORDER BY lang), zn -> sqrt(zn::DOUBLE))),
+       |      (za, zx) -> za + zx) AS z
+       |  FROM counts),
+       |rates AS (
+       |  SELECT lang, n_docs,
+       |    CAST(floor(least(1.0,
+       |      sqrt(n_docs::DOUBLE) / z *
+       |        (n_total::DOUBLE / ${TextOps.TEMP_BUDGET_DIV}.0) /
+       |        n_docs::DOUBLE) * 1000000) AS BIGINT) AS rate_ppm
+       |  FROM counts, z),
+       |g AS (
+       |  SELECT t.lang, rate_ppm, n_tokens, (bucket < rate_ppm) AS kept
+       |  FROM t JOIN rates ON t.lang = rates.lang)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, rate_ppm,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(count(*) AS BIGINT) AS effective_ppm
+       |FROM g GROUP BY lang, rate_ppm ORDER BY lang""".stripMargin
+
   val repetition: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w

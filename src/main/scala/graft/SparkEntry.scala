@@ -262,6 +262,8 @@ object SparkEntry {
     "q139_term_index_probe"        -> (TermIndex.termIndexProbe _),
     // ---- round 8: LSH banding-geometry recall/precision sweep ----
     "q140_lsh_recall"              -> (Dedup.lshRecall _),
+    // ---- round 8: temperature-flattened mixture sampling (α=0.5) ----
+    "q141_temperature_sample"      -> (TextOps.temperatureSample _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -454,6 +456,7 @@ object SparkEntry {
     "q138_lm_score" -> OracleTwins.lmScore,
     "q139_term_index_probe" -> OracleTwins.retrievalSql(engine.TermIndex.TI_TERMS),
     "q140_lsh_recall" -> OracleTwins.lshRecall,
+    "q141_temperature_sample" -> OracleTwins.temperatureSample,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -359,6 +359,60 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Temperature-sampling geometry: α = 0.5 (the sqrt flattening — sqrt
+    * is IEEE-correctly-rounded in both engines, unlike pow), and the
+    * sample budget = corpus / TEMP_BUDGET_DIV. */
+  val TEMP_BUDGET_DIV = 4
+
+  /** q141: temperature-flattened mixture sampling — the multilingual-LM
+    * rebalancing pass (XLM-R/mT5-style): language l is sampled with
+    * probability ∝ p_l^α, α < 1, so head languages shrink and tail
+    * languages keep (up to) everything. Per-lang keep rates resolve to
+    * exact ppm integers and the keep decision is a deterministic content
+    * hash gate — re-running the job, or running it partition-parallel,
+    * selects the identical sample.
+    *
+    * Float discipline: weights are sqrt(count) (correctly rounded), the
+    * normalizer is a left fold over the langs in sorted order (never a
+    * partition-order `sum()` of doubles), and the rate collapses to
+    * floor(·×10⁶) before any row is gated — so the oracle reproduces the
+    * sample bit-exactly.
+    *
+    * Scale shape: one tiny per-lang aggregate, the rate table broadcast
+    * back onto the corpus (|langs| rows), one map-side hash gate — the
+    * corpus never shuffles; the final aggregate is per-lang counters. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        (TextFns.polyHash(col("text")) % 1000000).as("bucket"))
+    val counts = t.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    // normalizer Z = Σ sqrt(n_l), folded in sorted-lang order
+    val z = counts
+      .agg(sum("n_docs").as("n_total"),
+        array_sort(collect_list(struct(col("lang"), col("n_docs")))).as("ls"))
+      .select(col("n_total"),
+        aggregate(transform(col("ls"), s => sqrt(s.getField("n_docs").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        floor(least(lit(1.0),
+          sqrt(col("n_docs").cast("double")) / col("z") *
+            (col("n_total").cast("double") / lit(TEMP_BUDGET_DIV.toDouble)) /
+            col("n_docs").cast("double")) * 1000000)
+          .cast("long").as("rate_ppm"))
+    t.join(broadcast(rates), "lang")
+      .withColumn("kept", col("bucket") < col("rate_ppm"))
+      .groupBy("lang", "rate_ppm")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .select(col("lang"), col("n_docs"), col("rate_ppm"), col("n_kept"),
+        col("kept_tokens"),
+        expr("n_kept * 1000000L div n_docs").as("effective_ppm"))
+      .orderBy("lang")
+  }
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */

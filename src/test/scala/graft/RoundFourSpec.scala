@@ -359,4 +359,29 @@ class RoundFourSpec extends SparkSpecBase {
       .collect()(0).getLong(0)
     assert(prof("c_acctbal").getAs[String]("min_val") == minBal.toString)
   }
+
+  test("temperatureSample flattens the mixture: bigger languages get " +
+      "lower rates, sample lands near the budget") {
+    val rows = TextOps.temperatureSample(spark, sf).collect()
+    assert(rows.length > 1)
+    // α<1 flattening: rate_ppm strictly anti-monotone in corpus share
+    // (ties in n_docs aside) — the head language must be downsampled
+    // hardest, tails kept at (or near) full rate
+    val byDocs = rows.sortBy(_.getAs[Long]("n_docs"))
+    val rates = byDocs.map(_.getAs[Long]("rate_ppm"))
+    byDocs.zip(byDocs.tail).foreach { case (small, big) =>
+      if (small.getAs[Long]("n_docs") < big.getAs[Long]("n_docs"))
+        assert(small.getAs[Long]("rate_ppm") >= big.getAs[Long]("rate_ppm"),
+          s"flattening must favor the smaller language: $small vs $big")
+    }
+    assert(rates.forall(r => r >= 0 && r <= 1000000))
+    // the realized sample must land near budget = corpus/TEMP_BUDGET_DIV
+    // (hash-gate variance at sf0.001 is wide; 2x bounds still catch a
+    // broken normalizer, which is off by |langs|x)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val budget = total.toDouble / TextOps.TEMP_BUDGET_DIV
+    assert(kept > budget / 2 && kept < budget * 2,
+      s"sample $kept far from budget $budget")
+  }
 }
