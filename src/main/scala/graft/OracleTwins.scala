@@ -227,6 +227,30 @@ object OracleTwins {
        |SELECT * FROM ($settingRows) ORDER BY bands DESC""".stripMargin
   }
 
+  /** q142's twin: split by the cluster representative's hash over the
+    * same recursive transitive closure; the straddle audit recomputed
+    * independently (both engines must arrive at zero). */
+  val clusterAwareSplit: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |a AS (
+       |  SELECT d.doc_id, d.lang, COALESCE(lab.cluster_id, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+       |s AS (
+       |  SELECT doc_id, lang, rep,
+       |    CASE WHEN ${polyhash("rep::VARCHAR")} % ${Dedup.SPLIT_MOD} = 0
+       |      THEN 'test' ELSE 'train' END AS split
+       |  FROM a),
+       |st AS (
+       |  SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_straddling_clusters
+       |  FROM (SELECT rep, count(DISTINCT split) AS n_splits
+       |        FROM s GROUP BY rep))
+       |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+       |  n_straddling_clusters
+       |FROM s, st GROUP BY split, lang, n_straddling_clusters
+       |ORDER BY split, lang""".stripMargin
+
   /** CTE chain producing per-doc 48-bit fingerprints `sim` (doc_id,
     * simhash) — shared by the SimHash near-dup and SQL-function twins. */
   private val simhashCte: String = {

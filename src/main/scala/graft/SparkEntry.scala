@@ -264,6 +264,8 @@ object SparkEntry {
     "q140_lsh_recall"              -> (Dedup.lshRecall _),
     // ---- round 8: temperature-flattened mixture sampling (α=0.5) ----
     "q141_temperature_sample"      -> (TextOps.temperatureSample _),
+    // ---- round 8: leakage-proof split keyed on near-dup clusters ----
+    "q142_cluster_split"           -> (Dedup.clusterAwareSplit _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -457,6 +459,7 @@ object SparkEntry {
     "q139_term_index_probe" -> OracleTwins.retrievalSql(engine.TermIndex.TI_TERMS),
     "q140_lsh_recall" -> OracleTwins.lshRecall,
     "q141_temperature_sample" -> OracleTwins.temperatureSample,
+    "q142_cluster_split" -> OracleTwins.clusterAwareSplit,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -252,6 +252,47 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** Test share of [[clusterAwareSplit]]: rep-hash % 10 == 0 → "test". */
+  val SPLIT_MOD = 10L
+
+  /** q142: cluster-aware train/test split — the leakage-proof form of the
+    * hash split: every document is assigned by its near-dup CLUSTER's
+    * canonical id (its own id if unclustered), so two near-duplicates can
+    * never straddle train/test. This closes the gap [[decontamination]]
+    * measures (exact-dup leakage under naive id-splits) for NEAR
+    * duplicates too — a paraphrased test doc in training defeats the
+    * held-out set just as surely as a verbatim copy, and content-hash
+    * splits ([[graft.engine.TextOps.stratifiedSplit]]) only fix the
+    * verbatim case.
+    *
+    * The leakage audit (clusters straddling splits) is COMPUTED, not
+    * assumed — the oracle recomputes it over the recursive transitive
+    * closure, so both engines must independently arrive at zero.
+    *
+    * Scale shape: the label table is bounded by near-dup participants;
+    * the split is one hash of the rep id (map-side after a broadcast-or-
+    * shuffled left join on doc_id); the audit shuffles only (rep, split)
+    * with map-side combine. */
+  def clusterAwareSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label"))
+    val d = spread(documents(spark, dir)).select(col("doc_id"), col("lang"))
+    val assigned = d.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("label"), col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(TextFns.polyHash(col("rep").cast("string")) % SPLIT_MOD === 0,
+          "test").otherwise("train"))
+    val straddle = assigned
+      .groupBy("rep").agg(countDistinct("split").as("n_splits"))
+      .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+        .as("n_straddling_clusters"))
+    assigned.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("rep").as("n_clusters"))
+      .crossJoin(broadcast(straddle))
+      .orderBy("split", "lang")
+  }
+
   /** Train/test decontamination — the leakage audit every LLM data
     * pipeline runs before training: count training documents whose exact
     * (normalized) content also appears in the held-out split. The corpus
