@@ -960,6 +960,25 @@ object OracleTwins {
        |    // CAST(count(*) AS BIGINT) AS effective_ppm
        |FROM g GROUP BY lang, rate_ppm ORDER BY lang""".stripMargin
 
+  /** q143's twin: same shard hash, same within-shard (h, doc_id) order,
+    * same position-weighted checksum. */
+  val trainingShards: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    ${polyhash("('shard:' || doc_id::VARCHAR)")} AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT *, h % ${TextOps.N_SHARDS} AS shard,
+       |    row_number() OVER (PARTITION BY h % ${TextOps.N_SHARDS}
+       |      ORDER BY h, doc_id)::BIGINT AS pos
+       |  FROM t)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |  min(h) AS min_hash, max(h) AS max_hash,
+       |  CAST(sum(pos * (h % 1000000)) AS BIGINT) AS order_checksum
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   val repetition: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w

@@ -266,6 +266,8 @@ object SparkEntry {
     "q141_temperature_sample"      -> (TextOps.temperatureSample _),
     // ---- round 8: leakage-proof split keyed on near-dup clusters ----
     "q142_cluster_split"           -> (Dedup.clusterAwareSplit _),
+    // ---- round 8: deterministic global training shuffle manifest ----
+    "q143_training_shards"         -> (TextOps.trainingShards _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -460,6 +462,7 @@ object SparkEntry {
     "q140_lsh_recall" -> OracleTwins.lshRecall,
     "q141_temperature_sample" -> OracleTwins.temperatureSample,
     "q142_cluster_split" -> OracleTwins.clusterAwareSplit,
+    "q143_training_shards" -> OracleTwins.trainingShards,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

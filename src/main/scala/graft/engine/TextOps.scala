@@ -413,6 +413,63 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Shard count of [[trainingShards]] — at 100 TB this is the number of
+    * output file groups handed to the trainer's data loader. */
+  val N_SHARDS = 8L
+
+  /** q143: deterministic global training shuffle — the last step before a
+    * corpus feeds a trainer: every document lands in shard
+    * hash(doc_id) % N_SHARDS and at the position its hash orders within
+    * the shard, so consecutive source documents (same crawl, same site)
+    * scatter across shards and epochs see a fixed pseudo-random order
+    * that any re-run, re-shard or resume reproduces exactly.
+    *
+    * This is the Spark-shaped answer to "shuffle 100 TB": ONE shuffle
+    * (hash-partition on shard), a WITHIN-partition sort — never a global
+    * sort — and the writer ([[writeShards]]) lays files down in that
+    * order via partitionBy. Output here is the per-shard manifest with
+    * an order checksum (Σ position × hash-mod) that pins the within-
+    * shard ORDER, not just membership — an engine that assigned shards
+    * right but ordered differently hash-mismatches the oracle. */
+  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
+    val withShard = shardAssign(documents(spark, dir))
+    withShard
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("h").as("min_hash"), max("h").as("max_hash"),
+        sum(col("pos") * (col("h") % 1000000)).as("order_checksum"))
+      .orderBy("shard")
+  }
+
+  /** Shard/order key assignment shared by the manifest query and the
+    * writer: h = polyHash("shard:" ++ doc_id) decorrelates the shuffle
+    * key from content hashes used by sampling/split gates. */
+  private def shardAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+      TextFns.polyHash(concat(lit("shard:"), col("doc_id").cast("string")))
+        .as("h"))
+      .withColumn("shard", col("h") % N_SHARDS)
+
+  /** Materialize the shuffled corpus: one hash-partition shuffle on the
+    * shard key, a within-partition sort on the order hash, hive-
+    * partitioned parquet by shard — the trainer reads shard directories
+    * whose file order IS the shuffle order. No global sort at any size. */
+  def writeShards(docs: DataFrame, outDir: String): Unit =
+    shardAssign(docs)
+      .repartition(col("shard"))
+      // shard leads the sort: the partitioned writer REQUIRES its output
+      // ordered by the partition columns and inserts its own (unstable)
+      // sort otherwise — leading with shard satisfies that requirement,
+      // so the (h, doc_id) shuffle order survives into the files
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .write.partitionBy("shard")
+      .mode("overwrite")
+      .parquet(outDir)
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */

@@ -384,4 +384,28 @@ class RoundFourSpec extends SparkSpecBase {
     assert(kept > budget / 2 && kept < budget * 2,
       s"sample $kept far from budget $budget")
   }
+
+  test("writeShards materializes the training shuffle: hive shard dirs " +
+      "match the manifest; file order IS the order hash") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards")
+      .toString + "/corpus"
+    TextOps.writeShards(Tables.documents(spark, sf), out)
+    val manifest = TextOps.trainingShards(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val back = spark.read.parquet(out)
+    val counts = back.groupBy("shard").count().collect()
+      .map(r => r.getAs[Number]("shard").longValue() -> r.getLong(1)).toMap
+    assert(counts == manifest,
+      s"shard dirs must hold exactly the manifest counts")
+    // each shard is one task's output (repartition on shard) sorted by
+    // (h, doc_id) — reading a shard dir back yields the hash order
+    manifest.keys.foreach { s =>
+      val hs = spark.read.parquet(s"$out/shard=$s")
+        .select("h", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(hs.zip(hs.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) },
+        s"shard $s file order must be the (h, doc_id) shuffle order")
+    }
+  }
 }
