@@ -572,6 +572,59 @@ object OracleTwins {
        |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
        |FROM a1 GROUP BY cent_id ORDER BY cent_id""".stripMargin
 
+  /** q144's twin: frozen-baseline drift — centroids stride-picked from
+    * the BASE population only (stride from the base count), both
+    * populations argmax-assigned against them, cosines collapsed to
+    * fixed-point before any sum. */
+  val embeddingDrift: String = {
+    def argmax(src: String): String =
+      s"""SELECT vec_id, cent_id, cos FROM (
+         |    SELECT $src.vec_id, c.cent_id,
+         |      ${dot(s"$src.embedding", "cv")} / ($src.nrm * cnrm) AS cos,
+         |      row_number() OVER (PARTITION BY $src.vec_id
+         |        ORDER BY ${dot(s"$src.embedding", "cv")} / ($src.nrm * cnrm)
+         |          DESC, cent_id) AS rn
+         |    FROM $src, c) WHERE rn = 1""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2("embedding")}) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % ${Sim.DRIFT_MOD} <> 0),
+       |l AS (SELECT * FROM e WHERE vec_id % ${Sim.DRIFT_MOD} = 0),
+       |c AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |    FROM b) = 0),
+       |ab AS (${argmax("b")}),
+       |al AS (${argmax("l")}),
+       |cb AS (
+       |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_base,
+       |    CAST(sum(CAST(floor(cos * 1000000) AS BIGINT)) AS BIGINT) AS s_base
+       |  FROM ab GROUP BY cent_id),
+       |cl AS (
+       |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_live,
+       |    CAST(sum(CAST(floor(cos * 1000000) AS BIGINT)) AS BIGINT) AS s_live
+       |  FROM al GROUP BY cent_id),
+       |j AS (
+       |  SELECT COALESCE(cb.cent_id, cl.cent_id) AS cent_id,
+       |    COALESCE(n_base, 0) AS n_base, COALESCE(n_live, 0) AS n_live,
+       |    COALESCE(s_base, 0) AS s_base, COALESCE(s_live, 0) AS s_live
+       |  FROM cb FULL OUTER JOIN cl ON cb.cent_id = cl.cent_id),
+       |t AS (
+       |  SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+       |    CAST(sum(n_live) AS BIGINT) AS t_live FROM j)
+       |SELECT cent_id, n_base, n_live,
+       |  n_base * 1000000 // t_base AS base_ppm,
+       |  n_live * 1000000 // t_live AS live_ppm,
+       |  (n_live * 1000000 // t_live) - (n_base * 1000000 // t_base)
+       |    AS drift_ppm,
+       |  CASE WHEN n_base = 0 THEN NULL ELSE s_base // n_base END
+       |    AS mean_cos_fp6_base,
+       |  CASE WHEN n_live = 0 THEN NULL ELSE s_live // n_live END
+       |    AS mean_cos_fp6_live
+       |FROM j, t ORDER BY cent_id""".stripMargin
+  }
+
   /** q131's twin: the recall@k-vs-nprobe curve over one shared geometry —
     * index assignment (a1, argmax), probe→cell ranking (pc), and for each
     * measured nprobe the candidates from the probe's top-nprobe cells,

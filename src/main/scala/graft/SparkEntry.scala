@@ -268,6 +268,8 @@ object SparkEntry {
     "q142_cluster_split"           -> (Dedup.clusterAwareSplit _),
     // ---- round 8: deterministic global training shuffle manifest ----
     "q143_training_shards"         -> (TextOps.trainingShards _),
+    // ---- round 8: embedding drift vs frozen baseline centroids ----
+    "q144_embedding_drift"         -> (Sim.embeddingDrift _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -463,6 +465,7 @@ object SparkEntry {
     "q141_temperature_sample" -> OracleTwins.temperatureSample,
     "q142_cluster_split" -> OracleTwins.clusterAwareSplit,
     "q143_training_shards" -> OracleTwins.trainingShards,
+    "q144_embedding_drift" -> OracleTwins.embeddingDrift,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -160,7 +160,7 @@ object Sim {
     * vector *before* the shuffle — a window would range-shuffle and sort
     * all N×K. Tie-break (max cos, then min cent_id) is encoded in the
     * ordering struct, so the result is fully deterministic. */
-  private[engine] def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cent_id"),
         (VecFns.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -261,9 +261,81 @@ object Sim {
     * zero centroids. */
   val ANN_DELTA_MOD = 7L
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
       sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+
+  /** Live-feed modulus of [[embeddingDrift]] — coprime to [[IVF_STRIDE]]
+    * for the same reason as [[ANN_DELTA_MOD]], and distinct from it so
+    * the two demonstrations exercise different splits. */
+  val DRIFT_MOD = 9L
+
+  /** q144: embedding-distribution drift — the monitor a production vector
+    * pipeline pages on: assign a live feed against the FROZEN baseline
+    * centroids (never retrained by the monitor — retraining would hide
+    * exactly the shift being measured) and compare per-cell occupancy
+    * shares in exact ppm. A cell whose live share departs its baseline
+    * share signals upstream distribution shift (new domain, encoder
+    * regression, ingest bug) before any training run pays for it; the
+    * per-cell fixed-point mean cosine-to-centroid separately flags cells
+    * whose members are drifting away from their own centroid (cell
+    * coherence decay) even when occupancy holds.
+    *
+    * Float discipline: the only doubles are the cosines; they collapse
+    * to floor(·×10⁶) fixed-point integers BEFORE any aggregation, so
+    * sums and means are exact under any partitioning. All shares are
+    * integer ppm.
+    *
+    * Scale shape: two N×K broadcast assignment passes (the documented
+    * IVF geometry, K capped), per-cell aggregates with map-side combine,
+    * a full-outer join of two ≤K-row cell tables, totals as a broadcast
+    * 1-row aggregate. The streaming form
+    * ([[graft.streaming.DocsStream]]-style foreachBatch over
+    * [[assignTo]] with these frozen centroids) lands one histogram per
+    * micro-batch — bounded state, same arithmetic. */
+  /** Per-cell occupancy + fixed-point cosine mass of an assignment —
+    * the histogram unit shared by [[embeddingDrift]] and the streaming
+    * monitor ([[graft.streaming.DriftStream]]): (cent_id, n, s_fp6). */
+  private[graft] def cellHistogram(a: DataFrame): DataFrame =
+    a.groupBy("cent_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("cos") * 1000000).cast("long")).as("s_fp6"))
+
+  /** Frozen baseline centroids of the drift monitor — stride-picked from
+    * the non-live population (the [[embeddingDrift]] split). */
+  private[graft] def driftBaselineCentroids(spark: SparkSession,
+      dir: String): DataFrame =
+    strideCentroids(vecsWithNorm(spark, dir)
+      .filter(col("vec_id") % DRIFT_MOD =!= 0))
+
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val base = e.filter(col("vec_id") % DRIFT_MOD =!= 0)
+    val live = e.filter(col("vec_id") % DRIFT_MOD === 0)
+    val cents = strideCentroids(base)
+    def cells(a: DataFrame, suffix: String): DataFrame =
+      cellHistogram(a).toDF("cent_id", s"n_$suffix", s"s_$suffix")
+    val joined = cells(assignTo(base, cents), "base")
+      .join(cells(assignTo(live, cents), "live"), Seq("cent_id"), "full_outer")
+      .select(col("cent_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("s_base"), lit(0L)).as("s_base"),
+        coalesce(col("s_live"), lit(0L)).as("s_live"))
+    val totals = joined.agg(sum("n_base").as("t_base"),
+      sum("n_live").as("t_live"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("cent_id"), col("n_base"), col("n_live"),
+        expr("n_base * 1000000L div t_base").as("base_ppm"),
+        expr("n_live * 1000000L div t_live").as("live_ppm"),
+        expr("(n_live * 1000000L div t_live) - (n_base * 1000000L div t_base)")
+          .as("drift_ppm"),
+        expr("CASE WHEN n_base = 0 THEN NULL ELSE s_base div n_base END")
+          .as("mean_cos_fp6_base"),
+        expr("CASE WHEN n_live = 0 THEN NULL ELSE s_live div n_live END")
+          .as("mean_cos_fp6_live"))
+      .orderBy("cent_id")
+  }
 
   /** Nearest-cell assignment that KEEPS the vector payload: the argmax
     * aggregation carries (embedding, nrm) through `first` — functionally

@@ -811,4 +811,49 @@ class StreamingSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("streaming drift monitor: accumulated histograms equal the batch " +
+      "assignment; a replayed batch replaces its histogram") {
+    import graft.engine.{Sim, Tables}
+    import graft.streaming.DriftStream
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val live = e.filter(col("vec_id") % Sim.DRIFT_MOD === 0)
+    // frozen baseline centroids — materialized once, never retrained
+    val cents = Sim.driftBaselineCentroids(spark, sf).localCheckpoint()
+    val inDir = tmpDir("graft-drift-in")
+    live.repartition(3).write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val out = tmpDir("graft-drift-out") + "/cells"
+    val ckpt = tmpDir("graft-drift-ckpt")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = DriftStream.driftSink(stream, cents, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val nBatches = spark.read.parquet(out)
+      .select(col("batch").cast("long")).distinct().count()
+    assert(nBatches >= 2, s"want multiple micro-batches, got $nBatches")
+    // histograms summed over batches ≡ one batch assignment of the
+    // whole live feed against the same frozen centroids
+    val streamed = spark.read.parquet(out).groupBy("cent_id")
+      .agg(sum("n").as("n"), sum("s_fp6").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val expected =
+      Sim.cellHistogram(Sim.assignTo(Sim.withNorm(live), cents))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(streamed == expected,
+      "summed per-batch histograms must equal the batch histogram")
+    // exactly-once under retry: the same batch landing twice replaces
+    // its partition instead of doubling the counters
+    val out2 = tmpDir("graft-drift-retry") + "/cells"
+    val slice = live.limit(20)
+    DriftStream.landDriftCells(slice, 7L, cents, out2)
+    val once = spark.read.parquet(out2)
+      .agg(sum("n")).collect()(0).getLong(0)
+    DriftStream.landDriftCells(slice, 7L, cents, out2)
+    val twice = spark.read.parquet(out2)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(once == twice, s"replayed batch duplicated counters: $once -> $twice")
+  }
 }
