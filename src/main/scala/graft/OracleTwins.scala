@@ -22,11 +22,11 @@ object OracleTwins {
       s"list_filter(string_split($s, ''), phc -> len(phc) > 0), " +
       s"phd -> ascii(phd)::BIGINT)), (pha, phx) -> (pha * 31 + phx) % $P)"
 
-  /** Distinct word-3-gram shingle hashes of `w` (a token list). */
-  def shingleHashes(w: String): String =
+  /** Distinct word-k-gram shingle hashes of `w` (a token list). */
+  def shingleHashes(w: String, k: Int = 3): String =
     s"list_distinct(list_transform(list_transform(" +
-      s"range(1, greatest(len($w) - 2, 1) + 1), " +
-      s"shi -> array_to_string(list_slice($w, shi, shi + 2), ' ')), " +
+      s"range(1, greatest(len($w) - ${k - 1}, 1) + 1), " +
+      s"shi -> array_to_string(list_slice($w, shi, shi + ${k - 1}), ' ')), " +
       s"shs -> ${polyhash("shs")}))"
 
   def minhashSig(i: Int, sh: String): String =
@@ -226,6 +226,43 @@ object OracleTwins {
        |  FROM pairs)
        |SELECT * FROM ($settingRows) ORDER BY bands DESC""".stripMargin
   }
+
+  /** q145's twin: same 13-gram overlap over the same plant geometry;
+    * per-doc shared-gram counts from the distinct held-out gram set. */
+  val ngramDecontamination: String =
+    s"""WITH d AS (SELECT doc_id, lang, text FROM documents),
+       |h AS (SELECT * FROM d WHERE doc_id % ${Dedup.DECON_HOLD_MOD} = 0),
+       |ex AS (
+       |  SELECT doc_id + 40000000 AS doc_id, lang,
+       |    array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+       |      1, ${Dedup.DECON_EXCERPT_TOKENS}), ' ') AS text
+       |  FROM h WHERE doc_id % 3 = 0),
+       |tr AS (
+       |  SELECT * FROM d WHERE doc_id % ${Dedup.DECON_HOLD_MOD} <> 0
+       |  UNION ALL SELECT * FROM ex),
+       |hw AS (
+       |  SELECT string_split_regex(trim(text), '\\s+') AS w FROM h),
+       |hg AS (
+       |  SELECT DISTINCT unnest(${shingleHashes("w", Dedup.DECON_K)}) AS g
+       |  FROM hw),
+       |tw AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM tr),
+       |tg AS (
+       |  SELECT doc_id, unnest(${shingleHashes("w", Dedup.DECON_K)}) AS g
+       |  FROM tw),
+       |sh AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM tg JOIN hg USING (g) GROUP BY doc_id),
+       |j AS (
+       |  SELECT tw.lang, COALESCE(n_shared, 0) AS n_shared
+       |  FROM tw LEFT JOIN sh ON tw.doc_id = sh.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_train_docs,
+       |  CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  CAST(sum(n_shared) AS BIGINT) AS shared_gram_instances,
+       |  max(n_shared) AS max_shared_grams
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q142's twin: split by the cluster representative's hash over the
     * same recursive transitive closure; the straddle audit recomputed

@@ -270,6 +270,8 @@ object SparkEntry {
     "q143_training_shards"         -> (TextOps.trainingShards _),
     // ---- round 8: embedding drift vs frozen baseline centroids ----
     "q144_embedding_drift"         -> (Sim.embeddingDrift _),
+    // ---- round 8: 13-gram benchmark decontamination ----
+    "q145_ngram_decontamination"   -> (Dedup.ngramDecontamination _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -466,6 +468,7 @@ object SparkEntry {
     "q142_cluster_split" -> OracleTwins.clusterAwareSplit,
     "q143_training_shards" -> OracleTwins.trainingShards,
     "q144_embedding_drift" -> OracleTwins.embeddingDrift,
+    "q145_ngram_decontamination" -> OracleTwins.ngramDecontamination,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

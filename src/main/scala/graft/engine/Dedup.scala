@@ -252,6 +252,56 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** N-gram decontamination geometry: 13-gram overlap (the GPT-3-lineage
+    * standard), heldout = every 17th doc, excerpt plants of 20 tokens. */
+  val DECON_K = 13
+  val DECON_HOLD_MOD = 17L
+  val DECON_EXCERPT_TOKENS = 20
+
+  /** q145: n-gram-level benchmark decontamination — the industry-standard
+    * leakage check [[decontamination]] (exact whole-doc hashes, q67)
+    * cannot do: a training document is contaminated if it shares ANY
+    * 13-token span with the held-out set, catching quoted excerpts and
+    * partial copies that never hash-match whole. Planted excerpt docs
+    * (the first 20 tokens of selected held-out docs) guarantee the
+    * nonzero case at every SF; the count of their shared grams is exact
+    * (an L-token excerpt of a long doc shares L−12 grams).
+    *
+    * Scale shape: the held-out side reduces to a DISTINCT gram-hash set
+    * — in production that side is a bounded benchmark suite and would
+    * broadcast; here it is a corpus fraction, so the join is left
+    * unhinted and AQE picks (the [[graft.plans.BroadcastGuard]]
+    * discipline: never hint a data-proportional side). Train grams are
+    * per-doc distinct hash sets (codegen [[TextFns.shingleHashes]]);
+    * only (doc_id, gram-hash) longs ever shuffle. */
+  def ngramDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val heldout = d.filter(col("doc_id") % DECON_HOLD_MOD === 0)
+    val excerpts = heldout.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("lang"),
+        concat_ws(" ", slice(TextFns.tokens(col("text")), 1,
+          DECON_EXCERPT_TOKENS)).as("text"))
+    val train = d.filter(col("doc_id") % DECON_HOLD_MOD =!= 0)
+      .unionByName(excerpts)
+    val hg = heldout
+      .select(explode(TextFns.shingleHashes(col("text"), DECON_K)).as("g"))
+      .distinct()
+    val tg = train.select(col("doc_id"),
+      explode(TextFns.shingleHashes(col("text"), DECON_K)).as("g"))
+    val shared = tg.join(hg, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id"), col("lang"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        sum("n_shared").as("shared_gram_instances"),
+        max("n_shared").as("max_shared_grams"))
+      .orderBy("lang")
+  }
+
   /** Test share of [[clusterAwareSplit]]: rep-hash % 10 == 0 → "test". */
   val SPLIT_MOD = 10L
 
