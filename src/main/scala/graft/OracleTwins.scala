@@ -227,6 +227,41 @@ object OracleTwins {
        |SELECT * FROM ($settingRows) ORDER BY bands DESC""".stripMargin
   }
 
+  /** q146's twin: bottom-k sketch candidates, exact max-directional
+    * containment verify over the same half-doc plants. */
+  val containmentDedup: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |aug AS (
+       |  SELECT doc_id, text FROM d
+       |  UNION ALL SELECT doc_id + 50000000,
+       |    substr(text, 1, CAST(floor(len(text)/2) AS BIGINT))
+       |  FROM d WHERE doc_id % ${Dedup.CONT_PLANT_MOD} = 0),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
+       |sh AS (SELECT doc_id, ${shingleHashes("w")} AS sh FROM toks),
+       |sk AS (
+       |  SELECT doc_id, sh,
+       |    unnest(list_slice(list_sort(sh), 1, ${Dedup.CONT_BOTTOM_K})) AS mg
+       |  FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sk x JOIN sk y ON x.mg = y.mg AND x.doc_id < y.doc_id),
+       |p AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard,
+       |    GREATEST(
+       |      len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh)::DOUBLE,
+       |      len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh)::DOUBLE)
+       |      AS containment
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, ${round6("jaccard")} AS jaccard,
+       |  ${round6("containment")} AS containment
+       |FROM p WHERE containment >= ${Dedup.CONT_T}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q145's twin: same 13-gram overlap over the same plant geometry;
     * per-doc shared-gram counts from the distinct held-out gram set. */
   val ngramDecontamination: String =

@@ -272,6 +272,8 @@ object SparkEntry {
     "q144_embedding_drift"         -> (Sim.embeddingDrift _),
     // ---- round 8: 13-gram benchmark decontamination ----
     "q145_ngram_decontamination"   -> (Dedup.ngramDecontamination _),
+    // ---- round 8: doc-in-doc containment dedup (bottom-k sketch) ----
+    "q146_containment_dedup"       -> (Dedup.containmentDedup _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -469,6 +471,7 @@ object SparkEntry {
     "q143_training_shards" -> OracleTwins.trainingShards,
     "q144_embedding_drift" -> OracleTwins.embeddingDrift,
     "q145_ngram_decontamination" -> OracleTwins.ngramDecontamination,
+    "q146_containment_dedup" -> OracleTwins.containmentDedup,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

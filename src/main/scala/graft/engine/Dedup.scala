@@ -591,6 +591,59 @@ object Dedup {
       .orderBy("lang", "source")
   }
 
+  /** Containment-dedup geometry: bottom-k candidate sketch (Broder's
+    * bottom-k — for A ⊆ B the probability B's k smallest gram hashes all
+    * miss A is ≈ (1−|A|/|B|)^k), verify threshold, plant split. */
+  val CONT_BOTTOM_K = 4
+  val CONT_T = 0.9
+  val CONT_PLANT_MOD = 11L
+
+  /** q146: containment dedup — catches the doc-IN-doc case symmetric
+    * Jaccard misses: an excerpt or prefix copy of a long document has
+    * containment |A∩B|/|A| ≈ 1 while its Jaccard sits near |A|/|B| (0.5
+    * for the planted half-docs here), far below any near-dup threshold.
+    * Candidates come from a bottom-k sketch bucket join (two docs are
+    * candidates if they share any of their [[CONT_BOTTOM_K]] smallest
+    * shingle hashes — for a subset pair that fails with prob ≈
+    * (1−ratio)^k, ~6% at ratio ½, k=4); candidates are verified with
+    * the exact max-directional containment and thresholded at
+    * [[CONT_T]]. The jaccard column rides along to exhibit the gap this
+    * operator exists for (spec asserts planted pairs pass containment
+    * while failing the 0.8 Jaccard gate).
+    *
+    * Scale shape: the sketch is k rows per doc regardless of doc size —
+    * the bucket join is a merge-hinted self-join on the sketch value
+    * (corpus self-joins never broadcast; identical band-key shuffles →
+    * ReusedExchange, the [[nearDupPairs]] argument), and the verify
+    * touches candidates only. Like all LSH-family ops: never all-pairs. */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir)).select(col("doc_id"), col("text"))
+    val aug = d.unionAll(
+      d.filter(col("doc_id") % CONT_PLANT_MOD === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          col("text").substr(lit(1),
+            floor(length(col("text")) / 2).cast("int")).as("text")))
+    val sk = aug
+      .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(slice(array_sort(col("sh")), 1, CONT_BOTTOM_K)).as("mg"))
+    sk.as("x")
+      .join(sk.as("y").hint("merge"),
+        col("x.mg") === col("y.mg") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        TextFns.jaccard(col("x.sh"), col("y.sh")).as("jaccard"),
+        greatest(
+          size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(col("x.sh")).cast("double"),
+          size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(col("y.sh")).cast("double")).as("containment"))
+      .distinct()
+      .filter(col("containment") >= CONT_T)
+      .select(col("doc_a"), col("doc_b"), Num.round6(col("jaccard")).as("jaccard"),
+        Num.round6(col("containment")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------ LSH banding eval harness
 
   /** Banding geometries [[lshRecall]] measures — every (bands, rows) split

@@ -531,6 +531,25 @@ class DedupSimSpec extends SparkSpecBase {
     }
   }
 
+  test("containmentDedup catches doc-in-doc pairs the Jaccard gate misses") {
+    val rows = Dedup.containmentDedup(spark, sf).collect()
+    // planted half-docs: (orig, orig+50000000) pairs with containment ≈ 1
+    val planted = rows.filter(r =>
+      r.getLong(1) == r.getLong(0) + 50000000L)
+    assert(planted.nonEmpty, "bottom-k sketch must surface half-doc plants")
+    planted.foreach { r =>
+      assert(r.getDouble(3) >= Dedup.CONT_T, s"containment too low: $r")
+    }
+    // the operator's raison d'être: some caught pair FAILS the 0.8
+    // Jaccard near-dup gate (prefix-half ⇒ jaccard ≈ ratio ≈ 0.5)
+    assert(planted.exists(_.getDouble(2) < 0.8),
+      "a containment pair below the Jaccard gate must exist")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= r.getDouble(2) - 1e-9,
+        s"containment dominates jaccard by definition: $r")
+    }
+  }
+
   test("lshRecall: hits and candidates are monotone along the geometry " +
       "chain; production (4,3) is measured") {
     // the settings chain (12,1)…(1,12) has provable subset structure: a
