@@ -475,6 +475,48 @@ object OracleTwins {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
 
+  /** q147's twin: the same four-stage composition — recursive CC keep
+    * list, quality floor, temperature rates over the KEPT corpus,
+    * hash-gated sample, shard manifest. */
+  val curationPipeline: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |$langQualityCte,
+       |kept AS (
+       |  SELECT r.doc_id, r.lang, r.n_tokens
+       |  FROM r LEFT JOIN lab ON r.doc_id = lab.doc_id
+       |  WHERE (lab.cluster_id IS NULL OR lab.cluster_id = r.doc_id)
+       |    AND r.n_tokens >= ${TextOps.MIN_TOKENS}
+       |    AND r.stop_ratio <= ${TextOps.MAX_STOP_RATIO}),
+       |counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM kept GROUP BY lang),
+       |z AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(list(n_docs ORDER BY lang), zn -> sqrt(zn::DOUBLE))),
+       |      (za, zx) -> za + zx) AS z
+       |  FROM counts),
+       |rates AS (
+       |  SELECT lang,
+       |    CAST(floor(least(1.0,
+       |      sqrt(n_docs::DOUBLE) / z *
+       |        (n_total::DOUBLE / ${TextOps.TEMP_BUDGET_DIV}.0) /
+       |        n_docs::DOUBLE) * 1000000) AS BIGINT) AS rate_ppm
+       |  FROM counts, z),
+       |sampled AS (
+       |  SELECT kept.doc_id, kept.lang, kept.n_tokens
+       |  FROM kept JOIN rates ON kept.lang = rates.lang
+       |  WHERE ${polyhash("('sample:' || doc_id::VARCHAR)")} % 1000000
+       |    < rate_ppm),
+       |shd AS (
+       |  SELECT *, ${polyhash("('shard:' || doc_id::VARCHAR)")}
+       |    % ${TextOps.N_SHARDS} AS shard
+       |  FROM sampled)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM shd GROUP BY shard ORDER BY shard""".stripMargin
+
   val tokenHistogram: String =
     s"""WITH t AS (
        |  SELECT len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens

@@ -274,6 +274,8 @@ object SparkEntry {
     "q145_ngram_decontamination"   -> (Dedup.ngramDecontamination _),
     // ---- round 8: doc-in-doc containment dedup (bottom-k sketch) ----
     "q146_containment_dedup"       -> (Dedup.containmentDedup _),
+    // ---- round 8: end-to-end curation pipeline in one plan ----
+    "q147_curation_pipeline"       -> (TextOps.curationPipeline _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -472,6 +474,7 @@ object SparkEntry {
     "q144_embedding_drift" -> OracleTwins.embeddingDrift,
     "q145_ngram_decontamination" -> OracleTwins.ngramDecontamination,
     "q146_containment_dedup" -> OracleTwins.containmentDedup,
+    "q147_curation_pipeline" -> OracleTwins.curationPipeline,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -417,6 +417,61 @@ object TextOps {
     * output file groups handed to the trainer's data loader. */
   val N_SHARDS = 8L
 
+  /** q147: the curation pipeline end-to-end, one declarative plan — the
+    * composition a training-data team actually ships nightly: near-dup
+    * keep-list (cluster canonicals only) → quality floor (length +
+    * stopword-density gates) → temperature-flattened language sampling
+    * (rates computed over the KEPT corpus, not the raw one — sampling
+    * before dedup would re-inflate whatever dedup removed) → shard
+    * manifest of the training shuffle. Each stage is the already-proven
+    * operator (q43/q44, q24, q141, q143); composing them in one plan
+    * lets Catalyst pipeline the gates into a single corpus pass between
+    * the two bounded aggregates, which is precisely why the operators
+    * were built as DataFrame transforms rather than materialization
+    * steps.
+    *
+    * Scale shape: dedup labels (bounded) and the per-lang rate table
+    * (|langs| rows) join back broadcast; the gates are map-side; the
+    * only corpus-proportional shuffle is the final shard aggregate.
+    * Sample/shard gates key on doc_id hashes (prefix-tagged so the two
+    * gates are independent), keeping the pipeline deterministic under
+    * re-run and re-shard. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val q = langQualityRaw(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
+    val labels = Dedup.clusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label"))
+    val kept = q.join(labels, Seq("doc_id"), "left")
+      .filter((col("label").isNull || col("label") === col("doc_id")) &&
+        col("n_tokens") >= MIN_TOKENS && col("stop_ratio") <= MAX_STOP_RATIO)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val counts = kept.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val z = counts
+      .agg(sum("n_docs").as("n_total"),
+        array_sort(collect_list(struct(col("lang"), col("n_docs")))).as("ls"))
+      .select(col("n_total"),
+        aggregate(transform(col("ls"),
+            s => sqrt(s.getField("n_docs").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("lang"),
+        floor(least(lit(1.0),
+          sqrt(col("n_docs").cast("double")) / col("z") *
+            (col("n_total").cast("double") / lit(TEMP_BUDGET_DIV.toDouble)) /
+            col("n_docs").cast("double")) * 1000000)
+          .cast("long").as("rate_ppm"))
+    kept.join(broadcast(rates), "lang")
+      .filter(TextFns.polyHash(
+        concat(lit("sample:"), col("doc_id").cast("string"))) % 1000000
+        < col("rate_ppm"))
+      .withColumn("shard", TextFns.polyHash(
+        concat(lit("shard:"), col("doc_id").cast("string"))) % N_SHARDS)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("shard")
+  }
+
   /** q143: deterministic global training shuffle — the last step before a
     * corpus feeds a trainer: every document lands in shard
     * hash(doc_id) % N_SHARDS and at the position its hash orders within
