@@ -403,6 +403,59 @@ object Sim {
         .mode("overwrite").parquet(staging)
     }
 
+  /** Drift-triggered recluster — the maintenance policy that closes the
+    * IVF lifecycle: appends assign against FROZEN centroids (correct for
+    * serving, and [[embeddingDrift]]'s monitor depends on it), but a
+    * feed whose distribution has genuinely moved packs its vectors into
+    * a few cells and probe cost decays toward a scan of those cells.
+    * This policy measures per-cell occupancy drift of the appended
+    * increments against the build partition (the q144 exact-ppm
+    * arithmetic, computed from the index's own partitions — no corpus
+    * read) and, only above `thresholdPpm`, retrains centroids over the
+    * full indexed set and reassigns — through the
+    * [[IndexMaintenance.rewrite]] staging swap on the whole index dir,
+    * so racing probes see old-or-new atomically (centroids and vectors
+    * can never mix generations). Below threshold it is a no-op: zero
+    * writes, one bounded aggregate.
+    *
+    * The threshold decision is one driver-side scalar (the
+    * control-flow-action discipline of [[Graph.pageRankRun]]'s node
+    * count): a ≤2K-row cell table reduced to max |drift|. Returns
+    * whether a recluster ran. */
+  def maintainIvfIndex(spark: SparkSession, indexDir: String,
+      thresholdPpm: Long): Boolean = {
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+    def occ(df: DataFrame, n: String): DataFrame =
+      df.groupBy("cell").agg(count(lit(1)).as(n))
+    val j = occ(vecs.filter(col("increment") === 0L), "n_base")
+      .join(occ(vecs.filter(col("increment") =!= 0L), "n_live"),
+        Seq("cell"), "full_outer")
+      .select(coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"))
+    val maxDrift = j
+      .crossJoin(broadcast(j.agg(sum("n_base").as("tb"),
+        sum("n_live").as("tl"))))
+      .select(when(col("tl") === 0L, lit(0L)).otherwise(
+        abs(expr("(n_live * 1000000L div tl) - (n_base * 1000000L div tb)")))
+        .as("d"))
+      .agg(max("d")).collect()(0).getLong(0)
+    if (maxDrift <= thresholdPpm) false
+    else {
+      IndexMaintenance.rewrite(spark, indexDir) { staging =>
+        val all = spark.read.parquet(s"$indexDir/vectors")
+          .select(col("vec_id"), col("embedding"), col("nrm"))
+        strideCentroids(all).write.mode("overwrite")
+          .parquet(s"$staging/centroids")
+        assignWithVec(all,
+          spark.read.parquet(s"$staging/centroids"))
+          .withColumn("increment", lit(0L))
+          .write.partitionBy("increment", "cell")
+          .mode("overwrite").parquet(s"$staging/vectors")
+      }
+      true
+    }
+  }
+
   /** Serve a probe batch against the persisted index: score each probe
     * vector against the frozen centroids (|probes|×K, all broadcast-side),
     * keep its top-`nprobe` cells, then search ONLY those cells — the

@@ -451,6 +451,54 @@ class DedupSimSpec extends SparkSpecBase {
     assert(incs == Seq(0L), s"rebuild must clear old increments: $incs")
   }
 
+  test("maintainIvfIndex: in-distribution appends are a no-op; a " +
+      "concentrated drifted feed triggers an atomic recluster") {
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val indexDir = tmpDir("graft-ivf-maintain") + "/index"
+    Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      indexDir)
+    // in-distribution delta: a slice of the same corpus → small drift
+    Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      indexDir, increment = 1L)
+    val centsBefore = spark.read.parquet(s"$indexDir/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(!Sim.maintainIvfIndex(spark, indexDir, thresholdPpm = 900000L),
+      "an in-distribution append must not trigger a recluster")
+    assert(spark.read.parquet(s"$indexDir/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+      == centsBefore, "no-op maintenance must not touch the centroids")
+    // drifted feed: every delta vector identical → one cell swallows the
+    // whole live population → max drift ≈ 1e6 ppm
+    val one = e.filter(col("vec_id") === 1).select(col("embedding").as("e1"))
+    val drifted = e.filter(col("vec_id") % 5 === 0)
+      .crossJoin(broadcast(one))
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        col("e1").as("embedding"))
+    Sim.appendIvfIndex(drifted, indexDir, increment = 2L)
+    val rowsBefore = spark.read.parquet(s"$indexDir/vectors").count()
+    // the concentrated increment is ~5/12 of the live population, so the
+    // hot cell's live share (and its drift) sits near 580k ppm — well
+    // above an ops threshold of 400k, while the in-distribution case
+    // above stayed under 900k by a wide margin
+    assert(Sim.maintainIvfIndex(spark, indexDir, thresholdPpm = 400000L),
+      "a fully concentrated live feed must trigger the recluster")
+    // recluster folded increments, kept every vector, retrained over the
+    // full set (delta ids are now centroid-eligible), and probes serve
+    val after = spark.read.parquet(s"$indexDir/vectors")
+    assert(after.count() == rowsBefore, "recluster lost or duplicated vectors")
+    val incs = after.select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(incs == Seq(0L), s"recluster must fold increments: $incs")
+    val centsAfter = spark.read.parquet(s"$indexDir/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(centsAfter != centsBefore, "recluster must retrain the centroids")
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val served = Sim.probeIvfIndex(probes, indexDir).collect()
+    assert(served.nonEmpty && served.map(_.getLong(0)).distinct.length > 1,
+      "probes must serve from the reclustered index")
+  }
+
   test("ivfpqTopK reranks exactly and joins everything broadcast") {
     val df = Sim.ivfpqTopK(spark, sf)
     val rows = df.collect()
