@@ -739,6 +739,24 @@ object OracleTwins {
        |FROM j, t ORDER BY cent_id""".stripMargin
   }
 
+  /** q148's twin: same assignment, same deterministic hash order, same
+    * rank cut and cell sizes. */
+  val cellCoverageSample: String =
+    s"""$ivfPrefix,
+       |sz AS (
+       |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_in_cell
+       |  FROM a1 GROUP BY cent_id),
+       |rk AS (
+       |  SELECT cent_id, vec_id,
+       |    row_number() OVER (PARTITION BY cent_id
+       |      ORDER BY ${polyhash("('cov:' || vec_id::VARCHAR)")} % 1000000,
+       |        vec_id)::BIGINT AS rank
+       |  FROM a1)
+       |SELECT rk.cent_id, rank, vec_id, n_in_cell
+       |FROM rk JOIN sz ON rk.cent_id = sz.cent_id
+       |WHERE rank <= ${Sim.COV_K}
+       |ORDER BY rk.cent_id, rank""".stripMargin
+
   /** q131's twin: the recall@k-vs-nprobe curve over one shared geometry —
     * index assignment (a1, argmax), probe→cell ranking (pc), and for each
     * measured nprobe the candidates from the probe's top-nprobe cells,

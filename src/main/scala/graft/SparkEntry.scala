@@ -276,6 +276,8 @@ object SparkEntry {
     "q146_containment_dedup"       -> (Dedup.containmentDedup _),
     // ---- round 8: end-to-end curation pipeline in one plan ----
     "q147_curation_pipeline"       -> (TextOps.curationPipeline _),
+    // ---- round 8: cluster-stratified coverage sample ----
+    "q148_cell_coverage_sample"    -> (Sim.cellCoverageSample _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -475,6 +477,7 @@ object SparkEntry {
     "q145_ngram_decontamination" -> OracleTwins.ngramDecontamination,
     "q146_containment_dedup" -> OracleTwins.containmentDedup,
     "q147_curation_pipeline" -> OracleTwins.curationPipeline,
+    "q148_cell_coverage_sample" -> OracleTwins.cellCoverageSample,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

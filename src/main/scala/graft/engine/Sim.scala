@@ -403,6 +403,39 @@ object Sim {
         .mode("overwrite").parquet(staging)
     }
 
+  /** Per-cell sample depth of [[cellCoverageSample]]. */
+  val COV_K = 3
+
+  /** q148: cluster-stratified coverage sample — distribution-preserving
+    * subsampling: take [[COV_K]] documents from EVERY IVF cell by a
+    * deterministic hash order, so the sample spans the embedding space's
+    * structure instead of mirroring its density (a uniform sample of a
+    * 90%-web corpus is 90% web; a per-cell sample keeps the tail
+    * regions represented — the SemDeDup-adjacent curation move, and the
+    * eval-set construction a training run wants). Deterministic: the
+    * same corpus yields the same sample under any partitioning.
+    *
+    * Scale shape: the N×K assignment is the documented IVF geometry;
+    * the per-cell top-k is a rank-limited window —
+    * `WindowGroupLimit` prunes to k rows per cell map-side before the
+    * sort (the grouped-top-k plan pinned since round 3) — and cell
+    * sizes ride the same aggregate. Never a global sort. */
+  def cellCoverageSample(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivfAssign(spark, dir).select(col("vec_id"), col("cent_id"))
+      .localCheckpoint() // feeds both the sample window and the size agg
+    val sizes = a.groupBy("cent_id").agg(count(lit(1)).as("n_in_cell"))
+    a.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cent_id")
+          .orderBy(
+            (graft.functions.TextFns.polyHash(
+              concat(lit("cov:"), col("vec_id").cast("string"))) % 1000000)
+              .asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= COV_K)
+      .join(broadcast(sizes), "cent_id")
+      .select(col("cent_id"), col("rank"), col("vec_id"), col("n_in_cell"))
+      .orderBy("cent_id", "rank")
+  }
+
   /** Drift-triggered recluster — the maintenance policy that closes the
     * IVF lifecycle: appends assign against FROZEN centroids (correct for
     * serving, and [[embeddingDrift]]'s monitor depends on it), but a
