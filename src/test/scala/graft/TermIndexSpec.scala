@@ -94,4 +94,42 @@ class TermIndexSpec extends SparkSpecBase {
     val s = spark.read.parquet(s"$indexDir/stats").collect()
     assert(s.length == 1, "compacted stats must be a single row")
   }
+
+  test("streaming index ingest: probes after the stream equal a " +
+      "full-corpus build; mid-stream compaction leaves probes identical") {
+    import graft.streaming.TermIndexStream
+    val indexDir = tmpDir("graft-term-stream") + "/index"
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    TermIndex.buildTermIndex(base, indexDir)
+    val inDir = tmpDir("graft-term-stream-in")
+    delta.select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val ckpt = tmpDir("graft-term-stream-ckpt")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    // compactEvery=1: the trigger must fire at least once mid-stream
+    val q = TermIndexStream.indexSink(stream, indexDir, ckpt,
+      compactEvery = 1)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = TermIndex.probeTermIndex(spark, TermIndex.TI_TERMS,
+      indexDir, TextOps.RETRIEVAL_TOP_K)
+      .collect().map(_.toString).toSeq
+    val fullDir = tmpDir("graft-term-stream-full") + "/index"
+    TermIndex.buildTermIndex(docs, fullDir)
+    val full = TermIndex.probeTermIndex(spark, TermIndex.TI_TERMS, fullDir,
+      TextOps.RETRIEVAL_TOP_K).collect().map(_.toString).toSeq
+    assert(streamed == full,
+      "streamed increments must serve exactly the full-corpus retrieval")
+    // the compaction policy actually folded: the pile is bounded, not
+    // one increment per micro-batch
+    val incs = IndexMaintenance.incrementCount(spark, s"$indexDir/postings")
+    assert(incs <= 3, s"compaction trigger must bound the pile: $incs")
+    // stats sidecar stayed in sync through ingest + compaction
+    val statDocs = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(statDocs == docs.count(),
+      "stats sidecar must count every doc exactly once after the stream")
+  }
 }
