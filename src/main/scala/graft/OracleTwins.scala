@@ -227,9 +227,17 @@ object OracleTwins {
        |SELECT * FROM ($settingRows) ORDER BY bands DESC""".stripMargin
   }
 
-  /** q146's twin: bottom-k sketch candidates, exact max-directional
-    * containment verify over the same half-doc plants. */
-  val containmentDedup: String =
+  /** q146's twin: the same two candidate channels (head fingerprint +
+    * banded MinHash) over the same half-doc plants, exact
+    * max-directional containment verify. */
+  val containmentDedup: String = {
+    val sigCols = (0 until TextFns.NH)
+      .map(i => s"${minhashSig(i, "sh")} AS s$i").mkString(",\n    ")
+    val bandExprs = (0 until TextFns.BANDS).map { b =>
+      val parts = (0 until TextFns.R)
+        .map(r => s"s${b * TextFns.R + r}::VARCHAR").mkString(" || '-' || ")
+      s"'$b:' || $parts"
+    }.mkString(", ")
     s"""WITH d AS (SELECT doc_id, text FROM documents),
        |aug AS (
        |  SELECT doc_id, text FROM d
@@ -238,14 +246,22 @@ object OracleTwins {
        |  FROM d WHERE doc_id % ${Dedup.CONT_PLANT_MOD} = 0),
        |toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
-       |sh AS (SELECT doc_id, ${shingleHashes("w")} AS sh FROM toks),
-       |sk AS (
-       |  SELECT doc_id, sh,
-       |    unnest(list_slice(list_sort(sh), 1, ${Dedup.CONT_BOTTOM_K})) AS mg
+       |sh AS (SELECT doc_id,
+       |    ${polyhash(s"array_to_string(list_slice(w, 1, ${Dedup.CONT_HEAD_TOKENS}), ' ')")}
+       |      AS hh,
+       |    ${shingleHashes("w")} AS sh
+       |  FROM toks),
+       |sigs AS (SELECT doc_id,
+       |    $sigCols
        |  FROM sh),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS k FROM sigs),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM sk x JOIN sk y ON x.mg = y.mg AND x.doc_id < y.doc_id),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM sh x JOIN sh y ON x.hh = y.hh AND x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT x.doc_id, y.doc_id
+       |    FROM bands x JOIN bands y ON x.k = y.k AND x.doc_id < y.doc_id)),
        |p AS (
        |  SELECT doc_a, doc_b,
        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
@@ -261,6 +277,7 @@ object OracleTwins {
        |  ${round6("containment")} AS containment
        |FROM p WHERE containment >= ${Dedup.CONT_T}
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** q145's twin: same 13-gram overlap over the same plant geometry;
     * per-doc shared-gram counts from the distinct held-out gram set. */
@@ -980,6 +997,94 @@ object OracleTwins {
        |    list_reduce(list_prepend(0.0::DOUBLE,
        |      list_transform(range(0, ${Sim.PQ_M}),
        |        am -> lut[(am*${Sim.PQ_K} + code[am+1] + 1)::INTEGER])),
+       |      (aa, ax) -> aa + ax) AS adc
+       |  FROM a1
+       |  JOIN pc ON a1.cent_id = pc.pcell AND a1.vec_id <> pc.probe_id
+       |  JOIN cds ON a1.vec_id = cds.vec_id
+       |  JOIN lut ON pc.probe_id = lut.probe_id),
+       |sl AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adc DESC, vec_id) AS arank
+       |  FROM adc),
+       |rr AS (
+       |  SELECT sl.probe_id, sl.vec_id, sl.adc,
+       |    ${dot("pv", "embedding")} / (pnrm * nrm) AS cos
+       |  FROM sl
+       |  JOIN e ON sl.vec_id = e.vec_id
+       |  JOIN (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pnrm
+       |        FROM e WHERE vec_id < ${Sim.PQ_PROBES}) p
+       |    ON sl.probe_id = p.probe_id
+       |  WHERE sl.arank <= ${Sim.IVFPQ_RERANK}),
+       |r AS (
+       |  SELECT probe_id, vec_id, adc, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+       |      AS rank
+       |  FROM rr)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("adc")} AS adc_dot, ${round6("cos")} AS cosine
+       |FROM r WHERE rank <= ${Sim.IVF_TOP_K} ORDER BY probe_id, rank""".stripMargin
+
+  /** q149's twin: the persisted compressed-index lifecycle in one pass —
+    * coarse centroids AND PQ codebook drawn from the BUILD population
+    * only (frozen artifacts), every vector (build + delta) assigned and
+    * encoded against them, probes searching their top-nprobe cells with
+    * ADC then exact rerank. */
+  val ivfpqIndexProbe: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2("embedding")}) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % ${Sim.ANN_DELTA_MOD} <> 0),
+       |c AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |    FROM b) = 0),
+       |s AS (
+       |  SELECT e.vec_id, c.cent_id, ${dot("embedding", "cv")} / (nrm * cnrm) AS cos
+       |  FROM e, c),
+       |a AS (
+       |  SELECT vec_id, cent_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+       |  FROM s),
+       |a1 AS (
+       |  SELECT vec_id, cent_id FROM a WHERE rn = 1),
+       |pm AS (SELECT range AS m FROM range(0, ${Sim.PQ_M})),
+       |cbv AS (
+       |  SELECT embedding,
+       |    (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS j
+       |  FROM b
+       |  WHERE vec_id % ${Sim.PQ_STRIDE} = 0
+       |    AND vec_id < ${Sim.PQ_K * Sim.PQ_STRIDE}),
+       |cb AS (
+       |  SELECT m, j,
+       |    embedding[m*${Sim.PQ_D}+1 : m*${Sim.PQ_D}+${Sim.PQ_D}] AS cv
+       |  FROM cbv, pm),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    embedding[m*${Sim.PQ_D}+1 : m*${Sim.PQ_D}+${Sim.PQ_D}] AS sv
+       |  FROM e, pm),
+       |sc AS (
+       |  SELECT vec_id, sub.m, j, ${dot("sv", "cv")} AS dp
+       |  FROM sub JOIN cb ON sub.m = cb.m),
+       |rkk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dp DESC, j)
+       |    AS rn
+       |  FROM sc),
+       |enc AS (SELECT vec_id, m, j FROM rkk WHERE rn = 1),
+       |cds AS (SELECT vec_id, list(j ORDER BY m) AS code FROM enc GROUP BY vec_id),
+       |pc AS (
+       |  SELECT vec_id AS probe_id, cent_id AS pcell FROM a
+       |  WHERE vec_id < ${Sim.PQ_PROBES} AND rn <= ${Sim.IVFPQ_NPROBE}),
+       |pl AS (
+       |  SELECT sub.vec_id AS probe_id, cb.m, cb.j, ${dot("sv", "cv")} AS dp
+       |  FROM sub JOIN cb ON sub.m = cb.m WHERE sub.vec_id < ${Sim.PQ_PROBES}),
+       |lut AS (SELECT probe_id, list(dp ORDER BY m, j) AS lut FROM pl
+       |        GROUP BY probe_id),
+       |adc AS (
+       |  SELECT pc.probe_id, a1.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(0, ${Sim.PQ_M}),
+       |        am -> lut[(am*(len(lut)//${Sim.PQ_M}) + code[am+1] + 1)::INTEGER])),
        |      (aa, ax) -> aa + ax) AS adc
        |  FROM a1
        |  JOIN pc ON a1.cent_id = pc.pcell AND a1.vec_id <> pc.probe_id

@@ -278,6 +278,8 @@ object SparkEntry {
     "q147_curation_pipeline"       -> (TextOps.curationPipeline _),
     // ---- round 8: cluster-stratified coverage sample ----
     "q148_cell_coverage_sample"    -> (Sim.cellCoverageSample _),
+    // ---- round 8: persisted IVF-PQ compressed-index lifecycle ----
+    "q149_ivfpq_index_probe"       -> (Sim.ivfpqIndexProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -478,6 +480,7 @@ object SparkEntry {
     "q146_containment_dedup" -> OracleTwins.containmentDedup,
     "q147_curation_pipeline" -> OracleTwins.curationPipeline,
     "q148_cell_coverage_sample" -> OracleTwins.cellCoverageSample,
+    "q149_ivfpq_index_probe" -> OracleTwins.ivfpqIndexProbe,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

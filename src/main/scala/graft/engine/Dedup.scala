@@ -591,10 +591,9 @@ object Dedup {
       .orderBy("lang", "source")
   }
 
-  /** Containment-dedup geometry: bottom-k candidate sketch (Broder's
-    * bottom-k — for A ⊆ B the probability B's k smallest gram hashes all
-    * miss A is ≈ (1−|A|/|B|)^k), verify threshold, plant split. */
-  val CONT_BOTTOM_K = 4
+  /** Containment-dedup geometry: head-fingerprint token count, verify
+    * threshold, plant split. */
+  val CONT_HEAD_TOKENS = 8
   val CONT_T = 0.9
   val CONT_PLANT_MOD = 11L
 
@@ -602,20 +601,29 @@ object Dedup {
     * Jaccard misses: an excerpt or prefix copy of a long document has
     * containment |A∩B|/|A| ≈ 1 while its Jaccard sits near |A|/|B| (0.5
     * for the planted half-docs here), far below any near-dup threshold.
-    * Candidates come from a bottom-k sketch bucket join (two docs are
-    * candidates if they share any of their [[CONT_BOTTOM_K]] smallest
-    * shingle hashes — for a subset pair that fails with prob ≈
-    * (1−ratio)^k, ~6% at ratio ½, k=4); candidates are verified with
-    * the exact max-directional containment and thresholded at
-    * [[CONT_T]]. The jaccard column rides along to exhibit the gap this
-    * operator exists for (spec asserts planted pairs pass containment
-    * while failing the 0.8 Jaccard gate).
     *
-    * Scale shape: the sketch is k rows per doc regardless of doc size —
-    * the bucket join is a merge-hinted self-join on the sketch value
-    * (corpus self-joins never broadcast; identical band-key shuffles →
-    * ReusedExchange, the [[nearDupPairs]] argument), and the verify
-    * touches candidates only. Like all LSH-family ops: never all-pairs. */
+    * Candidates come through TWO channels, both scale-safe:
+    *  - **head fingerprint** (hash of the first [[CONT_HEAD_TOKENS]]
+    *    tokens): a truncation/prefix copy shares its source's head
+    *    verbatim, so this channel catches the dominant real-world
+    *    containment case (cut-off crawls, length-capped re-ingests)
+    *    DETERMINISTICALLY, and its buckets are near-singleton (an
+    *    8-token head is essentially unique outside true copies);
+    *  - **banded MinHash** (the q19 geometry): general near-dup
+    *    containment at the documented 1−(1−J^R)^BANDS recall curve.
+    * Mid-document excerpts below the LSH floor are the positioned-span
+    * operator's territory ([[graft.engine.TextOps.repeatedSpans]] finds
+    * repeated windows without pairing docs at all). Earlier designs —
+    * Broder bottom-k (a common shingle's bucket goes quadratic: the
+    * ×100 corpus spilled past local disk) and PPJoin rarest-k prefixes
+    * (boundary-artifact grams hijack the picks; recall collapsed) —
+    * are documented dead ends.
+    *
+    * Candidates are verified with the exact max-directional containment
+    * (ONE intersect per distinct pair, arrays dropped in the same
+    * projection, |A∪B| = |A|+|B|−|A∩B|) and thresholded at [[CONT_T]];
+    * jaccard rides along to exhibit the gap this operator exists for
+    * (spec pins a planted pair passing containment at Jaccard ≈ 0.5). */
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(documents(spark, dir)).select(col("doc_id"), col("text"))
     val aug = d.unionAll(
@@ -623,32 +631,46 @@ object Dedup {
         .select((col("doc_id") + 50000000L).as("doc_id"),
           col("text").substr(lit(1),
             floor(length(col("text")) / 2).cast("int")).as("text")))
-    // hash sets materialized once: they feed the sketch explode AND both
-    // verify joins (the q38/q76 rule: the recompute dominates)
+    // hash sets materialized once: they feed the band/sig derivation AND
+    // both verify joins (the q38/q76 rule: the recompute dominates)
     val shDF = aug
-      .select(col("doc_id"), TextFns.shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"),
+        TextFns.polyHash(concat_ws(" ",
+          slice(TextFns.tokens(col("text")), 1, CONT_HEAD_TOKENS))).as("hh"),
+        TextFns.shingleHashes(col("text")).as("sh"))
       .localCheckpoint()
-    // the sketch join runs SLIM — (doc_id, mg) longs only — and the pair
-    // set is distinct-reduced BEFORE the hash arrays attach, so a pair
-    // colliding in several sketch slots costs one verify, not four, and
-    // the bucket-join shuffle never carries an array
-    val sk = shDF.select(col("doc_id"),
-      explode(slice(array_sort(col("sh")), 1, CONT_BOTTOM_K)).as("mg"))
-    val cand = sk.as("x")
-      .join(sk.as("y").hint("merge"),
-        col("x.mg") === col("y.mg") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(shDF.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(shDF.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+    def slimPairs(keyed: DataFrame): DataFrame =
+      keyed.as("x")
+        .join(keyed.as("y").hint("merge"),
+          col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val headCand = slimPairs(shDF.select(col("doc_id"), col("hh").as("k")))
+    val sigs = shDF.select(col("doc_id"), col("sh"),
+      TextFns.minhashSig(col("sh")).as("sig"))
+    val bandCand = slimPairs(sigs.select(col("doc_id"),
+      explode(TextFns.bandKeys(col("sig"))).as("k")))
+    val cand = headCand.unionAll(bandCand).distinct()
+    // verify: ONE intersect per pair, arrays dropped in the same
+    // projection — |A∪B| = |A|+|B|−|A∩B| for distinct-hash sets, so the
+    // union is never materialized and downstream touches only integers.
+    // shuffle_hash on the array side: a sort-merge join would SORT the
+    // pair-count-proportional stream with both arrays attached — at the
+    // ×100 scale point that sort's spill exceeded local disk; hashing
+    // the (bounded-per-partition) corpus side streams the pairs instead
+    val ints = cand
+      .join(shDF.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(shDF.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+        .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        TextFns.jaccard(col("sha"), col("shb")).as("jaccard"),
-        greatest(
-          size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            size(col("sha")).cast("double"),
-          size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            size(col("shb")).cast("double")).as("containment"))
+        size(array_intersect(col("sha"), col("shb"))).cast("double").as("ni"),
+        size(col("sha")).cast("double").as("na"),
+        size(col("shb")).cast("double").as("nb"))
+    ints
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni") / (col("na") + col("nb") - col("ni"))).as("jaccard"),
+        greatest(col("ni") / col("na"), col("ni") / col("nb"))
+          .as("containment"))
       .filter(col("containment") >= CONT_T)
       .select(col("doc_a"), col("doc_b"), Num.round6(col("jaccard")).as("jaccard"),
         Num.round6(col("containment")).as("containment"))

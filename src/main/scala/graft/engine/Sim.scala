@@ -403,6 +403,171 @@ object Sim {
         .mode("overwrite").parquet(staging)
     }
 
+  // -------------------------- persisted IVF-PQ index lifecycle (q149)
+
+  /** [[pqCodebook]] trained on a GIVEN population (the build corpus) —
+    * the form the persisted lifecycle freezes at build time. Entry ids
+    * are DENSE ranks (row_number over the ≤[[PQ_K]] picked vectors), not
+    * vec_id/stride: a build population missing some stride rows (they
+    * arrived in a later delta) would otherwise leave holes that break
+    * the positional ADC LUT. The rank window is over ≤K rows. */
+  private def pqCodebookOf(base: DataFrame): DataFrame =
+    subvectors(
+      base.filter(col("vec_id") % PQ_STRIDE === 0 &&
+          col("vec_id") < PQ_K * PQ_STRIDE)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("j", (row_number().over(
+          Window.orderBy("vec_id")) - 1).cast("int"))
+        .select(col("j"), col("embedding")),
+      "j", "cv")
+
+  /** [[pqEncode]] against an explicit (frozen) codebook. */
+  private def pqEncodeAgainst(e: DataFrame, cb: DataFrame): DataFrame = {
+    val sub = subvectors(e, "vec_id", "sv")
+    sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"),
+        VecFns.dot(col("sv"), col("cv")).as("dp"))
+      .groupBy("vec_id", "m")
+      .agg(max_by(struct(col("j"), col("dp")),
+        struct(col("dp"), -col("j"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.j").as("j"))
+  }
+
+  /** Build-once half of the compressed-index lifecycle: coarse centroids
+    * AND the PQ codebook train on the build corpus and freeze; every
+    * vector lands cell-partitioned carrying its M-byte code next to the
+    * full-precision floats (codes drive the ADC scan; the floats serve
+    * the exact rerank — the hot/cold split a 100 TB store makes
+    * physical, one table here). */
+  def buildIvfPqIndex(base: DataFrame, indexDir: String): Unit = {
+    val e = withNorm(base)
+    strideCentroids(e).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    pqCodebookOf(base.select(col("vec_id"), col("embedding")))
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    writePqCells(e, indexDir, increment = 0L)
+  }
+
+  /** Append-a-delta half: encode against the PERSISTED (frozen) centroids
+    * and codebook — the real add-vectors contract; a retried increment
+    * replaces itself (dynamic overwrite). */
+  def appendIvfPqIndex(delta: DataFrame, indexDir: String,
+      increment: Long): Unit =
+    writePqCells(withNorm(delta), indexDir, increment)
+
+  private def writePqCells(e: DataFrame, indexDir: String,
+      increment: Long): Unit = {
+    val spark = e.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val codes = pqEncodeAgainst(e.select(col("vec_id"), col("embedding")), cb)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("j")))).as("cs"))
+      .select(col("vec_id"), transform(col("cs"), s => s.getField("j"))
+        .as("code"))
+    assignWithVec(e, cents)
+      .join(codes, "vec_id")
+      .withColumn("increment", lit(increment))
+      .write.partitionBy("increment", "cell")
+      .option("partitionOverwriteMode",
+        if (increment == 0L) "static" else "dynamic")
+      .mode("overwrite")
+      .parquet(s"$indexDir/vectors")
+  }
+
+  /** [[compactIvfIndex]]'s twin for the compressed index: fold the
+    * increments into `increment=0`, codes and cell partitioning intact,
+    * centroids/codebook untouched — pure layout maintenance. */
+  def compactIvfPqIndex(spark: SparkSession, indexDir: String): Unit =
+    IndexMaintenance.rewrite(spark, s"$indexDir/vectors") { staging =>
+      spark.read.parquet(s"$indexDir/vectors")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("code"),
+          lit(0L).as("increment"), col("cell"))
+        .write.partitionBy("increment", "cell")
+        .mode("overwrite").parquet(staging)
+    }
+
+  /** Serve probes from the persisted compressed index: top-nprobe cells
+    * via the AQE-safe sorted-slice aggregate (DPP prunes every other
+    * cell's files), ADC over the pruned cells' CODES ([[PQ_M]] lookups
+    * per candidate into the probe's broadcast LUT — no corpus floats in
+    * the scan loop), exact rerank of the top-[[IVFPQ_RERANK]] shortlist
+    * from the stored full-precision floats. Output matches
+    * [[ivfpqTopK]]'s (probe_id, rank, neighbor_id, adc_dot, cosine). */
+  def probeIvfPqIndex(probes: DataFrame, indexDir: String,
+      k: Int = IVF_TOP_K, nprobe: Int = IVFPQ_NPROBE): DataFrame = {
+    val spark = probes.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val pn = probes.select(col("probe_id"), col("embedding").as("pv"),
+      sqrt(VecFns.norm2(col("embedding"))).as("pnrm"))
+    val pcells = pn.join(broadcast(cents), lit(true))
+      .select(col("probe_id"), col("cent_id"),
+        (VecFns.dot(col("pv"), col("cv")) / (col("pnrm") * col("cnrm")))
+          .as("cos"))
+      .groupBy("probe_id")
+      .agg(slice(array_sort(collect_list(struct(-col("cos"), col("cent_id")))),
+        1, nprobe).as("cells"))
+      .select(col("probe_id"), explode(col("cells.cent_id")).as("pcell"))
+    val lut = subvectors(pn.select(col("probe_id"), col("pv").as("embedding")),
+        "probe_id", "sv")
+      .join(broadcast(cb), "m")
+      .select(col("probe_id"), col("m"), col("j"),
+        VecFns.dot(col("sv"), col("cv")).as("dp"))
+      .groupBy("probe_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("j"), col("dp"))))
+        .as("ls"))
+      .select(col("probe_id"), transform(col("ls"), s => s.getField("dp"))
+        .as("lut"))
+    val adc = spark.read.parquet(s"$indexDir/vectors")
+      .join(broadcast(pcells),
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .join(broadcast(lut), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("nrm"),
+        // entries-per-subspace derives from the LUT length (≤ PQ_K when
+        // the frozen codebook is smaller than the full K), so the
+        // positional lookup stays aligned with the dense codebook ids
+        aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            (m * (size(col("lut")) / lit(PQ_M)).cast("int") +
+              element_at(col("code"), m + 1) + 1).cast("int")))
+          .as("adc"))
+    val wa = Window.partitionBy("probe_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val wr = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    adc.withColumn("arank", row_number().over(wa).cast("long"))
+      .filter(col("arank") <= IVFPQ_RERANK)
+      .join(broadcast(pn), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("adc"),
+        (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        Num.round6(col("adc")).as("adc_dot"), Num.round6(col("cos")).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q149: the compressed-index lifecycle end-to-end — build (centroids +
+    * codebook freeze) over 6/7 of the corpus, append the held-out 1/7
+    * encoded against the frozen artifacts, serve. The oracle recomputes
+    * the whole geometry with centroids/codebook drawn from the BUILD
+    * population only — an append that retrained either, or a probe that
+    * missed the increment's cells, hash-mismatches. */
+  def ivfpqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(embeddings(spark, dir))
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-index-" +
+      Integer.toHexString(dir.hashCode)
+    buildIvfPqIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir)
+    appendIvfPqIndex(e.filter(col("vec_id") % ANN_DELTA_MOD === 0), indexDir,
+      increment = 1L)
+    probeIvfPqIndex(
+      e.filter(col("vec_id") < PQ_PROBES)
+        .select(col("vec_id").as("probe_id"), col("embedding")),
+      indexDir)
+  }
+
   /** Per-cell sample depth of [[cellCoverageSample]]. */
   val COV_K = 3
 

@@ -499,6 +499,48 @@ class DedupSimSpec extends SparkSpecBase {
       "probes must serve from the reclustered index")
   }
 
+  test("IVF-PQ index lifecycle: frozen artifacts, idempotent appends, " +
+      "compaction invisible to probes") {
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val indexDir = tmpDir("graft-ivfpq-ndx") + "/index"
+    val base = e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0)
+    val delta = e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0)
+    Sim.buildIvfPqIndex(base, indexDir)
+    val cbBefore = spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(_.toString).sorted.toSeq
+    val centsBefore = spark.read.parquet(s"$indexDir/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    Sim.appendIvfPqIndex(delta, indexDir, increment = 1L)
+    val once = spark.read.parquet(s"$indexDir/vectors").count()
+    Sim.appendIvfPqIndex(delta, indexDir, increment = 1L)
+    assert(spark.read.parquet(s"$indexDir/vectors").count() == once,
+      "retried append must replace, not duplicate")
+    assert(once == e.count(), "index must hold build + delta exactly once")
+    // append must not retrain either frozen artifact
+    assert(spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(_.toString).sorted.toSeq == cbBefore,
+      "append retrained the codebook")
+    assert(spark.read.parquet(s"$indexDir/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+      == centsBefore, "append retrained the centroids")
+    val probes = e.filter(col("vec_id") < Sim.PQ_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    def top(): Seq[String] = Sim.probeIvfPqIndex(probes, indexDir)
+      .collect().map(_.toString).toSeq
+    val before = top()
+    assert(before.nonEmpty)
+    val filesBefore =
+      IndexMaintenance.parquetFileCount(spark, s"$indexDir/vectors")
+    Sim.compactIvfPqIndex(spark, indexDir)
+    assert(top() == before, "probe results changed across compaction")
+    assert(IndexMaintenance.parquetFileCount(spark, s"$indexDir/vectors")
+      < filesBefore, "compaction must shrink the file pile")
+    val incs = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("increment").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(incs == Seq(0L), s"increments must fold into the build: $incs")
+  }
+
   test("ivfpqTopK reranks exactly and joins everything broadcast") {
     val df = Sim.ivfpqTopK(spark, sf)
     val rows = df.collect()
