@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.engine.Sim
+
+/** Streaming ingest for the persisted IVF index — closes the set: all
+  * three index modalities (MinHash bands via [[DedupStream]], postings
+  * via [[TermIndexStream]], vector cells here) now run the same
+  * steady-state stream shape: one idempotent `increment=<batchId+1>`
+  * partition per micro-batch against FROZEN artifacts, probes servable
+  * between batches, maintenance off the ingest path.
+  *
+  * The maintenance hook here is the drift policy rather than a file
+  * count: after each append, [[Sim.maintainIvfIndex]] measures per-cell
+  * occupancy drift of the accumulated increments against the build
+  * partition (from the index's own partitions — no corpus read) and
+  * retrains + reassigns ONLY if it exceeds `driftThresholdPpm`. A feed
+  * that stays in distribution accrues increments indefinitely (cheap,
+  * correct); a feed that genuinely moved triggers one atomic swap.
+  * foreachBatch is sequential, so no probe in this stream races the
+  * swap; external probes see old-or-new atomically.
+  *
+  * Delivery: the append is exactly-once under micro-batch retry
+  * (batch-keyed dynamic overwrite). A crash between a recluster and
+  * the batch checkpoint replays the batch as a re-append onto the
+  * reclustered index — idempotent again by the same device.
+  *
+  * OWNERSHIP CONTRACT (all three index streams): batch ids are unique
+  * only within one checkpoint lineage, so an index is owned by exactly
+  * one ingest stream. Restarting with the SAME checkpoint continues
+  * the lineage (ids keep rising — correct); pointing a FRESH
+  * checkpoint at an index that already holds live increments restarts
+  * ids at 0 and the new stream's `increment=1` would silently REPLACE
+  * the old stream's. Compact first (folds everything to increment=0,
+  * which batch appends never collide with) if an index must change
+  * hands. */
+object VecIndexStream {
+
+  /** Start the vector-index ingest over an embedding stream (needs
+    * `vec_id`, `embedding`). `driftThresholdPpm = 0` disables the
+    * maintenance hook (append-only ingest). */
+  def indexSink(vecs: DataFrame, indexDir: String, checkpointDir: String,
+      driftThresholdPpm: Long = 0L): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sim.appendIvfIndex(batch, indexDir, increment = batchId + 1L)
+        if (driftThresholdPpm > 0L) {
+          Sim.maintainIvfIndex(batch.sparkSession, indexDir,
+            driftThresholdPpm)
+          ()
+        }
+      }
+      .start()
+}

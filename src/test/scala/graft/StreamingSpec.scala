@@ -856,4 +856,70 @@ class StreamingSpec extends SparkSpecBase {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(once == twice, s"replayed batch duplicated counters: $once -> $twice")
   }
+
+  test("streaming IVF ingest: in-distribution batches accrue increments " +
+      "with frozen centroids; a drifted feed triggers the recluster " +
+      "mid-stream") {
+    import graft.engine.{Sim, Tables}
+    import graft.streaming.VecIndexStream
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0)
+    val delta = e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0)
+    // --- in-distribution stream: increments accrue, centroids frozen
+    val idx1 = tmpDir("graft-vec-stream-a") + "/index"
+    Sim.buildIvfIndex(base, idx1)
+    val cents1 = spark.read.parquet(s"$idx1/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    val in1 = tmpDir("graft-vec-stream-a-in")
+    delta.repartition(3).write.mode("overwrite").parquet(in1)
+    val ckpt1 = tmpDir("graft-vec-stream-a-ckpt")
+    val q1 = VecIndexStream.indexSink(
+      spark.readStream.schema(spark.read.parquet(in1).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in1),
+      idx1, ckpt1,
+      driftThresholdPpm = 900000L)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$idx1/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq == cents1,
+      "in-distribution stream must never retrain the centroids")
+    val incs1 = spark.read.parquet(s"$idx1/vectors")
+      .select(col("increment").cast("long")).distinct().count()
+    assert(incs1 > 2, "one increment per micro-batch must accrue")
+    assert(spark.read.parquet(s"$idx1/vectors").count() == e.count(),
+      "index must hold build + every streamed vector exactly once")
+    // streamed appends against frozen centroids ≡ one batch append
+    val idx2 = tmpDir("graft-vec-stream-b") + "/index"
+    Sim.buildIvfIndex(base, idx2)
+    Sim.appendIvfIndex(delta, idx2, increment = 1L)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    assert(Sim.probeIvfIndex(probes, idx1).collect().map(_.toString).toSeq ==
+      Sim.probeIvfIndex(probes, idx2).collect().map(_.toString).toSeq,
+      "streamed ingest must serve exactly the batch-append results")
+    // --- the SAME stream lineage's feed drifts: the policy must fire.
+    // (Same checkpoint: batch ids are unique only within one lineage —
+    // a fresh checkpoint would restart at 0 and its increment=1 would
+    // replace the earlier stream's. The ownership contract in
+    // VecIndexStream's scaladoc; this spec exercises the correct use.)
+    val one = e.filter(col("vec_id") === 1).select(col("embedding").as("e1"))
+    val drifted = e.filter(col("vec_id") % 5 === 0)
+      .crossJoin(broadcast(one))
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        col("e1").as("embedding"))
+    drifted.repartition(2).write.mode("append").parquet(in1)
+    val q2 = VecIndexStream.indexSink(
+      spark.readStream.schema(spark.read.parquet(in1).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in1),
+      idx1, ckpt1,
+      driftThresholdPpm = 400000L)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$idx1/centroids")
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq != cents1,
+      "a concentrated drifted feed must trigger the recluster")
+    assert(spark.read.parquet(s"$idx1/vectors").count() ==
+      e.count() + drifted.count(),
+      "recluster + further appends must keep every vector exactly once")
+    assert(Sim.probeIvfIndex(probes, idx1).collect().nonEmpty,
+      "probes must serve from the reclustered index")
+  }
 }
