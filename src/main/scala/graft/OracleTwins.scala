@@ -124,6 +124,23 @@ object OracleTwins {
        |       <> (doc_b % ${graft.engine.Dedup.DELTA_MOD} = 0))
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q150's twin: the near-dup pair CTE mapped to canonicalized source
+    * pairs with fixed-point Jaccard mass. */
+  val sourcePairDups: String =
+    s"""WITH $minhashPairsCte,
+       |v AS (SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8),
+       |m AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    CAST(floor(jaccard * 1000000) AS BIGINT) AS jfp
+       |  FROM v
+       |  JOIN documents da ON v.doc_a = da.doc_id
+       |  JOIN documents db ON v.doc_b = db.doc_id)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(jfp) AS BIGINT) AS jaccard_mass_fp6
+       |FROM m GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** CTE chain from verified pairs to per-doc component labels `lab`
     * (doc_id, cluster_id) — the recursive transitive closure the Spark side
     * computes by min-label propagation. */

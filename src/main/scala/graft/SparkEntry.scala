@@ -280,6 +280,8 @@ object SparkEntry {
     "q148_cell_coverage_sample"    -> (Sim.cellCoverageSample _),
     // ---- round 8: persisted IVF-PQ compressed-index lifecycle ----
     "q149_ivfpq_index_probe"       -> (Sim.ivfpqIndexProbe _),
+    // ---- round 8: source-pair duplication matrix ----
+    "q150_source_pair_dups"        -> (Dedup.sourcePairDups _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -481,6 +483,7 @@ object SparkEntry {
     "q147_curation_pipeline" -> OracleTwins.curationPipeline,
     "q148_cell_coverage_sample" -> OracleTwins.cellCoverageSample,
     "q149_ivfpq_index_probe" -> OracleTwins.ivfpqIndexProbe,
+    "q150_source_pair_dups" -> OracleTwins.sourcePairDups,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -302,6 +302,35 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** q150: source-pair duplication matrix — WHERE the duplication comes
+    * from: every verified near-dup pair mapped to its (source, source)
+    * cell with exact Jaccard mass. The triage view a curation team reads
+    * before picking dedup order: a hot diagonal cell is a self-duplicating
+    * feed (dedup within the source, cheap), a hot off-diagonal cell is
+    * two feeds mirroring each other (dedup across them, and maybe drop
+    * one upstream). Source pairs are canonicalized (least, greatest) so
+    * the matrix is upper-triangular.
+    *
+    * Scale shape: rides [[nearDupPairs]] (banded LSH — never all-pairs);
+    * the two source lookups join a two-column corpus projection on
+    * doc_id; the matrix aggregate is |sources|² bounded. Jaccard mass
+    * sums in fixed-point (floor ×10⁶ before aggregation) so the total is
+    * exact under any partitioning. */
+  def sourcePairDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    nearDupPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        floor(col("jaccard") * 1000000).cast("long").as("jfp"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("jfp").as("jaccard_mass_fp6"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Test share of [[clusterAwareSplit]]: rep-hash % 10 == 0 → "test". */
   val SPLIT_MOD = 10L
 
