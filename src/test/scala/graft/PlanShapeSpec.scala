@@ -293,4 +293,38 @@ class PlanShapeSpec extends SparkSpecBase {
       !s.contains("BroadcastNestedLoopJoin"),
       s"span join degenerated to a nested loop:\n$s")
   }
+
+  test("coverage sample bounds per-cell state via WindowGroupLimit") {
+    val plan = finalPlan(Sim.cellCoverageSample(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-cell top-k must push the rank limit below the window sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("training shuffle plans no global sort over the corpus") {
+    // the manifest's window partitions by shard; the only Sort wide
+    // enough to matter is the final 8-row presentation orderBy
+    val df = graft.engine.TextOps.trainingShards(spark, sf)
+    df.collect()
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty &&
+      windows.forall(_.partitionSpec.nonEmpty),
+      "shard positions must come from a shard-partitioned window, " +
+        "never a global-ordering window")
+  }
+
+  test("temperature sampling never shuffles the corpus") {
+    // the corpus flows scan → broadcast-joined gate → final aggregate:
+    // the ONLY shuffles are per-lang aggregates (tiny) — a corpus-keyed
+    // exchange here would mean the rate join degenerated
+    val df = graft.engine.TextOps.temperatureSample(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the rate table must broadcast back onto the corpus")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge rate join means the corpus shuffled for a |langs|-row table")
+  }
 }
