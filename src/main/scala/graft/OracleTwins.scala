@@ -1286,6 +1286,56 @@ object OracleTwins {
        |  CAST(sum(pos * (h % 1000000)) AS BIGINT) AS order_checksum
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q151's twin: identical integer waterfilling — sorted prefix sums,
+    * the (k, p, q) waterline segment, div-exact rates, same hash gate. */
+  val tokenBudgetMixture: String =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    ${polyhash("text")} % 1000000 AS bucket
+       |  FROM documents),
+       |counts AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+       |  FROM docs GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS n_src,
+       |    CAST(sum(t) AS BIGINT) // ${TextOps.MIX_BUDGET_DIV} AS b
+       |  FROM counts),
+       |ranked AS (
+       |  SELECT source, t,
+       |    row_number() OVER (ORDER BY t, source)::BIGINT AS r,
+       |    CAST(sum(t) OVER (ORDER BY t, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM counts),
+       |flagged AS (
+       |  SELECT ranked.*, (cum + (n_src - r) * t <= b) AS fully_kept
+       |  FROM ranked, tot),
+       |line AS (
+       |  SELECT CAST(sum(CASE WHEN fully_kept THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS k,
+       |    CAST(sum(CASE WHEN fully_kept THEN t ELSE 0 END) AS BIGINT)
+       |      AS cum_k
+       |  FROM flagged),
+       |lpq AS (SELECT k, b - cum_k AS p, n_src - k AS q FROM line, tot),
+       |rates AS (
+       |  SELECT source, t,
+       |    CAST(CASE WHEN fully_kept OR q = 0 THEN 1000000
+       |         ELSE (1000000 * p) // (q * t) END AS BIGINT) AS rate_ppm
+       |  FROM flagged, lpq),
+       |g AS (
+       |  SELECT docs.source, t, rate_ppm, n_tokens,
+       |    (bucket < rate_ppm) AS kept
+       |  FROM docs JOIN rates ON docs.source = rates.source)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, t AS n_tokens,
+       |  rate_ppm, t * rate_ppm // 1000000 AS expected_tokens,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_docs,
+       |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens
+       |FROM g GROUP BY source, t, rate_ppm ORDER BY source""".stripMargin
+
   val repetition: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w

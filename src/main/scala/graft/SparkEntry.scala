@@ -282,6 +282,8 @@ object SparkEntry {
     "q149_ivfpq_index_probe"       -> (Sim.ivfpqIndexProbe _),
     // ---- round 8: source-pair duplication matrix ----
     "q150_source_pair_dups"        -> (Dedup.sourcePairDups _),
+    // ---- round 8: token-budget mixture via exact waterfilling ----
+    "q151_token_budget_mixture"    -> (TextOps.tokenBudgetMixture _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -484,6 +486,7 @@ object SparkEntry {
     "q148_cell_coverage_sample" -> OracleTwins.cellCoverageSample,
     "q149_ivfpq_index_probe" -> OracleTwins.ivfpqIndexProbe,
     "q150_source_pair_dups" -> OracleTwins.sourcePairDups,
+    "q151_token_budget_mixture" -> OracleTwins.tokenBudgetMixture,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

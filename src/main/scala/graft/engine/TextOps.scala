@@ -525,6 +525,72 @@ object TextOps {
       .mode("overwrite")
       .parquet(outDir)
 
+  /** Token budget of [[tokenBudgetMixture]] as a fraction of the corpus:
+    * B = total_tokens / MIX_BUDGET_DIV. */
+  val MIX_BUDGET_DIV = 3
+
+  /** q151: token-budget mixture via exact waterfilling — the data-mixing
+    * decision a token-budgeted training run actually solves: given
+    * per-source token masses t_i and a budget B, find the waterline L
+    * with Σ min(t_i, L) = B; sources under the line keep everything,
+    * sources above it downsample to the line. This is the epoch-capping
+    * allocation (no source is over-weighted just for being big), solved
+    * EXACTLY in integers: the line sits in the sorted-t segment where
+    * the running total crosses B, and the per-source rate collapses to
+    * rate_ppm = (10⁶·p) div (q·t_i) with p = budget left after the
+    * fully-kept sources and q = the count above the line — no floats
+    * anywhere until nothing is left to compute. A deterministic content
+    * hash realizes the sample, so expected and realized masses are both
+    * reported and the decision reproduces under re-runs and re-shards.
+    *
+    * Scale shape: the solve runs on the |sources|-row aggregate (window
+    * over a bounded table); the corpus sees one map-side gate against
+    * the broadcast rate table and one final per-source aggregate. */
+  def tokenBudgetMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        (TextFns.polyHash(col("text")) % 1000000).as("bucket"))
+    val counts = docs.groupBy("source")
+      .agg(sum("n_tokens").as("t"))
+    val n = Window.orderBy(col("t").asc, col("source").asc)
+    val ranked = counts
+      .withColumn("r", row_number().over(n).cast("long"))
+      .withColumn("cum", sum("t").over(
+        n.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // budget + source count as a broadcast scalar row
+    val tot = counts.agg(sum("t").as("total"),
+        count(lit(1)).as("n_src"))
+      .select(col("total"), col("n_src"),
+        expr(s"total div $MIX_BUDGET_DIV").as("b"))
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("fully_kept",
+        col("cum") + (col("n_src") - col("r")) * col("t") <= col("b"))
+    // the waterline segment: k fully-kept sources, p budget left, q above
+    val line = flagged
+      .agg(sum(when(col("fully_kept"), 1L).otherwise(0L)).as("k"),
+        sum(when(col("fully_kept"), col("t")).otherwise(0L)).as("cum_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), (col("b") - col("cum_k")).as("p"),
+        (col("n_src") - col("k")).as("q"))
+    val rates = flagged.crossJoin(broadcast(line))
+      .select(col("source"), col("t"),
+        when(col("fully_kept") || col("q") === 0L, lit(1000000L))
+          .otherwise(expr("(1000000L * p) div (q * t)")).as("rate_ppm"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("kept", col("bucket") < col("rate_ppm"))
+      .groupBy("source", "t", "rate_ppm")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_docs"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("t").as("n_tokens"),
+        col("rate_ppm"),
+        expr("t * rate_ppm div 1000000L").as("expected_tokens"),
+        col("n_kept_docs"), col("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */

@@ -385,6 +385,31 @@ class RoundFourSpec extends SparkSpecBase {
       s"sample $kept far from budget $budget")
   }
 
+  test("tokenBudgetMixture waterfills exactly: line sources equalized, " +
+      "below-line sources untouched, budget conserved") {
+    val rows = TextOps.tokenBudgetMixture(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = total / TextOps.MIX_BUDGET_DIV
+    val expected = rows.map(_.getAs[Long]("expected_tokens")).sum
+    // Σ min(t_i, L) = B up to the per-source floor rounding (≤1 token
+    // lost per source)
+    assert(expected <= budget && expected >= budget - rows.length,
+      s"waterfill must land on the budget: $expected vs $budget")
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_tokens"); val e = r.getAs[Long]("expected_tokens")
+      val rp = r.getAs[Long]("rate_ppm")
+      if (rp == 1000000L) assert(e == t, s"below-line source must keep all: $r")
+      else assert(e < t, s"above-line source must downsample: $r")
+    }
+    // every above-line source is allocated the same waterline mass (±1
+    // for the floor)
+    val lineAllocs = rows.filter(_.getAs[Long]("rate_ppm") < 1000000L)
+      .map(_.getAs[Long]("expected_tokens"))
+    if (lineAllocs.length > 1)
+      assert(lineAllocs.max - lineAllocs.min <= 1,
+        s"above-line sources must equalize: ${lineAllocs.toSeq}")
+  }
+
   test("writeShards materializes the training shuffle: hive shard dirs " +
       "match the manifest; file order IS the order hash") {
     val out = java.nio.file.Files.createTempDirectory("graft-shards")
