@@ -1431,6 +1431,32 @@ object OracleTwins {
     * the longest duplicated run. `list_slice` end-index is inclusive;
     * Spark's `slice(w, i, W)` takes W elements — both truncate at the
     * tail identically. */
+  /** q152's twin: same positioned window hashes (k = PHRASE_W), same
+    * phrase-hash probe, zero-hit phrases kept by the left join. */
+  val phraseSearch: String = {
+    val phraseList = TextOps.PHRASES.map(p => s"'$p'").mkString(", ")
+    s"""WITH p AS (SELECT unnest([$phraseList]) AS phrase),
+       |ph AS (SELECT phrase, ${polyhash("phrase")} AS h FROM p),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |    ${polyhash(s"array_to_string(list_slice(w, pos, pos + ${TextOps.PHRASE_W - 1}), ' ')")} AS h
+       |  FROM toks, LATERAL (SELECT unnest(range(1,
+       |    greatest(len(w) - ${TextOps.PHRASE_W - 1}, 1) + 1)) AS pos) t),
+       |hits AS (
+       |  SELECT phrase, doc_id FROM win JOIN ph ON win.h = ph.h),
+       |a AS (
+       |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    min(doc_id) AS first_doc_id
+       |  FROM hits GROUP BY phrase)
+       |SELECT p.phrase, COALESCE(n_occurrences, 0) AS n_occurrences,
+       |  COALESCE(n_docs, 0) AS n_docs, first_doc_id
+       |FROM p LEFT JOIN a USING (phrase) ORDER BY phrase""".stripMargin
+  }
+
   val repeatedSpans: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

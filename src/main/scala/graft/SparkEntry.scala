@@ -284,6 +284,8 @@ object SparkEntry {
     "q150_source_pair_dups"        -> (Dedup.sourcePairDups _),
     // ---- round 8: token-budget mixture via exact waterfilling ----
     "q151_token_budget_mixture"    -> (TextOps.tokenBudgetMixture _),
+    // ---- round 8: exact phrase search via positioned span hashes ----
+    "q152_phrase_search"           -> (TextOps.phraseSearch _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -487,6 +489,7 @@ object SparkEntry {
     "q149_ivfpq_index_probe" -> OracleTwins.ivfpqIndexProbe,
     "q150_source_pair_dups" -> OracleTwins.sourcePairDups,
     "q151_token_budget_mixture" -> OracleTwins.tokenBudgetMixture,
+    "q152_phrase_search" -> OracleTwins.phraseSearch,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

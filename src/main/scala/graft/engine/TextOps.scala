@@ -591,6 +591,47 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q152 phrase set — 3-token phrases, a mix of present and absent so
+    * the zero-hit path is exercised too. */
+  val PHRASES: Seq[String] =
+    Seq("batch batch batch", "join order batch", "sort merge part")
+  val PHRASE_W = 3
+
+  /** q152: exact phrase search without an index — every [[PHRASE_W]]-token
+    * window's codegen'd positioned hash ([[TextFns.spanHashes]], the q133
+    * machinery) meets the broadcast phrase-hash set; a hit is an exact
+    * token-sequence occurrence (modulo polyhash collision over the prime
+    * field — a production verify would string-compare the hits, a
+    * |hits|-bounded step). Per phrase: occurrence count, distinct
+    * documents, first document — the grep-over-the-corpus primitive that
+    * backs quote tracing and benchmark-contamination drill-downs.
+    *
+    * Scale shape: one map-only hashing pass over the corpus (no
+    * tokenize-join, no index requirement), a broadcast semi-structure
+    * join against |phrases| hashes, and a |phrases|-bounded aggregate.
+    * The LEFT join from the phrase list keeps zero-hit phrases in the
+    * output with exact zero counts. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pdf = PHRASES.toDF("phrase")
+      .select(col("phrase"), TextFns.polyHash(col("phrase")).as("ph"))
+    val hits = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.spanHashes(col("text"), PHRASE_W)).as("h"))
+      .join(broadcast(pdf), col("h") === col("ph"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc_id"))
+    pdf.select(col("phrase"))
+      .join(hits, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("first_doc_id"))
+      .orderBy("phrase")
+  }
+
   /** Winnowing-style document fingerprint: min rolling hash over character
     * 8-grams + distinct-gram count. One map-only pass; the fingerprint is
     * the clustering key for containment-style dedup at scale. */
