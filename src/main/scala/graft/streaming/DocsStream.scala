@@ -90,6 +90,29 @@ object DocsStream {
       .agg(count(lit(1)).as("n_docs_stream"))
   }
 
+  /** Streaming phrase monitor — [[graft.engine.TextOps.phraseSearch]] as
+    * a live watch: every streamed document's positioned window hashes
+    * meet the broadcast watched-phrase hashes, and the complete-mode
+    * aggregate holds per-phrase occurrence counts (plus the sentinel
+    * doc counter). THE contamination alarm: benchmark phrases appearing
+    * in the ingest feed page before the corpus ships. Same bounded-state
+    * law as [[heavyGramMonitor]]: ≤ |phrases|+1 rows forever.
+    *
+    * `phrases` needs a `ph` column of phrase hashes
+    * (`TextFns.polyHash` of the phrase string). */
+  def phraseMonitor(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val w = phrases.select(col("ph"))
+      .unionByName(docs.sparkSession.range(1)
+        .select(lit(DOC_SENTINEL).as("ph")))
+    docs
+      .select(explode(concat(array(lit(DOC_SENTINEL)),
+        TextFns.spanHashes(col("text"), graft.engine.TextOps.PHRASE_W)))
+        .as("h"))
+      .join(broadcast(w), col("h") === col("ph"), "left_semi")
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_occurrences_stream"))
+  }
+
   /** The landing half of [[curatedSink]], exposed for retry simulation:
     * lang-partitioned with a `batch=<id>` sub-partition under dynamic
     * overwrite, so re-running a batch replaces exactly its own

@@ -812,6 +812,47 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming phrase monitor equals batch phrase search; state stays " +
+      "bounded") {
+    import graft.engine.{Schemas, TextOps}
+    import graft.functions.TextFns
+    val dir = tmpDir("graft-stream-phrase")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    import spark.implicits._
+    val phrases = TextOps.PHRASES.toDF("phrase")
+      .select(col("phrase"), TextFns.polyHash(col("phrase")).as("ph"))
+      .localCheckpoint()
+    val stream = spark.readStream.schema(Schemas.documents).parquet(dir)
+    val q = DocsStream.phraseMonitor(stream, phrases)
+      .writeStream.format("memory").queryName("phrase_monitor")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("phrase_monitor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // sentinel carries total docs streamed
+      assert(streamed.get(DocsStream.DOC_SENTINEL)
+        .contains(Tables.documents(spark, sf).count()))
+      // per-phrase counts equal the batch q152 occurrence counts
+      val batch = TextOps.phraseSearch(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val hashOf = phrases.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      TextOps.PHRASES.foreach { p =>
+        val n = streamed.getOrElse(hashOf(p), 0L)
+        assert(n == batch(p), s"phrase '$p': streamed $n vs batch ${batch(p)}")
+      }
+      // a zero-hit phrase must exist so the absent-row path is exercised
+      assert(batch.values.exists(_ == 0L))
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+      assert(stateRows.nonEmpty &&
+        stateRows.max <= TextOps.PHRASES.length + 1,
+        s"monitor state must stay bounded: ${stateRows.max}")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: accumulated histograms equal the batch " +
       "assignment; a replayed batch replaces its histogram") {
     import graft.engine.{Sim, Tables}
