@@ -17,7 +17,11 @@ class ConcurrencySpec extends SparkSpecBase {
   test("parallel query mix matches sequential results on a shared session") {
     val names = Seq("q02_top5_suppliers", "q35_sql_over_views",
       "q50_sql_text_functions", "q56_set_ops", "q21_text_stats",
-      "q66_latest_event")
+      "q66_latest_event",
+      // round-8 additions: q148 exercises the UUID-named IVF corpus
+      // temp view under concurrency; the others are stateless gates
+      "q148_cell_coverage_sample", "q141_temperature_sample",
+      "q151_token_budget_mixture", "q152_phrase_search")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq
