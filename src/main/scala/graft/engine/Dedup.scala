@@ -200,6 +200,70 @@ object Dedup {
     labels
   }
 
+  // ------------------------------ incremental cluster labels (lifecycle)
+
+  /** Build-once half of the CLUSTER lifecycle: full
+    * [[connectedComponents]] over `pairs`, persisted at `labelDir`
+    * clustered by label (so [[mergeClusterIncrement]]'s relabel join
+    * prunes files by label range). */
+  def buildClusterLabels(pairs: DataFrame, labelDir: String): Unit =
+    connectedComponents(undirected(pairs))
+      .repartition(col("label")).sortWithinPartitions("label")
+      .write.mode("overwrite").parquet(labelDir)
+
+  private def undirected(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+
+  /** Merge an increment's near-dup pairs into the persisted labels
+    * WITHOUT re-clustering the corpus — the missing piece between the
+    * incremental pair stream ([[dedupIncrement]]) and the cluster-level
+    * decisions (keep-lists, cluster-aware splits): daily increments kept
+    * re-running the full transitive closure; this folds them in at a
+    * cost bounded by the INCREMENT, not the corpus.
+    *
+    * The device is graph contraction: each new edge's endpoints map to
+    * their current component roots (themselves if unlabeled), giving a
+    * component-level graph whose size is bounded by the increment's edge
+    * count; [[connectedComponents]] runs on THAT, and the resulting
+    * root→root merges relabel only rows whose label is touched (a join
+    * on the label-clustered table — file-pruned, never a corpus scan).
+    * Fresh ids enter with their merged root. Because every old root is
+    * already the min of its component, min-over-roots = min-over-members,
+    * so the merged labels are EXACTLY the full recompute's (spec-pinned
+    * across multi-increment merges against [[clusterLabels]]).
+    *
+    * The swap rides [[IndexMaintenance.rewrite]]: readers see the old or
+    * the new labels atomically. */
+  def mergeClusterIncrement(spark: SparkSession, labelDir: String,
+      newPairs: DataFrame): Unit = {
+    val l = spark.read.parquet(labelDir)
+    val contracted = newPairs.select("doc_a", "doc_b")
+      .join(l.select(col("id").as("doc_a"), col("label").as("ra")),
+        Seq("doc_a"), "left")
+      .join(l.select(col("id").as("doc_b"), col("label").as("rb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    if (contracted.isEmpty) return // all edges internal to existing clusters
+    val rootMap = connectedComponents(undirected(contracted))
+      .select(col("id").as("old_root"), col("label").as("new_root"))
+      .localCheckpoint()
+    val ids = newPairs.select(col("doc_a").as("id"))
+      .unionAll(newPairs.select(col("doc_b").as("id"))).distinct()
+    val fresh = ids.join(l.select("id"), Seq("id"), "left_anti")
+      .join(rootMap, col("id") === col("old_root"), "left")
+      .select(col("id"), coalesce(col("new_root"), col("id")).as("label"))
+    val updated = l.join(rootMap, col("label") === col("old_root"), "left")
+      .select(col("id"), coalesce(col("new_root"), col("label")).as("label"))
+    IndexMaintenance.rewrite(spark, labelDir) { staging =>
+      updated.unionByName(fresh)
+        .repartition(col("label")).sortWithinPartitions("label")
+        .write.mode("overwrite").parquet(staging)
+    }
+  }
+
   /** Near-dup cluster labels: verified MinHash pairs → undirected edges →
     * [[connectedComponents]]. Only docs that participate in at least one
     * near-dup pair appear (singletons are implicitly their own cluster). */

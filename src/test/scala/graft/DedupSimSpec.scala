@@ -621,6 +621,45 @@ class DedupSimSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental cluster labels equal the full recompute across " +
+      "merged increments") {
+    import org.apache.spark.sql.Row
+    val all = Dedup.minhashNearDup(spark, sf)
+      .select("doc_a", "doc_b").localCheckpoint()
+    assert(all.count() > 3, "need enough pairs to split into increments")
+    def batch(i: Int) = all.filter((col("doc_a") + col("doc_b")) % 3 === i)
+    val labelDir = tmpDir("graft-cc-inc") + "/labels"
+    Dedup.buildClusterLabels(batch(0), labelDir)
+    Dedup.mergeClusterIncrement(spark, labelDir, batch(1))
+    Dedup.mergeClusterIncrement(spark, labelDir, batch(2))
+    val merged = spark.read.parquet(labelDir)
+      .collect().map { case Row(id: Long, label: Long) => (id, label) }
+      .sorted.toSeq
+    val full = Dedup.connectedComponents(
+        all.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(all.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      .collect().map { case Row(id: Long, label: Long) => (id, label) }
+      .sorted.toSeq
+    assert(merged == full,
+      "incremental merges must reproduce the full transitive closure")
+    // non-vacuity: some increment must have actually MERGED components
+    // (same-batch-only closures would make this test prove nothing)
+    val firstOnly = Dedup.connectedComponents(
+        batch(0).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(batch(0).select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      .collect().map { case Row(id: Long, label: Long) => (id, label) }.toMap
+    assert(full.exists { case (id, lbl) =>
+      firstOnly.get(id).exists(_ != lbl) },
+      "later increments must change at least one label")
+    // merging an increment with no cross-component edges is a no-op
+    val before = spark.read.parquet(labelDir).collect()
+      .map(_.toString).sorted.toSeq
+    Dedup.mergeClusterIncrement(spark, labelDir, batch(1))
+    assert(spark.read.parquet(labelDir).collect()
+      .map(_.toString).sorted.toSeq == before,
+      "re-merging already-internal edges must change nothing")
+  }
+
   test("containmentDedup catches doc-in-doc pairs the Jaccard gate misses") {
     val rows = Dedup.containmentDedup(spark, sf).collect()
     // planted half-docs: (orig, orig+50000000) pairs with containment ≈ 1
