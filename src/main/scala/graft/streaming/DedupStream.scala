@@ -55,9 +55,20 @@ object DedupStream {
     * replayed batch re-appends band rows that were already folded —
     * duplicate index rows, which cost storage until the next fold but
     * cannot change output: pair emission dedups on (doc_a, doc_b). */
+  /** `labelDir` (optional, empty = off) keeps the GLOBAL cluster state
+    * current as pairs stream: after each batch's pairs land, they merge
+    * into the persisted labels via
+    * [[graft.engine.Dedup.mergeClusterIncrement]] — cost bounded by the
+    * batch's edges, never the corpus. Seed the labels from the build
+    * corpus's internal pairs ([[graft.engine.Dedup.buildClusterLabels]]);
+    * every corpus pair is then base-internal (seeded), cross-batch, or
+    * within-batch (both streamed), so the label state after the stream
+    * equals the full-corpus transitive closure (spec-pinned). A
+    * replayed batch re-merges edges that are now internal — the merge's
+    * documented no-op path, so label maintenance is idempotent too. */
   def nearDupSink(docs: DataFrame, indexDir: String, outDir: String,
                   checkpointDir: String, appendToIndex: Boolean = true,
-                  compactEvery: Int = 0): StreamingQuery =
+                  compactEvery: Int = 0, labelDir: String = ""): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -69,6 +80,14 @@ object DedupStream {
         graft.engine.Dedup.dedupIncrement(batch, indexDir,
           increment = batchId + 1L, outDir = outDir,
           appendToIndex = appendToIndex)
+        if (labelDir.nonEmpty) {
+          // the just-landed batch partition, file-pruned by the batch key
+          import org.apache.spark.sql.functions.col
+          graft.engine.Dedup.mergeClusterIncrement(spark, labelDir,
+            spark.read.parquet(outDir)
+              .filter(col("batch") === batchId + 1L)
+              .select("doc_a", "doc_b"))
+        }
       }
       .start()
 }

@@ -812,6 +812,41 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streamed label maintenance: cluster state after the stream equals " +
+      "the full-corpus transitive closure") {
+    import graft.engine.Dedup
+    import graft.streaming.DedupStream
+    import org.apache.spark.sql.Row
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    val indexDir = tmpDir("graft-stream-lbl") + "/index"
+    val labelDir = tmpDir("graft-stream-lbl") + "/labels"
+    Dedup.buildMinhashIndex(base, indexDir)
+    // seed labels from the build corpus's internal pairs
+    val allPairs = Dedup.minhashNearDup(spark, sf)
+      .select("doc_a", "doc_b").localCheckpoint()
+    Dedup.buildClusterLabels(
+      allPairs.filter(col("doc_a") % Dedup.DELTA_MOD =!= 0 &&
+        col("doc_b") % Dedup.DELTA_MOD =!= 0), labelDir)
+    val inDir = tmpDir("graft-stream-lbl-in")
+    delta.repartition(3).write.mode("overwrite").parquet(inDir)
+    val q = DedupStream.nearDupSink(
+      spark.readStream.schema(spark.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      indexDir, tmpDir("graft-stream-lbl-out") + "/pairs",
+      tmpDir("graft-stream-lbl-ckpt"), labelDir = labelDir)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(labelDir)
+      .collect().map { case Row(id: Long, label: Long) => (id, label) }
+      .sorted.toSeq
+    val full = Dedup.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == full,
+      "streamed label merges must reproduce the full-corpus closure")
+  }
+
   test("streaming phrase monitor equals batch phrase search; state stays " +
       "bounded") {
     import graft.engine.{Schemas, TextOps}
