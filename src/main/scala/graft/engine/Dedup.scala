@@ -246,6 +246,9 @@ object Dedup {
       .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
         coalesce(col("rb"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
+    // maintenance-path control decision (the maintainIvfIndex
+    // discipline): one bounded action on the increment-sized set decides
+    // whether any write happens at all
     if (contracted.isEmpty) return // all edges internal to existing clusters
     val rootMap = connectedComponents(undirected(contracted))
       .select(col("id").as("old_root"), col("label").as("new_root"))
