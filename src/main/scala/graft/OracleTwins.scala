@@ -296,6 +296,45 @@ object OracleTwins {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q155's twin: the head-fingerprint channel alone over the same
+    * half-doc plant geometry, restricted to (original, plant) pairs —
+    * the cross pairs the index probe emits (plants are the delta and
+    * are never indexed, so plant-plant and original-original pairs
+    * cannot appear). */
+  val containmentIncrementProbe: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |aug AS (
+       |  SELECT doc_id, text FROM d
+       |  UNION ALL SELECT doc_id + 50000000,
+       |    substr(text, 1, CAST(floor(len(text)/2) AS BIGINT))
+       |  FROM d WHERE doc_id % ${Dedup.CONT_PLANT_MOD} = 0),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM aug),
+       |sh AS (SELECT doc_id,
+       |    ${polyhash(s"array_to_string(list_slice(w, 1, ${Dedup.CONT_HEAD_TOKENS}), ' ')")}
+       |      AS hh,
+       |    ${shingleHashes("w")} AS sh
+       |  FROM toks),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sh x JOIN sh y ON x.hh = y.hh AND x.doc_id < y.doc_id
+       |  WHERE x.doc_id < 50000000 AND y.doc_id >= 50000000),
+       |p AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      len(list_distinct(sa.sh || sb.sh))::DOUBLE AS jaccard,
+       |    GREATEST(
+       |      len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh)::DOUBLE,
+       |      len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh)::DOUBLE)
+       |      AS containment
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, ${round6("jaccard")} AS jaccard,
+       |  ${round6("containment")} AS containment
+       |FROM p WHERE containment >= ${Dedup.CONT_T}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q145's twin: same 13-gram overlap over the same plant geometry;
     * per-doc shared-gram counts from the distinct held-out gram set. */
   val ngramDecontamination: String =

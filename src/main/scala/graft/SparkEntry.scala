@@ -286,6 +286,13 @@ object SparkEntry {
     "q151_token_budget_mixture"    -> (TextOps.tokenBudgetMixture _),
     // ---- round 8: exact phrase search via positioned span hashes ----
     "q152_phrase_search"           -> (TextOps.phraseSearch _),
+    // ---- round 9: steady-state consumers of the maintained label
+    //      table (merge, never re-cluster) — same oracles as the full
+    //      recomputes they replace (q134/q142) ----
+    "q153_lifecycle_keep_list"     -> (Dedup.lifecycleKeepList _),
+    "q154_lifecycle_cluster_split" -> (Dedup.lifecycleClusterSplit _),
+    // ---- round 9: containment head-fingerprint index lifecycle ----
+    "q155_containment_increment"   -> (Dedup.containmentIncrementProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -490,6 +497,10 @@ object SparkEntry {
     "q150_source_pair_dups" -> OracleTwins.sourcePairDups,
     "q151_token_budget_mixture" -> OracleTwins.tokenBudgetMixture,
     "q152_phrase_search" -> OracleTwins.phraseSearch,
+    // the lifecycle-served consumers must equal the full recomputes
+    "q153_lifecycle_keep_list" -> OracleTwins.dedupKeepList,
+    "q154_lifecycle_cluster_split" -> OracleTwins.clusterAwareSplit,
+    "q155_containment_increment" -> OracleTwins.containmentIncrementProbe,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

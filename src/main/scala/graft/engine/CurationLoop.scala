@@ -1,0 +1,98 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The steady-state "day loop" — one ingest increment through the FULL
+  * curation lifecycle as a single operational unit, the run a 100 TB
+  * training-data pipeline schedules daily. Every stage is the
+  * already-proven incremental operator; this object is the composition
+  * plus the per-stage `observe()` row accounting ([[Pipeline.silver]]'s
+  * discipline — audits ride the stage jobs, never a second corpus pass):
+  *
+  *  1. band-channel dedup increment ([[Dedup.dedupIncrement]]): the
+  *     batch probes the persisted MinHash band index, lands verified
+  *     pairs, appends itself to the index;
+  *  2. containment head-channel increment
+  *     ([[Dedup.containmentIncrement]]): same shape over the head
+  *     fingerprint index — truncation/prefix copies caught;
+  *  3. incremental CC merge ([[Dedup.mergeClusterIncrement]]): the
+  *     batch's landed band pairs fold into the persisted cluster labels
+  *     at increment-bounded cost — never a corpus re-cluster;
+  *  4. lifecycle keep-list ([[Dedup.dedupKeepListFrom]]): the keep/drop
+  *     audit served from the maintained labels (bounded label join, no
+  *     pair graph, no closure);
+  *  5. shard refresh ([[TextOps.writeShards]]): the kept corpus lands
+  *     re-sharded in the deterministic training order.
+  *
+  * Exactly-once: stages 1–2 land under batch-keyed dynamic partition
+  * overwrite (a replayed increment replaces itself), stage 3's merge of
+  * now-internal edges is its documented no-op path, and stages 4–5 are
+  * deterministic functions of the (unchanged) label table and corpus —
+  * so REPLAYING a day leaves every sink byte-stable and returns the
+  * same [[DayReport]] (PipelineSpec pins this).
+  */
+object CurationLoop {
+
+  /** Per-day audit line: row accounting at every stage. */
+  case class DayReport(
+      batchDocs: Long,   // documents ingested this increment
+      bandPairs: Long,   // near-dup pairs landed by the band channel
+      contPairs: Long,   // containment pairs landed by the head channel
+      keptDocs: Long,    // corpus docs surviving dedup (post-merge labels)
+      droppedDocs: Long, // corpus docs dropped for a cluster canonical
+      shardRows: Long)   // rows laid down by the shard refresh
+
+  /** Run one day: `batch` (needs doc_id, lang, text) against the state
+    * rooted at `root` (band index, head index, pair sinks, labels,
+    * shards — all previously seeded), with `corpus` the post-ingest
+    * document set stages 4–5 serve. */
+  def runDay(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
+      increment: Long, root: String): DayReport = {
+    // stage 1+2: both channels consume ONE observed batch projection —
+    // the ingest count rides the channels' own jobs
+    val obsBatch = Observation()
+    val counted = batch.select(col("doc_id"), col("text"))
+      .observe(obsBatch, count(lit(1)).as("n"))
+    Dedup.dedupIncrement(counted, s"$root/band_index", increment,
+      s"$root/pairs")
+    Dedup.containmentIncrement(counted, s"$root/head_index", increment,
+      s"$root/cont_pairs")
+    // stage 3: merge THIS batch's landed band pairs (file-pruned by the
+    // batch key) into the persisted labels. Pair counts come from
+    // file-pruned partition scans, NOT an observe on the merge input:
+    // the merge's bounded control decision (`contracted.isEmpty`) is a
+    // limit-short-circuited job, and an Observation keeps its FIRST
+    // query's metrics — a partial scan would report a partial count.
+    val landed = spark.read.parquet(s"$root/pairs")
+      .filter(col("batch") === increment)
+      .select("doc_a", "doc_b")
+    Dedup.mergeClusterIncrement(spark, s"$root/labels", landed)
+    val bandPairs = landed.count()
+    // containment pairs stay a separate relation (they gate re-ingest,
+    // not cluster membership), so no stage job consumes them here either
+    val contPairs = spark.read.parquet(s"$root/cont_pairs")
+      .filter(col("batch") === increment).count()
+    // stage 4: keep-list from the maintained labels — the audit is the
+    // (bounded, per-lang) result itself
+    val keepList = Dedup.keepListOfLabels(corpus,
+      Dedup.readClusterLabels(spark, s"$root/labels"))
+      .agg(sum("n_kept").as("kept"), sum("n_dropped").as("dropped"))
+      .collect()(0)
+    // stage 5: shard refresh of the kept corpus, row count riding the
+    // write job
+    val obsShards = Observation()
+    TextOps.writeShards(
+      Dedup.keptDocsFrom(corpus,
+          Dedup.readClusterLabels(spark, s"$root/labels"))
+        .observe(obsShards, count(lit(1)).as("n")),
+      s"$root/shards")
+    DayReport(
+      batchDocs = obsBatch.get("n").asInstanceOf[Long],
+      bandPairs = bandPairs,
+      contPairs = contPairs,
+      keptDocs = keepList.getLong(0),
+      droppedDocs = keepList.getLong(1),
+      shardRows = obsShards.get("n").asInstanceOf[Long])
+  }
+}

@@ -202,14 +202,33 @@ object Dedup {
 
   // ------------------------------ incremental cluster labels (lifecycle)
 
+  /** Id-bucket fanout of the persisted label table. Partitioning keys on
+    * the IMMUTABLE id (never the label): a relabel changes `label`, so
+    * label-keyed partitions would have rows MIGRATE between partitions
+    * on every merge — and a dynamic-overwrite rewrite of a partition all
+    * of whose rows left would silently leave the stale copy behind.
+    * Id-keyed partitions never lose rows, so a touched partition is
+    * always rewritten in place. */
+  val LABEL_BUCKETS = 64
+
+  private def labelBucket(idCol: Column): Column =
+    pmod(idCol, lit(LABEL_BUCKETS.toLong)).cast("int")
+
   /** Build-once half of the CLUSTER lifecycle: full
     * [[connectedComponents]] over `pairs`, persisted at `labelDir`
-    * clustered by label (so [[mergeClusterIncrement]]'s relabel join
-    * prunes files by label range). */
+    * partitioned by [[LABEL_BUCKETS]] id-buckets (so
+    * [[mergeClusterIncrement]] rewrites only touched buckets) and
+    * label-sorted within files (so row-group min/max stats prune
+    * label-keyed probe scans). */
   def buildClusterLabels(pairs: DataFrame, labelDir: String): Unit =
     connectedComponents(undirected(pairs))
-      .repartition(col("label")).sortWithinPartitions("label")
-      .write.mode("overwrite").parquet(labelDir)
+      .withColumn("lb", labelBucket(col("id")))
+      .repartition(col("lb")).sortWithinPartitions("label")
+      .write.partitionBy("lb").mode("overwrite").parquet(labelDir)
+
+  /** The persisted label table as its consumers read it: (id, label). */
+  def readClusterLabels(spark: SparkSession, labelDir: String): DataFrame =
+    spark.read.parquet(labelDir).select(col("id"), col("label"))
 
   private def undirected(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -225,16 +244,27 @@ object Dedup {
     * The device is graph contraction: each new edge's endpoints map to
     * their current component roots (themselves if unlabeled), giving a
     * component-level graph whose size is bounded by the increment's edge
-    * count; [[connectedComponents]] runs on THAT, and the resulting
-    * root→root merges relabel only rows whose label is touched (a join
-    * on the label-clustered table — file-pruned, never a corpus scan).
-    * Fresh ids enter with their merged root. Because every old root is
-    * already the min of its component, min-over-roots = min-over-members,
-    * so the merged labels are EXACTLY the full recompute's (spec-pinned
-    * across multi-increment merges against [[clusterLabels]]).
+    * count; [[connectedComponents]] runs on THAT. Fresh ids enter with
+    * their merged root. Because every old root is already the min of its
+    * component, min-over-roots = min-over-members, so the merged labels
+    * are EXACTLY the full recompute's (spec-pinned across
+    * multi-increment merges against [[clusterLabels]]).
     *
-    * The swap rides [[IndexMaintenance.rewrite]]: readers see the old or
-    * the new labels atomically. */
+    * Cost, honestly itemized: LOCATING work costs two narrow columnar
+    * passes over the table (resolving the endpoints' roots and finding
+    * which id-buckets hold a touched label — id/label columns only,
+    * row-group-prunable via the label-sorted layout); the REWRITE — the
+    * expensive half, and the whole table before this layout — is
+    * partition-pruned to the touched id-buckets and lands via dynamic
+    * partition overwrite, so bytes written track the touched components
+    * plus the increment, never the corpus. Untouched buckets are neither
+    * read in full nor rewritten. The touched-bucket set (≤
+    * [[LABEL_BUCKETS]] values) is the one driver-side collect — the
+    * bounded control decision that drives partition pruning, the
+    * [[Sim.maintainIvfIndex]] discipline. Atomicity is the increment
+    * appends': per-partition replace at job commit (the old
+    * staging-swap device rewrote — and double-stored — the whole table
+    * to get whole-table atomicity the consumers don't need). */
   def mergeClusterIncrement(spark: SparkSession, labelDir: String,
       newPairs: DataFrame): Unit = {
     val l = spark.read.parquet(labelDir)
@@ -258,13 +288,23 @@ object Dedup {
     val fresh = ids.join(l.select("id"), Seq("id"), "left_anti")
       .join(rootMap, col("id") === col("old_root"), "left")
       .select(col("id"), coalesce(col("new_root"), col("id")).as("label"))
-    val updated = l.join(rootMap, col("label") === col("old_root"), "left")
+      .localCheckpoint() // feeds both the bucket locate and the write
+    // the touched id-buckets: those holding a row whose label merges,
+    // plus the fresh ids' own buckets — ≤ LABEL_BUCKETS values
+    val touched = l.join(broadcast(rootMap), col("label") === col("old_root"))
+      .select(col("lb").cast("int").as("lb"))
+      .unionByName(fresh.select(labelBucket(col("id")).as("lb")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val part = l.filter(col("lb").isin(touched: _*))
+    val updated = part
+      .join(broadcast(rootMap), col("label") === col("old_root"), "left")
       .select(col("id"), coalesce(col("new_root"), col("label")).as("label"))
-    IndexMaintenance.rewrite(spark, labelDir) { staging =>
-      updated.unionByName(fresh)
-        .repartition(col("label")).sortWithinPartitions("label")
-        .write.mode("overwrite").parquet(staging)
-    }
+    updated.unionByName(fresh)
+      .withColumn("lb", labelBucket(col("id")))
+      .repartition(col("lb")).sortWithinPartitions("label")
+      .write.partitionBy("lb")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(labelDir)
   }
 
   /** Near-dup cluster labels: verified MinHash pairs → undirected edges →
@@ -303,11 +343,37 @@ object Dedup {
     * is one null/equality check, and the audit is a lang-keyed aggregate
     * with map-side combine. The kept corpus itself would be the same
     * join with a filter instead of the aggregate — identical plan shape. */
-  def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(spark, dir)
-      .select(col("id").as("doc_id"), col("label"))
-    val d = spread(documents(spark, dir)).select(col("doc_id"), col("lang"))
-    d.join(labels, Seq("doc_id"), "left")
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame =
+    keepListOf(spark, dir, clusterLabels(spark, dir))
+
+  /** The STEADY-STATE keep-list: served from the maintained label table
+    * ([[buildClusterLabels]] + [[mergeClusterIncrement]], kept current by
+    * [[graft.streaming.DedupStream]]'s labelDir hook) instead of
+    * recomputing the corpus pair graph + transitive closure in-plan —
+    * the daily path of a 100 TB pipeline, with [[dedupKeepList]]'s full
+    * recompute demoted to the audit run. One bounded label join, no LSH
+    * self-join, no CC rounds (the full recompute was the 193 s sf10 line
+    * in SCALE_r08.md; this is the closure cost gone — LifecycleBench).
+    * Output contract is [[dedupKeepList]]'s exactly, spec-pinned
+    * row-for-row after streamed increments, and oracle-gated end-to-end
+    * as q153. */
+  def dedupKeepListFrom(spark: SparkSession, dir: String,
+      labelDir: String): DataFrame =
+    keepListOf(spark, dir, readClusterLabels(spark, labelDir))
+
+  private def keepListOf(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame =
+    keepListOfLabels(
+      spread(documents(spark, dir)).select(col("doc_id"), col("lang")),
+      labels)
+
+  /** [[dedupKeepListFrom]]'s core over an explicit corpus DataFrame —
+    * the form the day loop ([[CurationLoop]]) feeds directly. */
+  private[engine] def keepListOfLabels(docs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"))
+    d.join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
       .select(col("lang"),
         (col("label").isNull || col("label") === col("doc_id")).as("keep"))
       .groupBy("lang")
@@ -318,6 +384,18 @@ object Dedup {
         col("n_kept").cast("double") / col("n_docs").cast("double")))
       .orderBy("lang")
   }
+
+  /** The kept corpus itself under maintained labels — the
+    * materializable twin of the keep-list accounting: same keep
+    * predicate (unclustered, or the cluster's canonical = min doc_id),
+    * document payload intact. The input to the day loop's shard
+    * refresh. */
+  private[engine] def keptDocsFrom(docs: DataFrame,
+      labels: DataFrame): DataFrame =
+    docs.join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .drop("label")
 
   /** N-gram decontamination geometry: 13-gram overlap (the GPT-3-lineage
     * standard), heldout = every 17th doc, excerpt plants of 20 tokens. */
@@ -419,11 +497,23 @@ object Dedup {
     * the split is one hash of the rep id (map-side after a broadcast-or-
     * shuffled left join on doc_id); the audit shuffles only (rep, split)
     * with map-side combine. */
-  def clusterAwareSplit(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(spark, dir)
-      .select(col("id").as("doc_id"), col("label"))
+  def clusterAwareSplit(spark: SparkSession, dir: String): DataFrame =
+    splitOf(spark, dir, clusterLabels(spark, dir))
+
+  /** The STEADY-STATE cluster-aware split, served from the maintained
+    * label table like [[dedupKeepListFrom]] — identical output contract
+    * to [[clusterAwareSplit]] (oracle-gated as q154), none of the
+    * in-plan pair-graph + closure cost (299 s at sf10 in SCALE_r08.md). */
+  def clusterAwareSplitFrom(spark: SparkSession, dir: String,
+      labelDir: String): DataFrame =
+    splitOf(spark, dir, readClusterLabels(spark, labelDir))
+
+  private def splitOf(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val d = spread(documents(spark, dir)).select(col("doc_id"), col("lang"))
-    val assigned = d.join(labels, Seq("doc_id"), "left")
+    val assigned = d.join(
+        labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("label"), col("doc_id")).as("rep"))
       .withColumn("split",
@@ -639,16 +729,182 @@ object Dedup {
     * documents table, probe the held-out 1/5 as the day's delta. The
     * oracle is the FULL-corpus recompute restricted to split-crossing
     * pairs, so a probe that misses a bucket (or re-hashes the corpus
-    * differently) hash-mismatches. The index persists at a deterministic
-    * temp path, rebuilt idempotently per run. */
+    * differently) hash-mismatches. The index lives at an
+    * invocation-unique scratch path ([[IndexMaintenance.scratchIndexDir]])
+    * so concurrent invocations never race each other's build/probe. */
   def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(documents(spark, dir))
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-minhash-index-" +
-      Integer.toHexString(dir.hashCode)
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "minhash-index")
     buildMinhashIndex(d.filter(col("doc_id") % DELTA_MOD =!= 0), indexDir)
     probeMinhashIndex(spark, d.filter(col("doc_id") % DELTA_MOD === 0),
       indexDir)
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------- containment head-fingerprint index (lifecycle)
+
+  /** One row per document for the containment head channel:
+    * (doc_id, hh, sh) — hh the [[CONT_HEAD_TOKENS]]-token head
+    * fingerprint (one long per doc; buckets near-singleton outside true
+    * prefix copies), sh the shingle-hash set the containment verify
+    * needs. The unit of both the persisted head index and its probes. */
+  private def headRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextFns.polyHash(concat_ws(" ",
+        slice(TextFns.tokens(col("text")), 1, CONT_HEAD_TOKENS))).as("hh"),
+      TextFns.shingleHashes(col("text")).as("sh"))
+
+  /** Build-once half of the head-channel lifecycle: one fingerprint row
+    * per doc, hh-clustered files (min/max stats prune probe scans),
+    * `increment=0` static overwrite — the [[buildMinhashIndex]] contract
+    * for the containment channel [[containmentDedup]] proved out:
+    * truncation/prefix copies arriving as INCREMENTS are caught by
+    * [[containmentIncrement]] without the band channel's recall
+    * dependence on a J ≈ 0.5 pair. */
+  def buildHeadIndex(docs: DataFrame, headDir: String): Unit =
+    writeHeadRows(headRows(docs), headDir, increment = 0L)
+
+  /** Append-an-increment half — dynamic overwrite, idempotent per
+    * increment (the [[appendMinhashIndex]] device). */
+  def appendHeadIndex(delta: DataFrame, headDir: String,
+      increment: Long): Unit =
+    writeHeadRows(headRows(delta), headDir, increment)
+
+  private def writeHeadRows(rows: DataFrame, headDir: String,
+      increment: Long): Unit =
+    rows.withColumn("increment", lit(increment))
+      .repartition(col("hh")).sortWithinPartitions(col("hh"))
+      .write.partitionBy("increment")
+      .option("partitionOverwriteMode",
+        if (increment == 0L) "static" else "dynamic")
+      .mode("overwrite")
+      .parquet(headDir)
+
+  /** Containment verify shared by every head-channel pair source: exact
+    * max-directional containment from the carried shingle sets (ONE
+    * intersect per pair, |A∪B| = |A|+|B|−|A∩B|), thresholded at
+    * [[CONT_T]], jaccard riding along ([[containmentDedup]]'s exact
+    * arithmetic — both measures are symmetric, so side order is free). */
+  private def verifyContainment(cand: DataFrame): DataFrame =
+    cand.select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("double").as("ni"),
+        size(col("sha")).cast("double").as("na"),
+        size(col("shb")).cast("double").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni") / (col("na") + col("nb") - col("ni"))).as("jaccard"),
+        greatest(col("ni") / col("na"), col("ni") / col("nb"))
+          .as("containment"))
+      .filter(col("containment") >= CONT_T)
+      .select(col("doc_a"), col("doc_b"),
+        Num.round6(col("jaccard")).as("jaccard"),
+        Num.round6(col("containment")).as("containment"))
+
+  /** Index-vs-delta containment pairs: the delta's head rows broadcast
+    * INTO the index scan — the index is never shuffled or re-hashed, and
+    * only index rows whose hh matches a delta head survive the join
+    * (hh-clustered files make that a pruned scan). A pair meets on its
+    * single hh at most once, so no distinct is needed. */
+  def probeHeadIndex(spark: SparkSession, delta: DataFrame,
+      headDir: String): DataFrame =
+    crossContainment(spark.read.parquet(headDir), headRows(delta))
+
+  private def crossContainment(idx: DataFrame,
+      deltaHeads: DataFrame): DataFrame =
+    verifyContainment(
+      idx.as("x").join(broadcast(deltaHeads.as("y")),
+          col("x.hh") === col("y.hh") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+          col("x.sh").as("sha"), col("y.sh").as("shb")))
+
+  /** Delta-internal containment pairs (broadcast hh self-join — a batch
+    * is bounded by the ingest trigger, the [[selfPairs]] argument). */
+  private def selfContainment(heads: DataFrame): DataFrame =
+    verifyContainment(
+      heads.as("x").join(broadcast(heads.as("y")),
+          col("x.hh") === col("y.hh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sh").as("sha"), col("y.sh").as("shb")))
+
+  /** One increment of the steady-state CONTAINMENT pipeline — the head
+    * channel's [[dedupIncrement]]: cross pairs against everything
+    * indexed (minus the batch's own increment — the retry-disjointness
+    * device documented there) plus within-batch pairs land at `outDir`
+    * under `batch=<increment>` (dynamic overwrite, exactly-once under
+    * retry), then the batch's head rows join the index. Catches the
+    * truncation/prefix-copy arrivals the band channel's J ≈ 0.5
+    * geometry would miss in the streaming path. */
+  def containmentIncrement(batch: DataFrame, headDir: String,
+      increment: Long, outDir: String,
+      appendToIndex: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val heads = headRows(batch).persist()
+    try {
+      crossContainment(spark.read.parquet(headDir)
+          .filter(col("increment").cast("long") =!= increment), heads)
+        .unionByName(selfContainment(heads))
+        .withColumn("batch", lit(increment))
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(outDir)
+      if (appendToIndex) writeHeadRows(heads, headDir, increment)
+    } finally { heads.unpersist(blocking = false); () }
+  }
+
+  /** q155: the head-channel lifecycle end-to-end — index the corpus in a
+    * build (even ids) plus one appended increment (odd ids), then probe
+    * the planted half-doc prefix copies ([[containmentDedup]]'s plant
+    * geometry) as the day's delta. The oracle recomputes the head-hash
+    * join + exact containment over the same augmented corpus restricted
+    * to (original, plant) pairs — a probe that misses the appended
+    * increment, or hashes the head differently, hash-mismatches. */
+  def containmentIncrementProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir)).select(col("doc_id"), col("text"))
+    val plants = d.filter(col("doc_id") % CONT_PLANT_MOD === 0)
+      .select((col("doc_id") + 50000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          floor(length(col("text")) / 2).cast("int")).as("text"))
+    val headDir = IndexMaintenance.scratchIndexDir(spark, "head-index")
+    buildHeadIndex(d.filter(col("doc_id") % 2 === 0), headDir)
+    appendHeadIndex(d.filter(col("doc_id") % 2 === 1), headDir,
+      increment = 1L)
+    probeHeadIndex(spark, plants, headDir).orderBy("doc_a", "doc_b")
+  }
+
+  /** q153: the label-LIFECYCLE keep-list end-to-end — seed labels from
+    * the base corpus's internal pairs, fold the delta-touching pairs in
+    * as one [[mergeClusterIncrement]] (never re-clustering the corpus),
+    * then serve [[dedupKeepListFrom]] off the maintained table. The
+    * oracle is q134's full-recompute SQL — the merged labels must yield
+    * the exact keep/drop accounting the whole-corpus closure does. */
+  def lifecycleKeepList(spark: SparkSession, dir: String): DataFrame = {
+    dedupKeepListFrom(spark, dir, lifecycleLabels(spark, dir))
+  }
+
+  /** q154: the label-lifecycle cluster-aware split — same maintained
+    * label table, [[clusterAwareSplitFrom]] on top, q142's oracle. */
+  def lifecycleClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    clusterAwareSplitFrom(spark, dir, lifecycleLabels(spark, dir))
+  }
+
+  /** Shared lifecycle-label builder of q153/q154: base-internal pairs
+    * seed [[buildClusterLabels]]; the delta-touching pairs merge as one
+    * increment. (The pair SOURCE here is the in-plan [[nearDupPairs]] —
+    * the demonstration is the label maintenance; the steady state feeds
+    * the same merge from [[dedupIncrement]]'s landed pair partitions,
+    * spec-pinned in StreamingSpec.) */
+  private def lifecycleLabels(spark: SparkSession, dir: String): String = {
+    val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val labelDir = IndexMaintenance.scratchIndexDir(spark, "labels")
+    buildClusterLabels(
+      pairs.filter(col("doc_a") % DELTA_MOD =!= 0 &&
+        col("doc_b") % DELTA_MOD =!= 0), labelDir)
+    mergeClusterIncrement(spark, labelDir,
+      pairs.filter(col("doc_a") % DELTA_MOD === 0 ||
+        col("doc_b") % DELTA_MOD === 0))
+    labelDir
   }
 
   /** Record-linkage geometry: candidate pairs form only inside a

@@ -54,6 +54,36 @@ object IndexMaintenance {
       s.getPath.getName.startsWith("increment=")).toLong
   }
 
+  /** Invocation-unique scratch root for a demo index lifecycle (the
+    * q128/q129/q139/q149 queries build a throwaway index per run). A
+    * fixed path keyed on the input dir let two CONCURRENT invocations
+    * over the same data race build/append/probe — the static build
+    * wipes increments mid-probe (ConcurrencySpec now runs the lifecycle
+    * queries in its parallel mix to pin the absence of that race). The
+    * dir is registered for delete-on-exit so repeated bench runs don't
+    * accumulate scratch indexes past the JVM's lifetime. */
+  private[graft] def scratchIndexDir(spark: SparkSession,
+      kind: String): String = {
+    val p = new Path(s"${sys.props("java.io.tmpdir")}/graft-$kind-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).deleteOnExit(p)
+    p.toString
+  }
+
+  /** Largest `increment=<n>` partition id under `dir` (0 if none) — the
+    * partition a streaming ingest may still replay after a crash, which
+    * maintenance must therefore never fold ([[Sim.maintainIvfIndex]]).
+    * One directory listing, no data read. */
+  def maxIncrement(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("increment="))
+      .map(_.getPath.getName.stripPrefix("increment=").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
   /** Parquet data-file count under `dir` — the quantity compaction exists
     * to shrink (specs assert it drops). */
   def parquetFileCount(spark: SparkSession, dir: String): Long = {

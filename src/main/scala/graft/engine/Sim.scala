@@ -342,17 +342,20 @@ object Sim {
     * dependent on the group key, so deterministic — instead of re-joining
     * the corpus on vec_id afterwards (which would add an N-row shuffle
     * join to every index write). */
-  private def assignWithVec(e: DataFrame, cents: DataFrame): DataFrame =
+  private def assignWithVec(e: DataFrame, cents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
     e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+      .select(Seq(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         (VecFns.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
-          .as("cos"))
+          .as("cos")) ++ carry.map(col): _*)
       .groupBy("vec_id")
       .agg(max_by(struct(col("cent_id"), col("cos")),
           struct(col("cos"), -col("cent_id"))).as("best"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("best.cent_id").as("cell"))
+        Seq(first(col("embedding")).as("embedding"),
+          first(col("nrm")).as("nrm")) ++
+          carry.map(c => first(col(c)).as(c)): _*)
+      .select(Seq(col("vec_id"), col("embedding"), col("nrm"),
+        col("best.cent_id").as("cell")) ++ carry.map(col): _*)
 
   /** Build-once half: train (stride-pick) the centroids from the build
     * corpus, persist them at `indexDir/centroids`, and lay the assigned
@@ -490,12 +493,40 @@ object Sim {
   /** Serve probes from the persisted compressed index: top-nprobe cells
     * via the AQE-safe sorted-slice aggregate (DPP prunes every other
     * cell's files), ADC over the pruned cells' CODES ([[PQ_M]] lookups
-    * per candidate into the probe's broadcast LUT — no corpus floats in
-    * the scan loop), exact rerank of the top-[[IVFPQ_RERANK]] shortlist
-    * from the stored full-precision floats. Output matches
-    * [[ivfpqTopK]]'s (probe_id, rank, neighbor_id, adc_dot, cosine). */
+    * per candidate into the probe's broadcast LUT), exact rerank of the
+    * top-[[IVFPQ_RERANK]] shortlist. The floats discipline is
+    * [[ivfpqTopK]]'s exactly: the ADC stage reads ONLY
+    * (vec_id, cell, code) — the candidate stream and its per-probe
+    * ranking exchange carry no `embedding`/`nrm` (candidates per probe ≈
+    * nprobe × cellsize grows linearly with the corpus; shuffling floats
+    * for them is the cost PQ codes exist to avoid — DedupSimSpec pins
+    * the pre-shortlist scan schema) — and full-precision vectors are
+    * fetched from `$indexDir/vectors` only for the broadcast
+    * top-RERANK shortlist, |probes|·RERANK rows against one corpus
+    * join. Output matches [[ivfpqTopK]]'s
+    * (probe_id, rank, neighbor_id, adc_dot, cosine). */
   def probeIvfPqIndex(probes: DataFrame, indexDir: String,
-      k: Int = IVF_TOP_K, nprobe: Int = IVFPQ_NPROBE): DataFrame = {
+      k: Int = IVF_TOP_K, nprobe: Int = IVFPQ_NPROBE): DataFrame =
+    ivfPqProbePlan(probes, indexDir, k, nprobe, obs = None)
+
+  /** [[probeIvfPqIndex]] with the serving metrics the compressed tier
+    * reports per probe batch ([[probeIvfIndexObserved]]'s discipline —
+    * metrics ride the probe job via `observe`, zero extra jobs):
+    * `adc_candidates` = code rows entering the ADC scan (the probe-cost
+    * unit: ≈ nprobe × cellsize per probe — the linear-in-corpus count
+    * whose floats the PQ codes exist to avoid moving) and `cells_probed`
+    * = distinct cells actually touched (every other cell's files are
+    * DPP-pruned from the scan). */
+  def probeIvfPqIndexObserved(probes: DataFrame, indexDir: String,
+      k: Int = IVF_TOP_K, nprobe: Int = IVFPQ_NPROBE)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("ivfpq_probe")
+    (ivfPqProbePlan(probes, indexDir, k, nprobe, Some(obs)), obs)
+  }
+
+  private def ivfPqProbePlan(probes: DataFrame, indexDir: String,
+      k: Int, nprobe: Int,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val spark = probes.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
@@ -519,11 +550,16 @@ object Sim {
         .as("ls"))
       .select(col("probe_id"), transform(col("ls"), s => s.getField("dp"))
         .as("lut"))
-    val adc = spark.read.parquet(s"$indexDir/vectors")
+    val candidates = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("cell"), col("code"))
       .join(broadcast(pcells),
         col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+    val measured = obs.fold(candidates)(o => candidates.observe(o,
+      count(lit(1)).as("adc_candidates"),
+      size(collect_set(col("pcell"))).cast("long").as("cells_probed")))
+    val adc = measured
       .join(broadcast(lut), "probe_id")
-      .select(col("probe_id"), col("vec_id"), col("embedding"), col("nrm"),
+      .select(col("probe_id"), col("vec_id"),
         // entries-per-subspace derives from the LUT length (≤ PQ_K when
         // the frozen codebook is smaller than the full K), so the
         // positional lookup stays aligned with the dense codebook ids
@@ -536,8 +572,15 @@ object Sim {
       .orderBy(col("adc").desc, col("vec_id").asc)
     val wr = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    adc.withColumn("arank", row_number().over(wa).cast("long"))
+    val shortlist = adc
+      .withColumn("arank", row_number().over(wa).cast("long"))
       .filter(col("arank") <= IVFPQ_RERANK)
+      .select(col("probe_id"), col("vec_id"), col("adc"))
+    // floats enter here and only here: the stored vectors join the
+    // broadcast shortlist (|probes|·RERANK rows) — never the ADC stream
+    spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(shortlist), "vec_id")
       .join(broadcast(pn), "probe_id")
       .select(col("probe_id"), col("vec_id"), col("adc"),
         (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
@@ -557,8 +600,7 @@ object Sim {
     * missed the increment's cells, hash-mismatches. */
   def ivfpqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = spread(embeddings(spark, dir))
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-index-" +
-      Integer.toHexString(dir.hashCode)
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "ivfpq-index")
     buildIvfPqIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir)
     appendIvfPqIndex(e.filter(col("vec_id") % ANN_DELTA_MOD === 0), indexDir,
       increment = 1L)
@@ -619,7 +661,18 @@ object Sim {
     * The threshold decision is one driver-side scalar (the
     * control-flow-action discipline of [[Graph.pageRankRun]]'s node
     * count): a ≤2K-row cell table reduced to max |drift|. Returns
-    * whether a recluster ran. */
+    * whether a recluster ran.
+    *
+    * Replay safety: the recluster folds every increment EXCEPT the
+    * newest into `increment=0` — the newest increment's vectors are
+    * reassigned against the new centroids like everything else but stay
+    * in their own partition. The newest increment is the only one a
+    * streaming ingest ([[graft.streaming.VecIndexStream]]) can replay
+    * after a crash between this maintenance and its checkpoint commit;
+    * because it is never folded, the replayed append's dynamic
+    * partition overwrite REPLACES it (with bit-identical rows — the
+    * replay assigns against the same now-persisted centroids) instead
+    * of landing a second copy beside a folded one. */
   def maintainIvfIndex(spark: SparkSession, indexDir: String,
       thresholdPpm: Long): Boolean = {
     val vecs = spark.read.parquet(s"$indexDir/vectors")
@@ -639,14 +692,22 @@ object Sim {
       .agg(max("d")).collect()(0).getLong(0)
     if (maxDrift <= thresholdPpm) false
     else {
+      // one directory listing (no data read) — the partition a replayed
+      // append may rewrite, excluded from the fold below
+      val newestInc =
+        IndexMaintenance.maxIncrement(spark, s"$indexDir/vectors")
       IndexMaintenance.rewrite(spark, indexDir) { staging =>
         val all = spark.read.parquet(s"$indexDir/vectors")
-          .select(col("vec_id"), col("embedding"), col("nrm"))
-        strideCentroids(all).write.mode("overwrite")
-          .parquet(s"$staging/centroids")
-        assignWithVec(all,
-          spark.read.parquet(s"$staging/centroids"))
-          .withColumn("increment", lit(0L))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("increment").cast("long").as("inc"))
+        strideCentroids(
+          all.select(col("vec_id"), col("embedding"), col("nrm")))
+          .write.mode("overwrite").parquet(s"$staging/centroids")
+        assignWithVec(all, spark.read.parquet(s"$staging/centroids"),
+          carry = Seq("inc"))
+          .withColumn("increment",
+            when(col("inc") === newestInc, lit(newestInc)).otherwise(lit(0L)))
+          .drop("inc")
           .write.partitionBy("increment", "cell")
           .mode("overwrite").parquet(s"$staging/vectors")
       }
@@ -741,8 +802,7 @@ object Sim {
     * centroids, hash-mismatches. */
   def ivfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = spread(embeddings(spark, dir))
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
-      Integer.toHexString(dir.hashCode)
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "ivf-index")
     buildIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir)
     appendIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD === 0), indexDir,
       increment = 1L)
@@ -776,8 +836,7 @@ object Sim {
     * max(nprobe)/K of the index's files. */
   def ivfNprobeRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(spread(embeddings(spark, dir))).localCheckpoint()
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-nprobe-" +
-      Integer.toHexString(dir.hashCode)
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "ivf-nprobe")
     buildIvfIndex(e.select(col("vec_id"), col("embedding")), indexDir)
     val pn = e.filter(col("vec_id") < N_PROBES)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),

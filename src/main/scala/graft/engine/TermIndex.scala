@@ -55,7 +55,15 @@ object TermIndex {
   /** Append-an-increment half: `delta`'s postings land as partition
     * `increment=<n>` under DYNAMIC overwrite — a retried append REPLACES
     * its increment instead of duplicating it (exactly-once under
-    * micro-batch retry, the [[Dedup.appendMinhashIndex]] device). */
+    * micro-batch retry, the [[Dedup.appendMinhashIndex]] device).
+    *
+    * PRECONDITION: increments must be doc-disjoint — a doc_id appears in
+    * at most one increment. A retried batch satisfies this (it replaces
+    * itself); an upstream RE-DELIVERY under a new batch id does not, and
+    * nothing here can detect it (the increment write never reads the
+    * others). Under violation, probe idf stays exact (df counts distinct
+    * doc_ids — [[probeTermIndex]]) but the duplicate (tf, len) rows and
+    * the stats sidecar's n_docs/total_tokens double-count the document. */
   def appendTermIndex(delta: DataFrame, indexDir: String,
       increment: Long): Unit =
     writeIncrement(delta, indexDir, increment)
@@ -116,20 +124,39 @@ object TermIndex {
     * scoring ([[TextOps.retrievalTopK]]'s exact arithmetic — ratio idf,
     * (1 + len/avglen) length penalty, term contributions folded in
     * sorted term order so the double sum is partition-order-free) over
-    * ONLY the probed terms' postings. df(term) = count of that term's
-    * fetched postings (each document appears in exactly one increment);
-    * n_docs / total_tokens come from the stats sidecar. */
+    * ONLY the probed terms' postings. df(term) counts DISTINCT doc_ids
+    * among the term's fetched postings, so a document RE-DELIVERED in a
+    * later increment (a violated doc-disjointness precondition — see
+    * [[appendTermIndex]]) cannot skew idf; its duplicate (tf, len) rows
+    * and the stats sidecar's n_docs/total_tokens still double-count —
+    * residual skew only doc-disjoint increments fully remove. */
   def probeTermIndex(spark: SparkSession, terms: Seq[String],
-      indexDir: String, k: Int): DataFrame = {
+      indexDir: String, k: Int): DataFrame =
+    probeTermIndexObserved(spark, terms, indexDir, k)._1
+
+  /** [[probeTermIndex]] with the serving metrics a production lexical
+    * index reports per probe batch ([[Sim.probeIvfIndexObserved]]'s
+    * discipline — metrics ride the probe job via `observe`, zero extra
+    * jobs): `postings_rows` = postings actually fetched (the probe-cost
+    * unit — everything outside the probed terms' lists is pruned from
+    * the scan, spec-pinned via PushedFilters), `terms_hit` = distinct
+    * probe terms with at least one posting (|terms| − terms_hit probed
+    * terms were vacuous — the complement an operator alerts on). */
+  def probeTermIndexObserved(spark: SparkSession, terms: Seq[String],
+      indexDir: String, k: Int)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
     val post = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(terms: _*))
     val corpus = spark.read.parquet(s"$indexDir/stats")
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("total_tokens").cast("long").as("total_tokens"))
-    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = post.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val obs = new org.apache.spark.sql.Observation("term_probe")
     val contrib = post
       .join(broadcast(df), "term")
       .crossJoin(broadcast(corpus))
+      .observe(obs, count(lit(1)).as("postings_rows"),
+        size(collect_set(col("term"))).cast("long").as("terms_hit"))
       .select(col("doc_id"),
         struct(col("term"),
           (col("tf").cast("double") *
@@ -137,7 +164,7 @@ object TermIndex {
             (lit(1.0) + col("len").cast("double") /
               (col("total_tokens").cast("double") / col("n_docs").cast("double"))))
             .as("c")).as("tc"))
-    contrib
+    val ranked = contrib
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("tc"))).as("cs"))
       .select(col("doc_id"),
@@ -153,6 +180,7 @@ object TermIndex {
       .select(col("rank"), col("doc_id"), col("n_terms_hit"),
         Num.round6(col("score")).as("score"))
       .orderBy("rank")
+    (ranked, obs)
   }
 
   /** Probe terms of the q139 lifecycle demonstration — distinct from
@@ -168,8 +196,7 @@ object TermIndex {
     * a retried append hash-mismatches. */
   def termIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val d = spread(documents(spark, dir))
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-term-index-" +
-      Integer.toHexString(dir.hashCode)
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "term-index")
     buildTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0), indexDir)
     appendTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD === 0), indexDir,
       increment = 1L)

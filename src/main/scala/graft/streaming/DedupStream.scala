@@ -66,9 +66,17 @@ object DedupStream {
     * equals the full-corpus transitive closure (spec-pinned). A
     * replayed batch re-merges edges that are now internal — the merge's
     * documented no-op path, so label maintenance is idempotent too. */
+  /** `headDir`/`contOutDir` (optional, both empty = off) arm the
+    * CONTAINMENT channel in the same micro-batch: the batch probes the
+    * persisted head-fingerprint index
+    * ([[graft.engine.Dedup.containmentIncrement]]) and appends its own
+    * head rows — so a truncation/prefix copy arriving in an increment
+    * pairs with its source (a case the band channel's J ≈ 0.5 geometry
+    * misses) through the same batch-keyed exactly-once sinks. */
   def nearDupSink(docs: DataFrame, indexDir: String, outDir: String,
                   checkpointDir: String, appendToIndex: Boolean = true,
-                  compactEvery: Int = 0, labelDir: String = ""): StreamingQuery =
+                  compactEvery: Int = 0, labelDir: String = "",
+                  headDir: String = "", contOutDir: String = ""): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -80,6 +88,10 @@ object DedupStream {
         graft.engine.Dedup.dedupIncrement(batch, indexDir,
           increment = batchId + 1L, outDir = outDir,
           appendToIndex = appendToIndex)
+        if (headDir.nonEmpty && contOutDir.nonEmpty)
+          graft.engine.Dedup.containmentIncrement(batch, headDir,
+            increment = batchId + 1L, outDir = contOutDir,
+            appendToIndex = appendToIndex)
         if (labelDir.nonEmpty) {
           // the just-landed batch partition, file-pruned by the batch key
           import org.apache.spark.sql.functions.col

@@ -25,7 +25,14 @@ import graft.engine.Sim
   * Delivery: the append is exactly-once under micro-batch retry
   * (batch-keyed dynamic overwrite). A crash between a recluster and
   * the batch checkpoint replays the batch as a re-append onto the
-  * reclustered index — idempotent again by the same device.
+  * reclustered index — still idempotent because the recluster NEVER
+  * folds the newest increment (the only partition a replay can
+  * rewrite; [[Sim.maintainIvfIndex]]'s replay-safety contract): the
+  * replayed append re-assigns against the now-persisted new centroids
+  * and dynamic-overwrites that same partition with bit-identical rows.
+  * Folding it would strand the batch's vectors in `increment=0` AND
+  * re-land them under `increment=batchId+1` on replay — the
+  * duplication the exclusion exists to prevent.
   *
   * OWNERSHIP CONTRACT (all three index streams): batch ids are unique
   * only within one checkpoint lineage, so an index is owned by exactly

@@ -14,11 +14,33 @@ import org.apache.spark.sql.functions._
   * there, so the scaled copy lands in a scratch dir). `region`/`nation`
   * stay fixed like TPC-H; every other table scales.
   *
+  * Document-duplication modes:
+  *  - default: copy i carries a ` copy$i` tail — copies stay NEAR-dups
+  *    of each other (only the last shingle changes), so every doc gains
+  *    ~factor near-twins and the near-dup pair graph grows ×factor² —
+  *    a replication ARTIFACT no real ×factor corpus growth exhibits,
+  *    which buries operator scaling under known artifact geometry for
+  *    every pair-graph/CC consumer (SCALE_r08.md's q134/q142/q147
+  *    rows).
+  *  - `--noDupAmplify`: copy i≥1 prefixes EVERY token (`c$i_...`), so
+  *    copies share no shingles with the original or each other — the
+  *    corpus grows ×factor with near-constant dup structure — except a
+  *    FIXED plant: copy 1 keeps the first [[PLANT_FAMILIES]] base ids
+  *    verbatim, giving a constant number of exact-dup families (size 2)
+  *    at every factor so dedup operators stay non-vacuous. Use this
+  *    mode to measure how an operator scales with CORPUS size rather
+  *    than with the artifact's pair blow-up.
+  *
   * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>
+  *        [--noDupAmplify]
   */
 object ScaleUp {
+  /** Dup families planted under `--noDupAmplify`: constant in factor. */
+  val PLANT_FAMILIES = 200L
+
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, factorS) = args
+    val noDupAmplify = args.contains("--noDupAmplify")
+    val Array(src, dst, factorS) = args.filterNot(_.startsWith("--"))
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.engine.Sessions.tune(SparkSession.builder()
@@ -68,7 +90,14 @@ object ScaleUp {
       "events" -> rep(rd("events"),
         Map("event_id" -> eSpan, "user_id" -> cSpan)),
       "documents" -> rep(rd("documents"), Map("doc_id" -> dSpan),
-        (d, i) => if (i == 0) d
+        (d, i) =>
+          if (i == 0) d
+          else if (noDupAmplify)
+            d.withColumn("text",
+              when(lit(i) === 1 &&
+                  col("doc_id") - lit(dSpan) < PLANT_FAMILIES, col("text"))
+                .otherwise(
+                  regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1")))
           else d.withColumn("text", concat(col("text"), lit(s" copy$i")))),
       "embeddings" -> rep(rd("embeddings"), Map("vec_id" -> vSpan)))
 

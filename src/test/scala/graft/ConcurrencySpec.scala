@@ -21,7 +21,13 @@ class ConcurrencySpec extends SparkSpecBase {
       // round-8 additions: q148 exercises the UUID-named IVF corpus
       // temp view under concurrency; the others are stateless gates
       "q148_cell_coverage_sample", "q141_temperature_sample",
-      "q151_token_budget_mixture", "q152_phrase_search")
+      "q151_token_budget_mixture", "q152_phrase_search",
+      // round-9 additions: the index-lifecycle queries mutate scratch
+      // index state — invocation-unique since the round-9 fix
+      // (IndexMaintenance.scratchIndexDir); a shared fixed path let a
+      // concurrent build wipe another invocation's increments mid-probe
+      "q128_incremental_neardup", "q129_ivf_index_probe",
+      "q139_term_index_probe", "q149_ivfpq_index_probe")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq

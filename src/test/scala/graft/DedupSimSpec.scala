@@ -482,16 +482,32 @@ class DedupSimSpec extends SparkSpecBase {
     // above stayed under 900k by a wide margin
     assert(Sim.maintainIvfIndex(spark, indexDir, thresholdPpm = 400000L),
       "a fully concentrated live feed must trigger the recluster")
-    // recluster folded increments, kept every vector, retrained over the
-    // full set (delta ids are now centroid-eligible), and probes serve
+    // recluster folded every increment EXCEPT the newest (the replay-
+    // safety contract: the newest is the only one a crashed stream can
+    // replay, so it must stay individually replaceable), kept every
+    // vector, retrained over the full set, and probes serve
     val after = spark.read.parquet(s"$indexDir/vectors")
     assert(after.count() == rowsBefore, "recluster lost or duplicated vectors")
     val incs = after.select(col("increment").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    assert(incs == Seq(0L), s"recluster must fold increments: $incs")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(incs == Seq(0L, 2L),
+      s"recluster must fold all but the newest increment: $incs")
     val centsAfter = spark.read.parquet(s"$indexDir/centroids")
       .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(centsAfter != centsBefore, "recluster must retrain the centroids")
+    // the advisor scenario: a crash between the recluster and the stream
+    // checkpoint replays the newest append — it must REPLACE its (still
+    // separate, now reassigned) partition, leaving index content and
+    // row count unchanged rather than double-landing the batch
+    val contentAfterRecluster = after
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Sim.appendIvfIndex(drifted, indexDir, increment = 2L)
+    val replayed = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(replayed == contentAfterRecluster,
+      "a replayed newest append after a recluster must be invisible")
     val probes = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("probe_id"), col("embedding"))
     val served = Sim.probeIvfIndex(probes, indexDir).collect()
@@ -539,6 +555,72 @@ class DedupSimSpec extends SparkSpecBase {
       .select(col("increment").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
     assert(incs == Seq(0L), s"increments must fold into the build: $incs")
+  }
+
+  test("IVF-PQ probe reads no corpus floats before the shortlist; " +
+      "serving metrics ride the probe job") {
+    // the PQ cost model: the ADC stage — whose candidate count grows
+    // linearly with the corpus — must scan (vec_id, cell, code) only;
+    // full-precision embeddings are read by a SEPARATE scan that joins
+    // the broadcast top-RERANK shortlist. A scan reading both code and
+    // embedding means floats ride the candidate stream again.
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val indexDir = tmpDir("graft-ivfpq-floats") + "/index"
+    Sim.buildIvfPqIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      indexDir)
+    Sim.appendIvfPqIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      indexDir, increment = 1L)
+    val probes = e.filter(col("vec_id") < Sim.PQ_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val (q, obs) = Sim.probeIvfPqIndexObserved(probes, indexDir)
+    assert(q.collect().nonEmpty)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val vecScans = scans(q.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString
+        .contains("graft-ivfpq-floats")))
+      .filter(!_.relation.location.rootPaths.exists(_.toString
+        .matches(".*(centroids|codebook).*")))
+    assert(vecScans.nonEmpty, "no scan over the index vectors found")
+    val adcScans = vecScans.filter(_.requiredSchema.fieldNames.contains("code"))
+    val rerankScans =
+      vecScans.filter(_.requiredSchema.fieldNames.contains("embedding"))
+    assert(adcScans.nonEmpty && rerankScans.nonEmpty,
+      "probe must have distinct ADC and rerank scans")
+    adcScans.foreach(s => assert(
+      !s.requiredSchema.fieldNames.contains("embedding") &&
+        !s.requiredSchema.fieldNames.contains("nrm"),
+      s"ADC scan must not read floats: ${s.requiredSchema.fieldNames.toSeq}"))
+    rerankScans.foreach(s => assert(
+      !s.requiredSchema.fieldNames.contains("code"),
+      s"rerank scan must not read codes: ${s.requiredSchema.fieldNames.toSeq}"))
+    // and the ADC scan keeps the DPP file pruning (nprobe cells of files)
+    val pruned = adcScans.filter(_.metrics.contains("staticFilesNum"))
+    assert(pruned.nonEmpty, "ADC scan lost dynamic partition pruning")
+    assert(pruned.map(_.metrics("numFiles").value).max <
+      pruned.map(_.metrics("staticFilesNum").value).max,
+      "ADC scan must not read the whole index")
+    // serving metrics: candidates are bounded by the probed cells' total
+    // occupancy and must cover at least the rerank shortlist; the probed
+    // cell count is bounded by |probes| × nprobe distinct cells
+    val m = obs.get
+    val adcCandidates = m("adc_candidates").asInstanceOf[Long]
+    val cellsProbed = m("cells_probed").asInstanceOf[Long]
+    val n = e.count()
+    assert(adcCandidates >= Sim.IVFPQ_RERANK.toLong && adcCandidates < n *
+      Sim.IVFPQ_NPROBE,
+      s"adc_candidates out of range: $adcCandidates")
+    assert(cellsProbed >= 1L &&
+      cellsProbed <= Sim.PQ_PROBES.toLong * Sim.IVFPQ_NPROBE,
+      s"cells_probed out of range: $cellsProbed")
   }
 
   test("ivfpqTopK reranks exactly and joins everything broadcast") {
@@ -632,7 +714,7 @@ class DedupSimSpec extends SparkSpecBase {
     Dedup.buildClusterLabels(batch(0), labelDir)
     Dedup.mergeClusterIncrement(spark, labelDir, batch(1))
     Dedup.mergeClusterIncrement(spark, labelDir, batch(2))
-    val merged = spark.read.parquet(labelDir)
+    val merged = Dedup.readClusterLabels(spark, labelDir)
       .collect().map { case Row(id: Long, label: Long) => (id, label) }
       .sorted.toSeq
     val full = Dedup.connectedComponents(
@@ -652,10 +734,10 @@ class DedupSimSpec extends SparkSpecBase {
       firstOnly.get(id).exists(_ != lbl) },
       "later increments must change at least one label")
     // merging an increment with no cross-component edges is a no-op
-    val before = spark.read.parquet(labelDir).collect()
+    val before = Dedup.readClusterLabels(spark, labelDir).collect()
       .map(_.toString).sorted.toSeq
     Dedup.mergeClusterIncrement(spark, labelDir, batch(1))
-    assert(spark.read.parquet(labelDir).collect()
+    assert(Dedup.readClusterLabels(spark, labelDir).collect()
       .map(_.toString).sorted.toSeq == before,
       "re-merging already-internal edges must change nothing")
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Pipeline, Tables}
+import graft.engine.{CurationLoop, Dedup, Pipeline, Tables}
 
 /** O1/O2 — end-to-end medallion smoke test at sf0.001 + retry semantics. */
 class PipelineSpec extends SparkSpecBase {
@@ -43,6 +43,50 @@ class PipelineSpec extends SparkSpecBase {
       assert(rowsIn == Tables.raw(spark, s"$out/bronze", t).count())
       assert(rowsOut ==
         Tables.raw(spark, s"$out/bronze", t).dropDuplicates().count())
+    }
+  }
+
+  test("curation day loop: one increment end-to-end, every stage " +
+      "accounted, a replayed day is invisible") {
+    // the operational story the index/label lifecycle exists for, as one
+    // artifact: ingest increment → band+containment index append →
+    // incremental CC merge → lifecycle keep-list → shard refresh
+    val root = tmpDir("graft-dayloop")
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    // seed yesterday's state: both indexes and the labels from the base
+    Dedup.buildMinhashIndex(base, s"$root/band_index")
+    Dedup.buildHeadIndex(base, s"$root/head_index")
+    Dedup.buildClusterLabels(
+      Dedup.minhashNearDup(spark, sf).select("doc_a", "doc_b")
+        .filter(col("doc_a") % Dedup.DELTA_MOD =!= 0 &&
+          col("doc_b") % Dedup.DELTA_MOD =!= 0),
+      s"$root/labels")
+    val r1 = CurationLoop.runDay(spark, docs, delta, increment = 1L, root)
+    // accounting: conservation at every stage
+    assert(r1.batchDocs == delta.count(), s"batch miscounted: $r1")
+    assert(r1.keptDocs + r1.droppedDocs == docs.count(),
+      s"keep-list must partition the corpus: $r1")
+    assert(r1.shardRows == r1.keptDocs,
+      s"shard refresh must lay down exactly the kept corpus: $r1")
+    assert(r1.bandPairs > 0, s"the delta must pair with the corpus: $r1")
+    // post-merge labels serve the same keep-list as the full recompute
+    val lifecycle = Dedup.dedupKeepListFrom(spark, sf, s"$root/labels")
+      .collect().map(_.toSeq).toSeq
+    val full = Dedup.dedupKeepList(spark, sf).collect().map(_.toSeq).toSeq
+    assert(lifecycle == full,
+      "day-loop labels must serve the full-recompute keep-list")
+    // replay the whole day: every sink byte-stable, same report
+    def snap(p: String): Seq[String] =
+      spark.read.parquet(s"$root/$p").collect().map(_.toString).sorted.toSeq
+    val sinks = Seq("pairs", "cont_pairs", "band_index", "head_index",
+      "labels", "shards")
+    val before = sinks.map(p => p -> snap(p)).toMap
+    val r2 = CurationLoop.runDay(spark, docs, delta, increment = 1L, root)
+    assert(r2 == r1, s"replayed day must report identically: $r1 vs $r2")
+    sinks.foreach { p =>
+      assert(snap(p) == before(p), s"replayed day changed sink $p")
     }
   }
 

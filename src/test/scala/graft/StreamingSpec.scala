@@ -837,7 +837,7 @@ class StreamingSpec extends SparkSpecBase {
       indexDir, tmpDir("graft-stream-lbl-out") + "/pairs",
       tmpDir("graft-stream-lbl-ckpt"), labelDir = labelDir)
     try q.processAllAvailable() finally q.stop()
-    val streamed = spark.read.parquet(labelDir)
+    val streamed = Dedup.readClusterLabels(spark, labelDir)
       .collect().map { case Row(id: Long, label: Long) => (id, label) }
       .sorted.toSeq
     val full = Dedup.dupClusters(spark, sf)
@@ -845,6 +845,104 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(streamed == full,
       "streamed label merges must reproduce the full-corpus closure")
+    // the steady-state consumers: keep-list and cluster-aware split
+    // SERVED from the maintained labels must equal the full in-plan
+    // recomputes row-for-row (the q134/q142 operators, closure cost gone)
+    assert(Dedup.dedupKeepListFrom(spark, sf, labelDir)
+      .collect().map(_.toSeq).toSeq ==
+      Dedup.dedupKeepList(spark, sf).collect().map(_.toSeq).toSeq,
+      "lifecycle keep-list must equal the full recompute")
+    assert(Dedup.clusterAwareSplitFrom(spark, sf, labelDir)
+      .collect().map(_.toSeq).toSeq ==
+      Dedup.clusterAwareSplit(spark, sf).collect().map(_.toSeq).toSeq,
+      "lifecycle cluster split must equal the full recompute")
+  }
+
+  test("streamed containment channel: a half-doc prefix copy pairs with " +
+      "its source; the band channel alone would miss it") {
+    import graft.engine.Dedup
+    import graft.streaming.DedupStream
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the streamed delta: half-doc prefix copies of every
+    // CONT_PLANT_MOD-th document — the truncation-re-ingest case
+    val plants = docs.filter(col("doc_id") % Dedup.CONT_PLANT_MOD === 0)
+      .select((col("doc_id") + 50000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          floor(length(col("text")) / 2).cast("int")).as("text"))
+    val root = tmpDir("graft-stream-cont")
+    Dedup.buildMinhashIndex(docs, s"$root/band_index")
+    Dedup.buildHeadIndex(docs, s"$root/head_index")
+    val inDir = tmpDir("graft-stream-cont-in")
+    plants.repartition(2).write.mode("overwrite").parquet(inDir)
+    val q = DedupStream.nearDupSink(
+      spark.readStream.schema(spark.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      s"$root/band_index", s"$root/pairs",
+      tmpDir("graft-stream-cont-ckpt"),
+      headDir = s"$root/head_index", contOutDir = s"$root/cont_pairs")
+    try q.processAllAvailable() finally q.stop()
+    val cont = spark.read.parquet(s"$root/cont_pairs")
+      .select("doc_a", "doc_b", "jaccard", "containment").collect()
+    val contPairs = cont.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(contPairs.distinct.length == contPairs.length,
+      "containment sink must not emit duplicate pairs")
+    // the streamed (original, plant) pairs equal the one-shot batch
+    // probe of the same plants against an originals-only head index —
+    // batching/ordering of the stream must be invisible (plant-plant
+    // cross-batch pairs are excluded: the batch probe can't see them)
+    val expIdx = tmpDir("graft-stream-cont-exp") + "/head_index"
+    Dedup.buildHeadIndex(docs, expIdx)
+    val expected = Dedup.probeHeadIndex(spark, plants, expIdx)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the plant geometry must produce pairs")
+    val streamedCross = cont
+      .filter(r => r.getLong(0) < 50000000L && r.getLong(1) >= 50000000L)
+      .map(_.toString).sorted.toSeq
+    assert(streamedCross == expected,
+      "streamed cross containment pairs must equal the batch probe")
+    // every landed pair passed the containment gate, and the planted
+    // pairs sit BELOW the band channel's 0.8 Jaccard gate — the case
+    // this channel exists for
+    cont.foreach(r => assert(r.getDouble(3) >= Dedup.CONT_T))
+    val planted = cont.filter(r => r.getLong(1) == r.getLong(0) + 50000000L)
+    assert(planted.exists(_.getDouble(2) < 0.8),
+      "a caught pair below the Jaccard near-dup gate must exist")
+    // the band channel's sink may be entirely empty here (every planted
+    // pair sits near J ≈ 0.5) — an empty dynamic-overwrite write lands
+    // no parquet files, so guard the read
+    val band: Set[(Long, Long)] =
+      if (!new java.io.File(s"$root/pairs").exists() ||
+          graft.engine.IndexMaintenance
+            .parquetFileCount(spark, s"$root/pairs") == 0L)
+        Set.empty
+      else spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.exists(r => !band.contains((r.getLong(0), r.getLong(1)))),
+      "the band channel alone must have missed a planted prefix copy")
+  }
+
+  test("containment increment sinks are exactly-once: a retried batch " +
+      "replaces its pairs and its head rows") {
+    import graft.engine.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val plants = docs.filter(col("doc_id") % Dedup.CONT_PLANT_MOD === 0)
+      .select((col("doc_id") + 50000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          floor(length(col("text")) / 2).cast("int")).as("text"))
+    val headDir = tmpDir("graft-cont-idem") + "/head_index"
+    Dedup.buildHeadIndex(docs, headDir)
+    val out = tmpDir("graft-cont-idem-out") + "/pairs"
+    Dedup.containmentIncrement(plants, headDir, increment = 1L, outDir = out)
+    val once = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val idxOnce = spark.read.parquet(headDir).count()
+    assert(once.nonEmpty)
+    Dedup.containmentIncrement(plants, headDir, increment = 1L, outDir = out)
+    assert(spark.read.parquet(out).collect()
+      .map(_.toString).sorted.toSeq == once,
+      "retry changed the containment pairs sink")
+    assert(spark.read.parquet(headDir).count() == idxOnce,
+      "retry changed the head index")
   }
 
   test("streaming phrase monitor equals batch phrase search; state stays " +

@@ -37,6 +37,34 @@ class TermIndexSpec extends SparkSpecBase {
       "having built over the full corpus")
   }
 
+  test("probe serving metrics ride the job and match the index geometry") {
+    import graft.functions.TextFns
+    val indexDir = tmpDir("graft-term-obs") + "/index"
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 =!= 0), indexDir)
+    TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0), indexDir,
+      increment = 1L)
+    // probe a present-terms + vacuous-term mix so both metric legs move
+    val terms = TermIndex.TI_TERMS :+ "zqxjkvbn_no_such_term"
+    val (q, obs) = TermIndex.probeTermIndexObserved(spark, terms, indexDir,
+      TextOps.RETRIEVAL_TOP_K)
+    assert(q.collect().nonEmpty)
+    val m = obs.get
+    // the exact geometry, recomputed independently of the index: one
+    // postings row per (term, doc) pair with tf >= 1
+    val expected = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(countDistinct("doc_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m("postings_rows") == expected.values.sum,
+      s"postings_rows ${m("postings_rows")} != ${expected.values.sum}")
+    assert(m("terms_hit") == expected.size.toLong,
+      s"terms_hit ${m("terms_hit")} != ${expected.size}")
+    // the vacuous probe term is the pruned complement
+    assert(expected.size == TermIndex.TI_TERMS.size,
+      "the planted no-hit term must not appear in the corpus")
+  }
+
   test("append is idempotent; rebuild clears stale increments; " +
       "stats sidecar tracks the corpus") {
     val indexDir = tmpDir("graft-term-ndx-idem") + "/index"
