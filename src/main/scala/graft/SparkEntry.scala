@@ -293,6 +293,10 @@ object SparkEntry {
     "q154_lifecycle_cluster_split" -> (Dedup.lifecycleClusterSplit _),
     // ---- round 9: containment head-fingerprint index lifecycle ----
     "q155_containment_increment"   -> (Dedup.containmentIncrementProbe _),
+    // ---- round 9: the remaining closure consumers, lifecycle-served
+    //      (same oracles as q147/q43) ----
+    "q156_lifecycle_curation"      -> (TextOps.lifecycleCuration _),
+    "q157_lifecycle_dup_clusters"  -> (Dedup.lifecycleDupClusters _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -501,6 +505,8 @@ object SparkEntry {
     "q153_lifecycle_keep_list" -> OracleTwins.dedupKeepList,
     "q154_lifecycle_cluster_split" -> OracleTwins.clusterAwareSplit,
     "q155_containment_increment" -> OracleTwins.containmentIncrementProbe,
+    "q156_lifecycle_curation" -> OracleTwins.curationPipeline,
+    "q157_lifecycle_dup_clusters" -> OracleTwins.dupClusters,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

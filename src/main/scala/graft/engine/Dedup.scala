@@ -888,13 +888,28 @@ object Dedup {
     clusterAwareSplitFrom(spark, dir, lifecycleLabels(spark, dir))
   }
 
+  /** q157: duplicate clusters served from the maintained labels — q43's
+    * (doc_id, cluster_id, cluster_size) output read off the label table
+    * plus one bounded size aggregate; no pair graph, no closure. Same
+    * oracle as q43 — the merged labels must reproduce the recursive
+    * transitive closure's clusters exactly. */
+  def lifecycleDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = readClusterLabels(spark, lifecycleLabels(spark, dir))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Shared lifecycle-label builder of q153/q154: base-internal pairs
     * seed [[buildClusterLabels]]; the delta-touching pairs merge as one
     * increment. (The pair SOURCE here is the in-plan [[nearDupPairs]] —
     * the demonstration is the label maintenance; the steady state feeds
     * the same merge from [[dedupIncrement]]'s landed pair partitions,
     * spec-pinned in StreamingSpec.) */
-  private def lifecycleLabels(spark: SparkSession, dir: String): String = {
+  private[engine] def lifecycleLabels(spark: SparkSession,
+      dir: String): String = {
     val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val labelDir = IndexMaintenance.scratchIndexDir(spark, "labels")

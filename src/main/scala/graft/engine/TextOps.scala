@@ -436,11 +436,30 @@ object TextOps {
     * Sample/shard gates key on doc_id hashes (prefix-tagged so the two
     * gates are independent), keeping the pipeline deterministic under
     * re-run and re-shard. */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineWith(spark, dir,
+      Dedup.clusterLabels(spark, dir)
+        .select(col("id").as("doc_id"), col("label")))
+
+  /** q156: the steady-state curation pipeline — [[curationPipeline]]
+    * SERVED from the maintained label table ([[Dedup.dedupKeepListFrom]]'s
+    * device applied to the last closure consumer): identical output
+    * contract and oracle as q147, none of the in-plan pair-graph +
+    * closure cost. The daily path; q147 is the audit run. */
+  def lifecycleCuration(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineFrom(spark, dir, Dedup.lifecycleLabels(spark, dir))
+
+  /** [[curationPipeline]] off a persisted label dir. */
+  def curationPipelineFrom(spark: SparkSession, dir: String,
+      labelDir: String): DataFrame =
+    curationPipelineWith(spark, dir,
+      Dedup.readClusterLabels(spark, labelDir)
+        .select(col("id").as("doc_id"), col("label")))
+
+  private def curationPipelineWith(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val q = langQualityRaw(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
-    val labels = Dedup.clusterLabels(spark, dir)
-      .select(col("id").as("doc_id"), col("label"))
     val kept = q.join(labels, Seq("doc_id"), "left")
       .filter((col("label").isNull || col("label") === col("doc_id")) &&
         col("n_tokens") >= MIN_TOKENS && col("stop_ratio") <= MAX_STOP_RATIO)

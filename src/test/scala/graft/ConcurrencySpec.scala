@@ -27,7 +27,10 @@ class ConcurrencySpec extends SparkSpecBase {
       // (IndexMaintenance.scratchIndexDir); a shared fixed path let a
       // concurrent build wipe another invocation's increments mid-probe
       "q128_incremental_neardup", "q129_ivf_index_probe",
-      "q139_term_index_probe", "q149_ivfpq_index_probe")
+      "q139_term_index_probe", "q149_ivfpq_index_probe",
+      // label-lifecycle + head-index representatives (scratch label
+      // dirs and head indexes under concurrent mutation)
+      "q153_lifecycle_keep_list", "q155_containment_increment")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq
