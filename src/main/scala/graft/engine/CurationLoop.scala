@@ -43,6 +43,26 @@ object CurationLoop {
       droppedDocs: Long, // corpus docs dropped for a cluster canonical
       shardRows: Long)   // rows laid down by the shard refresh
 
+  /** Bootstrap day-0 state at `root` from the base corpus (needs
+    * doc_id, lang, text): land the documents as `batch=0` of the
+    * document store, build both dedup indexes, and seed the label table
+    * from the base's internal near-dup pairs. After this, every
+    * [[runDay]] (or [[daySink]] micro-batch) maintains all five pieces
+    * incrementally. */
+  def seed(spark: SparkSession, base: DataFrame, root: String): Unit = {
+    base.withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite")
+      .parquet(s"$root/docs")
+    Dedup.buildMinhashIndex(base.select(col("doc_id"), col("text")),
+      s"$root/band_index")
+    Dedup.buildHeadIndex(base.select(col("doc_id"), col("text")),
+      s"$root/head_index")
+    Dedup.buildClusterLabels(
+      Dedup.nearDupPairsOf(base.select(col("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b")),
+      s"$root/labels")
+  }
+
   /** Run one day: `batch` (needs doc_id, lang, text) against the state
     * rooted at `root` (band index, head index, pair sinks, labels,
     * shards — all previously seeded), with `corpus` the post-ingest
@@ -95,4 +115,38 @@ object CurationLoop {
       droppedDocs = keepList.getLong(1),
       shardRows = obsShards.get("n").asInstanceOf[Long])
   }
+
+  /** The day loop as a STREAM — the whole curation lifecycle in the
+    * steady-state stream shape the three index families already run:
+    * each micro-batch is one "day". Stage 0 lands the batch's documents
+    * as `batch=<id+1>` of the document store (the ingest itself is a
+    * batch-keyed exactly-once sink, like everything downstream), the
+    * post-ingest corpus is the store read back, and [[runDay]] drives
+    * stages 1–5. The per-day [[DayReport]] lands at `$root/reports`
+    * under the same batch key — the idempotent audit trail an operator
+    * reads. Seed `root` with [[seed]] first; the index OWNERSHIP
+    * contract (one index, one checkpoint lineage — see
+    * [[graft.streaming.VecIndexStream]]) applies to the whole root. */
+  def daySink(docs: DataFrame, root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.withColumn("batch", lit(batchId + 1L))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$root/docs")
+        val corpus = spark.read.parquet(s"$root/docs")
+          .select("doc_id", "lang", "text")
+        val report = runDay(spark, corpus, batch, batchId + 1L, root)
+        import spark.implicits._
+        Seq(report).toDS().withColumn("batch", lit(batchId + 1L))
+          .coalesce(1)
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$root/reports")
+      }
+      .start()
 }

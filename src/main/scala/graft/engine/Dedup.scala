@@ -81,8 +81,13 @@ object Dedup {
 
   /** [[minhashNearDup]] without the presentation sort — the composable form
     * the cluster/curation operators build on. */
-  private[engine] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandRows(spread(documents(spark, dir)))
+  private[engine] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsOf(spread(documents(spark, dir)))
+
+  /** The banded-LSH pair pass over an explicit corpus DataFrame (needs
+    * doc_id, text) — the form [[CurationLoop.seed]] bootstraps from. */
+  private[engine] def nearDupPairsOf(docs: DataFrame): DataFrame = {
+    val bands = bandRows(docs)
     // hint("merge"): a corpus self-join can never broadcast at scale, and
     // under sort-merge both sides are identical band-key shuffles →
     // ReusedExchange evaluates the hashing subtree exactly once (a
@@ -250,10 +255,11 @@ object Dedup {
     * are EXACTLY the full recompute's (spec-pinned across
     * multi-increment merges against [[clusterLabels]]).
     *
-    * Cost, honestly itemized: LOCATING work costs two narrow columnar
-    * passes over the table (resolving the endpoints' roots and finding
-    * which id-buckets hold a touched label — id/label columns only,
-    * row-group-prunable via the label-sorted layout); the REWRITE — the
+    * Cost, honestly itemized: LOCATING work costs a handful of narrow
+    * columnar passes over the table (root resolution for each endpoint
+    * column, fresh-id detection, and the touched-bucket locate —
+    * id/label columns only, the label-keyed ones row-group-prunable via
+    * the label-sorted layout); the REWRITE — the
     * expensive half, and the whole table before this layout — is
     * partition-pruned to the touched id-buckets and lands via dynamic
     * partition overwrite, so bytes written track the touched components

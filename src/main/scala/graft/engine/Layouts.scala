@@ -37,7 +37,7 @@ object Layouts {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

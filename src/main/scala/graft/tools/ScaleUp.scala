@@ -52,7 +52,7 @@ object ScaleUp {
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def span(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1L
+      df.agg(max(col(c))).head().getLong(0) + 1L
 
     // key spans from the base SF, applied to every referencing column
     val oSpan = span(rd("orders"), "o_orderkey")

@@ -922,6 +922,48 @@ class StreamingSpec extends SparkSpecBase {
       "the band channel alone must have missed a planted prefix copy")
   }
 
+  test("streaming day loop: each micro-batch runs the whole curation " +
+      "lifecycle; final state equals the full recompute") {
+    import graft.engine.{CurationLoop, Dedup}
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    val root = tmpDir("graft-stream-day")
+    CurationLoop.seed(spark, base, root)
+    val inDir = tmpDir("graft-stream-day-in")
+    delta.repartition(2).write.mode("overwrite").parquet(inDir)
+    val q = CurationLoop.daySink(
+      spark.readStream.schema(spark.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      root, tmpDir("graft-stream-day-ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    // labels after the stream = the full-corpus transitive closure, so
+    // the lifecycle consumers serve the full-recompute decisions
+    assert(Dedup.readClusterLabels(spark, s"$root/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Dedup.dupClusters(spark, sf).select("doc_id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "day-loop labels must equal the full-corpus closure")
+    assert(Dedup.dedupKeepListFrom(spark, sf, s"$root/labels")
+      .collect().map(_.toSeq).toSeq ==
+      Dedup.dedupKeepList(spark, sf).collect().map(_.toSeq).toSeq)
+    // the audit trail: one report per micro-batch, ingest accounted
+    val reports = spark.read.parquet(s"$root/reports")
+    assert(reports.select(col("batch").cast("long")).distinct().count() >= 2,
+      "expected a multi-batch feed")
+    assert(reports.agg(sum("batchDocs")).collect()(0).getLong(0)
+      == delta.count(), "reports must account every ingested doc")
+    val last = reports.orderBy(col("batch").cast("long").desc).collect()(0)
+    def f(n: String): Long = last.getLong(last.fieldIndex(n))
+    assert(f("keptDocs") + f("droppedDocs") == docs.count(),
+      "final keep-list must partition the post-ingest corpus")
+    assert(f("shardRows") == f("keptDocs"),
+      "final shard refresh must hold exactly the kept corpus")
+    assert(spark.read.parquet(s"$root/shards").count() == f("keptDocs"))
+    // the document store is itself a batch-keyed exactly-once sink
+    assert(spark.read.parquet(s"$root/docs").count() == docs.count())
+  }
+
   test("containment increment sinks are exactly-once: a retried batch " +
       "replaces its pairs and its head rows") {
     import graft.engine.Dedup
