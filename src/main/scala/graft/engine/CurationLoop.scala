@@ -84,15 +84,24 @@ object CurationLoop {
     // the merge's bounded control decision (`contracted.isEmpty`) is a
     // limit-short-circuited job, and an Observation keeps its FIRST
     // query's metrics — a partial scan would report a partial count.
-    val landed = spark.read.parquet(s"$root/pairs")
-      .filter(col("batch") === increment)
-      .select("doc_a", "doc_b")
-    Dedup.mergeClusterIncrement(spark, s"$root/labels", landed)
-    val bandPairs = landed.count()
+    // a batch that produced zero pairs lands no parquet files (an empty
+    // dynamic-overwrite write is only _SUCCESS), so an empty sink must
+    // read as the empty pair set, not a schema-inference failure
+    def landedPairs(path: String): Option[DataFrame] =
+      if (new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(new org.apache.hadoop.fs.Path(path)) &&
+          IndexMaintenance.parquetFileCount(spark, path) > 0L)
+        Some(spark.read.parquet(path).filter(col("batch") === increment))
+      else None
+    val landed = landedPairs(s"$root/pairs")
+      .map(_.select("doc_a", "doc_b"))
+    landed.foreach(p =>
+      Dedup.mergeClusterIncrement(spark, s"$root/labels", p))
+    val bandPairs = landed.fold(0L)(_.count())
     // containment pairs stay a separate relation (they gate re-ingest,
     // not cluster membership), so no stage job consumes them here either
-    val contPairs = spark.read.parquet(s"$root/cont_pairs")
-      .filter(col("batch") === increment).count()
+    val contPairs = landedPairs(s"$root/cont_pairs").fold(0L)(_.count())
     // stage 4: keep-list from the maintained labels — the audit is the
     // (bounded, per-lang) result itself
     val keepList = Dedup.keepListOfLabels(corpus,

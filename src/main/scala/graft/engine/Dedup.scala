@@ -231,9 +231,29 @@ object Dedup {
       .repartition(col("lb")).sortWithinPartitions("label")
       .write.partitionBy("lb").mode("overwrite").parquet(labelDir)
 
-  /** The persisted label table as its consumers read it: (id, label). */
+  /** The persisted label table as its consumers read it: (id, label).
+    * A missing or file-less dir reads as the EMPTY table (a corpus with
+    * zero near-dups writes no parquet files — an empty partitioned
+    * write lands only `_SUCCESS` — and an all-singleton label state is
+    * a legitimate bootstrap state, not an error). */
   def readClusterLabels(spark: SparkSession, labelDir: String): DataFrame =
-    spark.read.parquet(labelDir).select(col("id"), col("label"))
+    labelsOrEmpty(spark, labelDir).select(col("id"), col("label"))
+
+  private def labelsOrEmpty(spark: SparkSession, labelDir: String): DataFrame =
+    if (new org.apache.hadoop.fs.Path(labelDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(new org.apache.hadoop.fs.Path(labelDir)) &&
+        IndexMaintenance.parquetFileCount(spark, labelDir) > 0L)
+      spark.read.parquet(labelDir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lb",
+            org.apache.spark.sql.types.IntegerType))))
 
   private def undirected(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -273,7 +293,9 @@ object Dedup {
     * to get whole-table atomicity the consumers don't need). */
   def mergeClusterIncrement(spark: SparkSession, labelDir: String,
       newPairs: DataFrame): Unit = {
-    val l = spark.read.parquet(labelDir)
+    // empty-table bootstrap is legal: merging into no labels = the
+    // increment's own closure, all ids fresh ([[labelsOrEmpty]])
+    val l = labelsOrEmpty(spark, labelDir)
     val contracted = newPairs.select("doc_a", "doc_b")
       .join(l.select(col("id").as("doc_a"), col("label").as("ra")),
         Seq("doc_a"), "left")

@@ -742,6 +742,29 @@ class DedupSimSpec extends SparkSpecBase {
       "re-merging already-internal edges must change nothing")
   }
 
+  test("label lifecycle bootstraps from an empty table: empty reads are " +
+      "legal and a first merge IS the increment's closure") {
+    val labelDir = tmpDir("graft-cc-empty") + "/labels"
+    // a missing/file-less label dir reads as the empty (all-singleton)
+    // state, not a schema-inference failure
+    assert(Dedup.readClusterLabels(spark, labelDir).count() == 0)
+    // the keep-list off the empty table keeps every document
+    Dedup.dedupKeepListFrom(spark, sf, labelDir).collect().foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 0L,
+        s"empty labels must keep everything: $r")
+    }
+    // merging the first increment into the empty table = that
+    // increment's own transitive closure (all ids fresh)
+    val pairs = Dedup.minhashNearDup(spark, sf)
+      .select("doc_a", "doc_b").localCheckpoint()
+    Dedup.mergeClusterIncrement(spark, labelDir, pairs)
+    assert(Dedup.readClusterLabels(spark, labelDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Dedup.dupClusters(spark, sf).select("doc_id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "bootstrap-by-increment must equal the closure")
+  }
+
   test("containmentDedup catches doc-in-doc pairs the Jaccard gate misses") {
     val rows = Dedup.containmentDedup(spark, sf).collect()
     // planted half-docs: (orig, orig+50000000) pairs with containment ≈ 1

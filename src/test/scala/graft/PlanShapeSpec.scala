@@ -22,6 +22,25 @@ class PlanShapeSpec extends SparkSpecBase {
     p.toString
   }
 
+  test("lifecycle keep-list never re-hashes the corpus: no hash " +
+      "expressions, no self-join, one bounded label join") {
+    // the steady-state contract (q153 vs q134): serving from the
+    // maintained labels must plan as documents ⟕ labels — zero
+    // shingle/minhash evaluation, zero LSH self-join, zero CC rounds
+    val labelDir = tmpDir("graft-plan-lifecycle") + "/labels"
+    Dedup.buildClusterLabels(
+      Dedup.minhashNearDup(spark, sf).select("doc_a", "doc_b"), labelDir)
+    val df = Dedup.dedupKeepListFrom(spark, sf, labelDir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("shingle_hashes") && !plan.contains("minhash_sig"),
+      "lifecycle serving must not evaluate the hashing pipeline")
+    assert(!plan.contains("SortMergeJoin") || !plan.contains("ReusedExchange"),
+      "lifecycle serving must not run the LSH self-join")
+    // exactly two sources: the corpus and the label table
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected 2 parquet scans (docs + labels): $scans")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = finalPlan(Kpis.topSuppliers(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"))
