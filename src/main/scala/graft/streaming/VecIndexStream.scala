@@ -62,4 +62,54 @@ object VecIndexStream {
         }
       }
       .start()
+
+  /** The SERVING half as a stream — probe batches arrive continuously
+    * and each micro-batch is answered from the persisted index
+    * ([[Sim.probeIvfIndexObserved]]: DPP-pruned cells, serving metrics
+    * riding the probe job): top-k results land at `$outDir/results`
+    * and the per-batch metrics row (assignment_rows, cells_probed) at
+    * `$outDir/metrics`, both under `batch=<id+1>` dynamic overwrite —
+    * a replayed probe batch re-lands identically ([[landProbeBatch]]
+    * is the retry unit, spec-pinned idempotent).
+    *
+    * Visibility vs a concurrent ingest stream: an append commits its
+    * increment's (increment, cell) partitions at job commit; a probe
+    * planned mid-commit can see a PREFIX of the new increment's cells
+    * (never partial files, never mixed generations — maintenance
+    * rewrites still swap atomically). Probes therefore serve
+    * read-committed-per-partition data: the new increment becomes
+    * fully visible at the next planning after its commit. */
+  def probeSink(probes: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, k: Int = Sim.IVF_TOP_K,
+      nprobe: Int = 1): StreamingQuery =
+    probes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landProbeBatch(batch, indexDir, outDir, batchId + 1L, k, nprobe)
+      }
+      .start()
+
+  /** One probe micro-batch: serve + land results and metrics, batch-
+    * keyed (the retry unit — dynamic overwrite replaces both sinks). */
+  def landProbeBatch(batch: DataFrame, indexDir: String, outDir: String,
+      increment: Long, k: Int, nprobe: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = batch.sparkSession
+    val (res, obs) = Sim.probeIvfIndexObserved(
+      batch.select("probe_id", "embedding"), indexDir, k, nprobe)
+    res.withColumn("batch", lit(increment))
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$outDir/results")
+    import spark.implicits._
+    Seq((obs.get("assignment_rows").asInstanceOf[Long],
+        obs.get("cells_probed").asInstanceOf[Long]))
+      .toDF("assignment_rows", "cells_probed")
+      .withColumn("batch", lit(increment))
+      .coalesce(1)
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$outDir/metrics")
+  }
 }

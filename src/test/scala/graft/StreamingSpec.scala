@@ -922,6 +922,54 @@ class StreamingSpec extends SparkSpecBase {
       "the band channel alone must have missed a planted prefix copy")
   }
 
+  test("streaming probe serving: batched probes equal the one-shot " +
+      "batch probe; metrics land per batch; a replayed batch is invisible") {
+    import graft.engine.Sim
+    import graft.streaming.VecIndexStream
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val indexDir = tmpDir("graft-probe-serve") + "/index"
+    Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      indexDir)
+    Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      indexDir, increment = 1L)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val inDir = tmpDir("graft-probe-serve-in")
+    probes.repartition(2).write.mode("overwrite").parquet(inDir)
+    val out = tmpDir("graft-probe-serve-out")
+    val q = VecIndexStream.probeSink(
+      spark.readStream.schema(spark.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      indexDir, out, tmpDir("graft-probe-serve-ckpt"), nprobe = 2)
+    try q.processAllAvailable() finally q.stop()
+    // per-probe results are independent, so batching must be invisible
+    val streamed = spark.read.parquet(s"$out/results")
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Sim.probeIvfIndex(probes, indexDir, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, "streamed probe serving must equal batch")
+    // serving metrics landed per micro-batch and account every probe:
+    // assignment rows sum to |probes| × nprobe across batches
+    val m = spark.read.parquet(s"$out/metrics")
+    assert(m.select(col("batch").cast("long")).distinct().count() >= 2)
+    assert(m.agg(sum("assignment_rows")).collect()(0).getLong(0)
+      == probes.count() * 2, "metrics must account |probes| × nprobe")
+    // replay: re-landing the same batch id replaces both sinks
+    VecIndexStream.landProbeBatch(probes, indexDir, out,
+      increment = 1L, k = Sim.IVF_TOP_K, nprobe = 2)
+    val once = spark.read.parquet(s"$out/results")
+      .collect().map(_.toString).sorted.toSeq
+    val mOnce = spark.read.parquet(s"$out/metrics").count()
+    VecIndexStream.landProbeBatch(probes, indexDir, out,
+      increment = 1L, k = Sim.IVF_TOP_K, nprobe = 2)
+    assert(spark.read.parquet(s"$out/results")
+      .collect().map(_.toString).sorted.toSeq == once,
+      "replayed probe batch must replace, not append")
+    assert(spark.read.parquet(s"$out/metrics").count() == mOnce,
+      "replayed metrics row must replace, not append")
+  }
+
   test("streaming day loop: each micro-batch runs the whole curation " +
       "lifecycle; final state equals the full recompute") {
     import graft.engine.{CurationLoop, Dedup}
