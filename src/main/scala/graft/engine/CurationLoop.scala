@@ -125,6 +125,117 @@ object CurationLoop {
       shardRows = obsShards.get("n").asInstanceOf[Long])
   }
 
+  /** Per-artifact removal counts of one [[forget]] run. */
+  case class ForgetReport(
+      docsRemoved: Long,      // document-store rows removed
+      bandRowsRemoved: Long,  // MinHash band index rows removed
+      headRowsRemoved: Long,  // head-fingerprint index rows removed
+      pairsRemoved: Long,     // landed band pairs touching a deleted id
+      contPairsRemoved: Long, // landed containment pairs likewise
+      clustersRebuilt: Long,  // affected clusters whose closure was re-derived
+      shardRows: Long)        // rows in the refreshed shard set
+
+  /** Right-to-be-forgotten: propagate the deletion of `ids` (one
+    * `doc_id` column; a bounded request batch) through EVERY maintained
+    * artifact — the decremental twin of [[runDay]]'s incremental
+    * maintenance, and the operation a 100 TB platform must serve
+    * without recomputing anything corpus-sized:
+    *
+    *  - document store, both dedup indexes, and both pair sinks drop
+    *    the ids by REWRITING ONLY the partitions that contain them
+    *    (located by a broadcast semi-join collecting the bounded
+    *    partition-key set; a partition emptied entirely is deleted
+    *    explicitly, since a dynamic overwrite writes nothing for it);
+    *  - cluster labels go through [[Dedup.forgetClusterMembers]]:
+    *    connectivity is re-derived WITHIN the affected clusters only
+    *    (a deleted doc can be the bridge or the canonical), bounded by
+    *    the affected components;
+    *  - the shard set is refreshed from the post-deletion kept corpus.
+    *
+    * Idempotent: a replayed forget finds nothing left to remove and
+    * rewrites nothing but the (deterministic) shard refresh. */
+  def forget(spark: SparkSession, ids: DataFrame, root: String)
+      : ForgetReport = {
+    val docsRemoved = purge(spark, s"$root/docs", "batch", "doc_id", ids)
+    val bandRemoved = purge(spark, s"$root/band_index", "increment",
+      "doc_id", ids, clusterBy = Some("band"))
+    val headRemoved = purge(spark, s"$root/head_index", "increment",
+      "doc_id", ids, clusterBy = Some("hh"))
+    val pairsRemoved = purgePairs(spark, s"$root/pairs", ids)
+    val contRemoved = purgePairs(spark, s"$root/cont_pairs", ids)
+    val remaining = spark.read.parquet(s"$root/docs")
+      .select("doc_id", "lang", "text")
+    val rebuilt = Dedup.forgetClusterMembers(spark, s"$root/labels", ids,
+      remaining)
+    val obsShards = Observation()
+    TextOps.writeShards(
+      Dedup.keptDocsFrom(remaining,
+          Dedup.readClusterLabels(spark, s"$root/labels"))
+        .observe(obsShards, count(lit(1)).as("n")),
+      s"$root/shards")
+    ForgetReport(docsRemoved, bandRemoved, headRemoved, pairsRemoved,
+      contRemoved, rebuilt, obsShards.get("n").asInstanceOf[Long])
+  }
+
+  /** Remove rows matching `ids` on `idCol` from a `partCol`-partitioned
+    * store, rewriting only partitions that contain a match. Returns the
+    * number of rows removed. Empty or missing stores purge zero rows. */
+  private def purge(spark: SparkSession, path: String, partCol: String,
+      idCol: String, ids: DataFrame,
+      clusterBy: Option[String] = None): Long =
+    purgeWhere(spark, path, partCol,
+      df => df.join(broadcast(ids.select(col("doc_id").as(idCol))),
+        Seq(idCol), "left_semi"),
+      df => df.join(broadcast(ids.select(col("doc_id").as(idCol))),
+        Seq(idCol), "left_anti"),
+      clusterBy)
+
+  /** Pair-sink purge: a pair dies if EITHER endpoint is deleted. */
+  private def purgePairs(spark: SparkSession, path: String,
+      ids: DataFrame): Long = {
+    val idc = broadcast(ids.select(col("doc_id")))
+    def hit(df: DataFrame): DataFrame =
+      df.join(idc, df("doc_a") === idc("doc_id") ||
+        df("doc_b") === idc("doc_id"), "left_semi")
+    def keep(df: DataFrame): DataFrame =
+      df.join(idc, df("doc_a") === idc("doc_id") ||
+        df("doc_b") === idc("doc_id"), "left_anti")
+    purgeWhere(spark, path, "batch", hit, keep)
+  }
+
+  private def purgeWhere(spark: SparkSession, path: String,
+      partCol: String, hit: DataFrame => DataFrame,
+      keep: DataFrame => DataFrame,
+      clusterBy: Option[String] = None): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) ||
+        IndexMaintenance.parquetFileCount(spark, path) == 0L) return 0L
+    val df = spark.read.parquet(path)
+    // the touched partitions — a bounded driver-side key set (≤ the
+    // store's partition count), the same control-decision class as the
+    // label merge's bucket locate
+    val touched = hit(df).select(col(partCol)).distinct()
+      .collect().map(_.get(0))
+    if (touched.isEmpty) return 0L
+    val part = df.filter(col(partCol).isin(touched: _*)).localCheckpoint()
+    val kept = keep(part).localCheckpoint()
+    val removed = part.count() - kept.count()
+    // preserve the store's file clustering (band/hh-sorted files keep
+    // their min/max probe pruning after a purge rewrite)
+    val laid = clusterBy.fold(kept)(c =>
+      kept.repartition(col(c)).sortWithinPartitions(col(c)))
+    laid.write.partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+    val keptParts = kept.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    touched.filterNot(keptParts).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+    }
+    removed
+  }
+
   /** The day loop as a STREAM — the whole curation lifecycle in the
     * steady-state stream shape the three index families already run:
     * each micro-batch is one "day". Stage 0 lands the batch's documents

@@ -335,6 +335,72 @@ object Dedup {
       .mode("overwrite").parquet(labelDir)
   }
 
+  /** DECREMENTAL cluster maintenance — deletion's twin of
+    * [[mergeClusterIncrement]]: remove `ids` from the persisted labels
+    * and restore the closure invariant for the clusters they leave.
+    * Deleting a member can do more than shrink a cluster: it can
+    * remove the BRIDGE holding a component together (the surviving
+    * members split) and it can remove the CANONICAL (the min id the
+    * cluster is labeled by). Both need connectivity re-derived — but
+    * only within the affected clusters: docs outside them share no
+    * pair with any member (that is what a connected component is), so
+    * the rebuild is bounded by the affected components, never the
+    * corpus. Surviving members' pairs are recomputed from their TEXTS
+    * (`remainingDocs`, the post-deletion corpus — a broadcast-semi-
+    * joined, affected-members-only slice) through the same banded pass
+    * the labels were built from; members left with no surviving pair
+    * drop their label row (the [[clusterLabels]] ≥1-pair semantics).
+    *
+    * The rewrite touches only the affected members' id-buckets
+    * (dynamic overwrite); a bucket emptied entirely is deleted
+    * explicitly — a dynamic overwrite writes nothing for it, which
+    * would otherwise leave the stale copy in place. Returns the number
+    * of affected clusters rebuilt. */
+  def forgetClusterMembers(spark: SparkSession, labelDir: String,
+      ids: DataFrame, remainingDocs: DataFrame): Long = {
+    val l = labelsOrEmpty(spark, labelDir)
+    val affected = l
+      .join(broadcast(ids.select(col("doc_id").as("id"))), Seq("id"),
+        "left_semi")
+      .select(col("label")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ one label per deleted id
+    if (affected.isEmpty) return 0L
+    val members = l.filter(col("label").isin(affected: _*))
+      .select(col("id")).localCheckpoint() // label-sorted files row-group-prune this scan
+    val survivors = members
+      .join(broadcast(ids.select(col("doc_id").as("id"))), Seq("id"),
+        "left_anti")
+    val memberDocs = remainingDocs
+      .join(broadcast(survivors.select(col("id").as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val rebuilt = connectedComponents(
+      undirected(nearDupPairsOf(memberDocs).select("doc_a", "doc_b")))
+      .localCheckpoint()
+    val touched = members.select(labelBucket(col("id")).as("lb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val part = l.filter(col("lb").isin(touched: _*))
+    val out = part
+      .join(broadcast(members.withColumnRenamed("id", "mid")),
+        col("id") === col("mid"), "left_anti")
+      .select(col("id"), col("label"))
+      .unionByName(rebuilt.select(col("id"), col("label")))
+      .withColumn("lb", labelBucket(col("id")))
+      .localCheckpoint() // feeds the write AND the emptied-bucket diff
+    out.repartition(col("lb")).sortWithinPartitions("label")
+      .write.partitionBy("lb")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(labelDir)
+    val keptBuckets = out.select(col("lb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(labelDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    touched.filterNot(keptBuckets).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$labelDir/lb=$b"), true)
+    }
+    affected.length.toLong
+  }
+
   /** Near-dup cluster labels: verified MinHash pairs → undirected edges →
     * [[connectedComponents]]. Only docs that participate in at least one
     * near-dup pair appear (singletons are implicitly their own cluster). */

@@ -90,6 +90,69 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("forget propagates a deletion through every artifact; cluster " +
+      "connectivity re-derives exactly; replay removes nothing") {
+    val root = tmpDir("graft-forget")
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    CurationLoop.seed(spark, base, root)
+    // land the day's documents as daySink's stage 0 would — the store
+    // is forget's corpus of record
+    delta.withColumn("batch", lit(1L)).write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$root/docs")
+    CurationLoop.runDay(spark, docs, delta, increment = 1L, root)
+    // delete CANONICALS of multi-member clusters — the hard case: the
+    // cluster's label must change (and the cluster may split)
+    val labels = Dedup.readClusterLabels(spark, s"$root/labels")
+    val targets = labels.groupBy("label").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("label").orderBy("label")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    assert(targets.nonEmpty, "need multi-member clusters to delete from")
+    import spark.implicits._
+    val ids = targets.toDF("doc_id")
+    val r = CurationLoop.forget(spark, ids, root)
+    assert(r.docsRemoved == targets.length, s"$r")
+    assert(r.clustersRebuilt == targets.length.toLong, s"$r")
+    assert(r.bandRowsRemoved > 0 && r.headRowsRemoved > 0, s"$r")
+    // no store still holds a deleted id
+    def holds(path: String, idCol: String): Long =
+      spark.read.parquet(path).filter(col(idCol).isin(targets: _*)).count()
+    assert(holds(s"$root/docs", "doc_id") == 0)
+    assert(holds(s"$root/band_index", "doc_id") == 0)
+    assert(holds(s"$root/head_index", "doc_id") == 0)
+    assert(spark.read.parquet(s"$root/pairs")
+      .filter(col("doc_a").isin(targets: _*) ||
+        col("doc_b").isin(targets: _*)).count() == 0)
+    // labels equal the full recompute over the post-deletion corpus:
+    // the bounded in-cluster rebuild must handle canonical loss AND any
+    // split the deletion caused
+    val remainingPairs = Dedup.minhashNearDup(spark, sf)
+      .filter(!col("doc_a").isin(targets: _*) &&
+        !col("doc_b").isin(targets: _*))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val expected = Dedup.connectedComponents(
+      remainingPairs.unionAll(
+        remainingPairs.select(col("dst").as("src"), col("src").as("dst"))))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).sorted.toSeq
+    assert(Dedup.readClusterLabels(spark, s"$root/labels")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).sorted.toSeq
+      == expected,
+      "post-forget labels must equal the full recompute on remaining docs")
+    // shards hold exactly the post-deletion kept corpus
+    assert(spark.read.parquet(s"$root/shards").count() == r.shardRows)
+    // replay: nothing left to remove, state unchanged
+    val labelsAfter = Dedup.readClusterLabels(spark, s"$root/labels")
+      .collect().map(_.toString).sorted.toSeq
+    val r2 = CurationLoop.forget(spark, ids, root)
+    assert(r2.docsRemoved == 0 && r2.bandRowsRemoved == 0 &&
+      r2.clustersRebuilt == 0 && r2.pairsRemoved == 0, s"$r2")
+    assert(Dedup.readClusterLabels(spark, s"$root/labels")
+      .collect().map(_.toString).sorted.toSeq == labelsAfter,
+      "replayed forget must not change the labels")
+  }
+
   test("bronze->silver->gold runs end-to-end and lands a partitioned fact") {
     val out = tmpDir("graft-pipeline")
     val stages = Pipeline.run(spark, sf, out, initialBackoffMs = 1)
