@@ -138,8 +138,11 @@ object CurationLoop {
   /** Right-to-be-forgotten: propagate the deletion of `ids` (one
     * `doc_id` column; a bounded request batch) through EVERY maintained
     * artifact — the decremental twin of [[runDay]]'s incremental
-    * maintenance, and the operation a 100 TB platform must serve
-    * without recomputing anything corpus-sized:
+    * maintenance. No corpus-sized RECOMPUTE runs (no hashing pass, no
+    * closure); locating matches costs one narrow columnar id scan per
+    * store (at deployment scale a doc_id min/max or bloom layout prunes
+    * that scan too), and every REWRITE is bounded by the partitions
+    * that actually contain a match:
     *
     *  - document store, both dedup indexes, and both pair sinks drop
     *    the ids by REWRITING ONLY the partitions that contain them

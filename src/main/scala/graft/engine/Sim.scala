@@ -490,6 +490,45 @@ object Sim {
         .mode("overwrite").parquet(staging)
     }
 
+  /** Deletion's reach into the vector store ([[graft.engine
+    * .CurationLoop.forget]]'s device for the dense modality, serving
+    * both the plain IVF and the IVF-PQ layout — the row schema rides
+    * along untouched): drop the ids' vectors by rewriting only the
+    * increments that contain them, cell partitioning preserved, frozen
+    * centroids/codebook untouched (deletion must not retrain — the
+    * monitor/probe contracts depend on frozen artifacts). Emptied
+    * (increment, cell) leaf partitions are deleted explicitly (a
+    * dynamic overwrite writes nothing for them). Returns vectors
+    * removed. */
+  def forgetVectors(spark: SparkSession, ids: DataFrame,
+      indexDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) ||
+        IndexMaintenance.parquetFileCount(spark, p.toString) == 0L) return 0L
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+    val idc = broadcast(ids.select(col("vec_id")))
+    val touched = vecs.join(idc, Seq("vec_id"), "left_semi")
+      .select(col("increment")).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return 0L
+    val part = vecs.filter(col("increment").isin(touched: _*))
+      .localCheckpoint()
+    val kept = part.join(idc, Seq("vec_id"), "left_anti").localCheckpoint()
+    val removed = part.count() - kept.count()
+    kept.write.partitionBy("increment", "cell")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$indexDir/vectors")
+    val before = part.select(col("increment"), col("cell")).distinct()
+      .collect().map(r => (r.get(0), r.get(1)))
+    val after = kept.select(col("increment"), col("cell")).distinct()
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    before.filterNot(after).foreach { case (i, c) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexDir/vectors/increment=$i/cell=$c"), true)
+    }
+    removed
+  }
+
   /** Serve probes from the persisted compressed index: top-nprobe cells
     * via the AQE-safe sorted-slice aggregate (DPP prunes every other
     * cell's files), ADC over the pruned cells' CODES ([[PQ_M]] lookups

@@ -183,6 +183,59 @@ object TermIndex {
     (ranked, obs)
   }
 
+  /** Deletion's reach into the lexical index ([[graft.engine
+    * .CurationLoop.forget]]'s device for the third modality): drop the
+    * ids' postings by rewriting only increments that contain them, and
+    * RE-DERIVE the stats sidecar for exactly those increments — df is
+    * deletion-proof already (count-distinct at probe time), but n_docs
+    * and total_tokens are per-increment constants that would keep
+    * counting the deleted docs' tokens in every later score. Emptied
+    * increment partitions are deleted explicitly (both stores). Returns
+    * postings rows removed. */
+  def forgetDocs(spark: SparkSession, ids: DataFrame,
+      indexDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) ||
+        IndexMaintenance.parquetFileCount(spark, p.toString) == 0L) return 0L
+    val post = spark.read.parquet(s"$indexDir/postings")
+    val idc = broadcast(ids.select(col("doc_id")))
+    val touched = post.join(idc, Seq("doc_id"), "left_semi")
+      .select(col("increment")).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return 0L
+    val part = post.filter(col("increment").isin(touched: _*))
+      .localCheckpoint()
+    val kept = part.join(idc, Seq("doc_id"), "left_anti").localCheckpoint()
+    val removed = part.count() - kept.count()
+    kept.repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.partitionBy("increment")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$indexDir/postings")
+    // stats re-derived from the REWRITTEN postings of the touched
+    // increments only (the writeIncrement device)
+    val stats = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("increment").isin(touched: _*))
+      .groupBy("increment")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        sum("tf").as("total_tokens"))
+      .select(col("n_docs"), col("total_tokens"), col("increment"))
+      .coalesce(1)
+      .localCheckpoint()
+    stats.write.partitionBy("increment")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$indexDir/stats")
+    // drop emptied partitions in both stores
+    val keptIncs = kept.select(col("increment")).distinct()
+      .collect().map(_.get(0)).toSet
+    touched.filterNot(keptIncs).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexDir/postings/increment=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexDir/stats/increment=$v"), true)
+    }
+    removed
+  }
+
   /** Probe terms of the q139 lifecycle demonstration — distinct from
     * [[TextOps.PROBE_TERMS]] so the two queries exercise different
     * posting lists. */

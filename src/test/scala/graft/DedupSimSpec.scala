@@ -557,6 +557,39 @@ class DedupSimSpec extends SparkSpecBase {
     assert(incs == Seq(0L), s"increments must fold into the build: $incs")
   }
 
+  test("forgetVectors purges the vector store without touching frozen " +
+      "artifacts: probes equal an index the vectors were never in") {
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0)
+    val delta = e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0)
+    val indexDir = tmpDir("graft-ivf-forget") + "/index"
+    Sim.buildIvfIndex(base, indexDir)
+    Sim.appendIvfIndex(delta, indexDir, increment = 1L)
+    val centsBefore = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    val deadIds = delta.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val removed = Sim.forgetVectors(spark, deadIds, indexDir)
+    assert(removed == deadIds.count(), "every dead vector must purge")
+    assert(spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(_.toString).sorted.toSeq == centsBefore,
+      "deletion must not retrain the frozen centroids")
+    // deleted ids drawn from the delta ⇒ centroids identical to an
+    // index they were never appended to ⇒ probes must be bit-equal
+    val cleanDir = tmpDir("graft-ivf-forget-clean") + "/index"
+    Sim.buildIvfIndex(base, cleanDir)
+    Sim.appendIvfIndex(delta.filter(col("vec_id") % 2 =!= 0), cleanDir,
+      increment = 1L)
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    assert(Sim.probeIvfIndex(probes, indexDir, nprobe = 2)
+      .collect().map(_.toString).toSeq ==
+      Sim.probeIvfIndex(probes, cleanDir, nprobe = 2)
+        .collect().map(_.toString).toSeq,
+      "purged index must serve exactly like never-ingested")
+    assert(Sim.forgetVectors(spark, deadIds, indexDir) == 0L,
+      "replayed forget must remove nothing")
+  }
+
   test("IVF-PQ probe reads no corpus floats before the shortlist; " +
       "serving metrics ride the probe job") {
     // the PQ cost model: the ADC stage — whose candidate count grows

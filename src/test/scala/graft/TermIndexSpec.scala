@@ -92,6 +92,34 @@ class TermIndexSpec extends SparkSpecBase {
     assert(statIncs == Seq(0L), s"rebuild must clear stale stats: $statIncs")
   }
 
+  test("forgetDocs purges postings AND re-derives the stats sidecar: " +
+      "probes equal an index the docs were never in") {
+    val indexDir = tmpDir("graft-term-forget") + "/index"
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    TermIndex.buildTermIndex(base, indexDir)
+    TermIndex.appendTermIndex(delta, indexDir, increment = 1L)
+    // delete a slice of the delta
+    val deadIds = delta.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val removed = TermIndex.forgetDocs(spark, deadIds, indexDir)
+    assert(removed > 0)
+    // gold standard: the purged index must score EXACTLY like one the
+    // deleted docs were never appended to — this fails if the stats
+    // sidecar still counts the deleted docs' tokens
+    val cleanDir = tmpDir("graft-term-forget-clean") + "/index"
+    TermIndex.buildTermIndex(base, cleanDir)
+    TermIndex.appendTermIndex(delta.filter(col("doc_id") % 2 =!= 0),
+      cleanDir, increment = 1L)
+    val purged = TermIndex.probeTermIndex(spark, TermIndex.TI_TERMS,
+      indexDir, TextOps.RETRIEVAL_TOP_K).collect().map(_.toString).toSeq
+    val clean = TermIndex.probeTermIndex(spark, TermIndex.TI_TERMS,
+      cleanDir, TextOps.RETRIEVAL_TOP_K).collect().map(_.toString).toSeq
+    assert(purged == clean,
+      "purged index must be indistinguishable from never-ingested")
+    // replay: nothing left to remove
+    assert(TermIndex.forgetDocs(spark, deadIds, indexDir) == 0L)
+  }
+
   test("compaction folds increments; probes bit-identical, fewer files") {
     val indexDir = tmpDir("graft-term-ndx-compact") + "/index"
     TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 === 0), indexDir)
