@@ -156,7 +156,13 @@ object CurationLoop {
     *  - the shard set is refreshed from the post-deletion kept corpus.
     *
     * Idempotent: a replayed forget finds nothing left to remove and
-    * rewrites nothing but the (deterministic) shard refresh. */
+    * rewrites nothing but the (deterministic) shard refresh.
+    *
+    * The other two index modalities have the same device as standalone
+    * ops (their stores live outside the day-loop root and key on their
+    * own id spaces): [[TermIndex.forgetDocs]] (postings + re-derived
+    * stats sidecar) and [[Sim.forgetVectors]] (IVF/IVF-PQ vector
+    * store, frozen artifacts untouched). */
   def forget(spark: SparkSession, ids: DataFrame, root: String)
       : ForgetReport = {
     val docsRemoved = purge(spark, s"$root/docs", "batch", "doc_id", ids)
