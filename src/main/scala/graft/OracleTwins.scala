@@ -167,6 +167,32 @@ object OracleTwins {
        |FROM lab JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q158's twin: the closure over pairs with BOTH endpoints surviving
+    * the FORGET_MOD deletion — the decremental maintenance must arrive
+    * at exactly this (splits, canonical changes, dropped singletons
+    * included). */
+  val forgetClusters: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |dup AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8
+       |    AND doc_a % ${Dedup.FORGET_MOD} <> 0
+       |    AND doc_b % ${Dedup.FORGET_MOD} <> 0),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM dup
+       |  UNION ALL SELECT doc_b, doc_a FROM dup),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |lab AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size
+       |FROM lab JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** q134's twin: the keep/drop decision over the same recursive
     * transitive closure — kept iff unclustered or canonical (min id) of
     * its cluster. */
@@ -1588,11 +1614,13 @@ object OracleTwins {
     * TermIndex.termIndexProbe (q139, lifecycle probe): the scoring is
     * shared by construction, so the q139 binding proves the persisted
     * build+append+probe path equals the one-pass corpus retrieval. */
-  def retrievalSql(probeTerms: Seq[String]): String = {
+  def retrievalSql(probeTerms: Seq[String],
+      docWhere: String = ""): String = {
     val terms = probeTerms.map(t => s"'$t'").mkString(", ")
+    val where = if (docWhere.isEmpty) "" else s"\n  WHERE $docWhere"
     s"""WITH d AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-       |  FROM documents),
+       |  FROM documents$where),
        |docs AS (
        |  SELECT doc_id, len(w)::BIGINT AS len, w FROM d),
        |corpus AS (

@@ -297,6 +297,11 @@ object SparkEntry {
     //      (same oracles as q147/q43) ----
     "q156_lifecycle_curation"      -> (TextOps.lifecycleCuration _),
     "q157_lifecycle_dup_clusters"  -> (Dedup.lifecycleDupClusters _),
+    // ---- round 9: the DECREMENTAL paths, oracle-gated — forget must
+    //      arrive at the closure/scoring of a corpus the deleted docs
+    //      were never in ----
+    "q158_forget_clusters"         -> (Dedup.forgetClustersProbe _),
+    "q159_term_forget_probe"       -> (TermIndex.termForgetProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -507,6 +512,10 @@ object SparkEntry {
     "q155_containment_increment" -> OracleTwins.containmentIncrementProbe,
     "q156_lifecycle_curation" -> OracleTwins.curationPipeline,
     "q157_lifecycle_dup_clusters" -> OracleTwins.dupClusters,
+    "q158_forget_clusters" -> OracleTwins.forgetClusters,
+    "q159_term_forget_probe" -> OracleTwins.retrievalSql(
+      engine.TermIndex.TI_TERMS,
+      docWhere = s"doc_id % ${engine.Dedup.FORGET_MOD} <> 0"),
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -401,6 +401,35 @@ object Dedup {
     affected.length.toLong
   }
 
+  /** Deterministic deletion rule of the q158/q159 decremental
+    * demonstrations: every FORGET_MOD-th doc is deleted. Coprime to the
+    * other demonstration moduli so the splits compose. */
+  val FORGET_MOD = 13L
+
+  /** q158: the decremental closure end-to-end — build labels from the
+    * FULL pair graph, [[forgetClusterMembers]] every [[FORGET_MOD]]-th
+    * document (hitting canonicals AND bridges wherever the data has
+    * them), serve the surviving clusters with sizes ([[dupClusters]]'
+    * shape). The oracle recomputes the recursive transitive closure
+    * over pairs with BOTH endpoints surviving — a forget that failed to
+    * split a bridged cluster, kept a deleted canonical's label, or
+    * dropped a survivor hash-mismatches. */
+  def forgetClustersProbe(spark: SparkSession, dir: String): DataFrame = {
+    val labelDir = IndexMaintenance.scratchIndexDir(spark, "labels-forget")
+    buildClusterLabels(
+      nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b")), labelDir)
+    val d = spread(documents(spark, dir)).select(col("doc_id"), col("text"))
+    forgetClusterMembers(spark, labelDir,
+      d.filter(col("doc_id") % FORGET_MOD === 0).select(col("doc_id")),
+      d.filter(col("doc_id") % FORGET_MOD =!= 0))
+    val labels = readClusterLabels(spark, labelDir)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup cluster labels: verified MinHash pairs → undirected edges →
     * [[connectedComponents]]. Only docs that participate in at least one
     * near-dup pair appear (singletons are implicitly their own cluster). */

@@ -241,6 +241,24 @@ object TermIndex {
     * posting lists. */
   val TI_TERMS: Seq[String] = Seq("data", "query", "filter")
 
+  /** q159: the lexical index's decremental path end-to-end — build +
+    * append the full corpus, [[forgetDocs]] every
+    * [[Dedup.FORGET_MOD]]-th document, serve [[TI_TERMS]]. The oracle
+    * scores a corpus the deleted docs were never in — a purge that left
+    * postings behind OR a stats sidecar still counting deleted tokens
+    * (n_docs, total_tokens skew every score) hash-mismatches. */
+  def termForgetProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir))
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "term-forget")
+    buildTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0), indexDir)
+    appendTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD === 0), indexDir,
+      increment = 1L)
+    forgetDocs(spark,
+      d.filter(col("doc_id") % Dedup.FORGET_MOD === 0).select("doc_id"),
+      indexDir)
+    probeTermIndex(spark, TI_TERMS, indexDir, TextOps.RETRIEVAL_TOP_K)
+  }
+
   /** q139: the lexical index lifecycle end-to-end — build over docs with
     * doc_id % [[Dedup.DELTA_MOD]] != 0, append the rest as increment 1,
     * serve [[TI_TERMS]] from the persisted index. The oracle recomputes
