@@ -167,6 +167,25 @@ object OracleTwins {
        |FROM lab JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q160's twin: per-doc weight 1/|cluster| over the same recursive
+    * closure, weight mass in exact ppm integer division. */
+  val softDedupWeights: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |sz AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       |  FROM lab GROUP BY cluster_id),
+       |j AS (
+       |  SELECT d.lang, COALESCE(sz.csize, 1) AS csize
+       |  FROM documents d
+       |  LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |  LEFT JOIN sz ON lab.cluster_id = sz.cluster_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clustered,
+       |  CAST(sum(1000000 // csize) AS BIGINT) AS weight_mass_ppm,
+       |  CAST(max(csize) AS BIGINT) AS max_cluster_size
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q158's twin: the closure over pairs with BOTH endpoints surviving
     * the FORGET_MOD deletion — the decremental maintenance must arrive
     * at exactly this (splits, canonical changes, dropped singletons

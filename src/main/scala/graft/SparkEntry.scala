@@ -302,6 +302,8 @@ object SparkEntry {
     //      were never in ----
     "q158_forget_clusters"         -> (Dedup.forgetClustersProbe _),
     "q159_term_forget_probe"       -> (TermIndex.termForgetProbe _),
+    // ---- round 9: soft dedup — weight, don't drop ----
+    "q160_soft_dedup_weights"      -> (Dedup.softDedupWeights _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -516,6 +518,7 @@ object SparkEntry {
     "q159_term_forget_probe" -> OracleTwins.retrievalSql(
       engine.TermIndex.TI_TERMS,
       docWhere = s"doc_id % ${engine.Dedup.FORGET_MOD} <> 0"),
+    "q160_soft_dedup_weights" -> OracleTwins.softDedupWeights,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -520,6 +520,39 @@ object Dedup {
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .drop("label")
 
+  /** q160: SOFT dedup — the keep-everything alternative to the
+    * keep-list: every document stays in the corpus but carries training
+    * weight 1/|its near-dup cluster| (unclustered docs weigh 1), so a
+    * family of N near-copies contributes one document's worth of
+    * gradient instead of N — the standard middle ground when hard
+    * dropping is too aggressive (e.g. templated-but-distinct pages).
+    * Output is the per-language audit: docs, clustered docs, exact
+    * weight mass (ppm integer division — deterministic under any
+    * partitioning), and the largest cluster. Pairs with
+    * [[dedupKeepList]]: weight mass ≈ kept-doc count when clusters are
+    * exact copies; the gap between them is the "softness" budget.
+    *
+    * Scale shape: the label table is bounded by near-dup participants;
+    * sizes are a bounded aggregate broadcast back; the corpus sees one
+    * map pass + a lang-keyed aggregate with map-side combine. The
+    * lifecycle-served form substitutes [[readClusterLabels]] like every
+    * other cluster consumer. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("label"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    spread(documents(spark, dir)).select(col("doc_id"), col("lang"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(sizes), Seq("label"), "left")
+      .select(col("lang"), coalesce(col("csize"), lit(1L)).as("csize"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        sum(expr("1000000L div csize")).as("weight_mass_ppm"),
+        max("csize").as("max_cluster_size"))
+      .orderBy("lang")
+  }
+
   /** N-gram decontamination geometry: 13-gram overlap (the GPT-3-lineage
     * standard), heldout = every 17th doc, excerpt plants of 20 tokens. */
   val DECON_K = 13
