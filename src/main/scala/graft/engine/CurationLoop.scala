@@ -245,6 +245,30 @@ object CurationLoop {
     removed
   }
 
+  /** State audit — the invariant check a pipeline schedules at audit
+    * cadence (weekly, after incident recovery) while the daily path
+    * never pays for it: recompute the transitive closure from the
+    * document store (the source of truth) and diff the MAINTAINED
+    * label table row-for-row. Divergence zero is exactly the
+    * merged-≡-closure / forget-≡-closure invariant the specs pin; in
+    * production this operator is how you notice a lost increment, a
+    * half-applied forget, or label corruption before a split/keep-list
+    * consumes it. One row: maintained/recomputed/divergent counts
+    * (divergent = id present on only one side OR labeled differently). */
+  def auditLabels(spark: SparkSession, root: String): DataFrame = {
+    val expected = Dedup.closureOfDocs(
+      spark.read.parquet(s"$root/docs").select(col("doc_id"), col("text")))
+      .select(col("id"), col("label").as("elabel"))
+    val actual = Dedup.readClusterLabels(spark, s"$root/labels")
+      .select(col("id"), col("label").as("alabel"))
+    actual.join(expected, Seq("id"), "full_outer")
+      .agg(count(col("alabel")).as("n_maintained"),
+        count(col("elabel")).as("n_recomputed"),
+        sum(when(col("alabel").isNull || col("elabel").isNull ||
+          col("alabel") =!= col("elabel"), 1L).otherwise(0L))
+          .as("n_divergent"))
+  }
+
   /** The day loop as a STREAM — the whole curation lifecycle in the
     * steady-state stream shape the three index families already run:
     * each micro-batch is one "day". Stage 0 lands the batch's documents

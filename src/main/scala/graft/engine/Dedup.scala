@@ -84,6 +84,12 @@ object Dedup {
   private[engine] def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     nearDupPairsOf(spread(documents(spark, dir)))
 
+  /** Full closure of an explicit corpus DataFrame — the audit-side
+    * recompute ([[CurationLoop.auditLabels]]). */
+  private[engine] def closureOfDocs(docs: DataFrame): DataFrame =
+    connectedComponents(undirected(
+      nearDupPairsOf(docs).select(col("doc_a"), col("doc_b"))))
+
   /** The banded-LSH pair pass over an explicit corpus DataFrame (needs
     * doc_id, text) — the form [[CurationLoop.seed]] bootstraps from. */
   private[engine] def nearDupPairsOf(docs: DataFrame): DataFrame = {

@@ -153,6 +153,30 @@ class PipelineSpec extends SparkSpecBase {
       "replayed forget must not change the labels")
   }
 
+  test("auditLabels: zero divergence on maintained state; corruption is " +
+      "flagged") {
+    val root = tmpDir("graft-audit")
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    CurationLoop.seed(spark, docs, root)
+    val clean = CurationLoop.auditLabels(spark, root).collect()(0)
+    assert(clean.getLong(0) > 0, "audit needs a non-trivial label table")
+    assert(clean.getLong(0) == clean.getLong(1),
+      s"maintained vs recomputed counts: $clean")
+    assert(clean.getLong(2) == 0, s"maintained state must audit clean: $clean")
+    // corrupt one bucket: replace it with a single wrong-label row —
+    // the audit must notice (this is the failure mode it exists for)
+    val r0 = Dedup.readClusterLabels(spark, s"$root/labels").collect()(0)
+    import spark.implicits._
+    Seq((r0.getLong(0), r0.getLong(1) + 999L,
+        (r0.getLong(0) % Dedup.LABEL_BUCKETS).toInt))
+      .toDF("id", "label", "lb")
+      .write.partitionBy("lb")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$root/labels")
+    assert(CurationLoop.auditLabels(spark, root).collect()(0).getLong(2) > 0,
+      "a corrupted bucket must surface as divergence")
+  }
+
   test("bronze->silver->gold runs end-to-end and lands a partitioned fact") {
     val out = tmpDir("graft-pipeline")
     val stages = Pipeline.run(spark, sf, out, initialBackoffMs = 1)
