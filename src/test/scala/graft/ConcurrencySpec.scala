@@ -30,7 +30,10 @@ class ConcurrencySpec extends SparkSpecBase {
       "q139_term_index_probe", "q149_ivfpq_index_probe",
       // label-lifecycle + head-index representatives (scratch label
       // dirs and head indexes under concurrent mutation)
-      "q153_lifecycle_keep_list", "q155_containment_increment")
+      "q153_lifecycle_keep_list", "q155_containment_increment",
+      // decremental representatives: concurrent forget lifecycles must
+      // not cross-contaminate each other's scratch state
+      "q158_forget_clusters", "q159_term_forget_probe")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq
