@@ -227,6 +227,9 @@ object CurationLoop {
     val touched = hit(df).select(col(partCol)).distinct()
       .collect().map(_.get(0))
     if (touched.isEmpty) return 0L
+    // localCheckpoint: materialize BEFORE the in-place rewrite so no
+    // task re-reads the files being replaced (the self-overwrite
+    // discipline shared with the label merge/forget rewrites)
     val part = df.filter(col(partCol).isin(touched: _*)).localCheckpoint()
     val kept = keep(part).localCheckpoint()
     val removed = part.count() - kept.count()

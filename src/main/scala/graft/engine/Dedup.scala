@@ -333,8 +333,13 @@ object Dedup {
     val updated = part
       .join(broadcast(rootMap), col("label") === col("old_root"), "left")
       .select(col("id"), coalesce(col("new_root"), col("label")).as("label"))
+    // localCheckpoint severs the read-from-the-write-target lineage
+    // (bounded: touched buckets only) — the rewrite below must never
+    // re-scan labelDir files mid-replacement ([[forgetClusterMembers]]
+    // and the purge rewrites follow the same discipline)
     updated.unionByName(fresh)
       .withColumn("lb", labelBucket(col("id")))
+      .localCheckpoint()
       .repartition(col("lb")).sortWithinPartitions("label")
       .write.partitionBy("lb")
       .option("partitionOverwriteMode", "dynamic")
