@@ -304,6 +304,7 @@ object SparkEntry {
     "q159_term_forget_probe"       -> (TermIndex.termForgetProbe _),
     // ---- round 9: soft dedup — weight, don't drop ----
     "q160_soft_dedup_weights"      -> (Dedup.softDedupWeights _),
+    "q161_lifecycle_soft_weights"  -> (Dedup.lifecycleSoftWeights _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -519,6 +520,7 @@ object SparkEntry {
       engine.TermIndex.TI_TERMS,
       docWhere = s"doc_id % ${engine.Dedup.FORGET_MOD} <> 0"),
     "q160_soft_dedup_weights" -> OracleTwins.softDedupWeights,
+    "q161_lifecycle_soft_weights" -> OracleTwins.softDedupWeights,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

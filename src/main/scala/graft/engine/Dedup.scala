@@ -548,9 +548,20 @@ object Dedup {
     * map pass + a lang-keyed aggregate with map-side combine. The
     * lifecycle-served form substitutes [[readClusterLabels]] like every
     * other cluster consumer. */
-  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(spark, dir)
-      .select(col("id").as("doc_id"), col("label"))
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame =
+    softWeightsOf(spark, dir, clusterLabels(spark, dir))
+
+  /** q161: [[softDedupWeights]] SERVED from the maintained label table
+    * — the last closure consumer gets its lifecycle form (every
+    * cluster-consuming decision now has one: keep-list, split,
+    * curation, clusters, weights). q160's oracle. */
+  def lifecycleSoftWeights(spark: SparkSession, dir: String): DataFrame =
+    softWeightsOf(spark, dir,
+      readClusterLabels(spark, lifecycleLabels(spark, dir)))
+
+  private def softWeightsOf(spark: SparkSession, dir: String,
+      rawLabels: DataFrame): DataFrame = {
+    val labels = rawLabels.select(col("id").as("doc_id"), col("label"))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
     spread(documents(spark, dir)).select(col("doc_id"), col("lang"))
       .join(labels, Seq("doc_id"), "left")
