@@ -1080,25 +1080,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Shared lifecycle-label builder of q153/q154: base-internal pairs
-    * seed [[buildClusterLabels]]; the delta-touching pairs merge as one
-    * increment. (The pair SOURCE here is the in-plan [[nearDupPairs]] —
-    * the demonstration is the label maintenance; the steady state feeds
-    * the same merge from [[dedupIncrement]]'s landed pair partitions,
-    * spec-pinned in StreamingSpec.) */
-  private[engine] def lifecycleLabels(spark: SparkSession,
-      dir: String): String = {
-    val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val labelDir = IndexMaintenance.scratchIndexDir(spark, "labels")
-    buildClusterLabels(
-      pairs.filter(col("doc_a") % DELTA_MOD =!= 0 &&
-        col("doc_b") % DELTA_MOD =!= 0), labelDir)
-    mergeClusterIncrement(spark, labelDir,
-      pairs.filter(col("doc_a") % DELTA_MOD === 0 ||
-        col("doc_b") % DELTA_MOD === 0))
-    labelDir
-  }
+  /** Shared lifecycle-label builder of q153/q154/q156/q157/q161:
+    * base-internal pairs seed [[buildClusterLabels]]; the delta-touching
+    * pairs merge as one increment. (The pair SOURCE here is the in-plan
+    * [[nearDupPairs]] — the demonstration is the label maintenance; the
+    * steady state feeds the same merge from [[dedupIncrement]]'s landed
+    * pair partitions, spec-pinned in StreamingSpec.)
+    *
+    * MAINTAINED, not rebuilt: the store is built once per (JVM, data
+    * dir) and every subsequent consumer — keep-list, split, curation,
+    * dup clusters, soft weights — SERVES from it. That is the operating
+    * model these queries exist to demonstrate: a deployment maintains
+    * ONE label table; no consumer re-derives the pair graph or re-runs
+    * the closure. Re-building the identical store per consumer (the
+    * pre-r9 shape) silently re-paid the corpus hash + closure five
+    * times per surface run, contradicting the steady-state claim.
+    * `computeIfAbsent` gives build-once semantics under concurrent
+    * consumers (ConcurrencySpec races q153); consumers are read-only —
+    * the decremental path (q158) builds its OWN mutable copy and must
+    * never touch the shared table. Keyed on the corpus dir, which is
+    * immutable for a session (the testdata contract); a corpus that
+    * changes in place invalidates by JVM restart, exactly like a real
+    * maintained store invalidates by re-seed. */
+  private val maintainedLabelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def lifecycleLabels(spark: SparkSession,
+      dir: String): String =
+    maintainedLabelDirs.computeIfAbsent(dir, _ => {
+      val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val labelDir = IndexMaintenance.scratchIndexDir(spark, "labels")
+      buildClusterLabels(
+        pairs.filter(col("doc_a") % DELTA_MOD =!= 0 &&
+          col("doc_b") % DELTA_MOD =!= 0), labelDir)
+      mergeClusterIncrement(spark, labelDir,
+        pairs.filter(col("doc_a") % DELTA_MOD === 0 ||
+          col("doc_b") % DELTA_MOD === 0))
+      labelDir
+    })
 
   /** Record-linkage geometry: candidate pairs form only inside a
     * (lang, source) block; similarity is edit distance over a fixed-width

@@ -775,6 +775,26 @@ class DedupSimSpec extends SparkSpecBase {
       "re-merging already-internal edges must change nothing")
   }
 
+  test("maintained label store is built once per corpus and served to " +
+      "every consumer: repeated and concurrent demands share one dir") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val first = Dedup.lifecycleLabels(spark, sf)
+    assert(Dedup.lifecycleLabels(spark, sf) == first,
+      "a second consumer must serve from the maintained store, not rebuild")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dirs = Await.result(Future.sequence((1 to 4).map(_ =>
+      Future(Dedup.lifecycleLabels(spark, sf)))), 2.minutes)
+    assert(dirs.forall(_ == first),
+      "concurrent consumers must share the one maintained store")
+    // and the shared store really is the merged lifecycle state: it
+    // serves the exact clusters the full recomputation derives
+    assert(Dedup.lifecycleDupClusters(spark, sf).collect().map(_.toSeq).toSeq
+      == Dedup.dupClusters(spark, sf).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq,
+      "maintained store must serve the full-recompute clusters")
+  }
+
   test("label lifecycle bootstraps from an empty table: empty reads are " +
       "legal and a first merge IS the increment's closure") {
     val labelDir = tmpDir("graft-cc-empty") + "/labels"
