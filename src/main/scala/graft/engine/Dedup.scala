@@ -417,18 +417,22 @@ object Dedup {
     * other demonstration moduli so the splits compose. */
   val FORGET_MOD = 13L
 
-  /** q158: the decremental closure end-to-end — build labels from the
-    * FULL pair graph, [[forgetClusterMembers]] every [[FORGET_MOD]]-th
-    * document (hitting canonicals AND bridges wherever the data has
-    * them), serve the surviving clusters with sizes ([[dupClusters]]'
-    * shape). The oracle recomputes the recursive transitive closure
-    * over pairs with BOTH endpoints surviving — a forget that failed to
-    * split a bridged cluster, kept a deleted canonical's label, or
-    * dropped a survivor hash-mismatches. */
+  /** q158: the decremental closure end-to-end — snapshot the maintained
+    * label store (whose content is spec-pinned ≡ the full-pair-graph
+    * closure) into a private mutable copy, [[forgetClusterMembers]]
+    * every [[FORGET_MOD]]-th document (hitting canonicals AND bridges
+    * wherever the data has them), serve the surviving clusters with
+    * sizes ([[dupClusters]]' shape). Seeding by snapshot rather than
+    * rebuild is the deployment shape: a forget mutates the maintained
+    * table (here a copy, so the shared store stays read-only for its
+    * concurrent consumers) — it never re-derives it. The oracle
+    * recomputes the recursive transitive closure over pairs with BOTH
+    * endpoints surviving — a forget that failed to split a bridged
+    * cluster, kept a deleted canonical's label, or dropped a survivor
+    * hash-mismatches. */
   def forgetClustersProbe(spark: SparkSession, dir: String): DataFrame = {
     val labelDir = IndexMaintenance.scratchIndexDir(spark, "labels-forget")
-    buildClusterLabels(
-      nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b")), labelDir)
+    IndexMaintenance.cloneDir(spark, lifecycleLabels(spark, dir), labelDir)
     val d = spread(documents(spark, dir)).select(col("doc_id"), col("text"))
     forgetClusterMembers(spark, labelDir,
       d.filter(col("doc_id") % FORGET_MOD === 0).select(col("doc_id")),

@@ -70,6 +70,24 @@ object IndexMaintenance {
     p.toString
   }
 
+  /** Snapshot-copy a persisted index/label store to a fresh path —
+    * how a DECREMENTAL demonstration obtains its own mutable copy of a
+    * maintained store without re-deriving it (the maintained original
+    * stays read-only for its concurrent consumers). At cluster scale
+    * this is a distributed file copy (distcp-shaped: no shuffle, no
+    * recompute — cost is the store's size, not the corpus's); locally
+    * one recursive filesystem copy. */
+  private[graft] def cloneDir(spark: SparkSession, src: String,
+      dst: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcP = new Path(src)
+    val fs = srcP.getFileSystem(conf)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, srcP,
+        dst match { case d => new Path(d).getFileSystem(conf) },
+        new Path(dst), false, conf))
+      throw new IllegalStateException(s"snapshot copy $src -> $dst failed")
+  }
+
   /** Largest `increment=<n>` partition id under `dir` (0 if none) — the
     * partition a streaming ingest may still replay after a crash, which
     * maintenance must therefore never fold ([[Sim.maintainIvfIndex]]).

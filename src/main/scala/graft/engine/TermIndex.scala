@@ -241,36 +241,55 @@ object TermIndex {
     * posting lists. */
   val TI_TERMS: Seq[String] = Seq("data", "query", "filter")
 
-  /** q159: the lexical index's decremental path end-to-end — build +
-    * append the full corpus, [[forgetDocs]] every
-    * [[Dedup.FORGET_MOD]]-th document, serve [[TI_TERMS]]. The oracle
-    * scores a corpus the deleted docs were never in — a purge that left
-    * postings behind OR a stats sidecar still counting deleted tokens
-    * (n_docs, total_tokens skew every score) hash-mismatches. */
+  /** q159: the lexical index's decremental path end-to-end — snapshot
+    * the maintained index ([[maintainedTermIndex]]) into a private
+    * mutable copy, [[forgetDocs]] every [[Dedup.FORGET_MOD]]-th
+    * document, serve [[TI_TERMS]]. Seeding by snapshot is the
+    * deployment shape: a forget mutates the maintained index (here a
+    * copy, so the shared one stays read-only for concurrent probes) —
+    * it never re-derives it from the corpus. The oracle scores a corpus
+    * the deleted docs were never in — a purge that left postings behind
+    * OR a stats sidecar still counting deleted tokens (n_docs,
+    * total_tokens skew every score) hash-mismatches. */
   def termForgetProbe(spark: SparkSession, dir: String): DataFrame = {
-    val d = spread(documents(spark, dir))
     val indexDir = IndexMaintenance.scratchIndexDir(spark, "term-forget")
-    buildTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0), indexDir)
-    appendTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD === 0), indexDir,
-      increment = 1L)
+    IndexMaintenance.cloneDir(spark, maintainedTermIndex(spark, dir), indexDir)
     forgetDocs(spark,
-      d.filter(col("doc_id") % Dedup.FORGET_MOD === 0).select("doc_id"),
+      spread(documents(spark, dir))
+        .filter(col("doc_id") % Dedup.FORGET_MOD === 0).select("doc_id"),
       indexDir)
     probeTermIndex(spark, TI_TERMS, indexDir, TextOps.RETRIEVAL_TOP_K)
   }
 
+  /** The demo corpus's MAINTAINED inverted index: built once per
+    * (JVM, corpus dir) — base build over docs with doc_id %
+    * [[Dedup.DELTA_MOD]] != 0, the rest appended as increment 1 — and
+    * shared by every consumer thereafter (q139 probes it; q159 clones
+    * it before mutating). `computeIfAbsent` gives build-once semantics
+    * under concurrent demands; consumers are read-only. Keyed on the
+    * corpus dir, immutable for a session (the testdata contract). */
+  private val maintainedTermIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def maintainedTermIndex(spark: SparkSession,
+      dir: String): String =
+    maintainedTermIndexes.computeIfAbsent(dir, _ => {
+      val d = spread(documents(spark, dir))
+      val indexDir = IndexMaintenance.scratchIndexDir(spark, "term-index")
+      buildTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0), indexDir)
+      appendTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD === 0),
+        indexDir, increment = 1L)
+      indexDir
+    })
+
   /** q139: the lexical index lifecycle end-to-end — build over docs with
-    * doc_id % [[Dedup.DELTA_MOD]] != 0, append the rest as increment 1,
-    * serve [[TI_TERMS]] from the persisted index. The oracle recomputes
+    * doc_id % [[Dedup.DELTA_MOD]] != 0, append the rest as increment 1
+    * (both once per session: [[maintainedTermIndex]]), serve
+    * [[TI_TERMS]] from the persisted index. The oracle recomputes
     * the same scoring in one pass over the WHOLE corpus, so a probe that
     * misses the appended increment (stale df / n_docs) or double-counts
     * a retried append hash-mismatches. */
-  def termIndexProbe(spark: SparkSession, dir: String): DataFrame = {
-    val d = spread(documents(spark, dir))
-    val indexDir = IndexMaintenance.scratchIndexDir(spark, "term-index")
-    buildTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0), indexDir)
-    appendTermIndex(d.filter(col("doc_id") % Dedup.DELTA_MOD === 0), indexDir,
-      increment = 1L)
-    probeTermIndex(spark, TI_TERMS, indexDir, TextOps.RETRIEVAL_TOP_K)
-  }
+  def termIndexProbe(spark: SparkSession, dir: String): DataFrame =
+    probeTermIndex(spark, TI_TERMS, maintainedTermIndex(spark, dir),
+      TextOps.RETRIEVAL_TOP_K)
 }
