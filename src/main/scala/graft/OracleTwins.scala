@@ -635,6 +635,111 @@ object OracleTwins {
        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
        |FROM shd GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q162's twin: q147's pipeline re-expressed as a per-(lang, verdict)
+    * funnel with first-failing-gate attribution — same closure, gates,
+    * rate arithmetic, and sample hash; every document lands in exactly
+    * one verdict. */
+  val curationFunnel: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |$langQualityCte,
+       |g AS (
+       |  SELECT r.doc_id, r.lang, r.n_tokens,
+       |    CASE WHEN lab.cluster_id IS NOT NULL AND r.doc_id <> lab.cluster_id
+       |           THEN 'dup'
+       |         WHEN r.n_tokens < ${TextOps.MIN_TOKENS} THEN 'short'
+       |         WHEN r.stop_ratio > ${TextOps.MAX_STOP_RATIO}
+       |           THEN 'stopword_heavy'
+       |         END AS pre
+       |  FROM r LEFT JOIN lab ON r.doc_id = lab.doc_id),
+       |counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM g WHERE pre IS NULL GROUP BY lang),
+       |z AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(list(n_docs ORDER BY lang), zn -> sqrt(zn::DOUBLE))),
+       |      (za, zx) -> za + zx) AS z
+       |  FROM counts),
+       |rates AS (
+       |  SELECT lang,
+       |    CAST(floor(least(1.0,
+       |      sqrt(n_docs::DOUBLE) / z *
+       |        (n_total::DOUBLE / ${TextOps.TEMP_BUDGET_DIV}.0) /
+       |        n_docs::DOUBLE) * 1000000) AS BIGINT) AS rate_ppm
+       |  FROM counts, z),
+       |v AS (
+       |  SELECT g.lang, g.n_tokens,
+       |    COALESCE(g.pre,
+       |      CASE WHEN ${polyhash("('sample:' || g.doc_id::VARCHAR)")} % 1000000
+       |             >= rates.rate_ppm THEN 'sampled_out' ELSE 'kept' END)
+       |      AS verdict
+       |  FROM g LEFT JOIN rates ON g.lang = rates.lang)
+       |SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM v GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
+
+  /** q163's twin: per-cluster canonical by quality rank (max tokens,
+    * ties to min doc_id) over the same recursive closure, with the
+    * min-id rule's choice alongside. */
+  val qualityCanonicals: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |t AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |m AS (
+       |  SELECT lab.cluster_id, lab.doc_id, t.n_tokens
+       |  FROM lab JOIN t ON lab.doc_id = t.doc_id),
+       |rk AS (
+       |  SELECT cluster_id, doc_id, n_tokens,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_tokens DESC, doc_id) AS r
+       |  FROM m),
+       |gg AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       |    CAST(max(n_tokens) AS BIGINT) AS canonical_tokens,
+       |    CAST(min(doc_id) AS BIGINT) AS min_id_canonical
+       |  FROM m GROUP BY cluster_id)
+       |SELECT gg.cluster_id, gg.cluster_size, rk.doc_id AS canonical_id,
+       |  gg.canonical_tokens, gg.min_id_canonical
+       |FROM gg JOIN rk ON gg.cluster_id = rk.cluster_id AND rk.r = 1
+       |ORDER BY gg.cluster_id""".stripMargin
+
+  /** q164's twin: per-language keep-list accounting under the
+    * quality-rank canonical policy, with the min-id rule's token take
+    * alongside — same closure, same argmax tie-break. */
+  val qualityKeepList: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |t AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |m AS (
+       |  SELECT t.doc_id, t.lang, t.n_tokens, lab.cluster_id
+       |  FROM t LEFT JOIN lab ON t.doc_id = lab.doc_id),
+       |rk AS (
+       |  SELECT cluster_id, doc_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_tokens DESC, doc_id) AS r
+       |  FROM m WHERE cluster_id IS NOT NULL),
+       |canon AS (SELECT cluster_id, doc_id AS q_canon FROM rk WHERE r = 1),
+       |v AS (
+       |  SELECT m.lang, m.n_tokens,
+       |    (m.cluster_id IS NULL OR m.doc_id = canon.q_canon) AS keep,
+       |    (m.cluster_id IS NULL OR m.doc_id = m.cluster_id) AS minid_keep
+       |  FROM m LEFT JOIN canon ON m.cluster_id = canon.cluster_id),
+       |a AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+       |      AS kept_tokens,
+       |    CAST(sum(CASE WHEN minid_keep THEN n_tokens ELSE 0 END) AS BIGINT)
+       |      AS minid_kept_tokens
+       |  FROM v GROUP BY lang)
+       |SELECT lang, n_docs, n_kept, kept_tokens, minid_kept_tokens,
+       |  kept_tokens - minid_kept_tokens AS token_dividend
+       |FROM a ORDER BY lang""".stripMargin
+
   val tokenHistogram: String =
     s"""WITH t AS (
        |  SELECT len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
@@ -1420,6 +1525,68 @@ object OracleTwins {
        |    AS kept_tokens
        |FROM g GROUP BY source, t, rate_ppm ORDER BY source""".stripMargin
 
+  /** q165's twin: q151's integer waterfilling solved over effective
+    * (dedup-weighted) token masses — same closure as q160's weights,
+    * same (k, p, q) waterline, same hash gate. */
+  val weightedTokenMixture: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |sz AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       |  FROM lab GROUP BY cluster_id),
+       |docs AS (
+       |  SELECT d.source, d.doc_id,
+       |    len(string_split_regex(trim(d.text), '\\s+'))::BIGINT AS n_tokens,
+       |    ${polyhash("d.text")} % 1000000 AS bucket,
+       |    len(string_split_regex(trim(d.text), '\\s+'))::BIGINT *
+       |      (1000000 // COALESCE(sz.csize, 1)) AS eff_ppm
+       |  FROM documents d
+       |  LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |  LEFT JOIN sz ON lab.cluster_id = sz.cluster_id),
+       |counts AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS raw_t,
+       |    CAST(sum(eff_ppm) AS BIGINT) // 1000000 AS t
+       |  FROM docs GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS n_src,
+       |    CAST(sum(t) AS BIGINT) // ${TextOps.MIX_BUDGET_DIV} AS b
+       |  FROM counts),
+       |ranked AS (
+       |  SELECT source, t,
+       |    row_number() OVER (ORDER BY t, source)::BIGINT AS r,
+       |    CAST(sum(t) OVER (ORDER BY t, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM counts),
+       |flagged AS (
+       |  SELECT ranked.*, (cum + (n_src - r) * t <= b) AS fully_kept
+       |  FROM ranked, tot),
+       |line AS (
+       |  SELECT CAST(sum(CASE WHEN fully_kept THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS k,
+       |    CAST(sum(CASE WHEN fully_kept THEN t ELSE 0 END) AS BIGINT)
+       |      AS cum_k
+       |  FROM flagged),
+       |lpq AS (SELECT k, b - cum_k AS p, n_src - k AS q FROM line, tot),
+       |rates AS (
+       |  SELECT source, t,
+       |    CAST(CASE WHEN fully_kept OR q = 0 THEN 1000000
+       |         ELSE (1000000 * p) // (q * t) END AS BIGINT) AS rate_ppm
+       |  FROM flagged, lpq),
+       |g AS (
+       |  SELECT docs.source, counts.raw_t, rates.t, rate_ppm, n_tokens,
+       |    eff_ppm, (bucket < rate_ppm) AS kept
+       |  FROM docs JOIN rates ON docs.source = rates.source
+       |  JOIN counts ON docs.source = counts.source)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  raw_t AS raw_tokens, t AS eff_tokens, rate_ppm,
+       |  t * rate_ppm // 1000000 AS expected_eff_tokens,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_docs,
+       |  CAST(sum(CASE WHEN kept THEN eff_ppm ELSE 0 END) AS BIGINT)
+       |    // 1000000 AS kept_eff_tokens
+       |FROM g GROUP BY source, raw_t, t, rate_ppm ORDER BY source""".stripMargin
+
   val repetition: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
@@ -1893,6 +2060,48 @@ object OracleTwins {
 
   val semanticDedup: String =
     s"""$ivfPrefix,
+       |canon AS (
+       |  SELECT cent_id, min(vec_id) AS canon_id FROM a1 GROUP BY cent_id),
+       |cj AS (
+       |  SELECT canon.cent_id, canon.canon_id, a1.vec_id,
+       |    ${dot("ev.embedding", "ec.embedding")} / (ev.nrm * ec.nrm) AS cos
+       |  FROM a1
+       |  JOIN canon ON a1.cent_id = canon.cent_id
+       |  JOIN e ev ON a1.vec_id = ev.vec_id
+       |  JOIN e ec ON canon.canon_id = ec.vec_id)
+       |SELECT cent_id, canon_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN vec_id <> canon_id AND cos >= ${Sim.SEMDEDUP_T}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  ${round6("min(cos)")} AS min_cos,
+       |  ${round6("max(CASE WHEN vec_id <> canon_id THEN cos END)")}
+       |    AS max_nonself_cos
+       |FROM cj GROUP BY cent_id, canon_id ORDER BY cent_id""".stripMargin
+
+  /** q166's twin: the semantic-dedup audit over the PERSISTED index's
+    * geometry — centroids stride-sampled from the build population
+    * (vec_id % ANN_DELTA_MOD <> 0), every vector assigned to its best
+    * frozen centroid (ties to min cent_id), then q76's canonical
+    * election and member scoring unchanged. */
+  val lifecycleSemanticDedup: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2("embedding")}) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % ${Sim.ANN_DELTA_MOD} <> 0),
+       |c AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |    FROM b) = 0),
+       |s AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ${dot("embedding", "cv")} / (nrm * cnrm) AS cos
+       |  FROM e, c),
+       |a AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, cent_id) AS rn
+       |  FROM s),
+       |a1 AS (SELECT vec_id, cent_id FROM a WHERE rn = 1),
        |canon AS (
        |  SELECT cent_id, min(vec_id) AS canon_id FROM a1 GROUP BY cent_id),
        |cj AS (

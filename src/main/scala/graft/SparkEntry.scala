@@ -305,6 +305,12 @@ object SparkEntry {
     // ---- round 9: soft dedup — weight, don't drop ----
     "q160_soft_dedup_weights"      -> (Dedup.softDedupWeights _),
     "q161_lifecycle_soft_weights"  -> (Dedup.lifecycleSoftWeights _),
+    // ---- round 9: funnel ledger + quality-ranked canonicals ----
+    "q162_curation_funnel"         -> (TextOps.curationFunnel _),
+    "q163_quality_canonicals"      -> (Dedup.qualityCanonicals _),
+    "q164_quality_keep_list"       -> (Dedup.qualityKeepList _),
+    "q165_weighted_mixture"        -> (TextOps.weightedTokenMixture _),
+    "q166_lifecycle_semdedup"      -> (Sim.lifecycleSemanticDedup _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -521,6 +527,11 @@ object SparkEntry {
       docWhere = s"doc_id % ${engine.Dedup.FORGET_MOD} <> 0"),
     "q160_soft_dedup_weights" -> OracleTwins.softDedupWeights,
     "q161_lifecycle_soft_weights" -> OracleTwins.softDedupWeights,
+    "q162_curation_funnel" -> OracleTwins.curationFunnel,
+    "q163_quality_canonicals" -> OracleTwins.qualityCanonicals,
+    "q164_quality_keep_list" -> OracleTwins.qualityKeepList,
+    "q165_weighted_mixture" -> OracleTwins.weightedTokenMixture,
+    "q166_lifecycle_semdedup" -> OracleTwins.lifecycleSemanticDedup,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -468,6 +468,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q163: QUALITY-ranked canonical selection — which member of each
+    * near-dup cluster to keep. The min-id rule ([[dupClusters]],
+    * [[dedupKeepList]]) is deterministic but content-blind: when a
+    * cluster holds a full document and its truncation, min-id can keep
+    * the fragment. This picks the member with the most tokens (ties →
+    * min doc_id, so the rule stays total and replayable), the policy a
+    * production dedup actually ships. Served from the maintained label
+    * store; token counts join in from the corpus (the one
+    * corpus-proportional input), and the per-cluster argmax is a
+    * shuffle keyed on the cluster label over CLUSTERED docs only —
+    * bounded by the label table, not the corpus. Output: one row per
+    * cluster with both rules' choices, so the ledger shows exactly
+    * where quality ranking disagrees with min-id. */
+  def qualityCanonicals(spark: SparkSession, dir: String): DataFrame = {
+    val labels = readClusterLabels(spark, lifecycleLabels(spark, dir))
+      .select(col("id").as("doc_id"), col("label"))
+    val toks = spread(documents(spark, dir)).select(col("doc_id"),
+      size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    labels.join(toks, "doc_id")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("doc_id"),
+          struct(col("n_tokens"), (-col("doc_id")).as("nid")))
+          .as("canonical_id"),
+        max("n_tokens").as("canonical_tokens"),
+        min("doc_id").as("min_id_canonical"))
+      .orderBy("cluster_id")
+  }
+
   /** Dedup keep-list — the curation DECISION the cluster analysis feeds:
     * every document either survives dedup (unclustered, or it IS its
     * cluster's canonical = min doc_id) or is dropped in favor of its
@@ -534,6 +564,52 @@ object Dedup {
         Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .drop("label")
+
+  /** q164: the quality-ranked KEEP-LIST — [[dedupKeepList]]'s decision
+    * under [[qualityCanonicals]]' policy (keep the max-token member,
+    * ties to min id) instead of min-id, served from the maintained
+    * label table. Output per language: docs seen / kept, the tokens the
+    * quality rule keeps, the tokens the min-id rule would have kept,
+    * and their difference — the "quality dividend": training tokens a
+    * content-blind canonical forfeits by keeping a truncation over its
+    * full document. Negative per-language rows are real (the quality
+    * canonical can sit in a different language than the min-id one);
+    * the global sum is ≥ 0 by construction of the argmax.
+    *
+    * Scale shape: one corpus pass for (doc_id, lang, n_tokens); the
+    * label join is bounded by near-dup participants; the per-cluster
+    * argmax shuffles CLUSTERED docs only and its (label → canonical)
+    * result broadcasts back (bounded by the cluster count, same class
+    * as [[softDedupWeights]]' size table); the audit is a lang-keyed
+    * aggregate with map-side combine. */
+  def qualityKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val labels = readClusterLabels(spark, lifecycleLabels(spark, dir))
+      .select(col("id").as("doc_id"), col("label"))
+    val docs = spread(documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+    val canon = docs.filter(col("label").isNotNull)
+      .groupBy("label")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("q_canon"))
+    docs.join(broadcast(canon), Seq("label"), "left")
+      .withColumn("keep",
+        col("label").isNull || col("doc_id") === col("q_canon"))
+      .withColumn("minid_keep",
+        col("label").isNull || col("doc_id") === col("label"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("minid_keep"), col("n_tokens")).otherwise(0L))
+          .as("minid_kept_tokens"))
+      .withColumn("token_dividend",
+        col("kept_tokens") - col("minid_kept_tokens"))
+      .orderBy("lang")
+  }
 
   /** q160: SOFT dedup — the keep-everything alternative to the
     * keep-list: every document stays in the corpus but carries training

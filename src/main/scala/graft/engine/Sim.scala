@@ -1229,6 +1229,60 @@ object Sim {
       .orderBy("cent_id")
   }
 
+  /** q166: [[semanticDedup]] SERVED from the persisted IVF index — the
+    * embedding modality's cluster-consuming decision gets its lifecycle
+    * form, like every closure consumer on the text side (keep-list,
+    * split, curation, weights). The in-plan q76 pays the N×K assignment
+    * pass every run; here the stored (vec_id, embedding, nrm, cell)
+    * rows ARE the assignment (frozen centroids, increments appended by
+    * the streaming ingest), so the audit is two scans of the index
+    * files: a per-cell canonical election (bounded aggregate, one row
+    * per cell, broadcast back) and a map-side member scoring — no N×K
+    * pass, no corpus shuffle. The demo builds the standard 4/5 + 1/5
+    * increment geometry ([[ivfIndexProbe]]'s); production reads the
+    * index [[graft.streaming.VecIndexStream]] maintains.
+    *
+    * The audit differs from q76's numbers by construction — cells here
+    * come from the BUILD population's stride centroids (the frozen-
+    * centroid add-vectors contract), not full-corpus centroids — so it
+    * carries its own oracle replicating exactly that geometry. */
+  def lifecycleSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(embeddings(spark, dir))
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "semdedup-index")
+    buildIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir)
+    appendIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD === 0), indexDir,
+      increment = 1L)
+    semanticDedupFromIndex(spark, indexDir)
+  }
+
+  /** The serving half of [[lifecycleSemanticDedup]] over an existing
+    * index directory — the call a day loop makes against the maintained
+    * store. */
+  def semanticDedupFromIndex(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    // partition-column inference reads `cell` as int; the audit contract
+    // (and the driver's schema gate) wants the bigint the centroid ids
+    // actually are
+    val v = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell").cast("long").as("cent_id"))
+    val canon = v.groupBy("cent_id").agg(min("vec_id").as("canon_id"))
+      .join(v.select(col("vec_id").as("canon_id"),
+        col("embedding").as("canonv"), col("nrm").as("cnrm")), "canon_id")
+    v.join(broadcast(canon), "cent_id")
+      .select(col("cent_id"), col("canon_id"), col("vec_id"),
+        (VecFns.dot(col("embedding"), col("canonv")) /
+          (col("nrm") * col("cnrm"))).as("cos"))
+      .groupBy("cent_id", "canon_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") =!= col("canon_id") &&
+          col("cos") >= SEMDEDUP_T, 1L).otherwise(0L)).as("n_dropped"),
+        Num.round6(min("cos")).as("min_cos"),
+        Num.round6(max(when(col("vec_id") =!= col("canon_id"), col("cos"))))
+          .as("max_nonself_cos"))
+      .orderBy("cent_id")
+  }
+
   /** Int8 quantization scale: symmetric per-vector absmax → [-127, 127].
     * The rounding is floor(x + 0.5) — never `round()`, whose half-even /
     * half-up behaviour differs between engines. */

@@ -449,12 +449,74 @@ object TextOps {
   def lifecycleCuration(spark: SparkSession, dir: String): DataFrame =
     curationPipelineFrom(spark, dir, Dedup.lifecycleLabels(spark, dir))
 
+  /** q162: the curation FUNNEL ledger — where did the corpus go?
+    * Per-(lang, verdict) document and token accounting through q147's
+    * exact pipeline with FIRST-failing-gate attribution: `dup` (not its
+    * cluster's canonical), `short`, `stopword_heavy`, `sampled_out`
+    * (survived the gates but lost the temperature draw), `kept`. The
+    * data-loss budget a curation team reviews before a training run —
+    * q44's verdict ledger covers the static gates; this one includes
+    * the SAMPLING stage, whose per-language rates depend on the kept
+    * corpus itself (so a gate change reshapes the sample — the funnel
+    * shows both effects in one artifact).
+    *
+    * Scale shape: identical to q147 — labels served from the maintained
+    * store (bounded join), rates a \|langs\|-row broadcast, gates
+    * map-side; one corpus pass plus the final bounded aggregate. The
+    * rate LEFT join keeps langs with zero gate-survivors accounted
+    * (their docs all carry a pre-sampling verdict). */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.readClusterLabels(spark,
+        Dedup.lifecycleLabels(spark, dir))
+      .select(col("id").as("doc_id"), col("label"))
+    val gated = langQualityRaw(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("pre",
+        when(col("label").isNotNull && col("label") =!= col("doc_id"), "dup")
+          .when(col("n_tokens") < MIN_TOKENS, "short")
+          .when(col("stop_ratio") > MAX_STOP_RATIO, "stopword_heavy"))
+    val counts = gated.filter(col("pre").isNull)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    gated.join(broadcast(temperatureRates(counts)), Seq("lang"), "left")
+      .withColumn("verdict", coalesce(col("pre"),
+        when(TextFns.polyHash(
+            concat(lit("sample:"), col("doc_id").cast("string"))) % 1000000
+          >= col("rate_ppm"), "sampled_out")
+          .otherwise("kept")))
+      .groupBy("lang", "verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("lang", "verdict")
+  }
+
   /** [[curationPipeline]] off a persisted label dir. */
   def curationPipelineFrom(spark: SparkSession, dir: String,
       labelDir: String): DataFrame =
     curationPipelineWith(spark, dir,
       Dedup.readClusterLabels(spark, labelDir)
         .select(col("id").as("doc_id"), col("label")))
+
+  /** Temperature-flattened per-language sampling rates over a
+    * (lang, n_docs) count table — q147's exact arithmetic (deterministic
+    * left-fold over lang-sorted sqrt terms so the float sum is
+    * engine-independent), shared with the q162 funnel ledger. Bounded:
+    * \|langs\| rows in, \|langs\| rows out. */
+  private def temperatureRates(counts: DataFrame): DataFrame = {
+    val z = counts
+      .agg(sum("n_docs").as("n_total"),
+        array_sort(collect_list(struct(col("lang"), col("n_docs")))).as("ls"))
+      .select(col("n_total"),
+        aggregate(transform(col("ls"),
+            s => sqrt(s.getField("n_docs").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("lang"),
+        floor(least(lit(1.0),
+          sqrt(col("n_docs").cast("double")) / col("z") *
+            (col("n_total").cast("double") / lit(TEMP_BUDGET_DIV.toDouble)) /
+            col("n_docs").cast("double")) * 1000000)
+          .cast("long").as("rate_ppm"))
+  }
 
   private def curationPipelineWith(spark: SparkSession, dir: String,
       labels: DataFrame): DataFrame = {
@@ -465,20 +527,7 @@ object TextOps {
         col("n_tokens") >= MIN_TOKENS && col("stop_ratio") <= MAX_STOP_RATIO)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
     val counts = kept.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val z = counts
-      .agg(sum("n_docs").as("n_total"),
-        array_sort(collect_list(struct(col("lang"), col("n_docs")))).as("ls"))
-      .select(col("n_total"),
-        aggregate(transform(col("ls"),
-            s => sqrt(s.getField("n_docs").cast("double"))),
-          lit(0.0), (acc, x) => acc + x).as("z"))
-    val rates = counts.crossJoin(broadcast(z))
-      .select(col("lang"),
-        floor(least(lit(1.0),
-          sqrt(col("n_docs").cast("double")) / col("z") *
-            (col("n_total").cast("double") / lit(TEMP_BUDGET_DIV.toDouble)) /
-            col("n_docs").cast("double")) * 1000000)
-          .cast("long").as("rate_ppm"))
+    val rates = temperatureRates(counts)
     kept.join(broadcast(rates), "lang")
       .filter(TextFns.polyHash(
         concat(lit("sample:"), col("doc_id").cast("string"))) % 1000000
@@ -572,6 +621,28 @@ object TextOps {
         (TextFns.polyHash(col("text")) % 1000000).as("bucket"))
     val counts = docs.groupBy("source")
       .agg(sum("n_tokens").as("t"))
+    docs.join(broadcast(waterfillRates(counts)), "source")
+      .withColumn("kept", col("bucket") < col("rate_ppm"))
+      .groupBy("source", "t", "rate_ppm")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_docs"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("t").as("n_tokens"),
+        col("rate_ppm"),
+        expr("t * rate_ppm div 1000000L").as("expected_tokens"),
+        col("n_kept_docs"), col("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** The exact integer waterfilling solve shared by q151 and q165:
+    * given a (source, t) mass table, find the waterline L with
+    * Σ min(t_i, L) = total div [[MIX_BUDGET_DIV]] and return per-source
+    * ppm rates (fully-kept sources rate 10⁶; above-the-line sources
+    * (10⁶·p) div (q·t)). Runs entirely on the \|sources\|-row aggregate:
+    * one bounded window, two broadcast scalar rows — never touches the
+    * corpus. */
+  private def waterfillRates(counts: DataFrame): DataFrame = {
     val n = Window.orderBy(col("t").asc, col("source").asc)
     val ranked = counts
       .withColumn("r", row_number().over(n).cast("long"))
@@ -592,21 +663,59 @@ object TextOps {
       .crossJoin(broadcast(tot))
       .select(col("k"), (col("b") - col("cum_k")).as("p"),
         (col("n_src") - col("k")).as("q"))
-    val rates = flagged.crossJoin(broadcast(line))
+    flagged.crossJoin(broadcast(line))
       .select(col("source"), col("t"),
         when(col("fully_kept") || col("q") === 0L, lit(1000000L))
           .otherwise(expr("(1000000L * p) div (q * t)")).as("rate_ppm"))
-    docs.join(broadcast(rates), "source")
+  }
+
+  /** q165: DEDUP-WEIGHTED token-budget mixture — q151's waterfilling
+    * solved over EFFECTIVE token masses, where each document's tokens
+    * are discounted by its soft-dedup weight 1/\|cluster\|
+    * ([[graft.engine.Dedup.softDedupWeights]]' ppm arithmetic, labels
+    * served from the maintained table). The composition a budgeted
+    * training run actually wants: a source padded with near-duplicate
+    * families no longer buys budget share with tokens the model would
+    * see as repeats — its effective mass shrinks, the waterline
+    * re-allocates the difference to genuinely diverse sources. Reported
+    * per source: raw vs effective mass, the rate the solve assigns, and
+    * the realized (hash-gated) effective take, all in exact integers so
+    * the decision is engine- and partitioning-independent.
+    *
+    * Scale shape: q151's exactly — the weight join adds one bounded
+    * label join + broadcast size table to the corpus pass
+    * ([[graft.engine.Dedup.softDedupWeights]]' shape); the solve runs
+    * on the \|sources\|-row aggregate; the gate is map-side against the
+    * broadcast rate table. */
+  def weightedTokenMixture(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.readClusterLabels(spark,
+        Dedup.lifecycleLabels(spark, dir))
+      .select(col("id").as("doc_id"), col("label"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    val docs = documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        (TextFns.polyHash(col("text")) % 1000000).as("bucket"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(sizes), Seq("label"), "left")
+      .withColumn("eff_ppm",
+        col("n_tokens") * expr("1000000L div coalesce(csize, 1L)"))
+    val counts = docs.groupBy("source")
+      .agg(sum("n_tokens").as("raw_t"),
+        expr("sum(eff_ppm) div 1000000L").as("t"))
+    docs.join(broadcast(waterfillRates(counts)
+        .join(counts.select(col("source"), col("raw_t")), "source")),
+        "source")
       .withColumn("kept", col("bucket") < col("rate_ppm"))
-      .groupBy("source", "t", "rate_ppm")
+      .groupBy("source", "raw_t", "t", "rate_ppm")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_docs"),
-        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
-          .as("kept_tokens"))
-      .select(col("source"), col("n_docs"), col("t").as("n_tokens"),
-        col("rate_ppm"),
-        expr("t * rate_ppm div 1000000L").as("expected_tokens"),
-        col("n_kept_docs"), col("kept_tokens"))
+        sum(when(col("kept"), col("eff_ppm")).otherwise(0L)).as("kept_ppm"))
+      .select(col("source"), col("n_docs"), col("raw_t").as("raw_tokens"),
+        col("t").as("eff_tokens"), col("rate_ppm"),
+        expr("t * rate_ppm div 1000000L").as("expected_eff_tokens"),
+        col("n_kept_docs"),
+        expr("kept_ppm div 1000000L").as("kept_eff_tokens"))
       .orderBy("source")
   }
 

@@ -186,6 +186,156 @@ class DedupSimSpec extends SparkSpecBase {
       Set("dup", "short", "stopword_heavy", "non_en", "kept")))
   }
 
+  test("curation funnel partitions the corpus and its kept stage equals " +
+      "the pipeline's shard totals") {
+    val docs = engine.Tables.documents(spark, sf)
+    val total = docs.count()
+    val tokens = docs.select(sum(size(TextFns.tokens(col("text")))).cast("long"))
+      .collect().head.getLong(0)
+    val fun = TextOps.curationFunnel(spark, sf).collect()
+    // exactly-one-verdict accounting: docs and tokens are conserved
+    assert(fun.map(_.getLong(2)).sum == total)
+    assert(fun.map(_.getLong(3)).sum == tokens)
+    assert(fun.map(_.getString(1)).toSet.subsetOf(
+      Set("dup", "short", "stopword_heavy", "sampled_out", "kept")))
+    // the funnel's kept stage must equal what the q147 pipeline actually
+    // ships — same docs, same tokens (the funnel is an accounting VIEW of
+    // that pipeline, not a reimplementation allowed to drift)
+    val shards = TextOps.curationPipeline(spark, sf).collect()
+    val kept = fun.filter(_.getString(1) == "kept")
+    assert(kept.map(_.getLong(2)).sum == shards.map(_.getLong(1)).sum)
+    assert(kept.map(_.getLong(3)).sum == shards.map(_.getLong(2)).sum)
+  }
+
+  test("qualityCanonicals picks the max-token member and disagrees with " +
+      "min-id only when min-id is not a max") {
+    val toks = engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = clusters.groupBy(_._2).map { case (c, m) =>
+      c -> m.map(_._1).toSeq.sorted }
+    val qc = Dedup.qualityCanonicals(spark, sf).collect()
+    assert(qc.map(_.getLong(0)).toSet == members.keySet)
+    qc.foreach { r =>
+      val (cid, size0, canon, canonToks, minId) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val mem = members(cid)
+      assert(size0 == mem.length)
+      assert(minId == cid, "cluster_id is the min member by construction")
+      assert(mem.contains(canon))
+      val maxT = mem.map(toks).max
+      assert(toks(canon) == maxT && canonToks == maxT)
+      // total order: among max-token members, the canonical is the min id
+      assert(canon == mem.filter(toks(_) == maxT).min)
+    }
+    // the policy must MATTER on this corpus: some cluster's min-id member
+    // is a shorter document than its quality canonical
+    assert(qc.exists(r => r.getLong(2) != r.getLong(4)),
+      "expected at least one cluster where quality ranking disagrees with min-id")
+  }
+
+  test("qualityKeepList conserves docs, keeps one doc per cluster, and " +
+      "its global dividend equals q163's canonical-token gap") {
+    val qk = Dedup.qualityKeepList(spark, sf).collect()
+    val docs = engine.Tables.documents(spark, sf)
+    val total = docs.count()
+    assert(qk.map(_.getAs[Long]("n_docs")).sum == total)
+    val qc = Dedup.qualityCanonicals(spark, sf).collect()
+    val clustered = qc.map(_.getAs[Long]("cluster_size")).sum
+    assert(qk.map(_.getAs[Long]("n_kept")).sum ==
+      total - clustered + qc.length,
+      "one keeper per cluster plus every unclustered doc")
+    val toks = docs.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gap = qc.map(r => r.getAs[Long]("canonical_tokens") -
+      toks(r.getAs[Long]("min_id_canonical"))).sum
+    assert(gap > 0, "the quality policy must matter on this corpus")
+    assert(qk.map(_.getAs[Long]("token_dividend")).sum == gap,
+      "global dividend must equal the per-cluster canonical-token gap")
+  }
+
+  test("weightedTokenMixture: effective ≤ raw mass, weights bite, and the " +
+      "integer waterline is exact") {
+    val rows = TextOps.weightedTokenMixture(spark, sf).collect()
+    val raw151 = TextOps.tokenBudgetMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_tokens")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eff_tokens") <= r.getAs[Long]("raw_tokens"))
+      assert(r.getAs[Long]("raw_tokens") == raw151(r.getString(0)),
+        "raw masses must agree with q151's")
+    }
+    assert(rows.exists(r =>
+      r.getAs[Long]("eff_tokens") < r.getAs[Long]("raw_tokens")),
+      "dup clusters must discount some source's effective mass")
+    // replicate the exact integer waterline from the (source, t) table
+    val ts = rows.map(r => r.getString(0) -> r.getAs[Long]("eff_tokens"))
+      .sortBy(p => (p._2, p._1))
+    val nSrc = ts.length
+    val b = ts.map(_._2).sum / TextOps.MIX_BUDGET_DIV
+    var cum = 0L
+    val fully = ts.zipWithIndex.map { case ((s, t), i) =>
+      cum += t; s -> (cum + (nSrc - (i + 1)) * t <= b) }.toMap
+    val k = fully.count(_._2)
+    val cumK = ts.filter(p => fully(p._1)).map(_._2).sum
+    val p = b - cumK; val q = nSrc - k
+    rows.foreach { r =>
+      val t = r.getAs[Long]("eff_tokens")
+      val want = if (fully(r.getString(0)) || q == 0) 1000000L
+        else (1000000L * p) / (q * t)
+      assert(r.getAs[Long]("rate_ppm") == want,
+        s"rate mismatch for ${r.getString(0)}")
+    }
+    val expected = rows.map(_.getAs[Long]("expected_eff_tokens")).sum
+    assert(expected <= b && expected >= b - nSrc,
+      s"waterfill must land on the effective budget: $expected vs $b")
+  }
+
+  test("semanticDedupFromIndex serves the stored assignment: every vector " +
+      "audited, canon = min per cell, and NO N×K assignment in the plan") {
+    val e = engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "semdedup-spec")
+    Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      indexDir)
+    Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      indexDir, increment = 1L)
+    val audit = Sim.semanticDedupFromIndex(spark, indexDir)
+    val rows = audit.collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == e.count(),
+      "every indexed vector lands in exactly one cell audit row")
+    val cells = spark.read.parquet(s"$indexDir/vectors")
+      .groupBy("cell").agg(min("vec_id").as("m")).collect()
+      .map(r => r.getAs[Number]("cell").longValue -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("canon_id") ==
+        cells(r.getAs[Number]("cent_id").longValue),
+        s"canonical must be the cell's min member: $r")
+      assert(r.getAs[Double]("max_nonself_cos") <= 1.0 + 1e-9)
+    }
+    // the lifecycle point: the serve plan reads the STORED assignment —
+    // no N×K centroid-scoring pass (which appears as the broadcast
+    // nested-loop join assignWithVec uses)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val names = nodes(audit.queryExecution.executedPlan)
+      .map(_.getClass.getSimpleName)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"serve plan must not re-run the N×K assignment: $names")
+  }
+
   test("pqCodes emits PQ_M codes in [0, PQ_K) for every vector") {
     val rows = Sim.pqCodes(spark, sf).collect()
     assert(rows.length == engine.Tables.embeddings(spark, sf).count())
