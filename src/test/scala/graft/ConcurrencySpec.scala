@@ -33,7 +33,12 @@ class ConcurrencySpec extends SparkSpecBase {
       "q153_lifecycle_keep_list", "q155_containment_increment",
       // decremental representatives: concurrent forget lifecycles must
       // not cross-contaminate each other's scratch state
-      "q158_forget_clusters", "q159_term_forget_probe")
+      "q158_forget_clusters", "q159_term_forget_probe",
+      // round-9 late additions: q166 mutates a scratch IVF index; the
+      // label-lifecycle consumers (q162/q164) share the per-corpus demo
+      // label store and must serve identically while it's hot
+      "q162_curation_funnel", "q164_quality_keep_list",
+      "q165_weighted_mixture", "q166_lifecycle_semdedup")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq
