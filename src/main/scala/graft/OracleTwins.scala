@@ -1587,6 +1587,78 @@ object OracleTwins {
        |    // 1000000 AS kept_eff_tokens
        |FROM g GROUP BY source, raw_t, t, rate_ppm ORDER BY source""".stripMargin
 
+  /** q167's twin: same corpus-relative cap (total div (2·n_src)), same
+    * greedy hash-order prefix (a doc is admitted while its source's
+    * budget is unexhausted). */
+  val sourceTokenCap: String =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    ${polyhash("('cap:' || doc_id::VARCHAR)")} % 1000000 AS h
+       |  FROM documents),
+       |cap AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT)
+       |    // (${TextOps.SRC_CAP_DIV} * count(DISTINCT source)) AS cap
+       |  FROM docs),
+       |cum AS (
+       |  SELECT source, n_tokens,
+       |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM docs),
+       |v AS (
+       |  SELECT source, n_tokens, (cum_before < cap) AS keep FROM cum, cap)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  (sum(CASE WHEN keep THEN 0 ELSE 1 END) > 0) AS capped
+       |FROM v GROUP BY source ORDER BY source""".stripMargin
+
+  /** q168's twin: largest-remainder apportionment on the per-language
+    * counts, then the same two-phase (ppm pre-filter + exact rank)
+    * quota-prefix pick. */
+  val stratifiedEvalSample: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |    ${polyhash("('eval:' || doc_id::VARCHAR)")} % 1000000 AS h
+       |  FROM documents),
+       |counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM docs GROUP BY lang),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
+       |based AS (
+       |  SELECT lang, n_docs,
+       |    (${TextOps.EVAL_N} * n_docs) // total AS base,
+       |    (${TextOps.EVAL_N} * n_docs) % total AS rem
+       |  FROM counts, tot),
+       |seats AS (
+       |  SELECT ${TextOps.EVAL_N} - CAST(sum(base) AS BIGINT) AS extra
+       |  FROM based),
+       |quotas AS (
+       |  SELECT lang, n_docs,
+       |    base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+       |      <= extra THEN 1 ELSE 0 END) AS quota
+       |  FROM based, seats),
+       |thr AS (
+       |  SELECT lang, n_docs, quota,
+       |    least(1000000, (${TextOps.EVAL_OVER} * 1000000 * quota)
+       |      // n_docs + 1000) AS thr_ppm
+       |  FROM quotas),
+       |cand AS (
+       |  SELECT docs.lang, doc_id, n_docs, quota,
+       |    row_number() OVER (PARTITION BY docs.lang
+       |      ORDER BY h, doc_id) AS r
+       |  FROM docs JOIN thr ON docs.lang = thr.lang
+       |  WHERE h < thr_ppm)
+       |SELECT lang, n_docs, CAST(quota AS BIGINT) AS quota,
+       |  CAST(count(*) AS BIGINT) AS n_picked,
+       |  CAST(sum(doc_id) AS BIGINT) AS picked_id_sum
+       |FROM cand WHERE r <= quota
+       |GROUP BY lang, n_docs, quota ORDER BY lang""".stripMargin
+
   val repetition: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w

@@ -311,6 +311,8 @@ object SparkEntry {
     "q164_quality_keep_list"       -> (Dedup.qualityKeepList _),
     "q165_weighted_mixture"        -> (TextOps.weightedTokenMixture _),
     "q166_lifecycle_semdedup"      -> (Sim.lifecycleSemanticDedup _),
+    "q167_source_token_cap"        -> (TextOps.sourceTokenCap _),
+    "q168_stratified_eval"         -> (TextOps.stratifiedEvalSample _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -532,6 +534,8 @@ object SparkEntry {
     "q164_quality_keep_list" -> OracleTwins.qualityKeepList,
     "q165_weighted_mixture" -> OracleTwins.weightedTokenMixture,
     "q166_lifecycle_semdedup" -> OracleTwins.lifecycleSemanticDedup,
+    "q167_source_token_cap" -> OracleTwins.sourceTokenCap,
+    "q168_stratified_eval" -> OracleTwins.stratifiedEvalSample,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -719,6 +719,120 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-source token cap of [[sourceTokenCap]] as a fraction of the mean
+    * source mass: cap = total div (2·n_src) — sources under half the
+    * average keep everything, scale-free at any SF. */
+  val SRC_CAP_DIV = 2
+
+  /** q167: per-source token CAP — the domain-capping gate web curation
+    * applies before any global mixing: no single source (domain, crawl,
+    * dump) may contribute more than `cap` tokens, enforced as a greedy
+    * prefix in deterministic content-hash order (docs admitted while the
+    * source's budget is unexhausted, so re-runs and re-shards admit the
+    * SAME docs; one overshooting last doc is admitted rather than split).
+    * Complements q151: the waterfill allocates a GLOBAL budget
+    * proportionally; the cap is a hard per-source ceiling independent of
+    * what other sources do. Output per source: mass, kept docs/tokens,
+    * whether the cap bit.
+    *
+    * Scale shape: one corpus pass projecting (source, hash, n_tokens);
+    * the greedy prefix is a per-source running sum — a shuffle keyed on
+    * source whose per-key cost is the source's own doc count (at
+    * production cardinality sources are domains: many keys, bounded
+    * skew). For a mega-domain, the hash order admits the q168-style
+    * two-phase cut: a broadcast ppm threshold ≈ cap/mass bounds the
+    * sorted set before the exact prefix runs. The cap itself derives
+    * from a broadcast 1-row aggregate. */
+  def sourceTokenCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        (TextFns.polyHash(
+          concat(lit("cap:"), col("doc_id").cast("string"))) % 1000000)
+          .as("h"))
+    val cap = docs.agg(sum("n_tokens").as("tot"),
+        countDistinct("source").as("n_src"))
+      .select(expr(s"tot div (${SRC_CAP_DIV}L * n_src)").as("cap"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(cap))
+      .withColumn("keep", col("cum_before") < col("cap"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        (sum(when(col("keep"), 0L).otherwise(1L)) > 0L).as("capped"))
+      .orderBy("source")
+  }
+
+  /** q168 eval-set size — small enough that every language's quota is a
+    * corpus fraction, large enough that largest-remainder seats matter. */
+  val EVAL_N = 100L
+  /** Pre-filter safety factor: the two-phase pick keeps ~[[EVAL_OVER]]×
+    * quota candidates before the exact per-language ranking. */
+  val EVAL_OVER = 4L
+
+  /** q168: EXACT-size stratified eval sample — the held-out set a
+    * training run carves out before anything else: exactly [[EVAL_N]]
+    * documents, allocated per language by largest-remainder (Hamilton)
+    * apportionment — base quota (N·n_l) div total, the leftover seats to
+    * the largest remainders (ties to lang asc) — so the sample's language
+    * mix tracks the corpus mix as closely as an integer allocation can,
+    * and the TOTAL is exact (rate-based samplers like q141/q147 only hit
+    * budgets in expectation). Membership is the quota-prefix of a
+    * deterministic per-doc hash order, so the same corpus always yields
+    * the same eval set. Output per language: corpus count, quota, picked
+    * count, and the picked-id checksum that pins membership (not just
+    * counts) cross-engine.
+    *
+    * Scale shape: the apportionment runs on the \|langs\|-row aggregate
+    * (one bounded window); the corpus pass is map-side gated by a
+    * broadcast ppm threshold ≈ EVAL_OVER·quota/n_l, so the exact
+    * per-language ranking windows only ~EVAL_OVER×quota survivor rows —
+    * never a full-language sort (a per-lang window over the corpus would
+    * funnel the dominant language through one task at 100 TB). The
+    * threshold is deterministic, so the two-phase result equals the
+    * one-phase one whenever the survivor set covers the quota —
+    * guaranteed at these geometries (EVAL_OVER× the expectation) and
+    * restated identically in the oracle either way. */
+  def stratifiedEvalSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (TextFns.polyHash(
+          concat(lit("eval:"), col("doc_id").cast("string"))) % 1000000)
+          .as("h"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("total"))
+    val based = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr(s"(${EVAL_N}L * n_docs) div total").as("base"),
+        expr(s"(${EVAL_N}L * n_docs) % total").as("rem"))
+    val seats = based
+      .agg(sum("base").as("sum_base"))
+      .select((lit(EVAL_N) - col("sum_base")).as("extra"))
+    val quotas = based.crossJoin(broadcast(seats))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+      .select(col("lang"), col("n_docs"),
+        (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+          .as("quota"))
+      .withColumn("thr_ppm", least(lit(1000000L),
+        expr(s"(${EVAL_OVER}L * 1000000L * quota) div n_docs + 1000L")))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(quotas), "lang")
+      .filter(col("h") < col("thr_ppm"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= col("quota"))
+      .groupBy("lang", "n_docs", "quota")
+      .agg(count(lit(1)).as("n_picked"),
+        sum("doc_id").as("picked_id_sum"))
+      .orderBy("lang")
+  }
+
   /** q152 phrase set — 3-token phrases, a mix of present and absent so
     * the zero-hit path is exercised too. */
   val PHRASES: Seq[String] =

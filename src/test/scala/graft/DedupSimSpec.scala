@@ -294,6 +294,65 @@ class DedupSimSpec extends SparkSpecBase {
       s"waterfill must land on the effective budget: $expected vs $b")
   }
 
+  test("sourceTokenCap: greedy prefix fills to the cap, uncapped sources " +
+      "keep everything, and the cap bites somewhere") {
+    val rows = TextOps.sourceTokenCap(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val cap = total / (TextOps.SRC_CAP_DIV * rows.length)
+    val maxDoc = engine.Tables.documents(spark, sf)
+      .select(max(size(TextFns.tokens(col("text")))).cast("long"))
+      .collect().head.getLong(0)
+    rows.foreach { r =>
+      val capped = r.getAs[Boolean]("capped")
+      if (capped) {
+        // greedy admits while budget remains: the kept mass reaches the
+        // cap and overshoots by at most one document
+        assert(r.getAs[Long]("kept_tokens") >= cap, s"underfilled: $r")
+        assert(r.getAs[Long]("kept_tokens") < cap + maxDoc,
+          s"overshot by more than one doc: $r")
+        assert(r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs"))
+      } else {
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("kept_tokens") == r.getAs[Long]("n_tokens"))
+      }
+    }
+    assert(rows.exists(_.getAs[Boolean]("capped")),
+      "the cap must bite some source at this geometry")
+  }
+
+  test("stratifiedEvalSample: exactly EVAL_N picks, Hamilton quotas, and " +
+      "the two-phase pick equals the one-phase prefix") {
+    val rows = TextOps.stratifiedEvalSample(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_picked")).sum == TextOps.EVAL_N,
+      "the sample size must be exact, not in-expectation")
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_picked") == r.getAs[Long]("quota"))
+      val exact = TextOps.EVAL_N.toDouble *
+        r.getAs[Long]("n_docs") / total
+      val q = r.getAs[Long]("quota").toDouble
+      assert(q == math.floor(exact) || q == math.floor(exact) + 1,
+        s"quota must be base or base+1: $r vs $exact")
+    }
+    // one-phase check: the quota-prefix of the full per-lang hash order
+    // (no ppm pre-filter) must pick the same documents
+    val docs = engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        (TextFns.polyHash(
+          concat(lit("eval:"), col("doc_id").cast("string"))) % 1000000)
+          .as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val quotas = rows.map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    val onePhase = docs.groupBy(_._2).map { case (lang, ds) =>
+      lang -> ds.sortBy(d => (d._3, d._1)).take(quotas(lang).toInt)
+        .map(_._1).sum
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("picked_id_sum") == onePhase(r.getString(0)),
+        s"two-phase pick diverged from the one-phase prefix for ${r.getString(0)}")
+    }
+  }
+
   test("semanticDedupFromIndex serves the stored assignment: every vector " +
       "audited, canon = min per cell, and NO N×K assignment in the plan") {
     val e = engine.Tables.embeddings(spark, sf)
