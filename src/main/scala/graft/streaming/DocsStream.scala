@@ -162,6 +162,73 @@ object DocsStream {
       }
       .start()
 
+  /** One admission verdict per streamed document — the output row of
+    * [[sourceCapSink]]'s stateful gate. */
+  private[graft] case class CapVerdict(doc_id: Long, source: String,
+    n_tokens: Long, admitted: Boolean)
+  private[graft] case class CapDoc(doc_id: Long, source: String,
+    n_tokens: Long)
+
+  /** Streaming per-source token-budget ADMISSION — the ingest-path form
+    * of [[graft.engine.TextOps.sourceTokenCap]]: every source holds a
+    * persistent spent-tokens counter, and an arriving document is
+    * admitted iff its source's budget is unexhausted (the batch gate's
+    * exact greedy contract: admit while spent < cap, the one
+    * overshooting document included). Order is ARRIVAL order — the
+    * production semantics; a crawler cannot reorder its feed by content
+    * hash, so the batch operator is the retrospective re-run-
+    * deterministic form and this is the online one. Within a
+    * micro-batch, documents are admitted in (doc_id) order so a
+    * replayed batch re-derives byte-identical verdicts against the
+    * rolled-back state version (the checkpoint restores state to the
+    * pre-batch snapshot on retry — determinism within the batch is what
+    * makes the replay land identically).
+    *
+    * Scale shape: state is ONE long per source (bounded by source
+    * cardinality — domains, not documents); each batch shuffles only
+    * its own rows by source. The cap is frozen at sink construction
+    * (derive it from a reference corpus via the batch aggregate), like
+    * [[lmGateSink]]'s frozen model — an admission gate that re-derived
+    * its cap from the stream would admit differently on every replay. */
+  def sourceCapGate(docs: DataFrame, cap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[CapDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (source: String, it: Iterator[CapDoc],
+            st: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          var spent = st.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val keep = spent < cap
+            if (keep) spent += d.n_tokens
+            CapVerdict(d.doc_id, source, d.n_tokens, keep)
+          }
+          st.update(spent)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  /** [[sourceCapGate]] → lake: verdict rows land batch-keyed under
+    * dynamic overwrite ([[landScored]]'s device), so a replayed
+    * micro-batch replaces its own partition with the identical rows the
+    * rolled-back state re-derives. */
+  def sourceCapSink(docs: DataFrame, cap: Long, out: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    sourceCapGate(docs, cap)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landScored(batch, batchId, out)
+      }
+      .start()
+
   /** Minimum mean-bigram-probability a streamed document must score to
     * pass the quality gate ([[graft.engine.TextOps.lmScore]] semantics;
     * calibrate against the reference corpus's score distribution). */

@@ -716,6 +716,60 @@ class StreamingSpec extends SparkSpecBase {
       "replayed LM-gate batch duplicated rows")
   }
 
+  test("source-cap admission gate: greedy budget arithmetic holds over the " +
+      "arrival sequence, state is one counter per source, replay idempotent") {
+    val ref = Tables.documents(spark, sf)
+    val nSrc = ref.select(countDistinct("source")).collect().head.getLong(0)
+    val total = ref.select(sum(size(
+        graft.functions.TextFns.tokens(col("text")))).cast("long"))
+      .collect().head.getLong(0)
+    val cap = total / (graft.engine.TextOps.SRC_CAP_DIV * nSrc)
+    val dir = tmpDir("graft-srccap-in")
+    (0 to 2).foreach { i =>
+      ref.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/third$i")
+    }
+    val out = tmpDir("graft-srccap-out") + "/verdicts"
+    val ckpt = tmpDir("graft-srccap-ckpt")
+    val stream = spark.readStream
+      .schema(graft.engine.Schemas.documents)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val q = DocsStream.sourceCapSink(stream, cap, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(out)
+      .select(col("batch").cast("long"), col("doc_id"), col("source"),
+        col("n_tokens"), col("admitted")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(landed.length == ref.count(), "every doc must get a verdict")
+    assert(landed.map(_._1).distinct.length >= 3, "expected a multi-batch feed")
+    // replay the gate's contract over the actual arrival sequence
+    // (batches in id order, doc_id order within a batch): admitted iff
+    // the source's spent counter was under the cap at that point
+    val spent = scala.collection.mutable.Map.empty[String, Long]
+    landed.sortBy(v => (v._1, v._2)).foreach {
+      case (_, docId, src, nTok, admitted) =>
+        val s = spent.getOrElse(src, 0L)
+        assert(admitted == (s < cap),
+          s"doc $docId of $src: admitted=$admitted but spent=$s vs cap=$cap")
+        if (admitted) spent(src) = s + nTok
+    }
+    // the cap must bite: some source saw rejections, none stopped short
+    val rejectedSrcs = landed.filter(!_._5).map(_._3).toSet
+    assert(rejectedSrcs.nonEmpty, "cap must bite at this geometry")
+    rejectedSrcs.foreach { s =>
+      assert(spent(s) >= cap, s"$s rejected docs before exhausting its budget")
+    }
+    // replay idempotence: re-landing batch 0's own rows must not duplicate
+    val n = spark.read.parquet(out).count()
+    val b0 = spark.read.parquet(out).filter(col("batch") === 0).drop("batch")
+    DocsStream.landScored(b0, 0L, out)
+    assert(spark.read.parquet(out).count() == n,
+      "replayed source-cap batch duplicated rows")
+  }
+
   test("curated and as-of sinks are exactly-once: a replayed batch replaces its partitions") {
     // both sinks land under batch=<id> with dynamic partition overwrite —
     // re-running the landing half with the same batch id (the micro-batch
