@@ -51,9 +51,15 @@ object TextOps {
 
   /** [[langQuality]] without the presentation sort — the composable form
     * other operators (the curation pipeline) build on. */
-  private[engine] def langQualityRaw(spark: SparkSession, dir: String): DataFrame = {
+  private[engine] def langQualityRaw(spark: SparkSession, dir: String): DataFrame =
+    langQualityOf(documents(spark, dir))
+
+  /** [[langQualityRaw]] over an explicit (doc_id, lang, text) corpus —
+    * the form day-loop consumers feed from the maintained document
+    * store. */
+  private[engine] def langQualityOf(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => t.isin(STOPWORDS: _*))).cast("long").as("n_stop"),
@@ -465,11 +471,18 @@ object TextOps {
     * map-side; one corpus pass plus the final bounded aggregate. The
     * rate LEFT join keeps langs with zero gate-survivors accounted
     * (their docs all carry a pre-sampling verdict). */
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup.readClusterLabels(spark,
-        Dedup.lifecycleLabels(spark, dir))
-      .select(col("id").as("doc_id"), col("label"))
-    val gated = langQualityRaw(spark, dir)
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnelOf(
+      documents(spark, dir),
+      Dedup.readClusterLabels(spark, Dedup.lifecycleLabels(spark, dir))
+        .select(col("id").as("doc_id"), col("label")))
+
+  /** [[curationFunnel]] over an explicit corpus and label table — the
+    * day-loop consumer: after [[CurationLoop.runDay]], the funnel over
+    * the maintained document store + label table is the per-day data-loss
+    * ledger (its `dup` row is exactly the day report's dropped count). */
+  def curationFunnelOf(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val gated = langQualityOf(docs)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("pre",

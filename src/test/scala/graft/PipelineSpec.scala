@@ -77,6 +77,18 @@ class PipelineSpec extends SparkSpecBase {
     val full = Dedup.dedupKeepList(spark, sf).collect().map(_.toSeq).toSeq
     assert(lifecycle == full,
       "day-loop labels must serve the full-recompute keep-list")
+    // the day's funnel ledger serves from the same maintained state: it
+    // conserves the corpus and its dup row is exactly the keep-list's
+    // dropped count (the funnel is an accounting VIEW of the decision,
+    // not a second opinion)
+    val funnel = graft.engine.TextOps.curationFunnelOf(docs,
+      Dedup.readClusterLabels(spark, s"$root/labels")
+        .select(col("id").as("doc_id"), col("label"))).collect()
+    assert(funnel.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "funnel must account every corpus doc")
+    assert(funnel.filter(_.getAs[String]("verdict") == "dup")
+      .map(_.getAs[Long]("n_docs")).sum == r1.droppedDocs,
+      "funnel dup row must equal the day report's dropped count")
     // replay the whole day: every sink byte-stable, same report
     def snap(p: String): Seq[String] =
       spark.read.parquet(s"$root/$p").collect().map(_.toString).sorted.toSeq
