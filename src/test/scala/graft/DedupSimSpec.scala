@@ -256,6 +256,27 @@ class DedupSimSpec extends SparkSpecBase {
     assert(gap > 0, "the quality policy must matter on this corpus")
     assert(qk.map(_.getAs[Long]("token_dividend")).sum == gap,
       "global dividend must equal the per-cluster canonical-token gap")
+    // serve-shape pin: the keep-list reads maintained labels — the
+    // from-scratch path's signature operators (band-hash Generate, the
+    // N×K nested-loop) must be absent from its plan
+    val df = Dedup.qualityKeepList(spark, sf)
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val names = nodes(df.queryExecution.executedPlan)
+      .map(_.getClass.getSimpleName)
+    assert(!names.exists(_.contains("Generate")),
+      s"serve plan must not re-hash the corpus: $names")
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), s"$names")
   }
 
   test("weightedTokenMixture: effective ≤ raw mass, weights bite, and the " +
