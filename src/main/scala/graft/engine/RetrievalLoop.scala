@@ -1,0 +1,106 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The retrieval-side "day loop" — [[CurationLoop]]'s operational
+  * composition applied to the OTHER two index modalities: one ingest
+  * increment maintains the persisted lexical (postings) and vector
+  * (IVF) indexes, then the day's probes are served FROM the freshly
+  * maintained state with their serving metrics landed alongside — the
+  * run a retrieval platform schedules per ingest window:
+  *
+  *  1. postings append ([[TermIndex.appendTermIndex]]): the day's
+  *     documents land as `increment=<n>` with the stats-sidecar row
+  *     derived from the increment's own postings;
+  *  2. vector append ([[Sim.appendIvfIndex]]): the day's embeddings
+  *     assign against the FROZEN centroids (the add-vectors contract)
+  *     and land as the same increment key;
+  *  3. lexical probe serving ([[TermIndex.probeTermIndexObserved]]):
+  *     the watched query set scores against the updated postings,
+  *     results + (postings_rows, terms_hit) land batch-keyed;
+  *  4. vector probe serving ([[Sim.probeIvfIndexObserved]]): the probe
+  *     batch answers from the updated cells, results +
+  *     (assignment_rows, cells_probed) land batch-keyed.
+  *
+  * Exactly-once: stages 1–2 are increment-keyed dynamic overwrites (a
+  * replayed day replaces its own partitions bit-identically — the
+  * centroids are frozen, so re-assignment is deterministic), and
+  * stages 3–4 are deterministic functions of the post-append state
+  * landed under the same batch key — so replaying a day leaves every
+  * sink byte-stable and returns the same report (PipelineSpec pins
+  * this, plus: the day-loop-served probes equal the standalone
+  * lifecycle demos q129/q139 built over the same split).
+  *
+  * Scale shape: each stage is the already-audited incremental
+  * operator; the report's counts ride `observe()` on the probe jobs
+  * and file-pruned scans of the just-written increment partitions
+  * (bounded by the increment) — never a second corpus pass. */
+object RetrievalLoop {
+
+  /** Per-day audit line across both modalities. */
+  case class RetrievalDayReport(
+      batchPostings: Long,     // postings rows the increment landed
+      batchDocs: Long,         // distinct docs in the increment (sidecar row)
+      batchVectors: Long,      // vectors the increment landed
+      lexPostingsScanned: Long, // postings rows the lexical probe fetched
+      lexTermsHit: Long,       // probed terms with ≥1 posting
+      vecAssignRows: Long,     // assignment rows the vector probe scanned
+      vecCellsProbed: Long)    // distinct cells the vector probe touched
+
+  /** Bootstrap day-0 state: both indexes built over the base corpus. */
+  def seed(spark: SparkSession, baseDocs: DataFrame, baseVecs: DataFrame,
+      root: String): Unit = {
+    TermIndex.buildTermIndex(baseDocs, s"$root/term_index")
+    Sim.buildIvfIndex(baseVecs, s"$root/vec_index")
+  }
+
+  /** Run one day: append `docsBatch` (doc_id, text) and `vecsBatch`
+    * (vec_id, embedding) as `increment`, then serve `terms` and
+    * `probes` (probe_id, embedding) from the maintained state, landing
+    * results and metrics under `batch=<increment>`. */
+  def runDay(spark: SparkSession, docsBatch: DataFrame,
+      vecsBatch: DataFrame, probes: DataFrame, terms: Seq[String],
+      increment: Long, root: String): RetrievalDayReport = {
+    TermIndex.appendTermIndex(docsBatch, s"$root/term_index", increment)
+    Sim.appendIvfIndex(vecsBatch, s"$root/vec_index", increment)
+    // increment accounting: file-pruned reads of the partitions just
+    // written (bounded by the increment, never the index)
+    val inc = spark.read.parquet(s"$root/term_index/postings")
+      .filter(col("increment") === increment)
+      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    val incDocs = spark.read.parquet(s"$root/term_index/stats")
+      .filter(col("increment") === increment)
+      .agg(sum("n_docs").cast("long")).collect()(0).getLong(0)
+    val incVecs = spark.read.parquet(s"$root/vec_index/vectors")
+      .filter(col("increment") === increment)
+      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    // serve the day's probes from the post-append state, batch-keyed
+    val (lexRes, lexObs) = TermIndex.probeTermIndexObserved(spark, terms,
+      s"$root/term_index", TextOps.RETRIEVAL_TOP_K)
+    landKeyed(lexRes, increment, s"$root/lex_serving/results")
+    val (vecRes, vecObs) = Sim.probeIvfIndexObserved(probes,
+      s"$root/vec_index")
+    landKeyed(vecRes, increment, s"$root/vec_serving/results")
+    val report = RetrievalDayReport(
+      batchPostings = inc,
+      batchDocs = incDocs,
+      batchVectors = incVecs,
+      lexPostingsScanned = lexObs.get("postings_rows").asInstanceOf[Long],
+      lexTermsHit = lexObs.get("terms_hit").asInstanceOf[Long],
+      vecAssignRows = vecObs.get("assignment_rows").asInstanceOf[Long],
+      vecCellsProbed = vecObs.get("cells_probed").asInstanceOf[Long])
+    import spark.implicits._
+    landKeyed(Seq(report).toDS().toDF(), increment, s"$root/reports")
+    report
+  }
+
+  /** Batch-keyed dynamic-overwrite landing — the library-wide
+    * exactly-once retry device. */
+  private def landKeyed(df: DataFrame, increment: Long,
+      out: String): Unit =
+    df.withColumn("batch", lit(increment))
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(out)
+}

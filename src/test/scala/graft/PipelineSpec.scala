@@ -102,6 +102,59 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("retrieval day loop: both indexes appended, probes served from " +
+      "the maintained state equal the lifecycle demos, replay invisible") {
+    import graft.engine.{RetrievalLoop, Sim, TermIndex}
+    val root = tmpDir("graft-retrievalday")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // the same 4/5 + 1/5 split geometry as the q129/q139 lifecycle demos
+    RetrievalLoop.seed(spark,
+      docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0),
+      vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0), root)
+    val probes = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val r1 = RetrievalLoop.runDay(spark,
+      docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0),
+      vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      probes, TermIndex.TI_TERMS, increment = 1L, root)
+    // increment accounting
+    assert(r1.batchDocs ==
+      docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0).count(), s"$r1")
+    assert(r1.batchVectors ==
+      vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0).count(), s"$r1")
+    assert(r1.batchPostings > 0 && r1.lexPostingsScanned > 0 &&
+      r1.vecAssignRows > 0 && r1.vecCellsProbed >= 1, s"$r1")
+    assert(r1.lexTermsHit <= TermIndex.TI_TERMS.length, s"$r1")
+    // the day-loop-served probes must equal the standalone lifecycle
+    // demos built over the same split (q139 / q129)
+    def landed(p: String): Seq[String] =
+      spark.read.parquet(s"$root/$p").drop("batch")
+        .collect().map(_.toString).sorted.toSeq
+    assert(landed("lex_serving/results") ==
+      TermIndex.termIndexProbe(spark, sf)
+        .collect().map(_.toString).sorted.toSeq,
+      "day-loop lexical probe must equal the q139 lifecycle demo")
+    assert(landed("vec_serving/results") ==
+      Sim.ivfIndexProbe(spark, sf).collect().map(_.toString).sorted.toSeq,
+      "day-loop vector probe must equal the q129 lifecycle demo")
+    // replay the whole day: identical report, every sink byte-stable
+    def snap(p: String): Seq[String] =
+      spark.read.parquet(s"$root/$p").collect().map(_.toString).sorted.toSeq
+    val sinks = Seq("term_index/postings", "term_index/stats",
+      "vec_index/vectors", "lex_serving/results", "vec_serving/results",
+      "reports")
+    val before = sinks.map(p => p -> snap(p)).toMap
+    val r2 = RetrievalLoop.runDay(spark,
+      docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0),
+      vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      probes, TermIndex.TI_TERMS, increment = 1L, root)
+    assert(r2 == r1, s"replayed retrieval day must report identically")
+    sinks.foreach { p =>
+      assert(snap(p) == before(p), s"replayed day changed sink $p")
+    }
+  }
+
   test("forget propagates a deletion through every artifact; cluster " +
       "connectivity re-derives exactly; replay removes nothing") {
     val root = tmpDir("graft-forget")
