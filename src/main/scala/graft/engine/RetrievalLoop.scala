@@ -95,6 +95,30 @@ object RetrievalLoop {
     report
   }
 
+  /** Per-modality removal counts of one [[forget]] run. */
+  case class RetrievalForgetReport(
+      postingsRemoved: Long, // postings rows purged from the lexical index
+      vectorsRemoved: Long)  // vector rows purged from the IVF store
+
+  /** Right-to-be-forgotten across the retrieval state —
+    * [[CurationLoop.forget]]'s decremental twin for the other two
+    * modalities, composed from the per-index ops: `docIds` purge the
+    * postings (stats sidecar re-derived for touched increments —
+    * [[TermIndex.forgetDocs]]) and `vecIds` purge the vector store
+    * (frozen centroids/codebook untouched — [[Sim.forgetVectors]]);
+    * both rewrite only the partitions that contain a match. Probes
+    * served afterwards score as if the ids were never ingested
+    * (TermIndexSpec/DedupSimSpec pin the per-index halves; the
+    * PipelineSpec loop test pins the composition + replay). Idempotent:
+    * a replayed forget finds nothing to remove. */
+  def forget(spark: SparkSession, docIds: DataFrame, vecIds: DataFrame,
+      root: String): RetrievalForgetReport =
+    RetrievalForgetReport(
+      postingsRemoved =
+        TermIndex.forgetDocs(spark, docIds, s"$root/term_index"),
+      vectorsRemoved =
+        Sim.forgetVectors(spark, vecIds, s"$root/vec_index"))
+
   /** Batch-keyed dynamic-overwrite landing — the library-wide
     * exactly-once retry device. */
   private def landKeyed(df: DataFrame, increment: Long,

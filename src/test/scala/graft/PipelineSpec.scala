@@ -153,6 +153,28 @@ class PipelineSpec extends SparkSpecBase {
     sinks.foreach { p =>
       assert(snap(p) == before(p), s"replayed day changed sink $p")
     }
+    // decremental twin: forget a bounded id batch from both indexes —
+    // the lexical probe must then equal the q159 forget demo (same
+    // geometry, same deletion), the vector store must hold none of the
+    // forgotten ids, and a replayed forget removes nothing
+    val docIds = docs.filter(col("doc_id") % Dedup.FORGET_MOD === 0)
+      .select("doc_id")
+    val vecIds = vecs.filter(col("vec_id") % Dedup.FORGET_MOD === 0)
+      .select("vec_id")
+    val f1 = graft.engine.RetrievalLoop.forget(spark, docIds, vecIds, root)
+    assert(f1.postingsRemoved > 0 && f1.vectorsRemoved > 0, s"$f1")
+    assert(TermIndex.probeTermIndex(spark, TermIndex.TI_TERMS,
+        s"$root/term_index", graft.engine.TextOps.RETRIEVAL_TOP_K)
+        .collect().map(_.toString).sorted.toSeq ==
+      TermIndex.termForgetProbe(spark, sf)
+        .collect().map(_.toString).sorted.toSeq,
+      "post-forget lexical probe must equal the q159 demo")
+    assert(spark.read.parquet(s"$root/vec_index/vectors")
+      .join(vecIds, Seq("vec_id"), "left_semi").count() == 0,
+      "vector store still holds forgotten ids")
+    val f2 = graft.engine.RetrievalLoop.forget(spark, docIds, vecIds, root)
+    assert(f2 == graft.engine.RetrievalLoop.RetrievalForgetReport(0L, 0L),
+      s"replayed forget must remove nothing: $f2")
   }
 
   test("forget propagates a deletion through every artifact; cluster " +
