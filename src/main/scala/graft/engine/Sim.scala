@@ -529,6 +529,26 @@ object Sim {
     removed
   }
 
+  /** Uniqueness AUDIT for a persisted vector store
+    * ([[TermIndex.auditTermIndex]]'s twin): the ingest invariant is one
+    * row per vec_id TOTAL — a re-delivered vector under a new batch id
+    * lands a second (increment, cell) row the appends cannot detect,
+    * after which probes may return the id twice and cell-occupancy
+    * drift/compaction counts skew. One (vec_id, increment, cell)
+    * columnar projection (never the embedding payload), aggregated per
+    * id with map-side combine; the daily path never pays this — a
+    * schedule pages on a nonempty result. */
+  def auditIvfIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("increment").cast("long"),
+        col("cell").cast("long"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_rows"),
+        array_sort(collect_set(col("increment"))).as("increments"),
+        array_sort(collect_set(col("cell"))).as("cells"))
+      .filter(col("n_rows") > 1)
+      .orderBy("vec_id")
+
   /** Serve probes from the persisted compressed index: top-nprobe cells
     * via the AQE-safe sorted-slice aggregate (DPP prunes every other
     * cell's files), ADC over the pruned cells' CODES ([[PQ_M]] lookups

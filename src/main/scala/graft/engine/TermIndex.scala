@@ -236,6 +236,32 @@ object TermIndex {
     removed
   }
 
+  /** Doc-disjointness AUDIT — the scheduled invariant check for
+    * [[appendTermIndex]]'s documented precondition (a doc_id may appear
+    * in at most one increment), which the append itself cannot enforce
+    * (an increment write never reads the others) and which an upstream
+    * RE-DELIVERY under a new batch id silently violates: probe idf
+    * stays exact (count-distinct df), but the duplicate (tf, len) rows
+    * and the stats sidecar's n_docs/total_tokens double-count the
+    * document in every score. [[CurationLoop.auditLabels]]' discipline
+    * applied to the postings store: the daily path never pays this; a
+    * schedule runs it and pages on a nonempty result BEFORE the skew
+    * reaches scoring. Output: one row per violating doc with the
+    * increments it spans and its duplicated posting mass.
+    *
+    * Scale shape: one (doc_id, increment) columnar projection of the
+    * postings, aggregated per doc with map-side combine — no text, no
+    * probe path, no stats read. */
+  def auditTermIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+      .select(col("doc_id"), col("increment").cast("long"), col("tf"))
+      .groupBy("doc_id")
+      .agg(countDistinct("increment").as("n_increments"),
+        array_sort(collect_set(col("increment"))).as("increments"),
+        sum("tf").as("posting_mass"))
+      .filter(col("n_increments") > 1)
+      .orderBy("doc_id")
+
   /** Probe terms of the q139 lifecycle demonstration — distinct from
     * [[TextOps.PROBE_TERMS]] so the two queries exercise different
     * posting lists. */

@@ -374,6 +374,27 @@ class DedupSimSpec extends SparkSpecBase {
     }
   }
 
+  test("vector-store uniqueness audit: clean lifecycle empty; a " +
+      "re-delivered vector flagged with its increments and cells") {
+    val e = engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "ivf-audit")
+    Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      indexDir)
+    Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      indexDir, increment = 1L)
+    assert(Sim.auditIvfIndex(spark, indexDir).count() == 0,
+      "disjoint increments must audit clean")
+    Sim.appendIvfIndex(e.filter(col("vec_id") === 7L), indexDir,
+      increment = 2L)
+    val flagged = Sim.auditIvfIndex(spark, indexDir).collect()
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(7L),
+      s"audit must flag exactly the re-delivered vector: ${flagged.toSeq}")
+    assert(flagged.head.getAs[Long]("n_rows") == 2L)
+    assert(flagged.head.getSeq[Long](2).contains(2L),
+      "flag must name the spanning increments")
+  }
+
   test("semanticDedupFromIndex serves the stored assignment: every vector " +
       "audited, canon = min per cell, and NO N×K assignment in the plan") {
     val e = engine.Tables.embeddings(spark, sf)

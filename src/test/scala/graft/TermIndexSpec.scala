@@ -37,6 +37,29 @@ class TermIndexSpec extends SparkSpecBase {
       "having built over the full corpus")
   }
 
+  test("doc-disjointness audit: a clean lifecycle audits empty; a " +
+      "re-delivered doc is flagged with exactly its increments") {
+    val indexDir = tmpDir("graft-term-audit") + "/index"
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 =!= 0), indexDir)
+    TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0),
+      indexDir, increment = 1L)
+    assert(TermIndex.auditTermIndex(spark, indexDir).count() == 0,
+      "disjoint increments must audit clean")
+    // upstream re-delivery: two already-indexed docs arrive again under
+    // a NEW batch id — the violation the append cannot detect
+    val redelivered = docs.filter(col("doc_id").isin(3L, 6L))
+    TermIndex.appendTermIndex(redelivered, indexDir, increment = 2L)
+    val flagged = TermIndex.auditTermIndex(spark, indexDir).collect()
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(3L, 6L),
+      s"audit must flag exactly the re-delivered docs: ${flagged.toSeq}")
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("n_increments") == 2)
+      val incs = r.getSeq[Long](2)
+      assert(incs.contains(2L) && incs.length == 2,
+        s"flag must name the spanning increments: $r")
+    }
+  }
+
   test("probe serving metrics ride the job and match the index geometry") {
     import graft.functions.TextFns
     val indexDir = tmpDir("graft-term-obs") + "/index"
