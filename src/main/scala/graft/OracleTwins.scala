@@ -1659,6 +1659,32 @@ object OracleTwins {
        |FROM cand WHERE r <= quota
        |GROUP BY lang, n_docs, quota ORDER BY lang""".stripMargin
 
+  /** q169's twin: the same bounded-histogram nearest-rank percentile —
+    * cumulative counts over (lang, n_tokens), smallest length reaching
+    * ceil(n·p/100). */
+  val lengthPercentiles: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |h AS (
+       |  SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM t GROUP BY lang, n_tokens),
+       |c AS (
+       |  SELECT lang, n_tokens,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM h),
+       |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY lang),
+       |p AS (SELECT * FROM (VALUES ${TextOps.LEN_PCTS
+           .map(x => s"(CAST($x AS BIGINT))").mkString(", ")}) AS v(pct))
+       |SELECT c.lang, pct, n AS n_docs,
+       |  CAST(min(n_tokens) AS BIGINT) AS tokens
+       |FROM c JOIN tot ON c.lang = tot.lang CROSS JOIN p
+       |WHERE cum >= (n * pct + 99) // 100
+       |GROUP BY c.lang, pct, n ORDER BY c.lang, pct""".stripMargin
+
   val repetition: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w

@@ -313,6 +313,7 @@ object SparkEntry {
     "q166_lifecycle_semdedup"      -> (Sim.lifecycleSemanticDedup _),
     "q167_source_token_cap"        -> (TextOps.sourceTokenCap _),
     "q168_stratified_eval"         -> (TextOps.stratifiedEvalSample _),
+    "q169_length_percentiles"      -> (TextOps.lengthPercentiles _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -536,6 +537,7 @@ object SparkEntry {
     "q166_lifecycle_semdedup" -> OracleTwins.lifecycleSemanticDedup,
     "q167_source_token_cap" -> OracleTwins.sourceTokenCap,
     "q168_stratified_eval" -> OracleTwins.stratifiedEvalSample,
+    "q169_length_percentiles" -> OracleTwins.lengthPercentiles,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -846,6 +846,46 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Percentiles [[lengthPercentiles]] reports — the cut points a
+    * length-filter calibration reads. */
+  val LEN_PCTS: Seq[Int] = Seq(50, 90, 99)
+
+  /** q169: EXACT per-language token-length percentiles — the
+    * calibration read before setting length gates (where does p99
+    * actually sit per language?), computed exactly WITHOUT sorting the
+    * corpus: token counts live in a small value domain, so the corpus
+    * aggregates to a bounded (lang, n_tokens) → count histogram first,
+    * and the order statistic falls out of the histogram's cumulative
+    * sum — percentile p = the smallest length whose cumulative count
+    * reaches ceil(n·p/100) (the standard nearest-rank definition, all
+    * integer arithmetic). `percentile_approx` is the one-pass
+    * approximation engines reach for at scale; this is the exact
+    * answer at the same scale-safety, because the sort that makes
+    * exact percentiles expensive happens on the HISTOGRAM (bounded by
+    * distinct lengths, not documents).
+    *
+    * Scale shape: one corpus pass with map-side combine into the
+    * bounded histogram; the per-language window and the rank selection
+    * run on histogram rows. No corpus sort, no skewed window: the
+    * dominant language contributes MORE COUNTS, not more rows. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val h = documents(spark, dir)
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy("n_tokens")
+    val cum = h.withColumn("cum", sum("cnt").over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = h.groupBy("lang").agg(sum("cnt").as("n"))
+    cum.join(tot, "lang")
+      .withColumn("pct", explode(array(LEN_PCTS.map(p => lit(p.toLong)): _*)))
+      .filter(col("cum") >= expr("(n * pct + 99L) div 100L"))
+      .groupBy("lang", "pct")
+      .agg(min("n_tokens").as("tokens"), first("n").as("n_docs"))
+      .select(col("lang"), col("pct"), col("n_docs"), col("tokens"))
+      .orderBy("lang", "pct")
+  }
+
   /** q152 phrase set — 3-token phrases, a mix of present and absent so
     * the zero-hit path is exercised too. */
   val PHRASES: Seq[String] =

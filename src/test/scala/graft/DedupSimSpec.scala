@@ -374,6 +374,25 @@ class DedupSimSpec extends SparkSpecBase {
     }
   }
 
+  test("lengthPercentiles: histogram-derived order statistics equal the " +
+      "brute-force sorted nearest-rank at every (lang, pct)") {
+    val lens = engine.Tables.documents(spark, sf)
+      .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    val rows = TextOps.lengthPercentiles(spark, sf).collect()
+    assert(rows.length == lens.size * TextOps.LEN_PCTS.length)
+    rows.foreach { r =>
+      val (lang, pct) = (r.getString(0), r.getLong(1))
+      val sorted = lens(lang)
+      assert(r.getAs[Long]("n_docs") == sorted.length)
+      val rank = ((sorted.length * pct + 99) / 100).toInt // ceil(n·p/100)
+      assert(r.getAs[Long]("tokens") == sorted(rank - 1),
+        s"$lang p$pct: histogram said ${r.getAs[Long]("tokens")}, " +
+          s"sorted corpus says ${sorted(rank - 1)}")
+    }
+  }
+
   test("vector-store uniqueness audit: clean lifecycle empty; a " +
       "re-delivered vector flagged with its increments and cells") {
     val e = engine.Tables.embeddings(spark, sf)
