@@ -2430,6 +2430,123 @@ object OracleTwins {
        |FROM l${Graph.LP_ITERS} GROUP BY 1 ORDER BY lab""".stripMargin
   }
 
+  /** q170's twin — the same char-8-gram rolling-hash stream as
+    * [[docFingerprint]], windowed local minima (winnowing), distinct per
+    * doc, df-gated [2, WINNOW_DF_CAP], bucket self-join, overlap vs the
+    * smaller set. The filter reads the ROUNDED overlap, matching the
+    * Spark filter on the round6'd column. */
+  val winnowNearDup: String = {
+    import graft.engine.Dedup.{WINNOW_K, WINNOW_W, WINNOW_DF_CAP, WINNOW_T}
+    s"""WITH g AS (
+       |  SELECT doc_id, list_transform(
+       |    range(1, greatest(len(text) - ${WINNOW_K - 1}, 1) + 1),
+       |    wgi -> ${polyhash(s"substr(text, wgi, $WINNOW_K)")}) AS g
+       |  FROM documents),
+       |fsets AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(g) - ${WINNOW_W - 1}, 1) + 1),
+       |    wwi -> list_aggregate(list_slice(g, wwi, wwi + ${WINNOW_W - 1}),
+       |      'min'))) AS fps
+       |  FROM g),
+       |fp AS (
+       |  SELECT doc_id, len(fps)::BIGINT AS n_fp, unnest(fps) AS f
+       |  FROM fsets),
+       |keep AS (
+       |  SELECT f FROM fp GROUP BY f
+       |  HAVING count(*) >= 2 AND count(*) <= $WINNOW_DF_CAP),
+       |k AS (SELECT fp.* FROM fp JOIN keep USING (f)),
+       |pr AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared,
+       |    CAST(min(x.n_fp) AS BIGINT) AS n_fp_a,
+       |    CAST(min(y.n_fp) AS BIGINT) AS n_fp_b
+       |  FROM k x JOIN k y ON x.f = y.f AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b, n_shared, n_fp_a, n_fp_b,
+       |    ${round6("n_shared::DOUBLE / least(n_fp_a, n_fp_b)::DOUBLE")}
+       |      AS overlap
+       |  FROM pr)
+       |WHERE overlap >= $WINNOW_T ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q171's twin — [[graft.engine.TextOps.bpeMerges]] unrolled (the
+    * [[kmeansIterated]] device): each round counts adjacent symbol pairs
+    * over the capped word histogram, picks the top pair by (n desc, pair
+    * asc) via a 1-row CTE, and applies the merge with the IDENTICAL
+    * greedy left fold (`list_reduce` over single-symbol lists with a []
+    * seed ≡ Spark's `aggregate` with an empty-array zero). */
+  /** The shared BPE training-state CTE chain: capped word histogram `wf`,
+    * char symbols `w0`, then per round i the pair counts `p_i`, the chosen
+    * merge `m_i` (1-row CTE), and the rewritten histogram `w_i`. */
+  private def bpeStateSql: String = {
+    import graft.engine.TextOps.{BPE_WORD_CAP, BPE_MERGES}
+    val rounds = (1 to BPE_MERGES).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[bpi] AS a, syms[bpi + 1] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS n
+         |  FROM w${i - 1}, LATERAL (SELECT unnest(range(1, len(syms)))
+         |    AS bpi) t
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+         |w$i AS (
+         |  SELECT word, freq, list_reduce(
+         |    list_prepend([]::VARCHAR[], list_transform(syms, bs -> [bs])),
+         |    (bacc, bx) -> CASE
+         |      WHEN len(bacc) > 0 AND bacc[-1] = m.a AND bx[1] = m.b
+         |      THEN list_append(bacc[1:len(bacc)-1], m.a || m.b)
+         |      ELSE list_append(bacc, bx[1]) END) AS syms
+         |  FROM w${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""toksrc AS (
+       |  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    bt -> len(bt) > 0)) AS word
+       |  FROM documents),
+       |wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toksrc
+       |  GROUP BY word ORDER BY freq DESC, word ASC LIMIT $BPE_WORD_CAP),
+       |w0 AS (
+       |  SELECT word, freq,
+       |    list_filter(string_split(word, ''), bc -> len(bc) > 0) AS syms
+       |  FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  val bpeMerges: String = {
+    import graft.engine.TextOps.BPE_MERGES
+    val out = (1 to BPE_MERGES).map { i =>
+      s"SELECT ${i}::BIGINT AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"a || b AS merged, n AS n_occurrences FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeStateSql
+       |SELECT * FROM (
+       |$out
+       |) m ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q172's twin — the trained `w{BPE_MERGES}` table joins back to the
+    * corpus token stream; OOV words fall back to their character count. */
+  val bpeFertility: String = {
+    import graft.engine.TextOps.BPE_MERGES
+    s"""WITH $bpeStateSql,
+       |vs AS (
+       |  SELECT word, len(syms)::BIGINT AS n_syms FROM w$BPE_MERGES),
+       |ctoks AS (
+       |  SELECT lang, unnest(list_filter(
+       |    string_split_regex(trim(text), '\\s+'), bt -> len(bt) > 0))
+       |    AS word
+       |  FROM documents),
+       |scored AS (
+       |  SELECT lang, COALESCE(vs.n_syms, len(ctoks.word)::BIGINT) AS n_tok,
+       |    (vs.word IS NULL) AS oov
+       |  FROM ctoks LEFT JOIN vs ON ctoks.word = vs.word)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words,
+       |  ${round6("sum(n_tok)::DOUBLE / count(*)::DOUBLE")} AS fertility
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Twin of [[Indexing.zorderLocality]] — the Morton-interleave text is
     * the SAME string the Spark plan compiles ([[Indexing.zInterleaveSql]]
     * on [[Indexing.Z_X]]/[[Indexing.Z_Y]]), so the curve geometry cannot

@@ -314,6 +314,11 @@ object SparkEntry {
     "q167_source_token_cap"        -> (TextOps.sourceTokenCap _),
     "q168_stratified_eval"         -> (TextOps.stratifiedEvalSample _),
     "q169_length_percentiles"      -> (TextOps.lengthPercentiles _),
+    // ---- round 9: winnowing fingerprints (local-overlap dedup channel)
+    //      + BPE tokenizer training over the word histogram ----
+    "q170_winnow_neardup"          -> (Dedup.winnowNearDup _),
+    "q171_bpe_merges"              -> (TextOps.bpeMerges _),
+    "q172_bpe_fertility"           -> (TextOps.bpeFertility _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -538,6 +543,9 @@ object SparkEntry {
     "q167_source_token_cap" -> OracleTwins.sourceTokenCap,
     "q168_stratified_eval" -> OracleTwins.stratifiedEvalSample,
     "q169_length_percentiles" -> OracleTwins.lengthPercentiles,
+    "q170_winnow_neardup" -> OracleTwins.winnowNearDup,
+    "q171_bpe_merges" -> OracleTwins.bpeMerges,
+    "q172_bpe_fertility" -> OracleTwins.bpeFertility,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

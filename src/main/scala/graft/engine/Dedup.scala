@@ -147,6 +147,84 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Winnowing geometry (Schleimer/Wilkerson/Aiken, MOSS): character
+    * [[WINNOW_K]]-gram rolling hashes, local minimum over every
+    * [[WINNOW_W]] consecutive gram hashes. The guarantee: any shared
+    * substring of ≥ WINNOW_W + WINNOW_K − 1 characters contributes at
+    * least one shared fingerprint, while the selected set is ~2/(W+1) of
+    * the gram stream — a position-robust channel that catches partial
+    * overlap (shared paragraphs) MinHash's whole-document Jaccard dilutes
+    * away and [[exactDedup]]'s whole-document hash misses entirely. */
+  val WINNOW_K = 8
+  val WINNOW_W = 6
+
+  /** A fingerprint present in more than this many documents is corpus
+    * boilerplate (shared headers/licenses), not evidence of copying —
+    * dropped before pairing, which also BOUNDS the per-fingerprint bucket
+    * join at df² ≤ 2500 candidate pairs (the same cap device as the LSH
+    * band join's bucket bound). */
+  val WINNOW_DF_CAP = 50
+
+  /** Report a pair when the shared fingerprints cover at least half of
+    * the smaller document's fingerprint set. */
+  val WINNOW_T = 0.5
+
+  /** Per-document winnowing fingerprint set, exploded with the set size
+    * carried on every row (the [[bandRows]] device — no separate sizes
+    * join later). The windowed min is computed INSIDE the gram array
+    * (`transform` over window starts + `array_min`/`slice`) — a map-only
+    * pass with zero explode/Window shuffle; at 100 TB the fingerprint
+    * stream (≈ 2/(W+1) of grams, here one hash per ~3.5 chars before
+    * dedup) is all that ever leaves the scan stage. */
+  private[graft] def winnowRows(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      TextFns.charGramHashes(col("text"), WINNOW_K).as("g"))
+    val fps = g.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(col("g")) - (WINNOW_W - 1), lit(1))),
+        i => array_min(slice(col("g"), i, lit(WINNOW_W))))).as("fps"))
+    fps.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+      explode(col("fps")).as("f"))
+  }
+
+  /** q170: winnowing-fingerprint near-duplicate pairs — the local-overlap
+    * dedup channel next to [[minhashNearDup]] (global Jaccard) and
+    * [[containmentDedup]] (prefix/truncation).
+    *
+    * Plan shape at scale: one map-only fingerprint pass; one shuffle on
+    * the fingerprint for the df gate (partial agg combines map-side — the
+    * per-doc sets are distinct, so count(*) IS document frequency); the
+    * kept-fingerprint stream self-joins per fingerprint bucket (bounded
+    * by [[WINNOW_DF_CAP]]² per key, never all-pairs) under the same
+    * merge-hint/ReusedExchange discipline as [[nearDupPairsOf]]; one
+    * final shuffle on the pair for the shared count. The overlap
+    * denominator rides the rows (n_fp), so no doc-table re-join. */
+  def winnowNearDup(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(spread(documents(spark, dir))).orderBy("doc_a", "doc_b")
+
+  /** The winnowing pair pass over an explicit corpus DataFrame (needs
+    * doc_id, text) — the composable/testable form; DedupSimSpec drives it
+    * with planted substring overlaps to pin the winnowing guarantee. */
+  private[graft] def winnowPairsOf(docs: DataFrame): DataFrame = {
+    val fp = winnowRows(docs)
+    val df = fp.groupBy("f")
+      .agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") >= 2 && col("fdf") <= WINNOW_DF_CAP)
+      .select("f")
+    val kept = fp.join(df, Seq("f"))
+    kept.as("x")
+      .join(kept.as("y").hint("merge"),
+        col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("x.n_fp")).as("n_fp_a"), first(col("y.n_fp")).as("n_fp_b"))
+      .withColumn("overlap", Num.round6(col("n_shared").cast("double") /
+        least(col("n_fp_a"), col("n_fp_b")).cast("double")))
+      .filter(col("overlap") >= WINNOW_T)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"), col("overlap"))
+  }
+
   /** Connected components over an undirected edge list (`src`, `dst` — one
     * row per direction): min-label propagation with pointer doubling. Each
     * round a node adopts the smallest label among itself and its neighbours

@@ -1469,4 +1469,123 @@ object TextOps {
         sum(when(col("oov"), 1L).otherwise(0L)).as("oov_pairs"),
         Num.round6(sum(col("sp")).cast("double") /
           (count(lit(1)).cast("double") * lit(LM_SCALE.toDouble))).as("lm_score"))
+
+  // ------------------------------ BPE tokenizer training (q171)
+
+  /** BPE trains on the word-frequency HISTOGRAM, not the corpus: after one
+    * corpus-wide word count, every round touches only the top
+    * [[BPE_WORD_CAP]] (word, freq, symbols) rows — corpus-size-independent
+    * state, the property that makes tokenizer training a bounded
+    * side-computation of a 100 TB pipeline rather than a pass over it. */
+  val BPE_WORD_CAP = 2000
+
+  /** Merge rounds to learn. The oracle unrolls the same count
+    * ([[graft.OracleTwins.bpeMerges]]), so it is a shared constant. */
+  val BPE_MERGES = 10
+
+  /** The capped word-frequency table with initial character symbols —
+    * round 0 of the BPE loop. One corpus token pass (map-side combine on
+    * the word), then a TakeOrdered top-[[BPE_WORD_CAP]] (freq desc, word
+    * asc — the deterministic cap). */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    spread(documents(spark, dir))
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(BPE_WORD_CAP)
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), c => length(c) > 0).as("syms"))
+
+  /** q171: byte-pair-encoding merge table — [[BPE_MERGES]] greedy rounds
+    * of Sennrich-style tokenizer training. Each round: count adjacent
+    * symbol pairs weighted by word frequency, adopt the most frequent
+    * pair (count desc, pair asc tie-break), rewrite every word's symbol
+    * sequence by one greedy left-to-right merge pass. The output IS the
+    * tokenizer artifact: (merge_rank, sym_a, sym_b, merged, n_occurrences).
+    *
+    * The merge pass is a left fold (`aggregate`): append the next symbol
+    * unless the accumulator's last element is `sym_a` and the symbol is
+    * `sym_b`, in which case replace the tail with the merged symbol —
+    * exactly greedy left-to-right (a fresh merge result never re-merges,
+    * because the comparison sees the CONCATENATED symbol). DuckDB runs
+    * the identical fold via `list_reduce`, so the oracle is exact.
+    *
+    * The per-round 1-row collect is the round's OUTPUT (the chosen pair —
+    * driver state bounded by [[BPE_MERGES]], corpus-size-independent),
+    * the same bounded-scalar class as [[graft.engine.Sim.kmeansRun]]'s
+    * convergence trace; the corpus itself is only ever touched by the one
+    * word-count pass in [[bpeWords]]. Rounds are sequential by nature;
+    * the per-round localCheckpoint keeps lineage flat (the
+    * [[graft.engine.Dedup.connectedComponents]] loop discipline). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, bpeWords(spark, dir), BPE_MERGES)
+
+  /** The BPE training loop over an explicit (word, freq, syms) histogram —
+    * the composable/testable form (DedupSimSpec drives it with a known
+    * 4-word histogram whose merge sequence is derivable by hand). */
+  private[graft] def bpeTrain(spark: SparkSession, words: DataFrame,
+      nMerges: Int): DataFrame =
+    bpeTrainState(spark, words, nMerges)._1
+
+  /** [[bpeTrain]] plus the trained word table (word, freq, syms after all
+    * merges) — the state [[bpeFertility]] scores the corpus against. */
+  private[graft] def bpeTrainState(spark: SparkSession, words: DataFrame,
+      nMerges: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var w = words.localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val top = w.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          p => struct(element_at(col("syms"), p).as("a"),
+            element_at(col("syms"), p + 1).as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((i.toLong, a, b, a + b, n))
+      w = w.select(col("word"), col("freq"),
+        aggregate(col("syms"), typedLit(Seq.empty[String]),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+        .localCheckpoint()
+    }
+    (merges.result()
+      .toDF("merge_rank", "sym_a", "sym_b", "merged", "n_occurrences")
+      .orderBy("merge_rank"), w)
+  }
+
+  /** q172: tokenizer fertility — the trained merges applied BACK to the
+    * corpus: per language, whitespace words vs BPE tokens (fertility =
+    * tokens/word, the standard tokenizer-quality metric), with
+    * out-of-histogram words falling back to one-token-per-character (the
+    * byte-fallback analog, counted in `n_oov_words`).
+    *
+    * Scale shape: training state is the bounded histogram; scoring is one
+    * corpus token pass joined to the BROADCAST (≤ [[BPE_WORD_CAP]]-row)
+    * trained table — map-only over the corpus, partial aggregation
+    * collapses to \|langs\| rows. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val trained = bpeTrainState(spark, bpeWords(spark, dir), BPE_MERGES)._2
+    val vs = trained.select(col("word"),
+      size(col("syms")).cast("long").as("n_syms"))
+    spread(documents(spark, dir))
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(vs), Seq("word"), "left")
+      .select(col("lang"),
+        coalesce(col("n_syms"), length(col("word")).cast("long")).as("n_tok"),
+        col("n_syms").isNull.as("oov"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov_words"))
+      .withColumn("fertility", Num.round6(
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double")))
+      .orderBy("lang")
+  }
 }

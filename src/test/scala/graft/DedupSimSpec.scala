@@ -1136,4 +1136,101 @@ class DedupSimSpec extends SparkSpecBase {
     assert(prod.getLong(4) >= hits.last,
       "production (BANDS,R) recall must dominate the all-rows band")
   }
+
+  test("winnowing guarantee: a shared substring ≥ W+K-1 chars shares a " +
+      "fingerprint; identical docs pair at overlap 1.0; disjoint docs never") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, "alpha beta " + shared + " gamma delta"),
+      (2L, "omega psi " + shared + " chi phi rho sigma tau"),
+      (3L, "totally unrelated content with no common run at all zzz qqq"),
+      (4L, "alpha beta " + shared + " gamma delta"))
+      .toDF("doc_id", "text")
+    // the guarantee operates on the raw fingerprint channel (pre-gates):
+    // any substring of length ≥ WINNOW_W + WINNOW_K - 1 contributes at
+    // least one common selected fingerprint
+    val byF = Dedup.winnowRows(docs)
+      .groupBy("f").agg(collect_set("doc_id").as("ds"))
+      .collect().map(_.getSeq[Long](1).toSet)
+    assert(byF.exists(s => s.contains(1L) && s.contains(2L)),
+      "docs sharing a 59-char substring must share a fingerprint")
+    assert(!byF.exists(s => s.contains(3L) && s.size > 1),
+      "the disjoint doc shares no fingerprint with anyone")
+    val pairs = Dedup.winnowPairsOf(docs).collect()
+    val p14 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(p14.isDefined, "identical docs must pair")
+    assert(p14.get.getDouble(5) == 1.0, "identical docs overlap exactly 1.0")
+    assert(p14.get.getLong(2) == p14.get.getLong(3),
+      "identical docs share their whole fingerprint set")
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("winnowing fingerprint pass is map-only: no exchange below the " +
+      "fingerprint aggregation") {
+    // the windowed-min runs INSIDE the gram array (transform+slice), so
+    // the per-document fingerprint stream must not cost a Window or an
+    // extra shuffle: the plan's only exchanges are the df gate, the
+    // bucket self-join, and the pair aggregation — all ABOVE winnowRows
+    val plan = Dedup.winnowRows(
+      Seq((1L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      s"fingerprint selection must not use a window function:\n$plan")
+    assert(!plan.toLowerCase.contains("repartition") ||
+      plan.toLowerCase.contains("spread"), "no explicit repartition")
+  }
+
+  test("bpeTrain learns the hand-derivable merge sequence and " +
+      "greedy-left-to-right fold semantics") {
+    // histogram: the:10 then:5 hen:4 tent:3 — pair counts round 1:
+    // (h,e)=19, (t,h)=15, (e,n)=9, (t,e)=3, (n,t)=3 → merge (h,e);
+    // round 2: (t,he)=15 dominates; round 3: (the,n)=5
+    val words = Seq(
+      ("the", 10L), ("then", 5L), ("hen", 4L), ("tent", 3L))
+      .toDF("word", "freq")
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), c => length(c) > 0).as("syms"))
+    val m = TextOps.bpeTrain(spark, words, 3).collect()
+    assert(m.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq == Seq(
+      (1L, "h", "e", "he", 19L),
+      (2L, "t", "he", "the", 15L),
+      (3L, "the", "n", "then", 5L)))
+  }
+
+  test("bpeMerges invariants: BPE_MERGES ranked rows, counts " +
+      "non-increasing, merged is the concatenation") {
+    val m = TextOps.bpeMerges(spark, sf).collect()
+    assert(m.length == TextOps.BPE_MERGES)
+    assert(m.map(_.getLong(0)).toSeq == (1L to TextOps.BPE_MERGES.toLong))
+    assert(m.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+    val ns = m.map(_.getLong(4))
+    // a merged symbol's successor pairs inherit at most the merged pair's
+    // occurrences, so the greedy max can never rise round-over-round
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"merge counts must be non-increasing: ${ns.toSeq}")
+    assert(ns.forall(_ > 0))
+  }
+
+  test("bpeFertility: training strictly compresses the corpus vs the " +
+      "untrained (all-chars) tokenization; accounting conserved") {
+    val f = TextOps.bpeFertility(spark, sf).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val (words, toks, oov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(toks >= words, "every word is at least one token")
+      assert(oov <= words)
+      assert(r.getDouble(4) ==
+        math.round(toks.toDouble / words.toDouble * 1e6) / 1e6)
+    }
+    // untrained baseline: every word tokenizes to its characters — merges
+    // can only shorten in-histogram words, never lengthen anything
+    val untrained = Tables.documents(spark, sf)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")).cast("long"))).collect()(0).getLong(0)
+    val trainedTotal = f.map(_.getLong(2)).sum
+    assert(trainedTotal < untrained,
+      s"10 merges must compress: $trainedTotal !< $untrained")
+  }
 }
