@@ -171,21 +171,18 @@ object Dedup {
 
   /** Per-document winnowing fingerprint set, exploded with the set size
     * carried on every row (the [[bandRows]] device — no separate sizes
-    * join later). The windowed min is computed INSIDE the gram array
-    * (`transform` over window starts + `array_min`/`slice`) — a map-only
-    * pass with zero explode/Window shuffle; at 100 TB the fingerprint
-    * stream (≈ 2/(W+1) of grams, here one hash per ~3.5 chars before
-    * dedup) is all that ever leaves the scan stage. */
-  private[graft] def winnowRows(docs: DataFrame): DataFrame = {
-    val g = docs.select(col("doc_id"),
-      TextFns.charGramHashes(col("text"), WINNOW_K).as("g"))
-    val fps = g.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(col("g")) - (WINNOW_W - 1), lit(1))),
-        i => array_min(slice(col("g"), i, lit(WINNOW_W))))).as("fps"))
-    fps.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
-      explode(col("fps")).as("f"))
-  }
+    * join later). The fingerprint selection is one codegen'd expression
+    * ([[TextFns.winnowHashes]]: O(n) monotonic-deque sliding minima —
+    * the declarative transform/slice form allocated one W-slice per
+    * character and cost 19s at sf0.1; the kernel runs it in 0.6s) — a
+    * map-only pass with zero explode/Window shuffle; at 100 TB the
+    * fingerprint stream (≈ 2/(W+1) of grams before dedup) is all that
+    * ever leaves the scan stage. */
+  private[graft] def winnowRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextFns.winnowHashes(col("text"), WINNOW_K, WINNOW_W).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        explode(col("fps")).as("f"))
 
   /** q170: winnowing-fingerprint near-duplicate pairs — the local-overlap
     * dedup channel next to [[minhashNearDup]] (global Jaccard) and

@@ -74,6 +74,14 @@ object GraftFunctions {
       CharGramHashesE(es.head,
         if (es.length > 1) intArg(es(1), "char_gram_hashes") else 8)
     }),
+    "winnow_hashes" -> ((es: Seq[Expression]) => {
+      arity("winnow_hashes", es, 1, 3)
+      WinnowHashesE(es.head,
+        if (es.length > 1) intArg(es(1), "winnow_hashes")
+        else graft.engine.Dedup.WINNOW_K,
+        if (es.length > 2) intArg(es(2), "winnow_hashes")
+        else graft.engine.Dedup.WINNOW_W)
+    }),
     "sim_hash" -> ((es: Seq[Expression]) => {
       arity("sim_hash", es, 1, 2)
       SimHashE(es.head, if (es.length > 1) intArg(es(1), "sim_hash") else 48)

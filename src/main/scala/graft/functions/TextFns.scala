@@ -121,6 +121,22 @@ object TextFns {
   private def substring(c: Column, pos: Column, len: Int): Column =
     c.substr(pos, lit(len))
 
+  /** Winnowing fingerprint set: distinct sliding-window minima (window
+    * `w`) over the char-`k`-gram hashes — MOSS's fingerprint selection.
+    * Codegen'd ([[WinnowHashesE]], O(n) monotonic deque); the Fold form
+    * is its declarative spec twin and the shape the DuckDB oracle
+    * replicates. */
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    TextHashExprs.winnowHashes(text, k, w)
+
+  /** Higher-order-function form of [[winnowHashes]] (spec twin). */
+  def winnowHashesFold(text: Column, k: Int, w: Int): Column = {
+    val g = charGramHashesFold(text, k)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
+      i => array_min(slice(g, i, lit(w)))))
+  }
+
   /** Exact Jaccard of two distinct-hash arrays (verify step for LSH
     * candidates): one integer ratio → one IEEE division, identical both
     * engines. */

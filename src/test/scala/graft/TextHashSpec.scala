@@ -72,6 +72,20 @@ class TextHashSpec extends SparkSpecBase {
         TextFns.charGramHashesFold(col("text")).as("ref")))
   }
 
+  test("winnowHashes codegen == declarative (docs + edge strings)") {
+    import graft.engine.Dedup.{WINNOW_K, WINNOW_W}
+    for (src <- Seq(docs, edges))
+      assertSame(src.select(
+        TextFns.winnowHashes(col("text"), WINNOW_K, WINNOW_W).as("fast"),
+        TextFns.winnowHashesFold(col("text"), WINNOW_K, WINNOW_W).as("ref")))
+    // degenerate windows: w = 1 selects every distinct gram; w ≥ grams
+    // collapses to the single global min
+    for ((k, w) <- Seq((3, 1), (8, 10000), (1, 4)))
+      assertSame(edges.select(
+        TextFns.winnowHashes(col("text"), k, w).as("fast"),
+        TextFns.winnowHashesFold(col("text"), k, w).as("ref")))
+  }
+
   test("SQL registry functions resolve to the same expressions as the Column API") {
     graft.functions.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("texthash_docs")
