@@ -2435,13 +2435,17 @@ object OracleTwins {
     * doc, df-gated [2, WINNOW_DF_CAP], bucket self-join, overlap vs the
     * smaller set. The filter reads the ROUNDED overlap, matching the
     * Spark filter on the round6'd column. */
-  val winnowNearDup: String = {
-    import graft.engine.Dedup.{WINNOW_K, WINNOW_W, WINNOW_DF_CAP, WINNOW_T}
-    s"""WITH g AS (
+  /** The winnowing pair pipeline over a source relation `src(doc_id,
+    * text)` — gram hashes, windowed minima, per-doc distinct, df gate,
+    * bucket self-join, overlap filter. Shared by q170 (whole corpus) and
+    * q173 (augmented corpus, delta-restricted). */
+  private def winnowPairsSql(src: String): String = {
+    import graft.engine.Dedup.{WINNOW_K, WINNOW_W, WINNOW_DF_CAP}
+    s"""g AS (
        |  SELECT doc_id, list_transform(
        |    range(1, greatest(len(text) - ${WINNOW_K - 1}, 1) + 1),
        |    wgi -> ${polyhash(s"substr(text, wgi, $WINNOW_K)")}) AS g
-       |  FROM documents),
+       |  FROM $src),
        |fsets AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    range(1, greatest(len(g) - ${WINNOW_W - 1}, 1) + 1),
@@ -2461,13 +2465,39 @@ object OracleTwins {
        |    CAST(min(x.n_fp) AS BIGINT) AS n_fp_a,
        |    CAST(min(y.n_fp) AS BIGINT) AS n_fp_b
        |  FROM k x JOIN k y ON x.f = y.f AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT * FROM (
+       |  GROUP BY 1, 2),
+       |ov AS (
        |  SELECT doc_a, doc_b, n_shared, n_fp_a, n_fp_b,
        |    ${round6("n_shared::DOUBLE / least(n_fp_a, n_fp_b)::DOUBLE")}
        |      AS overlap
-       |  FROM pr)
+       |  FROM pr)""".stripMargin
+  }
+
+  val winnowNearDup: String = {
+    import graft.engine.Dedup.WINNOW_T
+    s"""WITH ${winnowPairsSql("documents")}
+       |SELECT * FROM ov
        |WHERE overlap >= $WINNOW_T ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q173's twin: the full winnowing pair pass over the corpus plus the
+    * embedded-paragraph plants, restricted to delta-involving pairs
+    * (plants carry ids ≥ 60000000; doc_a < doc_b, so doc_b lands in the
+    * plant range for cross AND plant-plant pairs). The df gate is the
+    * corpus-wide rule over the augmented corpus — exactly what the probe
+    * reconstructs from its matched rows. */
+  val winnowIncrementProbe: String = {
+    import graft.engine.Dedup.{WINNOW_PLANT_MOD, WINNOW_PLANT_CHARS, WINNOW_T}
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 60000000,
+       |    'zq' || doc_id::VARCHAR || ' ' || substr(text, 1, $WINNOW_PLANT_CHARS)
+       |  FROM documents WHERE doc_id % $WINNOW_PLANT_MOD = 0),
+       |${winnowPairsSql("aug")}
+       |SELECT * FROM ov
+       |WHERE overlap >= $WINNOW_T AND doc_b >= 60000000
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** q171's twin — [[graft.engine.TextOps.bpeMerges]] unrolled (the

@@ -319,6 +319,7 @@ object SparkEntry {
     "q170_winnow_neardup"          -> (Dedup.winnowNearDup _),
     "q171_bpe_merges"              -> (TextOps.bpeMerges _),
     "q172_bpe_fertility"           -> (TextOps.bpeFertility _),
+    "q173_winnow_increment"        -> (Dedup.winnowIncrementProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -546,6 +547,7 @@ object SparkEntry {
     "q170_winnow_neardup" -> OracleTwins.winnowNearDup,
     "q171_bpe_merges" -> OracleTwins.bpeMerges,
     "q172_bpe_fertility" -> OracleTwins.bpeFertility,
+    "q173_winnow_increment" -> OracleTwins.winnowIncrementProbe,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -1205,6 +1205,114 @@ object Dedup {
     probeHeadIndex(spark, plants, headDir).orderBy("doc_a", "doc_b")
   }
 
+  // ------------------- winnow-channel index lifecycle -------------------
+
+  /** q173 plant geometry: every [[WINNOW_PLANT_MOD]]-th doc contributes a
+    * delta doc that embeds its first [[WINNOW_PLANT_CHARS]] characters
+    * behind a fresh prefix — a shared PARAGRAPH, not a shared prefix, so
+    * the head channel's first-tokens hash misses it and the band
+    * channel's whole-document Jaccard is diluted; the winnow channel's
+    * ≥ W+K−1 guarantee catches it. */
+  val WINNOW_PLANT_MOD = 11
+  val WINNOW_PLANT_CHARS = 240
+
+  /** Build-once half of the winnow-channel lifecycle: the exploded
+    * fingerprint rows (doc_id, n_fp, f), f-clustered files (min/max
+    * stats prune probe scans), `increment=0` static overwrite — the
+    * [[buildMinhashIndex]]/[[buildHeadIndex]] contract for the
+    * local-overlap channel. */
+  def buildWinnowIndex(docs: DataFrame, winnowDir: String): Unit =
+    writeWinnowRows(winnowRows(docs), winnowDir, increment = 0L)
+
+  /** Append-an-increment half — dynamic overwrite, idempotent per
+    * increment (the [[appendMinhashIndex]] device). */
+  def appendWinnowIndex(delta: DataFrame, winnowDir: String,
+      increment: Long): Unit =
+    writeWinnowRows(winnowRows(delta), winnowDir, increment)
+
+  private def writeWinnowRows(rows: DataFrame, winnowDir: String,
+      increment: Long): Unit =
+    rows.withColumn("increment", lit(increment))
+      .repartition(col("f")).sortWithinPartitions(col("f"))
+      .write.partitionBy("increment")
+      .option("partitionOverwriteMode",
+        if (increment == 0L) "static" else "dynamic")
+      .mode("overwrite")
+      .parquet(winnowDir)
+
+  /** Index-vs-delta winnow pairs. The delta's distinct fingerprints
+    * broadcast INTO the index scan (f-clustered files → pruned scan; the
+    * index is never shuffled or re-hashed), and the df boilerplate gate
+    * is computed from exactly the rows already fetched: every doc
+    * containing a delta fingerprint is in (matched ∪ delta) by
+    * construction, so the per-f count there IS the global df — the same
+    * [2, WINNOW_DF_CAP] gate [[winnowPairsOf]] applies corpus-wide.
+    * Requires the delta be doc-disjoint from the probed increments (the
+    * [[dedupIncrement]] contract; a steady-state caller excludes the
+    * batch's own increment before probing). */
+  def probeWinnowIndex(spark: SparkSession, delta: DataFrame,
+      winnowDir: String): DataFrame =
+    winnowProbePairs(spark.read.parquet(winnowDir), winnowRows(delta))
+
+  private def winnowProbePairs(idx: DataFrame,
+      deltaFp: DataFrame): DataFrame = {
+    val matched = idx
+      .join(broadcast(deltaFp.select(col("f")).distinct()), Seq("f"))
+      .select(col("doc_id"), col("n_fp"), col("f"))
+    val keep = matched.unionByName(deltaFp)
+      .groupBy("f").agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") >= 2 && col("fdf") <= WINNOW_DF_CAP)
+      .select("f")
+    val ik = matched.join(broadcast(keep), Seq("f"))
+    val dk = deltaFp.join(broadcast(keep), Seq("f"))
+    // (index, delta) pairs: sides ordered per-row; (delta, delta) pairs:
+    // the bounded-batch self-join. Disjoint by the doc-disjointness
+    // precondition, so no distinct is needed across the union.
+    val cross = ik.as("x")
+      .join(dk.as("y"),
+        col("x.f") === col("y.f") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.n_fp"))
+          .otherwise(col("y.n_fp")).as("fa"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.n_fp"))
+          .otherwise(col("x.n_fp")).as("fb"))
+    val self = dk.as("x")
+      .join(broadcast(dk.as("y")),
+        col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_fp").as("fa"), col("y.n_fp").as("fb"))
+    cross.unionByName(self)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("fa")).as("n_fp_a"), first(col("fb")).as("n_fp_b"))
+      .withColumn("overlap", Num.round6(col("n_shared").cast("double") /
+        least(col("n_fp_a"), col("n_fp_b")).cast("double")))
+      .filter(col("overlap") >= WINNOW_T)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"), col("overlap"))
+  }
+
+  /** q173: the winnow-channel lifecycle end-to-end — index the corpus in
+    * a build (even ids) plus one appended increment (odd ids), then
+    * probe the planted embedded-paragraph copies as the day's delta. The
+    * oracle recomputes the FULL winnowing pair pass over the augmented
+    * corpus restricted to delta-involving pairs — a probe that misses
+    * the appended increment, gates df differently from the corpus-wide
+    * rule, or selects different fingerprints, hash-mismatches. */
+  def winnowIncrementProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir)).select(col("doc_id"), col("text"))
+    val plants = d.filter(col("doc_id") % WINNOW_PLANT_MOD === 0)
+      .select((col("doc_id") + 60000000L).as("doc_id"),
+        concat(lit("zq"), col("doc_id").cast("string"), lit(" "),
+          col("text").substr(lit(1), lit(WINNOW_PLANT_CHARS))).as("text"))
+    val winnowDir = IndexMaintenance.scratchIndexDir(spark, "winnow-index")
+    buildWinnowIndex(d.filter(col("doc_id") % 2 === 0), winnowDir)
+    appendWinnowIndex(d.filter(col("doc_id") % 2 === 1), winnowDir,
+      increment = 1L)
+    probeWinnowIndex(spark, plants, winnowDir).orderBy("doc_a", "doc_b")
+  }
+
   /** q153: the label-LIFECYCLE keep-list end-to-end — seed labels from
     * the base corpus's internal pairs, fold the delta-touching pairs in
     * as one [[mergeClusterIncrement]] (never re-clustering the corpus),

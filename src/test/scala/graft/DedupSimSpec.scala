@@ -1212,6 +1212,45 @@ class DedupSimSpec extends SparkSpecBase {
     assert(ns.forall(_ > 0))
   }
 
+  test("winnow index probe equals the full recompute on delta-involving " +
+      "pairs; replayed append is invisible") {
+    import org.apache.spark.sql.functions.{col, concat, length, lit}
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val plants = d.filter(col("doc_id") % Dedup.WINNOW_PLANT_MOD === 0)
+      .select((col("doc_id") + 60000000L).as("doc_id"),
+        concat(lit("zq"), col("doc_id").cast("string"), lit(" "),
+          col("text").substr(lit(1), lit(Dedup.WINNOW_PLANT_CHARS)))
+          .as("text"))
+    val wDir = tmpDir("winnow-spec")
+    Dedup.buildWinnowIndex(d.filter(col("doc_id") % 2 === 0), wDir)
+    Dedup.appendWinnowIndex(d.filter(col("doc_id") % 2 === 1), wDir, 1L)
+    val probe = Dedup.probeWinnowIndex(spark, plants, wDir)
+      .orderBy("doc_a", "doc_b").collect()
+    // the full in-plan recompute over the augmented corpus, restricted
+    // to delta-involving pairs, must be IDENTICAL — same pairs, same
+    // shared counts, same overlaps
+    val full = Dedup.winnowPairsOf(d.unionByName(plants))
+      .filter(col("doc_b") >= 60000000L)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(probe.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    assert(probe.nonEmpty, "plants must pair with their sources")
+    // every plant long enough to carry the guarantee pairs with its source
+    val longSources = d
+      .filter(col("doc_id") % Dedup.WINNOW_PLANT_MOD === 0 &&
+        length(col("text")) >= Dedup.WINNOW_PLANT_CHARS)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val paired = probe.map(r => (r.getLong(0), r.getLong(1))).toSet
+    longSources.foreach { s =>
+      assert(paired.contains((s, s + 60000000L)),
+        s"plant of doc $s must pair with its source") }
+    // replay: re-appending the same increment (dynamic overwrite) and
+    // re-probing must not change a single row
+    Dedup.appendWinnowIndex(d.filter(col("doc_id") % 2 === 1), wDir, 1L)
+    val again = Dedup.probeWinnowIndex(spark, plants, wDir)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(again.map(_.toSeq).toSeq == probe.map(_.toSeq).toSeq)
+  }
+
   test("bpeFertility: training strictly compresses the corpus vs the " +
       "untrained (all-chars) tokenization; accounting conserved") {
     val f = TextOps.bpeFertility(spark, sf).collect()
