@@ -1293,6 +1293,40 @@ object Dedup {
         col("n_fp_a"), col("n_fp_b"), col("overlap"))
   }
 
+  /** One increment of the steady-state WINNOW pipeline — the local-overlap
+    * channel's [[dedupIncrement]]/[[containmentIncrement]]: pairs against
+    * everything indexed (minus the batch's own increment — the
+    * retry-disjointness device documented there) plus within-batch pairs
+    * land at `outDir` under `batch=<increment>` (dynamic overwrite,
+    * exactly-once under retry), then the batch's fingerprint rows join
+    * the index. Catches embedded-paragraph copies arriving in increments
+    * — the case the band channel dilutes and the head channel misses.
+    *
+    * df-gate semantics under streaming: the [2, WINNOW_DF_CAP]
+    * boilerplate gate counts a fingerprint's df over the index state AT
+    * THE BATCH'S ARRIVAL plus the batch itself — the df a production
+    * gate actually has (a gram becomes boilerplate when the accumulated
+    * corpus says so). Near the cap edge this makes a split delivery
+    * differ from one mega-batch by design (a later batch sees a larger
+    * df); StreamingSpec pins the exact single-batch ≡ one-shot equality
+    * and the exactly-once retry contract. */
+  def winnowIncrement(batch: DataFrame, winnowDir: String,
+      increment: Long, outDir: String,
+      appendToIndex: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val fps = winnowRows(batch).persist()
+    try {
+      winnowProbePairs(spark.read.parquet(winnowDir)
+          .filter(col("increment").cast("long") =!= increment), fps)
+        .withColumn("batch", lit(increment))
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(outDir)
+      if (appendToIndex) writeWinnowRows(fps, winnowDir, increment)
+    } finally { fps.unpersist(blocking = false); () }
+  }
+
   /** q173: the winnow-channel lifecycle end-to-end — index the corpus in
     * a build (even ids) plus one appended increment (odd ids), then
     * probe the planted embedded-paragraph copies as the day's delta. The

@@ -73,10 +73,18 @@ object DedupStream {
     * head rows — so a truncation/prefix copy arriving in an increment
     * pairs with its source (a case the band channel's J ≈ 0.5 geometry
     * misses) through the same batch-keyed exactly-once sinks. */
+  /** `winnowDir`/`winnowOutDir` (optional, both empty = off) arm the
+    * WINNOW channel the same way
+    * ([[graft.engine.Dedup.winnowIncrement]]): embedded-paragraph copies
+    * — shared mid-document spans the band channel dilutes and the head
+    * channel's first-tokens hash misses — pair with their sources in the
+    * increment that delivers them, through identical batch-keyed
+    * exactly-once sinks. */
   def nearDupSink(docs: DataFrame, indexDir: String, outDir: String,
                   checkpointDir: String, appendToIndex: Boolean = true,
                   compactEvery: Int = 0, labelDir: String = "",
-                  headDir: String = "", contOutDir: String = ""): StreamingQuery =
+                  headDir: String = "", contOutDir: String = "",
+                  winnowDir: String = "", winnowOutDir: String = ""): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -91,6 +99,10 @@ object DedupStream {
         if (headDir.nonEmpty && contOutDir.nonEmpty)
           graft.engine.Dedup.containmentIncrement(batch, headDir,
             increment = batchId + 1L, outDir = contOutDir,
+            appendToIndex = appendToIndex)
+        if (winnowDir.nonEmpty && winnowOutDir.nonEmpty)
+          graft.engine.Dedup.winnowIncrement(batch, winnowDir,
+            increment = batchId + 1L, outDir = winnowOutDir,
             appendToIndex = appendToIndex)
         if (labelDir.nonEmpty) {
           // the just-landed batch partition, file-pruned by the batch key

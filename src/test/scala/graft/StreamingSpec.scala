@@ -1066,6 +1066,98 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$root/docs").count() == docs.count())
   }
 
+  test("streamed winnow channel: an embedded-paragraph copy pairs with " +
+      "its source; the band channel alone would miss it") {
+    import graft.engine.Dedup
+    import graft.streaming.DedupStream
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the streamed delta: fresh-prefix docs embedding each source's
+    // first WINNOW_PLANT_CHARS characters — shared PARAGRAPH, not a
+    // shared prefix (the head channel's first-tokens hash differs) and
+    // a diluted whole-doc Jaccard (the band channel's gate misses it)
+    val plants = docs.filter(col("doc_id") % Dedup.WINNOW_PLANT_MOD === 0)
+      .select((col("doc_id") + 60000000L).as("doc_id"),
+        concat(lit("zq"), col("doc_id").cast("string"), lit(" "),
+          col("text").substr(lit(1), lit(Dedup.WINNOW_PLANT_CHARS)))
+          .as("text"))
+    val root = tmpDir("graft-stream-winnow")
+    Dedup.buildMinhashIndex(docs, s"$root/band_index")
+    Dedup.buildWinnowIndex(docs, s"$root/winnow_index")
+    val inDir = tmpDir("graft-stream-winnow-in")
+    // ONE file → one micro-batch: the df boilerplate gate reads the
+    // index state at the batch's arrival, so a single batch is bit-equal
+    // to the one-shot probe; split batches drift by design at the
+    // DF_CAP edge (winnowIncrement's documented corpus-df semantics)
+    plants.repartition(1).write.mode("overwrite").parquet(inDir)
+    val q = DedupStream.nearDupSink(
+      spark.readStream.schema(spark.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      s"$root/band_index", s"$root/pairs",
+      tmpDir("graft-stream-winnow-ckpt"),
+      winnowDir = s"$root/winnow_index",
+      winnowOutDir = s"$root/winnow_pairs")
+    try q.processAllAvailable() finally q.stop()
+    val wp = spark.read.parquet(s"$root/winnow_pairs")
+      .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b", "overlap")
+      .collect()
+    val wpPairs = wp.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(wpPairs.distinct.length == wpPairs.length,
+      "winnow sink must not emit duplicate pairs")
+    // the streamed (original, plant) pairs equal the one-shot batch
+    // probe of all plants against an originals-only winnow index —
+    // batching must be invisible (plant-plant pairs excluded: the
+    // one-shot probe's index never contains plants)
+    val expIdx = tmpDir("graft-stream-winnow-exp") + "/winnow_index"
+    Dedup.buildWinnowIndex(docs, expIdx)
+    val expected = Dedup.probeWinnowIndex(spark, plants, expIdx)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "the plant geometry must produce pairs")
+    val streamedCross = wp
+      .filter(r => r.getLong(0) < 60000000L && r.getLong(1) >= 60000000L)
+      .map(_.toString).sorted.toSeq
+    assert(streamedCross == expected,
+      "streamed cross winnow pairs must equal the batch probe")
+    // the planted pairs must include sources the band channel's sink
+    // does not pair (whole-doc Jaccard of a 240-char excerpt inside a
+    // full-length doc sits far below 0.8)
+    val planted = wp.filter(r => r.getLong(1) == r.getLong(0) + 60000000L)
+    assert(planted.nonEmpty, "plants must pair with their sources")
+    val band: Set[(Long, Long)] =
+      if (!new java.io.File(s"$root/pairs").exists() ||
+          graft.engine.IndexMaintenance
+            .parquetFileCount(spark, s"$root/pairs") == 0L)
+        Set.empty
+      else spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.exists(r => !band.contains((r.getLong(0), r.getLong(1)))),
+      "the band channel alone must have missed an embedded-paragraph copy")
+  }
+
+  test("winnow increment sinks are exactly-once: a retried batch " +
+      "replaces its pairs and its fingerprint rows") {
+    import graft.engine.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val plants = docs.filter(col("doc_id") % Dedup.WINNOW_PLANT_MOD === 0)
+      .select((col("doc_id") + 60000000L).as("doc_id"),
+        concat(lit("zq"), col("doc_id").cast("string"), lit(" "),
+          col("text").substr(lit(1), lit(Dedup.WINNOW_PLANT_CHARS)))
+          .as("text"))
+    val winnowDir = tmpDir("graft-winnow-idem") + "/winnow_index"
+    Dedup.buildWinnowIndex(docs, winnowDir)
+    val out = tmpDir("graft-winnow-idem-out") + "/pairs"
+    Dedup.winnowIncrement(plants, winnowDir, increment = 1L, outDir = out)
+    val once = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val idxOnce = spark.read.parquet(winnowDir).count()
+    assert(once.nonEmpty)
+    Dedup.winnowIncrement(plants, winnowDir, increment = 1L, outDir = out)
+    assert(spark.read.parquet(out).collect()
+      .map(_.toString).sorted.toSeq == once,
+      "retry changed the winnow pairs sink")
+    assert(spark.read.parquet(winnowDir).count() == idxOnce,
+      "retry changed the winnow index")
+  }
+
   test("containment increment sinks are exactly-once: a retried batch " +
       "replaces its pairs and its head rows") {
     import graft.engine.Dedup
