@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *     pairs, appends itself to the index;
   *  2. containment head-channel increment
   *     ([[Dedup.containmentIncrement]]): same shape over the head
-  *     fingerprint index — truncation/prefix copies caught;
+  *     fingerprint index — truncation/prefix copies caught; and the
+  *     winnow-channel increment ([[Dedup.winnowIncrement]]) over the
+  *     winnowing fingerprint index — embedded-paragraph copies caught;
   *  3. incremental CC merge ([[Dedup.mergeClusterIncrement]]): the
   *     batch's landed band pairs fold into the persisted cluster labels
   *     at increment-bounded cost — never a corpus re-cluster;
@@ -39,6 +41,7 @@ object CurationLoop {
       batchDocs: Long,   // documents ingested this increment
       bandPairs: Long,   // near-dup pairs landed by the band channel
       contPairs: Long,   // containment pairs landed by the head channel
+      winnowPairs: Long, // local-overlap pairs landed by the winnow channel
       keptDocs: Long,    // corpus docs surviving dedup (post-merge labels)
       droppedDocs: Long, // corpus docs dropped for a cluster canonical
       shardRows: Long)   // rows laid down by the shard refresh
@@ -57,6 +60,8 @@ object CurationLoop {
       s"$root/band_index")
     Dedup.buildHeadIndex(base.select(col("doc_id"), col("text")),
       s"$root/head_index")
+    Dedup.buildWinnowIndex(base.select(col("doc_id"), col("text")),
+      s"$root/winnow_index")
     Dedup.buildClusterLabels(
       Dedup.nearDupPairsOf(base.select(col("doc_id"), col("text")))
         .select(col("doc_a"), col("doc_b")),
@@ -78,6 +83,8 @@ object CurationLoop {
       s"$root/pairs")
     Dedup.containmentIncrement(counted, s"$root/head_index", increment,
       s"$root/cont_pairs")
+    Dedup.winnowIncrement(counted, s"$root/winnow_index", increment,
+      s"$root/winnow_pairs")
     // stage 3: merge THIS batch's landed band pairs (file-pruned by the
     // batch key) into the persisted labels. Pair counts come from
     // file-pruned partition scans, NOT an observe on the merge input:
@@ -99,9 +106,11 @@ object CurationLoop {
     landed.foreach(p =>
       Dedup.mergeClusterIncrement(spark, s"$root/labels", p))
     val bandPairs = landed.fold(0L)(_.count())
-    // containment pairs stay a separate relation (they gate re-ingest,
-    // not cluster membership), so no stage job consumes them here either
+    // containment and winnow pairs stay separate relations (they gate
+    // re-ingest, not cluster membership), so no stage job consumes them
+    // here either
     val contPairs = landedPairs(s"$root/cont_pairs").fold(0L)(_.count())
+    val winnowPairs = landedPairs(s"$root/winnow_pairs").fold(0L)(_.count())
     // stage 4: keep-list from the maintained labels — the audit is the
     // (bounded, per-lang) result itself
     val keepList = Dedup.keepListOfLabels(corpus,
@@ -120,6 +129,7 @@ object CurationLoop {
       batchDocs = obsBatch.get("n").asInstanceOf[Long],
       bandPairs = bandPairs,
       contPairs = contPairs,
+      winnowPairs = winnowPairs,
       keptDocs = keepList.getLong(0),
       droppedDocs = keepList.getLong(1),
       shardRows = obsShards.get("n").asInstanceOf[Long])
@@ -127,11 +137,13 @@ object CurationLoop {
 
   /** Per-artifact removal counts of one [[forget]] run. */
   case class ForgetReport(
-      docsRemoved: Long,      // document-store rows removed
-      bandRowsRemoved: Long,  // MinHash band index rows removed
-      headRowsRemoved: Long,  // head-fingerprint index rows removed
-      pairsRemoved: Long,     // landed band pairs touching a deleted id
-      contPairsRemoved: Long, // landed containment pairs likewise
+      docsRemoved: Long,        // document-store rows removed
+      bandRowsRemoved: Long,    // MinHash band index rows removed
+      headRowsRemoved: Long,    // head-fingerprint index rows removed
+      winnowRowsRemoved: Long,  // winnow fingerprint index rows removed
+      pairsRemoved: Long,       // landed band pairs touching a deleted id
+      contPairsRemoved: Long,   // landed containment pairs likewise
+      winnowPairsRemoved: Long, // landed winnow pairs likewise
       clustersRebuilt: Long,  // affected clusters whose closure was re-derived
       shardRows: Long)        // rows in the refreshed shard set
 
@@ -144,7 +156,8 @@ object CurationLoop {
     * that scan too), and every REWRITE is bounded by the partitions
     * that actually contain a match:
     *
-    *  - document store, both dedup indexes, and both pair sinks drop
+    *  - document store, all three dedup indexes (band, head, winnow),
+    *    and the three pair sinks drop
     *    the ids by REWRITING ONLY the partitions that contain them
     *    (located by a broadcast semi-join collecting the bounded
     *    partition-key set; a partition emptied entirely is deleted
@@ -170,8 +183,11 @@ object CurationLoop {
       "doc_id", ids, clusterBy = Some("band"))
     val headRemoved = purge(spark, s"$root/head_index", "increment",
       "doc_id", ids, clusterBy = Some("hh"))
+    val winnowRemoved = purge(spark, s"$root/winnow_index", "increment",
+      "doc_id", ids, clusterBy = Some("f"))
     val pairsRemoved = purgePairs(spark, s"$root/pairs", ids)
     val contRemoved = purgePairs(spark, s"$root/cont_pairs", ids)
+    val winnowPairsRemoved = purgePairs(spark, s"$root/winnow_pairs", ids)
     val remaining = spark.read.parquet(s"$root/docs")
       .select("doc_id", "lang", "text")
     val rebuilt = Dedup.forgetClusterMembers(spark, s"$root/labels", ids,
@@ -182,8 +198,9 @@ object CurationLoop {
           Dedup.readClusterLabels(spark, s"$root/labels"))
         .observe(obsShards, count(lit(1)).as("n")),
       s"$root/shards")
-    ForgetReport(docsRemoved, bandRemoved, headRemoved, pairsRemoved,
-      contRemoved, rebuilt, obsShards.get("n").asInstanceOf[Long])
+    ForgetReport(docsRemoved, bandRemoved, headRemoved, winnowRemoved,
+      pairsRemoved, contRemoved, winnowPairsRemoved, rebuilt,
+      obsShards.get("n").asInstanceOf[Long])
   }
 
   /** Remove rows matching `ids` on `idCol` from a `partCol`-partitioned

@@ -55,9 +55,11 @@ class PipelineSpec extends SparkSpecBase {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
     val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
     val delta = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
-    // seed yesterday's state: both indexes and the labels from the base
+    // seed yesterday's state: the three channel indexes and the labels
+    // from the base
     Dedup.buildMinhashIndex(base, s"$root/band_index")
     Dedup.buildHeadIndex(base, s"$root/head_index")
+    Dedup.buildWinnowIndex(base, s"$root/winnow_index")
     Dedup.buildClusterLabels(
       Dedup.minhashNearDup(spark, sf).select("doc_a", "doc_b")
         .filter(col("doc_a") % Dedup.DELTA_MOD =!= 0 &&
@@ -71,6 +73,8 @@ class PipelineSpec extends SparkSpecBase {
     assert(r1.shardRows == r1.keptDocs,
       s"shard refresh must lay down exactly the kept corpus: $r1")
     assert(r1.bandPairs > 0, s"the delta must pair with the corpus: $r1")
+    assert(r1.winnowPairs > 0,
+      s"exact-copy crossings must share winnow fingerprints too: $r1")
     // post-merge labels serve the same keep-list as the full recompute
     val lifecycle = Dedup.dedupKeepListFrom(spark, sf, s"$root/labels")
       .collect().map(_.toSeq).toSeq
@@ -92,8 +96,8 @@ class PipelineSpec extends SparkSpecBase {
     // replay the whole day: every sink byte-stable, same report
     def snap(p: String): Seq[String] =
       spark.read.parquet(s"$root/$p").collect().map(_.toString).sorted.toSeq
-    val sinks = Seq("pairs", "cont_pairs", "band_index", "head_index",
-      "labels", "shards")
+    val sinks = Seq("pairs", "cont_pairs", "winnow_pairs", "band_index",
+      "head_index", "winnow_index", "labels", "shards")
     val before = sinks.map(p => p -> snap(p)).toMap
     val r2 = CurationLoop.runDay(spark, docs, delta, increment = 1L, root)
     assert(r2 == r1, s"replayed day must report identically: $r1 vs $r2")
@@ -202,13 +206,15 @@ class PipelineSpec extends SparkSpecBase {
     val r = CurationLoop.forget(spark, ids, root)
     assert(r.docsRemoved == targets.length, s"$r")
     assert(r.clustersRebuilt == targets.length.toLong, s"$r")
-    assert(r.bandRowsRemoved > 0 && r.headRowsRemoved > 0, s"$r")
+    assert(r.bandRowsRemoved > 0 && r.headRowsRemoved > 0 &&
+      r.winnowRowsRemoved > 0, s"$r")
     // no store still holds a deleted id
     def holds(path: String, idCol: String): Long =
       spark.read.parquet(path).filter(col(idCol).isin(targets: _*)).count()
     assert(holds(s"$root/docs", "doc_id") == 0)
     assert(holds(s"$root/band_index", "doc_id") == 0)
     assert(holds(s"$root/head_index", "doc_id") == 0)
+    assert(holds(s"$root/winnow_index", "doc_id") == 0)
     assert(spark.read.parquet(s"$root/pairs")
       .filter(col("doc_a").isin(targets: _*) ||
         col("doc_b").isin(targets: _*)).count() == 0)
@@ -234,6 +240,7 @@ class PipelineSpec extends SparkSpecBase {
       .collect().map(_.toString).sorted.toSeq
     val r2 = CurationLoop.forget(spark, ids, root)
     assert(r2.docsRemoved == 0 && r2.bandRowsRemoved == 0 &&
+      r2.winnowRowsRemoved == 0 && r2.winnowPairsRemoved == 0 &&
       r2.clustersRebuilt == 0 && r2.pairsRemoved == 0, s"$r2")
     assert(Dedup.readClusterLabels(spark, s"$root/labels")
       .collect().map(_.toString).sorted.toSeq == labelsAfter,
