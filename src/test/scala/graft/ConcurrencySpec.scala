@@ -38,7 +38,10 @@ class ConcurrencySpec extends SparkSpecBase {
       // label-lifecycle consumers (q162/q164) share the per-corpus demo
       // label store and must serve identically while it's hot
       "q162_curation_funnel", "q164_quality_keep_list",
-      "q165_weighted_mixture", "q166_lifecycle_semdedup")
+      "q165_weighted_mixture", "q166_lifecycle_semdedup",
+      // round-9 final additions: q173 mutates a scratch winnow index;
+      // q171's driver-loop collect must not cross-talk between callers
+      "q170_winnow_neardup", "q171_bpe_merges", "q173_winnow_increment")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq
