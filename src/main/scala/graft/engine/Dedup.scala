@@ -1627,4 +1627,44 @@ object Dedup {
           "ELSE s.n_hits * 1000000L div s.n_candidates END").as("precision_ppm"))
       .orderBy(col("bands").desc)
   }
+
+  /** q176: SOURCE-level overlap matrix via MinHash signature algebra —
+    * "how much does crawl A duplicate crawl B?" answered WITHOUT any
+    * doc-pair work. MinHash's union trick: the signature of a shingle-set
+    * UNION is the component-wise min of the members' signatures, so each
+    * source's signature over ALL its docs' shingles is a groupBy-min of
+    * the per-doc signatures the dedup pass already computes; the expected
+    * fraction of agreeing components between two sources' signatures IS
+    * their shingle-set Jaccard. The answer a curation planner needs
+    * before scheduling cross-source dedup at all — which source pairs
+    * even overlap — for the cost of one corpus pass plus algebra on
+    * \|sources\|×NH longs.
+    *
+    * Scale shape: pass 1 is the per-doc signature projection (codegen
+    * hashing, map-side combine straight into the \|sources\|-row
+    * component-wise min — no doc rows shuffle, only partial min state);
+    * the pairwise stage is a broadcast self-join of the tiny signature
+    * table (\|sources\|² bounded output, ppm fixed-point). Estimates are
+    * NH-component resolution (±1/NH) — the planner's triage, not the
+    * dedup verdict; pairs it flags go to q150's exact pair path. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = documents(spark, dir)
+      .select(col("source"),
+        TextFns.minhashSig(TextFns.shingleHashes(col("text"))).as("sig"))
+      .groupBy("source")
+      .agg((0 until TextFns.NH).map(i =>
+        min(col("sig")(i)).as(s"s$i")): _*)
+    val a = sigs.select(col("source").as("source_a") +:
+      (0 until TextFns.NH).map(i => col(s"s$i").as(s"a$i")): _*)
+    val b = sigs.select(col("source").as("source_b") +:
+      (0 until TextFns.NH).map(i => col(s"s$i").as(s"b$i")): _*)
+    val agree = (0 until TextFns.NH)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), agree.as("n_agree"))
+      .withColumn("est_jaccard_ppm",
+        expr(s"n_agree * 1000000L div ${TextFns.NH}L"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -1577,4 +1577,69 @@ object Sim {
         Num.round6(col("cos")).as("cosine"))
       .orderBy("probe_id", "rank")
   }
+
+  /** Output dimensionality of the [[randomProjectionAudit]] sketch. */
+  val RP_D = 16
+
+  /** ±1 component (j, i) of the random-projection matrix — integer hash
+    * parity, deterministic, never materialized (the JL matrix at 100 TB
+    * is a FORMULA, not an artifact to ship to executors). */
+  private def rpSign(j: Int, i: Column): Column =
+    when(((lit(j.toLong * 2654435761L + 11L) + i.cast("long") * 40503L)
+      % 1000000007L) % 2L === 0L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Row j of the sketch: left fold over input dims (the oracle's
+    * list_reduce order — bit-identical cross-engine). */
+  private def rpComponent(j: Int, v: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), size(v) - 1),
+        i => rpSign(j, i) * element_at(v, i + 1).cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** q175: Johnson–Lindenstrauss random projection — sketch every
+    * embedding from 64 to [[RP_D]] dims with a sign (Achlioptas ±1)
+    * matrix derived from integer hashing, then AUDIT what the sketch
+    * costs: cosine distortion over a deterministic pair sweep
+    * (consecutive vec_ids — an id-ordered 1-1 join), split by whether
+    * the pair shares a label. The calibration read before running any
+    * LSH/clustering stage on sketched vectors instead of full ones —
+    * 4× less shuffle byte-width for a measured recall price, the same
+    * economics as the PQ tier but join-algebra-free.
+    *
+    * Scale shape: the projection is map-only (RP_D folds per row, no
+    * matrix broadcast — components are hash formulas); the audit pair
+    * join is 1-1 on consecutive ids (sort-merge on the id, no blow-up);
+    * everything after is a 2-row aggregate. All distortion cells are
+    * ppm integers (round6 fixed-point before differencing), so the
+    * gate is exact. */
+  def randomProjectionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val proj = array((0 until RP_D).map(j =>
+      rpComponent(j, col("embedding"))): _*)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        proj.as("proj"))
+    val a = e.select(col("vec_id").as("id_a"), col("label").as("lab_a"),
+      col("embedding").as("emb_a"), col("proj").as("proj_a"))
+    val b = e.select((col("vec_id") - 1L).as("id_a"),
+      col("label").as("lab_b"), col("embedding").as("emb_b"),
+      col("proj").as("proj_b"))
+    val cosP = VecFns.dotFold(col("proj_a"), col("proj_b")) /
+      (sqrt(VecFns.dotFold(col("proj_a"), col("proj_a"))) *
+        sqrt(VecFns.dotFold(col("proj_b"), col("proj_b"))))
+    a.join(b, "id_a")
+      .select(
+        (col("lab_a") === col("lab_b")).as("same_label"),
+        round(VecFns.cosine(col("emb_a"), col("emb_b")) * 1e6)
+          .cast("long").as("co_ppm"),
+        round(cosP * 1e6).cast("long").as("cp_ppm"))
+      .groupBy("same_label")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(co_ppm) div count(1)").as("avg_cos_orig_ppm"),
+        expr("sum(cp_ppm) div count(1)").as("avg_cos_proj_ppm"),
+        expr("sum(abs(co_ppm - cp_ppm)) div count(1)")
+          .as("avg_abs_distortion_ppm"),
+        max(abs(col("co_ppm") - col("cp_ppm"))).as("max_abs_distortion_ppm"))
+      .orderBy("same_label")
+  }
 }

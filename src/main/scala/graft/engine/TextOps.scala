@@ -1588,4 +1588,117 @@ object TextOps {
         col("n_bpe_tokens").cast("double") / col("n_words").cast("double")))
       .orderBy("lang")
   }
+
+  /** Sample size per source for [[weightedSample]]. */
+  val SPS_K = 5
+
+  /** q174: per-source WEIGHTED sample without replacement — sequential
+    * Poisson sampling (Ohlsson 1998, the πps scheme production survey
+    * samplers use): each doc draws a deterministic uniform u from its id
+    * hash and is ranked by priority u/w (w = token count), the k smallest
+    * priorities per source win. Bigger docs are proportionally likelier
+    * to be picked, the sample is reproducible (re-runs and re-shards pick
+    * the SAME docs — the q167/q168 hash-order device), and — the reason
+    * for THIS estimator over the exponential-key one — u/w is a single
+    * IEEE division of exact integers, so the ranking is bit-identical in
+    * any engine: no transcendental (ln/pow) whose last ulp could differ
+    * cross-engine sits under the order (the repo's integer-exactness
+    * discipline, see Num).
+    *
+    * Scale shape: one corpus pass projecting (source, u, w); the top-k is
+    * a per-source window whose per-key cost is the source's own docs —
+    * at production cardinality sources are domains (many keys, bounded
+    * skew), and a mega-source admits the q168-style two-phase cut: a
+    * broadcast priority threshold ≈ EVAL_OVER·k/Σw bounds the windowed
+    * set before the exact rank. Output is the per-source membership
+    * checksum, not just counts, so the gate pins WHICH docs were picked. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        greatest(size(TextFns.tokens(col("text"))).cast("long"), lit(1L))
+          .as("w"),
+        (TextFns.polyHash(
+          concat(lit("sps:"), col("doc_id").cast("string"))) % 1000000L
+          + 1L).as("u_ppm"))
+      .withColumn("priority",
+        col("u_ppm").cast("double") / col("w").cast("double"))
+    val win = Window.partitionBy("source")
+      .orderBy(col("priority"), col("doc_id"))
+    docs
+      .withColumn("r", row_number().over(win).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("total_tokens"),
+        sum(when(col("r") <= SPS_K, 1L).otherwise(0L)).as("n_picked"),
+        sum(when(col("r") <= SPS_K, col("doc_id")).otherwise(0L))
+          .as("picked_id_sum"),
+        sum(when(col("r") <= SPS_K, col("w")).otherwise(0L))
+          .as("picked_tokens"))
+      .orderBy("source")
+  }
+
+  /** DSIR hashed-feature space: word bigrams into [[DSIR_NB]] buckets. */
+  val DSIR_NB = 4096L
+
+  /** q177: DSIR importance weights (Xie et al. 2023, "Data Selection
+    * with Importance Resampling") — score every document by how much
+    * more likely its hashed-bigram bag is under a TARGET distribution
+    * (here: the corpus's English slice, the "looks like the domain I
+    * want" proxy) than under the RAW corpus. Per feature f:
+    * ratio(f) = p̂_target(f) / p̂_raw(f) with add-one smoothing over the
+    * [[DSIR_NB]]-bucket hashed space; per doc: the sum of its occurrences'
+    * ratios. The canonical form sums LOG ratios; this uses the raw ratio
+    * in its place — the same substitution the tf-idf family here already
+    * makes for idf (monotone per-feature, and it keeps every scored cell
+    * integer-exact: each feature's ratio is fixed-pointed to ppm ONCE on
+    * the bounded feature table — two IEEE divisions and a multiply in a
+    * pinned order, identical cross-engine — and doc scores are then pure
+    * integer sums, immune to float association order).
+    *
+    * Scale shape: two corpus passes. Pass 1 builds the feature histogram
+    * — map-side combine collapses to ≤ [[DSIR_NB]] rows regardless of
+    * corpus size. Pass 2 re-extracts features and integer-sums each
+    * doc's scores against the BROADCAST scored table, collapsing to
+    * \|langs\| rows. Nothing shuffles more than the bounded histogram;
+    * this is the shape that lets DSIR sweep 100 TB with one small
+    * model-free artifact (the scored table IS the "importance model"
+    * a steady-state gate would freeze and serve, q138's device). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val feats = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFns.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        // guard: Spark's sequence(1, 0) DESCENDS instead of emptying, so
+        // single-token docs must short-circuit to an empty bigram list
+        // (explode then drops them — they carry no bigram evidence)
+        explode(expr(
+          "CASE WHEN size(ws) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(ws[i - 1], ' ', ws[i])) END")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (TextFns.polyHash(col("bg")) % DSIR_NB).as("f"))
+    val hist = feats.groupBy("f")
+      .agg(count(lit(1)).as("cnt_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+    val tots = hist.agg(sum("cnt_r").as("tot_r"), sum("cnt_t").as("tot_t"))
+    // ppm fixed-point of the smoothed ratio; the EXACT op order (two
+    // divisions, one multiply, one round) is restated in the oracle twin.
+    val scored = hist.crossJoin(broadcast(tots))
+      .select(col("f"),
+        round(((col("cnt_t") + 1L).cast("double") /
+            (col("tot_t") + lit(DSIR_NB)).cast("double")) /
+          ((col("cnt_r") + 1L).cast("double") /
+            (col("tot_r") + lit(DSIR_NB)).cast("double")) * 1e6)
+          .cast("long").as("score_ppm"))
+    feats.join(broadcast(scored), "f")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"), sum("score_ppm").as("w_ppm"))
+      // a doc is target-like when its mean feature ratio exceeds 1
+      .withColumn("selected", col("w_ppm") > col("n_feats") * 1000000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum("w_ppm").as("sum_w_ppm"),
+        expr("sum(w_ppm) div sum(n_feats)").as("avg_ratio_ppm"))
+      .orderBy("lang")
+  }
 }
