@@ -1652,8 +1652,9 @@ object Dedup {
       .select(col("source"),
         TextFns.minhashSig(TextFns.shingleHashes(col("text"))).as("sig"))
       .groupBy("source")
-      .agg((0 until TextFns.NH).map(i =>
-        min(col("sig")(i)).as(s"s$i")): _*)
+      .agg(min(col("sig")(0)).as("s0"),
+        (1 until TextFns.NH).map(i =>
+          min(col("sig")(i)).as(s"s$i")): _*)
     val a = sigs.select(col("source").as("source_a") +:
       (0 until TextFns.NH).map(i => col(s"s$i").as(s"a$i")): _*)
     val b = sigs.select(col("source").as("source_b") +:
