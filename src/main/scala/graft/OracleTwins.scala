@@ -50,6 +50,13 @@ object OracleTwins {
   def round6(x: String): String =
     s"CAST(round(($x)*1000000) AS BIGINT)/CAST(1000000 AS DOUBLE)"
 
+  /** Signed ppm fixed-point — twin of [[graft.engine.Num.ppm]]:
+    * floor(|x|·10⁶ + 0.5) with the sign re-applied, so half-way cells
+    * round identically on engines whose `round` is half-even. */
+  def ppm(x: String): String =
+    s"CAST(CASE WHEN ($x) < 0 THEN -floor(abs($x)*1000000 + 0.5) " +
+      s"ELSE floor(abs($x)*1000000 + 0.5) END AS BIGINT)"
+
   /** Sign-LSH bucket — twin of VecFns.lshBucket. */
   def lshBucket(v: String): String =
     (0 until VecFns.NPLANES).map { p =>
@@ -2604,5 +2611,230 @@ object OracleTwins {
        | UNION ALL
        | ${spans("zt", "x * 4 + CAST(floor(y / 64.0) AS BIGINT)", "linear")}
        |) layouts ORDER BY layout""".stripMargin
+  }
+
+  /** q174's twin — [[graft.engine.TextOps.weightedSample]]: the same
+    * priority u/w ranking (u = polyhash of "sps:"||doc_id, w = whitespace
+    * token count), row_number per source over the IEEE-exact division of
+    * identical integers, so the membership checksum pins the SAME docs. */
+  val weightedSample: String = {
+    import graft.engine.TextOps.SPS_K
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    greatest(len(string_split_regex(trim(text), '\\s+'))::BIGINT, 1)
+       |      AS w,
+       |    (${polyhash("'sps:' || doc_id::VARCHAR")} % 1000000 + 1) AS u_ppm
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, w,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY u_ppm::DOUBLE / w::DOUBLE, doc_id) AS rk
+       |  FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN rk <= $SPS_K THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_picked,
+       |  CAST(sum(CASE WHEN rk <= $SPS_K THEN doc_id ELSE 0 END) AS BIGINT)
+       |    AS picked_id_sum,
+       |  CAST(sum(CASE WHEN rk <= $SPS_K THEN w ELSE 0 END) AS BIGINT)
+       |    AS picked_tokens
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q175's twin — [[graft.engine.Sim.randomProjectionAudit]]: the ±1
+    * sign matrix regenerated from the same integer-hash formula (constants
+    * precomputed in Scala so both engines see identical literals), the
+    * projection as the same left fold, cosines ppm-fixed-pointed via the
+    * sign-handled floor form before any differencing. */
+  val randomProjectionAudit: String = {
+    import graft.engine.Sim.RP_D
+    def rpComp(j: Int, v: String): String = {
+      val aj = (j.toLong * 2654435761L + 11L) % 1000000007L
+      val bj = (j.toLong * 40503L + 2654435769L) % 1000000007L
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+        s"range(0, len($v)), rpi -> " +
+        s"(CASE WHEN (($aj * (rpi + 1) + $bj) % 1000000007) % 2 = 0 " +
+        s"THEN 1.0 ELSE -1.0 END) * $v[rpi + 1]::DOUBLE)), " +
+        s"(rpa, rpx) -> rpa + rpx)"
+    }
+    val projList = (0 until RP_D).map(j => rpComp(j, "embedding"))
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    $projList AS proj
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.label = b.label AS same_label,
+       |    ${ppm(cosine("a.embedding", "b.embedding"))} AS co_ppm,
+       |    ${ppm(cosine("a.proj", "b.proj"))} AS cp_ppm
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1)
+       |SELECT same_label, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(co_ppm) // count(*) AS BIGINT) AS avg_cos_orig_ppm,
+       |  CAST(sum(cp_ppm) // count(*) AS BIGINT) AS avg_cos_proj_ppm,
+       |  CAST(sum(abs(co_ppm - cp_ppm)) // count(*) AS BIGINT)
+       |    AS avg_abs_distortion_ppm,
+       |  CAST(max(abs(co_ppm - cp_ppm)) AS BIGINT) AS max_abs_distortion_ppm
+       |FROM p GROUP BY same_label ORDER BY same_label""".stripMargin
+  }
+
+  /** q176's twin — [[graft.engine.Dedup.sourceOverlap]]: per-doc MinHash
+    * signatures (the shared hash family), groupBy-min per source, then the
+    * component-agreement count over the source pairs. */
+  val sourceOverlap: String = {
+    import graft.functions.TextFns.NH
+    val docSig = (0 until NH)
+      .map(i => s"${minhashSig(i, "sh")} AS s$i").mkString(",\n    ")
+    val srcMin = (0 until NH).map(i => s"min(s$i) AS s$i").mkString(", ")
+    val agree = (0 until NH)
+      .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (SELECT source, ${shingleHashes("w")} AS sh FROM toks),
+       |ds AS (
+       |  SELECT source,
+       |    $docSig
+       |  FROM sh),
+       |sigs AS (SELECT source, $srcMin FROM ds GROUP BY source),
+       |pr AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST($agree AS BIGINT) AS n_agree
+       |  FROM sigs a JOIN sigs b ON a.source < b.source)
+       |SELECT source_a, source_b, n_agree,
+       |  CAST(n_agree * 1000000 // $NH AS BIGINT) AS est_jaccard_ppm
+       |FROM pr ORDER BY source_a, source_b""".stripMargin
+  }
+
+  /** Shared generative CTEs of the q178/q179 twins: dims from n_chars,
+    * channel byte p = (doc_id·31 + p·7) mod 256 — the oracle regenerates
+    * the EXPECTED raster arithmetically; only the Spark side goes through
+    * the real PPM wire format, so the hashes gate the parser itself. */
+  private def ppmBaseSql: String =
+    s"""d AS (
+       |  SELECT doc_id, (n_chars % 16 + 1) AS w, (n_chars % 12 + 1) AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(0, w*h*3),
+       |      pp -> (doc_id*31 + pp*7) % 256) AS v
+       |  FROM d)""".stripMargin
+
+  private def channelSums(vec: String, nPix: String): String =
+    (0 until 3).map { c =>
+      val nm = Seq("sum_r", "sum_g", "sum_b")(c)
+      s"CAST(list_aggregate(list_transform(range(0, $nPix), " +
+        s"ci -> $vec[3*ci + ${c + 1}]), 'sum') AS BIGINT) AS $nm"
+    }.mkString(",\n  ")
+
+  private def rasterChecksum(vec: String): String =
+    s"CAST(list_reduce(list_prepend(7, $vec), " +
+      s"(ca, cx) -> (ca*31 + cx) % $P) AS BIGINT) AS checksum"
+
+  /** q178's twin — [[graft.multimodal.Multimodal.imageDecodeStats]]. */
+  val imageDecodeStats: String =
+    s"""WITH $ppmBaseSql
+       |SELECT doc_id AS media_id,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(w*h*3 AS BIGINT) AS n_bytes,
+       |  ${channelSums("v", "w*h")},
+       |  ${rasterChecksum("v")}
+       |FROM px ORDER BY media_id""".stripMargin
+
+  /** q179's twin — [[graft.multimodal.Multimodal.imageResizeStats]]: the
+    * nearest-neighbour source-index arithmetic (x·srcW div dstW) replayed
+    * per destination byte, so the resample kernel is pinned
+    * pixel-for-pixel. */
+  val imageResizeStats: String = {
+    import graft.multimodal.Multimodal.{THUMB_H, THUMB_W}
+    val n = THUMB_W * THUMB_H * 3
+    val src = s"3*(((((rq//3)//$THUMB_W)*h)//$THUMB_H)*w + " +
+      s"((((rq//3)%$THUMB_W)*w)//$THUMB_W)) + (rq%3) + 1"
+    s"""WITH $ppmBaseSql,
+       |rz AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $n), rq -> v[$src]) AS rv
+       |  FROM px)
+       |SELECT doc_id AS media_id,
+       |  CAST($THUMB_W AS BIGINT) AS width,
+       |  CAST($THUMB_H AS BIGINT) AS height,
+       |  CAST($n AS BIGINT) AS n_bytes,
+       |  ${channelSums("rv", (THUMB_W * THUMB_H).toString)},
+       |  ${rasterChecksum("rv")}
+       |FROM rz ORDER BY media_id""".stripMargin
+  }
+
+  /** q181's twin — [[graft.engine.SourceOps.availabilityJson]]: the
+    * schedule statistics computed straight from the generative arithmetic
+    * (day d open iff (pid+d)%3≠0, hours (pid+d)%8+1); the Spark side only
+    * reaches them through the constructed-then-parsed JSON document. */
+  val availabilityJson: String = {
+    import graft.engine.SourceOps.AVAIL_DAYS
+    val nDays = AVAIL_DAYS.indices.map(d =>
+      s"(CASE WHEN (pid + $d) % 3 <> 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val hours = AVAIL_DAYS.indices.map(d =>
+      s"(CASE WHEN (pid + $d) % 3 <> 0 THEN (pid + $d) % 8 + 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH p AS (SELECT CAST(s_suppkey AS BIGINT) AS pid FROM supplier)
+       |SELECT pid AS provider_id,
+       |  CAST($nDays AS BIGINT) AS n_days_open,
+       |  CAST($hours AS BIGINT) AS weekly_hours,
+       |  ((pid + 5) % 3 <> 0 OR (pid + 6) % 3 <> 0) AS weekend_open
+       |FROM p ORDER BY provider_id""".stripMargin
+  }
+
+  /** q180's twin — BATCH semantics of the streaming curated lineage
+    * ([[graft.streaming.DocsStream.streamCuratedProbe]]): every distinct
+    * document exactly once with its content hash, folded to batch 0. The
+    * Spark side reaches this only through the live stream (micro-batch
+    * dedup → foreachBatch landing → compaction), so the hash gate covers
+    * the whole streaming write path. */
+  val streamCurated: String =
+    """SELECT doc_id, lang, source,
+      |  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |    AS content_hash,
+      |  CAST(0 AS BIGINT) AS batch
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q177's twin — [[graft.engine.TextOps.dsirWeights]]: hashed-bigram
+    * histogram, the smoothed target/raw ratio fixed-pointed ONCE per
+    * feature in the identical op order (two divisions, the ppm floor),
+    * then pure integer doc sums. */
+  val dsirWeights: String = {
+    import graft.engine.TextOps.DSIR_NB
+    val ratio =
+      s"((cnt_t + 1)::DOUBLE / (tot_t + $DSIR_NB)::DOUBLE) / " +
+        s"((cnt_r + 1)::DOUBLE / (tot_r + $DSIR_NB)::DOUBLE)"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      bgi -> ws[bgi] || ' ' || ws[bgi + 1])) AS bg
+       |  FROM t),
+       |feats AS (
+       |  SELECT doc_id, lang, ${polyhash("bg")} % $DSIR_NB AS f FROM bg),
+       |hist AS (
+       |  SELECT f, CAST(count(*) AS BIGINT) AS cnt_r,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_t
+       |  FROM feats GROUP BY f),
+       |tots AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+       |  CAST(sum(cnt_t) AS BIGINT) AS tot_t FROM hist),
+       |scored AS (
+       |  SELECT f, ${ppm(ratio)} AS score_ppm
+       |  FROM hist, tots),
+       |docs AS (
+       |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(score_ppm) AS BIGINT) AS w_ppm
+       |  FROM feats JOIN scored USING (f)
+       |  GROUP BY doc_id, lang)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN w_ppm > n_feats * 1000000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_selected,
+       |  CAST(sum(w_ppm) AS BIGINT) AS sum_w_ppm,
+       |  CAST(sum(w_ppm) // sum(n_feats) AS BIGINT) AS avg_ratio_ppm
+       |FROM docs GROUP BY lang ORDER BY lang""".stripMargin
   }
 }

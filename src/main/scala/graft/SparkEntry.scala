@@ -320,6 +320,18 @@ object SparkEntry {
     "q171_bpe_merges"              -> (TextOps.bpeMerges _),
     "q172_bpe_fertility"           -> (TextOps.bpeFertility _),
     "q173_winnow_increment"        -> (Dedup.winnowIncrementProbe _),
+    // ---- round 10: sampling-theory + sketch-calibration operators ----
+    "q174_weighted_sample"         -> (TextOps.weightedSample _),
+    "q175_random_projection_audit" -> (Sim.randomProjectionAudit _),
+    "q176_source_overlap"          -> (Dedup.sourceOverlap _),
+    "q177_dsir_weights"            -> (TextOps.dsirWeights _),
+    // ---- round 10: REAL image decode (PPM/P6 wire round trip) ----
+    "q178_image_decode"            -> (graft.multimodal.Multimodal.imageDecodeStats _),
+    "q179_image_resize"            -> (graft.multimodal.Multimodal.imageResizeStats _),
+    // ---- round 10: the streaming lineage, oracle-gated end-to-end ----
+    "q180_stream_curated"          -> (graft.streaming.DocsStream.streamCuratedProbe _),
+    // ---- round 10: the reference's availability-JSON schedule parse ----
+    "q181_availability_json"       -> (SourceOps.availabilityJson _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -548,6 +560,14 @@ object SparkEntry {
     "q171_bpe_merges" -> OracleTwins.bpeMerges,
     "q172_bpe_fertility" -> OracleTwins.bpeFertility,
     "q173_winnow_increment" -> OracleTwins.winnowIncrementProbe,
+    "q174_weighted_sample" -> OracleTwins.weightedSample,
+    "q175_random_projection_audit" -> OracleTwins.randomProjectionAudit,
+    "q176_source_overlap" -> OracleTwins.sourceOverlap,
+    "q177_dsir_weights" -> OracleTwins.dsirWeights,
+    "q178_image_decode" -> OracleTwins.imageDecodeStats,
+    "q179_image_resize" -> OracleTwins.imageResizeStats,
+    "q180_stream_curated" -> OracleTwins.streamCurated,
+    "q181_availability_json" -> OracleTwins.availabilityJson,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

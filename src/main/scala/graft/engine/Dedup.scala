@@ -445,14 +445,18 @@ object Dedup {
   def forgetClusterMembers(spark: SparkSession, labelDir: String,
       ids: DataFrame, remainingDocs: DataFrame): Long = {
     val l = labelsOrEmpty(spark, labelDir)
+    // ≤ one label per deleted id, but a large forget batch would make an
+    // isin(...) literal list driver-sized — the locate is a broadcast
+    // semi-join on the affected-label set instead (never collected)
     val affected = l
       .join(broadcast(ids.select(col("doc_id").as("id"))), Seq("id"),
         "left_semi")
-      .select(col("label")).distinct()
-      .collect().map(_.getLong(0)).toSeq // ≤ one label per deleted id
-    if (affected.isEmpty) return 0L
-    val members = l.filter(col("label").isin(affected: _*))
-      .select(col("id")).localCheckpoint() // label-sorted files row-group-prune this scan
+      .select(col("label")).distinct().localCheckpoint()
+    val nAffected = affected.count()
+    if (nAffected == 0L) return 0L
+    val members = l
+      .join(broadcast(affected), Seq("label"), "left_semi")
+      .select(col("id")).localCheckpoint()
     val survivors = members
       .join(broadcast(ids.select(col("doc_id").as("id"))), Seq("id"),
         "left_anti")
@@ -484,7 +488,7 @@ object Dedup {
     touched.filterNot(keptBuckets).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$labelDir/lb=$b"), true)
     }
-    affected.length.toLong
+    nAffected
   }
 
   /** Deterministic deletion rule of the q158/q159 decremental
@@ -1647,8 +1651,13 @@ object Dedup {
     * table (\|sources\|² bounded output, ppm fixed-point). Estimates are
     * NH-component resolution (±1/NH) — the planner's triage, not the
     * dedup verdict; pairs it flags go to q150's exact pair path. */
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = documents(spark, dir)
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(documents(spark, dir).select(col("source"), col("text")))
+
+  /** DataFrame-level form of [[sourceOverlap]] (spec entry point: planted
+    * source clones must estimate Jaccard 1.0). */
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val sigs = docs
       .select(col("source"),
         TextFns.minhashSig(TextFns.shingleHashes(col("text"))).as("sig"))
       .groupBy("source")

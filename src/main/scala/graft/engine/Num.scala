@@ -40,4 +40,15 @@ object Num {
 
   /** round to 6dp via the integer path (for similarity scores). */
   def round6(c: Column): Column = round(c * 1e6).cast("long") / lit(1e6)
+
+  /** signed ppm fixed-point: floor(|x|·10⁶ + 0.5), sign re-applied — the
+    * int8 quantizer's rounding (see Sim's quantize), extended to negative
+    * cells. Used instead of `round()` wherever a fixed-pointed double can
+    * be negative (projected cosines), so half-way cells can't diverge on
+    * engines whose `round` is half-even.
+    * SQL twin: [[graft.OracleTwins.ppm]]. */
+  def ppm(c: Column): Column = {
+    val m = floor(abs(c) * 1e6 + 0.5).cast("long")
+    when(c < 0, -m).otherwise(m)
+  }
 }

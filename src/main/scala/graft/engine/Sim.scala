@@ -1583,10 +1583,21 @@ object Sim {
 
   /** ±1 component (j, i) of the random-projection matrix — integer hash
     * parity, deterministic, never materialized (the JL matrix at 100 TB
-    * is a FORMULA, not an artifact to ship to executors). */
-  private def rpSign(j: Int, i: Column): Column =
-    when(((lit(j.toLong * 2654435761L + 11L) + i.cast("long") * 40503L)
+    * is a FORMULA, not an artifact to ship to executors).
+    *
+    * The hash is the minhash family's multiplicative form,
+    * `(a_j·(i+1) + b_j) mod P mod 2` with per-row a_j,b_j < P: the
+    * product wraps P many times as i varies, so parities decorrelate
+    * across both rows and dims. (An additive `c_j + i·k` parity with odd
+    * k alternates deterministically in i — every row becomes the SAME
+    * alternating functional and the sketch collapses; caught by the
+    * distortion audit itself reading ~0.99 avg distortion.) */
+  private def rpSign(j: Int, i: Column): Column = {
+    val aj = (j.toLong * 2654435761L + 11L) % 1000000007L
+    val bj = (j.toLong * 40503L + 2654435769L) % 1000000007L
+    when(((lit(aj) * (i.cast("long") + 1L) + lit(bj))
       % 1000000007L) % 2L === 0L, lit(1.0)).otherwise(lit(-1.0))
+  }
 
   /** Row j of the sketch: left fold over input dims (the oracle's
     * list_reduce order — bit-identical cross-engine). */
@@ -1630,9 +1641,8 @@ object Sim {
     a.join(b, "id_a")
       .select(
         (col("lab_a") === col("lab_b")).as("same_label"),
-        round(VecFns.cosine(col("emb_a"), col("emb_b")) * 1e6)
-          .cast("long").as("co_ppm"),
-        round(cosP * 1e6).cast("long").as("cp_ppm"))
+        Num.ppm(VecFns.cosine(col("emb_a"), col("emb_b"))).as("co_ppm"),
+        Num.ppm(cosP).as("cp_ppm"))
       .groupBy("same_label")
       .agg(count(lit(1)).as("n_pairs"),
         expr("sum(co_ppm) div count(1)").as("avg_cos_orig_ppm"),

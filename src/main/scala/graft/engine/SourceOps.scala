@@ -171,4 +171,48 @@ object SourceOps {
         countDistinct(col("priority")).cast("long").as("n_priorities"))
       .orderBy("status")
   }
+
+  /** Week days of the [[availabilityJson]] schedule documents. */
+  val AVAIL_DAYS: Seq[String] =
+    Seq("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+
+  /** The availability-SHAPED JSON parse (ref `services.availability JSON`,
+    * sql/table_creation:58 — a day→"open-close" hour-range object, the
+    * schedule encoding the reference stores but never parses). Suppliers
+    * stand in for providers; each gets a deterministic schedule document
+    * BUILT as real JSON (`to_json` over a null-filtered day map) and then
+    * read back the way a consumer would: `from_json` → dynamic map →
+    * range split → per-week open-hours arithmetic. The oracle computes the
+    * same stats straight from the generative arithmetic, so a defect
+    * anywhere in the JSON round trip (construction, escaping, parse, range
+    * split) breaks the hash. Map-only + narrow agg, like every scan-side
+    * parse. */
+  def availabilityJson(spark: SparkSession, dir: String): DataFrame = {
+    val pid = col("provider_id")
+    val entries = AVAIL_DAYS.zipWithIndex.flatMap { case (day, d) =>
+      val open = (pid * 7 + lit(d)) % 12 + 6
+      val close = open + (pid + lit(d)) % 8 + 1
+      Seq(lit(day), when((pid + lit(d)) % 3 =!= 0,
+        concat(open.cast("string"), lit("-"), close.cast("string"))))
+    }
+    val docs = supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("provider_id"))
+      .select(pid, to_json(map_filter(map(entries: _*),
+        (_, v) => v.isNotNull)).as("availability"))
+    // consumer side: schema-on-read parse of the JSON text
+    val m = from_json(col("availability"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    docs
+      .select(pid, m.as("sched"))
+      .select(pid,
+        size(map_keys(col("sched"))).cast("long").as("n_days_open"),
+        aggregate(map_values(col("sched")), lit(0L),
+          (acc, v) => acc + split(v, "-").getItem(1).cast("long") -
+            split(v, "-").getItem(0).cast("long")).as("weekly_hours"),
+        (map_contains_key(col("sched"), "sat") ||
+          map_contains_key(col("sched"), "sun")).as("weekend_open"))
+      .orderBy("provider_id")
+  }
 }

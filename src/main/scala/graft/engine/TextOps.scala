@@ -809,9 +809,13 @@ object TextOps {
     * never a full-language sort (a per-lang window over the corpus would
     * funnel the dominant language through one task at 100 TB). The
     * threshold is deterministic, so the two-phase result equals the
-    * one-phase one whenever the survivor set covers the quota —
-    * guaranteed at these geometries (EVAL_OVER× the expectation) and
-    * restated identically in the oracle either way. */
+    * one-phase one whenever the survivor set covers the quota. Coverage
+    * is probabilistic, not guaranteed — the cut keeps ~EVAL_OVER× the
+    * expected quota, so adverse hash clustering can in principle
+    * underfill a language (RoundTenSpec asserts full coverage on the
+    * gated corpora; the oracle restates the identical rule, so a
+    * shortfall would surface as n_picked < quota, never as a silent
+    * hash mismatch). */
   def stratifiedEvalSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -1684,11 +1688,11 @@ object TextOps {
     // divisions, one multiply, one round) is restated in the oracle twin.
     val scored = hist.crossJoin(broadcast(tots))
       .select(col("f"),
-        round(((col("cnt_t") + 1L).cast("double") /
+        Num.ppm(((col("cnt_t") + 1L).cast("double") /
             (col("tot_t") + lit(DSIR_NB)).cast("double")) /
           ((col("cnt_r") + 1L).cast("double") /
-            (col("tot_r") + lit(DSIR_NB)).cast("double")) * 1e6)
-          .cast("long").as("score_ppm"))
+            (col("tot_r") + lit(DSIR_NB)).cast("double")))
+          .as("score_ppm"))
     feats.join(broadcast(scored), "f")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_feats"), sum("score_ppm").as("w_ppm"))

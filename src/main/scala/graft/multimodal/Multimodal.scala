@@ -16,11 +16,14 @@ import graft.functions.TextFns
   *     PySpark's `mapInPandas` decode UDF: per-partition batched rows in,
   *     feature rows out, schema declared up front.
   *
-  * The container ships no image/audio codecs, so the decoder is a
-  * **clearly-marked deterministic STUB** ([[decodeStub]]): it stands where
-  * libjpeg/ffmpeg decode would run, and everything around it — binary
-  * schema, metadata struct, batch shape, partition preservation — is real
-  * and tested (MultimodalSpec).
+  * Image decode is REAL for the dependency-free PPM/P6 format
+  * ([[PpmCodec]]): q178/q179 round-trip actual encoded bytes through an
+  * actual header/raster parser and a real nearest-neighbour resample,
+  * oracle-verified pixel-for-pixel. Codec-library formats (JPEG/ffmpeg —
+  * not in this container) keep a **clearly-marked deterministic STUB**
+  * ([[decodeStub]]/[[resizeStub]]) with the real plumbing around it —
+  * binary schema, metadata struct, batch shape, partition preservation —
+  * tested in MultimodalSpec.
   *
   * The media table derives from `documents` (payload = UTF-8 bytes of the
   * text, a pure function of driver testdata), so the DuckDB oracle can
@@ -147,6 +150,83 @@ object Multimodal {
     media.mapPartitions(_.map(m =>
       MediaRecord(m.media_id, m.kind,
         resizeStub(m.payload, m.width, m.height, dstW, dstH), dstW, dstH)))
+  }
+
+  // ======== REAL image decode path (PPM/P6 — no codec library needed) ====
+
+  /** Deterministic synthetic raster: dims from n_chars, channel byte p =
+    * (doc_id·31 + p·7) mod 256 — pure integers, so the DuckDB oracle can
+    * regenerate the EXPECTED pixels without parsing anything, while the
+    * Spark side only reaches them through a real [[PpmCodec.encode]] →
+    * bytes → [[PpmCodec.decode]] round trip. */
+  def synthImage(docId: Long, nChars: Long): PpmCodec.PpmImage = {
+    val w = (nChars % 16 + 1).toInt
+    val h = (nChars % 12 + 1).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < rgb.length) {
+      rgb(p) = ((docId * 31L + p.toLong * 7L) % 256L).toByte
+      p += 1
+    }
+    PpmCodec.PpmImage(w, h, 255, rgb)
+  }
+
+  final case class ImageStats(media_id: Long, width: Long, height: Long,
+    n_bytes: Long, sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  private def statsOf(id: Long, img: PpmCodec.PpmImage): ImageStats = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var acc = 7L
+    var i = 0
+    while (i < img.rgb.length) {
+      val v = (img.rgb(i) & 0xff).toLong
+      (i % 3: @annotation.switch) match {
+        case 0 => sr += v
+        case 1 => sg += v
+        case 2 => sb += v
+      }
+      acc = (acc * 31L + v) % TextFns.P
+      i += 1
+    }
+    ImageStats(id, img.width.toLong, img.height.toLong, img.rgb.length.toLong,
+      sr, sg, sb, acc)
+  }
+
+  /** q178: REAL image decode — every document becomes a P6 PPM payload
+    * (header + comment + raw raster), which is then parsed back by the
+    * real [[PpmCodec.decode]] and aggregated into per-image channel sums
+    * and a raster checksum. The oracle recomputes the stats from the
+    * generative formula: a parser bug of any kind shifts bytes and breaks
+    * the hash. Map-only (narrow), the decode stage shape of a 100 TB
+    * image pipeline — per-partition batches, no shuffle until after
+    * feature extraction. */
+  def imageDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val wire = PpmCodec.encode(synthImage(id, nc)) // real bytes
+        statsOf(id, PpmCodec.decode(wire))             // real parse
+      }).toDF().orderBy("media_id")
+  }
+
+  /** q179 target dims — fixed thumbnail geometry. */
+  val THUMB_W = 8
+  val THUMB_H = 6
+
+  /** q179: decode + REAL nearest-neighbour resize to [[THUMB_W]]×[[THUMB_H]]
+    * on the decoded pixel grid, then the same channel-sum/checksum
+    * statistics over the resampled raster. The oracle replays the exact
+    * source-index arithmetic (x·srcW div dstW), so the resample kernel is
+    * verified pixel-for-pixel, not just shape-checked. */
+  def imageResizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val img = PpmCodec.decode(PpmCodec.encode(synthImage(id, nc)))
+        statsOf(id, PpmCodec.resizeNearest(img, THUMB_W, THUMB_H))
+      }).toDF().orderBy("media_id")
   }
 
   final case class MediaFrame(

@@ -23,13 +23,21 @@ import graft.functions.TextFns
 object DocsStream {
 
   def dedupedDocs(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(Schemas.documents)
-      .parquet(dir)
+    dedupedDocsFrom(spark, dir, None)
+
+  /** [[dedupedDocs]] with an explicit micro-batch granularity
+    * (`maxFilesPerTrigger`) — how [[streamCuratedProbe]] forces a fixed
+    * multi-batch replay out of a static directory. */
+  def dedupedDocsFrom(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int]): DataFrame = {
+    val reader = spark.readStream.schema(Schemas.documents)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .select(col("doc_id"), col("lang"), col("source"),
         sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
           .as("content_hash"))
       .dropDuplicates("content_hash")
+  }
 
   /** Dedup horizon for the watermark-bounded variant: a duplicate arriving
     * more than this long after the original may be re-emitted (state for
@@ -152,8 +160,10 @@ object DocsStream {
     * replayed batch replace its own partitions instead of re-appending
     * (the [[DedupStream]] device; StreamingSpec simulates the retry). */
   def curatedSink(spark: SparkSession, dir: String, out: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    dedupedDocs(spark, dir)
+      checkpoint: String,
+      filesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    dedupedDocsFrom(spark, dir, filesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -161,6 +171,66 @@ object DocsStream {
         landCurated(batch, batchId, out)
       }
       .start()
+
+  /** Slice count of [[streamCuratedProbe]]'s fixed replay — one file per
+    * slice, one micro-batch per file. */
+  val STREAM_SLICES = 3
+
+  /** (in, out, checkpoint) dirs of each materialized probe lineage, keyed
+    * by corpus dir — the probe streams once per corpus per session; spec
+    * code reads the checkpoint to assert the batch count. */
+  private[graft] val streamProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  /** q180: the streaming medallion lineage, oracle-gated end-to-end. A
+    * FIXED micro-batch sequence is forced from the static corpus — three
+    * content-disjoint doc_id-sliced files (each slice also re-carrying its
+    * own `%7` rows, the exact-dup plant, as identical full rows), streamed
+    * with `maxFilesPerTrigger=1` so each file is its own micro-batch —
+    * through the REAL ingest path: [[dedupedDocs]]' content-hash streaming
+    * dedup → [[curatedSink]]'s foreachBatch batch-keyed dynamic-overwrite
+    * landing → [[compactCurated]]'s staging-swap fold to `batch=0`. The
+    * returned DataFrame is the landed lake directory read back; the DuckDB
+    * twin is the BATCH semantics (every distinct document exactly once,
+    * with its content hash, batch 0), so a dropped/duplicated/misplaced
+    * row anywhere in the streaming lineage breaks the driver's hash gate.
+    * Deterministic by construction: slices are content-disjoint (batch
+    * order cannot matter) and in-slice duplicates are identical rows
+    * (whichever arrives first, the emitted row is byte-identical). */
+  def streamCuratedProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (_, out, _) = streamProbeState.computeIfAbsent(dir, _ =>
+      runCuratedLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("source"), col("content_hash"),
+        col("batch").cast("long").as("batch"))
+      .orderBy("doc_id")
+  }
+
+  private def runCuratedLineage(spark: SparkSession,
+      dir: String): (String, String, String) = {
+    import graft.engine.{IndexMaintenance, Tables}
+    val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-in")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-ckpt")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(inDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+    val docs = Tables.documents(spark, dir)
+    (0 until STREAM_SLICES).foreach { s =>
+      val slice = docs.filter(col("doc_id") % STREAM_SLICES === s)
+      val withDups = slice.unionByName(slice.filter(col("doc_id") % 7 === 0))
+      val tmp = IndexMaintenance.scratchIndexDir(spark, s"stream-slice$s")
+      withDups.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$inDir/slice-$s.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val q = curatedSink(spark, inDir, outDir, ckpt, filesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    compactCurated(spark, outDir)
+    (inDir, outDir, ckpt)
+  }
 
   /** One admission verdict per streamed document — the output row of
     * [[sourceCapSink]]'s stateful gate. */

@@ -83,4 +83,64 @@ class MultimodalSpec extends SparkSpecBase {
       .filter(col("first_byte") =!= col("fb"))
     assert(joined.count() == 0)
   }
+
+  test("PPM codec: encode/decode round-trips every synthetic geometry; " +
+      "parser handles netpbm whitespace/comment grammar; corruption rejected") {
+    import graft.multimodal.PpmCodec
+    for (nc <- Seq(0L, 1L, 15L, 16L, 47L, 48L, 191L, 500L)) {
+      val img = Multimodal.synthImage(nc * 31 + 7, nc)
+      val back = PpmCodec.decode(PpmCodec.encode(img))
+      assert(back.width == img.width && back.height == img.height &&
+        back.maxVal == img.maxVal && back.rgb.toSeq == img.rgb.toSeq)
+    }
+    // grammar: multiple comments, CRLF, tabs between tokens — and a
+    // raster whose FIRST byte is '\n' (0x0a), which a sloppy parser that
+    // trims leading whitespace after maxval would swallow
+    val rgb = Array[Byte](0x0a, 0x20, 0x23)
+    val wire = ("P6\t# c1\n#c2\n 1\r\n1 #trail\n255 ").getBytes("US-ASCII") ++ rgb
+    val parsed = PpmCodec.decode(wire)
+    assert(parsed.width == 1 && parsed.height == 1 &&
+      parsed.rgb.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode("P5\n1 1\n255\nxxx".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      PpmCodec.decode("P6\n2 2\n255\nabc".getBytes("US-ASCII"))
+    }
+  }
+
+  test("PPM resize: nearest-neighbour kernel picks floor(dst*src/dstDim) " +
+      "sources — checked against a hand-computed case; identity at same dims") {
+    import graft.multimodal.PpmCodec
+    val img = Multimodal.synthImage(42L, 100L) // 5x5
+    assert(img.width == 5 && img.height == 5)
+    val same = PpmCodec.resizeNearest(img, 5, 5)
+    assert(same.rgb.toSeq == img.rgb.toSeq)
+    val down = PpmCodec.resizeNearest(img, 2, 2)
+    // dst (x,y) reads src (x*5/2, y*5/2): (0,0),(2,0),(0,2),(2,2)
+    val expect = Seq((0, 0), (2, 0), (0, 2), (2, 2)).flatMap { case (sx, sy) =>
+      val o = 3 * (sy * 5 + sx); img.rgb.slice(o, o + 3).toSeq
+    }
+    assert(down.rgb.toSeq == expect)
+    val up = PpmCodec.resizeNearest(img, 10, 10)
+    assert(up.width == 10 && up.rgb.length == 300)
+  }
+
+  test("imageDecodeStats reaches pixels only through the real wire format " +
+      "(stats equal a direct driver-side computation)") {
+    val rows = Multimodal.imageDecodeStats(spark, sf).collect()
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val img = Multimodal.synthImage(r.getLong(0), expected(r.getLong(0)))
+      assert(r.getLong(1) == img.width && r.getLong(2) == img.height)
+      assert(r.getLong(3) == img.rgb.length)
+      val sums = img.rgb.zipWithIndex.groupBy(_._2 % 3)
+        .map { case (c, vs) => c -> vs.map(v => (v._1 & 0xff).toLong).sum }
+      assert(r.getLong(4) == sums(0) && r.getLong(5) == sums(1) &&
+        r.getLong(6) == sums(2))
+    }
+  }
 }

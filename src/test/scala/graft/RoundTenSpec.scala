@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Dedup, Sim, Tables, TextOps}
+import graft.functions.TextFns
+
+/** Round-10 operators: weighted (πps) sampling, the JL random-projection
+  * audit, MinHash source-overlap algebra, DSIR importance weights. */
+class RoundTenSpec extends SparkSpecBase {
+
+  test("weightedSample: per-source quota filled, size-biased, " +
+      "deterministic") {
+    val a = TextOps.weightedSample(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (nDocs, total, nPicked, idSum, pTok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      assert(nPicked == math.min(TextOps.SPS_K.toLong, nDocs),
+        "quota is exactly min(k, |source|) — priorities are all distinct")
+      assert(pTok >= nPicked && pTok <= total)
+      assert(idSum > 0 || nPicked == 0)
+    }
+    // πps property in aggregate: token-weighted draws pick bigger docs,
+    // so the picked mean token count beats the corpus mean
+    val pickedMean = a.map(_.getLong(5)).sum.toDouble / a.map(_.getLong(3)).sum
+    val corpusMean = a.map(_.getLong(2)).sum.toDouble / a.map(_.getLong(1)).sum
+    assert(pickedMean > corpusMean,
+      s"size-biased sample must over-pick tokens: $pickedMean !> $corpusMean")
+    // reproducible: the membership checksum pins the SAME docs on re-run
+    val b = TextOps.weightedSample(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("randomProjectionAudit: pair sweep covers consecutive ids, the " +
+      "16-dim sketch's distortion sits in the JL band, signs decorrelate") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Sim.randomProjectionAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == n - 1,
+      "exactly one pair per consecutive id")
+    rows.foreach { r =>
+      val (avgD, maxD) = (r.getLong(4), r.getLong(5))
+      assert(maxD >= avgD)
+      // a COLLAPSED sign matrix (correlated rows) reads ~990000 here;
+      // a healthy 16-row Achlioptas sketch sits near 1/sqrt(16)≈250000
+      assert(avgD < 400000L,
+        s"avg |cos - cos_proj| = $avgD ppm — sketch rows are correlated")
+      assert(avgD > 0L, "a 4x compression cannot be distortion-free")
+    }
+  }
+
+  test("sourceOverlap: planted source clone estimates Jaccard 1.0; " +
+      "estimates bounded; pairs oriented") {
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+    val cloned = docs.unionByName(
+      docs.filter(col("source") === "src0")
+        .select(lit("zzclone").as("source"), col("text")))
+    val rows = Dedup.sourceOverlapOf(cloned).collect()
+    val nSrc = cloned.select("source").distinct().count()
+    assert(rows.length == (nSrc * (nSrc - 1) / 2).toInt,
+      "every unordered source pair exactly once")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "doc_a < doc_b orientation")
+      val est = r.getLong(3)
+      assert(est >= 0L && est <= 1000000L)
+      assert(est == r.getLong(2) * 1000000L / TextFns.NH)
+    }
+    val clone = rows.find(r =>
+      r.getString(0) == "src0" && r.getString(1) == "zzclone").get
+    assert(clone.getLong(2) == TextFns.NH.toLong &&
+      clone.getLong(3) == 1000000L,
+      "identical shingle sets ⇒ identical source signatures ⇒ est 1.0")
+  }
+
+  test("dsirWeights: English target scores English docs above every " +
+      "other language; accounting conserved") {
+    val rows = TextOps.dsirWeights(spark, sf).collect()
+    val byLang = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byLang.contains("en"))
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "selected ⊆ docs")
+      assert(r.getLong(3) > 0L && r.getLong(4) > 0L)
+    }
+    val enAvg = byLang("en")._4
+    byLang.filter(_._1 != "en").foreach { case (lang, (_, _, _, avg)) =>
+      assert(enAvg > avg,
+        s"target=en must out-score $lang: $enAvg !> $avg")
+    }
+    // every doc with ≥2 tokens carries bigram evidence and is scored
+    val scoredDocs = rows.map(_.getLong(1)).sum
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(TextFns.tokens(col("text"))) >= 2).count()
+    assert(scoredDocs == eligible)
+  }
+
+  test("streamCuratedProbe: the fixed 3-batch replay lands batch " +
+      "semantics exactly once and compaction folds to batch 0") {
+    import graft.streaming.DocsStream
+    val rows = DocsStream.streamCuratedProbe(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length == docs,
+      "every distinct doc exactly once — the planted in-slice dups dropped")
+    assert(rows.map(_.getString(3)).distinct.length == rows.length)
+    assert(rows.forall(_.getLong(4) == 0L), "compaction folded to batch 0")
+    // the replay really was multi-batch: one checkpoint offset per slice
+    val (_, _, ckpt) = DocsStream.streamProbeState.get(sf)
+    val offsets = new java.io.File(s"$ckpt/offsets").list()
+      .filter(_.forall(_.isDigit))
+    assert(offsets.length == DocsStream.STREAM_SLICES,
+      s"expected ${DocsStream.STREAM_SLICES} micro-batches, " +
+        s"saw ${offsets.toSeq}")
+    // second call reuses the landed lineage and is byte-identical
+    val again = DocsStream.streamCuratedProbe(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
+  test("availabilityJson: every provider's schedule survives the JSON " +
+      "round trip with consistent day/hour accounting") {
+    val rows = engine.SourceOps.availabilityJson(spark, sf).collect()
+    val n = Tables.supplier(spark, sf).count()
+    assert(rows.length == n, "one schedule per provider")
+    rows.foreach { r =>
+      val (pid, nDays, hours) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nDays >= 4L && nDays <= 5L,
+        "the %3 rule closes exactly 2-3 of 7 days")
+      assert(hours >= nDays && hours <= nDays * 8L,
+        "each open day contributes 1-8 hours")
+      val expectWeekend = (pid + 5) % 3 != 0 || (pid + 6) % 3 != 0
+      assert(r.getBoolean(3) == expectWeekend)
+    }
+  }
+
+  test("stratifiedEvalSample: the two-phase cut COVERS every language's " +
+      "quota on the gated corpora (coverage is probabilistic by design)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = TextOps.stratifiedEvalSample(spark, dir).collect()
+      rows.foreach { r =>
+        assert(r.getLong(3) == r.getLong(2),
+          s"$dir ${r.getString(0)}: picked ${r.getLong(3)} != " +
+            s"quota ${r.getLong(2)} — survivor set underfilled")
+      }
+      assert(rows.map(_.getLong(3)).sum == TextOps.EVAL_N,
+        s"$dir: total must be exactly EVAL_N")
+    }
+  }
+}
