@@ -2764,6 +2764,47 @@ object OracleTwins {
        |FROM rz ORDER BY media_id""".stripMargin
   }
 
+  /** q182's twin — [[graft.engine.Dedup.hashIndexProbe]]: the admission
+    * verdicts recomputed relationally from the corpus + the same
+    * generative plants; the Spark side reaches them only through the
+    * persisted build/append/probe store lifecycle. */
+  val hashIndexProbe: String = {
+    import graft.engine.Dedup.{HX_BATCH_DUP_MOD, HX_CORPUS_DUP_MOD,
+      HX_FRESH_RESIDUE}
+    def h(t: String) =
+      s"sha256(regexp_replace(lower(trim($t)), '\\s+', ' ', 'g'))"
+    s"""WITH delta AS (
+       |  SELECT doc_id + 80000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % $HX_CORPUS_DUP_MOD = 0
+       |  UNION ALL
+       |  SELECT doc_id + 81000000, text || ' zfresh' || doc_id::VARCHAR
+       |  FROM documents WHERE doc_id % $HX_CORPUS_DUP_MOD = $HX_FRESH_RESIDUE
+       |  UNION ALL
+       |  SELECT doc_id + 82000000, text || ' zb' || doc_id::VARCHAR
+       |  FROM documents WHERE doc_id % $HX_BATCH_DUP_MOD = 1
+       |  UNION ALL
+       |  SELECT doc_id + 83000000, text || ' zb' || doc_id::VARCHAR
+       |  FROM documents WHERE doc_id % $HX_BATCH_DUP_MOD = 1),
+       |dh AS (SELECT doc_id, ${h("text")} AS content_hash FROM delta),
+       |ch AS (SELECT doc_id, ${h("text")} AS content_hash FROM documents),
+       |seen AS (
+       |  SELECT content_hash, min(doc_id) AS corpus_canonical FROM ch
+       |  WHERE content_hash IN (SELECT content_hash FROM dh)
+       |  GROUP BY content_hash),
+       |rb AS (
+       |  SELECT doc_id, content_hash,
+       |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+       |      AS rb,
+       |    min(doc_id) OVER (PARTITION BY content_hash) AS bmin
+       |  FROM dh)
+       |SELECT doc_id, content_hash,
+       |  CASE WHEN corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN rb > 1 THEN 'dup_in_batch' ELSE 'fresh' END AS verdict,
+       |  COALESCE(corpus_canonical, bmin) AS canonical_doc_id
+       |FROM rb LEFT JOIN seen USING (content_hash)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q181's twin — [[graft.engine.SourceOps.availabilityJson]]: the
     * schedule statistics computed straight from the generative arithmetic
     * (day d open iff (pid+d)%3≠0, hours (pid+d)%8+1); the Spark side only

@@ -332,6 +332,8 @@ object SparkEntry {
     "q180_stream_curated"          -> (graft.streaming.DocsStream.streamCuratedProbe _),
     // ---- round 10: the reference's availability-JSON schedule parse ----
     "q181_availability_json"       -> (SourceOps.availabilityJson _),
+    // ---- round 10: persisted exact-hash "seen-before" admission gate ----
+    "q182_hash_index_probe"        -> (Dedup.hashIndexProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -568,6 +570,7 @@ object SparkEntry {
     "q179_image_resize" -> OracleTwins.imageResizeStats,
     "q180_stream_curated" -> OracleTwins.streamCurated,
     "q181_availability_json" -> OracleTwins.availabilityJson,
+    "q182_hash_index_probe" -> OracleTwins.hashIndexProbe,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -1351,6 +1351,123 @@ object Dedup {
     probeWinnowIndex(spark, plants, winnowDir).orderBy("doc_a", "doc_b")
   }
 
+  // ---- persisted EXACT-dedup hash store: the "seen-before" gate ----
+
+  /** Hash-store file-clustering bucket count: store files cluster on a
+    * content-hash-prefix bucket so a probe's pushed bucket filter prunes
+    * row groups without touching unrelated hash ranges. */
+  val HX_BUCKETS = 64L
+  /** q182 plant geometry (disjoint residues → disjoint plant id spaces). */
+  val HX_CORPUS_DUP_MOD = 5L
+  val HX_FRESH_RESIDUE = 2L
+  val HX_BATCH_DUP_MOD = 10L
+
+  private def contentHash(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  private def hashBucket(h: Column): Column =
+    pmod(conv(h.substr(lit(1), lit(4)), 16, 10).cast("long"),
+      lit(HX_BUCKETS))
+
+  private def hashRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), contentHash(col("text")).as("content_hash"))
+      .withColumn("hb", hashBucket(col("content_hash")))
+
+  /** Build the persisted content-hash store — the identity register a
+    * 100 TB ingest consults before admitting anything: one (doc_id,
+    * content_hash) row per corpus doc, files clustered+sorted by hash
+    * bucket, `increment`-partitioned for the exactly-once append
+    * discipline every other persisted index here uses. */
+  def buildHashIndex(docs: DataFrame, hashDir: String): Unit =
+    writeHashRows(hashRows(docs), hashDir, increment = 0L)
+
+  /** Append-an-increment half — dynamic overwrite, idempotent per
+    * increment (a replayed micro-batch replaces its own partition). */
+  def appendHashIndex(delta: DataFrame, hashDir: String,
+      increment: Long): Unit =
+    writeHashRows(hashRows(delta), hashDir, increment)
+
+  private def writeHashRows(rows: DataFrame, hashDir: String,
+      increment: Long): Unit =
+    rows.withColumn("increment", lit(increment))
+      .repartition(col("hb")).sortWithinPartitions("hb", "content_hash")
+      .write.partitionBy("increment")
+      .option("partitionOverwriteMode",
+        if (increment == 0L) "static" else "dynamic")
+      .mode("overwrite").parquet(hashDir)
+
+  /** Probe a new batch against the store: per batch doc, is its content
+    * already registered (`dup_of_corpus`, with the corpus canonical), a
+    * repeat within the batch itself (`dup_in_batch`, canonical = the
+    * batch's first carrier), or `fresh`? The admission verdict an ingest
+    * gate acts on — admit fresh + batch-firsts, drop the rest, then
+    * [[appendHashIndex]] the admitted rows as the next increment.
+    *
+    * Scale shape: the store is never shuffled or re-hashed — the batch's
+    * ≤[[HX_BUCKETS]] bucket values push down as a row-group-pruning scan
+    * filter (bounded driver decision), and the batch's distinct hashes
+    * broadcast into that pruned scan; the store side reduces to
+    * (hash → min doc_id) on matched rows only. The within-batch windows
+    * run over the batch alone. Probe cost ∝ batch size, never corpus. */
+  def probeHashIndex(spark: SparkSession, delta: DataFrame,
+      hashDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = hashRows(delta).localCheckpoint() // one hash pass feeds all three uses
+    val hbs = d.select(col("hb")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: ≤ HX_BUCKETS values
+    val idx = spark.read.parquet(hashDir).filter(col("hb").isin(hbs: _*))
+    val seen = idx
+      .join(broadcast(d.select(col("content_hash")).distinct()),
+        Seq("content_hash"))
+      .groupBy("content_hash").agg(min("doc_id").as("corpus_canonical"))
+    val wOrd = Window.partitionBy("content_hash").orderBy("doc_id")
+    val wAll = Window.partitionBy("content_hash")
+    d.withColumn("rb", row_number().over(wOrd))
+      .withColumn("bmin", min("doc_id").over(wAll))
+      .join(broadcast(seen), Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        when(col("corpus_canonical").isNotNull, "dup_of_corpus")
+          .when(col("rb") > 1, "dup_in_batch")
+          .otherwise("fresh").as("verdict"),
+        coalesce(col("corpus_canonical"), col("bmin"))
+          .as("canonical_doc_id"))
+  }
+
+  /** q182: the hash-store lifecycle end-to-end — build on the even half,
+    * append the odd half as increment 1, then probe a planted batch that
+    * exercises all three verdicts: corpus-content re-arrivals
+    * (`%HX_CORPUS_DUP_MOD` texts re-keyed into the 80M id space),
+    * genuinely new docs (suffix-marked, 81M), and an in-batch duplicated
+    * family (the same marked text under 82M AND 83M ids). The oracle
+    * recomputes the verdicts relationally from the corpus + the same
+    * generative plants — a store row lost, duplicated, or mis-bucketed
+    * anywhere in build/append/probe breaks the hash gate. */
+  def hashIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = spread(documents(spark, dir)).select(col("doc_id"), col("text"))
+    val hashDir = IndexMaintenance.scratchIndexDir(spark, "hash-index")
+    buildHashIndex(d.filter(col("doc_id") % 2 === 0), hashDir)
+    appendHashIndex(d.filter(col("doc_id") % 2 === 1), hashDir,
+      increment = 1L)
+    val dupPlants = d.filter(col("doc_id") % HX_CORPUS_DUP_MOD === 0)
+      .select((col("doc_id") + 80000000L).as("doc_id"), col("text"))
+    val fresh = d
+      .filter(col("doc_id") % HX_CORPUS_DUP_MOD === HX_FRESH_RESIDUE)
+      .select((col("doc_id") + 81000000L).as("doc_id"),
+        concat(col("text"), lit(" zfresh"), col("doc_id").cast("string"))
+          .as("text"))
+    val batchDups = d.filter(col("doc_id") % HX_BATCH_DUP_MOD === 1)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" zb"), col("doc_id").cast("string"))
+          .as("text"))
+    val delta = dupPlants
+      .unionByName(fresh)
+      .unionByName(batchDups
+        .select((col("doc_id") + 82000000L).as("doc_id"), col("text")))
+      .unionByName(batchDups
+        .select((col("doc_id") + 83000000L).as("doc_id"), col("text")))
+    probeHashIndex(spark, delta, hashDir).orderBy("doc_id")
+  }
+
   /** q153: the label-LIFECYCLE keep-list end-to-end — seed labels from
     * the base corpus's internal pairs, fold the delta-touching pairs in
     * as one [[mergeClusterIncrement]] (never re-clustering the corpus),

@@ -116,6 +116,45 @@ class RoundTenSpec extends SparkSpecBase {
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("hashIndexProbe: verdicts partition the planted batch exactly, " +
+      "canonicals point at the true first carriers") {
+    import org.apache.spark.sql.functions.col
+    val rows = Dedup.hashIndexProbe(spark, sf).collect()
+    val d = Tables.documents(spark, sf)
+    val nDup = d.filter(col("doc_id") % Dedup.HX_CORPUS_DUP_MOD === 0).count()
+    val nFresh = d.filter(
+      col("doc_id") % Dedup.HX_CORPUS_DUP_MOD === Dedup.HX_FRESH_RESIDUE)
+      .count()
+    val nBatch = d.filter(col("doc_id") % Dedup.HX_BATCH_DUP_MOD === 1).count()
+    assert(rows.length == nDup + nFresh + 2 * nBatch)
+    val byV = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byV("dup_of_corpus") == nDup,
+      "every corpus-content re-arrival is caught by the store")
+    assert(byV("fresh") == nFresh + nBatch,
+      "new content + batch-first carriers are admitted")
+    assert(byV("dup_in_batch") == nBatch,
+      "every second in-batch carrier is dropped")
+    rows.filter(_.getString(2) == "dup_of_corpus").foreach { r =>
+      assert(r.getLong(3) == r.getLong(0) - 80000000L,
+        "corpus canonical is the original doc") }
+    rows.filter(_.getString(2) == "dup_in_batch").foreach { r =>
+      assert(r.getLong(3) == r.getLong(0) - 1000000L,
+        "in-batch canonical is the 82M-space first carrier") }
+  }
+
+  test("hash store append is idempotent: a replayed increment replaces " +
+      "its partition, never duplicates rows") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dirH = tmpDir("hash-idem")
+    Dedup.buildHashIndex(d.filter(col("doc_id") % 2 === 0), dirH)
+    Dedup.appendHashIndex(d.filter(col("doc_id") % 2 === 1), dirH, 1L)
+    val once = spark.read.parquet(dirH).count()
+    assert(once == d.count(), "build + append cover the corpus exactly")
+    Dedup.appendHashIndex(d.filter(col("doc_id") % 2 === 1), dirH, 1L)
+    assert(spark.read.parquet(dirH).count() == once)
+  }
+
   test("availabilityJson: every provider's schedule survives the JSON " +
       "round trip with consistent day/hour accounting") {
     val rows = engine.SourceOps.availabilityJson(spark, sf).collect()
