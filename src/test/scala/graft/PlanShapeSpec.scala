@@ -346,4 +346,57 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       "a sort-merge rate join means the corpus shuffled for a |langs|-row table")
   }
+
+  test("source-overlap signatures collapse map-side; the pair stage is " +
+      "broadcast algebra on the tiny signature table") {
+    val plan = finalPlan(Dedup.sourceOverlap(spark, sf))
+    assert(plan.contains("partial_min"),
+      "per-doc signatures must partial-aggregate into the per-source min " +
+        "before any shuffle — doc rows never ride the exchange")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the |sources|² pair stage runs on the broadcast signature table")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "the inequality pair join must never shuffle or cartesian the corpus")
+  }
+
+  test("hash-store probe pushes the bucket set into the store scan and " +
+      "broadcasts the batch, never shuffling the index") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val dirH = tmpDir("graft-plan-hashidx")
+    Dedup.buildHashIndex(d, dirH)
+    val delta = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+    val df = Dedup.probeHashIndex(spark, delta, dirH)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the batch's distinct hashes must broadcast into the store scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge store join means the index shuffled for a batch probe")
+    val storeScan = plan.linesIterator
+      .find(l => l.contains("Scan parquet") && l.contains(dirH.split('/').last))
+    assert(storeScan.exists(_.contains("hb")),
+      "the bounded bucket set must reach the store scan as a pushed filter")
+  }
+
+  test("weighted sample reuses the source partitioning: one corpus " +
+      "exchange feeds both the window and the per-source aggregate") {
+    val plan = finalPlan(graft.engine.TextOps.weightedSample(spark, sf))
+    val corpusExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(corpusExchanges == 1,
+      s"expected exactly 1 hash exchange (window + agg share the source " +
+        s"partitioning): $corpusExchanges")
+  }
+
+  test("image decode/resize are map-only: no hash exchange anywhere") {
+    for (df <- Seq(
+        graft.multimodal.Multimodal.imageDecodeStats(spark, sf),
+        graft.multimodal.Multimodal.imageResizeStats(spark, sf))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "the decode stage must stay narrow — per-partition batches, no shuffle")
+    }
+  }
 }
