@@ -1410,12 +1410,18 @@ object Dedup {
     * (hash → min doc_id) on matched rows only. The within-batch windows
     * run over the batch alone. Probe cost ∝ batch size, never corpus. */
   def probeHashIndex(spark: SparkSession, delta: DataFrame,
-      hashDir: String): DataFrame = {
+      hashDir: String, excludeIncrement: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = hashRows(delta).localCheckpoint() // one hash pass feeds all three uses
     val hbs = d.select(col("hb")).distinct()
       .collect().map(_.getLong(0)).toSeq // bounded: ≤ HX_BUCKETS values
-    val idx = spark.read.parquet(hashDir).filter(col("hb").isin(hbs: _*))
+    // excludeIncrement: a streaming replay must not see the crashed
+    // attempt's own landed increment, or the batch's docs would verdict
+    // dup_of_corpus against themselves (the dedupIncrement
+    // retry-disjointness device; partition-pruned on the increment key)
+    val idx = spark.read.parquet(hashDir)
+      .filter(col("increment") =!= lit(excludeIncrement))
+      .filter(col("hb").isin(hbs: _*))
     val seen = idx
       .join(broadcast(d.select(col("content_hash")).distinct()),
         Seq("content_hash"))

@@ -232,6 +232,47 @@ object DocsStream {
     (inDir, outDir, ckpt)
   }
 
+  /** Streaming admission against the PERSISTED seen-before store
+    * ([[graft.engine.Dedup.probeHashIndex]]'s register) — the
+    * cross-restart form of [[dedupedDocs]]' in-memory `dropDuplicates`
+    * state: each micro-batch is probed against the store
+    * (dup_of_corpus / dup_in_batch / fresh), the admitted rows (fresh =
+    * new content + batch-first carriers) are appended as the batch's own
+    * increment, and the full verdict set lands batch-keyed for audit.
+    *
+    * Identity state lives in the STORE, not the checkpoint: a restarted
+    * stream resumes with the complete register at zero state-rebuild
+    * cost, the register is shared with the batch pipeline (one identity,
+    * two ingest paths), and its size is one row per distinct document —
+    * never resident in executor state-store memory. Replay safety: the
+    * probe excludes the batch's own increment (a crashed attempt may
+    * have landed it), verdicts within the batch are (doc_id)-ordered,
+    * and both writes are increment/batch-keyed dynamic overwrites — a
+    * replayed batch re-derives byte-identical verdicts and replaces its
+    * own partitions. */
+  def hashGateSink(docs: DataFrame, hashDir: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val inc = batchId + 1L // the store's increment 0 is the bootstrap
+        val verdicts = graft.engine.Dedup.probeHashIndex(spark,
+            batch.select(col("doc_id"), col("text")), hashDir,
+            excludeIncrement = inc)
+          .localCheckpoint() // feeds the audit landing AND the admit join
+        verdicts.withColumn("batch", lit(inc))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+        val admitted = batch
+          .join(verdicts.filter(col("verdict") === "fresh")
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        graft.engine.Dedup.appendHashIndex(admitted, hashDir, inc)
+      }
+      .start()
+
   /** One admission verdict per streamed document — the output row of
     * [[sourceCapSink]]'s stateful gate. */
   private[graft] case class CapVerdict(doc_id: Long, source: String,

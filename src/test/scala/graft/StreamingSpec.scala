@@ -1332,4 +1332,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(Sim.probeIvfIndex(probes, idx1).collect().nonEmpty,
       "probes must serve from the reclustered index")
   }
+
+  test("hash-gate sink: persisted-store admission — fresh content admitted " +
+      "exactly once, full replays dropped, replayed batch re-derives " +
+      "identical verdicts against the rolled-back store") {
+    import graft.engine.{Dedup, Schemas}
+    val dir = tmpDir("graft-hashgate-in")
+    val out = tmpDir("graft-hashgate-out") + "/verdicts"
+    val ckpt = tmpDir("graft-hashgate-ckpt")
+    val store = tmpDir("graft-hashgate-store") + "/hashidx"
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val nAll = d.count()
+    val nEven = d.filter(col("doc_id") % 2 === 0).count()
+    // bootstrap register: the even half is already known (increment 0)
+    Dedup.buildHashIndex(d.filter(col("doc_id") % 2 === 0), store)
+    // feed: the FULL corpus twice (re-crawl) as two micro-batches
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/b1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/b2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val feed = spark.readStream.schema(Schemas.documents)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.hashGateSink(feed, store, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // the register holds every distinct doc exactly once — the odd half
+    // was admitted by whichever batch saw it first, the replay added none
+    val storeRows = spark.read.parquet(store)
+    assert(storeRows.count() == nAll)
+    assert(storeRows.select("content_hash").distinct().count() == nAll)
+    // verdict audit: one batch admitted the odd half, the other nothing
+    val v = spark.read.parquet(out)
+    assert(v.count() == 2 * nAll, "every arrival gets a verdict row")
+    val freshPerBatch = v.filter(col("verdict") === "fresh")
+      .groupBy("batch").count().collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    assert(freshPerBatch == Seq(nAll - nEven),
+      s"exactly one batch admits the odd half: $freshPerBatch")
+    assert(v.filter(col("verdict") === "dup_of_corpus").count() ==
+      2 * nAll - (nAll - nEven))
+    assert(v.filter(col("verdict") === "dup_in_batch").count() == 0,
+      "the corpus is internally distinct")
+    // replay: re-probing with the batch's own increment excluded and
+    // re-appending its admitted rows must change nothing and re-derive
+    // the landed verdicts byte-identically
+    val freshBatch = v.filter(col("verdict") === "fresh")
+      .select(col("batch").cast("long")).distinct()
+      .collect()(0).getLong(0)
+    val replayed = Dedup.probeHashIndex(spark, d, store,
+      excludeIncrement = freshBatch)
+    val landed = v.filter(col("batch") === freshBatch)
+      .select("doc_id", "content_hash", "verdict", "canonical_doc_id")
+    assert(replayed.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      landed.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    Dedup.appendHashIndex(
+      d.join(replayed.filter(col("verdict") === "fresh").select("doc_id"),
+        Seq("doc_id"), "left_semi"), store, freshBatch)
+    assert(spark.read.parquet(store).count() == nAll,
+      "a replayed append replaces its increment, never duplicates")
+  }
 }
