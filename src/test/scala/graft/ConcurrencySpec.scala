@@ -41,7 +41,13 @@ class ConcurrencySpec extends SparkSpecBase {
       "q165_weighted_mixture", "q166_lifecycle_semdedup",
       // round-9 final additions: q173 mutates a scratch winnow index;
       // q171's driver-loop collect must not cross-talk between callers
-      "q170_winnow_neardup", "q171_bpe_merges", "q173_winnow_increment")
+      "q170_winnow_neardup", "q171_bpe_merges", "q173_winnow_increment",
+      // round-10 additions: q182 mutates a scratch hash store; q180
+      // shares the per-corpus streaming-lineage cache (computeIfAbsent
+      // must hand every concurrent caller ONE materialized lineage);
+      // the rest are stateless calibration reads
+      "q174_weighted_sample", "q176_source_overlap", "q177_dsir_weights",
+      "q178_image_decode", "q180_stream_curated", "q182_hash_index_probe")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq
