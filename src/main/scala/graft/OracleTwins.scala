@@ -2764,6 +2764,95 @@ object OracleTwins {
        |FROM rz ORDER BY media_id""".stripMargin
   }
 
+  /** Shared generative CTE of the q183/q184 twins: sample i =
+    * (doc_id·31 + i·17) mod 4096 − 2048 — the oracle regenerates the
+    * EXPECTED waveform arithmetically; only the Spark side goes through
+    * the real RIFF/WAVE wire format (chunk walk, odd-chunk pad byte,
+    * little-endian PCM), so the hashes gate the parser itself. */
+  private def wavBaseSql: String =
+    s"""d AS (
+       |  SELECT doc_id, (n_chars % 96 + 16) AS n,
+       |    (8000 + (doc_id % 4) * 4000) AS sr
+       |  FROM documents),
+       |sg AS (
+       |  SELECT doc_id, n, sr,
+       |    list_transform(range(0, n),
+       |      si -> (doc_id*31 + si*17) % 4096 - 2048) AS v
+       |  FROM d)""".stripMargin
+
+  /** The q183/q184 waveform statistics over a sample list `vec` (DuckDB
+    * 1-indexed) of length `n`: Σ|s|, peak, sign-flip count, Σs², and the
+    * rolling checksum over the unsigned 16-bit representation (s+65536
+    * for negatives — the PCM wire value). */
+  private def wavStats(vec: String, n: String): String =
+    s"""CAST(list_aggregate(list_transform($vec, s -> abs(s)), 'sum')
+       |    AS BIGINT) AS sum_abs,
+       |  CAST(list_aggregate(list_transform($vec, s -> abs(s)), 'max')
+       |    AS BIGINT) AS peak,
+       |  CAST(COALESCE(list_aggregate(list_transform(range(1, $n),
+       |    zi -> CASE WHEN ($vec[zi] < 0) <> ($vec[zi+1] < 0)
+       |               THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT)
+       |    AS zero_crossings,
+       |  CAST(list_aggregate(list_transform($vec, s -> s*s), 'sum')
+       |    AS BIGINT) AS energy,
+       |  CAST(list_reduce(list_prepend(7, list_transform($vec,
+       |    s -> CASE WHEN s < 0 THEN s + 65536 ELSE s END)),
+       |    (wa, wx) -> (wa*31 + wx) % $P) AS BIGINT) AS checksum""".stripMargin
+
+  /** q183's twin — [[graft.multimodal.Multimodal.audioDecodeStats]]. */
+  val audioDecodeStats: String =
+    s"""WITH $wavBaseSql
+       |SELECT doc_id AS media_id,
+       |  CAST(sr AS BIGINT) AS sample_rate,
+       |  CAST(n AS BIGINT) AS n_samples,
+       |  ${wavStats("v", "n")}
+       |FROM sg ORDER BY media_id""".stripMargin
+
+  /** q184's twin — [[graft.multimodal.Multimodal.audioResampleStats]]:
+    * the drop-sample keep-index arithmetic (j·DEC) replayed per output
+    * sample, the divided clock included, pinning the resampler
+    * sample-for-sample. */
+  val audioResampleStats: String = {
+    import graft.multimodal.Multimodal.AUDIO_DEC
+    s"""WITH $wavBaseSql,
+       |dm AS (
+       |  SELECT doc_id, sr, ((n - 1) // $AUDIO_DEC + 1) AS m,
+       |    list_transform(range(0, (n - 1) // $AUDIO_DEC + 1),
+       |      dj -> v[dj * $AUDIO_DEC + 1]) AS dv
+       |  FROM sg)
+       |SELECT doc_id AS media_id,
+       |  CAST(sr // $AUDIO_DEC AS BIGINT) AS sample_rate,
+       |  CAST(m AS BIGINT) AS n_samples,
+       |  ${wavStats("dv", "m")}
+       |FROM dm ORDER BY media_id""".stripMargin
+  }
+
+  /** q185's twin — [[graft.multimodal.Multimodal.videoFrameStats]]: the
+    * frame slicing replayed as `substr`/`ascii` arithmetic over the
+    * (all-ASCII) document bytes — offsets, stride, and the
+    * trailing-partial-frame drop are all pinned. */
+  val videoFrameStats: String = {
+    import graft.multimodal.Multimodal.{FRAME_SIZE, FRAME_STRIDE}
+    s"""WITH v AS (
+       |  SELECT doc_id, text, length(text) AS L FROM documents
+       |  WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id, text, unnest(range(0, L // $FRAME_SIZE)) AS fno
+       |  FROM v),
+       |k AS (
+       |  SELECT doc_id, fno,
+       |    list_transform(range(1, $FRAME_SIZE + 1),
+       |      fi -> CAST(ascii(substr(text,
+       |        CAST(fno * $FRAME_SIZE + fi AS INT), 1)) AS BIGINT)) AS b
+       |  FROM f WHERE fno % $FRAME_STRIDE = 0)
+       |SELECT doc_id AS media_id, CAST(fno AS BIGINT) AS frame_no,
+       |  CAST($FRAME_SIZE AS BIGINT) AS n_bytes,
+       |  CAST(list_aggregate(b, 'sum') AS BIGINT) AS sum_bytes,
+       |  CAST(list_reduce(list_prepend(7, b),
+       |    (fa, fx) -> (fa*31 + fx) % $P) AS BIGINT) AS checksum
+       |FROM k ORDER BY media_id, frame_no""".stripMargin
+  }
+
   /** q182's twin — [[graft.engine.Dedup.hashIndexProbe]]: the admission
     * verdicts recomputed relationally from the corpus + the same
     * generative plants; the Spark side reaches them only through the

@@ -334,6 +334,11 @@ object SparkEntry {
     "q181_availability_json"       -> (SourceOps.availabilityJson _),
     // ---- round 10: persisted exact-hash "seen-before" admission gate ----
     "q182_hash_index_probe"        -> (Dedup.hashIndexProbe _),
+    // ---- round 10: REAL audio decode (RIFF/WAVE PCM wire round trip)
+    //      + oracle-gated video frame sampling ----
+    "q183_audio_decode"            -> (graft.multimodal.Multimodal.audioDecodeStats _),
+    "q184_audio_resample"          -> (graft.multimodal.Multimodal.audioResampleStats _),
+    "q185_video_frames"            -> (graft.multimodal.Multimodal.videoFrameStats _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -571,6 +576,9 @@ object SparkEntry {
     "q180_stream_curated" -> OracleTwins.streamCurated,
     "q181_availability_json" -> OracleTwins.availabilityJson,
     "q182_hash_index_probe" -> OracleTwins.hashIndexProbe,
+    "q183_audio_decode" -> OracleTwins.audioDecodeStats,
+    "q184_audio_resample" -> OracleTwins.audioResampleStats,
+    "q185_video_frames" -> OracleTwins.videoFrameStats,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

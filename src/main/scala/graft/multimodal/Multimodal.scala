@@ -229,6 +229,84 @@ object Multimodal {
       }).toDF().orderBy("media_id")
   }
 
+  // ======== REAL audio decode path (RIFF/WAVE PCM — no codec library) ====
+
+  /** Deterministic synthetic signal: length and clock from the document
+    * metadata, sample i = (doc_id·31 + i·17) mod 4096 − 2048 — pure
+    * integers in [−2048, 2047], so the DuckDB oracle regenerates the
+    * EXPECTED samples arithmetically while the Spark side only reaches
+    * them through a real [[WavCodec.encode]] → bytes → [[WavCodec.decode]]
+    * round trip (RIFF walk, chunk skip, pad byte, endianness). */
+  def synthAudio(docId: Long, nChars: Long): WavCodec.WavAudio = {
+    val n = (nChars % 96 + 16).toInt
+    val sr = (8000 + (docId % 4) * 4000).toInt
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      s(i) = (((docId * 31L + i.toLong * 17L) % 4096L) - 2048L).toShort
+      i += 1
+    }
+    WavCodec.WavAudio(sr, s)
+  }
+
+  final case class AudioStats(media_id: Long, sample_rate: Long,
+    n_samples: Long, sum_abs: Long, peak: Long, zero_crossings: Long,
+    energy: Long, checksum: Long)
+
+  private def audioStatsOf(id: Long, a: WavCodec.WavAudio): AudioStats = {
+    var (sumAbs, peak, zc, energy) = (0L, 0L, 0L, 0L)
+    var acc = 7L
+    var i = 0
+    while (i < a.samples.length) {
+      val s = a.samples(i).toLong
+      val abs = math.abs(s)
+      sumAbs += abs
+      if (abs > peak) peak = abs
+      if (i > 0 && (a.samples(i - 1) < 0) != (s < 0)) zc += 1
+      energy += s * s
+      acc = (acc * 31L + (s & 0xffffL)) % TextFns.P
+      i += 1
+    }
+    AudioStats(id, a.sampleRate.toLong, a.samples.length.toLong,
+      sumAbs, peak, zc, energy, acc)
+  }
+
+  /** q183: REAL audio decode — every document becomes a RIFF/WAVE payload
+    * (envelope + fmt + odd-padded unknown chunk + PCM data), parsed back
+    * by the real [[WavCodec.decode]] and aggregated into waveform
+    * statistics (sum |s|, peak, zero crossings, Σs², sample checksum).
+    * Map-only (narrow) — the decode-stage shape of an audio pipeline at
+    * 100 TB: per-partition batches, no shuffle until after feature
+    * extraction. The oracle recomputes every statistic from the
+    * generative formula, so the parser is what the hash gates. */
+  def audioDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val wire = WavCodec.encode(synthAudio(id, nc)) // real bytes
+        audioStatsOf(id, WavCodec.decode(wire))        // real parse
+      }).toDF().orderBy("media_id")
+  }
+
+  /** q184 decimation factor — 4× drop-sample downsample. */
+  val AUDIO_DEC = 4
+
+  /** q184: decode + REAL drop-sample resample (keep every
+    * [[AUDIO_DEC]]-th sample, divide the clock), then the same waveform
+    * statistics over the decimated signal. The oracle replays the exact
+    * keep-index arithmetic (j·DEC), pinning the resampler
+    * sample-for-sample — the audio analog of q179's pixel-grid pin. */
+  def audioResampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val a = WavCodec.decode(WavCodec.encode(synthAudio(id, nc)))
+        audioStatsOf(id, WavCodec.decimate(a, AUDIO_DEC))
+      }).toDF().orderBy("media_id")
+  }
+
   final case class MediaFrame(
     media_id: Long, frame_no: Long, frame: Array[Byte])
 
@@ -249,5 +327,36 @@ object Multimodal {
           java.util.Arrays.copyOfRange(m.payload, f * frameSize, (f + 1) * frameSize))
       }
     }
+  }
+
+  /** q185 frame geometry: 16-byte frames, every 2nd kept. */
+  val FRAME_SIZE = 16
+  val FRAME_STRIDE = 2
+
+  /** q185: the frame-sampling fan-out, oracle-gated — the `video` rows of
+    * the media table pass through [[sampleFrames]] and each kept frame is
+    * reduced to its byte sum + rolling checksum. One media row expands to
+    * `len/FRAME_SIZE/FRAME_STRIDE` frame rows BEFORE any shuffle (the
+    * row-expansion law of video pipelines); the payloads are the
+    * documents' ASCII bytes, so the oracle replays the frame slicing with
+    * `substr`/`ascii` arithmetic — byte offsets, trailing-partial-frame
+    * drop, and stride are all pinned. */
+  def videoFrameStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = sampleFrames(
+      mediaDataset(spark, dir).filter(col("kind") === "video"),
+      FRAME_SIZE, FRAME_STRIDE)
+    frames.map { fr =>
+      var (sum, acc) = (0L, 7L)
+      var i = 0
+      while (i < fr.frame.length) {
+        val b = (fr.frame(i) & 0xff).toLong
+        sum += b
+        acc = (acc * 31L + b) % TextFns.P
+        i += 1
+      }
+      (fr.media_id, fr.frame_no, fr.frame.length.toLong, sum, acc)
+    }.toDF("media_id", "frame_no", "n_bytes", "sum_bytes", "checksum")
+      .orderBy("media_id", "frame_no")
   }
 }

@@ -126,6 +126,79 @@ class MultimodalSpec extends SparkSpecBase {
     assert(up.width == 10 && up.rgb.length == 300)
   }
 
+  test("WAV codec: encode/decode round-trips every synthetic geometry; " +
+      "unknown odd-sized chunks skipped with the RIFF pad byte; bad input rejected") {
+    import graft.multimodal.WavCodec
+    for (nc <- Seq(0L, 1L, 47L, 48L, 95L, 96L, 191L, 553L)) {
+      val a = Multimodal.synthAudio(nc * 31 + 7, nc)
+      val back = WavCodec.decode(WavCodec.encode(a))
+      assert(back.sampleRate == a.sampleRate &&
+        back.samples.toSeq == a.samples.toSeq)
+    }
+    // the encoder's LIST chunk is 5 bytes (odd): a parser that forgets the
+    // pad byte lands mid-stream and must NOT find a well-formed data chunk
+    val wire = WavCodec.encode(WavCodec.WavAudio(8000, Array[Short](-1, 0, 32767, -32768)))
+    // negative samples survive the u16 wire round trip (two's complement)
+    assert(WavCodec.decode(wire).samples.toSeq == Seq[Short](-1, 0, 32767, -32768))
+    intercept[IllegalArgumentException] {
+      WavCodec.decode("RIFFxxxxNOPE".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // stereo rejected
+      val st = wire.clone(); st(22) = 2; WavCodec.decode(st)
+    }
+    intercept[IllegalArgumentException] { // non-PCM format tag rejected
+      val fl = wire.clone(); fl(20) = 3; WavCodec.decode(fl)
+    }
+  }
+
+  test("WAV decimate keeps every k-th sample from 0 and divides the clock") {
+    import graft.multimodal.WavCodec
+    val a = WavCodec.WavAudio(16000, (0 until 10).map(_.toShort).toArray)
+    val d = WavCodec.decimate(a, 4)
+    assert(d.sampleRate == 4000 && d.samples.toSeq == Seq[Short](0, 4, 8))
+    val one = WavCodec.decimate(a, 1)
+    assert(one.samples.toSeq == a.samples.toSeq)
+    assert(WavCodec.decimate(WavCodec.WavAudio(8000, Array.empty[Short]), 3)
+      .samples.isEmpty)
+  }
+
+  test("audioDecodeStats reaches samples only through the real wire format " +
+      "(stats equal a direct driver-side computation)") {
+    val rows = Multimodal.audioDecodeStats(spark, sf).collect()
+    val nChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.length == nChars.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val a = Multimodal.synthAudio(id, nChars(id))
+      assert(r.getLong(1) == a.sampleRate && r.getLong(2) == a.samples.length)
+      assert(r.getLong(3) == a.samples.map(s => math.abs(s.toLong)).sum)
+      assert(r.getLong(4) == a.samples.map(s => math.abs(s.toLong)).max)
+      val zc = a.samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(5) == zc)
+      assert(r.getLong(6) == a.samples.map(s => s.toLong * s.toLong).sum)
+    }
+  }
+
+  test("videoFrameStats covers exactly the video rows' strided frames") {
+    val rows = Multimodal.videoFrameStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 3 == 2))     // video kind only
+    assert(rows.forall(_.getLong(1) % Multimodal.FRAME_STRIDE == 0))
+    assert(rows.forall(_.getLong(2) == Multimodal.FRAME_SIZE))
+    // frame count per media = ceil((len/16) / 2) over the kept strides
+    val lens = Multimodal.mediaDataset(spark, sf)
+      .filter(col("kind") === "video").collect()
+      .map(m => m.media_id -> m.payload.length).toMap
+    val byMedia = rows.groupBy(_.getLong(0))
+    assert(lens.forall { case (id, len) =>
+      val expect = (0 until len / Multimodal.FRAME_SIZE
+        by Multimodal.FRAME_STRIDE).size
+      byMedia.get(id).map(_.length).getOrElse(0) == expect
+    })
+  }
+
   test("imageDecodeStats reaches pixels only through the real wire format " +
       "(stats equal a direct driver-side computation)") {
     val rows = Multimodal.imageDecodeStats(spark, sf).collect()
