@@ -2853,6 +2853,171 @@ object OracleTwins {
        |FROM k ORDER BY media_id, frame_no""".stripMargin
   }
 
+  /** Shared generative CTE of the q186–q188 twins: the dHash of every
+    * synthetic raster regenerated ARITHMETICALLY — byte p =
+    * (doc_id·31 + p·7) mod 256, nearest-neighbour index math
+    * (x·w div 9, y·h div 7), integer luma (299r+587g+114b) div 1000,
+    * bit y·8+x = gray(x,y) > gray(x+1,y) — while the Spark side reaches
+    * the same 56 bits only through the real PPM encode→parse→resize
+    * kernel. `hw`/`hh` and the composed index chase (thumb→half→source)
+    * replay the half-scale leg. */
+  private def dhashBaseSql: String = {
+    def gray(sx: String, sy: String): String =
+      s"""(299*((doc_id*31 + (3*(($sy)*w + ($sx)))*7) % 256)
+         | + 587*((doc_id*31 + (3*(($sy)*w + ($sx))+1)*7) % 256)
+         | + 114*((doc_id*31 + (3*(($sy)*w + ($sx))+2)*7) % 256)) // 1000"""
+        .stripMargin
+    val gFull = gray("(i%9)*w//9", "(i//9)*h//7")
+    val gHalf = gray("((i%9)*hw//9)*w//hw", "((i//9)*hh//7)*h//hh")
+    def pack(g: String): String =
+      s"""CAST(list_aggregate(list_transform(range(0, 56), bi ->
+         |  CASE WHEN $g[CAST((bi//8)*9 + (bi%8) + 1 AS INT)]
+         |          > $g[CAST((bi//8)*9 + (bi%8) + 2 AS INT)]
+         |  THEN (CAST(1 AS BIGINT) << CAST(bi AS INT)) ELSE 0 END),
+         |  'sum') AS BIGINT)""".stripMargin
+    s"""dd AS (
+       |  SELECT doc_id, (n_chars % 16 + 1) AS w, (n_chars % 12 + 1) AS h,
+       |    greatest((n_chars % 16 + 1)//2, 1) AS hw,
+       |    greatest((n_chars % 12 + 1)//2, 1) AS hh
+       |  FROM documents),
+       |gg AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 63), i -> $gFull) AS gf,
+       |    list_transform(range(0, 63), i -> $gHalf) AS gh
+       |  FROM dd),
+       |hh AS (
+       |  SELECT doc_id, ${pack("gf")} AS dhash, ${pack("gh")} AS dhash_half
+       |  FROM gg)""".stripMargin
+  }
+
+  /** q186's twin — [[graft.multimodal.Multimodal.imageDHash]]. */
+  val imageDHash: String =
+    s"""WITH $dhashBaseSql
+       |SELECT doc_id AS media_id, dhash, dhash_half,
+       |  CAST(bit_count(xor(dhash, dhash_half)) AS BIGINT)
+       |    AS cross_scale_dist
+       |FROM hh ORDER BY media_id""".stripMargin
+
+  /** q187's twin — [[graft.multimodal.Multimodal.imagePdupGroups]]. */
+  val imagePdupGroups: String =
+    s"""WITH $dhashBaseSql
+       |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(min(doc_id) AS BIGINT) AS canonical
+       |FROM hh GROUP BY dhash HAVING count(*) > 1 ORDER BY dhash""".stripMargin
+
+  /** q188's twin — [[graft.multimodal.Multimodal.imagePdupPairs]]: the
+    * banded candidate generation (4×14-bit bands, df cap 16) and the
+    * hamming ≤ 4 verify, replayed relationally. */
+  val imagePdupPairs: String = {
+    import graft.multimodal.Multimodal.{DHASH_BANDS, DHASH_BAND_BITS, DHASH_BAND_CAP, DHASH_T}
+    s"""WITH $dhashBaseSql,
+       |bands AS (
+       |  SELECT doc_id, dhash, unnest(range(0, $DHASH_BANDS)) AS band
+       |  FROM hh),
+       |bv AS (
+       |  SELECT doc_id, dhash, band,
+       |    (dhash >> CAST(band * $DHASH_BAND_BITS AS INT))
+       |      & ${(1L << DHASH_BAND_BITS) - 1} AS bval
+       |  FROM bands),
+       |ok AS (
+       |  SELECT band, bval FROM bv GROUP BY band, bval
+       |  HAVING count(*) BETWEEN 2 AND $DHASH_BAND_CAP),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.dhash AS ha, b.dhash AS hb
+       |  FROM bv a JOIN ok USING (band, bval) JOIN bv b USING (band, bval)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $DHASH_T
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q189's twin — [[graft.engine.SourceOps.urlCanonicalDedup]]: the
+    * messy-URL construction AND the canonicalization replayed with
+    * DuckDB's string machinery (RE2 vs Java regex — the patterns are
+    * dialect-neutral), so scheme/host casing, default-port strip,
+    * fragment drop, tracking-param filter, param sort, and
+    * trailing-slash strip are each pinned by the hash. */
+  val urlCanonicalDedup: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+       |    || '.Example.COM'
+       |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+       |    || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+       |    || (CASE WHEN doc_id % 7 = 0 THEN ''
+       |         WHEN doc_id % 2 = 0 THEN
+       |           '?utm_source=rss&ref=' || CAST(doc_id % 3 AS VARCHAR)
+       |             || '&b=2&a=1'
+       |         ELSE '?a=1&b=2' END)
+       |    || (CASE WHEN doc_id % 6 = 0
+       |         THEN '#sec-' || CAST(doc_id AS VARCHAR) ELSE '' END)
+       |      AS raw_url
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, raw_url,
+       |    regexp_replace(raw_url, '#.*$$', '') AS nofrag
+       |  FROM r),
+       |c AS (
+       |  SELECT doc_id, raw_url,
+       |    lower(regexp_extract(nofrag,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+       |    lower(regexp_extract(regexp_replace(nofrag, '\\?.*$$', ''),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)) AS hostport,
+       |    regexp_replace(regexp_extract(
+       |      regexp_replace(nofrag, '\\?.*$$', ''),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$$', 1),
+       |      '/+$$', '') AS path,
+       |    list_sort(list_filter(
+       |      string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
+       |      pp -> pp <> '' AND NOT
+       |        regexp_matches(pp, '^(utm_[^=]*|ref)(=|$$)'))) AS params
+       |  FROM p),
+       |u AS (
+       |  SELECT doc_id, raw_url,
+       |    sch || '://'
+       |    || (CASE WHEN sch = 'https'
+       |        THEN regexp_replace(hostport, ':443$$', '')
+       |        ELSE hostport END)
+       |    || path
+       |    || (CASE WHEN len(params) > 0
+       |        THEN '?' || array_to_string(params, '&') ELSE '' END)
+       |      AS url
+       |  FROM c)
+       |SELECT url, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_forms,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc
+       |FROM u GROUP BY url ORDER BY url""".stripMargin
+
+  /** q190's twin — [[graft.multimodal.Multimodal.audioFrameStats]]: the
+    * frame slicing, per-frame integer features, and the below-file-mean
+    * flag (`energy·n_frames < Σ energies`, an exact integer compare)
+    * replayed over the regenerated waveform. */
+  val audioFrameStats: String = {
+    import graft.multimodal.Multimodal.AUDIO_FRAME_N
+    val F = AUDIO_FRAME_N
+    s"""WITH $wavBaseSql,
+       |fr AS (
+       |  SELECT doc_id, v, unnest(range(0, n // $F)) AS fj FROM sg),
+       |fe AS (
+       |  SELECT doc_id, fj,
+       |    CAST(list_aggregate(list_transform(range(0, $F),
+       |      k -> v[fj*$F+k+1] * v[fj*$F+k+1]), 'sum') AS BIGINT) AS energy,
+       |    CAST(COALESCE(list_aggregate(list_transform(range(1, $F),
+       |      k -> CASE WHEN (v[fj*$F+k] < 0) <> (v[fj*$F+k+1] < 0)
+       |           THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT)
+       |      AS zero_crossings
+       |  FROM fr)
+       |SELECT doc_id AS media_id, CAST(fj AS BIGINT) AS frame_no,
+       |  energy, zero_crossings,
+       |  (energy * (count(*) OVER (PARTITION BY doc_id))
+       |    < sum(energy) OVER (PARTITION BY doc_id)) AS is_low
+       |FROM fe ORDER BY media_id, frame_no""".stripMargin
+  }
+
   /** q182's twin — [[graft.engine.Dedup.hashIndexProbe]]: the admission
     * verdicts recomputed relationally from the corpus + the same
     * generative plants; the Spark side reaches them only through the

@@ -339,6 +339,13 @@ object SparkEntry {
     "q183_audio_decode"            -> (graft.multimodal.Multimodal.audioDecodeStats _),
     "q184_audio_resample"          -> (graft.multimodal.Multimodal.audioResampleStats _),
     "q185_video_frames"            -> (graft.multimodal.Multimodal.videoFrameStats _),
+    // ---- round 10: perceptual image dedup (dHash over the real codec) ----
+    "q186_image_dhash"             -> (graft.multimodal.Multimodal.imageDHash _),
+    "q187_image_pdup_groups"       -> (graft.multimodal.Multimodal.imagePdupGroups _),
+    "q188_image_pdup_pairs"        -> (graft.multimodal.Multimodal.imagePdupPairs _),
+    // ---- round 10: crawl-scale URL identity + frame-level audio features ----
+    "q189_url_canonical"           -> (SourceOps.urlCanonicalDedup _),
+    "q190_audio_frames"            -> (graft.multimodal.Multimodal.audioFrameStats _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -579,6 +586,11 @@ object SparkEntry {
     "q183_audio_decode" -> OracleTwins.audioDecodeStats,
     "q184_audio_resample" -> OracleTwins.audioResampleStats,
     "q185_video_frames" -> OracleTwins.videoFrameStats,
+    "q186_image_dhash" -> OracleTwins.imageDHash,
+    "q187_image_pdup_groups" -> OracleTwins.imagePdupGroups,
+    "q188_image_pdup_pairs" -> OracleTwins.imagePdupPairs,
+    "q189_url_canonical" -> OracleTwins.urlCanonicalDedup,
+    "q190_audio_frames" -> OracleTwins.audioFrameStats,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

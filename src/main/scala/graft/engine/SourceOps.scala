@@ -215,4 +215,67 @@ object SourceOps {
           map_contains_key(col("sched"), "sun")).as("weekend_open"))
       .orderBy("provider_id")
   }
+
+  import org.apache.spark.sql.Column
+
+  /** URL canonicalization — the step-one identity function of web-crawl
+    * curation (CCNet/C4/RefinedWeb dedupe BY canonical URL before any
+    * content pass): lowercase scheme+host, strip the https default port,
+    * drop the fragment, drop tracking params (`utm_*`, `ref`), sort the
+    * surviving query params, strip trailing path slashes. Pure codegen'd
+    * expressions (regexp/split/array_sort/filter) — no UDF, so the 100 TB
+    * pass stays inside whole-stage codegen. */
+  def urlCanonical(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val q = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val sch = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+    val host = when(sch === "https",
+      regexp_replace(hostport, ":443$", "")).otherwise(hostport)
+    val path = regexp_replace(
+      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$", 1),
+      "/+$", "")
+    val params = array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|ref)(=|$)")))
+    val qn = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(sch, lit("://"), host, path, qn)
+  }
+
+  /** q189: canonical-URL dedup over a deterministically MESSY url corpus —
+    * every document gets a raw URL with mixed-case scheme/host, an
+    * explicit default port, tracking params in shuffled order, an
+    * occasional fragment and trailing slash (each decided by doc_id
+    * arithmetic, so the oracle rebuilds the identical raw strings);
+    * [[urlCanonical]] collapses the mess and a groupBy counts docs and
+    * distinct raw FORMS per canonical identity. Map-only until one
+    * groupBy of short string keys — the shape of URL-level dedup at
+    * crawl scale. */
+  def urlCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val raw = concat(
+      when(did % 2 === 0, "HTTPS://").otherwise("https://"),
+      when(did % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(did % 4 === 0, ":443").otherwise(""),
+      lit("/docs/"), (did % 50).cast("string"),
+      when(did % 5 === 0, "/").otherwise(""),
+      when(did % 7 === 0, "")
+        .when(did % 2 === 0,
+          concat(lit("?utm_source=rss&ref="), (did % 3).cast("string"),
+            lit("&b=2&a=1")))
+        .otherwise("?a=1&b=2"),
+      when(did % 6 === 0, concat(lit("#sec-"), did.cast("string")))
+        .otherwise(""))
+    documents(spark, dir)
+      .select(did, col("source"), raw.as("raw_url"))
+      .withColumn("url", urlCanonical(col("raw_url")))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).cast("long").as("n_forms"),
+        min(did).as("first_doc"))
+      .orderBy("url")
+  }
 }

@@ -307,6 +307,170 @@ object Multimodal {
       }).toDF().orderBy("media_id")
   }
 
+  /** q190 frame geometry: 16-sample non-overlapping analysis frames
+    * (trailing partial frame dropped, like the video path). */
+  val AUDIO_FRAME_N = 16
+
+  /** q190: frame-level audio features — the STFT-shaped fan-out of every
+    * audio pipeline (VAD, silence trimming, diarization all start here).
+    * Each decoded waveform (REAL wire round trip, as q183) is sliced into
+    * [[AUDIO_FRAME_N]]-sample frames; per frame: energy Σs², within-frame
+    * zero crossings, and a low-energy flag `energy·n_frames < Σ energies`
+    * (strictly below the file mean — an exact integer compare, no
+    * division crosses the engine boundary). The whole file is one row, so
+    * the flag is computed locally in the same map — the fan-out is still
+    * narrow: zero shuffles in the entire plan. */
+  def audioFrameStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        val a = WavCodec.decode(WavCodec.encode(synthAudio(id, nc)))
+        val nf = a.samples.length / AUDIO_FRAME_N
+        val feats = (0 until nf).map { j =>
+          var (energy, zc) = (0L, 0L)
+          var k = 0
+          while (k < AUDIO_FRAME_N) {
+            val s = a.samples(j * AUDIO_FRAME_N + k).toLong
+            energy += s * s
+            if (k > 0 &&
+              (a.samples(j * AUDIO_FRAME_N + k - 1) < 0) != (s < 0)) zc += 1
+            k += 1
+          }
+          (j.toLong, energy, zc)
+        }
+        val total = feats.map(_._2).sum
+        feats.map { case (j, e, z) =>
+          (id, j, e, z, e * nf < total)
+        }
+      }).toDF("media_id", "frame_no", "energy", "zero_crossings", "is_low")
+      .orderBy("media_id", "frame_no")
+  }
+
+  // ======== Perceptual image hashing (dHash) over the REAL decode path ====
+
+  /** dHash thumbnail geometry: 9×7 → 8 horizontal comparisons × 7 rows =
+    * 56 bits, safely inside a signed long (no sign-bit ambiguity between
+    * engines). */
+  val DHASH_W = 9
+  val DHASH_H = 7
+
+  /** Integer luma (ITU-R 601 weights ×1000, floor division — no floats,
+    * so the oracle replays it exactly) of pixel (x,y). */
+  private def grayAt(img: PpmCodec.PpmImage, x: Int, y: Int): Int = {
+    val p = 3 * (y * img.width + x)
+    (299 * (img.rgb(p) & 0xff) + 587 * (img.rgb(p + 1) & 0xff) +
+      114 * (img.rgb(p + 2) & 0xff)) / 1000
+  }
+
+  /** Difference hash: resize (the REAL nearest-neighbour kernel, shared
+    * with q179) to [[DHASH_W]]×[[DHASH_H]], integer grayscale, bit
+    * `y·8+x` = gray(x,y) > gray(x+1,y). The standard perceptual
+    * fingerprint of image-dedup pipelines (LAION-style): content-derived,
+    * robust to re-encoding and (approximately) to rescaling. */
+  def dHash(img: PpmCodec.PpmImage): Long = {
+    val t = PpmCodec.resizeNearest(img, DHASH_W, DHASH_H)
+    var bits = 0L
+    var y = 0
+    while (y < DHASH_H) {
+      var x = 0
+      while (x < DHASH_W - 1) {
+        if (grayAt(t, x, y) > grayAt(t, x + 1, y))
+          bits |= 1L << (y * (DHASH_W - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-image dHash pairs (original + a half-scale rescale), computed
+    * through the full real pipeline: encode → parse → resize → hash.
+    * Map-only (narrow) — the fingerprint stage of an image-dedup pass. */
+  private def dhashDataset(spark: SparkSession, dir: String)
+      : Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val img = PpmCodec.decode(PpmCodec.encode(synthImage(id, nc)))
+        val half = PpmCodec.resizeNearest(img,
+          math.max(img.width / 2, 1), math.max(img.height / 2, 1))
+        (id, dHash(img), dHash(half))
+      })
+  }
+
+  /** q186: perceptual fingerprints + the cross-scale robustness read —
+    * the hamming distance between each image's dHash and the dHash of its
+    * half-scale rescale (what survives a thumbnail re-encode). The oracle
+    * regenerates both hashes from the generative pixel formula (resize
+    * index arithmetic composed twice for the half-scale leg), so the
+    * whole decode→resize→gray→bit-pack kernel is pinned bit-for-bit. */
+  def imageDHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dhashDataset(spark, dir)
+      .map { case (id, a, b) =>
+        (id, a, b, java.lang.Long.bitCount(a ^ b).toLong)
+      }.toDF("media_id", "dhash", "dhash_half", "cross_scale_dist")
+      .orderBy("media_id")
+  }
+
+  /** q187: perceptual dedup GROUPS — images sharing an exact dHash
+    * collapse via a plain groupBy (one shuffle of 8-byte keys, map-side
+    * combined; never a pair join), the 100 TB-safe first tier of image
+    * dedup. Emits only non-singleton groups with their canonical
+    * (min media_id) — the keep-list shape shared with q134/q163. */
+  def imagePdupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dhashDataset(spark, dir).toDF("media_id", "dhash", "dhash_half")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_images"),
+        min(col("media_id")).as("canonical"))
+      .filter(col("n_images") > 1)
+      .select("dhash", "n_images", "canonical")
+      .orderBy("dhash")
+  }
+
+  /** q188 banding geometry: 4 bands × 14 bits; buckets larger than
+    * [[DHASH_BAND_CAP]] are dropped (the LSH df-cap discipline shared
+    * with q19/q25 — a degenerate bucket, e.g. the all-zero hash of
+    * sub-thumbnail images, would otherwise go quadratic); candidate
+    * pairs are verified at hamming ≤ [[DHASH_T]]. */
+  val DHASH_BANDS = 4
+  val DHASH_BAND_BITS = 14
+  val DHASH_BAND_CAP = 16
+  val DHASH_T = 4
+
+  /** q188: NEAR-dup image pairs under the banded hamming scheme — band
+    * agreement proposes, exact hamming disposes. Pair work is bounded by
+    * cap²·buckets, never n²; the verify is a codegen'd `bit_count(a^b)`
+    * on two longs. The oracle replays banding, cap, and threshold from
+    * the same generative hashes. */
+  def imagePdupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = dhashDataset(spark, dir)
+      .flatMap { case (id, h, _) =>
+        (0 until DHASH_BANDS).map { b =>
+          (id, h, b, (h >>> (b * DHASH_BAND_BITS)) & ((1L << DHASH_BAND_BITS) - 1))
+        }
+      }.toDF("id", "dhash", "band", "bval")
+    val ok = bands.groupBy("band", "bval").count()
+      .filter(col("count").between(2, DHASH_BAND_CAP)).drop("count")
+    val b2 = bands.join(ok, Seq("band", "bval"))
+    val a = b2.select(col("band"), col("bval"),
+      col("id").as("id_a"), col("dhash").as("ha"))
+    val b = b2.select(col("band"), col("bval"),
+      col("id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("dist",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("dist") <= DHASH_T)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   final case class MediaFrame(
     media_id: Long, frame_no: Long, frame: Array[Byte])
 

@@ -199,6 +199,80 @@ class MultimodalSpec extends SparkSpecBase {
     })
   }
 
+  test("dHash: monotone gradients hit the all-zero/all-one extremes; " +
+      "invariant to header re-encoding; half-scale distance bounded") {
+    import graft.multimodal.{Multimodal => M, PpmCodec}
+    // left-to-right increasing luma at thumb size: gray(x) < gray(x+1)
+    // everywhere -> no bit set; the reverse sets all 56 bits
+    def flat(f: Int => Int): PpmCodec.PpmImage = {
+      val rgb = new Array[Byte](M.DHASH_W * M.DHASH_H * 3)
+      for (y <- 0 until M.DHASH_H; x <- 0 until M.DHASH_W; c <- 0 until 3)
+        rgb(3 * (y * M.DHASH_W + x) + c) = f(x).toByte
+      PpmCodec.PpmImage(M.DHASH_W, M.DHASH_H, 255, rgb)
+    }
+    assert(M.dHash(flat(x => x * 20)) == 0L)
+    assert(M.dHash(flat(x => 200 - x * 20)) == (1L << 56) - 1)
+    // re-encoding (which injects a comment line) never moves the hash
+    val img = M.synthImage(12345L, 77L)
+    assert(M.dHash(img) == M.dHash(PpmCodec.decode(PpmCodec.encode(img))))
+    val rows = M.imageDHash(spark, sf).collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 56))
+  }
+
+  test("perceptual dedup groups/pairs are consistent with per-image hashes") {
+    import graft.multimodal.{Multimodal => M}
+    val hs = M.imageDHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = M.imagePdupGroups(spark, sf).collect()
+    assert(groups.nonEmpty)
+    val byHash = hs.groupBy(_._2)
+    groups.foreach { g =>
+      val members = byHash(g.getLong(0))
+      assert(g.getLong(1) == members.size && g.getLong(1) > 1)
+      assert(g.getLong(2) == members.keys.min)
+    }
+    val pairs = M.imagePdupPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    pairs.foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(a < b && seen.add((a, b)), "ordered, duplicate-free pairs")
+      val d = java.lang.Long.bitCount(hs(a) ^ hs(b)).toLong
+      assert(d == p.getLong(2) && d <= M.DHASH_T)
+      // band agreement must hold for at least one band (the LSH contract)
+      assert((0 until M.DHASH_BANDS).exists { bi =>
+        ((hs(a) >>> (bi * M.DHASH_BAND_BITS)) & 16383L) ==
+          ((hs(b) >>> (bi * M.DHASH_BAND_BITS)) & 16383L)
+      })
+    }
+  }
+
+  test("audioFrameStats: frame counts follow n//16, features match a " +
+      "driver-side recompute, is_low is the exact below-mean predicate") {
+    import graft.multimodal.{Multimodal => M}
+    val rows = M.audioFrameStats(spark, sf).collect()
+    val nChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byMedia = rows.groupBy(_.getLong(0))
+    assert(byMedia.size == nChars.size, "every file has >= 1 full frame")
+    byMedia.foreach { case (id, frames) =>
+      val a = M.synthAudio(id, nChars(id))
+      assert(frames.length == a.samples.length / M.AUDIO_FRAME_N)
+      val total = frames.map(_.getLong(2)).sum
+      frames.foreach { f =>
+        val j = f.getLong(1).toInt
+        val sl = a.samples.slice(j * M.AUDIO_FRAME_N, (j + 1) * M.AUDIO_FRAME_N)
+        assert(f.getLong(2) == sl.map(s => s.toLong * s.toLong).sum)
+        assert(f.getLong(3) ==
+          sl.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+        assert(f.getBoolean(4) == (f.getLong(2) * frames.length < total))
+      }
+    }
+  }
+
   test("imageDecodeStats reaches pixels only through the real wire format " +
       "(stats equal a direct driver-side computation)") {
     val rows = Multimodal.imageDecodeStats(spark, sf).collect()

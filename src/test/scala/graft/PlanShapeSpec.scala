@@ -399,4 +399,30 @@ class PlanShapeSpec extends SparkSpecBase {
         "the decode stage must stay narrow — per-partition batches, no shuffle")
     }
   }
+
+  test("audio frame fan-out stays narrow: the below-mean flag is computed " +
+      "in the decode map, zero hash exchanges in the whole plan") {
+    val df = graft.multimodal.Multimodal.audioFrameStats(spark, sf)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "per-file features must not shuffle — the file is the row")
+  }
+
+  test("perceptual dedup groups are one map-side-combined groupBy of " +
+      "8-byte keys — no join, no window") {
+    val plan = finalPlan(graft.multimodal.Multimodal.imagePdupGroups(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "dhash groupBy must map-side combine before the exchange")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "tier-1 perceptual dedup is a plain aggregate, never a pair join")
+  }
+
+  test("perceptual near-dup pairs never nest-loop: df-capped bucket " +
+      "equi-join only, verify stays scalar") {
+    val plan = finalPlan(graft.multimodal.Multimodal.imagePdupPairs(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "candidate generation must ride the (band,bval) equi-join")
+  }
 }

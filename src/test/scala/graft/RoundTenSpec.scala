@@ -171,6 +171,38 @@ class RoundTenSpec extends SparkSpecBase {
     }
   }
 
+  test("urlCanonical: each normalization rule verified on hand-built URLs; " +
+      "the dedup query conserves docs and collapses messy forms") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // case-fold + default port + tracking params + sort + fragment
+      "HTTPS://Ex.COM:443/a/?utm_source=x&ref=1&b=2&a=1#frag" ->
+        "https://ex.com/a?a=1&b=2",
+      // non-default port survives; params already clean stay sorted
+      "https://ex.com:8080/x?b=2&a=1" -> "https://ex.com:8080/x?a=1&b=2",
+      // :443 is https's default only — other schemes keep it
+      "ftp://Ex.com:443/f" -> "ftp://ex.com:443/f",
+      // root trailing slash drops; all-tracking query drops entirely
+      "https://ex.com/?utm_a=1&utm_b=2" -> "https://ex.com",
+      "https://ex.com/deep/path///" -> "https://ex.com/deep/path")
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("u")
+      .select(engine.SourceOps.urlCanonical(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+
+    val rows = engine.SourceOps.urlCanonicalDedup(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "every doc in exactly one group")
+    assert(rows.exists(_.getLong(2) > 1),
+      "messy variants of one identity must collapse (n_forms > 1 somewhere)")
+    rows.foreach { r =>
+      val url = r.getString(0)
+      assert(url == url.toLowerCase && !url.contains("#") &&
+        !url.contains("utm_") && !url.contains(":443"))
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("stratifiedEvalSample: the two-phase cut COVERS every language's " +
       "quota on the gated corpora (coverage is probabilistic by design)") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
