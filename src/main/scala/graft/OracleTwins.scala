@@ -2992,6 +2992,97 @@ object OracleTwins {
        |  CAST(min(doc_id) AS BIGINT) AS first_doc
        |FROM u GROUP BY url ORDER BY url""".stripMargin
 
+  /** q191's twin — [[graft.engine.SourceOps.domainGate]]: the host
+    * derivation, registrable-domain extraction (last two labels), hashed
+    * blocklist membership, and the exact-integer quality predicate
+    * replayed relationally; kept_docs restates the anti-join path as the
+    * equivalent CASE. */
+  val domainGate: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars,
+       |    (CASE WHEN doc_id % 4 = 0 THEN 'www.'
+       |          WHEN doc_id % 4 = 1 THEN 'cdn.' ELSE '' END)
+       |    || source || '-' || CAST(doc_id % 23 AS VARCHAR) || '.'
+       |    || (['com','net','org'])[CAST((doc_id % 23) % 3 + 1 AS INT)]
+       |      AS host
+       |  FROM documents),
+       |d2 AS (
+       |  SELECT doc_id, n_chars, host,
+       |    array_to_string(list_slice(string_split(host, '.'), -2, -1), '.')
+       |      AS domain
+       |  FROM d),
+       |s AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM d2 GROUP BY domain),
+       |f AS (
+       |  SELECT domain, n_docs, n_hosts, total_chars,
+       |    (${polyhash("domain")} % 7 = 0) AS blocked,
+       |    (total_chars < n_docs *
+       |      ${graft.engine.SourceOps.DOMAIN_MIN_AVG}) AS low_quality
+       |  FROM s)
+       |SELECT domain, n_docs, n_hosts, total_chars, blocked, low_quality,
+       |  CAST(CASE WHEN blocked OR low_quality THEN 0 ELSE n_docs END
+       |    AS BIGINT) AS kept_docs
+       |FROM f ORDER BY domain""".stripMargin
+
+  /** q192's twin — [[graft.engine.TextOps.qualityClassifier]]: the
+    * hashing-trick bucket, the integer weight derivation, and the
+    * token-array left fold restated with `list_reduce` (≡ Catalyst
+    * `aggregate`), so the score is bit-identical integer arithmetic. */
+  val qualityClassifier: String =
+    s"""WITH t AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, CAST(len(w) AS BIGINT) AS n_toks,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(w,
+       |      qt -> ((((${polyhash("qt")}) % ${TextOps.QC_BUCKETS})
+       |        * ${TextOps.QC_MULT} + ${TextOps.QC_BIAS}) % 2001) - 1000)),
+       |      (qa, qx) -> qa + qx) AS score_milli
+       |  FROM t)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_accepted,
+       |  CAST(sum(score_milli) AS BIGINT) AS sum_score_milli,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  /** q193's twin — [[graft.engine.TextOps.lineDedup]]: chunk lines, the
+    * df > cap boilerplate set (as a scalar list, ≡ the broadcast array),
+    * and the in-place `list_filter` rebuild in original line order. */
+  val lineDedup: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, list_transform(
+       |    range(0, (len(w)-1)//${TextOps.LINE_W} + 1),
+       |    li -> array_to_string(list_slice(w,
+       |      li*${TextOps.LINE_W}+1, li*${TextOps.LINE_W}+${TextOps.LINE_W}),
+       |      ' ')) AS lines
+       |  FROM w),
+       |l AS (SELECT doc_id, unnest(lines) AS line FROM base),
+       |hh AS (SELECT doc_id, ${polyhash("line")} AS h FROM l),
+       |hv AS (
+       |  SELECT coalesce(list_sort(list(h)), []::BIGINT[]) AS hvl
+       |  FROM (SELECT h FROM hh GROUP BY h
+       |        HAVING count(DISTINCT doc_id) > ${TextOps.LINE_DF_CAP})),
+       |k AS (
+       |  SELECT doc_id, lines,
+       |    list_filter(lines,
+       |      ln -> NOT list_contains(hvl, ${polyhash("ln")})) AS kept
+       |  FROM base, hv)
+       |SELECT doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  ${polyhash("array_to_string(kept, ' ')")} AS rebuilt_hash,
+       |  CAST(list_reduce(list_prepend(0::BIGINT, list_transform(kept,
+       |    kl -> CAST(len(string_split(kl, ' ')) AS BIGINT))),
+       |    (ka, kx) -> ka + kx) AS BIGINT) AS kept_tokens
+       |FROM k ORDER BY doc_id""".stripMargin
+
   /** q190's twin — [[graft.multimodal.Multimodal.audioFrameStats]]: the
     * frame slicing, per-frame integer features, and the below-file-mean
     * flag (`energy·n_frames < Σ energies`, an exact integer compare)

@@ -346,6 +346,12 @@ object SparkEntry {
     // ---- round 10: crawl-scale URL identity + frame-level audio features ----
     "q189_url_canonical"           -> (SourceOps.urlCanonicalDedup _),
     "q190_audio_frames"            -> (graft.multimodal.Multimodal.audioFrameStats _),
+    // ---- round 10: domain-grain curation gate (blocklist + quality) ----
+    "q191_domain_gate"             -> (SourceOps.domainGate _),
+    // ---- round 10: fastText-shaped hashed-linear quality classifier ----
+    "q192_quality_classifier"      -> (TextOps.qualityClassifier _),
+    // ---- round 10: CCNet line-level dedup with doc reconstruction ----
+    "q193_line_dedup"              -> (TextOps.lineDedup _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -591,6 +597,9 @@ object SparkEntry {
     "q188_image_pdup_pairs" -> OracleTwins.imagePdupPairs,
     "q189_url_canonical" -> OracleTwins.urlCanonicalDedup,
     "q190_audio_frames" -> OracleTwins.audioFrameStats,
+    "q191_domain_gate" -> OracleTwins.domainGate,
+    "q192_quality_classifier" -> OracleTwins.qualityClassifier,
+    "q193_line_dedup" -> OracleTwins.lineDedup,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

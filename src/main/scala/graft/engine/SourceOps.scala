@@ -278,4 +278,54 @@ object SourceOps {
         min(did).as("first_doc"))
       .orderBy("url")
   }
+
+  /** q191 quality threshold: a domain is low-quality when its mean doc
+    * length is strictly below this (compared as the exact integer
+    * predicate `total_chars < n_docs * DOMAIN_MIN_AVG` — no division
+    * crosses the engine boundary). */
+  val DOMAIN_MIN_AVG = 298L
+
+  /** q191: domain-level curation gate — step two of web-crawl curation
+    * (after q189's URL identity): RefinedWeb/C4 drop whole REGISTRABLE
+    * DOMAINS via a blocklist and domain-level quality stats before any
+    * per-document pass, because domain grain is ~4 orders of magnitude
+    * smaller than page grain. Every doc gets a deterministic multi-label
+    * host (optional `www.`/`cdn.` subdomain noise, a site key, a
+    * site-keyed TLD); the registrable domain is the last two host labels.
+    * Shape at 100 TB: one map-side-combined groupBy of short domain keys
+    * for the stats; the blocklist (domain grain, hash-derived here,
+    * curated in deployment) broadcasts into a LEFT ANTI join on the doc
+    * stream — the kept count comes from that anti-join path, so the plan
+    * the docs actually flow through is the plan the oracle checks. */
+  def domainGate(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val site = concat(col("source"), lit("-"), (did % 23).cast("string"))
+    val tld = element_at(
+      array(lit("com"), lit("net"), lit("org")),
+      ((did % 23) % 3 + 1).cast("int"))
+    val host = concat(
+      when(did % 4 === 0, "www.").when(did % 4 === 1, "cdn.").otherwise(""),
+      site, lit("."), tld)
+    val docs = documents(spark, dir)
+      .select(did.as("doc_id"), col("n_chars"), host.as("host"))
+      .withColumn("domain",
+        array_join(slice(split(col("host"), "\\."), -2, 2), "."))
+    val stats = docs.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).cast("long").as("n_hosts"),
+        sum("n_chars").as("total_chars"))
+      .withColumn("blocked",
+        graft.functions.TextFns.polyHash(col("domain")) % 7 === 0)
+      .withColumn("low_quality",
+        col("total_chars") < col("n_docs") * DOMAIN_MIN_AVG)
+    val blocklist = stats.filter(col("blocked")).select(col("domain"))
+    val kept = docs.join(broadcast(blocklist), Seq("domain"), "left_anti")
+      .groupBy("domain").agg(count(lit(1)).as("kept_raw"))
+    stats.join(kept, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("n_hosts"),
+        col("total_chars"), col("blocked"), col("low_quality"),
+        when(col("low_quality"), 0L)
+          .otherwise(coalesce(col("kept_raw"), lit(0L))).as("kept_docs"))
+      .orderBy("domain")
+  }
 }

@@ -1708,4 +1708,86 @@ object TextOps {
         expr("sum(w_ppm) div sum(n_feats)").as("avg_ratio_ppm"))
       .orderBy("lang")
   }
+
+  /** q192 classifier geometry: hashing-trick bucket count (feature space),
+    * and the integer "milli" weight derivation per bucket — a fixed
+    * pseudo-random linear model standing in for trained fastText-style
+    * weights (the SHAPE is what matters: at deployment the weight table is
+    * a broadcast array; here it is a pure expression so the oracle
+    * regenerates it). Weights lie in [-1000, 1000] milli-units. */
+  val QC_BUCKETS = 4096L
+  val QC_MULT = 2654435761L
+  val QC_BIAS = 987654321L
+
+  /** q192: hashed-linear quality classifier — the fastText-shaped gate
+    * most LLM corpus pipelines run after heuristics (CCNet's LM filter,
+    * GPT-3/LLaMA's "looks-like-reference-corpus" logistic classifier).
+    * Each token hashes into one of [[QC_BUCKETS]] buckets (hashing trick);
+    * the doc score is the sum of integer bucket weights (a linear model in
+    * fixed point — the sigmoid is monotone, so the accept decision needs
+    * only the sign), computed by `aggregate` over the token array:
+    * MAP-ONLY per doc, no explode, no shuffle until the per-source
+    * summary. Accept ⇔ score ≥ 0 (mean token weight non-negative — an
+    * exact integer compare). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val score = aggregate(toks, lit(0L), (acc, t) =>
+      acc + ((((TextFns.polyHash(t) % QC_BUCKETS) * QC_MULT + QC_BIAS)
+        % 2001L) - 1000L))
+    documents(spark, dir)
+      .select(col("source"),
+        size(toks).cast("long").as("n_toks"),
+        score.as("score_milli"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_milli") >= 0L, 1L).otherwise(0L))
+          .as("n_accepted"),
+        sum("score_milli").as("sum_score_milli"),
+        sum("n_toks").as("total_tokens"))
+      .orderBy("source")
+  }
+
+  /** q193 line geometry: aligned [[LINE_W]]-token chunks stand in for the
+    * newline-delimited lines of real crawl text (the synthetic corpus has
+    * no newlines); a chunk appearing in more than [[LINE_DF_CAP]] distinct
+    * docs is boilerplate. */
+  val LINE_W = 8
+  val LINE_DF_CAP = 3L
+
+  /** q193: line-level dedup with document reconstruction — CCNet's
+    * paragraph-hash dedup: lines shared by many documents (nav bars,
+    * cookie banners, licence footers) are dropped from EVERY document and
+    * the documents are reassembled in original line order. Two passes:
+    * (1) explode → one map-side-combined groupBy of line hashes keeps
+    * only the df > cap tail — the boilerplate set is the SMALL end of the
+    * Zipf curve, so it aggregates to a single bounded array; (2) the
+    * rebuild never explodes at all — the boilerplate array broadcasts to
+    * every doc row and a higher-order `filter` drops matching lines
+    * in-place, so reconstruction is map-only with NO reassembly shuffle
+    * (the shape that matters at 100 TB: the corpus-sized text stream
+    * crosses zero exchanges on the rewrite path). */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .withColumn("lines", expr(
+        s"transform(sequence(0, (size(w)-1) div $LINE_W), " +
+          s"i -> array_join(slice(w, i*$LINE_W+1, $LINE_W), ' '))"))
+    val heavy = base
+      .select(col("doc_id"), explode(col("lines")).as("line"))
+      .select(col("doc_id"), TextFns.polyHash(col("line")).as("h"))
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > LINE_DF_CAP)
+      .agg(sort_array(collect_list(col("h"))).as("hv"))
+    base.crossJoin(broadcast(heavy))
+      .withColumn("kept", filter(col("lines"),
+        ln => !array_contains(col("hv"), TextFns.polyHash(ln))))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        TextFns.polyHash(array_join(col("kept"), " ")).as("rebuilt_hash"),
+        aggregate(col("kept"), lit(0L),
+          (acc, ln) => acc + size(split(ln, " ")).cast("long"))
+          .as("kept_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -425,4 +425,31 @@ class PlanShapeSpec extends SparkSpecBase {
       !plan.contains("CartesianProduct"),
       "candidate generation must ride the (band,bval) equi-join")
   }
+
+  test("domain gate: the blocklist rides a broadcast LEFT ANTI join on " +
+      "the doc stream — never a shuffled join, never a cartesian") {
+    val plan = finalPlan(graft.engine.SourceOps.domainGate(spark, sf))
+    assert(plan.contains("LeftAnti"), "the blocklist must be an anti join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "domain-grain blocklist must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("quality classifier is map-only to the aggregate: no join, no " +
+      "window, one hash exchange for the per-source summary") {
+    val plan = finalPlan(graft.engine.TextOps.qualityClassifier(spark, sf))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "the hashing-trick score folds inside the scan projection")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected exactly one hash exchange, got $ex")
+  }
+
+  test("line dedup rebuild is shuffle-free: the boilerplate set broadcasts " +
+      "(single-row nest-loop), the corpus text stream crosses no exchange") {
+    val plan = finalPlan(graft.engine.TextOps.lineDedup(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the heavy-line array must broadcast into the rebuild map")
+    assert(!plan.contains("SortMergeJoin"),
+      "reconstruction must never reassemble through a shuffled join")
+  }
 }

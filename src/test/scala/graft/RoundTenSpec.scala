@@ -203,6 +203,88 @@ class RoundTenSpec extends SparkSpecBase {
     }
   }
 
+  test("domainGate: registrable-domain extraction, blocklist + quality " +
+      "gates, and the anti-join kept count all agree") {
+    val rows = engine.SourceOps.domainGate(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "every doc lands in exactly one registrable domain")
+    rows.foreach { r =>
+      val (domain, nDocs, nHosts, kept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(6))
+      assert(domain.split("\\.").length == 2,
+        s"registrable domain is site.tld, got $domain")
+      assert(!domain.startsWith("www.") && !domain.startsWith("cdn."),
+        "subdomain noise must be stripped by the last-two-labels rule")
+      assert(nHosts >= 1L && nHosts <= 3L,
+        "at most bare + www + cdn host forms per domain")
+      val expect = if (r.getBoolean(4) || r.getBoolean(5)) 0L else nDocs
+      assert(kept == expect,
+        s"$domain: anti-join kept=$kept disagrees with the flags")
+    }
+    assert(rows.exists(_.getBoolean(4)), "hash blocklist hits ~1/7 of domains")
+    assert(rows.exists(_.getBoolean(5)) &&
+      rows.exists(r => !r.getBoolean(4) && !r.getBoolean(5)),
+      "both quality classes must be populated")
+  }
+
+  test("qualityClassifier: the map-side token fold equals a driver-side " +
+      "replay of the same integer model; accounting conserved") {
+    import graft.functions.TextHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = TextOps.qualityClassifier(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.length.toLong)
+    assert(rows.exists(_.getLong(2) > 0L) &&
+      rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "threshold 0 must split the corpus into both classes")
+    def score(text: String): Long =
+      text.trim.split("\\s+").map { t =>
+        val b = TextHash.polyHash(UTF8String.fromString(t)) %
+          TextOps.QC_BUCKETS
+        ((b * TextOps.QC_MULT + TextOps.QC_BIAS) % 2001L) - 1000L
+      }.foldLeft(0L)(_ + _)
+    val expect = docs.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => score(r.getString(1))).sum).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) == expect(r.getString(0)),
+        s"${r.getString(0)}: engine score ${r.getLong(3)} != replay")
+    }
+  }
+
+  test("lineDedup: boilerplate lines vanish from EVERY doc, rebuild " +
+      "preserves original line order — verified by full driver replay") {
+    import graft.functions.TextHash
+    import org.apache.spark.unsafe.types.UTF8String
+    def ph(s: String): Long = TextHash.polyHash(UTF8String.fromString(s))
+    val rows = TextOps.lineDedup(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    def chunks(text: String): Seq[String] =
+      text.trim.split("\\s+").toSeq.grouped(TextOps.LINE_W)
+        .map(_.mkString(" ")).toSeq
+    val df = docs.toSeq.flatMap { case (id, t) =>
+      chunks(t).map(ph).distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val heavy = df.filter(_._2 > TextOps.LINE_DF_CAP).keySet
+    assert(heavy.nonEmpty, "this sf must exercise the boilerplate path")
+    rows.foreach { r =>
+      val (id, nLines, nKept, rebuilt) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val cs = chunks(docs(id))
+      val kept = cs.filterNot(c => heavy(ph(c)))
+      assert(nLines == cs.size.toLong, s"doc $id line count")
+      assert(nKept == kept.size.toLong, s"doc $id kept count")
+      assert(rebuilt == ph(kept.mkString(" ")),
+        s"doc $id: rebuilt hash disagrees with the ordered driver replay")
+    }
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "at least one doc must actually lose a line")
+  }
+
   test("stratifiedEvalSample: the two-phase cut COVERS every language's " +
       "quota on the gated corpora (coverage is probabilistic by design)") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
