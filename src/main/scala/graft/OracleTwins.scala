@@ -3083,6 +3083,66 @@ object OracleTwins {
        |    (ka, kx) -> ka + kx) AS BIGINT) AS kept_tokens
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** q194's twin — [[graft.multimodal.Multimodal.audioPdupPairs]]: the
+    * long-waveform corpus with its re-encode and retouched variants, the
+    * 56 energy-delta sign bits, and the banding/cap/threshold replayed
+    * arithmetically; the Spark side reaches every fingerprint only
+    * through the real RIFF/WAVE round trip. */
+  val audioPdupPairs: String = {
+    import graft.multimodal.Multimodal.{AFP_BANDS, AFP_BAND_BITS,
+      AFP_BAND_CAP, AFP_BITS, AFP_T, AUDIO_FRAME_N}
+    val F = AUDIO_FRAME_N
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 256 + 928) AS n FROM documents),
+       |m AS (
+       |  SELECT doc_id*4 AS media_id, doc_id, n, 0 AS pert FROM d
+       |  UNION ALL
+       |  SELECT doc_id*4+1, doc_id, n, 0 FROM d WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id*4+2, doc_id, n, 64 FROM d WHERE doc_id % 3 = 0),
+       |sg AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, n), si ->
+       |      (doc_id*31 + si*17 + ((si*si) % 4096)*13) % 4096 - 2048
+       |      + CASE WHEN si >= $F AND si < ${2 * F} THEN pert
+       |             ELSE 0 END) AS v
+       |  FROM m),
+       |fe AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, ${AFP_BITS + 1}), fj ->
+       |      list_aggregate(list_transform(range(0, $F),
+       |        k -> v[CAST(fj*$F+k+1 AS INT)]*v[CAST(fj*$F+k+1 AS INT)]),
+       |        'sum')) AS e
+       |  FROM sg),
+       |fp AS (
+       |  SELECT media_id,
+       |    CAST(list_aggregate(list_transform(range(0, $AFP_BITS), bj ->
+       |      CASE WHEN e[CAST(bj+2 AS INT)] > e[CAST(bj+1 AS INT)]
+       |      THEN (CAST(1 AS BIGINT) << CAST(bj AS INT)) ELSE 0 END),
+       |      'sum') AS BIGINT) AS fp
+       |  FROM fe),
+       |bands AS (
+       |  SELECT media_id, fp, unnest(range(0, $AFP_BANDS)) AS band
+       |  FROM fp),
+       |bv AS (
+       |  SELECT media_id, fp, band,
+       |    (fp >> CAST(band * $AFP_BAND_BITS AS INT))
+       |      & ${(1L << AFP_BAND_BITS) - 1} AS bval
+       |  FROM bands),
+       |ok AS (
+       |  SELECT band, bval FROM bv GROUP BY band, bval
+       |  HAVING count(*) BETWEEN 2 AND $AFP_BAND_CAP),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |    a.fp AS ha, b.fp AS hb
+       |  FROM bv a JOIN ok USING (band, bval) JOIN bv b USING (band, bval)
+       |  WHERE a.media_id < b.media_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $AFP_T
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q190's twin — [[graft.multimodal.Multimodal.audioFrameStats]]: the
     * frame slicing, per-frame integer features, and the below-file-mean
     * flag (`energy·n_frames < Σ energies`, an exact integer compare)

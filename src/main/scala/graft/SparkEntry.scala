@@ -352,6 +352,8 @@ object SparkEntry {
     "q192_quality_classifier"      -> (TextOps.qualityClassifier _),
     // ---- round 10: CCNet line-level dedup with doc reconstruction ----
     "q193_line_dedup"              -> (TextOps.lineDedup _),
+    // ---- round 10: audio perceptual fingerprint near-dup ----
+    "q194_audio_pdup_pairs"        -> (graft.multimodal.Multimodal.audioPdupPairs _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -600,6 +602,7 @@ object SparkEntry {
     "q191_domain_gate" -> OracleTwins.domainGate,
     "q192_quality_classifier" -> OracleTwins.qualityClassifier,
     "q193_line_dedup" -> OracleTwins.lineDedup,
+    "q194_audio_pdup_pairs" -> OracleTwins.audioPdupPairs,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

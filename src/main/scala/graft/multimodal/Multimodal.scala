@@ -471,6 +471,127 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  // ======== Audio perceptual fingerprint (Haitsma–Kalker-shaped) ========
+
+  /** q194 fingerprint geometry: 56 energy-delta sign bits over
+    * [[AUDIO_FRAME_N]]-sample frames (bit j = e_{j+1} > e_j — the
+    * frame-energy analog of the Haitsma–Kalker sign-of-band-energy-delta
+    * audio fingerprint), banded exactly like the image dHash
+    * (4×14 bits, df cap, verify threshold). 56 bits keeps the sign bit
+    * clear — the cross-engine bit-pack law of q186. */
+  val AFP_BITS = 56
+  val AFP_BANDS = 4
+  val AFP_BAND_BITS = 14
+  val AFP_BAND_CAP = 16
+  val AFP_T = 2
+
+  /** q194 corpus: longer waveforms than q183 (a 56-bit delta fingerprint
+    * needs ≥ 57 frames). The quadratic term matters: a PURELY linear
+    * generator makes every sample depend on (doc, i) only through one
+    * phase c = 31·doc + 17·i, so frame energies become a smooth function
+    * of c, delta-sign bits come in long runs, fingerprints collapse into
+    * a handful of values, and the df cap (correctly!) drops the
+    * degenerate buckets — 0 candidate pairs. i² decorrelates the wrap
+    * points across docs. */
+  def synthAudioLong(docId: Long, nChars: Long): WavCodec.WavAudio = {
+    val n = (nChars % 256 + 928).toInt
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val iq = (i.toLong * i.toLong) % 4096L
+      s(i) = (((docId * 31L + i.toLong * 17L + iq * 13L) % 4096L) - 2048L)
+        .toShort
+      i += 1
+    }
+    WavCodec.WavAudio(16000, s)
+  }
+
+  /** 56-bit energy-delta fingerprint of a decoded waveform. */
+  def audioFingerprint(a: WavCodec.WavAudio): Long = {
+    val nf = a.samples.length / AUDIO_FRAME_N
+    val e = new Array[Long](nf)
+    var j = 0
+    while (j < nf) {
+      var (acc, k) = (0L, 0)
+      while (k < AUDIO_FRAME_N) {
+        val s = a.samples(j * AUDIO_FRAME_N + k).toLong
+        acc += s * s
+        k += 1
+      }
+      e(j) = acc
+      j += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < AFP_BITS) {
+      if (e(b + 1) > e(b)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
+  /** Fingerprint corpus: every doc's waveform through the REAL wire
+    * round trip, plus (a) an exact re-encode copy for doc_id %4==0 —
+    * byte-identical PCM, so its fingerprint MUST collide (tier-1 exact
+    * dup through the codec, not through arithmetic) — and (b) a
+    * "retouched" copy for doc_id %3==0 with frame 1 amplified by +64:
+    * only e_1 changes, so at most bits 0 and 1 flip — hamming ≤ 2,
+    * confined to band 0, so band agreement always proposes the pair.
+    * media_id = doc_id·4 + kind. Map-only (narrow). */
+  private def afpDataset(spark: SparkSession, dir: String)
+      : Dataset[(Long, Long)] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        val orig = WavCodec.decode(WavCodec.encode(synthAudioLong(id, nc)))
+        val out = scala.collection.mutable.ArrayBuffer(
+          (id * 4, audioFingerprint(orig)))
+        if (id % 4 == 0)
+          out += ((id * 4 + 1,
+            audioFingerprint(WavCodec.decode(WavCodec.encode(orig)))))
+        if (id % 3 == 0) {
+          val r = orig.samples.clone()
+          var k = AUDIO_FRAME_N
+          while (k < 2 * AUDIO_FRAME_N) { r(k) = (r(k) + 64).toShort; k += 1 }
+          out += ((id * 4 + 2, audioFingerprint(WavCodec.decode(
+            WavCodec.encode(WavCodec.WavAudio(orig.sampleRate, r))))))
+        }
+        out
+      })
+  }
+
+  /** q194: audio NEAR-dup pairs — the banded-hamming scheme of q188
+    * applied to the audio fingerprint: band agreement proposes
+    * (df-capped, so a degenerate bucket can't go quadratic), codegen'd
+    * `bit_count(a^b)` ≤ [[AFP_T]] disposes. The oracle regenerates every
+    * fingerprint arithmetically (including the retouched frame) while
+    * Spark reaches them only through the real RIFF/WAVE round trip. */
+  def audioPdupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = afpDataset(spark, dir)
+      .flatMap { case (id, h) =>
+        (0 until AFP_BANDS).map { b =>
+          (id, h, b, (h >>> (b * AFP_BAND_BITS)) & ((1L << AFP_BAND_BITS) - 1))
+        }
+      }.toDF("id", "fp", "band", "bval")
+    val ok = bands.groupBy("band", "bval").count()
+      .filter(col("count").between(2, AFP_BAND_CAP)).drop("count")
+    val b2 = bands.join(ok, Seq("band", "bval"))
+    val a = b2.select(col("band"), col("bval"),
+      col("id").as("id_a"), col("fp").as("ha"))
+    val b = b2.select(col("band"), col("bval"),
+      col("id").as("id_b"), col("fp").as("hb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("dist",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("dist") <= AFP_T)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   final case class MediaFrame(
     media_id: Long, frame_no: Long, frame: Array[Byte])
 

@@ -290,4 +290,54 @@ class MultimodalSpec extends SparkSpecBase {
         r.getLong(6) == sums(2))
     }
   }
+
+  test("audioPdupPairs: distances match a driver-side fingerprint " +
+      "recompute; planted codec copies collide at 0, retouch at <= 2") {
+    import graft.multimodal.{Multimodal => M, WavCodec}
+    val nChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side replica of the corpus: media_id -> fingerprint
+    val fps = nChars.flatMap { case (id, nc) =>
+      val orig = WavCodec.decode(WavCodec.encode(M.synthAudioLong(id, nc)))
+      val base = Seq((id * 4, M.audioFingerprint(orig)))
+      val cpy = if (id % 4 == 0)
+        Seq((id * 4 + 1, M.audioFingerprint(orig))) else Nil
+      val ret = if (id % 3 == 0) {
+        val r = orig.samples.clone()
+        for (k <- M.AUDIO_FRAME_N until 2 * M.AUDIO_FRAME_N)
+          r(k) = (r(k) + 64).toShort
+        Seq((id * 4 + 2,
+          M.audioFingerprint(WavCodec.WavAudio(orig.sampleRate, r))))
+      } else Nil
+      base ++ cpy ++ ret
+    }
+    val pairs = M.audioPdupPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    val got = pairs.map(p => (p.getLong(0), p.getLong(1)) -> p.getLong(2))
+      .toMap
+    assert(got.size == pairs.length, "ordered, duplicate-free pairs")
+    got.foreach { case ((a, b), d) =>
+      assert(a < b)
+      assert(d == java.lang.Long.bitCount(fps(a) ^ fps(b)).toLong)
+      assert(d <= M.AFP_T)
+      assert((0 until M.AFP_BANDS).exists { bi =>
+        ((fps(a) >>> (bi * M.AFP_BAND_BITS)) &
+          ((1L << M.AFP_BAND_BITS) - 1)) ==
+          ((fps(b) >>> (bi * M.AFP_BAND_BITS)) &
+            ((1L << M.AFP_BAND_BITS) - 1))
+      }, "band agreement proposed the pair")
+    }
+    // the exact codec-copy plant MUST surface at distance 0 whenever its
+    // band bucket survives the df cap; check at least one did, and that
+    // every surfaced copy pair is distance 0
+    val copyPairs = got.collect {
+      case ((a, b), d) if b == a + 1 && a % 4 == 0 => d }
+    assert(copyPairs.nonEmpty && copyPairs.forall(_ == 0L))
+    // retouched plants that surfaced: hamming confined to bits 0..1
+    got.foreach { case ((a, b), d) =>
+      if (b == a + 2 && a % 4 == 0 && (a / 4) % 3 == 0)
+        assert((fps(a) ^ fps(b)) < 4L)
+    }
+  }
 }
