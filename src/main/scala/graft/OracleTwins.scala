@@ -3083,6 +3083,46 @@ object OracleTwins {
        |    (ka, kx) -> ka + kx) AS BIGINT) AS kept_tokens
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** q195's twin — [[graft.engine.TextOps.kmvDistinctShingles]]: the KMV
+    * sketch is a deterministic function of the hash SET, so the oracle
+    * rebuilds it as a plain bottom-k window over distinct shingle hashes,
+    * merges the per-source bottom-k lists for the `__all__` row exactly
+    * as the Spark side merges sketches, and replays the integer
+    * estimator. */
+  val kmvDistinctShingles: String = {
+    val K = graft.engine.TextOps.KMV_K
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT source, unnest(${shingleHashes("w")}) AS h FROM toks),
+       |dist AS (SELECT DISTINCT source, h FROM sh),
+       |rk AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+       |  FROM dist),
+       |sk AS (SELECT source, h, r FROM rk WHERE r <= $K),
+       |au AS (SELECT DISTINCT h FROM sk),
+       |ark AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM au),
+       |ask AS (
+       |  SELECT '__all__' AS source, h, r FROM ark WHERE r <= $K),
+       |u AS (SELECT * FROM sk UNION ALL SELECT * FROM ask),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS sketch_n,
+       |    CAST(max(CASE WHEN r = $K THEN h END) AS BIGINT) AS mk
+       |  FROM u GROUP BY source),
+       |ex AS (
+       |  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+       |  FROM sh GROUP BY source
+       |  UNION ALL
+       |  SELECT '__all__', CAST(count(DISTINCT h) AS BIGINT) FROM sh)
+       |SELECT a.source, n_exact, sketch_n, mk,
+       |  CASE WHEN sketch_n < $K THEN sketch_n
+       |       ELSE CAST(${K - 1} AS BIGINT) * $P // mk END AS est_distinct
+       |FROM agg a JOIN ex USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** q194's twin — [[graft.multimodal.Multimodal.audioPdupPairs]]: the
     * long-waveform corpus with its re-encode and retouched variants, the
     * 56 energy-delta sign bits, and the banding/cap/threshold replayed

@@ -354,6 +354,8 @@ object SparkEntry {
     "q193_line_dedup"              -> (TextOps.lineDedup _),
     // ---- round 10: audio perceptual fingerprint near-dup ----
     "q194_audio_pdup_pairs"        -> (graft.multimodal.Multimodal.audioPdupPairs _),
+    // ---- round 10: deterministic KMV cardinality sketch + merge ----
+    "q195_kmv_distinct"            -> (TextOps.kmvDistinctShingles _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -603,6 +605,7 @@ object SparkEntry {
     "q192_quality_classifier" -> OracleTwins.qualityClassifier,
     "q193_line_dedup" -> OracleTwins.lineDedup,
     "q194_audio_pdup_pairs" -> OracleTwins.audioPdupPairs,
+    "q195_kmv_distinct" -> OracleTwins.kmvDistinctShingles,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFns, VecFns}
+import graft.functions.{KmvAgg, KmvIn, TextFns, VecFns}
 
 /** Text-analysis operators over the `documents` table — language stats,
   * heuristic language ID, quality scoring, document fingerprinting
@@ -1789,5 +1789,60 @@ object TextOps {
           (acc, ln) => acc + size(split(ln, " ")).cast("long"))
           .as("kept_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** q195 sketch width: k smallest distinct hashes per group. 64 keeps
+    * the estimator honest at the test SFs (per-source distinct shingle
+    * counts are in the thousands, well past k) while the state stays 512
+    * bytes per group at ANY corpus size. */
+  val KMV_K = 64
+
+  /** q195: deterministic cardinality sketch — per-source distinct
+    * shingle-vocabulary estimates from a k-minimum-values sketch
+    * ([[graft.functions.KmvAgg]]), plus a `__all__` corpus row built by
+    * MERGING the per-source sketches (explode + re-aggregate over ≤ k·|
+    * sources| sketch entries — never a corpus rescan). The exact distinct
+    * counts ride alongside as the validation column the sketch replaces
+    * at scale; the estimate itself is `(k-1)·P div m_k` in pure integer
+    * arithmetic, so — unlike the HLL/KLL estimates of q55, which only
+    * support verdict-style gating — every cell here hash-matches a
+    * DuckDB replay (bottom-k window + the same division).
+    *
+    * Scale shape: the sketch path is one map-side-combined aggregation
+    * carrying ≤ k longs per group; the merge row costs k·|sources| rows.
+    * The exact path (distinct + count) is the expensive twin retained for
+    * verification — at deployment scale it is dropped, which is the whole
+    * point of the sketch. */
+  def kmvDistinctShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = spread(documents(spark, dir))
+      .select(col("source"),
+        explode(TextFns.shingleHashes(col("text"))).as("h"))
+      .localCheckpoint() // feeds the sketch and both exact branches once
+    val perSrc = hashed.select(col("source").as("g"), col("h")).as[KmvIn]
+      .groupByKey(_.g).agg(new KmvAgg(KMV_K).toColumn.name("sk"))
+      .toDF("source", "sk")
+    val merged = perSrc
+      .select(lit("__all__").as("g"), explode(col("sk.hs")).as("h"))
+      .as[KmvIn]
+      .groupByKey(_.g).agg(new KmvAgg(KMV_K).toColumn.name("sk"))
+      .toDF("source", "sk")
+    val exact = hashed.select(col("source"), col("h")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val exactAll = hashed.select(col("h")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
+      .select(lit("__all__").as("source"), col("n_exact"))
+    perSrc.unionByName(merged)
+      .join(exact.unionByName(exactAll), Seq("source"))
+      .withColumn("sketch_n", size(col("sk.hs")).cast("long"))
+      .withColumn("mk",
+        when(col("sketch_n") === KMV_K, element_at(col("sk.hs"), KMV_K))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("est_distinct",
+        when(col("sketch_n") < KMV_K, col("sketch_n"))
+          .otherwise(expr(
+            s"CAST(${KMV_K - 1} AS BIGINT) * ${TextFns.P}L div mk")))
+      .select("source", "n_exact", "sketch_n", "mk", "est_distinct")
+      .orderBy("source")
   }
 }

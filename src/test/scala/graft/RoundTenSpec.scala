@@ -285,6 +285,46 @@ class RoundTenSpec extends SparkSpecBase {
       "at least one doc must actually lose a line")
   }
 
+  test("kmvDistinctShingles: sketches are exact bottom-k sets, the " +
+      "merged __all__ sketch equals the global sketch, estimator is " +
+      "order-free deterministic") {
+    import graft.functions.TextFns
+    val rows = TextOps.kmvDistinctShingles(spark, sf).collect()
+    val bySrc = rows.map(r => r.getString(0) -> r).toMap
+    assert(bySrc.contains("__all__") && bySrc.size >= 2)
+    // driver-side replica: per-source distinct hash sets
+    val hs = Tables.documents(spark, sf)
+      .select(col("source"), explode(TextFns.shingleHashes(col("text")))
+        .as("h")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (s, v) => s -> v.map(_._2).distinct.sorted.toSeq }
+    val globalSet: Seq[Long] =
+      hs.values.flatten.toSeq.distinct.sorted
+    rows.foreach { r =>
+      val (src, nExact, sketchN) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      val set: Seq[Long] = if (src == "__all__") globalSet else hs(src)
+      assert(nExact == set.length.toLong)
+      assert(sketchN == math.min(TextOps.KMV_K.toLong, set.length))
+      if (sketchN == TextOps.KMV_K) {
+        // m_k IS the k-th smallest distinct hash — for __all__ this is
+        // the mergeability theorem: bottom-k of the union of per-source
+        // bottom-k sets == bottom-k of the union of the full sets
+        assert(r.getLong(3) == set(TextOps.KMV_K - 1))
+        assert(r.getLong(4) ==
+          (TextOps.KMV_K - 1).toLong * TextFns.P / set(TextOps.KMV_K - 1))
+      } else assert(r.isNullAt(3) && r.getLong(4) == nExact)
+    }
+    // per-source estimates land in a sane KMV band (k=64 → ~12% stderr;
+    // allow 4σ) — a collapsed/biased hash would blow far past this
+    bySrc.filter(_._1 != "__all__").values.foreach { r =>
+      val (exact, est) = (r.getLong(1).toDouble, r.getLong(4).toDouble)
+      assert(est > exact * 0.5 && est < exact * 2.0,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("stratifiedEvalSample: the two-phase cut COVERS every language's " +
       "quota on the gated corpora (coverage is probabilistic by design)") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
