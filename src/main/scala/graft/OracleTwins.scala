@@ -2853,6 +2853,63 @@ object OracleTwins {
        |FROM k ORDER BY media_id, frame_no""".stripMargin
   }
 
+  /** q196's twin — [[graft.multimodal.Multimodal.videoPdupPairs]]: the
+    * variant corpus (exact copy, one-byte retouch with its >32-byte
+    * guard), q185's frame slicing/checksum arithmetic, the df-capped
+    * (frame_no, chk) posting buckets and the integer agreement-ppm
+    * verify, all replayed over the document bytes. */
+  val videoPdupPairs: String = {
+    import graft.multimodal.Multimodal.{FRAME_SIZE, FRAME_STRIDE,
+      VID_CAP, VID_T_PPM}
+    val F = FRAME_SIZE
+    s"""WITH v AS (
+       |  SELECT doc_id, text, length(text) AS L FROM documents
+       |  WHERE doc_id % 3 = 2),
+       |m AS (
+       |  SELECT doc_id*4 AS vid, text, L, 0 AS pert FROM v
+       |  UNION ALL
+       |  SELECT doc_id*4+1, text, L, 0 FROM v WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id*4+2, text, L,
+       |    CASE WHEN L > ${2 * F} THEN 1 ELSE 0 END
+       |  FROM v WHERE doc_id % 5 = 0),
+       |f AS (
+       |  SELECT vid, text, pert, unnest(range(0, L // $F)) AS fno
+       |  FROM m),
+       |k AS (
+       |  SELECT vid, CAST(fno AS BIGINT) AS frame_no,
+       |    CAST(list_reduce(list_prepend(7, list_transform(
+       |      range(1, $F + 1),
+       |      fi -> CAST(ascii(substr(text,
+       |              CAST(fno * $F + fi AS INT), 1)) AS BIGINT)
+       |            + CASE WHEN pert = 1 AND fno * $F + fi = ${2 * F + 1}
+       |                   THEN 1 ELSE 0 END)),
+       |      (fa, fx) -> (fa*31 + fx) % $P) AS BIGINT) AS chk
+       |  FROM f WHERE fno % $FRAME_STRIDE = 0),
+       |nf AS (SELECT vid, CAST(count(*) AS BIGINT) AS nf FROM k
+       |       GROUP BY vid),
+       |ok AS (
+       |  SELECT frame_no, chk FROM k GROUP BY frame_no, chk
+       |  HAVING count(*) BETWEEN 2 AND $VID_CAP),
+       |b AS (SELECT k.* FROM k JOIN ok USING (frame_no, chk)),
+       |cand AS (
+       |  SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+       |  FROM b x JOIN b y USING (frame_no, chk) WHERE x.vid < y.vid),
+       |mt AS (
+       |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_match
+       |  FROM cand c
+       |  JOIN k ka ON ka.vid = c.id_a
+       |  JOIN k kb ON kb.vid = c.id_b AND kb.frame_no = ka.frame_no
+       |  WHERE ka.chk = kb.chk GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, n_match,
+       |  greatest(na.nf, nb.nf) AS n_frames,
+       |  CAST(n_match * 1000000 // greatest(na.nf, nb.nf) AS BIGINT)
+       |    AS match_ppm
+       |FROM mt JOIN nf na ON na.vid = id_a JOIN nf nb ON nb.vid = id_b
+       |WHERE n_match * 1000000 // greatest(na.nf, nb.nf) >= $VID_T_PPM
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Shared generative CTE of the q186–q188 twins: the dHash of every
     * synthetic raster regenerated ARITHMETICALLY — byte p =
     * (doc_id·31 + p·7) mod 256, nearest-neighbour index math

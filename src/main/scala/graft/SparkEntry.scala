@@ -356,6 +356,8 @@ object SparkEntry {
     "q194_audio_pdup_pairs"        -> (graft.multimodal.Multimodal.audioPdupPairs _),
     // ---- round 10: deterministic KMV cardinality sketch + merge ----
     "q195_kmv_distinct"            -> (TextOps.kmvDistinctShingles _),
+    // ---- round 10: video near-dup via frame-fingerprint matching ----
+    "q196_video_pdup_pairs"        -> (graft.multimodal.Multimodal.videoPdupPairs _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -606,6 +608,7 @@ object SparkEntry {
     "q193_line_dedup" -> OracleTwins.lineDedup,
     "q194_audio_pdup_pairs" -> OracleTwins.audioPdupPairs,
     "q195_kmv_distinct" -> OracleTwins.kmvDistinctShingles,
+    "q196_video_pdup_pairs" -> OracleTwins.videoPdupPairs,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -644,4 +644,97 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "n_bytes", "sum_bytes", "checksum")
       .orderBy("media_id", "frame_no")
   }
+
+  // ======== Video perceptual near-dup (frame-fingerprint matching) ========
+
+  /** q196 geometry: videos match when at least [[VID_T_PPM]] ppm of their
+    * ALIGNED frame fingerprints agree; a (frame_no, checksum) posting
+    * bucket proposes pairs only while it holds ≤ [[VID_CAP]] videos (the
+    * same df-cap law as every banded channel — a ubiquitous frame, e.g. a
+    * black/intro frame in deployment, must not go quadratic). */
+  val VID_CAP = 8
+  val VID_T_PPM = 800000L
+
+  /** Per-variant frame fingerprints of the q196 corpus: every `video` row
+    * of the media table (kind = video, payload = the doc's bytes) through
+    * the [[FRAME_SIZE]]/[[FRAME_STRIDE]] sampling of q185, each kept frame
+    * reduced to its rolling checksum — plus (a) an exact copy for
+    * media_id %4==0 (all fingerprints equal) and (b) a "re-encoded" copy
+    * for media_id %5==0 with ONE byte retouched (+1 at offset
+    * 2·FRAME_SIZE, the first byte of kept frame 2), so exactly one kept
+    * fingerprint can differ. vid = media_id·4 + variant. Map-only fan-out
+    * — frames expand BEFORE any shuffle, the q185 law. */
+  /** Kept-frame rolling checksums of one payload (the q185 kernel as a
+    * module method — module calls inside closures serialize capture-free). */
+  def frameChecksums(payload: Array[Byte], vid: Long)
+      : Seq[(Long, Long, Long)] =
+    (0 until payload.length / FRAME_SIZE by FRAME_STRIDE).map { f =>
+      var acc = 7L
+      var i = f * FRAME_SIZE
+      while (i < (f + 1) * FRAME_SIZE) {
+        acc = (acc * 31L + (payload(i) & 0xff)) % TextFns.P
+        i += 1
+      }
+      (vid, f.toLong, acc)
+    }
+
+  private def vidFrames(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    mediaDataset(spark, dir).filter(col("kind") === "video")
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { m =>
+        val base = frameChecksums(m.payload, m.media_id * 4)
+        val cpy = if (m.media_id % 4 == 0)
+          frameChecksums(m.payload, m.media_id * 4 + 1) else Nil
+        val ret = if (m.media_id % 5 == 0) {
+          val p = m.payload.clone()
+          if (p.length > 2 * FRAME_SIZE)
+            p(2 * FRAME_SIZE) = (p(2 * FRAME_SIZE) + 1).toByte
+          frameChecksums(p, m.media_id * 4 + 2)
+        } else Nil
+        base ++ cpy ++ ret
+      }).toDF("vid", "frame_no", "chk")
+  }
+
+  /** q196: video near-dup pairs by frame-fingerprint matching — the video
+    * leg of the perceptual-dedup triangle (image q188, audio q194): an
+    * inverted index on (frame_no, checksum) proposes candidate pairs
+    * (df-capped buckets, never all-pairs), and candidates verify by the
+    * aligned-frame agreement ratio `n_match·10⁶ div max(n_a, n_b)` in
+    * exact integer ppm. The exact-copy plants must verify at 10⁶ ppm; the
+    * one-byte retouch at (n−1)/n of its kept frames.
+    *
+    * Scale shape: frame fan-out is map-only; one (frame_no, chk) shuffle
+    * builds the postings; the verify join touches only candidate pairs'
+    * frame rows (∝ candidates × frames-per-video, bounded by the bucket
+    * cap) — the corpus never self-joins. */
+  def videoPdupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fr = vidFrames(spark, dir).localCheckpoint() // postings + verify
+    val nf = fr.groupBy("vid").agg(count(lit(1)).as("nf"))
+    val ok = fr.groupBy("frame_no", "chk").count()
+      .filter(col("count").between(2, VID_CAP)).drop("count")
+    val b = fr.join(ok, Seq("frame_no", "chk"))
+    val cand = b.select(col("frame_no"), col("chk"), col("vid").as("id_a"))
+      .join(b.select(col("frame_no"), col("chk"), col("vid").as("id_b")),
+        Seq("frame_no", "chk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val matches = cand
+      .join(fr.select(col("vid").as("id_a"), col("frame_no"),
+        col("chk").as("ca")), Seq("id_a"))
+      .join(fr.select(col("vid").as("id_b"), col("frame_no"),
+        col("chk").as("cb")), Seq("id_b", "frame_no"))
+      .filter(col("ca") === col("cb"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_match"))
+    matches
+      .join(nf.select(col("vid").as("id_a"), col("nf").as("na")), Seq("id_a"))
+      .join(nf.select(col("vid").as("id_b"), col("nf").as("nb")), Seq("id_b"))
+      .withColumn("match_ppm",
+        expr("n_match * 1000000L div greatest(na, nb)"))
+      .filter(col("match_ppm") >= VID_T_PPM)
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        greatest(col("na"), col("nb")).as("n_frames"), col("match_ppm"))
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -340,4 +340,55 @@ class MultimodalSpec extends SparkSpecBase {
         assert((fps(a) ^ fps(b)) < 4L)
     }
   }
+
+  test("videoPdupPairs: agreement ratios match a driver-side frame " +
+      "replay; exact copies verify at 1e6 ppm, retouches lose <= 1 frame") {
+    import graft.multimodal.{Multimodal => M}
+    // driver-side replica of the variant corpus: vid -> frame checksums
+    val frames: Map[Long, Seq[(Long, Long, Long)]] =
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") % 3 === 2)
+        .select("doc_id", "text").collect()
+        .flatMap { r =>
+          val (id, p) = (r.getLong(0), r.getString(1).getBytes("US-ASCII"))
+          val base: Seq[(Long, Seq[(Long, Long, Long)])] =
+            Seq(id * 4 -> M.frameChecksums(p, id * 4))
+          val cpy = if (id % 4 == 0)
+            Seq(id * 4 + 1 -> M.frameChecksums(p, id * 4 + 1)) else Nil
+          val ret = if (id % 5 == 0) {
+            val q = p.clone()
+            if (q.length > 2 * M.FRAME_SIZE)
+              q(2 * M.FRAME_SIZE) = (q(2 * M.FRAME_SIZE) + 1).toByte
+            Seq(id * 4 + 2 -> M.frameChecksums(q, id * 4 + 2))
+          } else Nil
+          base ++ cpy ++ ret
+        }.toMap
+    val pairs = M.videoPdupPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b)
+      val (fa, fb) = (frames(a), frames(b))
+      val match_ = fa.map(f => (f._2, f._3)).toSet
+        .intersect(fb.map(f => (f._2, f._3)).toSet).size.toLong
+      val nFrames = math.max(fa.length, fb.length).toLong
+      assert(r.getLong(2) == match_ && r.getLong(3) == nFrames)
+      assert(r.getLong(4) == match_ * 1000000L / nFrames)
+      assert(r.getLong(4) >= M.VID_T_PPM)
+    }
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    // every surfaced exact-copy plant verifies at exactly 1e6 ppm
+    val copies = byPair.collect { case ((a, b), ppm)
+      if b == a + 1 && a % 4 == 0 => ppm }
+    assert(copies.nonEmpty && copies.forall(_ == 1000000L))
+    // surfaced retouch plants lose at most one kept frame
+    byPair.foreach { case ((a, b), _) =>
+      if (b == a + 2 && a % 4 == 0) {
+        val (fa, fb) = (frames(a), frames(b))
+        val diff = fa.zip(fb).count { case (x, y) => x._3 != y._3 }
+        assert(diff <= 1)
+      }
+    }
+  }
 }
