@@ -448,12 +448,16 @@ object Multimodal {
     * the same generative hashes. */
   def imagePdupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // materialize the banded fingerprints ONCE: the encode→parse→resize
+    // decode pass is the expensive stage, and the df gate + both join
+    // sides fan out from it — without the checkpoint each branch re-runs
+    // the decode over the full corpus (plan-audited: 7 corpus scans)
     val bands = dhashDataset(spark, dir)
       .flatMap { case (id, h, _) =>
         (0 until DHASH_BANDS).map { b =>
           (id, h, b, (h >>> (b * DHASH_BAND_BITS)) & ((1L << DHASH_BAND_BITS) - 1))
         }
-      }.toDF("id", "dhash", "band", "bval")
+      }.toDF("id", "dhash", "band", "bval").localCheckpoint()
     val ok = bands.groupBy("band", "bval").count()
       .filter(col("count").between(2, DHASH_BAND_CAP)).drop("count")
     val b2 = bands.join(ok, Seq("band", "bval"))
@@ -569,12 +573,14 @@ object Multimodal {
     * Spark reaches them only through the real RIFF/WAVE round trip. */
   def audioPdupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one materialized decode pass feeds the gate and both join sides —
+    // the WAV round trip must never re-run per branch (the q188 law)
     val bands = afpDataset(spark, dir)
       .flatMap { case (id, h) =>
         (0 until AFP_BANDS).map { b =>
           (id, h, b, (h >>> (b * AFP_BAND_BITS)) & ((1L << AFP_BAND_BITS) - 1))
         }
-      }.toDF("id", "fp", "band", "bval")
+      }.toDF("id", "fp", "band", "bval").localCheckpoint()
     val ok = bands.groupBy("band", "bval").count()
       .filter(col("count").between(2, AFP_BAND_CAP)).drop("count")
     val b2 = bands.join(ok, Seq("band", "bval"))
