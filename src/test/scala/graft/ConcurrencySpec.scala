@@ -47,7 +47,10 @@ class ConcurrencySpec extends SparkSpecBase {
       // must hand every concurrent caller ONE materialized lineage);
       // the rest are stateless calibration reads
       "q174_weighted_sample", "q176_source_overlap", "q177_dsir_weights",
-      "q178_image_decode", "q180_stream_curated", "q182_hash_index_probe")
+      "q178_image_decode", "q180_stream_curated", "q182_hash_index_probe",
+      // round-10 late additions: stateless perceptual/sketch reads whose
+      // localCheckpointed corpora must not cross-talk between callers
+      "q194_audio_pdup_pairs", "q195_kmv_distinct", "q196_video_pdup_pairs")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq
