@@ -131,6 +131,20 @@ object OracleTwins {
        |       <> (doc_b % ${graft.engine.Dedup.DELTA_MOD} = 0))
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q197's twin — [[graft.streaming.DedupStream.streamNearDupProbe]]:
+    * the batch semantics of the whole streaming near-dup lifecycle. The
+    * replay builds the index over the %3==0 slice and streams slices 1
+    * and 2 in order, so the landed output must be the full-corpus pair
+    * set MINUS base-internal pairs, each pair stamped with the batch of
+    * its later-arriving member — `greatest(doc_a%3, doc_b%3)`. */
+  val streamNearDup: String =
+    s"""WITH $minhashPairsCte
+       |SELECT doc_a, doc_b, jaccard,
+       |  CAST(greatest(doc_a % 3, doc_b % 3) AS BIGINT) AS batch
+       |FROM pairs
+       |WHERE jaccard >= 0.8 AND NOT (doc_a % 3 = 0 AND doc_b % 3 = 0)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q150's twin: the near-dup pair CTE mapped to canonicalized source
     * pairs with fixed-point Jaccard mass. */
   val sourcePairDups: String =

@@ -358,6 +358,8 @@ object SparkEntry {
     "q195_kmv_distinct"            -> (TextOps.kmvDistinctShingles _),
     // ---- round 10: video near-dup via frame-fingerprint matching ----
     "q196_video_pdup_pairs"        -> (graft.multimodal.Multimodal.videoPdupPairs _),
+    // ---- round 10: streaming near-dup lifecycle, oracle-gated ----
+    "q197_stream_neardup"          -> (graft.streaming.DedupStream.streamNearDupProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -609,6 +611,7 @@ object SparkEntry {
     "q194_audio_pdup_pairs" -> OracleTwins.audioPdupPairs,
     "q195_kmv_distinct" -> OracleTwins.kmvDistinctShingles,
     "q196_video_pdup_pairs" -> OracleTwins.videoPdupPairs,
+    "q197_stream_neardup" -> OracleTwins.streamNearDup,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

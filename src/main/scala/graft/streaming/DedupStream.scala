@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.engine.IndexMaintenance
@@ -114,4 +115,68 @@ object DedupStream {
         }
       }
       .start()
+
+  /** (out dir) of each materialized near-dup replay lineage, keyed by
+    * corpus dir — the replay streams once per corpus per session
+    * (the q180 `computeIfAbsent` contract: every concurrent caller gets
+    * ONE lineage). */
+  private[graft] val probeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q197: the streaming near-dup lifecycle, oracle-gated end-to-end. A
+    * FIXED micro-batch sequence is forced from the static corpus — the
+    * band index builds over the `doc_id %3 == 0` slice (increment 0),
+    * then slices 1 and 2 stream through [[nearDupSink]] as single-file
+    * micro-batches in pinned arrival order (distinct mtimes + name
+    * order) — exercising the REAL lifecycle: per-batch index probe
+    * (file-pruned band buckets), within-batch self-dedup, exactly-once
+    * batch-keyed pair landing, per-batch index append. The read-back is
+    * every landed pair WITH its batch key; the DuckDB twin is the batch
+    * semantics — the full-corpus near-dup pair set minus base-internal
+    * pairs, each pair stamped `greatest(doc_a%3, doc_b%3)` — so the gate
+    * pins not just the final pair SET (a lost index append or skipped
+    * self-join drops rows) but the exactly-once emission LAW: every pair
+    * must land in (and only in) the micro-batch that delivered its
+    * later-arriving member. */
+  def streamNearDupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = probeState.computeIfAbsent(dir, _ =>
+      runNearDupLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("batch").cast("long").as("batch"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def runNearDupLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.{Dedup, Tables}
+    import org.apache.hadoop.fs.Path
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "stream-nd-index")
+    val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-nd-in")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-nd-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-nd-ckpt")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0), indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(inDir).getFileSystem(conf)
+    fs.mkdirs(new Path(inDir))
+    (1 to 2).foreach { s =>
+      val tmp = IndexMaintenance.scratchIndexDir(spark, s"stream-nd-slice$s")
+      docs.filter(col("doc_id") % 3 === s)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new Path(s"$inDir/slice-$s.parquet")
+      fs.rename(part, dst)
+      fs.delete(new Path(tmp), true)
+      // pin arrival order structurally: strictly increasing mtimes, so
+      // the file source's oldest-first scheduling is deterministic even
+      // if both writes land in the same clock tick
+      fs.setTimes(dst, 1000000L + s * 60000L, -1L)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = nearDupSink(stream, indexDir, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
 }

@@ -116,6 +116,35 @@ class RoundTenSpec extends SparkSpecBase {
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("streamNearDupProbe: landed pairs equal the batch recompute minus " +
+      "base-internal pairs, each in its later member's micro-batch") {
+    import graft.streaming.DedupStream
+    val rows = DedupStream.streamNearDupProbe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = Dedup.minhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 3 != 0 || b % 3 != 0 }
+      .sortBy(p => (p._1, p._2))
+    val got = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(got.toSeq == expected.toSeq,
+      s"${got.length} streamed vs ${expected.length} expected")
+    // the emission law: a pair lands in its LATER member's batch
+    rows.foreach { r =>
+      assert(r.getLong(3) ==
+        math.max(r.getLong(0) % 3, r.getLong(1) % 3))
+    }
+    // non-vacuity: both micro-batches emitted, and some batch-2 pair has
+    // a batch-1 member (so it could ONLY come from an index increment
+    // appended by the earlier micro-batch — a lost append loses it)
+    assert(rows.map(_.getLong(3)).distinct.sorted.toSeq == Seq(1L, 2L))
+    assert(rows.exists(r => r.getLong(3) == 2 &&
+      (r.getLong(0) % 3 == 1 || r.getLong(1) % 3 == 1)))
+    // second call reuses the landed lineage and is byte-identical
+    val again = DedupStream.streamNearDupProbe(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("hashIndexProbe: verdicts partition the planted batch exactly, " +
       "canonicals point at the true first carriers") {
     import org.apache.spark.sql.functions.col
