@@ -3160,9 +3160,11 @@ object OracleTwins {
     * merges the per-source bottom-k lists for the `__all__` row exactly
     * as the Spark side merges sketches, and replays the integer
     * estimator. */
-  val kmvDistinctShingles: String = {
-    val K = graft.engine.TextOps.KMV_K
-    s"""WITH toks AS (
+  /** Shared CTE chain of the q195/q198 twins: per-source bottom-k of
+    * distinct shingle hashes, the `__all__` merge, and the per-sketch
+    * (sketch_n, mk) aggregate. */
+  private def kmvBaseCte(k: Int): String =
+    s"""toks AS (
        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
        |  FROM documents),
        |sh AS (
@@ -3172,16 +3174,20 @@ object OracleTwins {
        |  SELECT source, h,
        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
        |  FROM dist),
-       |sk AS (SELECT source, h, r FROM rk WHERE r <= $K),
+       |sk AS (SELECT source, h, r FROM rk WHERE r <= $k),
        |au AS (SELECT DISTINCT h FROM sk),
        |ark AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM au),
        |ask AS (
-       |  SELECT '__all__' AS source, h, r FROM ark WHERE r <= $K),
+       |  SELECT '__all__' AS source, h, r FROM ark WHERE r <= $k),
        |u AS (SELECT * FROM sk UNION ALL SELECT * FROM ask),
        |agg AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS sketch_n,
-       |    CAST(max(CASE WHEN r = $K THEN h END) AS BIGINT) AS mk
-       |  FROM u GROUP BY source),
+       |    CAST(max(CASE WHEN r = $k THEN h END) AS BIGINT) AS mk
+       |  FROM u GROUP BY source)""".stripMargin
+
+  val kmvDistinctShingles: String = {
+    val K = graft.engine.TextOps.KMV_K
+    s"""WITH ${kmvBaseCte(K)},
        |ex AS (
        |  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
        |  FROM sh GROUP BY source
@@ -3191,6 +3197,20 @@ object OracleTwins {
        |  CASE WHEN sketch_n < $K THEN sketch_n
        |       ELSE CAST(${K - 1} AS BIGINT) * $P // mk END AS est_distinct
        |FROM agg a JOIN ex USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  /** q198's twin — [[graft.engine.TextOps.kmvLifecycle]]: the oracle is
+    * the FULL-CORPUS bottom-k of q195 and never mentions increments —
+    * the served store result must equal it (the mergeability theorem
+    * across the build/append lifecycle). */
+  val kmvLifecycle: String = {
+    val K = graft.engine.TextOps.KMV_K
+    s"""WITH ${kmvBaseCte(K)}
+       |SELECT source, sketch_n, mk,
+       |  CASE WHEN sketch_n < $K THEN sketch_n
+       |       ELSE CAST(${K - 1} AS BIGINT) * $P // mk END AS est_distinct
+       |FROM agg
        |ORDER BY source""".stripMargin
   }
 

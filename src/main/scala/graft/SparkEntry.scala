@@ -360,6 +360,8 @@ object SparkEntry {
     "q196_video_pdup_pairs"        -> (graft.multimodal.Multimodal.videoPdupPairs _),
     // ---- round 10: streaming near-dup lifecycle, oracle-gated ----
     "q197_stream_neardup"          -> (graft.streaming.DedupStream.streamNearDupProbe _),
+    // ---- round 10: KMV sketch-store lifecycle (build/append/serve) ----
+    "q198_kmv_lifecycle"           -> (TextOps.kmvLifecycle _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -612,6 +614,7 @@ object SparkEntry {
     "q195_kmv_distinct" -> OracleTwins.kmvDistinctShingles,
     "q196_video_pdup_pairs" -> OracleTwins.videoPdupPairs,
     "q197_stream_neardup" -> OracleTwins.streamNearDup,
+    "q198_kmv_lifecycle" -> OracleTwins.kmvLifecycle,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -1845,4 +1845,83 @@ object TextOps {
       .select("source", "n_exact", "sketch_n", "mk", "est_distinct")
       .orderBy("source")
   }
+
+  /** Per-source sketch CONTENTS of a doc slice — the unit of the q198
+    * persisted sketch store: ≤ [[KMV_K]] (source, h) rows per source,
+    * computed from the slice alone. */
+  private def kmvSketchRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source").as("g"),
+        explode(TextFns.shingleHashes(col("text"))).as("h")).as[KmvIn]
+      .groupByKey(_.g).agg(new KmvAgg(KMV_K).toColumn.name("sk"))
+      .toDF("source", "sk")
+      .select(col("source"), explode(col("sk.hs")).as("h"))
+  }
+
+  /** Build-once half of the sketch-store lifecycle: increment 0, static
+    * overwrite, source-sorted files — the [[graft.engine.Dedup]] store
+    * contract applied to sketch state. */
+  def buildKmvStore(docs: DataFrame, storeDir: String): Unit =
+    writeKmvRows(kmvSketchRows(docs), storeDir, increment = 0L)
+
+  /** Append-an-increment half — the delta slice's OWN sketches (computed
+    * from the delta alone, the base corpus is never rescanned), dynamic
+    * overwrite so a replayed increment replaces itself (idempotent). */
+  def appendKmvStore(delta: DataFrame, storeDir: String,
+      increment: Long): Unit =
+    writeKmvRows(kmvSketchRows(delta), storeDir, increment)
+
+  private def writeKmvRows(rows: DataFrame, storeDir: String,
+      increment: Long): Unit =
+    rows.withColumn("increment", lit(increment))
+      .coalesce(1).sortWithinPartitions("source", "h")
+      .write.partitionBy("increment")
+      .option("partitionOverwriteMode",
+        if (increment == 0L) "static" else "dynamic")
+      .mode("overwrite").parquet(storeDir)
+
+  /** q198: the KMV sketch-store lifecycle end-to-end — build the
+    * per-source sketch store over the `doc_id %3 != 0` corpus
+    * (increment 0), append the `%3 == 0` delta's own sketches as
+    * increment 1, then SERVE merged estimates from the store alone:
+    * re-aggregate the ≤ k·increments rows per source with the same
+    * bounded aggregator, plus the `__all__` row merged from the served
+    * sketches. The oracle never mentions increments — it is the
+    * full-corpus bottom-k of q195 — so the gate IS the mergeability
+    * theorem across the store lifecycle: a lost increment, a double
+    * append, or a wrong merge all surface as a changed m_k.
+    *
+    * Scale shape: the serve path reads k·|sources|·increments short
+    * rows — sketch grain, never corpus grain; the corpus is touched
+    * only by the build/append passes, each one bounded-state
+    * map-side-combined aggregation over its own slice. */
+  def kmvLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = IndexMaintenance.scratchIndexDir(spark, "kmv-store")
+    val d = documents(spark, dir).select(col("doc_id"), col("source"),
+      col("text"))
+    buildKmvStore(d.filter(col("doc_id") % 3 =!= 0), store)
+    appendKmvStore(d.filter(col("doc_id") % 3 === 0), store, increment = 1L)
+    val served = spark.read.parquet(store)
+      .select(col("source").as("g"), col("h")).as[KmvIn]
+      .groupByKey(_.g).agg(new KmvAgg(KMV_K).toColumn.name("sk"))
+      .toDF("source", "sk").localCheckpoint()
+    val merged = served
+      .select(lit("__all__").as("g"), explode(col("sk.hs")).as("h"))
+      .as[KmvIn]
+      .groupByKey(_.g).agg(new KmvAgg(KMV_K).toColumn.name("sk"))
+      .toDF("source", "sk")
+    served.unionByName(merged)
+      .withColumn("sketch_n", size(col("sk.hs")).cast("long"))
+      .withColumn("mk",
+        when(col("sketch_n") === KMV_K, element_at(col("sk.hs"), KMV_K))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("est_distinct",
+        when(col("sketch_n") < KMV_K, col("sketch_n"))
+          .otherwise(expr(
+            s"CAST(${KMV_K - 1} AS BIGINT) * ${TextFns.P}L div mk")))
+      .select("source", "sketch_n", "mk", "est_distinct")
+      .orderBy("source")
+  }
 }

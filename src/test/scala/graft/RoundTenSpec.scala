@@ -354,6 +354,40 @@ class RoundTenSpec extends SparkSpecBase {
     }
   }
 
+  test("kmvLifecycle: the served store equals the full-corpus sketch " +
+      "(mergeability across increments), and a replayed append is a " +
+      "no-op") {
+    val served = TextOps.kmvLifecycle(spark, sf).collect()
+    // the lifecycle must reconstruct q195's sketch columns exactly —
+    // increments are an implementation detail the result cannot show
+    val full = TextOps.kmvDistinctShingles(spark, sf).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4)))).toMap
+    assert(served.length == full.size)
+    served.foreach { r =>
+      val (n, mk, est) = full(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert((if (r.isNullAt(2)) -1L else r.getLong(2)) == mk)
+      assert(r.getLong(3) == est)
+    }
+    // idempotence: re-appending the same increment (the crashed-batch
+    // replay) replaces its partition — the store and the serve result
+    // are unchanged
+    val store = graft.engine.IndexMaintenance.scratchIndexDir(
+      spark, "kmv-idem")
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    TextOps.buildKmvStore(d.filter(col("doc_id") % 3 =!= 0), store)
+    TextOps.appendKmvStore(d.filter(col("doc_id") % 3 === 0), store, 1L)
+    val once = spark.read.parquet(store).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    TextOps.appendKmvStore(d.filter(col("doc_id") % 3 === 0), store, 1L)
+    val twice = spark.read.parquet(store).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(once.toSeq == twice.toSeq)
+  }
+
   test("stratifiedEvalSample: the two-phase cut COVERS every language's " +
       "quota on the gated corpora (coverage is probabilistic by design)") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
