@@ -526,6 +526,29 @@ object OracleTwins {
        |  ${round6("cos")} AS cosine
        |FROM r WHERE rank <= ${Sim.TOP_K} ORDER BY probe_id, rank""".stripMargin
 
+  /** q199's twin — [[graft.engine.Sim.hardNegatives]]: the q20 scored
+    * join with the mining band applied before the rank window; cosines
+    * fold in the same IEEE order on both engines, so the literal band
+    * compare agrees bit-for-bit. */
+  val hardNegatives: String =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+       |  WHERE vec_id < ${Sim.N_PROBES}),
+       |scored AS (
+       |  SELECT probe_id, vec_id, ${cosine("pv", "embedding")} AS cos
+       |  FROM embeddings JOIN probes ON vec_id <> probe_id),
+       |banded AS (
+       |  SELECT * FROM scored
+       |  WHERE cos >= ${Sim.HN_LO} AND cos < ${Sim.HN_HI}),
+       |r AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+       |      AS rank
+       |  FROM banded)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  ${round6("cos")} AS cosine
+       |FROM r WHERE rank <= ${Sim.TOP_K} ORDER BY probe_id, rank""".stripMargin
+
   val lshBuckets: String =
     s"""WITH b AS (
        |  SELECT vec_id, CAST(${lshBucket("embedding")} AS BIGINT) AS bucket

@@ -362,6 +362,8 @@ object SparkEntry {
     "q197_stream_neardup"          -> (graft.streaming.DedupStream.streamNearDupProbe _),
     // ---- round 10: KMV sketch-store lifecycle (build/append/serve) ----
     "q198_kmv_lifecycle"           -> (TextOps.kmvLifecycle _),
+    // ---- round 10: contrastive hard-negative mining band ----
+    "q199_hard_negatives"          -> (Sim.hardNegatives _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -615,6 +617,7 @@ object SparkEntry {
     "q196_video_pdup_pairs" -> OracleTwins.videoPdupPairs,
     "q197_stream_neardup" -> OracleTwins.streamNearDup,
     "q198_kmv_lifecycle" -> OracleTwins.kmvLifecycle,
+    "q199_hard_negatives" -> OracleTwins.hardNegatives,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -65,6 +65,43 @@ object Sim {
       TOP_K)
   }
 
+  /** q199 band: a hard negative is a candidate whose cosine sits in
+    * [[HN_LO]], [[HN_HI]]) — above the easy-negative floor (random pairs
+    * teach nothing) but strictly below the near-dup ceiling (anything
+    * higher risks being an unlabeled positive). The classic mining band
+    * of contrastive embedding training (e.g. DPR/SimCSE-style hard
+    * negatives). */
+  val HN_LO = 0.15
+  val HN_HI = 0.6
+
+  /** q199: hard-negative mining — per probe, the top-k most-similar
+    * candidates INSIDE the band: the highest-value negatives a
+    * contrastive trainer can pair with the probe. Same scored join as
+    * [[embeddingTopK]] (probes broadcast, one dot fold per pair, norms
+    * precomputed per side) with the band predicate applied BEFORE the
+    * rank window, so the per-probe sort sees only band survivors — at
+    * deployment scale the band filter also gates what the ANN index
+    * probe returns (an IVF cell list scan with the same predicate), so
+    * the brute-force form here is the oracle-checkable baseline of the
+    * same plan family as q20/q52. Cross-engine exact: cosines are
+    * computed in the same IEEE order on both sides, so the band compare
+    * against literal bounds agrees bit-for-bit. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = spread(embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VecFns.norm2(col("embedding"))).as("nrm"))
+    val probes = e.filter(col("vec_id") < N_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pnrm"))
+    rankTopK(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (VecFns.dot(col("pv"), col("embedding")) / (col("pnrm") * col("nrm")))
+            .as("cos"))
+        .filter(col("cos") >= HN_LO && col("cos") < HN_HI),
+      TOP_K)
+  }
+
   /** Same result as [[embeddingTopK]] through the typed [[TopKAgg]]
     * Aggregator instead of a window: per-group bounded buffers (≤ k rows
     * cross partition boundaries) replace the materialize-and-sort-all

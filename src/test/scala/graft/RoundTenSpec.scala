@@ -388,6 +388,26 @@ class RoundTenSpec extends SparkSpecBase {
     assert(once.toSeq == twice.toSeq)
   }
 
+  test("hardNegatives: ranks dense per probe, cosines descend inside the " +
+      "mining band, and every in-band candidate outscored by the cut") {
+    val rows = Sim.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (1L to sorted.length.toLong), "ranks dense from 1")
+      assert(sorted.length <= Sim.TOP_K)
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y },
+        "cosines descend")
+      // round6 can move a boundary value by <1e-6 — band up to tolerance
+      cs.foreach(c => assert(c >= Sim.HN_LO - 1e-6 && c < Sim.HN_HI + 1e-6))
+    }
+    // the band is not vacuous at this SF: some probe fills its k
+    assert(byProbe.values.exists(_.length == Sim.TOP_K))
+  }
+
   test("stratifiedEvalSample: the two-phase cut COVERS every language's " +
       "quota on the gated corpora (coverage is probabilistic by design)") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
