@@ -145,6 +145,27 @@ object OracleTwins {
        |WHERE jaccard >= 0.8 AND NOT (doc_a % 3 = 0 AND doc_b % 3 = 0)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q200's twin — [[graft.streaming.EventsStream.streamHourlyProbe]]:
+    * the batch hourly aggregate (q16's arithmetic verbatim) under the
+    * final-watermark cutoff — only windows whose end is at or before
+    * `max(ts) − 2 hours` (the stream's watermark delay) have been
+    * evicted/emitted by the replay's last no-data micro-batch; the tail
+    * is still open state by design. */
+  val streamHourly: String =
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |h AS (
+      | SELECT date_trunc('hour', ts) AS hs, event_type,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS DOUBLE)
+      |    /CAST(100 AS DOUBLE) AS total_value
+      | FROM events GROUP BY 1, 2)
+      |SELECT strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_type, n_events, total_value,
+      |  total_value/n_events AS avg_value
+      |FROM h, mx
+      |WHERE hs + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+      |ORDER BY hour_start, event_type""".stripMargin
+
   /** q150's twin: the near-dup pair CTE mapped to canonicalized source
     * pairs with fixed-point Jaccard mass. */
   val sourcePairDups: String =

@@ -364,6 +364,8 @@ object SparkEntry {
     "q198_kmv_lifecycle"           -> (TextOps.kmvLifecycle _),
     // ---- round 10: contrastive hard-negative mining band ----
     "q199_hard_negatives"          -> (Sim.hardNegatives _),
+    // ---- round 10: watermarked windowed agg, oracle-gated ----
+    "q200_stream_hourly"           -> (graft.streaming.EventsStream.streamHourlyProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -618,6 +620,7 @@ object SparkEntry {
     "q197_stream_neardup" -> OracleTwins.streamNearDup,
     "q198_kmv_lifecycle" -> OracleTwins.kmvLifecycle,
     "q199_hard_negatives" -> OracleTwins.hardNegatives,
+    "q200_stream_hourly" -> OracleTwins.streamHourly,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

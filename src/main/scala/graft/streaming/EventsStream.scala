@@ -35,9 +35,13 @@ object EventsStream {
     * ([[graft.engine.Tables]] events loader: nanos → exact integer `div
     * 1000`, micros untouched). Every readStream site below goes through
     * this one helper, so a new physical type is a one-place change. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
     val physical = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(physical).parquet(dir)
+    val reader = spark.readStream.schema(physical)
+    val stream = filesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
     physical("ts").dataType match {
       // TIMESTAMP(NANOS) under nanosAsLong: raw nanos → exact µs division
       case LongType =>
@@ -53,8 +57,9 @@ object EventsStream {
 
   /** Hourly tumbling-window aggregate over a parquet file stream, 2-hour
     * watermark for late data. Columns match Kpis.eventsHourly exactly. */
-  def hourly(spark: SparkSession, dir: String): DataFrame =
-    readEvents(spark, dir)
+  def hourly(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): DataFrame =
+    readEvents(spark, dir, filesPerTrigger)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -186,5 +191,75 @@ object EventsStream {
           st.update(s)
           Iterator.single(UserSessions(uid, s.nEvents, s.nSessions))
         })
+  }
+
+  /** (out dir) of each materialized watermark replay, keyed by corpus dir
+    * — one lineage per corpus per session (the q180 contract). */
+  private[graft] val hourlyProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q200: the watermarked windowed aggregate, oracle-gated end-to-end.
+    * The events table is sliced into three TIME-ORDERED files (thirds of
+    * the [tmin, tmax] range — the realistic arrival order, and the
+    * construction that makes append-mode emission deterministic AND
+    * lossless: every batch's events are newer than every earlier
+    * watermark, so nothing is ever dropped as late) and streamed through
+    * the REAL [[hourly]] plan — watermark advancement across
+    * micro-batches, stateful window merge for hour windows spanning a
+    * slice boundary, append-mode eviction, batch-keyed exactly-once
+    * landing. The final landed set is every (hour, type) row whose
+    * window closed under the final watermark `max(ts) − 2 hours`; the
+    * tail stays in state by design, and the DuckDB twin applies the
+    * identical cutoff to the batch aggregate — so a dropped late row, a
+    * double emission, or a wrong watermark all flip hashed cells. */
+  def streamHourlyProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = hourlyProbeState.computeIfAbsent(dir, _ =>
+      runHourlyLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        col("total_value"), col("avg_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  private def runHourlyLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.{IndexMaintenance, Tables}
+    import org.apache.hadoop.fs.Path
+    val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-hr-in")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-hr-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-hr-ckpt")
+    val ev = Tables.events(spark, dir)
+    // time-range thirds from two bounded scalars (never a global sort)
+    val Array(tmin, tmax) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = tmax - tmin + 1L
+    val sliceCol = least(lit(2L),
+      (unix_micros(col("ts")) - tmin) * 3L / span).cast("int")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(inDir).getFileSystem(conf)
+    fs.mkdirs(new Path(inDir))
+    (0 to 2).foreach { s =>
+      val tmp = IndexMaintenance.scratchIndexDir(spark, s"stream-hr-slice$s")
+      ev.filter(sliceCol === s).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new Path(s"$inDir/slice-$s.parquet")
+      fs.rename(part, dst)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
+    }
+    val q = hourly(spark, inDir, filesPerTrigger = Some(1)).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // append-mode rows are final: batch-keyed dynamic overwrite makes
+        // the landing exactly-once under micro-batch retry
+        batch.withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outDir
   }
 }

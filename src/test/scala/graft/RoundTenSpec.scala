@@ -145,6 +145,49 @@ class RoundTenSpec extends SparkSpecBase {
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("streamHourlyProbe: the watermark replay equals the batch hourly " +
+      "aggregate under the final-watermark cutoff, tail held in state") {
+    import graft.streaming.EventsStream
+    val rows = EventsStream.streamHourlyProbe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxTs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val cutoffUs = maxTs - 2L * 3600L * 1000000L
+    val batch = graft.engine.Kpis.eventsHourly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def emitted(hourStart: String): Boolean = {
+      val startUs = java.time.LocalDateTime.parse(hourStart, fmt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      startUs + 3600L * 1000000L <= cutoffUs
+    }
+    // every streamed row is a closed window and equals its batch twin
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(emitted(k._1), s"$k emitted though inside the watermark tail")
+      val (n, tv, av) = batch(k)
+      assert(r.getLong(2) == n && r.getDouble(3) == tv &&
+        r.getDouble(4) == av)
+    }
+    // and every closed batch window was streamed — nothing dropped late
+    val streamedKeys = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val closed = batch.keys.filter(k => emitted(k._1)).toSet
+    assert(streamedKeys == closed)
+    // non-vacuity: the tail really is held back
+    assert(closed.size < batch.size, "cutoff must hold back a tail")
+    // the replay really was multi-batch, and the re-serve is stable
+    val (_) = {
+      val out = EventsStream.hourlyProbeState.get(sf)
+      val batches = spark.read.parquet(out)
+        .select(col("batch").cast("long")).distinct().count()
+      assert(batches >= 2, s"expected multi-batch emission, saw $batches")
+    }
+    val again = EventsStream.streamHourlyProbe(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("hashIndexProbe: verdicts partition the planted batch exactly, " +
       "canonicals point at the true first carriers") {
     import org.apache.spark.sql.functions.col
