@@ -119,9 +119,10 @@ object EventsStream {
     * shape as the batch interval join ([[graft.engine.Kpis]] q64).
     * StreamingSpec asserts the streamed pairs equal the batch join. */
   val ATTRIB_WINDOW = "1 hour"
-  def clickPurchase(spark: SparkSession, dir: String): DataFrame = {
+  def clickPurchase(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
     def side(t: String): DataFrame =
-      readEvents(spark, dir).filter(col("event_type") === t)
+      readEvents(spark, dir, filesPerTrigger).filter(col("event_type") === t)
     val clicks = side("click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -221,14 +222,18 @@ object EventsStream {
       .orderBy("hour_start", "event_type")
   }
 
-  private def runHourlyLineage(spark: SparkSession, dir: String): String = {
+  /** Write the events table as three TIME-ORDERED slice files (thirds of
+    * the [tmin, tmax] range, pinned mtimes) under a fresh scratch dir —
+    * the deterministic-and-lossless arrival construction shared by the
+    * q200/q201 watermark replays: every batch's events are newer than
+    * every earlier watermark, so nothing is ever dropped as late. The
+    * range bounds come from two bounded scalars, never a global sort. */
+  private def writeTimeSlices(spark: SparkSession, dir: String,
+      tag: String): String = {
     import graft.engine.{IndexMaintenance, Tables}
     import org.apache.hadoop.fs.Path
-    val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-hr-in")
-    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-hr-out")
-    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-hr-ckpt")
+    val inDir = IndexMaintenance.scratchIndexDir(spark, s"$tag-in")
     val ev = Tables.events(spark, dir)
-    // time-range thirds from two bounded scalars (never a global sort)
     val Array(tmin, tmax) = ev
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
@@ -239,7 +244,7 @@ object EventsStream {
     val fs = new Path(inDir).getFileSystem(conf)
     fs.mkdirs(new Path(inDir))
     (0 to 2).foreach { s =>
-      val tmp = IndexMaintenance.scratchIndexDir(spark, s"stream-hr-slice$s")
+      val tmp = IndexMaintenance.scratchIndexDir(spark, s"$tag-slice$s")
       ev.filter(sliceCol === s).coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
       val dst = new Path(s"$inDir/slice-$s.parquet")
@@ -247,6 +252,14 @@ object EventsStream {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
     }
+    inDir
+  }
+
+  private def runHourlyLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.IndexMaintenance
+    val inDir = writeTimeSlices(spark, dir, "stream-hr")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-hr-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-hr-ckpt")
     val q = hourly(spark, inDir, filesPerTrigger = Some(1)).writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
