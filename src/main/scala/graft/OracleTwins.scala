@@ -166,6 +166,93 @@ object OracleTwins {
       |WHERE hs + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
       |ORDER BY hour_start, event_type""".stripMargin
 
+  /** q201's twin — [[graft.streaming.EventsStream.streamSessionsProbe]]:
+    * the batch gaps-and-islands sessionization (q17's exact integer-µs
+    * arithmetic) plus the replay's update LAW: `last_batch` is the slice
+    * index of the user's newest event under the replay's time-thirds
+    * formula `least(2, (ts_us − tmin)·3 div (tmax − tmin + 1))` — the
+    * micro-batch that emitted the user's final update. */
+  val streamSessions: String =
+    """WITH b AS (
+      | SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+      | FROM events),
+      |e AS (
+      | SELECT user_id, event_id, ts,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+      |  least(2, ((epoch_us(ts) - b.tmin) * 3) // (b.tmax - b.tmin + 1)) AS slice
+      | FROM events, b)
+      |SELECT user_id,
+      | CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      | CAST(max(slice) AS BIGINT) AS last_batch
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q202's twin — [[graft.streaming.AsOfStream.streamAsOfProbe]]: the
+    * batch as-of contract per direction over the click/purchase slices.
+    * No watermark-cutoff clause: the replay's flush heartbeat advances
+    * the final watermark past every probe's finalization instant, so the
+    * stream must emit EVERY click exactly once in all three directions.
+    * Backward: (ts,id)-max at-or-before within tol; forward: (ts,id)-min
+    * at-or-after within tol; nearest: closer of best-backward vs first
+    * strictly-later, backward on ties — [[graft.plans.AsOf]]'s sweep
+    * semantics, restated as correlated top-1 subqueries. */
+  val streamAsOf: String = {
+    val tol = graft.streaming.AsOfStream.SS_TOL_US
+    s"""WITH ev AS (
+       | SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+       | FROM events WHERE event_type IN ('click', 'purchase')),
+       |c AS (SELECT event_id AS click_id, user_id, ts_us
+       |      FROM ev WHERE event_type = 'click'),
+       |p AS (SELECT event_id, user_id, ts_us
+       |      FROM ev WHERE event_type = 'purchase'),
+       |bwd AS (
+       | SELECT 'backward' AS direction, c.user_id, c.click_id, c.ts_us,
+       |  (SELECT p.event_id FROM p
+       |   WHERE p.user_id = c.user_id AND p.ts_us <= c.ts_us
+       |     AND c.ts_us - p.ts_us <= $tol
+       |   ORDER BY p.ts_us DESC, p.event_id DESC LIMIT 1) AS matched_id
+       | FROM c),
+       |fwd AS (
+       | SELECT 'forward' AS direction, c.user_id, c.click_id, c.ts_us,
+       |  (SELECT p.event_id FROM p
+       |   WHERE p.user_id = c.user_id AND p.ts_us >= c.ts_us
+       |     AND p.ts_us - c.ts_us <= $tol
+       |   ORDER BY p.ts_us ASC, p.event_id ASC LIMIT 1) AS matched_id
+       | FROM c),
+       |n0 AS (
+       | SELECT c.user_id, c.click_id, c.ts_us,
+       |  (SELECT p.ts_us FROM p
+       |   WHERE p.user_id = c.user_id AND p.ts_us <= c.ts_us
+       |     AND c.ts_us - p.ts_us <= $tol
+       |   ORDER BY p.ts_us DESC, p.event_id DESC LIMIT 1) AS b_ts,
+       |  (SELECT p.event_id FROM p
+       |   WHERE p.user_id = c.user_id AND p.ts_us <= c.ts_us
+       |     AND c.ts_us - p.ts_us <= $tol
+       |   ORDER BY p.ts_us DESC, p.event_id DESC LIMIT 1) AS b_id,
+       |  (SELECT p.ts_us FROM p
+       |   WHERE p.user_id = c.user_id AND p.ts_us > c.ts_us
+       |     AND p.ts_us - c.ts_us <= $tol
+       |   ORDER BY p.ts_us ASC, p.event_id ASC LIMIT 1) AS f_ts,
+       |  (SELECT p.event_id FROM p
+       |   WHERE p.user_id = c.user_id AND p.ts_us > c.ts_us
+       |     AND p.ts_us - c.ts_us <= $tol
+       |   ORDER BY p.ts_us ASC, p.event_id ASC LIMIT 1) AS f_id
+       | FROM c),
+       |nst AS (
+       | SELECT 'nearest' AS direction, user_id, click_id, ts_us,
+       |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+       |       WHEN f_ts IS NULL THEN b_id
+       |       WHEN b_ts IS NULL THEN f_id
+       |       WHEN ts_us - b_ts <= f_ts - ts_us THEN b_id
+       |       ELSE f_id END AS matched_id
+       | FROM n0)
+       |SELECT direction, user_id, click_id, ts_us, matched_id
+       |FROM (SELECT * FROM bwd UNION ALL SELECT * FROM fwd
+       |      UNION ALL SELECT * FROM nst)
+       |ORDER BY direction, user_id, click_id""".stripMargin
+  }
+
   /** q150's twin: the near-dup pair CTE mapped to canonicalized source
     * pairs with fixed-point Jaccard mass. */
   val sourcePairDups: String =

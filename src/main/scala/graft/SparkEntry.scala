@@ -366,6 +366,10 @@ object SparkEntry {
     "q199_hard_negatives"          -> (Sim.hardNegatives _),
     // ---- round 10: watermarked windowed agg, oracle-gated ----
     "q200_stream_hourly"           -> (graft.streaming.EventsStream.streamHourlyProbe _),
+    // ---- round 11: flatMapGroupsWithState sessionizer, oracle-gated ----
+    "q201_stream_sessions"         -> (graft.streaming.EventsStream.streamSessionsProbe _),
+    // ---- round 11: stream-stream as-of join, all 3 directions ----
+    "q202_stream_asof"             -> (graft.streaming.AsOfStream.streamAsOfProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -621,6 +625,8 @@ object SparkEntry {
     "q198_kmv_lifecycle" -> OracleTwins.kmvLifecycle,
     "q199_hard_negatives" -> OracleTwins.hardNegatives,
     "q200_stream_hourly" -> OracleTwins.streamHourly,
+    "q201_stream_sessions" -> OracleTwins.streamSessions,
+    "q202_stream_asof" -> OracleTwins.streamAsOf,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

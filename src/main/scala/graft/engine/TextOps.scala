@@ -1812,13 +1812,18 @@ object TextOps {
     * carrying ≤ k longs per group; the merge row costs k·|sources| rows.
     * The exact path (distinct + count) is the expensive twin retained for
     * verification — at deployment scale it is dropped, which is the whole
-    * point of the sketch. */
+    * point of the sketch. The `graft.kmv.exact` system property (default
+    * on, so Verify/specs and the oracle always audit the estimate) gates
+    * that branch: [[graft.Bench]] sets it to "0" so the benched path is
+    * the deployment path — the sketch alone. */
   def kmvDistinctShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashed = spread(documents(spark, dir))
+    val exactOn = sys.props.getOrElse("graft.kmv.exact", "1") != "0"
+    val hashedRaw = spread(documents(spark, dir))
       .select(col("source"),
         explode(TextFns.shingleHashes(col("text"))).as("h"))
-      .localCheckpoint() // feeds the sketch and both exact branches once
+    // materialize only when the exact branches will rescan it
+    val hashed = if (exactOn) hashedRaw.localCheckpoint() else hashedRaw
     val perSrc = hashed.select(col("source").as("g"), col("h")).as[KmvIn]
       .groupByKey(_.g).agg(new KmvAgg(KMV_K).toColumn.name("sk"))
       .toDF("source", "sk")
@@ -1827,13 +1832,16 @@ object TextOps {
       .as[KmvIn]
       .groupByKey(_.g).agg(new KmvAgg(KMV_K).toColumn.name("sk"))
       .toDF("source", "sk")
-    val exact = hashed.select(col("source"), col("h")).distinct()
-      .groupBy("source").agg(count(lit(1)).as("n_exact"))
-    val exactAll = hashed.select(col("h")).distinct()
-      .agg(count(lit(1)).as("n_exact"))
-      .select(lit("__all__").as("source"), col("n_exact"))
-    perSrc.unionByName(merged)
-      .join(exact.unionByName(exactAll), Seq("source"))
+    val sketches = perSrc.unionByName(merged)
+    val withExact = if (exactOn) {
+      val exact = hashed.select(col("source"), col("h")).distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_exact"))
+      val exactAll = hashed.select(col("h")).distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .select(lit("__all__").as("source"), col("n_exact"))
+      sketches.join(exact.unionByName(exactAll), Seq("source"))
+    } else sketches.withColumn("n_exact", lit(null).cast("long"))
+    withExact
       .withColumn("sketch_n", size(col("sk.hs")).cast("long"))
       .withColumn("mk",
         when(col("sketch_n") === KMV_K, element_at(col("sk.hs"), KMV_K))

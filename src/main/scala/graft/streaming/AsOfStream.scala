@@ -176,9 +176,10 @@ object AsOfStream {
     * absorb. */
   def clickPurchaseAsOf(spark: SparkSession, dir: String,
       tolerance: Option[Long], direction: String = "backward",
-      lateness: String = "0 seconds"): Dataset[SSOut] = {
+      lateness: String = "0 seconds",
+      filesPerTrigger: Option[Int] = None): Dataset[SSOut] = {
     import spark.implicits._
-    val ev = EventsStream.readEvents(spark, dir)
+    val ev = EventsStream.readEvents(spark, dir, filesPerTrigger)
       .filter(col("event_type").isin("click", "purchase"))
       .withWatermark("ts", lateness)
       .select(col("user_id").as("k"), unix_micros(col("ts")).as("ts_us"),
@@ -186,6 +187,65 @@ object AsOfStream {
         col("event_id").as("id"), col("ts"))
       .as[SSIn]
     streamStreamAsOf(ev, tolerance, direction)
+  }
+
+  /** q202 tolerance: 1 hour in exact µs — wide enough that matches exist
+    * at the test SFs, bounded so forward/nearest can finalize. */
+  val SS_TOL_US = 3600L * 1000000L
+
+  /** (out dir) of each materialized stream-stream as-of replay, keyed by
+    * corpus dir — one lineage per corpus per session (the q180 contract). */
+  private[graft] val asofProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q202: the stream-stream as-of join, oracle-gated across ALL THREE
+    * direction knobs. The events table rides q200's time-sliced
+    * deterministic replay (three ascending-time slice files, pinned
+    * mtimes, one per micro-batch — nothing is ever late under the
+    * 0-second watermark delay) plus a 4th flush-heartbeat slice (one
+    * far-future key-−1 reference) that advances the final watermark past
+    * every real probe's finalization instant; clicks probe the purchase
+    * stream via [[streamStreamAsOf]] once per direction, each run
+    * landing batch-keyed under its own `direction=<d>` partition.
+    *
+    * What the twin pins: with the flush heartbeat, EVERY click must be
+    * emitted exactly once (a probe stuck pending, finalized early before
+    * its refs arrived, or double-emitted across batches changes the
+    * set), and its match is the batch as-of contract per direction —
+    * backward: (ts,id)-max at-or-before within tol; forward: (ts,id)-min
+    * at-or-after within tol; nearest: closer of best-backward vs first
+    * strictly-later within tol, backward on ties. The key-−1 heartbeat
+    * matches nothing (no click carries key −1) and emits nothing (refs
+    * never emit). */
+  def streamAsOfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = asofProbeState.computeIfAbsent(dir, _ =>
+      runAsOfLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("direction").cast("string").as("direction"),
+        col("k").as("user_id"), col("id").as("click_id"),
+        col("ts_us"), col("ref_id").as("matched_id"))
+      .orderBy("direction", "user_id", "click_id")
+  }
+
+  private def runAsOfLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.IndexMaintenance
+    val inDir = EventsStream.writeTimeSlices(spark, dir, "stream-asof",
+      flushHeartbeat = true)
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-asof-out")
+    Seq("backward", "forward", "nearest").foreach { d =>
+      val ckpt = IndexMaintenance.scratchIndexDir(spark, s"stream-asof-ckpt-$d")
+      val q = clickPurchaseAsOf(spark, inDir, Some(SS_TOL_US), d,
+          filesPerTrigger = Some(1)).toDF
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          landAsOf(batch, batchId, s"$outDir/direction=$d")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    outDir
   }
 
   /** Start a stream-static as-of join landing batch-partitioned parquet

@@ -171,10 +171,11 @@ object EventsStream {
     df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
 
-  def sessionize(spark: SparkSession, dir: String): Dataset[UserSessions] = {
+  def sessionize(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): Dataset[UserSessions] = {
     import spark.implicits._
     val GAP_US = 1800L * 1000000L
-    readEvents(spark, dir)
+    readEvents(spark, dir, filesPerTrigger)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[SessEvent]
       .groupByKey(_.user_id)
@@ -228,8 +229,8 @@ object EventsStream {
     * q200/q201 watermark replays: every batch's events are newer than
     * every earlier watermark, so nothing is ever dropped as late. The
     * range bounds come from two bounded scalars, never a global sort. */
-  private def writeTimeSlices(spark: SparkSession, dir: String,
-      tag: String): String = {
+  private[streaming] def writeTimeSlices(spark: SparkSession, dir: String,
+      tag: String, flushHeartbeat: Boolean = false): String = {
     import graft.engine.{IndexMaintenance, Tables}
     import org.apache.hadoop.fs.Path
     val inDir = IndexMaintenance.scratchIndexDir(spark, s"$tag-in")
@@ -243,9 +244,23 @@ object EventsStream {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(inDir).getFileSystem(conf)
     fs.mkdirs(new Path(inDir))
-    (0 to 2).foreach { s =>
+    // The optional 4th slice is a single far-future flush reference (key
+    // −1, +72h — the heartbeat a production feed carries): it advances
+    // the final watermark past every real probe's finalization instant,
+    // so a watermarked consumer EMITS its entire backlog and the twin
+    // needs no cutoff clause (the q202 construction; same device as
+    // StreamingSpec's single-batch directions test).
+    val slices: Seq[(Int, DataFrame)] =
+      (0 to 2).map(s => s -> ev.filter(sliceCol === s)) ++
+        (if (flushHeartbeat) Seq(3 -> ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + expr("INTERVAL 72 HOURS"))
+          .withColumn("event_type", lit("purchase"))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_id", lit(-1L)))
+        else Nil)
+    slices.foreach { case (s, sliceDf) =>
       val tmp = IndexMaintenance.scratchIndexDir(spark, s"$tag-slice$s")
-      ev.filter(sliceCol === s).coalesce(1).write.mode("overwrite").parquet(tmp)
+      sliceDf.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
       val dst = new Path(s"$inDir/slice-$s.parquet")
       fs.rename(part, dst)
@@ -253,6 +268,62 @@ object EventsStream {
       fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
     }
     inDir
+  }
+
+  /** (out dir) of each materialized sessionization replay, keyed by
+    * corpus dir — one lineage per corpus per session (the q180 contract). */
+  private[graft] val sessionsProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q201: the flatMapGroupsWithState sessionizer, oracle-gated
+    * end-to-end. Same time-sliced deterministic replay as q200: three
+    * TIME-ORDERED slice files, one per micro-batch, so the per-user
+    * carried state folds events in exactly the batch window's
+    * (ts, event_id) order — within a batch [[sessionize]] sorts, and
+    * across batches the slices are disjoint ascending time ranges (equal
+    * timestamps land in the same slice, so no cross-batch tie exists).
+    *
+    * Update-mode landing keyed by micro-batch: each batch's emitted
+    * per-user rows land under `batch=<id>`; the served answer is each
+    * user's LATEST update (`max_by(…, batch)` — counts are cumulative),
+    * and `last_batch` itself is part of the gated output. The DuckDB twin
+    * recomputes n_events/n_sessions from the lag-window gaps-and-islands
+    * (q17's arithmetic) and last_batch from the slice formula — so a
+    * dropped batch, stale state after replay, a wrong fold order, or an
+    * update emitted from the wrong micro-batch all flip hashed cells. */
+  def streamSessionsProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = sessionsProbeState.computeIfAbsent(dir, _ =>
+      runSessionsLineage(spark, dir))
+    spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("n_events"), col("n_sessions")), col("batch")).as("s"),
+        max(col("batch")).cast("long").as("last_batch"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.n_sessions").as("n_sessions"), col("last_batch"))
+      .orderBy("user_id")
+  }
+
+  private def runSessionsLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.IndexMaintenance
+    val inDir = writeTimeSlices(spark, dir, "stream-sess")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-sess-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-sess-ckpt")
+    val q = sessionize(spark, inDir, filesPerTrigger = Some(1)).toDF
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // update-mode rows supersede earlier ones; batch-keyed dynamic
+        // overwrite makes the landing exactly-once under micro-batch retry
+        batch.withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outDir
   }
 
   private def runHourlyLineage(spark: SparkSession, dir: String): String = {
