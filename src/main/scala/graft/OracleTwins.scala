@@ -2909,6 +2909,56 @@ object OracleTwins {
        |FROM rz ORDER BY media_id""".stripMargin
   }
 
+  /** q203's twin — [[graft.multimodal.Multimodal.bmpDecodeStats]]: the
+    * synthImageB generative raster (dims n%14+1 × n%10+1, byte p =
+    * (doc_id·37 + p·11) mod 256) plus two WIRE pins a symmetric
+    * encode/decode bug cannot cancel: n_wire_bytes = 54 + padded-stride
+    * × h (the 4-byte row-padding arithmetic) and first_px_byte = the
+    * byte at the pixel-data offset, which for a bottom-up BGR file is
+    * the BLUE channel of the BOTTOM-LEFT pixel — v[3·(h−1)·w + 2] in
+    * 0-indexed raster terms. */
+  val bmpDecodeStats: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 14 + 1) AS w, (n_chars % 10 + 1) AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(0, w*h*3),
+       |      pp -> (doc_id*37 + pp*11) % 256) AS v
+       |  FROM d)
+       |SELECT doc_id AS media_id,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(54 + ((3*w + 3)//4)*4*h AS BIGINT) AS n_wire_bytes,
+       |  CAST(v[3*(h-1)*w + 2 + 1] AS BIGINT) AS first_px_byte,
+       |  ${channelSums("v", "w*h")},
+       |  ${rasterChecksum("v")}
+       |FROM px ORDER BY media_id""".stripMargin
+
+  /** q204's twin — [[graft.multimodal.Multimodal.mixedDecodeStats]]:
+    * q179's format-INDEPENDENT resize oracle (generative raster + the
+    * same source-index arithmetic) with the fmt column restating the
+    * corpus's even→PPM / odd→BMP layout. Both parsers must recover the
+    * identical raster from their different wire layouts to match. */
+  val mixedDecodeStats: String = {
+    import graft.multimodal.Multimodal.{THUMB_H, THUMB_W}
+    val n = THUMB_W * THUMB_H * 3
+    val src = s"3*(((((rq//3)//$THUMB_W)*h)//$THUMB_H)*w + " +
+      s"((((rq//3)%$THUMB_W)*w)//$THUMB_W)) + (rq%3) + 1"
+    s"""WITH $ppmBaseSql,
+       |rz AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $n), rq -> v[$src]) AS rv
+       |  FROM px)
+       |SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       |  CAST($THUMB_W AS BIGINT) AS width,
+       |  CAST($THUMB_H AS BIGINT) AS height,
+       |  CAST($n AS BIGINT) AS n_bytes,
+       |  ${channelSums("rv", (THUMB_W * THUMB_H).toString)},
+       |  ${rasterChecksum("rv")}
+       |FROM rz ORDER BY media_id""".stripMargin
+  }
+
   /** Shared generative CTE of the q183/q184 twins: sample i =
     * (doc_id·31 + i·17) mod 4096 − 2048 — the oracle regenerates the
     * EXPECTED waveform arithmetically; only the Spark side goes through

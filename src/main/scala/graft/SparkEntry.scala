@@ -370,6 +370,10 @@ object SparkEntry {
     "q201_stream_sessions"         -> (graft.streaming.EventsStream.streamSessionsProbe _),
     // ---- round 11: stream-stream as-of join, all 3 directions ----
     "q202_stream_asof"             -> (graft.streaming.AsOfStream.streamAsOfProbe _),
+    // ---- round 11: REAL BMP codec (wire-layout pins) ----
+    "q203_bmp_decode"              -> (graft.multimodal.Multimodal.bmpDecodeStats _),
+    // ---- round 11: mixed-format sniffing decode + resize ----
+    "q204_mixed_decode"            -> (graft.multimodal.Multimodal.mixedDecodeStats _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -627,6 +631,8 @@ object SparkEntry {
     "q200_stream_hourly" -> OracleTwins.streamHourly,
     "q201_stream_sessions" -> OracleTwins.streamSessions,
     "q202_stream_asof" -> OracleTwins.streamAsOf,
+    "q203_bmp_decode" -> OracleTwins.bmpDecodeStats,
+    "q204_mixed_decode" -> OracleTwins.mixedDecodeStats,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

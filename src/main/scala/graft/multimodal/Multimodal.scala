@@ -16,14 +16,15 @@ import graft.functions.TextFns
   *     PySpark's `mapInPandas` decode UDF: per-partition batched rows in,
   *     feature rows out, schema declared up front.
   *
-  * Image decode is REAL for the dependency-free PPM/P6 format
-  * ([[PpmCodec]]): q178/q179 round-trip actual encoded bytes through an
-  * actual header/raster parser and a real nearest-neighbour resample,
-  * oracle-verified pixel-for-pixel. Codec-library formats (JPEG/ffmpeg —
-  * not in this container) keep a **clearly-marked deterministic STUB**
-  * ([[decodeStub]]/[[resizeStub]]) with the real plumbing around it —
-  * binary schema, metadata struct, batch shape, partition preservation —
-  * tested in MultimodalSpec.
+  * Image decode is REAL for two dependency-free wire formats — PPM/P6
+  * ([[PpmCodec]]: ASCII header, top-down RGB) and 24-bit BMP
+  * ([[BmpCodec]]: little-endian binary headers, bottom-up BGR, padded
+  * rows): q178/q179/q203 round-trip actual encoded bytes through actual
+  * parsers and a real nearest-neighbour resample, oracle-verified
+  * pixel-for-pixel; [[decodeImage]] sniffs the format by magic bytes and
+  * q204 gates the mixed-format corpus through one format-independent
+  * oracle. Codec-LIBRARY formats (JPEG/ffmpeg — not in this container)
+  * would be one more codec object behind the same sniff dispatch.
   *
   * The media table derives from `documents` (payload = UTF-8 bytes of the
   * text, a pure function of driver testdata), so the DuckDB oracle can
@@ -89,67 +90,78 @@ object Multimodal {
         byteChecksum(col("payload"), 32).as("checksum"))
       .orderBy("media_id")
 
-  /** ======== STUB ========
-    * Deterministic stand-in for the real media decoder (libjpeg/ffmpeg are
-    * not in this container). Produces a k-dim feature vector from byte
-    * statistics of the payload — same signature and batch behavior a real
-    * `bytes => float[]` decoder would have. Replace the body, keep the
-    * plumbing. */
-  def decodeStub(payload: Array[Byte], k: Int = 8): Array[Float] = {
-    val acc = new Array[Long](k)
-    var i = 0
-    while (i < payload.length) {
-      acc(i % k) = (acc(i % k) * 31 + (payload(i) & 0xff)) % TextFns.P
-      i += 1
+  /** Generic image decode: sniff the wire format by magic bytes and
+    * parse with the matching REAL codec — "P6" → [[PpmCodec]], "BM" →
+    * [[BmpCodec]]. Both land in the shared top-down-RGB
+    * [[PpmCodec.PpmImage]], so every downstream resize/feature/stat
+    * operator is format-independent. A new format is one more codec
+    * object and one more magic arm — the interface the retired
+    * byte-statistics stub used to stand behind, now with two real
+    * parsers behind it (q204 gates the sniffing path end-to-end). */
+  def decodeImage(payload: Array[Byte]): PpmCodec.PpmImage = {
+    require(payload.length >= 2, "payload too short to sniff")
+    ((payload(0) & 0xff).toChar, (payload(1) & 0xff).toChar) match {
+      case ('P', '6') => PpmCodec.decode(payload)
+      case ('B', 'M') => BmpCodec.decode(payload)
+      case (a, b) =>
+        throw new IllegalArgumentException(f"unknown image format ${a.toInt}%02x ${b.toInt}%02x")
     }
-    acc.map(v => (v.toDouble / TextFns.P).toFloat)
+  }
+
+  /** The real-wire image corpus: every document becomes an ENCODED image
+    * file — even doc_id as PPM, odd as BMP — of the q178 synthetic
+    * raster. The payload is genuine wire bytes (headers, padding,
+    * channel order), so the typed decode path below exercises real
+    * parsing per row, and the mixed formats force the sniffing dispatch
+    * on every partition. */
+  def imageDataset(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val img = synthImage(id, nc)
+        val wire = if (id % 2 == 0) PpmCodec.encode(img) else BmpCodec.encode(img)
+        MediaRecord(id, if (id % 2 == 0) "ppm" else "bmp", wire,
+          img.width, img.height)
+      })
   }
 
   /** Typed batch-decode path — the `mapInPandas` analog: iterate each
-    * partition's rows (the batch), run the decoder, emit typed features.
+    * partition's rows (the batch), run the REAL decoder, emit typed
+    * features (dims + per-channel means from the decoded raster).
     * Partitioning is preserved (narrow op, no shuffle); at scale this is
     * the one stage that wants GPU/codec-sized partitions, controlled by
     * `spark.sql.files.maxPartitionBytes` at the scan. */
-  def decodeFeatures(media: Dataset[MediaRecord], k: Int = 8): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
+      val img = decodeImage(m.payload)
+      val s = statsOf(m.media_id, img)
+      val n = (img.width * img.height).toDouble
       MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-        decodeStub(m.payload, k))
+        Array(img.width.toFloat, img.height.toFloat,
+          (s.sum_r / n).toFloat, (s.sum_g / n).toFloat, (s.sum_b / n).toFloat))
     })
   }
 
-  /** mediaTable as the typed Dataset the decode path consumes. */
+  /** mediaTable as the typed Dataset the byte-level paths consume. */
   def mediaDataset(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
   }
 
-  /** ======== STUB ========
-    * Deterministic stand-in for an image resize (no codec in container):
-    * nearest-neighbour byte subsampling to the target dimensions. Real
-    * plumbing, fake pixels — replace the body, keep the signature. */
-  def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
-                 dstW: Int, dstH: Int): Array[Byte] = {
-    val out = new Array[Byte](math.max(dstW * dstH, 0))
-    if (payload.isEmpty) return out // nothing to sample; all-zero frame
-    val srcLen = math.max(srcW * srcH, 1)
-    var i = 0
-    while (i < out.length) {
-      out(i) = payload(((i.toLong * srcLen) / math.max(out.length, 1)).toInt
-        % payload.length)
-      i += 1
-    }
-    out
-  }
-
-  /** Resize pass: every media row re-emitted at the target dimensions with
-    * updated metadata — map-only (narrow, no shuffle), the shape of a
+  /** Resize pass: every image decoded (sniffed format), resampled on the
+    * REAL pixel grid ([[PpmCodec.resizeNearest]]), and re-encoded in its
+    * own format — map-only (narrow, no shuffle), the shape of a
     * thumbnail/normalization stage over 100 TB of images. */
   def resizeAll(media: Dataset[MediaRecord], dstW: Int, dstH: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(m =>
-      MediaRecord(m.media_id, m.kind,
-        resizeStub(m.payload, m.width, m.height, dstW, dstH), dstW, dstH)))
+    media.mapPartitions(_.map { m =>
+      val rz = PpmCodec.resizeNearest(decodeImage(m.payload), dstW, dstH)
+      val wire = if ((m.payload(0) & 0xff).toChar == 'B') BmpCodec.encode(rz)
+        else PpmCodec.encode(rz)
+      MediaRecord(m.media_id, m.kind, wire, dstW, dstH)
+    })
   }
 
   // ======== REAL image decode path (PPM/P6 — no codec library needed) ====
@@ -226,6 +238,73 @@ object Multimodal {
       .mapPartitions(_.map { case (id, nc) =>
         val img = PpmCodec.decode(PpmCodec.encode(synthImage(id, nc)))
         statsOf(id, PpmCodec.resizeNearest(img, THUMB_W, THUMB_H))
+      }).toDF().orderBy("media_id")
+  }
+
+  /** q203's generative raster — same construction as [[synthImage]] with
+    * different dims and byte formula, so the BMP gate's cells cannot
+    * coincide with the PPM gate's. */
+  def synthImageB(docId: Long, nChars: Long): PpmCodec.PpmImage = {
+    val w = (nChars % 14 + 1).toInt
+    val h = (nChars % 10 + 1).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < rgb.length) {
+      rgb(p) = ((docId * 37L + p.toLong * 11L) % 256L).toByte
+      p += 1
+    }
+    PpmCodec.PpmImage(w, h, 255, rgb)
+  }
+
+  final case class BmpStats(media_id: Long, width: Long, height: Long,
+    n_wire_bytes: Long, first_px_byte: Long, sum_r: Long, sum_g: Long,
+    sum_b: Long, checksum: Long)
+
+  /** q203: REAL BMP decode — every document becomes an actual 24-bit BMP
+    * file ([[BmpCodec.encode]] of the [[synthImageB]] raster), parsed
+    * back by the real [[BmpCodec.decode]] and aggregated into channel
+    * sums + raster checksum. Two cells pin the WIRE itself, so a
+    * symmetric encode/decode bug cannot cancel: `n_wire_bytes` is the
+    * encoded file length (54-byte headers + 4-byte-padded rows — the
+    * padding arithmetic) and `first_px_byte` is the byte AT the pixel
+    *-data offset, which for a bottom-up BGR file must equal the BLUE
+    * channel of the BOTTOM-LEFT pixel — row order and channel order on
+    * the wire, verified against the generative formula. Map-only
+    * (narrow), the decode-stage shape of a 100 TB image pipeline. */
+  def bmpDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val wire = BmpCodec.encode(synthImageB(id, nc)) // real bytes
+        val s = statsOf(id, BmpCodec.decode(wire))      // real parse
+        BmpStats(id, s.width, s.height, wire.length.toLong,
+          (wire(54) & 0xff).toLong, s.sum_r, s.sum_g, s.sum_b, s.checksum)
+      }).toDF().orderBy("media_id")
+  }
+
+  final case class MixedStats(media_id: Long, fmt: String, width: Long,
+    height: Long, n_bytes: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+    checksum: Long)
+
+  /** q204: the generic decode path end-to-end — the mixed PPM/BMP wire
+    * corpus ([[imageDataset]]) decoded via magic-byte sniffing
+    * ([[decodeImage]]), resampled to [[THUMB_W]]×[[THUMB_H]] on the real
+    * pixel grid, and aggregated with q179's statistics. The oracle is
+    * format-INDEPENDENT (the generative raster + resize arithmetic), so
+    * both parsers must recover the identical raster from their very
+    * different wire layouts — a BGR swap, a row-order flip, a padding
+    * slip, or a wrong sniff arm all land format-specific garbage in the
+    * checksums. Two narrow map stages (encode corpus → decode+resize),
+    * zero shuffles before the final sort. */
+  def mixedDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageDataset(spark, dir)
+      .mapPartitions(_.map { m =>
+        val rz = PpmCodec.resizeNearest(decodeImage(m.payload), THUMB_W, THUMB_H)
+        val s = statsOf(m.media_id, rz)
+        MixedStats(m.media_id, m.kind, s.width, s.height, s.n_bytes,
+          s.sum_r, s.sum_g, s.sum_b, s.checksum)
       }).toDF().orderBy("media_id")
   }
 

@@ -1,10 +1,11 @@
 package graft.multimodal
 
 /** A REAL image codec — binary PPM (P6), the dependency-free raster format
-  * (netpbm). Unlike [[Multimodal.decodeStub]] (which stands in for
-  * codec-library formats like JPEG), this is an actual wire format parsed
-  * from actual bytes: magic, whitespace/comment-tolerant header, maxval,
-  * single-byte raster separator, then `width*height*3` raw RGB bytes.
+  * (netpbm): an actual wire format parsed from actual bytes — magic,
+  * whitespace/comment-tolerant header, maxval, single-byte raster
+  * separator, then `width*height*3` raw RGB bytes. The sibling
+  * [[BmpCodec]] covers the binary-headed/bottom-up/BGR family; both feed
+  * [[Multimodal.decodeImage]]'s magic-byte dispatch.
   *
   * The q178/q179 queries round-trip synthetic images through
   * [[encode]]→bytes→[[decode]] and aggregate REAL pixel statistics from the

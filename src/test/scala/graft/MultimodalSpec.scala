@@ -5,9 +5,11 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType}
 
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing: binary schema, typed metadata, stubbed batch decode
-  * (shape, determinism, partition preservation). */
+/** Multimodal plumbing: binary schema, typed metadata, REAL batch decode
+  * through the sniffing PPM/BMP dispatch (shape, determinism, partition
+  * preservation, wire-layout pins on hand-authored bytes). */
 class MultimodalSpec extends SparkSpecBase {
+  import graft.multimodal.{BmpCodec, PpmCodec}
 
   test("media table has opaque binary payload + typed metadata") {
     val m = Multimodal.mediaTable(spark, sf)
@@ -19,41 +21,90 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m.select("kind").distinct().count() == 3)
   }
 
-  test("decodeStub is deterministic, k-dim, and payload-sensitive") {
-    val a = "some media bytes".getBytes("UTF-8")
-    val b = "other media bytes".getBytes("UTF-8")
-    assert(Multimodal.decodeStub(a).toSeq == Multimodal.decodeStub(a).toSeq)
-    assert(Multimodal.decodeStub(a).length == 8)
-    assert(Multimodal.decodeStub(a, 16).length == 16)
-    assert(Multimodal.decodeStub(a).toSeq != Multimodal.decodeStub(b).toSeq)
-    assert(Multimodal.decodeStub(a).forall(f => f >= 0f && f < 1f))
+  test("BMP round trip recovers the raster; wire layout matches the spec") {
+    // hand-computed 2x2 image: pixels RGB (top-down)
+    //  (255,0,0) (0,255,0)
+    //  (0,0,255) (10,20,30)
+    val rgb = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30)
+      .map(_.toByte)
+    val img = PpmCodec.PpmImage(2, 2, 255, rgb)
+    val wire = BmpCodec.encode(img)
+    // stride(2px) = 8 (6 data + 2 pad); file = 54 + 2*8 = 70
+    assert(wire.length == 70 && BmpCodec.wireSize(2, 2) == 70)
+    assert(wire(0) == 'B' && wire(1) == 'M')
+    // bottom-up: first stored row is the BOTTOM image row, in BGR
+    assert((wire(54) & 0xff, wire(55) & 0xff, wire(56) & 0xff) == ((255, 0, 0)))  // (0,0,255) as BGR
+    assert((wire(57) & 0xff, wire(58) & 0xff, wire(59) & 0xff) == ((30, 20, 10))) // (10,20,30) as BGR
+    // second stored row = top image row
+    assert((wire(62) & 0xff, wire(63) & 0xff, wire(64) & 0xff) == ((0, 0, 255))) // (255,0,0) as BGR
+    val back = BmpCodec.decode(wire)
+    assert(back.width == 2 && back.height == 2)
+    assert(back.rgb.toSeq == rgb.toSeq)
   }
 
-  test("typed batch decode preserves rows, partitioning, and batch shape") {
-    val media = Multimodal.mediaDataset(spark, sf).repartition(4)
+  test("BMP decode honors top-down (negative height) files and data offsets") {
+    val rgb = Array[Int](1, 2, 3, 4, 5, 6).map(_.toByte) // 2x1
+    val wire = BmpCodec.encode(PpmCodec.PpmImage(2, 1, 255, rgb))
+    // flip to top-down: height = -1 (little-endian i32 at offset 22)
+    val td = wire.clone()
+    td(22) = -1; td(23) = -1; td(24) = -1; td(25) = -1
+    val back = BmpCodec.decode(td) // single row: identical either way
+    assert(back.rgb.toSeq == rgb.toSeq)
+    // shift pixel data by a 2-byte gap, declared in the header
+    val gap = 2
+    val shifted = new Array[Byte](wire.length + gap)
+    System.arraycopy(wire, 0, shifted, 0, 54)
+    System.arraycopy(wire, 54, shifted, 54 + gap, wire.length - 54)
+    shifted(10) = (54 + gap).toByte
+    assert(BmpCodec.decode(shifted).rgb.toSeq == rgb.toSeq)
+  }
+
+  test("decodeImage sniffs PPM vs BMP by magic and rejects unknowns") {
+    val img = Multimodal.synthImage(7, 25)
+    assert(Multimodal.decodeImage(PpmCodec.encode(img)).rgb.toSeq == img.rgb.toSeq)
+    assert(Multimodal.decodeImage(BmpCodec.encode(img)).rgb.toSeq == img.rgb.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage("GIF89a....".getBytes("US-ASCII"))
+    }
+    assert(e.getMessage.contains("unknown image format"))
+  }
+
+  test("typed batch decode preserves rows, partitioning, and real features") {
+    val media = Multimodal.imageDataset(spark, sf).repartition(4)
     val feats = Multimodal.decodeFeatures(media)
     assert(feats.rdd.getNumPartitions == 4) // narrow op: no shuffle
     val rows = feats.collect()
     assert(rows.length == media.count())
-    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(_.features.length == 5))
     // features must agree with a driver-side decode of the same payload
     val one = media.filter(col("media_id") === 0).collect().head
-    val viaDs = rows.find(_.media_id == 0).get.features.toSeq
-    assert(viaDs == Multimodal.decodeStub(one.payload).toSeq)
+    val img = Multimodal.decodeImage(one.payload)
+    val got = rows.find(_.media_id == 0).get.features.toSeq
+    assert(got(0) == img.width.toFloat && got(1) == img.height.toFloat)
+    val sums = img.rgb.grouped(3).foldLeft((0L, 0L, 0L)) { case ((r, g, b), px) =>
+      (r + (px(0) & 0xff), g + (px(1) & 0xff), b + (px(2) & 0xff))
+    }
+    val n = (img.width * img.height).toDouble
+    assert(got(2) == (sums._1 / n).toFloat && got(4) == (sums._3 / n).toFloat)
   }
 
-  test("resize updates metadata, emits exact target-size payloads, no shuffle") {
-    val media = Multimodal.mediaDataset(spark, sf).repartition(3)
+  test("resize re-encodes in the source format at target dims, no shuffle") {
+    val media = Multimodal.imageDataset(spark, sf).repartition(3)
     val resized = Multimodal.resizeAll(media, 16, 12)
     assert(resized.rdd.getNumPartitions == 3)
     val rows = resized.collect()
     assert(rows.length == media.count())
-    assert(rows.forall(r => r.width == 16 && r.height == 12 &&
-      r.payload.length == 16 * 12))
-    // deterministic: same input -> same bytes
-    val again = Multimodal.resizeAll(media, 16, 12).collect()
-      .map(r => r.media_id -> r.payload.toSeq).toMap
-    assert(rows.forall(r => again(r.media_id) == r.payload.toSeq))
+    assert(rows.forall(r => r.width == 16 && r.height == 12))
+    // format preserved: even ids stay PPM, odd stay BMP; payload decodes
+    // to exactly the driver-side resample of the driver-side decode
+    val src = media.collect().map(m => m.media_id -> m.payload).toMap
+    rows.foreach { r =>
+      val magic = (r.payload(0) & 0xff).toChar
+      assert(if (r.media_id % 2 == 0) magic == 'P' else magic == 'B')
+      val expected = PpmCodec.resizeNearest(
+        Multimodal.decodeImage(src(r.media_id)), 16, 12)
+      assert(Multimodal.decodeImage(r.payload).rgb.toSeq == expected.rgb.toSeq)
+    }
   }
 
   test("frame sampling fans out to floor(len/frameSize)/stride frames of exact size") {
