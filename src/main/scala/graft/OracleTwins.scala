@@ -188,6 +188,30 @@ object OracleTwins {
       | CAST(max(slice) AS BIGINT) AS last_batch
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q205's twin — [[graft.streaming.EventsStream.streamSessionWindowsProbe]]:
+    * lag-window gaps-and-islands at SESSION grain. The stream saw the
+    * events time-SCRAMBLED (event_id mod 3 slices); the twin computes
+    * over the time-ordered table — equality holds only if the
+    * watermark-merge state reassembled every session across batches. */
+  val streamSessionWindows: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      | FROM events),
+      |s AS (
+      | SELECT user_id, ts, ts_us,
+      |  SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |           THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      | FROM e)
+      |SELECT user_id,
+      | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      | CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** q202's twin — [[graft.streaming.AsOfStream.streamAsOfProbe]]: the
     * batch as-of contract per direction over the click/purchase slices.
     * No watermark-cutoff clause: the replay's flush heartbeat advances
@@ -2552,6 +2576,36 @@ object OracleTwins {
        | (SELECT max(deg) FROM deg) AS max_degree,
        | (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
 
+  /** q207's twin — [[Graph.kCore]]: [[Graph.KCORE_MAX_ROUNDS]] unrolled
+    * peel rounds over the same kNN cut. Peeling a stable graph is a
+    * no-op, so unrolling MORE rounds than the loop needed meets its
+    * fixpoint exactly; if the data ever needed more, the Spark side
+    * fails hard (round cap) rather than hash-mismatching silently. */
+  val kCore: String = {
+    val K = Graph.KCORE_K
+    val R = Graph.KCORE_MAX_ROUNDS
+    // AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    // references the previous one three times — 3^R plan expansions
+    // without materialization (observed: fd exhaustion at R=16)
+    val rounds = (1 to R).map { i =>
+      s"""k$i AS MATERIALIZED (
+         | SELECT node FROM (
+         |  SELECT s1 AS node FROM e${i - 1}
+         |  UNION ALL SELECT s2 FROM e${i - 1}) u
+         | GROUP BY node HAVING count(*) >= $K),
+         |e$i AS MATERIALIZED (
+         | SELECT e.s1, e.s2 FROM e${i - 1} e
+         |  JOIN k$i a ON e.s1 = a.node
+         |  JOIN k$i b ON e.s2 = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $keptEdgesCte,
+       |e0 AS MATERIALIZED (SELECT s1, s2 FROM kept),
+       |$rounds
+       |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT s1 AS node FROM e$R UNION ALL SELECT s2 FROM e$R) u
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** Twin of [[Graph.labelPropagation]] — [[Graph.LP_ITERS]] unrolled
     * synchronous rounds; the per-node argmax replays as a row_number
     * window ordered (weight desc, label asc), exactly the total order of
@@ -3365,6 +3419,46 @@ object OracleTwins {
        |  SELECT source, CAST(count(*) AS BIGINT) AS sketch_n,
        |    CAST(max(CASE WHEN r = $k THEN h END) AS BIGINT) AS mk
        |  FROM u GROUP BY source)""".stripMargin
+
+  /** q206's twin — [[graft.engine.TextOps.kmvSourceOverlap]]: the KMV
+    * pairwise estimator replayed set-theoretically — per-source bottom-k
+    * (the kmvBaseCte ranks), per-pair merged bottom-k via a fresh
+    * row_number over the union, and the in-both count joined back
+    * against the two source sketches. */
+  val kmvSourceOverlap: String = {
+    val K = graft.engine.TextOps.KMV_K
+    s"""WITH ${kmvBaseCte(K)},
+       |prs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b
+       |  FROM (SELECT DISTINCT source FROM sk) a,
+       |       (SELECT DISTINCT source FROM sk) b
+       |  WHERE a.source < b.source),
+       |ph AS (
+       |  SELECT p.source_a, p.source_b, s.h
+       |  FROM prs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+       |  GROUP BY 1, 2, 3),
+       |mrg AS (
+       |  SELECT source_a, source_b, h,
+       |    row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS r
+       |  FROM ph),
+       |mk2 AS (SELECT source_a, source_b, h FROM mrg WHERE r <= $K),
+       |sz AS (
+       |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_merged
+       |  FROM mk2 GROUP BY 1, 2),
+       |cmn AS (
+       |  SELECT m.source_a, m.source_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM mk2 m
+       |  JOIN sk x ON x.source = m.source_a AND x.h = m.h
+       |  JOIN sk y ON y.source = m.source_b AND y.h = m.h
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b,
+       |  COALESCE(n_common, 0) AS n_common, n_merged,
+       |  COALESCE(n_common, 0) * 1000000 // n_merged AS jaccard_ppm
+       |FROM prs p
+       |JOIN sz USING (source_a, source_b)
+       |LEFT JOIN cmn USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
+  }
 
   val kmvDistinctShingles: String = {
     val K = graft.engine.TextOps.KMV_K

@@ -374,6 +374,12 @@ object SparkEntry {
     "q203_bmp_decode"              -> (graft.multimodal.Multimodal.bmpDecodeStats _),
     // ---- round 11: mixed-format sniffing decode + resize ----
     "q204_mixed_decode"            -> (graft.multimodal.Multimodal.mixedDecodeStats _),
+    // ---- round 11: session_window merge under out-of-order arrival ----
+    "q205_stream_session_windows"  -> (graft.streaming.EventsStream.streamSessionWindowsProbe _),
+    // ---- round 11: KMV pairwise source-overlap estimation ----
+    "q206_kmv_source_overlap"      -> (TextOps.kmvSourceOverlap _),
+    // ---- round 11: k-core decomposition (iterative peeling) ----
+    "q207_kcore"                   -> (Graph.kCore _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -633,6 +639,9 @@ object SparkEntry {
     "q202_stream_asof" -> OracleTwins.streamAsOf,
     "q203_bmp_decode" -> OracleTwins.bmpDecodeStats,
     "q204_mixed_decode" -> OracleTwins.mixedDecodeStats,
+    "q205_stream_session_windows" -> OracleTwins.streamSessionWindows,
+    "q206_kmv_source_overlap" -> OracleTwins.kmvSourceOverlap,
+    "q207_kcore" -> OracleTwins.kCore,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

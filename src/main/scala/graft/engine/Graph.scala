@@ -346,4 +346,49 @@ object Graph {
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
       .orderBy("lab")
   }
+
+  /** q207 core order. */
+  val KCORE_K = 3
+  /** Peel-round cap — a HARD failure, not a truncation (the CC
+    * discipline): a graph needing more rounds must fail loudly, because
+    * a silently-truncated peel returns nodes that are NOT in the core. */
+  val KCORE_MAX_ROUNDS = 16
+
+  /** q207: k-core decomposition by iterative peeling over the union-kNN
+    * co-supply graph — repeatedly delete nodes of degree < [[KCORE_K]]
+    * until none remain; the surviving maximal subgraph (every node ≥ K
+    * neighbours IN the subgraph) is unique regardless of deletion order,
+    * which is what makes the twin exact: extra peel rounds on a stable
+    * graph are no-ops, so the oracle unrolls a fixed round budget and
+    * meets the loop's fixpoint.
+    *
+    * Scale shape: per round, one node-grain degree aggregate (map-side
+    * combined) and two LEFT SEMI joins that shuffle only the SHRINKING
+    * edge list — never the corpus, never a collected node set — with a
+    * localCheckpoint per round so the plan stays flat (the CC/q104
+    * pattern). |E| ≤ K_nn·|V| by the kNN cut, and peel depth on a
+    * degree-bounded graph is small; the cap fails hard if not. */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    var edges = knnEdgesFrom(coSupplyEdges(spark, dir).localCheckpoint())
+      .select(col("s1"), col("s2")).localCheckpoint()
+    var round = 0
+    var removed = 1L
+    while (removed > 0) {
+      val deg = degreesOf(edges).localCheckpoint()
+      val keep = deg.filter(col("deg") >= KCORE_K).select(col("node"))
+      removed = deg.count() - keep.count()
+      if (removed > 0) {
+        require(round < KCORE_MAX_ROUNDS,
+          s"k-core peeling exceeded $KCORE_MAX_ROUNDS rounds")
+        edges = edges
+          .join(keep.withColumnRenamed("node", "s1"), Seq("s1"), "left_semi")
+          .join(keep.withColumnRenamed("node", "s2"), Seq("s2"), "left_semi")
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    degreesOf(edges)
+      .select(col("node"), col("deg").cast("long").as("core_deg"))
+      .orderBy("node")
+  }
 }

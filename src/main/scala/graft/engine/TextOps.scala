@@ -1854,6 +1854,43 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q206: pairwise source-vocabulary overlap estimated from the KMV
+    * sketches ALONE — the k-minimum-values synopsis estimator (Beyer et
+    * al., SIGMOD'07): for sources A,B, merge the two bottom-k sketches,
+    * keep the k smallest of the union, and count how many of those
+    * appear in BOTH sketches; that count over the merged size is the
+    * Jaccard estimate. Every cell is a deterministic function of the
+    * input SETS (the q195 law), so the DuckDB twin replays it exactly.
+    *
+    * This is the 100 TB cross-source contamination probe: estimating
+    * all-pairs corpus overlap WITHOUT comparing corpora — one bounded
+    * -state aggregation per source (map-side combined, ≤ k longs of
+    * state), then pure algebra on the |sources|²/2 pair table of ≤ k
+    * -element arrays. The non-equi pair join is a broadcast over the
+    * bounded source-sketch table — the q176 signature-algebra class,
+    * never corpus-proportional. */
+  def kmvSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSrc = spread(documents(spark, dir))
+      .select(col("source").as("g"),
+        explode(TextFns.shingleHashes(col("text"))).as("h")).as[KmvIn]
+      .groupByKey(_.g).agg(new KmvAgg(KMV_K).toColumn.name("sk"))
+      .toDF("source", "sk")
+      .select(col("source"), col("sk.hs").as("hs"))
+    val a = perSrc.select(col("source").as("source_a"), col("hs").as("hs_a"))
+    val b = perSrc.select(col("source").as("source_b"), col("hs").as("hs_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("hs_a"), col("hs_b"))), 1, KMV_K))
+      .withColumn("n_merged", size(col("merged")).cast("long"))
+      .withColumn("n_common",
+        size(array_intersect(array_intersect(col("merged"), col("hs_a")),
+          col("hs_b"))).cast("long"))
+      .withColumn("jaccard_ppm", expr("n_common * 1000000L div n_merged"))
+      .select("source_a", "source_b", "n_common", "n_merged", "jaccard_ppm")
+      .orderBy("source_a", "source_b")
+  }
+
   /** Per-source sketch CONTENTS of a doc slice — the unit of the q198
     * persisted sketch store: ≤ [[KMV_K]] (source, h) rows per source,
     * computed from the slice alone. */

@@ -232,7 +232,6 @@ object EventsStream {
   private[streaming] def writeTimeSlices(spark: SparkSession, dir: String,
       tag: String, flushHeartbeat: Boolean = false): String = {
     import graft.engine.{IndexMaintenance, Tables}
-    import org.apache.hadoop.fs.Path
     val inDir = IndexMaintenance.scratchIndexDir(spark, s"$tag-in")
     val ev = Tables.events(spark, dir)
     val Array(tmin, tmax) = ev
@@ -241,9 +240,6 @@ object EventsStream {
     val span = tmax - tmin + 1L
     val sliceCol = least(lit(2L),
       (unix_micros(col("ts")) - tmin) * 3L / span).cast("int")
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(inDir).getFileSystem(conf)
-    fs.mkdirs(new Path(inDir))
     // The optional 4th slice is a single far-future flush reference (key
     // −1, +72h — the heartbeat a production feed carries): it advances
     // the final watermark past every real probe's finalization instant,
@@ -252,12 +248,33 @@ object EventsStream {
     // StreamingSpec's single-batch directions test).
     val slices: Seq[(Int, DataFrame)] =
       (0 to 2).map(s => s -> ev.filter(sliceCol === s)) ++
-        (if (flushHeartbeat) Seq(3 -> ev.orderBy(col("ts").desc).limit(1)
-          .withColumn("ts", col("ts") + expr("INTERVAL 72 HOURS"))
-          .withColumn("event_type", lit("purchase"))
-          .withColumn("user_id", lit(-1L))
-          .withColumn("event_id", lit(-1L)))
+        (if (flushHeartbeat) Seq(3 -> flushRow(ev, "INTERVAL 72 HOURS"))
         else Nil)
+    landSliceFiles(spark, inDir, tag, slices)
+    inDir
+  }
+
+  /** The single far-future reference row (key −1) whose arrival advances
+    * the watermark past every real row — the heartbeat a production feed
+    * carries. Schema-identical to the events table. */
+  private def flushRow(ev: DataFrame, ahead: String): DataFrame =
+    ev.orderBy(col("ts").desc).limit(1)
+      .withColumn("ts", col("ts") + expr(ahead))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+
+  /** Land each slice as a single parquet FILE `slice-<i>.parquet` with
+    * pinned ascending mtimes — the file source orders by mtime, so the
+    * arrival order of the replay is part of the construction, not the
+    * scheduler's choice. */
+  private def landSliceFiles(spark: SparkSession, inDir: String,
+      tag: String, slices: Seq[(Int, DataFrame)]): Unit = {
+    import graft.engine.IndexMaintenance
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(inDir).getFileSystem(conf)
+    fs.mkdirs(new Path(inDir))
     slices.foreach { case (s, sliceDf) =>
       val tmp = IndexMaintenance.scratchIndexDir(spark, s"$tag-slice$s")
       sliceDf.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -267,7 +284,30 @@ object EventsStream {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
     }
-    inDir
+  }
+
+  /** The OUT-OF-ORDER replay: slices keyed by `event_id mod 3` — each
+    * user's events arrive interleaved across micro-batches in
+    * time-scrambled order, the adversarial case for any watermark-merge
+    * operator. Returns (inDir, spanUs): a consumer must declare a
+    * watermark delay ≥ span so no scrambled row is ever late, and the
+    * flush heartbeat rides `span + 72h` ahead so the FINAL watermark
+    * still clears every real row's emission horizon. */
+  private[streaming] def writeUnorderedSlices(spark: SparkSession,
+      dir: String, tag: String): (String, Long) = {
+    import graft.engine.{IndexMaintenance, Tables}
+    val inDir = IndexMaintenance.scratchIndexDir(spark, s"$tag-in")
+    val ev = Tables.events(spark, dir)
+    val Array(tmin, tmax) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val spanUs = tmax - tmin
+    val aheadSec = spanUs / 1000000L + 259200L // span + 72h
+    val slices: Seq[(Int, DataFrame)] =
+      (0 to 2).map(s => s -> ev.filter(pmod(col("event_id"), lit(3)) === s)) :+
+        (3 -> flushRow(ev, s"INTERVAL $aheadSec SECONDS"))
+    landSliceFiles(spark, inDir, tag, slices)
+    (inDir, spanUs)
   }
 
   /** (out dir) of each materialized sessionization replay, keyed by
@@ -316,6 +356,67 @@ object EventsStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // update-mode rows supersede earlier ones; batch-keyed dynamic
         // overwrite makes the landing exactly-once under micro-batch retry
+        batch.withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
+
+  /** (out dir) of each materialized session-window replay, keyed by
+    * corpus dir — one lineage per corpus per session (the q180 contract). */
+  private[graft] val sessionWindowsProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q205: the built-in watermark-aware `session_window` aggregate under
+    * OUT-OF-ORDER arrival — the case [[sessionize]]/q201 explicitly
+    * cannot handle (its carried state assumes time-ordered batches).
+    * The replay slices events by `event_id mod 3` ([[writeUnorderedSlices]]),
+    * so every user's events arrive time-scrambled across micro-batches;
+    * a watermark delay ≥ the corpus time-span makes nothing late (the
+    * state operator must BUFFER and MERGE partial sessions instead), and
+    * the span+72h flush heartbeat then pushes the final watermark past
+    * every session's emission horizon — append mode must emit the
+    * complete merged session set, exactly once.
+    *
+    * The DuckDB twin is the lag-window gaps-and-islands sessionization
+    * at SESSION grain (per-session start / end=last+gap / count): a
+    * session split that failed to merge across batches, a late-dropped
+    * row, a double emission, or wrong gap arithmetic all flip hashed
+    * cells. */
+  def streamSessionWindowsProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = sessionWindowsProbeState.computeIfAbsent(dir, _ =>
+      runSessionWindowsLineage(spark, dir))
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the key-−1 flush heartbeat
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private def runSessionWindowsLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.IndexMaintenance
+    val (inDir, spanUs) = writeUnorderedSlices(spark, dir, "stream-sesswin")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-sesswin-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-sesswin-ckpt")
+    val delaySec = spanUs / 1000000L + 60L // ≥ span: scrambled rows never late
+    val q = readEvents(spark, inDir, filesPerTrigger = Some(1))
+      .withWatermark("ts", s"$delaySec seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("batch", lit(batchId))
           .write.partitionBy("batch")
           .option("partitionOverwriteMode", "dynamic")
