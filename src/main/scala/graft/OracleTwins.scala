@@ -212,6 +212,86 @@ object OracleTwins {
       |FROM s GROUP BY user_id, sess_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Shared slice-index SQL of the time-thirds replays (q201/q208/q209):
+    * `least(2, (ts_us − tmin)·3 div (tmax − tmin + 1))` with bounds from
+    * the full events table — writeTimeSlices' formula verbatim. Callers
+    * provide a CTE `b(tmin, span)`. */
+  private def sliceOf(tsUs: String): String =
+    s"least(2, ($tsUs - b.tmin) * 3 // b.span)"
+
+  private val sliceBoundsCte: String =
+    """b AS (
+      | SELECT min(epoch_us(ts)) AS tmin,
+      |  max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+      | FROM events)""".stripMargin
+
+  /** q208's twin — [[graft.streaming.EventsStream.streamIntervalJoinProbe]]:
+    * the batch interval join (q64's click→purchase attribution shape) at
+    * pair grain, each pair stamped with the micro-batch of its
+    * later-arriving member — `greatest(slice(click), slice(purchase))`.
+    * A pair lost at a slice boundary (buffer evicted too early), emitted
+    * eagerly (before its later member), or emitted twice all flip
+    * cells. */
+  val streamIntervalJoin: String =
+    s"""WITH $sliceBoundsCte,
+       |ev AS (
+       | SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+       | FROM events),
+       |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+       |      FROM ev WHERE event_type = 'click'),
+       |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+       |       ts_us AS purchase_us, value
+       |      FROM ev WHERE event_type = 'purchase')
+       |SELECT c.click_id, p.purchase_id, c.user_id, c.click_us,
+       | p.purchase_us, p.value,
+       | CAST(greatest(${sliceOf("c.click_us")},
+       |               ${sliceOf("p.purchase_us")}) AS BIGINT) AS batch
+       |FROM c JOIN p ON c.user_id = p.p_user
+       | AND p.purchase_us >= c.click_us
+       | AND p.purchase_us <= c.click_us + 3600000000, b
+       |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** q209's twin — [[graft.streaming.AsOfStream.streamAsOfSinkProbe]]:
+    * q126's backward broadcast as-of at ROW grain (latest rate_from ≤
+    * ts, (rate_from, rate_id)-max tie), each probe stamped with ITS
+    * arrival slice — a stream-static join must answer every probe in
+    * its own micro-batch. */
+  val streamAsOfSink: String =
+    s"""WITH $sliceBoundsCte,
+       |e AS (
+       | SELECT event_id, user_id % ${graft.engine.Kpis.RATE_NATIONS} AS nk,
+       |  ts, epoch_us(ts) AS ts_us
+       | FROM events),
+       |r AS (
+       | SELECT nk.v AS rnk,
+       |  TIMESTAMP '${graft.engine.Kpis.RATE_START}'
+       |   + INTERVAL (ep.v) DAY AS rate_from,
+       |  nk.v * 1000 + ep.v AS rate_id
+       | FROM (SELECT unnest(range(0, ${graft.engine.Kpis.RATE_NATIONS})) AS v) nk
+       | CROSS JOIN (SELECT unnest(range(0, ${graft.engine.Kpis.RATE_EPOCHS})) AS v) ep),
+       |j AS (
+       | SELECT e.event_id, e.nk, e.ts_us, r.rate_id,
+       |  row_number() OVER (PARTITION BY e.event_id
+       |    ORDER BY r.rate_from DESC, r.rate_id DESC) AS rn
+       | FROM e LEFT JOIN r ON e.nk = r.rnk AND r.rate_from <= e.ts)
+       |SELECT event_id, nk, rate_id,
+       | CAST(${sliceOf("ts_us")} AS BIGINT) AS batch
+       |FROM j, b WHERE rn = 1
+       |ORDER BY event_id""".stripMargin
+
+  /** q210's twin — [[graft.streaming.EventsStream.streamDriftProbe]]:
+    * the fixed-bucket value histogram over the whole table — what the
+    * complete-mode stream's final emission must equal after
+    * accumulating all three micro-batches. */
+  val streamDrift: String =
+    s"""SELECT event_type,
+       | CAST(least(CAST(round((value)*100) AS BIGINT)
+       |       // ${graft.streaming.EventsStream.DRIFT_BUCKET_CENTS},
+       |       ${graft.streaming.EventsStream.DRIFT_MAX_BUCKET}) AS BIGINT) AS bucket,
+       | CAST(count(*) AS BIGINT) AS n
+       |FROM events GROUP BY 1, 2
+       |ORDER BY event_type, bucket""".stripMargin
+
   /** q202's twin — [[graft.streaming.AsOfStream.streamAsOfProbe]]: the
     * batch as-of contract per direction over the click/purchase slices.
     * No watermark-cutoff clause: the replay's flush heartbeat advances

@@ -380,6 +380,12 @@ object SparkEntry {
     "q206_kmv_source_overlap"      -> (TextOps.kmvSourceOverlap _),
     // ---- round 11: k-core decomposition (iterative peeling) ----
     "q207_kcore"                   -> (Graph.kCore _),
+    // ---- round 11: stream-stream interval join, emission-law gated ----
+    "q208_stream_interval_join"    -> (graft.streaming.EventsStream.streamIntervalJoinProbe _),
+    // ---- round 11: stream-static as-of sink, row-grain gated ----
+    "q209_stream_asof_sink"        -> (graft.streaming.AsOfStream.streamAsOfSinkProbe _),
+    // ---- round 11: complete-mode drift histogram ----
+    "q210_stream_drift"            -> (graft.streaming.EventsStream.streamDriftProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -642,6 +648,9 @@ object SparkEntry {
     "q205_stream_session_windows" -> OracleTwins.streamSessionWindows,
     "q206_kmv_source_overlap" -> OracleTwins.kmvSourceOverlap,
     "q207_kcore" -> OracleTwins.kCore,
+    "q208_stream_interval_join" -> OracleTwins.streamIntervalJoin,
+    "q209_stream_asof_sink" -> OracleTwins.streamAsOfSink,
+    "q210_stream_drift" -> OracleTwins.streamDrift,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

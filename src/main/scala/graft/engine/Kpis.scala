@@ -427,17 +427,23 @@ object Kpis {
     * never shuffled or sorted; the per-executor index is built once and
     * memoized. (The broadcast≡merge equality proof on arbitrary data
     * lives in AsOfJoinSpec via [[eventOrderAsofBroadcast]].) */
-  def eventNationRateAsof(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
-      .select(col("event_id"), (col("user_id") % RATE_NATIONS).as("nk"),
-        col("ts"))
-    val r = spark.range(0, RATE_NATIONS).select(col("id").as("rnk"))
+  /** The bounded nation×epoch rate book of q126 — also the static side
+    * of the q209 streaming as-of sink (same construction in both
+    * engines). */
+  private[graft] def nationRateBook(spark: SparkSession): DataFrame =
+    spark.range(0, RATE_NATIONS).select(col("id").as("rnk"))
       .crossJoin(broadcast(
         spark.range(0, RATE_EPOCHS).select(col("id").as("ep"))))
       .select(col("rnk"), col("ep"),
         expr(s"timestamp'$RATE_START' + make_interval(0, 0, 0, " +
           "cast(ep AS int), 0, 0, 0)").as("rate_from"),
         (col("rnk") * 1000 + col("ep")).as("rate_id"))
+
+  def eventNationRateAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), (col("user_id") % RATE_NATIONS).as("nk"),
+        col("ts"))
+    val r = nationRateBook(spark)
     graft.plans.AsOf.join(e, r, "nk", "rnk", "ts", "rate_from", "rate_id",
         broadcastRight = true)
       .groupBy(col("nk"))

@@ -248,6 +248,41 @@ object AsOfStream {
     outDir
   }
 
+  /** (out dir) of each materialized stream-static as-of sink replay. */
+  private[graft] val asofSinkProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q209: the stream-STATIC as-of sink ([[asOfSink]] → the broadcast
+    * as-of strategy per micro-batch) oracle-gated at ROW grain. The
+    * events stream rides the time-sliced replay and probes q126's
+    * bounded nation×epoch rate book; a stream-static join answers every
+    * probe IN its arrival micro-batch, so the landed `batch` must equal
+    * the probe's slice index — pinning both the per-batch broadcast
+    * as-of result AND the batch-keyed exactly-once landing. */
+  def streamAsOfSinkProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = asofSinkProbeState.computeIfAbsent(dir, _ =>
+      runAsOfSinkLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("event_id"), col("nk"), col("rate_id"),
+        col("batch").cast("long").as("batch"))
+      .orderBy("event_id")
+  }
+
+  private def runAsOfSinkLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.{IndexMaintenance, Kpis}
+    val inDir = EventsStream.writeTimeSlices(spark, dir, "stream-asink")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-asink-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-asink-ckpt")
+    val probe = EventsStream.readEvents(spark, inDir, filesPerTrigger = Some(1))
+      .select(col("event_id"),
+        (col("user_id") % Kpis.RATE_NATIONS).as("nk"), col("ts"))
+    val q = asOfSink(probe, Kpis.nationRateBook(spark),
+      Seq("nk" -> "rnk"), "ts", "rate_from", "rate_id",
+      outDir = outDir, checkpointDir = ckpt)
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
+
   /** Start a stream-static as-of join landing batch-partitioned parquet
     * at `outDir`. `probe` must be a streaming DataFrame; `reference` a
     * batch (static) one. Key/time/tie/direction/tolerance semantics are

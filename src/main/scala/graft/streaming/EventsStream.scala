@@ -81,8 +81,9 @@ object EventsStream {
   val DRIFT_BUCKET_CENTS = 2000L
   val DRIFT_MAX_BUCKET = 15L
 
-  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
-    readEvents(spark, dir)
+  def valueHistogram(spark: SparkSession, dir: String,
+      filesPerTrigger: Option[Int] = None): DataFrame =
+    readEvents(spark, dir, filesPerTrigger)
       .select(col("event_type"), Num.cents(col("value")).as("vc"))
       .select(col("event_type"), expr(
         s"least(vc div ${DRIFT_BUCKET_CENTS}L, ${DRIFT_MAX_BUCKET}L)")
@@ -421,6 +422,88 @@ object EventsStream {
           .write.partitionBy("batch")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
+
+  /** (out dir) of each materialized interval-join replay. */
+  private[graft] val intervalJoinProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q208: the stream-stream INTERVAL join ([[clickPurchase]]) under the
+    * time-sliced replay, emission law included: an inner stream-stream
+    * join emits a pair in the micro-batch that processes its
+    * later-arriving member, so under time-thirds slices every pair's
+    * `batch` must equal `greatest(slice(click), slice(purchase))` — the
+    * q197 stamp for the built-in join. State-eviction safety is by
+    * construction: a click a future purchase can still match is at most
+    * ATTRIB_WINDOW older, and the 2-hour watermark delay keeps it
+    * buffered across the slice boundary. A lost buffer row, an eager or
+    * repeated emission, or wrong watermark eviction all flip cells. */
+  def streamIntervalJoinProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = intervalJoinProbeState.computeIfAbsent(dir, _ =>
+      runIntervalJoinLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("value"), col("batch").cast("long").as("batch"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private def runIntervalJoinLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.IndexMaintenance
+    val inDir = writeTimeSlices(spark, dir, "stream-ivj")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-ivj-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-ivj-ckpt")
+    val q = clickPurchase(spark, inDir, filesPerTrigger = Some(1))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
+
+  /** (out dir) of each materialized drift-histogram replay. */
+  private[graft] val driftProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q210: the COMPLETE-mode streaming aggregate ([[valueHistogram]])
+    * under incremental arrival — fixed integer bucket edges make the
+    * accumulated state at any point exactly the batch histogram of
+    * everything seen (the monitor's design contract), so the final
+    * complete-mode emission must equal the full-corpus histogram. Each
+    * batch's complete output OVERWRITES the landing wholesale (that is
+    * what complete mode means — and what makes the landing trivially
+    * idempotent under retry); the oracle checks the final state. */
+  def streamDriftProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = driftProbeState.computeIfAbsent(dir, _ =>
+      runDriftLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("event_type"), col("bucket"), col("n"))
+      .orderBy("event_type", "bucket")
+  }
+
+  private def runDriftLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.IndexMaintenance
+    val inDir = writeTimeSlices(spark, dir, "stream-drift")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-drift-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-drift-ckpt")
+    val q = valueHistogram(spark, inDir, filesPerTrigger = Some(1))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
       }
       .start()
     try q.processAllAvailable() finally q.stop()

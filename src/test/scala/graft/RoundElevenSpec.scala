@@ -114,6 +114,73 @@ class RoundElevenSpec extends SparkSpecBase {
       "every member has >= K neighbours inside the core")
   }
 
+  private def sliceBounds(): (Long, Long) = {
+    val ev = graft.engine.Tables.events(spark, sf)
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
+  }
+  private def sliceOf(us: Long, tmin: Long, span: Long): Long =
+    math.min(2L, (us - tmin) * 3 / span)
+
+  test("q208 probe: pairs equal the batch interval join; batch stamps the later member") {
+    val got = EventsStream.streamIntervalJoinProbe(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = graft.engine.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("cus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pus"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pus") >= col("cus") &&
+        col("pus") <= col("cus") + 3600L * 1000000L)
+      .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(batch.sorted), "streamed pair set != batch interval join")
+    val (tmin, span) = sliceBounds()
+    got.foreach { r =>
+      val want = math.max(sliceOf(r.getLong(3), tmin, span),
+        sliceOf(r.getLong(4), tmin, span))
+      assert(r.getLong(6) == want,
+        s"pair (${r.getLong(0)},${r.getLong(1)}) emitted in batch " +
+          s"${r.getLong(6)}, later member arrived in $want")
+    }
+  }
+
+  test("q209 probe: row-grain as-of sink aggregates back to q126") {
+    val got = AsOfStream.streamAsOfSinkProbe(spark, sf)
+    val agg = got.groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("rate_id")).as("n_matched"),
+        sum(col("rate_id")).as("sum_rate_ids"))
+      .orderBy("nk").collect().map(_.toSeq)
+    val q126 = Kpis.eventNationRateAsof(spark, sf).collect().map(_.toSeq)
+    assert(agg.sameElements(q126),
+      "per-nk aggregates of the streamed rows must equal the batch as-of")
+    // arrival-batch law: each probe answered in its own slice's batch
+    val (tmin, span) = sliceBounds()
+    val tsById = graft.engine.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      assert(r.getLong(3) == sliceOf(tsById(r.getLong(0)), tmin, span))
+    }
+  }
+
+  test("q210 probe: complete-mode final state equals the batch histogram") {
+    val got = EventsStream.streamDriftProbe(spark, sf).collect().map(_.toSeq)
+    val batch = graft.engine.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr(s"least(CAST(round(value * 100) AS BIGINT) div " +
+          s"${EventsStream.DRIFT_BUCKET_CENTS}L, " +
+          s"${EventsStream.DRIFT_MAX_BUCKET}L)").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket").collect().map(_.toSeq)
+    assert(got.sameElements(batch))
+  }
+
   test("q195 deployment flag drops only the validation column") {
     val before = TextOps.kmvDistinctShingles(spark, sf).collect()
     System.setProperty("graft.kmv.exact", "0")
