@@ -357,6 +357,36 @@ object OracleTwins {
        |ORDER BY direction, user_id, click_id""".stripMargin
   }
 
+  /** q213's twin — [[graft.engine.Dedup.sortedNeighbourhood]]: the
+    * window semantics stated directly (every pair within rank distance
+    * ≤ W in block-sorted (pfx, doc_id) order) — the engine's
+    * bucket-explode equi-join is an implementation detail the twin
+    * never mentions, so a bucket-boundary pair lost by the join
+    * mechanics hash-mismatches. */
+  val sortedNeighbourhood: String = {
+    import graft.engine.Dedup.{LINK_PREFIX, LINK_T, SN_WINDOW}
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |    substring(text, 1, $LINK_PREFIX) AS pfx
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, source, pfx,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY pfx, doc_id) AS rn
+       |  FROM d),
+       |p AS (
+       |  SELECT x.lang, x.source, levenshtein(x.pfx, y.pfx) AS dist
+       |  FROM r x JOIN r y
+       |   ON x.lang = y.lang AND x.source = y.source
+       |    AND y.rn > x.rn AND y.rn <= x.rn + $SN_WINDOW)
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN dist <= $LINK_T THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_linked,
+       |  CAST(min(dist) AS BIGINT) AS min_dist
+       |FROM p GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  }
+
   /** q150's twin: the near-dup pair CTE mapped to canonicalized source
     * pairs with fixed-point Jaccard mass. */
   val sourcePairDups: String =

@@ -386,6 +386,12 @@ object SparkEntry {
     "q209_stream_asof_sink"        -> (graft.streaming.AsOfStream.streamAsOfSinkProbe _),
     // ---- round 11: complete-mode drift histogram ----
     "q210_stream_drift"            -> (graft.streaming.EventsStream.streamDriftProbe _),
+    // ---- round 11: term-index ingest stream (+ mid-stream compaction) ----
+    "q211_stream_term_index"       -> (graft.streaming.TermIndexStream.streamTermIndexProbe _),
+    // ---- round 11: vec-index ingest + probe-serving streams ----
+    "q212_stream_vec_index"        -> (graft.streaming.VecIndexStream.streamVecIndexProbe _),
+    // ---- round 11: sorted-neighbourhood linkage (bounded-pair ER) ----
+    "q213_sorted_neighbourhood"    -> (Dedup.sortedNeighbourhood _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -651,6 +657,13 @@ object SparkEntry {
     "q208_stream_interval_join" -> OracleTwins.streamIntervalJoin,
     "q209_stream_asof_sink" -> OracleTwins.streamAsOfSink,
     "q210_stream_drift" -> OracleTwins.streamDrift,
+    "q211_stream_term_index" ->
+      OracleTwins.retrievalSql(graft.streaming.TermIndexStream.ST_TERMS),
+    // same oracle as q129 on purpose (the q41/q112 device): streamed
+    // ingest + streamed serving must be indistinguishable from the
+    // batch index lifecycle, row for row
+    "q212_stream_vec_index" -> OracleTwins.ivfIndexProbe,
+    "q213_sorted_neighbourhood" -> OracleTwins.sortedNeighbourhood,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -1580,6 +1580,57 @@ object Dedup {
       .orderBy("lang", "source")
   }
 
+  /** Sorted-neighbourhood window: each record compares against at most
+    * this many successors in block-sorted order. */
+  val SN_WINDOW = 8
+
+  /** q213: SORTED-NEIGHBOURHOOD record linkage — the deployment answer
+    * to [[recordLinkage]]'s per-block quadratic (SCALE_r11 §1's q90
+    * row): within each (lang, source) block, records sort by (prefix,
+    * doc_id) and each record compares against only its [[SN_WINDOW]]
+    * nearest successors — candidate pairs are ≤ W·n no matter how large
+    * a block grows, the classic Hernández–Stolfo bound. Near-identical
+    * prefixes are adjacent in sort order, so the window keeps the
+    * matches the full quadratic finds while dropping the far-apart
+    * comparisons that can't link.
+    *
+    * Scale shape: one shuffle for the per-block rank window, then the
+    * candidate join is an EQUI-join on (block, bucket): each record
+    * map-side explodes into its own rank-bucket and the next (2 rows),
+    * so a successor within rank distance W is always in one of the two
+    * probed buckets — no non-equi disjunction, no self-cartesian, and
+    * the per-bucket fan-out is ≤ 2·W. The rank-distance filter inside
+    * the bucket completes the window semantics exactly. */
+  def sortedNeighbourhood(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+      .orderBy(col("pfx"), col("doc_id"))
+    val ranked = spread(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, LINK_PREFIX).as("pfx"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bucket", expr(s"(rn - 1) div ${SN_WINDOW}"))
+      .localCheckpoint() // feeds both join sides once
+    val probes = ranked.select(col("lang"), col("source"), col("pfx"),
+        col("rn"), explode(array(col("bucket"), col("bucket") + 1))
+          .as("pb"))
+    val cands = probes.as("x")
+      .join(ranked.as("y").hint("merge"),
+        col("x.lang") === col("y.lang") &&
+          col("x.source") === col("y.source") &&
+          col("x.pb") === col("y.bucket") &&
+          col("y.rn") > col("x.rn") &&
+          col("y.rn") <= col("x.rn") + SN_WINDOW)
+    cands
+      .select(col("x.lang").as("lang"), col("x.source").as("source"),
+        levenshtein(col("x.pfx"), col("y.pfx")).cast("long").as("dist"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dist") <= LINK_T, 1L).otherwise(0L)).as("n_linked"),
+        min(col("dist")).as("min_dist"))
+      .orderBy("lang", "source")
+  }
+
   /** Containment-dedup geometry: head-fingerprint token count, verify
     * threshold, plant split. */
   val CONT_HEAD_TOKENS = 8

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.engine.{IndexMaintenance, TermIndex}
+import graft.engine.{IndexMaintenance, TermIndex, TextOps}
 
 /** Streaming ingest for the persisted inverted index — the lexical twin
   * of [[DedupStream]] (MinHash band index) and the third index modality
@@ -44,4 +45,59 @@ object TermIndexStream {
         TermIndex.appendTermIndex(batch, indexDir, increment = batchId + 1L)
       }
       .start()
+
+  /** Probe terms of the q211 streamed-ingest gate — distinct from
+    * TI_TERMS/PROBE_TERMS so its posting lists differ from q139/q81's. */
+  val ST_TERMS: Seq[String] = Seq("data", "spark")
+
+  /** (index dir) of each materialized streamed term-index ingest. */
+  private[graft] val probeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q211: the term-index INGEST STREAM oracle-gated end-to-end — the
+    * lexical analog of q197's gated band-index lineage. Build the base
+    * index over the `doc_id % 4 == 0` slice, stream the other three
+    * quarters through the REAL [[indexSink]] in pinned arrival order
+    * (single-file micro-batches), with `compactEvery = 1` so a REAL
+    * mid-stream compaction (staging swap, increments folded into the
+    * build partition) also sits on the gated path. Serve [[ST_TERMS]]
+    * from the resulting store.
+    *
+    * The oracle scores the WHOLE corpus in one pass and never mentions
+    * increments, batches, or layout — so a lost append, a stats sidecar
+    * row landing twice (n_docs/avg-len skew every score), or a
+    * compaction that dropped/duplicated postings all hash-mismatch. */
+  def streamTermIndexProbe(spark: SparkSession, dir: String): DataFrame =
+    TermIndex.probeTermIndex(spark, ST_TERMS,
+      probeState.computeIfAbsent(dir, _ => runIngestLineage(spark, dir)),
+      TextOps.RETRIEVAL_TOP_K)
+
+  private def runIngestLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.Tables
+    import org.apache.hadoop.fs.Path
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "stream-ti-index")
+    val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-ti-in")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-ti-ckpt")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 4 === 0), indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(inDir).getFileSystem(conf)
+    fs.mkdirs(new Path(inDir))
+    (1 to 3).foreach { s =>
+      val tmp = IndexMaintenance.scratchIndexDir(spark, s"stream-ti-slice$s")
+      docs.filter(col("doc_id") % 4 === s)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new Path(s"$inDir/slice-$s.parquet")
+      fs.rename(part, dst)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = indexSink(stream, indexDir, ckpt, compactEvery = 1)
+    try q.processAllAvailable() finally q.stop()
+    indexDir
+  }
 }

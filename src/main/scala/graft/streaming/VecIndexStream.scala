@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.engine.Sim
@@ -89,6 +89,81 @@ object VecIndexStream {
         landProbeBatch(batch, indexDir, outDir, batchId + 1L, k, nprobe)
       }
       .start()
+
+  /** (results dir) of each materialized streamed vec-index lineage. */
+  private[graft] val probeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q212: the vector-index INGEST and PROBE-SERVING streams oracle
+    *-gated together — the third index modality's streamed lifecycle
+    * after q197 (bands) and q211 (postings). Build the base IVF index
+    * over the `vec_id % ANN_DELTA_MOD != 0` slice (q129's split, so the
+    * oracle's centroid geometry is IDENTICAL), stream the held-out
+    * delta through the REAL [[indexSink]] as two pinned single-file
+    * micro-batches (frozen centroids — append-only ingest), then run
+    * q129's probes through the REAL [[probeSink]] serving stream (one
+    * probe micro-batch, DPP-pruned cells, batch-keyed landing).
+    *
+    * The gated output drops the batch column and must equal q129's
+    * output exactly — the SAME oracle on purpose (the q41/q112 device):
+    * streamed ingest + streamed serving must be indistinguishable from
+    * the batch lifecycle, row for row. A missed increment, a centroid
+    * retrain on append, or a probe landing lost under retry all
+    * hash-mismatch. */
+  def streamVecIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val resDir = probeState.computeIfAbsent(dir, _ =>
+      runVecLineage(spark, dir))
+    spark.read.parquet(resDir)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  private def runVecLineage(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.hadoop.fs.Path
+    import graft.engine.{IndexMaintenance, Tables}
+    val indexDir = IndexMaintenance.scratchIndexDir(spark, "stream-vec-index")
+    val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-vec-in")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-vec-out")
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(inDir).getFileSystem(conf)
+    fs.mkdirs(new Path(inDir))
+    (0 to 1).foreach { s =>
+      val tmp = IndexMaintenance.scratchIndexDir(spark, s"stream-vec-slice$s")
+      e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0 &&
+          org.apache.spark.sql.functions
+            .expr(s"(vec_id div ${Sim.ANN_DELTA_MOD}) % 2") === s)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new Path(s"$inDir/slice-$s.parquet")
+      fs.rename(part, dst)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val ingest = indexSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      indexDir, IndexMaintenance.scratchIndexDir(spark, "stream-vec-ckpt"))
+    try ingest.processAllAvailable() finally ingest.stop()
+    // serve q129's probes through the REAL probe stream (one batch file)
+    val probeDir = IndexMaintenance.scratchIndexDir(spark, "stream-vec-probes")
+    e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(probeDir)
+    val pSchema = spark.read.parquet(probeDir).schema
+    val serve = probeSink(
+      spark.readStream.schema(pSchema).parquet(probeDir),
+      indexDir, outDir,
+      IndexMaintenance.scratchIndexDir(spark, "stream-vec-pckpt"))
+    try serve.processAllAvailable() finally serve.stop()
+    s"$outDir/results"
+  }
 
   /** One probe micro-batch: serve + land results and metrics, batch-
     * keyed (the retry unit — dynamic overwrite replaces both sinks). */

@@ -77,6 +77,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q193_line_dedup" -> 1,
     "q199_hard_negatives" -> 1,
     "q206_kmv_source_overlap" -> 1,
+    "q211_stream_term_index" -> 1, // live probe: q139's shape (scalar stats attach)
     "q20_embedding_topk" -> 1,
     "q37_ivf_cells" -> 1,
     "q42_topk_aggregator" -> 1,

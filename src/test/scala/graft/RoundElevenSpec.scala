@@ -181,6 +181,32 @@ class RoundElevenSpec extends SparkSpecBase {
     assert(got.sameElements(batch))
   }
 
+  test("q211: streamed postings + mid-stream compaction serve == one batch-built index") {
+    import graft.streaming.TermIndexStream
+    import graft.engine.{TermIndex, TextOps}
+    val streamed = TermIndexStream.streamTermIndexProbe(spark, sf)
+      .collect().map(_.toSeq)
+    val batchDir = graft.engine.IndexMaintenance
+      .scratchIndexDir(spark, "r11-ti-batch")
+    TermIndex.buildTermIndex(
+      graft.engine.Tables.documents(spark, sf).select("doc_id", "text"),
+      batchDir)
+    val batch = TermIndex.probeTermIndex(spark, TermIndexStream.ST_TERMS,
+      batchDir, TextOps.RETRIEVAL_TOP_K).collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streamed ingest (3 increments + a compaction) must serve exactly " +
+        "what a single batch build serves")
+  }
+
+  test("q212: streamed ingest+serving == the batch index lifecycle row-for-row") {
+    import graft.streaming.VecIndexStream
+    import graft.engine.Sim
+    val streamed = VecIndexStream.streamVecIndexProbe(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = Sim.ivfIndexProbe(spark, sf).collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("q195 deployment flag drops only the validation column") {
     val before = TextOps.kmvDistinctShingles(spark, sf).collect()
     System.setProperty("graft.kmv.exact", "0")
