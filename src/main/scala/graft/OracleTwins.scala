@@ -1248,6 +1248,39 @@ object OracleTwins {
        |FROM j, t ORDER BY cent_id""".stripMargin
   }
 
+  /** q214's twin — [[graft.streaming.DriftStream.streamDriftCellsProbe]]:
+    * q144's assignment geometry (stride centroids over the non-live
+    * population, argmax cosine with cent_id tie-break) at (batch, cell)
+    * grain, the batch restated from the slice-split formula
+    * `(vec_id div DRIFT_MOD) mod 2` — the landed per-batch histogram
+    * pile must equal it partition for partition. */
+  val streamDriftCells: String = {
+    def argmax(src: String): String =
+      s"""SELECT vec_id, cent_id, cos FROM (
+         |    SELECT $src.vec_id, c.cent_id,
+         |      ${dot(s"$src.embedding", "cv")} / ($src.nrm * cnrm) AS cos,
+         |      row_number() OVER (PARTITION BY $src.vec_id
+         |        ORDER BY ${dot(s"$src.embedding", "cv")} / ($src.nrm * cnrm)
+         |          DESC, cent_id) AS rn
+         |    FROM $src, c) WHERE rn = 1""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2("embedding")}) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % ${Sim.DRIFT_MOD} <> 0),
+       |l AS (SELECT * FROM e WHERE vec_id % ${Sim.DRIFT_MOD} = 0),
+       |c AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
+       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |    FROM b) = 0),
+       |al AS (${argmax("l")})
+       |SELECT CAST((vec_id // ${Sim.DRIFT_MOD}) % 2 AS BIGINT) AS batch,
+       |  cent_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(floor(cos * 1000000) AS BIGINT)) AS BIGINT) AS s_fp6
+       |FROM al GROUP BY 1, 2
+       |ORDER BY batch, cent_id""".stripMargin
+  }
+
   /** q148's twin: same assignment, same deterministic hash order, same
     * rank cut and cell sizes. */
   val cellCoverageSample: String =

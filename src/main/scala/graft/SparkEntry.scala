@@ -392,6 +392,8 @@ object SparkEntry {
     "q212_stream_vec_index"        -> (graft.streaming.VecIndexStream.streamVecIndexProbe _),
     // ---- round 11: sorted-neighbourhood linkage (bounded-pair ER) ----
     "q213_sorted_neighbourhood"    -> (Dedup.sortedNeighbourhood _),
+    // ---- round 11: drift-cell ingest stream, (batch, cell) grain ----
+    "q214_stream_drift_cells"      -> (graft.streaming.DriftStream.streamDriftCellsProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -664,6 +666,7 @@ object SparkEntry {
     // batch index lifecycle, row for row
     "q212_stream_vec_index" -> OracleTwins.ivfIndexProbe,
     "q213_sorted_neighbourhood" -> OracleTwins.sortedNeighbourhood,
+    "q214_stream_drift_cells" -> OracleTwins.streamDriftCells,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -47,4 +47,63 @@ object DriftStream {
         landDriftCells(batch, batchId, cents, out)
       }
       .start()
+
+  /** (out dir) of each materialized drift-cell ingest replay. */
+  private[graft] val probeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q214: the drift-cell INGEST STREAM oracle-gated — the last
+    * streaming lifecycle to get a driver row. The live slice (q144's
+    * `vec_id % DRIFT_MOD == 0` population) streams through the REAL
+    * [[driftSink]] as two pinned single-file micro-batches against the
+    * FROZEN baseline centroids; each batch lands its own per-cell
+    * histogram partition. The gate reads the landed pile at
+    * (batch, cell) grain: the twin recomputes every batch's histogram
+    * from the slice-split formula `(vec_id div DRIFT_MOD) mod 2` and
+    * q144's assignment geometry — so a lost batch partition, a
+    * double-landed retry, a wrong assignment, or histogram rows leaking
+    * across batches all flip hashed cells. */
+  def streamDriftCellsProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val out = probeState.computeIfAbsent(dir, _ => runDriftLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("batch").cast("long").as("batch"), col("cent_id"),
+        col("n"), col("s_fp6"))
+      .orderBy("batch", "cent_id")
+  }
+
+  private def runDriftLineage(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.hadoop.fs.Path
+    import graft.engine.{IndexMaintenance, Tables}
+    val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-drift-cells-in")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-drift-cells-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-drift-cells-ckpt")
+    val live = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .filter(col("vec_id") % Sim.DRIFT_MOD === 0)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(inDir).getFileSystem(conf)
+    fs.mkdirs(new Path(inDir))
+    (0 to 1).foreach { s =>
+      val tmp = IndexMaintenance.scratchIndexDir(spark, s"stream-dc-slice$s")
+      live.filter(expr(s"(vec_id div ${Sim.DRIFT_MOD}) % 2") === s)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new Path(s"$inDir/slice-$s.parquet")
+      fs.rename(part, dst)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
+    }
+    val cents = Sim.driftBaselineCentroids(spark, dir)
+    val schema = spark.read.parquet(inDir).schema
+    val q = driftSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      cents, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
 }
