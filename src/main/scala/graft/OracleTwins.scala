@@ -225,6 +225,37 @@ object OracleTwins {
       |  max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
       | FROM events)""".stripMargin
 
+  /** q216's twin — [[graft.streaming.EventsStream.streamOuterJoinProbe]]:
+    * the plain batch LEFT interval join, no cutoff clause (the two-row
+    * flush heartbeat advanced BOTH sides' watermarks past every real
+    * row's eviction horizon). A null row emitted early (its click later
+    * matched), a stranded unmatched click, or a double emission all
+    * change the set. */
+  val streamOuterJoin: String =
+    s"""WITH ev AS (
+       | SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+       | FROM events),
+       |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+       |      FROM ev WHERE event_type = 'click'),
+       |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+       |       ts_us AS purchase_us, value
+       |      FROM ev WHERE event_type = 'purchase')
+       |SELECT c.click_id, p.purchase_id, c.user_id, c.click_us,
+       | p.purchase_us, p.value
+       |FROM c LEFT JOIN p ON c.user_id = p.p_user
+       | AND p.purchase_us >= c.click_us
+       | AND p.purchase_us <= c.click_us + 3600000000
+       |ORDER BY click_id, COALESCE(purchase_id, -1)""".stripMargin
+
+  /** q215's twin — [[graft.streaming.EventsStream.streamDedupProbe]]:
+    * every event exactly once, stamped with its FIRST-arrival slice
+    * (`event_id mod 3`); the replayed 4th slice must contribute nothing
+    * (no batch value 3 can appear). */
+  val streamDedup: String =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value,
+      | CAST(event_id % 3 AS BIGINT) AS batch
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** q208's twin — [[graft.streaming.EventsStream.streamIntervalJoinProbe]]:
     * the batch interval join (q64's click→purchase attribution shape) at
     * pair grain, each pair stamped with the micro-batch of its

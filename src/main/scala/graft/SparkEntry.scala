@@ -394,6 +394,10 @@ object SparkEntry {
     "q213_sorted_neighbourhood"    -> (Dedup.sortedNeighbourhood _),
     // ---- round 11: drift-cell ingest stream, (batch, cell) grain ----
     "q214_stream_drift_cells"      -> (graft.streaming.DriftStream.streamDriftCellsProbe _),
+    // ---- round 11: built-in exact streaming dedup under replayed feed ----
+    "q215_stream_dedup"            -> (graft.streaming.EventsStream.streamDedupProbe _),
+    // ---- round 11: stream-stream LEFT OUTER interval join ----
+    "q216_stream_outer_join"       -> (graft.streaming.EventsStream.streamOuterJoinProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -667,6 +671,8 @@ object SparkEntry {
     "q212_stream_vec_index" -> OracleTwins.ivfIndexProbe,
     "q213_sorted_neighbourhood" -> OracleTwins.sortedNeighbourhood,
     "q214_stream_drift_cells" -> OracleTwins.streamDriftCells,
+    "q215_stream_dedup" -> OracleTwins.streamDedup,
+    "q216_stream_outer_join" -> OracleTwins.streamOuterJoin,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

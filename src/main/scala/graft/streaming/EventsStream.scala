@@ -121,7 +121,8 @@ object EventsStream {
     * StreamingSpec asserts the streamed pairs equal the batch join. */
   val ATTRIB_WINDOW = "1 hour"
   def clickPurchase(spark: SparkSession, dir: String,
-      filesPerTrigger: Option[Int] = None): DataFrame = {
+      filesPerTrigger: Option[Int] = None,
+      joinType: String = "inner"): DataFrame = {
     def side(t: String): DataFrame =
       readEvents(spark, dir, filesPerTrigger).filter(col("event_type") === t)
     val clicks = side("click")
@@ -136,7 +137,8 @@ object EventsStream {
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $ATTRIB_WINDOW"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $ATTRIB_WINDOW"),
+      joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
   }
@@ -231,7 +233,8 @@ object EventsStream {
     * every earlier watermark, so nothing is ever dropped as late. The
     * range bounds come from two bounded scalars, never a global sort. */
   private[streaming] def writeTimeSlices(spark: SparkSession, dir: String,
-      tag: String, flushHeartbeat: Boolean = false): String = {
+      tag: String, flushHeartbeat: Boolean = false,
+      flushTypes: Seq[String] = Nil): String = {
     import graft.engine.{IndexMaintenance, Tables}
     val inDir = IndexMaintenance.scratchIndexDir(spark, s"$tag-in")
     val ev = Tables.events(spark, dir)
@@ -241,27 +244,36 @@ object EventsStream {
     val span = tmax - tmin + 1L
     val sliceCol = least(lit(2L),
       (unix_micros(col("ts")) - tmin) * 3L / span).cast("int")
-    // The optional 4th slice is a single far-future flush reference (key
-    // −1, +72h — the heartbeat a production feed carries): it advances
-    // the final watermark past every real probe's finalization instant,
-    // so a watermarked consumer EMITS its entire backlog and the twin
-    // needs no cutoff clause (the q202 construction; same device as
-    // StreamingSpec's single-batch directions test).
+    // The optional 4th slice carries far-future flush reference rows (key
+    // −1, +72h — the heartbeat a production feed carries): their arrival
+    // advances the final watermark past every real probe's finalization
+    // instant, so a watermarked consumer EMITS its entire backlog and the
+    // twin needs no cutoff clause (the q202 construction; same device as
+    // StreamingSpec's single-batch directions test). A consumer whose
+    // watermark is the MIN over several per-type sides (a stream-stream
+    // outer join) needs one flush row PER side — `flushTypes`.
+    val types =
+      if (flushTypes.nonEmpty) flushTypes
+      else if (flushHeartbeat) Seq("purchase")
+      else Nil
     val slices: Seq[(Int, DataFrame)] =
       (0 to 2).map(s => s -> ev.filter(sliceCol === s)) ++
-        (if (flushHeartbeat) Seq(3 -> flushRow(ev, "INTERVAL 72 HOURS"))
+        (if (types.nonEmpty)
+          Seq(3 -> types.map(t => flushRow(ev, "INTERVAL 72 HOURS", t))
+            .reduce(_ unionByName _))
         else Nil)
     landSliceFiles(spark, inDir, tag, slices)
     inDir
   }
 
-  /** The single far-future reference row (key −1) whose arrival advances
+  /** A single far-future reference row (key −1) whose arrival advances
     * the watermark past every real row — the heartbeat a production feed
     * carries. Schema-identical to the events table. */
-  private def flushRow(ev: DataFrame, ahead: String): DataFrame =
+  private def flushRow(ev: DataFrame, ahead: String,
+      eventType: String = "purchase"): DataFrame =
     ev.orderBy(col("ts").desc).limit(1)
       .withColumn("ts", col("ts") + expr(ahead))
-      .withColumn("event_type", lit("purchase"))
+      .withColumn("event_type", lit(eventType))
       .withColumn("user_id", lit(-1L))
       .withColumn("event_id", lit(-1L))
 
@@ -504,6 +516,122 @@ object EventsStream {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
+
+  /** (out dir) of each materialized outer-interval-join replay. */
+  private[graft] val outerJoinProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q216: the stream-stream LEFT OUTER interval join — the unmatched
+    * side of q208's attribution, where correctness hinges on the state
+    * -eviction machinery: a click's NULL row may be emitted only once
+    * the join watermark proves no purchase can still match, and a click
+    * matched later must never ALSO have emitted a null (double
+    * emission). The replay is q200's time slices plus a TWO-row flush
+    * heartbeat — one far-future purchase AND one far-future click —
+    * because the outer join's watermark is the MIN over both sides: a
+    * purchase-only heartbeat would leave the click side's watermark at
+    * max(click ts) − delay and strand every late click's null row in
+    * state forever. The twin is the plain batch LEFT interval join, no
+    * cutoff clause. */
+  def streamOuterJoinProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = outerJoinProbeState.computeIfAbsent(dir, _ =>
+      runOuterJoinLineage(spark, dir))
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the key-−1 flush pair
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"), col("value"))
+      .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+  }
+
+  private def runOuterJoinLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.IndexMaintenance
+    val inDir = writeTimeSlices(spark, dir, "stream-loj",
+      flushTypes = Seq("purchase", "click"))
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-loj-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-loj-ckpt")
+    val q = clickPurchase(spark, inDir, filesPerTrigger = Some(1),
+        joinType = "left_outer")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
+
+  /** (out dir) of each materialized streaming-dedup replay. */
+  private[graft] val dedupProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q215: the built-in EXACT streaming dedup
+    * (`dropDuplicatesWithinWatermark`) oracle-gated with its emission
+    * law. The replay streams the events table in three scrambled slices
+    * (`event_id mod 3` — q205's device) and then a 4th slice that is a
+    * byte-identical REPLAY of slice 0 (the at-least-once upstream every
+    * production dedup exists to absorb); the watermark delay ≥ corpus
+    * span keeps all dedup state live until the feed ends, so every
+    * duplicate arrives "within the watermark" by construction.
+    *
+    * Append-mode dedup emits a key's FIRST arrival and filters the
+    * rest, so the landed pile must be every event exactly once, stamped
+    * `batch = event_id mod 3` (its first-arrival slice) — and batch 3
+    * must contribute NOTHING (every replayed row was already seen). A
+    * duplicate leaking through, a first arrival suppressed, or an
+    * emission from the wrong batch all flip hashed cells. */
+  def streamDedupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = dedupProbeState.computeIfAbsent(dir, _ =>
+      runDedupLineage(spark, dir))
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        col("batch").cast("long").as("batch"))
+      .orderBy("event_id")
+  }
+
+  private def runDedupLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.{IndexMaintenance, Tables}
+    import org.apache.hadoop.fs.Path
+    val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-dd-in")
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-dd-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-dd-ckpt")
+    val ev = Tables.events(spark, dir)
+    val Array(tmin, tmax) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val delaySec = (tmax - tmin) / 1000000L + 60L
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(inDir).getFileSystem(conf)
+    landSliceFiles(spark, inDir, "stream-dd",
+      (0 to 2).map(s => s -> ev.filter(pmod(col("event_id"), lit(3)) === s)))
+    // slice 3: a byte-identical replay of slice 0, arriving last
+    fs.mkdirs(new Path(inDir))
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$inDir/slice-0.parquet"),
+      fs, new Path(s"$inDir/slice-3.parquet"), false, conf)
+    fs.setTimes(new Path(s"$inDir/slice-3.parquet"),
+      1000000L + 3 * 60000L, -1L)
+    val q = readEvents(spark, inDir, filesPerTrigger = Some(1))
+      .withWatermark("ts", s"$delaySec seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
