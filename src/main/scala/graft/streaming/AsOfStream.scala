@@ -232,9 +232,14 @@ object AsOfStream {
     val inDir = EventsStream.writeTimeSlices(spark, dir, "stream-asof",
       flushHeartbeat = true)
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-asof-out")
-    Seq("backward", "forward", "nearest").foreach { d =>
+    // the three direction runs are independent streams over the same
+    // read-only slices (own checkpoint, own landing partition) — start
+    // them CONCURRENTLY and drain each: wall cost ≈ the slowest run
+    // instead of the sum (each run is micro-batch-scheduling-bound, not
+    // CPU-bound, so they overlap almost perfectly)
+    val qs = Seq("backward", "forward", "nearest").map { d =>
       val ckpt = IndexMaintenance.scratchIndexDir(spark, s"stream-asof-ckpt-$d")
-      val q = clickPurchaseAsOf(spark, inDir, Some(SS_TOL_US), d,
+      clickPurchaseAsOf(spark, inDir, Some(SS_TOL_US), d,
           filesPerTrigger = Some(1)).toDF
         .writeStream
         .outputMode("append")
@@ -243,8 +248,8 @@ object AsOfStream {
           landAsOf(batch, batchId, s"$outDir/direction=$d")
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
     }
+    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
     outDir
   }
 

@@ -232,9 +232,27 @@ object EventsStream {
     * q200/q201 watermark replays: every batch's events are newer than
     * every earlier watermark, so nothing is ever dropped as late. The
     * range bounds come from two bounded scalars, never a global sort. */
+  /** Slice-set cache: the time-thirds slicing of a corpus is a pure
+    * function of (corpus dir, flush variant), and SEVEN replay probes
+    * consume it — each lineage re-deriving its own copy cost a full
+    * events pass per probe. Consumers read the shared files read-only;
+    * checkpoints and landings stay per-probe. */
+  private val sliceDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[streaming] def writeTimeSlices(spark: SparkSession, dir: String,
       tag: String, flushHeartbeat: Boolean = false,
       flushTypes: Seq[String] = Nil): String = {
+    val key = dir + "|" +
+      (if (flushTypes.nonEmpty) flushTypes.mkString(",")
+       else if (flushHeartbeat) "purchase" else "")
+    sliceDirCache.computeIfAbsent(key, _ =>
+      writeTimeSlicesUncached(spark, dir, tag, flushHeartbeat, flushTypes))
+  }
+
+  private def writeTimeSlicesUncached(spark: SparkSession, dir: String,
+      tag: String, flushHeartbeat: Boolean,
+      flushTypes: Seq[String]): String = {
     import graft.engine.{IndexMaintenance, Tables}
     val inDir = IndexMaintenance.scratchIndexDir(spark, s"$tag-in")
     val ev = Tables.events(spark, dir)
