@@ -50,7 +50,16 @@ class ConcurrencySpec extends SparkSpecBase {
       "q178_image_decode", "q180_stream_curated", "q182_hash_index_probe",
       // round-10 late additions: stateless perceptual/sketch reads whose
       // localCheckpointed corpora must not cross-talk between callers
-      "q194_audio_pdup_pairs", "q195_kmv_distinct", "q196_video_pdup_pairs")
+      "q194_audio_pdup_pairs", "q195_kmv_distinct", "q196_video_pdup_pairs",
+      // round-11 additions: the replay probes share the per-(corpus,
+      // flush-variant) SLICE cache and their own lineage caches —
+      // concurrent callers must get ONE slicing pass and ONE lineage
+      // each (q201/q208/q215 exercise three different slice variants);
+      // q211's ingest cache mutates a scratch postings store; q213 is a
+      // stateless window/join read
+      "q201_stream_sessions", "q208_stream_interval_join",
+      "q210_stream_drift", "q211_stream_term_index",
+      "q213_sorted_neighbourhood", "q215_stream_dedup")
     val qs = names.map(n => n -> SparkEntry.queries(n))
     val sequential = qs.map { case (n, fn) =>
       n -> fn(spark, sf).collect().map(_.toSeq).toSeq
