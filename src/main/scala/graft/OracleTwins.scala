@@ -247,6 +247,27 @@ object OracleTwins {
        | AND p.purchase_us <= c.click_us + 3600000000
        |ORDER BY click_id, COALESCE(purchase_id, -1)""".stripMargin
 
+  /** q217's twin — [[graft.streaming.EventsStream.streamFullOuterJoinProbe]]:
+    * the plain batch FULL interval join (user_id is the click side's,
+    * null on right-only rows, exactly as the streamed projection emits
+    * it). Both eviction machines are pinned: stranded or early-emitted
+    * null rows on EITHER side change the set. */
+  val streamFullOuterJoin: String =
+    s"""WITH ev AS (
+       | SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+       | FROM events),
+       |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+       |      FROM ev WHERE event_type = 'click'),
+       |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+       |       ts_us AS purchase_us, value
+       |      FROM ev WHERE event_type = 'purchase')
+       |SELECT c.click_id, p.purchase_id, c.user_id, c.click_us,
+       | p.purchase_us, p.value
+       |FROM c FULL JOIN p ON c.user_id = p.p_user
+       | AND p.purchase_us >= c.click_us
+       | AND p.purchase_us <= c.click_us + 3600000000
+       |ORDER BY COALESCE(click_id, -1), COALESCE(purchase_id, -1)""".stripMargin
+
   /** q215's twin — [[graft.streaming.EventsStream.streamDedupProbe]]:
     * every event exactly once, stamped with its FIRST-arrival slice
     * (`event_id mod 3`); the replayed 4th slice must contribute nothing

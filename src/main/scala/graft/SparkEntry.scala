@@ -398,6 +398,8 @@ object SparkEntry {
     "q215_stream_dedup"            -> (graft.streaming.EventsStream.streamDedupProbe _),
     // ---- round 11: stream-stream LEFT OUTER interval join ----
     "q216_stream_outer_join"       -> (graft.streaming.EventsStream.streamOuterJoinProbe _),
+    // ---- round 11: stream-stream FULL OUTER interval join ----
+    "q217_stream_full_outer_join"  -> (graft.streaming.EventsStream.streamFullOuterJoinProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -673,6 +675,7 @@ object SparkEntry {
     "q214_stream_drift_cells" -> OracleTwins.streamDriftCells,
     "q215_stream_dedup" -> OracleTwins.streamDedup,
     "q216_stream_outer_join" -> OracleTwins.streamOuterJoin,
+    "q217_stream_full_outer_join" -> OracleTwins.streamFullOuterJoin,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

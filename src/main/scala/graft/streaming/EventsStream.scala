@@ -589,6 +589,52 @@ object EventsStream {
     outDir
   }
 
+  /** (out dir) of each materialized full-outer-interval-join replay. */
+  private[graft] val fullOuterJoinProbeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q217: the FULL OUTER stream-stream interval join — BOTH unmatched
+    * sides ride the gate, so both state machines' evictions are pinned:
+    * a click's null row only after no purchase can match (q216's side)
+    * AND a purchase's null row only after no click can match (a
+    * purchase matches clicks in `[ts − window, ts]`, so its horizon is
+    * its own timestamp on the click watermark). Same two-row flush
+    * heartbeat as q216; twin = the plain batch FULL join. */
+  def streamFullOuterJoinProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = fullOuterJoinProbeState.computeIfAbsent(dir, _ =>
+      runFullOuterJoinLineage(spark, dir))
+    spark.read.parquet(out)
+      .filter(coalesce(col("user_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0) // drop flush rows
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"), col("value"))
+      .orderBy(coalesce(col("click_id"), lit(-1L)),
+        coalesce(col("purchase_id"), lit(-1L)))
+  }
+
+  private def runFullOuterJoinLineage(spark: SparkSession, dir: String): String = {
+    import graft.engine.IndexMaintenance
+    val inDir = writeTimeSlices(spark, dir, "stream-foj",
+      flushTypes = Seq("purchase", "click"))
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-foj-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-foj-ckpt")
+    val q = clickPurchase(spark, inDir, filesPerTrigger = Some(1),
+        joinType = "full_outer")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outDir
+  }
+
   /** (out dir) of each materialized streaming-dedup replay. */
   private[graft] val dedupProbeState =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
