@@ -948,7 +948,8 @@ object Dedup {
     writeIndexBands(bandRows(delta), indexDir, increment)
 
   private def writeIndexBands(bands: DataFrame, indexDir: String,
-      increment: Long): Unit =
+      increment: Long): Unit = IndexMaintenance.withWriterLease(
+      bands.sparkSession, indexDir, s"minhash-index increment=$increment") {
     bands.withColumn("increment", lit(increment))
       .repartition(col("band"))
       .sortWithinPartitions(col("band"))
@@ -962,6 +963,7 @@ object Dedup {
         if (increment == 0L) "static" else "dynamic")
       .mode("overwrite")
       .parquet(indexDir)
+  }
 
   /** Fold every increment of the band index back into `increment=0`,
     * preserving the build pass's band-clustered layout — probe results

@@ -19,12 +19,101 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexMaintenance {
 
+  /** A second writer tried to mutate an index while another held its
+    * lease — the single-writer ownership contract (SURVEY §8) violated
+    * MECHANICALLY instead of silently: before round 12 two racing ingest
+    * streams appending the same index would interleave increments
+    * undetected until [[TermIndex.auditTermIndex]] /
+    * [[Sim.auditIvfIndex]] noticed the damage after the fact. */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** The lease lives as a SIBLING of the index dir, never inside it:
+    * a static-overwrite build wipes the dir's contents and the
+    * [[rewrite]] swap renames the dir itself — a sentinel inside would
+    * be destroyed by the very writes it guards. */
+  private[graft] def leasePath(dir: String): Path =
+    new Path(dir.stripSuffix("/") + ".__writer")
+
+  /** Acquire the single-writer lease on `indexDir`, run `body`, release.
+    * Acquisition is an atomic exclusive create — `Files.createFile` on a
+    * local filesystem (check-and-create in one syscall), the namenode's
+    * atomic `create(overwrite=false)` elsewhere — so two racing writers
+    * can never both win. The loser gets a [[ConcurrentWriterException]]
+    * naming the current holder. A crashed holder leaves its lease behind
+    * BY DESIGN (the stale file names the dead owner for the operator);
+    * [[breakWriterLease]] is the explicit recovery step. */
+  private[graft] def withWriterLease[T](spark: SparkSession,
+      indexDir: String, owner: String)(body: => T): T = {
+    val lease = leasePath(indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = lease.getFileSystem(conf)
+    val stamp =
+      s"$owner pid=${ProcessHandle.current().pid()} " +
+        s"thread=${Thread.currentThread().getName} " +
+        s"epoch_ms=${System.currentTimeMillis()}"
+    Option(lease.getParent).foreach(fs.mkdirs(_))
+    val uri = lease.toUri
+    val acquired =
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        // local FS: Hadoop's create(overwrite=false) is check-then-act;
+        // NIO createFile is the atomic O_EXCL form
+        try {
+          val p = java.nio.file.Paths.get(uri.getPath)
+          java.nio.file.Files.createFile(p)
+          java.nio.file.Files.write(p, stamp.getBytes("UTF-8"))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          val out = fs.create(lease, false)
+          try out.write(stamp.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    if (!acquired) {
+      val holder =
+        try {
+          val in = fs.open(lease)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.take(200)
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
+      throw new ConcurrentWriterException(
+        s"index $indexDir is held by another writer [$holder]; " +
+          s"this write ($stamp) aborted cleanly. Single-writer contract: " +
+          "one ingest owns an index. If the holder is dead, recover with " +
+          "IndexMaintenance.breakWriterLease.")
+    }
+    try body finally fs.delete(lease, false)
+  }
+
+  /** Operator-facing recovery: drop a stale lease left by a crashed
+    * writer (verify the owner named in the lease is dead FIRST — this is
+    * the manual override of the ownership contract, not part of any
+    * automatic path). Returns whether a lease existed. */
+  def breakWriterLease(spark: SparkSession, indexDir: String): Boolean = {
+    val lease = leasePath(indexDir)
+    lease.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(lease, false)
+  }
+
+  /** Whether a writer currently holds `indexDir` (specs; monitoring). */
+  def writerLeaseHeld(spark: SparkSession, indexDir: String): Boolean = {
+    val lease = leasePath(indexDir)
+    lease.getFileSystem(spark.sessionState.newHadoopConf()).exists(lease)
+  }
+
   /** Rewrite `dir` through a staging sibling and swap it in: `write` lays
     * the new copy at `<dir>.compacting`, the old dataset moves aside,
     * staging renames into place, the old copy is dropped. On a failed
-    * swap the original is restored — the index is never left missing. */
+    * swap the original is restored — the index is never left missing.
+    * Holds the writer lease on `dir` for the duration: a compaction
+    * racing an ingest append on the same index is a contract violation
+    * and fails cleanly instead of folding a half-landed increment. */
   private[graft] def rewrite(spark: SparkSession, dir: String)(
-      write: String => Unit): Unit = {
+      write: String => Unit): Unit = withWriterLease(spark, dir, "rewrite") {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(dir + ".compacting")

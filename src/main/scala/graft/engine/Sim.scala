@@ -417,7 +417,9 @@ object Sim {
     writeIndexCells(withNorm(delta), indexDir, increment)
 
   private def writeIndexCells(e: DataFrame, indexDir: String,
-      increment: Long): Unit = {
+      increment: Long): Unit = IndexMaintenance.withWriterLease(
+      e.sparkSession, s"$indexDir/vectors",
+      s"ivf-index increment=$increment") {
     val cents = e.sparkSession.read.parquet(s"$indexDir/centroids")
     assignWithVec(e, cents)
       .withColumn("increment", lit(increment))

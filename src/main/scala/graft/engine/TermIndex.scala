@@ -69,7 +69,8 @@ object TermIndex {
     writeIncrement(delta, indexDir, increment)
 
   private def writeIncrement(docs: DataFrame, indexDir: String,
-      increment: Long): Unit = {
+      increment: Long): Unit = IndexMaintenance.withWriterLease(
+      docs.sparkSession, indexDir, s"term-index increment=$increment") {
     val mode = if (increment == 0L) "static" else "dynamic"
     postings(docs).withColumn("increment", lit(increment))
       .repartition(col("term"))

@@ -79,4 +79,149 @@ class ConcurrencySpec extends SparkSpecBase {
       }
     } finally pool.shutdown()
   }
+
+  // ------------------- single-writer index-ownership lease (round 12) --
+
+  import java.util.concurrent.{CountDownLatch, CyclicBarrier}
+
+  import org.apache.spark.sql.functions.col
+
+  import graft.engine.{Dedup, IndexMaintenance, Sim, Tables, TermIndex}
+  import graft.engine.IndexMaintenance.ConcurrentWriterException
+
+  private def docs = Tables.documents(spark, sf)
+
+  /** Hold `indexDir`'s lease on a daemon thread until `release` counts
+    * down; `held` fires once the lease is actually acquired. */
+  private def holdLease(indexDir: String, held: CountDownLatch,
+      release: CountDownLatch): Thread = {
+    val t = new Thread(() =>
+      IndexMaintenance.withWriterLease(spark, indexDir, "spec-holder") {
+        held.countDown(); release.await()
+      })
+    t.setDaemon(true); t.start(); t
+  }
+
+  test("writer lease: appends and compactions against a held index fail " +
+      "cleanly; the index and its audit are untouched") {
+    val indexDir = tmpDir("graft-lease-term") + "/index"
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 =!= 0), indexDir)
+    val (held, release) = (new CountDownLatch(1), new CountDownLatch(1))
+    val holder = holdLease(indexDir, held, release)
+    held.await()
+    try {
+      assert(IndexMaintenance.writerLeaseHeld(spark, indexDir))
+      // the loser errors CLEANLY — a ConcurrentWriterException naming the
+      // holder, not interleaved increments detected post-hoc by the audit
+      val e1 = intercept[ConcurrentWriterException] {
+        TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0),
+          indexDir, increment = 1L)
+      }
+      assert(e1.getMessage.contains("spec-holder"))
+      intercept[ConcurrentWriterException] {
+        TermIndex.compactTermIndex(spark, indexDir)
+      }
+    } finally { release.countDown(); holder.join(30000) }
+    // the loser wrote NOTHING: probe identical, no increment=1 partition
+    assert(IndexMaintenance.maxIncrement(spark,
+      s"$indexDir/postings") == 0L)
+    assert(!IndexMaintenance.writerLeaseHeld(spark, indexDir),
+      "lease must be released when the holder finishes")
+    // with the lease free the same append goes through and audits clean
+    TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0),
+      indexDir, increment = 1L)
+    assert(TermIndex.auditTermIndex(spark, indexDir).count() == 0)
+    assert(IndexMaintenance.maxIncrement(spark,
+      s"$indexDir/postings") == 1L, "post-release append must land")
+  }
+
+  test("writer lease guards the IVF and MinHash index families too") {
+    val e = Tables.embeddings(spark, sf)
+    val ivfDir = tmpDir("graft-lease-ivf") + "/index"
+    Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
+      ivfDir)
+    val (h1, r1) = (new CountDownLatch(1), new CountDownLatch(1))
+    val t1 = holdLease(s"$ivfDir/vectors", h1, r1)
+    h1.await()
+    try intercept[ConcurrentWriterException] {
+      Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+        ivfDir, increment = 1L)
+    } finally { r1.countDown(); t1.join(30000) }
+    assert(Sim.auditIvfIndex(spark, ivfDir).count() == 0)
+
+    val mhDir = tmpDir("graft-lease-mh") + "/index"
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") % Dedup.DELTA_MOD
+      =!= 0), mhDir)
+    val (h2, r2) = (new CountDownLatch(1), new CountDownLatch(1))
+    val t2 = holdLease(mhDir, h2, r2)
+    h2.await()
+    try intercept[ConcurrentWriterException] {
+      Dedup.appendMinhashIndex(docs.filter(col("doc_id") % Dedup.DELTA_MOD
+        === 0), mhDir, increment = 1L)
+    } finally { r2.countDown(); t2.join(30000) }
+  }
+
+  test("writer lease: two racing appenders — at most one wins the race " +
+      "window, the loser's exception is clean, the index audits empty") {
+    val indexDir = tmpDir("graft-lease-race") + "/index"
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 === 1), indexDir)
+    val barrier = new CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[
+      Throwable, Long]]()
+    val threads = Seq(1L, 2L).map { inc =>
+      val t = new Thread(() => {
+        barrier.await()
+        try {
+          // doc sets disjoint from the build (%3===1) and each other
+          TermIndex.appendTermIndex(
+            docs.filter(col("doc_id") % 3 === ((inc + 1) % 3)), indexDir,
+            inc)
+          outcomes.add(Right(inc))
+        } catch { case e: Throwable => outcomes.add(Left(e)) }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = outcomes.asScala.toSeq.partition(_.isLeft)
+    assert(winners.nonEmpty, "at least one racing appender must land")
+    // every loser failed through the CONTRACT, not through a torn write
+    losers.foreach {
+      case Left(e) => assert(e.isInstanceOf[ConcurrentWriterException],
+        s"loser must fail cleanly, got $e")
+      case _ => ()
+    }
+    // whoever won, the landed index is undamaged and lease-free
+    assert(TermIndex.auditTermIndex(spark, indexDir).count() == 0)
+    assert(!IndexMaintenance.writerLeaseHeld(spark, indexDir))
+    winners.foreach {
+      case Right(inc) =>
+        assert(spark.read.parquet(s"$indexDir/postings")
+          .filter(col("increment") === inc).count() > 0,
+          s"winner increment=$inc must have landed its postings")
+      case _ => ()
+    }
+  }
+
+  test("writer lease: a stale lease from a crashed writer blocks appends " +
+      "until the operator breaks it explicitly") {
+    val indexDir = tmpDir("graft-lease-stale") + "/index"
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 =!= 0), indexDir)
+    // simulate the crash: the lease file survives its writer
+    val lease = IndexMaintenance.leasePath(indexDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(lease.toUri.getPath),
+      "dead-writer pid=0".getBytes("UTF-8"))
+    val e = intercept[ConcurrentWriterException] {
+      TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0),
+        indexDir, increment = 1L)
+    }
+    assert(e.getMessage.contains("dead-writer"),
+      "the rejection must NAME the stale holder so the operator can " +
+        "verify it is dead before breaking the lease")
+    assert(IndexMaintenance.breakWriterLease(spark, indexDir))
+    TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0),
+      indexDir, increment = 1L)
+    assert(TermIndex.auditTermIndex(spark, indexDir).count() == 0)
+  }
 }
