@@ -93,7 +93,15 @@ object BmpCodec {
     require(bytes.length >= FILE_HEADER + INFO_HEADER, "truncated BMP header")
     require(bytes(0) == 'B' && bytes(1) == 'M',
       s"not a BMP (magic ${bytes(0)} ${bytes(1)})")
-    val dataOffset = u32(bytes, 10).toInt
+    // Validate the u32 offset BEFORE narrowing: an offset > Int.MaxValue
+    // would wrap negative on .toInt and slip past the truncated-raster
+    // check below, failing later with an index error instead of a clean
+    // parse error.
+    val dataOffsetL = u32(bytes, 10)
+    require(dataOffsetL >= (FILE_HEADER + INFO_HEADER).toLong &&
+        dataOffsetL <= bytes.length.toLong,
+      s"bad pixel-data offset $dataOffsetL (file ${bytes.length} bytes)")
+    val dataOffset = dataOffsetL.toInt
     val infoSize = u32(bytes, 14).toInt
     require(infoSize >= INFO_HEADER, s"unsupported info header size $infoSize")
     val w = i32(bytes, 18)

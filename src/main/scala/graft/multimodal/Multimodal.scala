@@ -103,26 +103,32 @@ object Multimodal {
     ((payload(0) & 0xff).toChar, (payload(1) & 0xff).toChar) match {
       case ('P', '6') => PpmCodec.decode(payload)
       case ('B', 'M') => BmpCodec.decode(payload)
+      case ('\u0089', 'P') => PngCodec.decode(payload)
       case (a, b) =>
         throw new IllegalArgumentException(f"unknown image format ${a.toInt}%02x ${b.toInt}%02x")
     }
   }
 
   /** The real-wire image corpus: every document becomes an ENCODED image
-    * file — even doc_id as PPM, odd as BMP — of the q178 synthetic
+    * file — doc_id mod 3 picks PPM, BMP, or PNG — of the q178 synthetic
     * raster. The payload is genuine wire bytes (headers, padding,
-    * channel order), so the typed decode path below exercises real
-    * parsing per row, and the mixed formats force the sniffing dispatch
-    * on every partition. */
+    * channel order, and for PNG real DEFLATE compression at a
+    * doc-varying level, so stored/fixed/dynamic blocks all appear in the
+    * corpus), so the typed decode path below exercises real parsing per
+    * row, and the mixed formats force the sniffing dispatch on every
+    * partition. */
   def imageDataset(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions(_.map { case (id, nc) =>
         val img = synthImage(id, nc)
-        val wire = if (id % 2 == 0) PpmCodec.encode(img) else BmpCodec.encode(img)
-        MediaRecord(id, if (id % 2 == 0) "ppm" else "bmp", wire,
-          img.width, img.height)
+        val (kind, wire) = (id % 3) match {
+          case 0 => ("ppm", PpmCodec.encode(img))
+          case 1 => ("bmp", BmpCodec.encode(img))
+          case _ => ("png", PngCodec.encode(img, level = (id % 10).toInt))
+        }
+        MediaRecord(id, kind, wire, img.width, img.height)
       })
   }
 
@@ -158,8 +164,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
       val rz = PpmCodec.resizeNearest(decodeImage(m.payload), dstW, dstH)
-      val wire = if ((m.payload(0) & 0xff).toChar == 'B') BmpCodec.encode(rz)
-        else PpmCodec.encode(rz)
+      val wire = (m.payload(0) & 0xff).toChar match {
+        case 'B' => BmpCodec.encode(rz)
+        case '\u0089' => PngCodec.encode(rz)
+        case _ => PpmCodec.encode(rz)
+      }
       MediaRecord(m.media_id, m.kind, wire, dstW, dstH)
     })
   }
@@ -280,6 +289,52 @@ object Multimodal {
         val s = statsOf(id, BmpCodec.decode(wire))      // real parse
         BmpStats(id, s.width, s.height, wire.length.toLong,
           (wire(54) & 0xff).toLong, s.sum_r, s.sum_g, s.sum_b, s.checksum)
+      }).toDF().orderBy("media_id")
+  }
+
+  /** q218's generative raster — the q178/q203 device with its own
+    * constants so a PNG-path bug cannot hide behind a green PPM/BMP
+    * gate: dims n%13+1 × n%11+1, byte p = (doc_id·41 + p·13) mod 256. */
+  def synthImageC(docId: Long, nChars: Long): PpmCodec.PpmImage = {
+    val w = (nChars % 13 + 1).toInt
+    val h = (nChars % 11 + 1).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < rgb.length) {
+      rgb(p) = ((docId * 41L + p.toLong * 13L) % 256L).toByte
+      p += 1
+    }
+    PpmCodec.PpmImage(w, h, 255, rgb)
+  }
+
+  final case class PngStats(media_id: Long, width: Long, height: Long,
+    filter_sum: Long, sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** q218: REAL compressed-format decode — every document becomes an
+    * actual PNG file ([[PngCodec.encode]] of the [[synthImageC]] raster:
+    * zlib-wrapped DEFLATE at a doc-varying compression level, so level-0
+    * stored blocks and Huffman-coded blocks both appear in every corpus;
+    * multi-IDAT; row filters cycling y mod 5), parsed back by the
+    * hand-rolled [[PngCodec.decode]] (chunk walk + CRC, zlib + Adler,
+    * RFC 1951 inflate, all five unfilters) and aggregated into channel
+    * sums + raster checksum. The oracle regenerates the expected pixels
+    * ARITHMETICALLY — Spark can only reach them through the inflate — and
+    * additionally pins `filter_sum`, the sum of the per-row filter-type
+    * bytes recovered from the compressed scanlines (= Σ y mod 5), which
+    * is a structural proof that every row was routed through the filter
+    * dispatch rather than decoded by luck on filter-0 rows. Map-only
+    * (narrow), the decode-stage shape of a 100 TB image pipeline. */
+  def pngDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val wire = PngCodec.encode(synthImageC(id, nc),
+          level = (id % 10).toInt)                        // real bytes
+        val (img, filters) = PngCodec.decodeWithFilters(wire) // real parse
+        val s = statsOf(id, img)
+        PngStats(id, s.width, s.height,
+          filters.map(_.toLong).sum, s.sum_r, s.sum_g, s.sum_b, s.checksum)
       }).toDF().orderBy("media_id")
   }
 

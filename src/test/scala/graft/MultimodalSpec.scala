@@ -95,12 +95,16 @@ class MultimodalSpec extends SparkSpecBase {
     val rows = resized.collect()
     assert(rows.length == media.count())
     assert(rows.forall(r => r.width == 16 && r.height == 12))
-    // format preserved: even ids stay PPM, odd stay BMP; payload decodes
+    // format preserved under the mod-3 PPM/BMP/PNG corpus; payload decodes
     // to exactly the driver-side resample of the driver-side decode
     val src = media.collect().map(m => m.media_id -> m.payload).toMap
     rows.foreach { r =>
       val magic = (r.payload(0) & 0xff).toChar
-      assert(if (r.media_id % 2 == 0) magic == 'P' else magic == 'B')
+      assert((r.media_id % 3) match {
+        case 0 => magic == 'P'
+        case 1 => magic == 'B'
+        case _ => magic == '\u0089'
+      })
       val expected = PpmCodec.resizeNearest(
         Multimodal.decodeImage(src(r.media_id)), 16, 12)
       assert(Multimodal.decodeImage(r.payload).rgb.toSeq == expected.rgb.toSeq)
@@ -441,5 +445,143 @@ class MultimodalSpec extends SparkSpecBase {
         assert(diff <= 1)
       }
     }
+  }
+
+  // -------------------------- PNG codec (round 12: hand-rolled inflate) --
+
+  test("hand-rolled zlib/DEFLATE inflate matches the JDK Inflater on " +
+      "random and compressible streams at every compression level") {
+    import graft.multimodal.PngCodec
+    val rnd = new java.util.Random(42)
+    val corpora: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      Array.fill(1)(7.toByte),
+      // highly compressible: long runs + repeating phrase (overlapping
+      // back-references, distance < length)
+      (("abcabcabc" * 50) + ("\u0000" * 200) + ("xyzzy" * 80)).getBytes("US-ASCII"),
+      Array.fill(4096)((rnd.nextInt(256) - 128).toByte),      // incompressible
+      Array.tabulate(1000)(i => (i % 7).toByte)                // tiny alphabet
+    )
+    for (data <- corpora; level <- 0 to 9) {
+      val defl = new java.util.zip.Deflater(level, false)
+      defl.setInput(data); defl.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](512)
+      while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val out = PngCodec.zlibInflate(buf.toByteArray, data.length)
+      assert(out.toSeq == data.toSeq,
+        s"inflate mismatch at level=$level n=${data.length}")
+    }
+  }
+
+  test("PNG round-trip recovers the raster for every geometry and " +
+      "compression level; per-row filter types y%5 are recovered") {
+    import graft.multimodal.PngCodec
+    for (nc <- Seq(0L, 1L, 10L, 12L, 13L, 47L, 500L); level <- Seq(0, 1, 6, 9)) {
+      val img = Multimodal.synthImageC(nc * 17 + 3, nc)
+      val wire = PngCodec.encode(img, level)
+      assert(PngCodec.sniff(wire))
+      val (back, filters) = PngCodec.decodeWithFilters(wire)
+      assert(back.width == img.width && back.height == img.height)
+      assert(back.rgb.toSeq == img.rgb.toSeq,
+        s"raster mismatch nc=$nc level=$level")
+      assert(filters.toSeq == (0 until img.height).map(_ % 5),
+        "encode cycles filters y%5; decode must recover exactly those")
+    }
+    // a raster large enough that the compressed stream spans several
+    // IDAT chunks - chunk reassembly on the real path
+    val big = Multimodal.synthImage(99L, 4747L)
+    val bigWire = PngCodec.encode(Multimodal.synthImageC(99L, 1000L), 0)
+    def chunkTypes(w: Array[Byte]): Seq[String] = {
+      var pos = 8; val ts = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos + 12 <= w.length) {
+        val len = java.nio.ByteBuffer.wrap(w, pos, 4).getInt
+        ts += new String(w, pos + 4, 4, "US-ASCII"); pos += 12 + len
+      }
+      ts.toSeq
+    }
+    assert(chunkTypes(bigWire).count(_ == "IDAT") >= 2,
+      "level-0 stored stream of a real raster must span multiple IDATs")
+    assert(PngCodec.decode(bigWire).rgb.length ==
+      Multimodal.synthImageC(99L, 1000L).rgb.length)
+    assert(big.rgb.nonEmpty) // silence unused warning-by-intent
+  }
+
+  test("PNG corruption is rejected: chunk CRC, zlib Adler, header checks") {
+    import graft.multimodal.PngCodec
+    val img = Multimodal.synthImageC(5L, 30L)
+    val wire = PngCodec.encode(img, 6)
+    // flip a byte inside the first IDAT's data -> chunk CRC mismatch
+    val bad = wire.clone()
+    val firstIdat = {
+      var pos = 8
+      while (new String(bad, pos + 4, 4, "US-ASCII") != "IDAT")
+        pos += 12 + java.nio.ByteBuffer.wrap(bad, pos, 4).getInt
+      pos
+    }
+    bad(firstIdat + 8) = (bad(firstIdat + 8) ^ 0x40).toByte
+    val e1 = intercept[IllegalArgumentException] { PngCodec.decode(bad) }
+    assert(e1.getMessage.contains("CRC"))
+    // zlib Adler catches decompressed-payload damage the chunk CRCs
+    // cannot see (verify on the raw zlib layer)
+    val raw = "filter-bytes-and-samples".getBytes("US-ASCII")
+    val defl = new java.util.zip.Deflater(6, false)
+    defl.setInput(raw); defl.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val t = new Array[Byte](256)
+    while (!defl.finished()) zb.write(t, 0, defl.deflate(t))
+    defl.end()
+    val z = zb.toByteArray
+    z(z.length - 1) = (z(z.length - 1) ^ 1).toByte
+    val e2 = intercept[IllegalArgumentException] {
+      PngCodec.zlibInflate(z, raw.length)
+    }
+    assert(e2.getMessage.contains("Adler"))
+    // truncation and signature damage fail loudly
+    intercept[IllegalArgumentException] {
+      PngCodec.decode(wire.take(wire.length - 6))
+    }
+    intercept[IllegalArgumentException] {
+      PngCodec.decode("not a png at all".getBytes("US-ASCII"))
+    }
+    // interlaced / non-truecolor headers are rejected (rebuilt IHDR with
+    // a valid CRC so the check under test is the HEADER check)
+    def withIhdrByte(off: Int, v: Byte): Array[Byte] = {
+      val w = wire.clone()
+      w(8 + 8 + off) = v // IHDR data begins at 16
+      val crc = PngCodec.crc32(w, 12, 12 + 4 + 13)
+      val bb = java.nio.ByteBuffer.wrap(w, 12 + 4 + 13, 4)
+      bb.putInt(crc)
+      w
+    }
+    val e3 = intercept[IllegalArgumentException] {
+      PngCodec.decode(withIhdrByte(12, 1)) // interlace=1
+    }
+    assert(e3.getMessage.contains("interlaced"))
+    val e4 = intercept[IllegalArgumentException] {
+      PngCodec.decode(withIhdrByte(9, 6)) // color type 6 (RGBA)
+    }
+    assert(e4.getMessage.contains("truecolor"))
+  }
+
+  test("decodeImage sniffs PNG alongside PPM/BMP; ancillary chunks skipped") {
+    import graft.multimodal.PngCodec
+    val img = Multimodal.synthImage(11L, 40L)
+    assert(Multimodal.decodeImage(PngCodec.encode(img, 4)).rgb.toSeq ==
+      img.rgb.toSeq)
+    // splice a tEXt ancillary chunk between IHDR and the first IDAT;
+    // the decoder must skip it (CRC still checked) and parse unchanged
+    val wire = PngCodec.encode(img, 4)
+    val ihdrEnd = 8 + 12 + 13
+    val data = "graft".getBytes("US-ASCII")
+    val chunk = new Array[Byte](12 + data.length)
+    java.nio.ByteBuffer.wrap(chunk, 0, 4).putInt(data.length)
+    "tEXt".getBytes("US-ASCII").copyToArray(chunk, 4)
+    data.copyToArray(chunk, 8)
+    java.nio.ByteBuffer.wrap(chunk, 8 + data.length, 4)
+      .putInt(PngCodec.crc32(chunk, 4, 8 + data.length))
+    val spliced = wire.take(ihdrEnd) ++ chunk ++ wire.drop(ihdrEnd)
+    assert(Multimodal.decodeImage(spliced).rgb.toSeq == img.rgb.toSeq)
   }
 }
