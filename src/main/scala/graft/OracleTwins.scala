@@ -3183,11 +3183,36 @@ object OracleTwins {
        |  ${rasterChecksum("v")}
        |FROM px ORDER BY media_id""".stripMargin
 
+  /** q218's twin — [[graft.multimodal.Multimodal.pngDecodeStats]]: the
+    * synthImageC generative raster (dims n%13+1 × n%11+1, byte p =
+    * (doc_id·41 + p·13) mod 256) recomputed arithmetically — the Spark
+    * side can only reach these pixels through the hand-rolled zlib/
+    * DEFLATE inflate and the five unfilters — plus `filter_sum` =
+    * Σ_{y<h} (y mod 5), the per-row filter-type bytes the decoder must
+    * recover from the compressed scanlines (encode cycles y mod 5). */
+  val pngDecodeStats: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 13 + 1) AS w, (n_chars % 11 + 1) AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(0, w*h*3),
+       |      pp -> (doc_id*41 + pp*13) % 256) AS v
+       |  FROM d)
+       |SELECT doc_id AS media_id,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(list_aggregate(list_transform(range(0, h), y -> y % 5),
+       |    'sum') AS BIGINT) AS filter_sum,
+       |  ${channelSums("v", "w*h")},
+       |  ${rasterChecksum("v")}
+       |FROM px ORDER BY media_id""".stripMargin
+
   /** q204's twin — [[graft.multimodal.Multimodal.mixedDecodeStats]]:
     * q179's format-INDEPENDENT resize oracle (generative raster + the
     * same source-index arithmetic) with the fmt column restating the
-    * corpus's even→PPM / odd→BMP layout. Both parsers must recover the
-    * identical raster from their different wire layouts to match. */
+    * corpus's mod-3 PPM/BMP/PNG layout. All three parsers must recover
+    * the identical raster from their very different wire layouts — PNG
+    * through a real DEFLATE inflate — to match. */
   val mixedDecodeStats: String = {
     import graft.multimodal.Multimodal.{THUMB_H, THUMB_W}
     val n = THUMB_W * THUMB_H * 3
@@ -3199,7 +3224,8 @@ object OracleTwins {
        |    list_transform(range(0, $n), rq -> v[$src]) AS rv
        |  FROM px)
        |SELECT doc_id AS media_id,
-       |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+       |    ELSE 'png' END AS fmt,
        |  CAST($THUMB_W AS BIGINT) AS width,
        |  CAST($THUMB_H AS BIGINT) AS height,
        |  CAST($n AS BIGINT) AS n_bytes,
@@ -3652,7 +3678,40 @@ object OracleTwins {
        |FROM prs p
        |JOIN sz USING (source_a, source_b)
        |LEFT JOIN cmn USING (source_a, source_b)
+       |WHERE n_merged > 0
        |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  /** q219's twin — [[graft.engine.TextOps.quantileSketch]]: the
+    * bottom-k-by-hash row sample replayed as a plain window (rank the
+    * shared LCG hash, keep rk ≤ k), then the identical ceil(q·n/100)
+    * order statistic in integer arithmetic. Merge-order independence is
+    * the whole point: this twin never mentions partitions. */
+  val quantileSketch: String = {
+    import graft.engine.TextOps.{QSAMPLE_K, QSAMPLE_QS, QS_A, QS_B}
+    val qvals = QSAMPLE_QS.map(q => s"($q)").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source, n_chars,
+       |    (doc_id * $QS_A + $QS_B) % $P AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, n_chars) AS rk
+       |  FROM d),
+       |s AS (SELECT source, n_chars FROM r WHERE rk <= $QSAMPLE_K),
+       |n AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_sample
+       |  FROM s GROUP BY source),
+       |v AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS vr
+       |  FROM s),
+       |qq AS (SELECT CAST(q AS BIGINT) AS q FROM (VALUES $qvals) t(q))
+       |SELECT v.source, qq.q, n.n_sample, CAST(v.n_chars AS BIGINT) AS est
+       |FROM v
+       |JOIN n USING (source)
+       |JOIN qq ON v.vr = (qq.q * n.n_sample + 99) // 100
+       |ORDER BY source, q""".stripMargin
   }
 
   val kmvDistinctShingles: String = {

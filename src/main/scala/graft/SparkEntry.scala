@@ -400,6 +400,12 @@ object SparkEntry {
     "q216_stream_outer_join"       -> (graft.streaming.EventsStream.streamOuterJoinProbe _),
     // ---- round 11: stream-stream FULL OUTER interval join ----
     "q217_stream_full_outer_join"  -> (graft.streaming.EventsStream.streamFullOuterJoinProbe _),
+    // ---- round 12: REAL PNG codec — hand-rolled DEFLATE inflate + the
+    // five scanline unfilters; compressed mainstream format coverage ----
+    "q218_png_decode"              -> (graft.multimodal.Multimodal.pngDecodeStats _),
+    // ---- round 12: deterministic bottom-k-sample quantiles (vs q55's
+    // merge-order-sensitive percentile_approx) ----
+    "q219_quantile_sketch"         -> (TextOps.quantileSketch _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -676,6 +682,8 @@ object SparkEntry {
     "q215_stream_dedup" -> OracleTwins.streamDedup,
     "q216_stream_outer_join" -> OracleTwins.streamOuterJoin,
     "q217_stream_full_outer_join" -> OracleTwins.streamFullOuterJoin,
+    "q218_png_decode" -> OracleTwins.pngDecodeStats,
+    "q219_quantile_sketch" -> OracleTwins.quantileSketch,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -1812,13 +1812,23 @@ object TextOps {
     * carrying ≤ k longs per group; the merge row costs k·|sources| rows.
     * The exact path (distinct + count) is the expensive twin retained for
     * verification — at deployment scale it is dropped, which is the whole
-    * point of the sketch. The `graft.kmv.exact` system property (default
-    * on, so Verify/specs and the oracle always audit the estimate) gates
-    * that branch: [[graft.Bench]] sets it to "0" so the benched path is
-    * the deployment path — the sketch alone. */
-  def kmvDistinctShingles(spark: SparkSession, dir: String): DataFrame = {
+    * point of the sketch. The branch is gated per-call: the registry
+    * entry resolves the session conf `graft.kmv.exact` (default on, so
+    * Verify/specs and the oracle always audit the estimate) at call time;
+    * [[graft.Bench]] sets it to "0" on its private session so the benched
+    * path is the deployment path — the sketch alone. Session conf, not a
+    * JVM-global system property: a concurrently running suite sharing the
+    * JVM can no longer observe the flag mid-flip. */
+  def kmvDistinctShingles(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinctShingles(spark, dir,
+      exact = spark.conf.get("graft.kmv.exact", "1") != "0")
+
+  /** Explicitly-scoped variant — tests pass `exact` directly and never
+    * mutate shared state. */
+  def kmvDistinctShingles(spark: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
     import spark.implicits._
-    val exactOn = sys.props.getOrElse("graft.kmv.exact", "1") != "0"
+    val exactOn = exact
     val hashedRaw = spread(documents(spark, dir))
       .select(col("source"),
         explode(TextFns.shingleHashes(col("text"))).as("h"))
@@ -1886,9 +1896,55 @@ object TextOps {
       .withColumn("n_common",
         size(array_intersect(array_intersect(col("merged"), col("hs_a")),
           col("hs_b"))).cast("long"))
+      // Degenerate-corpus guard, mirrored in the twin's WHERE: a pair of
+      // empty-vocabulary sources would make `div` NULL here but a hard
+      // division-by-zero in DuckDB — filter it out identically on both
+      // engines so the degenerate case drops instead of diverging.
+      .filter(col("n_merged") > 0)
       .withColumn("jaccard_ppm", expr("n_common * 1000000L div n_merged"))
       .select("source_a", "source_b", "n_common", "n_merged", "jaccard_ppm")
       .orderBy("source_a", "source_b")
+  }
+
+  /** q219 sample bound (rows per group retained by the quantile sample)
+    * and the LCG constants of its per-row hash — shared verbatim with
+    * the DuckDB twin. */
+  val QSAMPLE_K = 64
+  val QS_A = 1103515245L
+  val QS_B = 12345L
+  /** The quantile probes, in percent. */
+  val QSAMPLE_QS: Seq[Long] = Seq(25L, 50L, 75L, 90L, 99L)
+
+  /** q219: DETERMINISTIC quantile estimation from a bottom-k-by-hash row
+    * sample ([[graft.functions.QuantSampleAgg]]) — per-source document
+    * -length quantiles whose every cell hash-matches a DuckDB replay.
+    * q55's `percentile_approx` (KLL-style) is merge-order-sensitive:
+    * repartitioning can shift its estimates, so it only supports
+    * verdict-style gating; here the sample is a pure function of the
+    * input set (the q195 law applied to ROW sampling), and the quantile
+    * is the ceil(q·n/100)-th order statistic of the sample in exact
+    * integer arithmetic.
+    *
+    * Scale shape: one map-side-combined aggregation carrying ≤ k (h, v)
+    * pairs per source; extraction is array algebra on the ≤ k-element
+    * sample — the corpus is scanned once and never sorted. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSrc = spread(documents(spark, dir))
+      .select(col("source").as("g"),
+        expr(s"(doc_id * ${QS_A}L + ${QS_B}L) % ${TextFns.P}L").as("h"),
+        col("n_chars").as("v")).as[graft.functions.QsIn]
+      .groupByKey(_.g)
+      .agg(new graft.functions.QuantSampleAgg(QSAMPLE_K).toColumn.name("sk"))
+      .toDF("source", "sk")
+    perSrc
+      .withColumn("vs", array_sort(expr("transform(sk.es, e -> e.v)")))
+      .withColumn("n_sample", size(col("vs")).cast("long"))
+      .withColumn("q", explode(array(QSAMPLE_QS.map(lit): _*)))
+      .withColumn("est",
+        expr("element_at(vs, CAST((q * n_sample + 99) DIV 100 AS INT))"))
+      .select("source", "q", "n_sample", "est")
+      .orderBy("source", "q")
   }
 
   /** Per-source sketch CONTENTS of a doc slice — the unit of the q198

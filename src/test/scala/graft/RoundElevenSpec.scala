@@ -209,16 +209,15 @@ class RoundElevenSpec extends SparkSpecBase {
 
   test("q195 deployment flag drops only the validation column") {
     val before = TextOps.kmvDistinctShingles(spark, sf).collect()
-    System.setProperty("graft.kmv.exact", "0")
-    try {
-      val after = TextOps.kmvDistinctShingles(spark, sf).collect()
-      assert(after.length == before.length)
-      assert(after.forall(_.isNullAt(1)), "n_exact must be null when gated off")
-      // sketch columns are byte-identical with the flag off
-      def sk(rows: Array[org.apache.spark.sql.Row]) =
-        rows.map(r => (r.getString(0), r.getLong(2),
-          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).sortBy(_._1)
-      assert(sk(after).sameElements(sk(before)))
-    } finally System.clearProperty("graft.kmv.exact")
+    // per-call scoping: no shared (JVM- or session-) state is mutated, so
+    // concurrently running suites can never observe the deployment flag.
+    val after = TextOps.kmvDistinctShingles(spark, sf, exact = false).collect()
+    assert(after.length == before.length)
+    assert(after.forall(_.isNullAt(1)), "n_exact must be null when gated off")
+    // sketch columns are byte-identical with the flag off
+    def sk(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(sk(after).sameElements(sk(before)))
   }
 }
