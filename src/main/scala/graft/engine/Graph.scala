@@ -376,7 +376,12 @@ object Graph {
     while (removed > 0) {
       val deg = degreesOf(edges).localCheckpoint()
       val keep = deg.filter(col("deg") >= KCORE_K).select(col("node"))
-      removed = deg.count() - keep.count()
+      // ONE action per peel round: count the below-threshold nodes in a
+      // single aggregate over the checkpointed degrees instead of two
+      // separate deg.count()/keep.count() jobs.
+      removed = deg
+        .agg(coalesce(sum(when(col("deg") < KCORE_K, 1L)), lit(0L)))
+        .collect()(0).getLong(0)
       if (removed > 0) {
         require(round < KCORE_MAX_ROUNDS,
           s"k-core peeling exceeded $KCORE_MAX_ROUNDS rounds")

@@ -1390,4 +1390,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(store).count() == nAll,
       "a replayed append replaces its increment, never duplicates")
   }
+
+  test("checkpoint recovery: the q215 lineage dies mid-run (after batch " +
+      "2's write, before its commit) and a NEW query resumed from the " +
+      "same checkpoint lands the lake the uninterrupted law predicts") {
+    import graft.streaming.EventsStream
+    val before = EventsStream.dedupCrashCount.get()
+    val rows = EventsStream.streamDedupProbe(spark, sf).collect()
+    // the lineage is the restarted one — if it came from this session's
+    // cache, a prior test already paid the crash; either way ≥1 recorded
+    assert(EventsStream.dedupCrashCount.get() >= math.max(before, 1),
+      "the lineage must actually have crashed and recovered")
+    // uninterrupted-run expectation, derived independently from the
+    // batch table: every event EXACTLY once, stamped with the slice of
+    // its first arrival (event_id mod 3); the replay slice (batch 3)
+    // contributes nothing. A restart that lost batch 2's offsets,
+    // double-landed its rows, or skipped batch 3 breaks one of these.
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(col("event_id"), pmod(col("event_id"), lit(3)).cast("long")
+        .as("expected_batch")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == ev.size, "every event exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("batch") == ev(r.getAs[Long]("event_id")),
+        "emission must come from the first-arrival slice")
+    }
+  }
 }
