@@ -3714,6 +3714,119 @@ object OracleTwins {
        |ORDER BY source, q""".stripMargin
   }
 
+  /** Shared CTE of the q220–q227 twins — the [[graft.engine.V2Demo]]
+    * fixture mapping restated over the original parquet: every v2 column
+    * is a pure projection of a testdata table, so the oracle recomputes
+    * each reference KPI arithmetically while Spark must reach the same
+    * rows through CSV → bronze → silver. */
+  private def v2BaseCte: String =
+    s"""v2b AS (
+       |  SELECT o_orderkey AS booking_id, o_orderkey % 2000 AS service_id,
+       |    o_custkey AS user_id, o_orderdate AS scheduled_date
+       |  FROM orders),
+       |v2s AS (
+       |  SELECT p_partkey AS service_id, p_partkey % 100 AS provider_id,
+       |    p_partkey % 10 AS category_id, p_name AS service_name
+       |  FROM part),
+       |v2c AS (
+       |  SELECT n_nationkey AS category_id, n_name AS category_name
+       |  FROM nation WHERE n_nationkey < 10),
+       |v2p AS (
+       |  SELECT s_suppkey AS provider_id, s_name AS business_name,
+       |    'LOC-' || CAST(s_nationkey AS VARCHAR) AS location,
+       |    (s_suppkey % 4 = 0) AS is_ai
+       |  FROM supplier),
+       |v2r AS (
+       |  SELECT l_suppkey AS provider_id, (l_partkey % 5) + 1 AS rating
+       |  FROM lineitem WHERE l_linenumber = 1),
+       |v2pay AS (
+       |  SELECT o_orderkey AS booking_id, o_totalprice AS amount,
+       |    o_orderdate AS created_at
+       |  FROM orders WHERE o_orderkey % 5 != 4),
+       |v2d AS (
+       |  SELECT o_orderkey AS dispute_id, o_orderkey AS booking_id
+       |  FROM orders WHERE o_orderkey % 10 = 0)""".stripMargin
+
+  /** q220's twin — admin KPI 1 (`/root/reference/sql/admin_kip_script:
+    * 1–11`), week anchored to the corpus's latest scheduled day. */
+  val v2ActiveCategories: String =
+    s"""WITH $v2BaseCte
+       |SELECT category_name, CAST(count(*) AS BIGINT) AS total_bookings
+       |FROM v2b JOIN v2s USING (service_id) JOIN v2c USING (category_id)
+       |WHERE scheduled_date >=
+       |  (SELECT date_trunc('week', max(scheduled_date)) FROM v2b)
+       |GROUP BY category_name
+       |ORDER BY total_bookings DESC, category_name
+       |LIMIT 5""".stripMargin
+
+  /** q221's twin — admin KPI 2 (`admin_kip_script:13–23`). */
+  val v2TopProviders: String =
+    s"""WITH $v2BaseCte
+       |SELECT CAST(provider_id AS BIGINT) AS provider_id, business_name,
+       |  CAST(count(*) AS BIGINT) AS total_bookings
+       |FROM v2b JOIN v2s USING (service_id) JOIN v2p USING (provider_id)
+       |GROUP BY 1, 2
+       |ORDER BY total_bookings DESC, provider_id
+       |LIMIT 5""".stripMargin
+
+  /** q222's twin — admin KPI 3 (`admin_kip_script:25–36`). */
+  val v2DisputedProviders: String =
+    s"""WITH $v2BaseCte
+       |SELECT CAST(provider_id AS BIGINT) AS provider_id, business_name,
+       |  CAST(count(*) AS BIGINT) AS dispute_count
+       |FROM v2d JOIN v2b USING (booking_id) JOIN v2s USING (service_id)
+       |  JOIN v2p USING (provider_id)
+       |GROUP BY 1, 2
+       |ORDER BY dispute_count DESC, provider_id
+       |LIMIT 5""".stripMargin
+
+  /** q223's twin — provider KPI 1 (`service_provider_kpis:1–10`). */
+  val v2DemandByArea: String =
+    s"""WITH $v2BaseCte
+       |SELECT location, service_name,
+       |  CAST(count(*) AS BIGINT) AS request_count
+       |FROM v2b JOIN v2s USING (service_id) JOIN v2p USING (provider_id)
+       |GROUP BY 1, 2
+       |ORDER BY request_count DESC, location, service_name""".stripMargin
+
+  /** q224's twin — provider KPI 2 (`service_provider_kpis:12–17`). */
+  val v2AvgRating: String =
+    s"""WITH $v2BaseCte
+       |SELECT CAST(provider_id AS BIGINT) AS provider_id,
+       |  avg(rating) AS avg_rating
+       |FROM v2r GROUP BY provider_id ORDER BY provider_id""".stripMargin
+
+  /** q225's twin — provider KPI 3 (`service_provider_kpis:19–27`),
+    * money through exact integer cents. */
+  val v2MonthlyRevenue: String =
+    s"""WITH $v2BaseCte
+       |SELECT date_trunc('month', pay.created_at) AS month,
+       |  CAST(s.provider_id AS BIGINT) AS provider_id,
+       |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT)
+       |    / CAST(100 AS DOUBLE) AS revenue
+       |FROM v2pay pay JOIN v2b USING (booking_id)
+       |  JOIN v2s s USING (service_id)
+       |GROUP BY 1, 2
+       |ORDER BY month, provider_id""".stripMargin
+
+  /** q226's twin — provider KPI 4 (`service_provider_kpis:29–36`),
+    * 2-dp through the integer path (the round2 device). */
+  val v2AiUsage: String =
+    s"""WITH $v2BaseCte
+       |SELECT CAST(round((100.0 *
+       |    SUM(CASE WHEN is_ai THEN 1 ELSE 0 END) / COUNT(*)) * 100)
+       |  AS BIGINT) / CAST(100 AS DOUBLE) AS ai_usage_percentage
+       |FROM v2p""".stripMargin
+
+  /** q227's twin — seeker KPI (`service_seeker_kpis:1–10`). */
+  val v2TopRated: String =
+    s"""WITH $v2BaseCte
+       |SELECT business_name, location, avg(rating) AS avg_rating
+       |FROM v2p JOIN v2r USING (provider_id)
+       |GROUP BY 1, 2
+       |ORDER BY avg_rating DESC, business_name
+       |LIMIT 5""".stripMargin
+
   val kmvDistinctShingles: String = {
     val K = graft.engine.TextOps.KMV_K
     s"""WITH ${kmvBaseCte(K)},

@@ -406,6 +406,16 @@ object SparkEntry {
     // ---- round 12: deterministic bottom-k-sample quantiles (vs q55's
     // merge-order-sensitive percentile_approx) ----
     "q219_quantile_sketch"         -> (TextOps.quantileSketch _),
+    // ---- round 12: the reference's OWN 13-table schema end-to-end —
+    // CSV fixtures → bronze → silver → gold, then its 8 KPI queries ----
+    "q220_v2_active_categories"    -> (V2Demo.kpiActiveCategories _),
+    "q221_v2_top_providers"        -> (V2Demo.kpiTopProviders _),
+    "q222_v2_disputed_providers"   -> (V2Demo.kpiDisputedProviders _),
+    "q223_v2_demand_by_area"       -> (V2Demo.kpiDemandByArea _),
+    "q224_v2_avg_rating"           -> (V2Demo.kpiAvgRating _),
+    "q225_v2_monthly_revenue"      -> (V2Demo.kpiMonthlyRevenue _),
+    "q226_v2_ai_usage"             -> (V2Demo.kpiAiUsage _),
+    "q227_v2_top_rated"            -> (V2Demo.kpiTopRated _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -684,6 +694,14 @@ object SparkEntry {
     "q217_stream_full_outer_join" -> OracleTwins.streamFullOuterJoin,
     "q218_png_decode" -> OracleTwins.pngDecodeStats,
     "q219_quantile_sketch" -> OracleTwins.quantileSketch,
+    "q220_v2_active_categories" -> OracleTwins.v2ActiveCategories,
+    "q221_v2_top_providers" -> OracleTwins.v2TopProviders,
+    "q222_v2_disputed_providers" -> OracleTwins.v2DisputedProviders,
+    "q223_v2_demand_by_area" -> OracleTwins.v2DemandByArea,
+    "q224_v2_avg_rating" -> OracleTwins.v2AvgRating,
+    "q225_v2_monthly_revenue" -> OracleTwins.v2MonthlyRevenue,
+    "q226_v2_ai_usage" -> OracleTwins.v2AiUsage,
+    "q227_v2_top_rated" -> OracleTwins.v2TopRated,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

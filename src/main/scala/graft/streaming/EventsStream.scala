@@ -208,17 +208,20 @@ object EventsStream {
     * top of the sf0.1 wall. The first probe of the family to run kicks
     * the other builds off on background daemon threads (the q202 device
     * — its three direction streams already run concurrently INSIDE one
-    * query); each later probe's `computeIfAbsent` then blocks only on
-    * its OWN build finishing. Default off, so Verify, specs, and library
-    * callers keep the sequential, deterministic-cost behavior;
-    * ConcurrencySpec's parallel mix separately pins that concurrent
-    * lineage builders are safe. A background failure only clears the
-    * prewarm's head start — the timed query rebuilds synchronously. */
+    * query). The kicking probe JOINS the sibling threads before
+    * returning, so the whole family's cost lands inside ONE timed window
+    * (the parallel wall) instead of leaking CPU contention into whatever
+    * queries run next — the later probes then serve from their caches in
+    * ~0.1 s. Default off, so Verify, specs, and library callers keep the
+    * sequential, deterministic-cost behavior; ConcurrencySpec's parallel
+    * mix separately pins that concurrent lineage builders are safe. A
+    * background failure only clears the prewarm's head start — the timed
+    * query rebuilds synchronously. */
   private val prewarmKicked =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def prewarmSiblings(spark: SparkSession, dir: String,
-      except: String): Unit =
+      except: String): Seq[Thread] =
     if (spark.conf.get("graft.stream.prewarm", "0") == "1" &&
         prewarmKicked.compareAndSet(false, true)) {
       val family: Seq[(String, () => Unit)] = Seq(
@@ -227,7 +230,7 @@ object EventsStream {
         "dedup" -> (() => { streamDedupProbe(spark, dir).count(); () }),
         "loj" -> (() => { streamOuterJoinProbe(spark, dir).count(); () }),
         "foj" -> (() => { streamFullOuterJoinProbe(spark, dir).count(); () }))
-      family.filter(_._1 != except).foreach { case (tag, build) =>
+      family.filter(_._1 != except).map { case (tag, build) =>
         val t = new Thread(() =>
           try build() catch {
             case e: Throwable => System.err.println(
@@ -236,8 +239,9 @@ object EventsStream {
           }, s"graft-prewarm-$tag")
         t.setDaemon(true)
         t.start()
+        t
       }
-    }
+    } else Nil
 
   private[graft] val hourlyProbeState =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -516,9 +520,10 @@ object EventsStream {
     * buffered across the slice boundary. A lost buffer row, an eager or
     * repeated emission, or wrong watermark eviction all flip cells. */
   def streamIntervalJoinProbe(spark: SparkSession, dir: String): DataFrame = {
-    prewarmSiblings(spark, dir, except = "ivj")
+    val warm = prewarmSiblings(spark, dir, except = "ivj")
     val out = intervalJoinProbeState.computeIfAbsent(dir, _ =>
       runIntervalJoinLineage(spark, dir))
+    warm.foreach(_.join())
     spark.read.parquet(out)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
@@ -560,9 +565,10 @@ object EventsStream {
     * what complete mode means — and what makes the landing trivially
     * idempotent under retry); the oracle checks the final state. */
   def streamDriftProbe(spark: SparkSession, dir: String): DataFrame = {
-    prewarmSiblings(spark, dir, except = "drift")
+    val warm = prewarmSiblings(spark, dir, except = "drift")
     val out = driftProbeState.computeIfAbsent(dir, _ =>
       runDriftLineage(spark, dir))
+    warm.foreach(_.join())
     spark.read.parquet(out)
       .select(col("event_type"), col("bucket"), col("n"))
       .orderBy("event_type", "bucket")
@@ -602,9 +608,10 @@ object EventsStream {
     * state forever. The twin is the plain batch LEFT interval join, no
     * cutoff clause. */
   def streamOuterJoinProbe(spark: SparkSession, dir: String): DataFrame = {
-    prewarmSiblings(spark, dir, except = "loj")
+    val warm = prewarmSiblings(spark, dir, except = "loj")
     val out = outerJoinProbeState.computeIfAbsent(dir, _ =>
       runOuterJoinLineage(spark, dir))
+    warm.foreach(_.join())
     spark.read.parquet(out)
       .filter(col("user_id") >= 0) // drop the key-−1 flush pair
       .select(col("click_id"), col("purchase_id"), col("user_id"),
@@ -647,9 +654,10 @@ object EventsStream {
     * its own timestamp on the click watermark). Same two-row flush
     * heartbeat as q216; twin = the plain batch FULL join. */
   def streamFullOuterJoinProbe(spark: SparkSession, dir: String): DataFrame = {
-    prewarmSiblings(spark, dir, except = "foj")
+    val warm = prewarmSiblings(spark, dir, except = "foj")
     val out = fullOuterJoinProbeState.computeIfAbsent(dir, _ =>
       runFullOuterJoinLineage(spark, dir))
+    warm.foreach(_.join())
     spark.read.parquet(out)
       .filter(coalesce(col("user_id"), lit(0L)) >= 0 &&
         coalesce(col("purchase_id"), lit(0L)) >= 0) // drop flush rows
@@ -713,9 +721,10 @@ object EventsStream {
     * duplicate leaking through, a first arrival suppressed, or an
     * emission from the wrong batch all flip hashed cells. */
   def streamDedupProbe(spark: SparkSession, dir: String): DataFrame = {
-    prewarmSiblings(spark, dir, except = "dedup")
+    val warm = prewarmSiblings(spark, dir, except = "dedup")
     val out = dedupProbeState.computeIfAbsent(dir, _ =>
       runDedupLineage(spark, dir))
+    warm.foreach(_.join())
     spark.read.parquet(out)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("value"),
