@@ -78,6 +78,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q199_hard_negatives" -> 1,
     "q206_kmv_source_overlap" -> 1,
     "q211_stream_term_index" -> 1, // live probe: q139's shape (scalar stats attach)
+    "q220_v2_active_categories" -> 1, // week-anchor scalar attach
     "q20_embedding_topk" -> 1,
     "q37_ivf_cells" -> 1,
     "q42_topk_aggregator" -> 1,
