@@ -18,10 +18,10 @@ object Bench {
     // cost of the exact twin the sketch replaces. Verify/specs leave the
     // flag at its default (on), so the oracle still checks every column.
     spark.conf.set("graft.kmv.exact", "0")
-    // Concurrent one-time lineage builds: the independent round-11
-    // replay streams (q208/q210/q215/q216/q217) build in parallel from
-    // whichever family member the bench reaches first, instead of
-    // back-to-back (EventsStream.prewarmSiblings). Serves are unchanged.
+    // Concurrent one-time lineage builds: the fifteen independent replay
+    // streams build in parallel inside whichever family member the bench
+    // reaches first, instead of back-to-back (EventsStream
+    // .prewarmSiblings). Serves are unchanged.
     spark.conf.set("graft.stream.prewarm", "1")
     // Untimed warmup: exercise parquet scan + shuffle + codegen against the
     // bench directory itself (region is the smallest table; the synthetic

@@ -139,8 +139,10 @@ object DedupStream {
     * must land in (and only in) the micro-batch that delivered its
     * later-arriving member. */
   def streamNearDupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val warm = EventsStream.prewarmSiblings(spark, dir, except = "neardup")
     val out = probeState.computeIfAbsent(dir, _ =>
       runNearDupLineage(spark, dir))
+    warm.foreach(_.join())
     spark.read.parquet(out)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("batch").cast("long").as("batch"))

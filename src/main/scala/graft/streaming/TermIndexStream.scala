@@ -67,10 +67,12 @@ object TermIndexStream {
     * increments, batches, or layout — so a lost append, a stats sidecar
     * row landing twice (n_docs/avg-len skew every score), or a
     * compaction that dropped/duplicated postings all hash-mismatch. */
-  def streamTermIndexProbe(spark: SparkSession, dir: String): DataFrame =
-    TermIndex.probeTermIndex(spark, ST_TERMS,
-      probeState.computeIfAbsent(dir, _ => runIngestLineage(spark, dir)),
-      TextOps.RETRIEVAL_TOP_K)
+  def streamTermIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val warm = EventsStream.prewarmSiblings(spark, dir, except = "ti")
+    val idx = probeState.computeIfAbsent(dir, _ => runIngestLineage(spark, dir))
+    warm.foreach(_.join())
+    TermIndex.probeTermIndex(spark, ST_TERMS, idx, TextOps.RETRIEVAL_TOP_K)
+  }
 
   private def runIngestLineage(spark: SparkSession, dir: String): String = {
     import graft.engine.Tables
