@@ -560,9 +560,33 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(e3.getMessage.contains("interlaced"))
     val e4 = intercept[IllegalArgumentException] {
-      PngCodec.decode(withIhdrByte(9, 6)) // color type 6 (RGBA)
+      PngCodec.decode(withIhdrByte(9, 3)) // color type 3 (palette)
     }
-    assert(e4.getMessage.contains("truecolor"))
+    assert(e4.getMessage.contains("color type"))
+  }
+
+  test("PNG grayscale and RGBA decode arms: gray expands g->(g,g,g), " +
+      "alpha drops; filters step by the pixel width, not the byte") {
+    import graft.multimodal.PngCodec
+    val (w, h) = (7, 6)
+    val gray = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val gWire = PngCodec.encodeSamples(gray, w, h, colorType = 0)
+    val gImg = PngCodec.decode(gWire)
+    assert(gImg.width == w && gImg.height == h)
+    (0 until w * h).foreach { i =>
+      assert(gImg.rgb(3 * i) == gray(i) && gImg.rgb(3 * i + 1) == gray(i) &&
+        gImg.rgb(3 * i + 2) == gray(i))
+    }
+    val rgba = Array.tabulate(w * h * 4)(i => ((i * 29 + 5) % 256).toByte)
+    val aWire = PngCodec.encodeSamples(rgba, w, h, colorType = 6)
+    val aImg = PngCodec.decode(aWire)
+    (0 until w * h).foreach { i =>
+      assert(aImg.rgb(3 * i) == rgba(4 * i) &&
+        aImg.rgb(3 * i + 1) == rgba(4 * i + 1) &&
+        aImg.rgb(3 * i + 2) == rgba(4 * i + 2))
+    }
+    // the sniffing dispatch serves all three PNG color types
+    assert(Multimodal.decodeImage(gWire).rgb.toSeq == gImg.rgb.toSeq)
   }
 
   test("decodeImage sniffs PNG alongside PPM/BMP; ancillary chunks skipped") {
