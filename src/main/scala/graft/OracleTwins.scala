@@ -1212,9 +1212,11 @@ object OracleTwins {
        |b AS (SELECT * FROM e WHERE vec_id % ${Sim.ANN_DELTA_MOD} <> 0),
        |c AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
-       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
-       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
-       |    FROM b) = 0),
+       |  FROM b WHERE vec_id % (SELECT m + CASE WHEN m % ${Sim.ANN_DELTA_MOD}
+       |      = 0 THEN 1 ELSE 0 END
+       |    FROM (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |      (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |      AS m FROM b)) = 0),
        |s AS (
        |  SELECT e.vec_id, c.cent_id, ${dot("embedding", "cv")} / (nrm * cnrm) AS cos
        |  FROM e, c),
@@ -1267,9 +1269,11 @@ object OracleTwins {
        |l AS (SELECT * FROM e WHERE vec_id % ${Sim.DRIFT_MOD} = 0),
        |c AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
-       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
-       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
-       |    FROM b) = 0),
+       |  FROM b WHERE vec_id % (SELECT m + CASE WHEN m % ${Sim.DRIFT_MOD}
+       |      = 0 THEN 1 ELSE 0 END
+       |    FROM (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |      (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |      AS m FROM b)) = 0),
        |ab AS (${argmax("b")}),
        |al AS (${argmax("l")}),
        |cb AS (
@@ -1322,9 +1326,11 @@ object OracleTwins {
        |l AS (SELECT * FROM e WHERE vec_id % ${Sim.DRIFT_MOD} = 0),
        |c AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
-       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
-       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
-       |    FROM b) = 0),
+       |  FROM b WHERE vec_id % (SELECT m + CASE WHEN m % ${Sim.DRIFT_MOD}
+       |      = 0 THEN 1 ELSE 0 END
+       |    FROM (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |      (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |      AS m FROM b)) = 0),
        |al AS (${argmax("l")})
        |SELECT CAST((vec_id // ${Sim.DRIFT_MOD}) % 2 AS BIGINT) AS batch,
        |  cent_id, CAST(count(*) AS BIGINT) AS n,
@@ -1613,9 +1619,11 @@ object OracleTwins {
        |b AS (SELECT * FROM e WHERE vec_id % ${Sim.ANN_DELTA_MOD} <> 0),
        |c AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
-       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
-       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
-       |    FROM b) = 0),
+       |  FROM b WHERE vec_id % (SELECT m + CASE WHEN m % ${Sim.ANN_DELTA_MOD}
+       |      = 0 THEN 1 ELSE 0 END
+       |    FROM (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |      (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |      AS m FROM b)) = 0),
        |s AS (
        |  SELECT e.vec_id, c.cent_id, ${dot("embedding", "cv")} / (nrm * cnrm) AS cos
        |  FROM e, c),
@@ -2558,9 +2566,11 @@ object OracleTwins {
        |b AS (SELECT * FROM e WHERE vec_id % ${Sim.ANN_DELTA_MOD} <> 0),
        |c AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm
-       |  FROM b WHERE vec_id % (SELECT GREATEST(${Sim.IVF_STRIDE},
-       |    (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
-       |    FROM b) = 0),
+       |  FROM b WHERE vec_id % (SELECT m + CASE WHEN m % ${Sim.ANN_DELTA_MOD}
+       |      = 0 THEN 1 ELSE 0 END
+       |    FROM (SELECT GREATEST(${Sim.IVF_STRIDE},
+       |      (count(*) + ${Sim.IVF_MAX_CELLS - 1}) // ${Sim.IVF_MAX_CELLS})
+       |      AS m FROM b)) = 0),
        |s AS (
        |  SELECT e.vec_id, c.cent_id,
        |    ${dot("embedding", "cv")} / (nrm * cnrm) AS cos

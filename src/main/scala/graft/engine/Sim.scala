@@ -170,16 +170,31 @@ object Sim {
     * multiplies the corpus stats into the centroid subtree's size
     * estimate, which tripped BroadcastGuard into dropping the broadcast
     * hint on the N×K assignment join. The subquery leaves the filter's
-    * stats (and the broadcast of the centroids) untouched. */
-  private[engine] def strideCentroids(e: DataFrame): DataFrame = {
+    * stats (and the broadcast of the centroids) untouched.
+    *
+    * `avoid` (r12): when the POPULATION was carved by an id-modulus
+    * exclusion (`vec_id % M != 0` — the drift baseline's M = 9, the
+    * lifecycle builds' M = ANN_DELTA_MOD), a stride modulus that happens
+    * to be DIVISIBLE by M picks only excluded ids — an EMPTY centroid
+    * set, measured at ×100 where the drift base's 177,777 rows yield
+    * m = 2223 = 9·247 (PLANS.md r12). Passing the exclusion modulus
+    * bumps such a stride by one (coprime again, same ≤K bound); the
+    * oracle twins restate the identical CASE, and at every gated scale
+    * where M ∤ m the adjustment is a no-op, so existing hashes are
+    * untouched by construction. */
+  private[graft] def strideCentroids(e: DataFrame,
+      avoid: Long = 0L): DataFrame = {
     val view = "__graft_ivf_corpus_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     e.createOrReplaceTempView(view)
+    val m0 = s"greatest(${IVF_STRIDE}L, ((select count(1) from $view)" +
+      s" + ${IVF_MAX_CELLS - 1}L) div ${IVF_MAX_CELLS}L)"
+    val m = if (avoid > 1L)
+      s"(($m0) + (CASE WHEN ($m0) % ${avoid}L = 0 THEN 1L ELSE 0L END))"
+    else s"($m0)"
     // Dataset construction analyzes eagerly, so the subquery is resolved
     // before the view is dropped below
-    val cents = e.filter(expr(
-        s"vec_id % greatest(${IVF_STRIDE}L, ((select count(1) from $view)" +
-          s" + ${IVF_MAX_CELLS - 1}L) div ${IVF_MAX_CELLS}L) = 0"))
+    val cents = e.filter(expr(s"vec_id % $m = 0"))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("nrm").as("cnrm"))
     e.sparkSession.catalog.dropTempView(view)
@@ -343,13 +358,13 @@ object Sim {
   private[graft] def driftBaselineCentroids(spark: SparkSession,
       dir: String): DataFrame =
     strideCentroids(vecsWithNorm(spark, dir)
-      .filter(col("vec_id") % DRIFT_MOD =!= 0))
+      .filter(col("vec_id") % DRIFT_MOD =!= 0), avoid = DRIFT_MOD)
 
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val e = vecsWithNorm(spark, dir)
     val base = e.filter(col("vec_id") % DRIFT_MOD =!= 0)
     val live = e.filter(col("vec_id") % DRIFT_MOD === 0)
-    val cents = strideCentroids(base)
+    val cents = strideCentroids(base, avoid = DRIFT_MOD)
     def cells(a: DataFrame, suffix: String): DataFrame =
       cellHistogram(a).toDF("cent_id", s"n_$suffix", s"s_$suffix")
     val joined = cells(assignTo(base, cents), "base")
@@ -401,9 +416,10 @@ object Sim {
     * outside its own cells, increment-partitioning is what makes
     * [[appendIvfIndex]] idempotent per delta (same contract as the
     * MinHash index: build = static overwrite clears stale increments). */
-  def buildIvfIndex(base: DataFrame, indexDir: String): Unit = {
+  def buildIvfIndex(base: DataFrame, indexDir: String,
+      avoid: Long = 0L): Unit = {
     val e = withNorm(base)
-    strideCentroids(e).write.mode("overwrite")
+    strideCentroids(e, avoid).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
     writeIndexCells(e, indexDir, increment = 0L)
   }
@@ -481,9 +497,10 @@ object Sim {
     * full-precision floats (codes drive the ADC scan; the floats serve
     * the exact rerank — the hot/cold split a 100 TB store makes
     * physical, one table here). */
-  def buildIvfPqIndex(base: DataFrame, indexDir: String): Unit = {
+  def buildIvfPqIndex(base: DataFrame, indexDir: String,
+      avoid: Long = 0L): Unit = {
     val e = withNorm(base)
-    strideCentroids(e).write.mode("overwrite")
+    strideCentroids(e, avoid).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
     pqCodebookOf(base.select(col("vec_id"), col("embedding")))
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
@@ -699,7 +716,8 @@ object Sim {
   def ivfpqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = spread(embeddings(spark, dir))
     val indexDir = IndexMaintenance.scratchIndexDir(spark, "ivfpq-index")
-    buildIvfPqIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir)
+    buildIvfPqIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir,
+      avoid = ANN_DELTA_MOD)
     appendIvfPqIndex(e.filter(col("vec_id") % ANN_DELTA_MOD === 0), indexDir,
       increment = 1L)
     probeIvfPqIndex(
@@ -901,7 +919,8 @@ object Sim {
   def ivfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = spread(embeddings(spark, dir))
     val indexDir = IndexMaintenance.scratchIndexDir(spark, "ivf-index")
-    buildIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir)
+    buildIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir,
+      avoid = ANN_DELTA_MOD)
     appendIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD === 0), indexDir,
       increment = 1L)
     probeIvfIndex(
@@ -1308,7 +1327,8 @@ object Sim {
   def lifecycleSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = spread(embeddings(spark, dir))
     val indexDir = IndexMaintenance.scratchIndexDir(spark, "semdedup-index")
-    buildIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir)
+    buildIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD =!= 0), indexDir,
+      avoid = ANN_DELTA_MOD)
     appendIvfIndex(e.filter(col("vec_id") % ANN_DELTA_MOD === 0), indexDir,
       increment = 1L)
     semanticDedupFromIndex(spark, indexDir)

@@ -99,13 +99,46 @@ object DriftStream {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
     }
-    val cents = Sim.driftBaselineCentroids(spark, dir)
+    // Physically FREEZE the baseline: the monitor's contract is frozen
+    // centroids, so land them once as a bounded LocalRelation
+    // (≤ IVF_MAX_CELLS rows by construction — never a corpus collect)
+    // instead of re-evaluating a plan inside every micro-batch. The
+    // modulus is computed driver-side (one count job at lineage-build
+    // time — a frozen baseline, not a hot path) with the same
+    // arithmetic as strideCentroids and the q214 twin, including the
+    // r12 coprime adjustment below — the ×100 sweep found the stride
+    // modulus landing on 2223 = 9·247, whose every multiple the
+    // DRIFT_MOD exclusion removes: a mathematically EMPTY baseline the
+    // sf0.01 oracle could never see (PLANS.md r12).
+    val base = Sim.withNorm(Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"))
+      .filter(col("vec_id") % Sim.DRIFT_MOD =!= 0)
+    val n = base.count()
+    val mod0 = math.max(Sim.IVF_STRIDE.toLong,
+      (n + Sim.IVF_MAX_CELLS - 1L) / Sim.IVF_MAX_CELLS)
+    // coprime adjustment (the r12 empty-baseline bug): a stride modulus
+    // divisible by DRIFT_MOD picks only ids the base filter excluded
+    val mod = if (mod0 % Sim.DRIFT_MOD == 0L) mod0 + 1L else mod0
+    val frozenDf = base.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
+    val frozen = frozenDf.collect()
+    require(frozen.nonEmpty, "baseline centroids evaluated empty — " +
+      "refusing to start the drift stream against nothing")
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(frozen: _*), frozenDf.schema)
     val schema = spark.read.parquet(inDir).schema
     val q = driftSink(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir),
       cents, outDir, ckpt)
     try q.processAllAvailable() finally q.stop()
+    // A lineage that landed nothing must FAIL here, not poison the
+    // per-dir cache with an empty lake for every later caller.
+    val landed = fs.listStatus(new Path(outDir))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    require(landed.nonEmpty,
+      s"drift-cell stream landed no batch partitions at $outDir")
     outDir
   }
 }

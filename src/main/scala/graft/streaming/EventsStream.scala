@@ -238,7 +238,10 @@ object EventsStream {
         "asink" -> (() => { AsOfStream.streamAsOfSinkProbe(spark, dir).count(); () }),
         "ti" -> (() => { TermIndexStream.streamTermIndexProbe(spark, dir).count(); () }),
         "vec" -> (() => { VecIndexStream.streamVecIndexProbe(spark, dir).count(); () }),
-        "dcells" -> (() => { DriftStream.streamDriftCellsProbe(spark, dir).count(); () }),
+        // dcells is deliberately NOT in the family: under the 16-way
+        // ×100 wall its centroid evaluation intermittently returned
+        // empty (PLANS.md r12); it builds sequentially at its own query
+        // (≈2 s at sf0.1), guarded by freeze+require+retry either way.
         "ivj" -> (() => { streamIntervalJoinProbe(spark, dir).count(); () }),
         "drift" -> (() => { streamDriftProbe(spark, dir).count(); () }),
         "dedup" -> (() => { streamDedupProbe(spark, dir).count(); () }),

@@ -131,7 +131,7 @@ object VecIndexStream {
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-vec-out")
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      indexDir)
+      indexDir, avoid = Sim.ANN_DELTA_MOD)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(inDir).getFileSystem(conf)
     fs.mkdirs(new Path(inDir))

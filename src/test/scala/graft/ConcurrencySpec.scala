@@ -139,7 +139,7 @@ class ConcurrencySpec extends SparkSpecBase {
     val e = Tables.embeddings(spark, sf)
     val ivfDir = tmpDir("graft-lease-ivf") + "/index"
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      ivfDir)
+      ivfDir, avoid = Sim.ANN_DELTA_MOD)
     val (h1, r1) = (new CountDownLatch(1), new CountDownLatch(1))
     val t1 = holdLease(s"$ivfDir/vectors", h1, r1)
     h1.await()

@@ -399,7 +399,7 @@ class DedupSimSpec extends SparkSpecBase {
       .select(col("vec_id"), col("embedding"))
     val indexDir = IndexMaintenance.scratchIndexDir(spark, "ivf-audit")
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      indexDir)
+      indexDir, avoid = Sim.ANN_DELTA_MOD)
     Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
       indexDir, increment = 1L)
     assert(Sim.auditIvfIndex(spark, indexDir).count() == 0,
@@ -420,7 +420,7 @@ class DedupSimSpec extends SparkSpecBase {
       .select(col("vec_id"), col("embedding"))
     val indexDir = IndexMaintenance.scratchIndexDir(spark, "semdedup-spec")
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      indexDir)
+      indexDir, avoid = Sim.ANN_DELTA_MOD)
     Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
       indexDir, increment = 1L)
     val audit = Sim.semanticDedupFromIndex(spark, indexDir)
@@ -549,7 +549,7 @@ class DedupSimSpec extends SparkSpecBase {
     val e = Tables.embeddings(spark, sf)
     val indexDir = tmpDir("graft-ivf-ndx-dpp") + "/index"
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      indexDir)
+      indexDir, avoid = Sim.ANN_DELTA_MOD)
     Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
       indexDir, increment = 1L)
     val probes = e.filter(col("vec_id") < 4)
@@ -667,7 +667,7 @@ class DedupSimSpec extends SparkSpecBase {
     val e = Tables.embeddings(spark, sf)
     val indexDir = tmpDir("graft-compact-ivf") + "/index"
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      indexDir)
+      indexDir, avoid = Sim.ANN_DELTA_MOD)
     Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
       indexDir, increment = 1L)
     val probes = e.filter(col("vec_id") < 4)
@@ -726,7 +726,7 @@ class DedupSimSpec extends SparkSpecBase {
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val indexDir = tmpDir("graft-ivf-maintain") + "/index"
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      indexDir)
+      indexDir, avoid = Sim.ANN_DELTA_MOD)
     // in-distribution delta: a slice of the same corpus → small drift
     Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
       indexDir, increment = 1L)
@@ -870,7 +870,7 @@ class DedupSimSpec extends SparkSpecBase {
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val indexDir = tmpDir("graft-ivfpq-floats") + "/index"
     Sim.buildIvfPqIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      indexDir)
+      indexDir, avoid = Sim.ANN_DELTA_MOD)
     Sim.appendIvfPqIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
       indexDir, increment = 1L)
     val probes = e.filter(col("vec_id") < Sim.PQ_PROBES)
@@ -1271,5 +1271,34 @@ class DedupSimSpec extends SparkSpecBase {
     val trainedTotal = f.map(_.getLong(2)).sum
     assert(trainedTotal < untrained,
       s"10 merges must compress: $trainedTotal !< $untrained")
+  }
+
+  test("stride centroid pick survives a modulus divisible by the " +
+      "population's exclusion (the r12 x100 empty-baseline bug)") {
+    // The drift baseline excludes vec_id % 9 == 0. Sized so the stride
+    // modulus lands EXACTLY on a multiple of 9 — 200,000 ids minus the
+    // 22,223 excluded = 177,777 rows -> m = ceil(177777/80) = 2223 =
+    // 9*247 — every multiple of m is excluded and the unadjusted pick
+    // is mathematically EMPTY (found by the x100 sweep; invisible at
+    // the sf0.01 oracle scale where m = 25). `avoid` bumps such a
+    // modulus by one, restoring the <= K bound with a coprime stride.
+    val pop = spark.range(0, 200000).toDF("vec_id")
+      .filter(col("vec_id") % 9 =!= 0)
+      .withColumn("embedding", array(lit(1.0f), lit(2.0f)))
+      .withColumn("nrm", lit(1.0))
+    assert(Sim.strideCentroids(pop).count() == 0,
+      "the hazard must be real: the unadjusted pick is empty here")
+    val adjusted = Sim.strideCentroids(pop, avoid = 9L)
+    val n = adjusted.count()
+    assert(n > 0 && n <= 200000 / 2223,
+      s"adjusted pick must be nonempty and stride-bounded, got $n")
+    // and the adjustment is a NO-OP whenever the modulus is already
+    // coprime — the oracle-compatibility guarantee at the gated scales
+    val small = spark.range(0, 500).toDF("vec_id")
+      .filter(col("vec_id") % 9 =!= 0)
+      .withColumn("embedding", array(lit(1.0f), lit(2.0f)))
+      .withColumn("nrm", lit(1.0))
+    assert(Sim.strideCentroids(small, avoid = 9L).collect().map(_.getLong(0))
+      .sameElements(Sim.strideCentroids(small).collect().map(_.getLong(0))))
   }
 }

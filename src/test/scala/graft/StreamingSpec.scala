@@ -983,7 +983,7 @@ class StreamingSpec extends SparkSpecBase {
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val indexDir = tmpDir("graft-probe-serve") + "/index"
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
-      indexDir)
+      indexDir, avoid = Sim.ANN_DELTA_MOD)
     Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
       indexDir, increment = 1L)
     val probes = e.filter(col("vec_id") < 8)
