@@ -417,11 +417,12 @@ object Sim {
     * [[appendIvfIndex]] idempotent per delta (same contract as the
     * MinHash index: build = static overwrite clears stale increments). */
   def buildIvfIndex(base: DataFrame, indexDir: String,
-      avoid: Long = 0L): Unit = {
+      avoid: Long = 0L): Unit = IndexMaintenance.withWriterLease(
+      base.sparkSession, indexDir, "ivf-build") {
     val e = withNorm(base)
     strideCentroids(e, avoid).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
-    writeIndexCells(e, indexDir, increment = 0L)
+    writeIndexCells(e, indexDir, increment = 0L) // re-enters the root lease
   }
 
   /** Append-a-delta half: assign the delta against the PERSISTED (frozen)
@@ -432,9 +433,14 @@ object Sim {
       increment: Long): Unit =
     writeIndexCells(withNorm(delta), indexDir, increment)
 
+  /** Every IVF-family mutation leases the index ROOT (`indexDir`), not
+    * `$indexDir/vectors`: [[maintainIvfIndex]]'s recluster swaps the
+    * whole root, so a sub-path lease key would let a retrain rename the
+    * index out from under an in-flight append undetected — one
+    * canonical lease path per index family. */
   private def writeIndexCells(e: DataFrame, indexDir: String,
       increment: Long): Unit = IndexMaintenance.withWriterLease(
-      e.sparkSession, s"$indexDir/vectors",
+      e.sparkSession, indexDir,
       s"ivf-index increment=$increment") {
     val cents = e.sparkSession.read.parquet(s"$indexDir/centroids")
     assignWithVec(e, cents)
@@ -453,7 +459,8 @@ object Sim {
     * frozen centroids; compaction is pure layout maintenance (the
     * centroids file is one small parquet and is left untouched). */
   def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
-    IndexMaintenance.rewrite(spark, s"$indexDir/vectors") { staging =>
+    IndexMaintenance.rewrite(spark, s"$indexDir/vectors",
+      leaseDir = indexDir) { staging =>
       spark.read.parquet(s"$indexDir/vectors")
         .select(col("vec_id"), col("embedding"), col("nrm"),
           lit(0L).as("increment"), col("cell"))
@@ -498,13 +505,14 @@ object Sim {
     * the exact rerank — the hot/cold split a 100 TB store makes
     * physical, one table here). */
   def buildIvfPqIndex(base: DataFrame, indexDir: String,
-      avoid: Long = 0L): Unit = {
+      avoid: Long = 0L): Unit = IndexMaintenance.withWriterLease(
+      base.sparkSession, indexDir, "ivfpq-build") {
     val e = withNorm(base)
     strideCentroids(e, avoid).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
     pqCodebookOf(base.select(col("vec_id"), col("embedding")))
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
-    writePqCells(e, indexDir, increment = 0L)
+    writePqCells(e, indexDir, increment = 0L) // re-enters the root lease
   }
 
   /** Append-a-delta half: encode against the PERSISTED (frozen) centroids
@@ -515,7 +523,8 @@ object Sim {
     writePqCells(withNorm(delta), indexDir, increment)
 
   private def writePqCells(e: DataFrame, indexDir: String,
-      increment: Long): Unit = {
+      increment: Long): Unit = IndexMaintenance.withWriterLease(
+      e.sparkSession, indexDir, s"ivfpq-index increment=$increment") {
     val spark = e.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
@@ -538,7 +547,8 @@ object Sim {
     * increments into `increment=0`, codes and cell partitioning intact,
     * centroids/codebook untouched — pure layout maintenance. */
   def compactIvfPqIndex(spark: SparkSession, indexDir: String): Unit =
-    IndexMaintenance.rewrite(spark, s"$indexDir/vectors") { staging =>
+    IndexMaintenance.rewrite(spark, s"$indexDir/vectors",
+      leaseDir = indexDir) { staging =>
       spark.read.parquet(s"$indexDir/vectors")
         .select(col("vec_id"), col("embedding"), col("nrm"), col("code"),
           lit(0L).as("increment"), col("cell"))
@@ -562,6 +572,9 @@ object Sim {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p) ||
         IndexMaintenance.parquetFileCount(spark, p.toString) == 0L) return 0L
+    // deletion is a mutation like any other: same canonical ROOT lease
+    // as build/append/compact/recluster (one family, one lease path)
+    IndexMaintenance.withWriterLease(spark, indexDir, "ivf-forget") {
     val vecs = spark.read.parquet(s"$indexDir/vectors")
     val idc = broadcast(ids.select(col("vec_id")))
     val touched = vecs.join(idc, Seq("vec_id"), "left_semi")
@@ -583,6 +596,7 @@ object Sim {
         s"$indexDir/vectors/increment=$i/cell=$c"), true)
     }
     removed
+    }
   }
 
   /** Uniqueness AUDIT for a persisted vector store

@@ -140,12 +140,24 @@ class ConcurrencySpec extends SparkSpecBase {
     val ivfDir = tmpDir("graft-lease-ivf") + "/index"
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
       ivfDir, avoid = Sim.ANN_DELTA_MOD)
+    // ONE canonical lease path per family — the index ROOT: a hold on
+    // it must reject appends AND the recluster/compaction root swap
+    // (r12's sub-path key let maintainIvfIndex rename the index out
+    // from under a leased /vectors append undetected)
     val (h1, r1) = (new CountDownLatch(1), new CountDownLatch(1))
-    val t1 = holdLease(s"$ivfDir/vectors", h1, r1)
+    val t1 = holdLease(ivfDir, h1, r1)
     h1.await()
-    try intercept[ConcurrentWriterException] {
-      Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
-        ivfDir, increment = 1L)
+    try {
+      intercept[ConcurrentWriterException] {
+        Sim.appendIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+          ivfDir, increment = 1L)
+      }
+      intercept[ConcurrentWriterException] {
+        Sim.maintainIvfIndex(spark, ivfDir, thresholdPpm = -1L)
+      }
+      intercept[ConcurrentWriterException] {
+        Sim.compactIvfIndex(spark, ivfDir)
+      }
     } finally { r1.countDown(); t1.join(30000) }
     assert(Sim.auditIvfIndex(spark, ivfDir).count() == 0)
 
@@ -223,5 +235,77 @@ class ConcurrencySpec extends SparkSpecBase {
     TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0),
       indexDir, increment = 1L)
     assert(TermIndex.auditTermIndex(spark, indexDir).count() == 0)
+  }
+
+  // --------------- lease liveness: heartbeat + stale takeover (round 13)
+
+  /** Plant a lease file whose last heartbeat stamp is `ageMs` old —
+    * the artifact a crashed writer leaves behind. */
+  private def plantStaleLease(indexDir: String, ageMs: Long): Unit = {
+    val lease = IndexMaintenance.leasePath(indexDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(lease.toUri.getPath),
+      (s"dead-writer pid=0 nonce=spec " +
+        s"epoch_ms=${System.currentTimeMillis() - ageMs}").getBytes("UTF-8"))
+  }
+
+  test("lease liveness: a dead owner's stale lease is taken over " +
+      "automatically; ingest resumes without a human") {
+    val indexDir = tmpDir("graft-lease-dead") + "/index"
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 3 =!= 0), indexDir)
+    plantStaleLease(indexDir, ageMs = 60000L)
+    // the stale lease still blocks a plain append (exclusion holds) ...
+    intercept[ConcurrentWriterException] {
+      TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0),
+        indexDir, increment = 1L)
+    }
+    // ... but the policy-driven takeover removes it and ingest heals
+    assert(IndexMaintenance.takeOverStaleLease(spark, indexDir,
+      maxAgeMs = 30000L), "a 60s-old stamp is past a 30s horizon: stale")
+    TermIndex.appendTermIndex(docs.filter(col("doc_id") % 3 === 0),
+      indexDir, increment = 1L)
+    assert(TermIndex.auditTermIndex(spark, indexDir).count() == 0)
+  }
+
+  test("lease liveness: a LIVE owner is never taken over — the heartbeat " +
+      "keeps its stamp fresher than any sane horizon") {
+    val indexDir = tmpDir("graft-lease-live") + "/index"
+    spark.conf.set("graft.lease.heartbeatMs", "200")
+    try {
+      val (held, release) = (new CountDownLatch(1), new CountDownLatch(1))
+      val holder = holdLease(indexDir, held, release)
+      held.await()
+      try {
+        // outlive several heartbeat cadences: if renewal were broken the
+        // ACQUISITION stamp would now be older than the 700ms horizon
+        Thread.sleep(1200)
+        assert(!IndexMaintenance.takeOverStaleLease(spark, indexDir,
+          maxAgeMs = 700L),
+          "heartbeat must keep a live owner's stamp under the horizon")
+        assert(IndexMaintenance.writerLeaseHeld(spark, indexDir))
+      } finally { release.countDown(); holder.join(30000) }
+      assert(!IndexMaintenance.writerLeaseHeld(spark, indexDir),
+        "release must still work after heartbeat renewals")
+    } finally spark.conf.unset("graft.lease.heartbeatMs")
+  }
+
+  test("lease liveness: two racing takeovers elect exactly one winner") {
+    val indexDir = tmpDir("graft-lease-race-takeover") + "/index"
+    new java.io.File(indexDir).getParentFile.mkdirs()
+    plantStaleLease(indexDir, ageMs = 60000L)
+    val barrier = new CyclicBarrier(2)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (1 to 2).map { _ =>
+      val t = new Thread(() => {
+        barrier.await()
+        if (IndexMaintenance.takeOverStaleLease(spark, indexDir,
+          maxAgeMs = 30000L)) wins.incrementAndGet()
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join(30000))
+    assert(wins.get() == 1,
+      s"exactly one racing takeover must win the rename, got ${wins.get()}")
+    assert(!IndexMaintenance.writerLeaseHeld(spark, indexDir))
   }
 }
