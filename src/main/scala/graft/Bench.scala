@@ -44,6 +44,12 @@ object Bench {
     // driver sets no env, so official rounds keep the single-run cold+warm
     // mix and stay comparable with prior BENCH_r*.json.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1).max(1)
+    // The one-time 16-lineage prewarm wall lands inside whichever family
+    // query the bench reaches first; reported as its OWN line below and
+    // subtracted from that query's number, so per-query series stay
+    // comparable across rounds (r12's q180 carried the whole wall).
+    var prewarmWallS = 0.0
+    var prewarmHost = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -55,7 +61,11 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        val t = (System.nanoTime() - t0) / 1e9
+        val tRaw = (System.nanoTime() - t0) / 1e9
+        val joinWait =
+          graft.streaming.EventsStream.takePrewarmJoinWaitSec()
+        if (joinWait > 0.0) { prewarmWallS += joinWait; prewarmHost = name }
+        val t = tRaw - joinWait
         // Release state a query left behind (persisted/localCheckpointed RDDs
         // from iterative operators, cached views) so block-manager memory
         // doesn't accumulate across 50+ queries and trigger a full GC inside
@@ -74,13 +84,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total INCLUDES the prewarm wall (it is real elapsed work this
+    // process did); only the per-query attribution moves it out of the
+    // hosting query's line.
+    val total =
+      (if (results.nonEmpty) results.map(_._2).sum else 0.0) + prewarmWallS
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prewarm_wall_s":$prewarmWallS,"prewarm_host":"$prewarmHost","sf":"$sfDir"}""")
     // Compact totals as the LAST stdout line: the artifact capture keeps a
     // bounded tail of stdout, and the full per-query line above outgrew it
     // (200+ queries), leaving the artifact with no machine-readable totals.
     // This line always survives truncation.
-    println(s"""{"total_s":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"total_s":$total,"n_queries":${results.size},"prewarm_wall_s":$prewarmWallS,"prewarm_host":"$prewarmHost","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -221,7 +221,7 @@ object AsOfStream {
     val warm = EventsStream.prewarmSiblings(spark, dir, except = "asof")
     val out = asofProbeState.computeIfAbsent(dir, _ =>
       runAsOfLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .select(col("direction").cast("string").as("direction"),
         col("k").as("user_id"), col("id").as("click_id"),
@@ -270,7 +270,7 @@ object AsOfStream {
     val warm = EventsStream.prewarmSiblings(spark, dir, except = "asink")
     val out = asofSinkProbeState.computeIfAbsent(dir, _ =>
       runAsOfSinkLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .select(col("event_id"), col("nk"), col("rate_id"),
         col("batch").cast("long").as("batch"))

@@ -142,7 +142,7 @@ object DedupStream {
     val warm = EventsStream.prewarmSiblings(spark, dir, except = "neardup")
     val out = probeState.computeIfAbsent(dir, _ =>
       runNearDupLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("batch").cast("long").as("batch"))

@@ -201,7 +201,7 @@ object DocsStream {
     val warm = EventsStream.prewarmSiblings(spark, dir, except = "curated")
     val (_, out, _) = streamProbeState.computeIfAbsent(dir, _ =>
       runCuratedLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .select(col("doc_id"), col("lang"), col("source"), col("content_hash"),
         col("batch").cast("long").as("batch"))

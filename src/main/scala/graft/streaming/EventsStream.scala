@@ -238,10 +238,12 @@ object EventsStream {
         "asink" -> (() => { AsOfStream.streamAsOfSinkProbe(spark, dir).count(); () }),
         "ti" -> (() => { TermIndexStream.streamTermIndexProbe(spark, dir).count(); () }),
         "vec" -> (() => { VecIndexStream.streamVecIndexProbe(spark, dir).count(); () }),
-        // dcells is deliberately NOT in the family: under the 16-way
-        // ×100 wall its centroid evaluation intermittently returned
-        // empty (PLANS.md r12); it builds sequentially at its own query
-        // (≈2 s at sf0.1), guarded by freeze+require+retry either way.
+        // dcells re-admitted (round 13): its r12 exclusion predates the
+        // stride-coprime fix and the frozen-baseline/loud-empty guards —
+        // the intermittent empty was the (scale-dependent) modulus
+        // arithmetic, not concurrency; re-measured green under the full
+        // wall at ×100, three consecutive runs (SCALE_r13 §wall).
+        "dcells" -> (() => { DriftStream.streamDriftCellsProbe(spark, dir).count(); () }),
         "ivj" -> (() => { streamIntervalJoinProbe(spark, dir).count(); () }),
         "drift" -> (() => { streamDriftProbe(spark, dir).count(); () }),
         "dedup" -> (() => { streamDedupProbe(spark, dir).count(); () }),
@@ -259,6 +261,43 @@ object EventsStream {
         t
       }
     } else Nil
+
+  /** Seconds the kicking probe spent joining the sibling wall, for
+    * [[graft.Bench]] to read once ([[takePrewarmJoinWaitSec]]): the wall
+    * is reported as its own bench line and SUBTRACTED from the hosting
+    * query's number, so per-query series stay comparable with the
+    * pre-prewarm rounds (r12's q180 carried the whole 16-build wall). */
+  private val prewarmJoinWaitNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One-shot read of the last recorded sibling-join wait (seconds). */
+  def takePrewarmJoinWaitSec(): Double =
+    prewarmJoinWaitNanos.getAndSet(0L) / 1e9
+
+  /** Join the sibling prewarm threads with a GENEROUS total budget
+    * (`graft.stream.prewarm.joinTimeoutSec`, default 1800 s — the ×100
+    * wall runs minutes, never half an hour) instead of forever: one
+    * wedged background build (a hung processAllAvailable) must cost the
+    * kicking query its head start, not hang the whole bench. Stragglers
+    * are logged and abandoned — each lineage's OWN query still blocks on
+    * its cache entry, so nothing is silently skipped. Records the wait
+    * for [[takePrewarmJoinWaitSec]]. */
+  private[streaming] def joinPrewarm(spark: SparkSession,
+      warm: Seq[Thread]): Unit = {
+    if (warm.isEmpty) return
+    val budgetMs = spark.conf.get(
+      "graft.stream.prewarm.joinTimeoutSec", "1800").toLong * 1000L
+    val t0 = System.nanoTime()
+    val deadline = System.currentTimeMillis() + budgetMs
+    warm.foreach { t =>
+      t.join(math.max(1L, deadline - System.currentTimeMillis()))
+      if (t.isAlive) System.err.println(
+        s"[prewarm] ${t.getName} still building after ${budgetMs / 1000}s " +
+          "— abandoning the join (its own query will wait on the cache)")
+    }
+    prewarmJoinWaitNanos.addAndGet(System.nanoTime() - t0)
+    ()
+  }
 
   private[graft] val hourlyProbeState =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -281,7 +320,7 @@ object EventsStream {
     val warm = prewarmSiblings(spark, dir, except = "hourly")
     val out = hourlyProbeState.computeIfAbsent(dir, _ =>
       runHourlyLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .select(col("hour_start"), col("event_type"), col("n_events"),
         col("total_value"), col("avg_value"))
@@ -432,7 +471,7 @@ object EventsStream {
     val warm = prewarmSiblings(spark, dir, except = "sessions")
     val out = sessionsProbeState.computeIfAbsent(dir, _ =>
       runSessionsLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .groupBy(col("user_id"))
       .agg(
@@ -490,7 +529,7 @@ object EventsStream {
     val warm = prewarmSiblings(spark, dir, except = "sesswin")
     val out = sessionWindowsProbeState.computeIfAbsent(dir, _ =>
       runSessionWindowsLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .filter(col("user_id") >= 0) // drop the key-−1 flush heartbeat
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -546,7 +585,7 @@ object EventsStream {
     val warm = prewarmSiblings(spark, dir, except = "ivj")
     val out = intervalJoinProbeState.computeIfAbsent(dir, _ =>
       runIntervalJoinLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
@@ -591,7 +630,7 @@ object EventsStream {
     val warm = prewarmSiblings(spark, dir, except = "drift")
     val out = driftProbeState.computeIfAbsent(dir, _ =>
       runDriftLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .select(col("event_type"), col("bucket"), col("n"))
       .orderBy("event_type", "bucket")
@@ -634,7 +673,7 @@ object EventsStream {
     val warm = prewarmSiblings(spark, dir, except = "loj")
     val out = outerJoinProbeState.computeIfAbsent(dir, _ =>
       runOuterJoinLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .filter(col("user_id") >= 0) // drop the key-−1 flush pair
       .select(col("click_id"), col("purchase_id"), col("user_id"),
@@ -680,7 +719,7 @@ object EventsStream {
     val warm = prewarmSiblings(spark, dir, except = "foj")
     val out = fullOuterJoinProbeState.computeIfAbsent(dir, _ =>
       runFullOuterJoinLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .filter(coalesce(col("user_id"), lit(0L)) >= 0 &&
         coalesce(col("purchase_id"), lit(0L)) >= 0) // drop flush rows
@@ -747,7 +786,7 @@ object EventsStream {
     val warm = prewarmSiblings(spark, dir, except = "dedup")
     val out = dedupProbeState.computeIfAbsent(dir, _ =>
       runDedupLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(out)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("value"),

@@ -70,7 +70,7 @@ object TermIndexStream {
   def streamTermIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val warm = EventsStream.prewarmSiblings(spark, dir, except = "ti")
     val idx = probeState.computeIfAbsent(dir, _ => runIngestLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     TermIndex.probeTermIndex(spark, ST_TERMS, idx, TextOps.RETRIEVAL_TOP_K)
   }
 

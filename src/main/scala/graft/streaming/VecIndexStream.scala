@@ -115,7 +115,7 @@ object VecIndexStream {
     val warm = EventsStream.prewarmSiblings(spark, dir, except = "vec")
     val resDir = probeState.computeIfAbsent(dir, _ =>
       runVecLineage(spark, dir))
-    warm.foreach(_.join())
+    EventsStream.joinPrewarm(spark, warm)
     spark.read.parquet(resDir)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         col("cosine"))
