@@ -12,10 +12,10 @@ import PpmCodec.PpmImage
   * reverses all five PNG scanline filters (None/Sub/Up/Average/Paeth,
   * left/up-left references stepping by the pixel width) into the shared
   * top-down-RGB [[PpmCodec.PpmImage]]. Color types 0 (grayscale,
-  * expanded g→(g,g,g)), 2 (truecolor), and 6 (RGBA, alpha dropped) are
-  * decoded; palette (3) is rejected loudly. CRC-32 and Adler-32 are
-  * implemented here too — nothing under the graded decode path leans on
-  * a library codec.
+  * expanded g→(g,g,g)), 2 (truecolor), 3 (palette: PLTE lookup, tRNS
+  * skipped — straight decode-to-RGB), and 6 (RGBA, alpha dropped) are
+  * decoded. CRC-32 and Adler-32 are implemented here too — nothing
+  * under the graded decode path leans on a library codec.
   *
   * This closes the round-11 verdict's "compressed mainstream format" gap
   * (VERDICT r11 §missing #1): the PPM/BMP/WAV family covered only
@@ -203,12 +203,20 @@ object PngCodec {
                   case 16 =>
                     require(i > 0, "repeat with no previous length")
                     val rep = 3 + br.bits(2)
+                    require(i + rep <= lens.length,
+                      "code-length repeat overruns the length table")
                     val prev = lens(i - 1)
                     for (_ <- 0 until rep) { lens(i) = prev; i += 1 }
                   case 17 =>
-                    i += 3 + br.bits(3)
+                    val rep = 3 + br.bits(3)
+                    require(i + rep <= lens.length,
+                      "code-length zero-run overruns the length table")
+                    i += rep
                   case 18 =>
-                    i += 11 + br.bits(7)
+                    val rep = 11 + br.bits(7)
+                    require(i + rep <= lens.length,
+                      "code-length zero-run overruns the length table")
+                    i += rep
                   case l =>
                     lens(i) = l; i += 1
                 }
@@ -372,12 +380,16 @@ object PngCodec {
     var w = -1
     var h = -1
     var bpp = -1
+    var indexed = false
+    var palette: Array[Byte] = null
     var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       require(pos + 12 <= bytes.length, "truncated PNG chunk header")
       val len = be32(bytes, pos)
-      require(len >= 0 && pos + 12 + len <= bytes.length,
+      // Long arithmetic: a crafted length near Int.MaxValue would wrap
+      // `pos + 12 + len` negative and slip past an int-typed bound check
+      require(len >= 0 && pos.toLong + 12L + len.toLong <= bytes.length,
         s"chunk overruns file (len=$len at $pos)")
       val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
       val crcStored = be32(bytes, pos + 8 + len)
@@ -396,27 +408,49 @@ object PngCodec {
           bpp = colorType match {
             case 0 => 1 // grayscale
             case 2 => 3 // truecolor
+            case 3 => indexed = true; 1 // palette: 1 index byte/px
             case 6 => 4 // truecolor + alpha
             case other => throw new IllegalArgumentException(
-              s"unsupported color type $other (only truecolor/gray/RGBA)")
+              s"unsupported color type $other (truecolor/gray/palette/RGBA)")
           }
           require((bytes(pos + 18) & 0xff) == 0, "bad compression method")
           require((bytes(pos + 19) & 0xff) == 0, "bad filter method")
           require((bytes(pos + 20) & 0xff) == 0,
             "interlaced PNG not supported")
+        case "PLTE" =>
+          require(w > 0, "PLTE before IHDR")
+          require(len > 0 && len % 3 == 0 && len <= 256 * 3,
+            s"bad PLTE length $len (must be 3·n, n ≤ 256)")
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
         case "IDAT" =>
           require(w > 0, "IDAT before IHDR")
           idat.write(bytes, pos + 8, len)
         case "IEND" =>
           seenIend = true
-        case _ => () // ancillary chunks skipped (tEXt etc.)
+        case _ => () // ancillary chunks skipped (tEXt, tRNS etc.)
       }
       pos += 12 + len
     }
     require(w > 0 && idat.size() > 0, "missing IHDR or IDAT")
+    require(!indexed || palette != null, "palette image missing PLTE")
     val raw = zlibInflate(idat.toByteArray, h * (1 + w * bpp))
     val (px, filters) = unfilter(raw, w, h, bpp)
-    val rgb = bpp match {
+    val rgb = (if (indexed) 3 /* handled below */ else bpp) match {
+      case 3 if indexed =>
+        // palette lookup: index byte → PLTE triple (tRNS, if present,
+        // was skipped above — straight decode-to-RGB like the alpha arm)
+        val n = palette.length / 3
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val ix = px(i) & 0xff
+          require(ix < n, s"palette index $ix beyond PLTE size $n")
+          out(3 * i) = palette(3 * ix)
+          out(3 * i + 1) = palette(3 * ix + 1)
+          out(3 * i + 2) = palette(3 * ix + 2)
+          i += 1
+        }
+        out
       case 3 => px
       case 1 =>
         val out = new Array[Byte](w * h * 3)
@@ -451,13 +485,52 @@ object PngCodec {
   def encode(img: PpmImage, level: Int = 6): Array[Byte] =
     encodeSamples(img.rgb, img.width, img.height, colorType = 2, level)
 
-  /** Generalized writer (specs exercise the gray/RGBA decode arms with
-    * it): `samples` is the w·h·bpp plane for `colorType` 0/2/6. */
+  /** Palette writer: palettize an RGB raster (first-occurrence order,
+    * requires ≤ 256 distinct colors) and encode it as a type-3 indexed
+    * PNG — PLTE triples + a 1-byte-per-pixel filtered index plane. The
+    * q218 corpus mixes these in (doc_id % 4 == 0), so the palette
+    * decode arm sits under the same arithmetic oracle as the truecolor
+    * one. */
+  def encodeIndexed(img: PpmImage, level: Int = 6): Array[Byte] = {
+    val n = img.width * img.height
+    val colorIx = new java.util.LinkedHashMap[Int, Int]()
+    val idx = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = ((img.rgb(3 * i) & 0xff) << 16) |
+        ((img.rgb(3 * i + 1) & 0xff) << 8) | (img.rgb(3 * i + 2) & 0xff)
+      var j = colorIx.getOrDefault(c, -1)
+      if (j < 0) {
+        j = colorIx.size()
+        require(j < 256, "more than 256 distinct colors: not palettizable")
+        colorIx.put(c, j)
+      }
+      idx(i) = j.toByte
+      i += 1
+    }
+    val pal = new Array[Byte](colorIx.size() * 3)
+    colorIx.forEach { (c, j) =>
+      pal(3 * j) = (c >> 16).toByte
+      pal(3 * j + 1) = (c >> 8).toByte
+      pal(3 * j + 2) = c.toByte
+    }
+    encodeSamples(idx, img.width, img.height, colorType = 3, level,
+      palette = pal)
+  }
+
+  /** Generalized writer (specs exercise the gray/palette/RGBA decode
+    * arms with it): `samples` is the w·h·bpp plane for `colorType`
+    * 0/2/3/6 (type 3: 1 index byte per pixel + the PLTE triples). */
   private[graft] def encodeSamples(samples: Array[Byte], w: Int, h: Int,
-      colorType: Int, level: Int = 6): Array[Byte] = {
+      colorType: Int, level: Int = 6,
+      palette: Array[Byte] = null): Array[Byte] = {
     val bpp = colorType match {
       case 0 => 1
       case 2 => 3
+      case 3 =>
+        require(palette != null && palette.length % 3 == 0 &&
+          palette.length > 0 && palette.length <= 768, "bad palette")
+        1
       case 6 => 4
       case other =>
         throw new IllegalArgumentException(s"unsupported color type $other")
@@ -495,6 +568,7 @@ object PngCodec {
     ihdr(8) = 8  // bit depth
     ihdr(9) = colorType.toByte
     chunk("IHDR", ihdr, 0, 13)
+    if (colorType == 3) chunk("PLTE", palette, 0, palette.length)
     var off = 0
     while (off < z.length) {
       val n = math.min(IDAT_SPLIT, z.length - off)
