@@ -3217,6 +3217,61 @@ object OracleTwins {
        |  ${rasterChecksum("v")}
        |FROM px ORDER BY media_id""".stripMargin
 
+  /** q228's twin — [[graft.multimodal.Multimodal.jpegDecodeStats]]: the
+    * LOSSY format made hash-gateable. The corpus constructs quantized
+    * coefficients at the four exactly-rational DCT positions with all-8
+    * quant tables, so the decoded luma pixel is the exact integer
+    * `128 + q00 + sx·q40 + sy·q04 + sx·sy·q44` (sign pattern sx = +1
+    * iff x mod 4 ∈ {0,3} — cos((2x+1)·4π/16) = ±√2/2 times C(4)=1
+    * against the 1/4 normalization is ±1/8, and F = 8q), chroma is
+    * DC-only per MCU (replication upsample = MCU lookup), and the RGB
+    * conversion is the decoder's fixed-point integer arithmetic
+    * restated: `floor((91881·cr0 + 32768)/65536.0)` is EXACT in doubles
+    * (power-of-two divisor, numerator < 2^24). `dc_sum_q` re-sums the
+    * DC formula over the PADDED 4:2:0 luma block grid (2·ceil(w/16)
+    * per row), pinning that the entropy decoder's prediction chain
+    * walked every block of every MCU — Spark can only obtain it from
+    * inside the Huffman decode. */
+  val jpegDecodeStats: String = {
+    // shared subexpressions, spliced textually into the per-byte lambda
+    val x = "((p//3) % w)"
+    val y = "((p//3) // w)"
+    val bi = s"(($y//8)*64 + ($x//8))"
+    val mi = s"(($y//16)*64 + ($x//16))"
+    val a = s"((doc_id*17 + $bi*5) % 97 - 48)"
+    val b4 = s"((doc_id*7 + $bi*3) % 17 - 8)"
+    val c4 = s"((doc_id*11 + $bi) % 15 - 7)"
+    val d4 = s"((doc_id*5 + $bi*9) % 13 - 6)"
+    val sx = s"(CASE WHEN ($x % 4) IN (0, 3) THEN 1 ELSE -1 END)"
+    val sy = s"(CASE WHEN ($y % 4) IN (0, 3) THEN 1 ELSE -1 END)"
+    val ly = s"(128 + $a + $sx*$b4 + $sy*$c4 + $sx*$sy*$d4)"
+    val cb0 = s"((doc_id*13 + $mi*7) % 81 - 40)"
+    val cr0 = s"((doc_id*19 + $mi*11) % 81 - 40)"
+    def fd(n: String) = s"CAST(floor(($n)/65536.0) AS BIGINT)"
+    val rgb = s"""(CASE p % 3
+      WHEN 0 THEN $ly + ${fd(s"91881*$cr0 + 32768")}
+      WHEN 1 THEN $ly + ${fd(s"-22554*$cb0 - 46802*$cr0 + 32768")}
+      ELSE $ly + ${fd(s"116130*$cb0 + 32768")} END)"""
+    val dcSum = "list_aggregate(list_transform(range(0, bw2*bh2), " +
+      "k -> (doc_id*17 + ((k//bw2)*64 + (k%bw2))*5) % 97 - 48), 'sum')"
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 23 + 4) AS w, (n_chars % 19 + 4) AS h,
+       |    ((n_chars % 23 + 4 + 15)//16)*2 AS bw2,
+       |    ((n_chars % 19 + 4 + 15)//16)*2 AS bh2
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h, bw2, bh2,
+       |    list_transform(range(0, w*h*3),
+       |      p -> greatest(0, least(255, $rgb))) AS v
+       |  FROM d)
+       |SELECT doc_id AS media_id,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST($dcSum AS BIGINT) AS dc_sum_q,
+       |  ${channelSums("v", "w*h")},
+       |  ${rasterChecksum("v")}
+       |FROM px ORDER BY media_id""".stripMargin
+  }
+
   /** q204's twin — [[graft.multimodal.Multimodal.mixedDecodeStats]]:
     * q179's format-INDEPENDENT resize oracle (generative raster + the
     * same source-index arithmetic) with the fmt column restating the

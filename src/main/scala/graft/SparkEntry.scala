@@ -416,6 +416,10 @@ object SparkEntry {
     "q225_v2_monthly_revenue"      -> (V2Demo.kpiMonthlyRevenue _),
     "q226_v2_ai_usage"             -> (V2Demo.kpiAiUsage _),
     "q227_v2_top_rated"            -> (V2Demo.kpiTopRated _),
+    // ---- round 13: baseline JPEG — the dominant real-corpus format;
+    // entropy decode + IDCT hash-gated via coefficient-constructed
+    // exactly-rational blocks (VERDICT r12 ask #1) ----
+    "q228_jpeg_decode"             -> (graft.multimodal.Multimodal.jpegDecodeStats _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -702,6 +706,7 @@ object SparkEntry {
     "q225_v2_monthly_revenue" -> OracleTwins.v2MonthlyRevenue,
     "q226_v2_ai_usage" -> OracleTwins.v2AiUsage,
     "q227_v2_top_rated" -> OracleTwins.v2TopRated,
+    "q228_jpeg_decode" -> OracleTwins.jpegDecodeStats,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -104,6 +104,7 @@ object Multimodal {
       case ('P', '6') => PpmCodec.decode(payload)
       case ('B', 'M') => BmpCodec.decode(payload)
       case ('\u0089', 'P') => PngCodec.decode(payload)
+      case ('\u00ff', '\u00d8') => JpegCodec.decode(payload)
       case (a, b) =>
         throw new IllegalArgumentException(f"unknown image format ${a.toInt}%02x ${b.toInt}%02x")
     }
@@ -322,19 +323,103 @@ object Multimodal {
     * additionally pins `filter_sum`, the sum of the per-row filter-type
     * bytes recovered from the compressed scanlines (= Σ y mod 5), which
     * is a structural proof that every row was routed through the filter
-    * dispatch rather than decoded by luck on filter-0 rows. Map-only
-    * (narrow), the decode-stage shape of a 100 TB image pipeline. */
+    * dispatch rather than decoded by luck on filter-0 rows. Every
+    * doc_id % 4 == 0 image is written as a PALETTE (type 3) PNG instead
+    * of truecolor (synthImageC rasters have ≤ 143 distinct colors, so
+    * they always palettize), putting the PLTE-lookup decode arm under
+    * the SAME format-independent oracle — a wrong palette index or
+    * triple order lands garbage in the checksums. Map-only (narrow),
+    * the decode-stage shape of a 100 TB image pipeline. */
   def pngDecodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions(_.map { case (id, nc) =>
-        val wire = PngCodec.encode(synthImageC(id, nc),
-          level = (id % 10).toInt)                        // real bytes
+        val img0 = synthImageC(id, nc)
+        val wire = if (id % 4 == 0)
+          PngCodec.encodeIndexed(img0, level = (id % 10).toInt)
+        else PngCodec.encode(img0, level = (id % 10).toInt) // real bytes
         val (img, filters) = PngCodec.decodeWithFilters(wire) // real parse
         val s = statsOf(id, img)
         PngStats(id, s.width, s.height,
           filters.map(_.toLong).sum, s.sum_r, s.sum_g, s.sum_b, s.checksum)
+      }).toDF().orderBy("media_id")
+  }
+
+  /** q228's generative corpus — the q218 device adapted to a LOSSY
+    * format by constructing the QUANTIZED COEFFICIENTS instead of the
+    * pixels: per luma block (bi = by·64 + bx over the PADDED 4:2:0
+    * block grid) only the four exactly-rational DCT positions are
+    * populated —
+    *   q00 = (doc·17 + bi·5) mod 97 − 48   at (0,0)
+    *   q40 = (doc·7  + bi·3) mod 17 − 8    at (4,0)   natural index 4
+    *   q04 = (doc·11 + bi)   mod 15 − 7    at (0,4)   natural index 32
+    *   q44 = (doc·5  + bi·9) mod 13 − 6    at (4,4)   natural index 36
+    * — and chroma is DC-only per MCU (mi = my·64 + mx):
+    *   cb  = (doc·13 + mi·7)  mod 81 − 40
+    *   cr  = (doc·19 + mi·11) mod 81 − 40.
+    * With all-8 quant tables each term contributes exactly F/8 = q, so
+    * the decoded luma pixel is the INTEGER 128 + q00 + sx·q40 + sy·q04
+    * + sx·sy·q44 (sx = +1 iff x mod 4 ∈ {0,3}) and chroma replicates
+    * per MCU — fully replayable by the DuckDB twin, while Spark reaches
+    * it only through the real Huffman entropy decode. Every doc with
+    * doc_id mod 3 == 0 also gets a DRI of 2 MCUs, putting real RSTn
+    * markers (byte alignment + predictor resets) in the graded path. */
+  def synthJpeg(docId: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars % 23 + 4).toInt
+    val h = (nChars % 19 + 4).toInt
+    val q8 = Array.fill(64)(8)
+    def luma(bx: Int, by: Int): Array[Int] = {
+      val bi = by * 64L + bx
+      val c = new Array[Int](64)
+      c(0) = (((docId * 17 + bi * 5) % 97) - 48).toInt
+      c(4) = (((docId * 7 + bi * 3) % 17) - 8).toInt
+      c(32) = (((docId * 11 + bi) % 15) - 7).toInt
+      c(36) = (((docId * 5 + bi * 9) % 13) - 6).toInt
+      c
+    }
+    def cb(mx: Int, my: Int): Array[Int] = {
+      val mi = my * 64L + mx
+      val c = new Array[Int](64)
+      c(0) = (((docId * 13 + mi * 7) % 81) - 40).toInt
+      c
+    }
+    def cr(mx: Int, my: Int): Array[Int] = {
+      val mi = my * 64L + mx
+      val c = new Array[Int](64)
+      c(0) = (((docId * 19 + mi * 11) % 81) - 40).toInt
+      c
+    }
+    JpegCodec.encodeBaseline420(w, h, luma, cb, cr, q8, q8,
+      restartInterval = if (docId % 3 == 0) 2 else 0)
+  }
+
+  final case class JpegStats(media_id: Long, width: Long, height: Long,
+    dc_sum_q: Long, sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** q228: REAL baseline-JPEG decode — every document becomes an actual
+    * JFIF file ([[synthJpeg]]: marker segments, custom DHT tables, real
+    * entropy coding with byte stuffing, RSTn on a third of the corpus),
+    * parsed back by the hand-rolled [[JpegCodec.decode]] (marker walk,
+    * canonical Huffman build, entropy decode with DC prediction,
+    * dequant, IDCT, 4:2:0 replication upsample, integer YCbCr→RGB) and
+    * aggregated into channel sums + raster checksum. The oracle
+    * regenerates the pixels arithmetically from the coefficient
+    * formulas; `dc_sum_q` — the sum of decoded QUANTIZED DC values
+    * across the padded luma block grid, accumulated inside the entropy
+    * decoder — is a structural proof the DC prediction chain walked
+    * every MCU (padding blocks included). Map-only (narrow), the
+    * decode-stage shape of a 100 TB image pipeline. */
+  def jpegDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val wire = synthJpeg(id, nc)                      // real bytes
+        val (img, dcSum) = JpegCodec.decodeWithDcSum(wire) // real parse
+        val s = statsOf(id, img)
+        JpegStats(id, s.width, s.height, dcSum,
+          s.sum_r, s.sum_g, s.sum_b, s.checksum)
       }).toDF().orderBy("media_id")
   }
 

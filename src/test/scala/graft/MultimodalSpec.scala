@@ -560,9 +560,43 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(e3.getMessage.contains("interlaced"))
     val e4 = intercept[IllegalArgumentException] {
-      PngCodec.decode(withIhdrByte(9, 3)) // color type 3 (palette)
+      PngCodec.decode(withIhdrByte(9, 5)) // color type 5 (undefined)
     }
     assert(e4.getMessage.contains("color type"))
+  }
+
+  test("PNG palette (type 3): round-trips any ≤256-color raster through " +
+      "PLTE lookup; out-of-range indexes and missing PLTE are rejected") {
+    import graft.multimodal.PngCodec
+    for (nc <- Seq(3L, 12L, 47L, 500L); level <- Seq(0, 6)) {
+      val img = Multimodal.synthImageC(nc * 13 + 1, nc) // ≤143 colors
+      val wire = PngCodec.encodeIndexed(img, level)
+      assert((wire(8 + 8 + 8 + 1) & 0xff) == 3, "IHDR must say type 3")
+      val (back, filters) = PngCodec.decodeWithFilters(wire)
+      assert(back.rgb.toSeq == img.rgb.toSeq,
+        s"palette raster mismatch nc=$nc level=$level")
+      assert(filters.toSeq == (0 until img.height).map(_ % 5))
+      // the sniffing dispatch serves indexed PNGs too
+      assert(Multimodal.decodeImage(wire).rgb.toSeq == img.rgb.toSeq)
+    }
+    // an index byte beyond the PLTE size is a corrupt stream, not a
+    // silent black pixel: 2 colors, but one sample says 7
+    val twoColor = Array[Byte](0, 1, 0, 1)
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60)
+    val okWire = PngCodec.encodeSamples(twoColor, 2, 2, colorType = 3,
+      level = 0, palette = pal)
+    assert(PngCodec.decode(okWire).rgb.toSeq ==
+      Seq[Byte](10, 20, 30, 40, 50, 60, 10, 20, 30, 40, 50, 60))
+    val badIx = PngCodec.encodeSamples(Array[Byte](0, 7, 0, 1), 2, 2,
+      colorType = 3, level = 0, palette = pal)
+    val e = intercept[IllegalArgumentException] { PngCodec.decode(badIx) }
+    assert(e.getMessage.contains("palette index"))
+    // strip the PLTE chunk (splice it out, CRCs intact) -> loud reject
+    val start = 8 + 12 + 13 // PLTE begins right after IHDR
+    val plteLen = 12 + pal.length
+    val noPlte = okWire.take(start) ++ okWire.drop(start + plteLen)
+    val e2 = intercept[IllegalArgumentException] { PngCodec.decode(noPlte) }
+    assert(e2.getMessage.contains("PLTE"))
   }
 
   test("PNG grayscale and RGBA decode arms: gray expands g->(g,g,g), " +
@@ -587,6 +621,169 @@ class MultimodalSpec extends SparkSpecBase {
     }
     // the sniffing dispatch serves all three PNG color types
     assert(Multimodal.decodeImage(gWire).rgb.toSeq == gImg.rgb.toSeq)
+  }
+
+  // ------------------------------------------------ JPEG (round 13) ----
+
+  test("JPEG: the coefficient-constructed corpus decodes to the exact " +
+      "generative pixels — entropy decode, IDCT, 4:2:0, RGB, restarts") {
+    import graft.multimodal.JpegCodec
+    def fd(a: Long): Long = a >> 16
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 12L, 100L); nc <- Seq(0L, 5L, 19L, 47L, 500L)) {
+      val wire = Multimodal.synthJpeg(id, nc)
+      assert(JpegCodec.sniff(wire))
+      val (img, dcSum) = JpegCodec.decodeWithDcSum(wire)
+      val w = (nc % 23 + 4).toInt
+      val h = (nc % 19 + 4).toInt
+      assert(img.width == w && img.height == h)
+      var expDc = 0L
+      val bw2 = ((w + 15) / 16) * 2
+      val bh2 = ((h + 15) / 16) * 2
+      for (by <- 0 until bh2; bx <- 0 until bw2)
+        expDc += ((id * 17 + (by * 64L + bx) * 5) % 97) - 48
+      assert(dcSum == expDc, s"dc_sum id=$id nc=$nc")
+      for (y <- 0 until h; x <- 0 until w) {
+        val bi = (y / 8) * 64L + (x / 8)
+        val a = ((id * 17 + bi * 5) % 97) - 48
+        val b4 = ((id * 7 + bi * 3) % 17) - 8
+        val c4 = ((id * 11 + bi) % 15) - 7
+        val d4 = ((id * 5 + bi * 9) % 13) - 6
+        val sx = if (x % 4 == 0 || x % 4 == 3) 1L else -1L
+        val sy = if (y % 4 == 0 || y % 4 == 3) 1L else -1L
+        val ly = 128 + a + sx * b4 + sy * c4 + sx * sy * d4
+        val mi = (y / 16) * 64L + (x / 16)
+        val cb0 = ((id * 13 + mi * 7) % 81) - 40
+        val cr0 = ((id * 19 + mi * 11) % 81) - 40
+        def clamp(v: Long): Int =
+          (if (v < 0) 0L else if (v > 255) 255L else v).toInt
+        val o = 3 * (y * w + x)
+        assert((img.rgb(o) & 0xff) == clamp(ly + fd(91881 * cr0 + 32768)),
+          s"R at ($x,$y) id=$id nc=$nc")
+        assert((img.rgb(o + 1) & 0xff) ==
+          clamp(ly + fd(-22554 * cb0 - 46802 * cr0 + 32768)),
+          s"G at ($x,$y) id=$id nc=$nc")
+        assert((img.rgb(o + 2) & 0xff) == clamp(ly + fd(116130 * cb0 + 32768)),
+          s"B at ($x,$y) id=$id nc=$nc")
+      }
+      // the sniffing dispatch serves JPEG too
+      assert(Multimodal.decodeImage(wire).rgb.toSeq == img.rgb.toSeq)
+    }
+  }
+
+  private def imageioJpeg(img: java.awt.image.BufferedImage,
+      quality: Float, progressive: Boolean = false): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("JPEG: grayscale ImageIO files decode within ±1 of ImageIO's own " +
+      "decoder — an independent implementation pins entropy decode + IDCT") {
+    import graft.multimodal.JpegCodec
+    val rnd = new java.util.Random(7)
+    for ((w, h) <- Seq((32, 24), (17, 13), (8, 8), (64, 48));
+         q <- Seq(0.95f, 0.75f, 0.5f)) {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0,
+          (x * 7 + y * 5 + rnd.nextInt(32)) % 256)
+      val wire = imageioJpeg(bi, q)
+      val ours = JpegCodec.decode(wire)
+      val theirs = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(wire))
+      assert(ours.width == w && ours.height == h)
+      var maxD = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs((ours.rgb(3 * (y * w + x)) & 0xff) -
+          theirs.getRaster.getSample(x, y, 0))
+        if (d > maxD) maxD = d
+      }
+      assert(maxD <= 1, s"gray ${w}x$h q=$q: max |diff| $maxD > 1")
+    }
+  }
+
+  test("JPEG: color interop both ways — our decoder reads ImageIO color " +
+      "files, ImageIO reads our wire (tolerance-bounded: JPEG permits " +
+      "per-decoder IDCT/upsampling variance)") {
+    import graft.multimodal.JpegCodec
+    // smooth gradient: chroma varies slowly, so ImageIO's triangle
+    // upsampling and our replication stay close
+    val (w, h) = (48, 32)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 4 + 40) << 16) | ((y * 6 + 30) << 8) | (x * 2 + y * 3 + 20))
+    val wire = imageioJpeg(bi, 0.9f)
+    val ours = JpegCodec.decode(wire)
+    val theirs = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(wire))
+    var maxD = 0
+    var sumD = 0L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val t = (theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours.rgb(3 * (y * w + x) + c) & 0xff) - t)
+      if (d > maxD) maxD = d
+      sumD += d
+    }
+    val meanD = sumD.toDouble / (w * h * 3)
+    assert(maxD <= 12 && meanD <= 2.0,
+      s"ImageIO color file: max=$maxD mean=$meanD beyond interop bounds")
+    // our wire through THEIR decoder lands near the generative pixels
+    val myWire = Multimodal.synthJpeg(11L, 500L)
+    val mine = JpegCodec.decode(myWire)
+    val their2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(myWire))
+    assert(their2.getWidth == mine.width && their2.getHeight == mine.height)
+    var sum2 = 0L
+    var max2 = 0
+    for (y <- 0 until mine.height; x <- 0 until mine.width; c <- 0 until 3) {
+      val t = (their2.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((mine.rgb(3 * (y * mine.width + x) + c) & 0xff) - t)
+      sum2 += d
+      if (d > max2) max2 = d
+    }
+    val mean2 = sum2.toDouble / (mine.width * mine.height * 3)
+    assert(mean2 <= 4.0,
+      s"ImageIO reading OUR wire: mean |diff| $mean2 (max $max2) — " +
+        "the wire must be standards-readable, not merely self-consistent")
+  }
+
+  test("JPEG corruption is rejected loudly: progressive, truncation, " +
+      "mid-stream markers, missing tables") {
+    import graft.multimodal.JpegCodec
+    val bi = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val prog = imageioJpeg(bi, 0.8f, progressive = true)
+    val e = intercept[IllegalArgumentException] { JpegCodec.decode(prog) }
+    assert(e.getMessage.contains("progressive"),
+      s"progressive must be named in the rejection, got: ${e.getMessage}")
+    val wire = Multimodal.synthJpeg(3L, 100L)
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(wire.take(wire.length / 2)) // truncated entropy data
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode("not a jpeg".getBytes("US-ASCII"))
+    }
+    // SOS spliced before any DHT/DQT: missing tables must be named, not NPE
+    val soi = wire.take(2)
+    val sosOnwards = {
+      var p = 2
+      while ((wire(p + 1) & 0xff) != 0xda)
+        p += 2 + (((wire(p + 2) & 0xff) << 8) | (wire(p + 3) & 0xff))
+      wire.drop(p)
+    }
+    val headless = soi ++ sosOnwards
+    intercept[Exception] { JpegCodec.decode(headless) }
   }
 
   test("decodeImage sniffs PNG alongside PPM/BMP; ancillary chunks skipped") {
