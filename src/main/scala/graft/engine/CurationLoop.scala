@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   * deterministic functions of the (unchanged) label table and corpus —
   * so REPLAYING a day leaves every sink byte-stable and returns the
   * same [[DayReport]] (PipelineSpec pins this).
+  *
+  * Round 13 adds the DAY-COMMIT MANIFEST: each sink heals individually
+  * under replay, but an external reader arriving mid-crash could see
+  * day N in some stores and day N−1 in others — the `day=<n>` marker
+  * written LAST by [[runDay]] plus the as-of-committed readers
+  * ([[docsAsOfCommitted]], [[labelsAsOfCommitted]],
+  * [[keepListAsOfCommitted]], [[shardsAsOfCommitted]],
+  * [[indexAsOfCommitted]], [[pairsAsOfCommitted]]) make the whole
+  * composition read-atomic at day grain (PipelineSpec crashes a day
+  * between its last sink and its marker and pins every view).
   */
 object CurationLoop {
 
@@ -66,7 +76,119 @@ object CurationLoop {
       Dedup.nearDupPairsOf(base.select(col("doc_id"), col("text")))
         .select(col("doc_a"), col("doc_b")),
       s"$root/labels")
+    commitDay(spark, root, 0L) // day 0 = the seeded state
   }
+
+  // ------------------- day-commit manifest (round 13) -------------------
+  //
+  // Every sink in [[runDay]] is individually idempotent and a restarted
+  // day heals all of them — but an EXTERNAL reader arriving mid-crash
+  // could see day N in some stores and day N−1 in others. The manifest
+  // makes the composition atomic FOR READERS: one empty `day=<n>` marker
+  // lands LAST in runDay, and the as-of-committed readers below key every
+  // store view on the last marker (batch/increment partition filters for
+  // the day-keyed stores, the day-versioned shard set, and the label
+  // table's pre-merge undo copies). Readers pay only partition pruning.
+
+  private def commitsDir(root: String): String = s"$root/_commits"
+
+  /** Write day `n`'s commit marker — the LAST write of a day. Idempotent
+    * (a replayed day re-creates the same marker). */
+  def commitDay(spark: SparkSession, root: String, day: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${commitsDir(root)}/day=$day")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    try fs.create(p, false).close()
+    catch { case _: java.io.IOException => () } // replay: marker exists
+  }
+
+  /** Highest committed day (−1 before [[seed]]). One directory listing. */
+  def committedDay(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(commitsDir(root))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("day=")).map(_.stripPrefix("day=").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The document store as of the last committed day: `batch` partitions
+    * beyond the marker (a crashed day's stage-0 landing) are pruned at
+    * the scan. */
+  def docsAsOfCommitted(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/docs")
+      .filter(col("batch") <= committedDay(spark, root))
+
+  /** A pair sink (`pairs`, `cont_pairs`, `winnow_pairs`) as of the last
+    * committed day — same batch-partition pruning. Missing/empty sinks
+    * read as zero pairs (a corpus can legitimately land none). */
+  def pairsAsOfCommitted(spark: SparkSession, root: String,
+      sink: String = "pairs"): Option[DataFrame] = {
+    val path = s"$root/$sink"
+    if (new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(new org.apache.hadoop.fs.Path(path)) &&
+        IndexMaintenance.parquetFileCount(spark, path) > 0L)
+      Some(spark.read.parquet(path)
+        .filter(col("batch") <= committedDay(spark, root)))
+    else None
+  }
+
+  /** A dedup index (`band_index`, `head_index`, `winnow_index`) as of
+    * the last committed day: `increment` partitions beyond the marker
+    * are pruned — the as-of form of a probe serve. */
+  def indexAsOfCommitted(spark: SparkSession, root: String,
+      index: String): DataFrame =
+    spark.read.parquet(s"$root/$index")
+      .filter(col("increment") <= committedDay(spark, root))
+
+  /** The label table as of the last committed day: if an uncommitted
+    * day's merge already landed (the crash window), its touched buckets
+    * are served from the pre-merge undo copies. */
+  def labelsAsOfCommitted(spark: SparkSession, root: String): DataFrame =
+    Dedup.readClusterLabelsAsOf(spark, s"$root/labels",
+      s"$root/labels_undo/day=${committedDay(spark, root) + 1}")
+
+  /** The keep/drop audit as of the last committed day — committed corpus
+    * against committed labels. */
+  def keepListAsOfCommitted(spark: SparkSession, root: String): DataFrame =
+    Dedup.keepListOfLabels(
+      docsAsOfCommitted(spark, root).select("doc_id", "lang", "text"),
+      labelsAsOfCommitted(spark, root))
+
+  /** The training shard set as of the last committed day: [[runDay]]
+    * lands each day's refresh under `shards/day=<n>`, so the committed
+    * day's set is immutable while the next day writes its own. */
+  def shardsAsOfCommitted(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(
+      s"$root/shards/day=${committedDay(spark, root)}")
+
+  /** Drop superseded day-versioned artifacts once day `n` is committed:
+    * shard sets of earlier days and label-undo copies for days ≤ n (the
+    * as-of reader only ever consults undo for day n+1). Runs AFTER the
+    * marker; a crash between marker and prune just leaves garbage the
+    * next day's prune removes. */
+  private def pruneCommitted(spark: SparkSession, root: String,
+      day: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def sweep(dir: String, keepFrom: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("day=") &&
+            n.stripPrefix("day=").toLong < keepFrom)
+          fs.delete(s.getPath, true)
+      }
+    }
+    sweep(s"$root/shards", day)          // keep day=n only
+    sweep(s"$root/labels_undo", day + 1) // undo ≤ n is dead once n commits
+  }
+
+  /** Spec-only failpoint: invoked just before the commit marker lands,
+    * so PipelineSpec can simulate a crash AFTER every sink wrote but
+    * BEFORE the day committed — the window the manifest exists for. */
+  private[graft] var testFailpointBeforeCommit: () => Unit = () => ()
 
   /** Run one day: `batch` (needs doc_id, lang, text) against the state
     * rooted at `root` (band index, head index, pair sinks, labels,
@@ -104,7 +226,8 @@ object CurationLoop {
     val landed = landedPairs(s"$root/pairs")
       .map(_.select("doc_a", "doc_b"))
     landed.foreach(p =>
-      Dedup.mergeClusterIncrement(spark, s"$root/labels", p))
+      Dedup.mergeClusterIncrement(spark, s"$root/labels", p,
+        undoDir = Some(s"$root/labels_undo/day=$increment")))
     val bandPairs = landed.fold(0L)(_.count())
     // containment and winnow pairs stay separate relations (they gate
     // re-ingest, not cluster membership), so no stage job consumes them
@@ -118,14 +241,16 @@ object CurationLoop {
       .agg(sum("n_kept").as("kept"), sum("n_dropped").as("dropped"))
       .collect()(0)
     // stage 5: shard refresh of the kept corpus, row count riding the
-    // write job
+    // write job. DAY-VERSIONED: the committed day's shard set stays
+    // immutable while this day writes its own, so shard readers are
+    // atomic across a mid-day crash (shardsAsOfCommitted).
     val obsShards = Observation()
     TextOps.writeShards(
       Dedup.keptDocsFrom(corpus,
           Dedup.readClusterLabels(spark, s"$root/labels"))
         .observe(obsShards, count(lit(1)).as("n")),
-      s"$root/shards")
-    DayReport(
+      s"$root/shards/day=$increment")
+    val report = DayReport(
       batchDocs = obsBatch.get("n").asInstanceOf[Long],
       bandPairs = bandPairs,
       contPairs = contPairs,
@@ -133,6 +258,13 @@ object CurationLoop {
       keptDocs = keepList.getLong(0),
       droppedDocs = keepList.getLong(1),
       shardRows = obsShards.get("n").asInstanceOf[Long])
+    // the day COMMITS last: until the marker lands, as-of readers serve
+    // day N−1 from every store; a crash anywhere above heals by replay
+    // (idempotent sinks) and re-lands the same marker
+    testFailpointBeforeCommit()
+    commitDay(spark, root, increment)
+    pruneCommitted(spark, root, increment)
+    report
   }
 
   /** Per-artifact removal counts of one [[forget]] run. */
@@ -193,11 +325,14 @@ object CurationLoop {
     val rebuilt = Dedup.forgetClusterMembers(spark, s"$root/labels", ids,
       remaining)
     val obsShards = Observation()
+    // deletion corrects the COMMITTED state in place (a forget must
+    // propagate to serving immediately, not at the next day commit), so
+    // the refresh replaces the committed day's versioned shard set
     TextOps.writeShards(
       Dedup.keptDocsFrom(remaining,
           Dedup.readClusterLabels(spark, s"$root/labels"))
         .observe(obsShards, count(lit(1)).as("n")),
-      s"$root/shards")
+      s"$root/shards/day=${math.max(0L, committedDay(spark, root))}")
     ForgetReport(docsRemoved, bandRemoved, headRemoved, winnowRemoved,
       pairsRemoved, contRemoved, winnowPairsRemoved, rebuilt,
       obsShards.get("n").asInstanceOf[Long])

@@ -320,6 +320,38 @@ object Dedup {
   def readClusterLabels(spark: SparkSession, labelDir: String): DataFrame =
     labelsOrEmpty(spark, labelDir).select(col("id"), col("label"))
 
+  /** The label table AS OF a day commit: when `undoDir` holds the
+    * pre-merge copies of an UNCOMMITTED day's touched buckets
+    * ([[mergeClusterIncrement]]'s undo form), those copies override the
+    * live buckets — an external reader in the crash window between the
+    * merge and the day marker sees the last COMMITTED label state, not
+    * a torn one. No undo dir (the steady state) reads the live table
+    * directly; the plan stays partition-pruned either way (live buckets
+    * minus the ≤[[LABEL_BUCKETS]] touched set, plus the bounded undo
+    * copies). */
+  def readClusterLabelsAsOf(spark: SparkSession, labelDir: String,
+      undoDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(undoDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return readClusterLabels(spark, labelDir)
+    def names(sub: String): Seq[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$undoDir/$sub")
+      if (fs.exists(d)) fs.listStatus(d).map(_.getPath.getName).toSeq
+      else Nil
+    }
+    val touched =
+      names("data").filter(_.startsWith("lb="))
+        .map(_.stripPrefix("lb=").toInt) ++
+      names("absent").filter(_.startsWith("lb_"))
+        .map(_.stripPrefix("lb_").toInt)
+    val live = labelsOrEmpty(spark, labelDir)
+      .filter(!col("lb").cast("int").isin(touched: _*))
+      .select(col("id"), col("label"))
+    if (IndexMaintenance.parquetFileCount(spark, s"$undoDir/data") == 0L) live
+    else live.unionByName(
+      spark.read.parquet(s"$undoDir/data").select(col("id"), col("label")))
+  }
+
   private def labelsOrEmpty(spark: SparkSession, labelDir: String): DataFrame =
     if (new org.apache.hadoop.fs.Path(labelDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
@@ -373,7 +405,25 @@ object Dedup {
     * staging-swap device rewrote — and double-stored — the whole table
     * to get whole-table atomicity the consumers don't need). */
   def mergeClusterIncrement(spark: SparkSession, labelDir: String,
-      newPairs: DataFrame): Unit = {
+      newPairs: DataFrame): Unit =
+    mergeClusterIncrement(spark, labelDir, newPairs, None)
+
+  /** [[mergeClusterIncrement]] with an UNDO copy for the day-commit
+    * manifest ([[CurationLoop.runDay]]): before the touched buckets are
+    * overwritten, their CURRENT contents are copied to `undoDir` (a
+    * bucket born by this merge is recorded with a hidden
+    * `_absent_lb=<b>` marker instead). [[readClusterLabelsAsOf]] can
+    * then serve the PRE-merge label state to a reader that arrives
+    * between this merge and the day's commit marker — the crash window
+    * in which the composition would otherwise be torn. Cost is bounded
+    * by the merge's own touched-bucket set, never the label table.
+    * Crash-safe: copies are create-once (`exists` guard), so a replay
+    * after a mid-write crash preserves the FIRST attempt's pre-state —
+    * and a bucket the first attempt never wrote still holds its
+    * pre-state, so copying it on the retry is equally correct. */
+  private[graft] def mergeClusterIncrement(spark: SparkSession,
+      labelDir: String, newPairs: DataFrame,
+      undoDir: Option[String]): Unit = {
     // empty-table bootstrap is legal: merging into no labels = the
     // increment's own closure, all ids fresh ([[labelsOrEmpty]])
     val l = labelsOrEmpty(spark, labelDir)
@@ -404,6 +454,27 @@ object Dedup {
       .select(col("lb").cast("int").as("lb"))
       .unionByName(fresh.select(labelBucket(col("id")).as("lb")))
       .distinct().collect().map(_.getInt(0)).toSeq
+    undoDir.foreach { u =>
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(u).getFileSystem(conf)
+      // parquet copies under data/, absence markers under absent/ — the
+      // marker files must never sit in a dir a parquet reader lists
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$u/data"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$u/absent"))
+      touched.foreach { b =>
+        val src = new org.apache.hadoop.fs.Path(s"$labelDir/lb=$b")
+        if (fs.exists(src)) {
+          val dst = new org.apache.hadoop.fs.Path(s"$u/data/lb=$b")
+          if (!fs.exists(dst) &&
+              !org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+                false, conf))
+            throw new IllegalStateException(s"undo copy $src -> $dst failed")
+        } else {
+          fs.create(new org.apache.hadoop.fs.Path(s"$u/absent/lb_$b"), true)
+            .close()
+        }
+      }
+    }
     val part = l.filter(col("lb").isin(touched: _*))
     val updated = part
       .join(broadcast(rootMap), col("label") === col("old_root"), "left")

@@ -106,6 +106,84 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("day-commit manifest: a reader during a mid-day crash sees day " +
+      "N-1 everywhere; restart heals to day N; replay re-lands the marker") {
+    val root = tmpDir("graft-daycommit")
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0)
+    val delta1 = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    CurationLoop.seed(spark, base, root)
+    assert(CurationLoop.committedDay(spark, root) == 0L,
+      "seed must commit day 0")
+    def landDocs(d: org.apache.spark.sql.DataFrame,
+        day: Long): org.apache.spark.sql.DataFrame = {
+      d.withColumn("batch", lit(day)).write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$root/docs")
+      spark.read.parquet(s"$root/docs").select("doc_id", "lang", "text")
+    }
+    val corpus1 = landDocs(delta1, 1L)
+    val r1 = CurationLoop.runDay(spark, corpus1, delta1, 1L, root)
+    assert(CurationLoop.committedDay(spark, root) == 1L)
+    def view(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val keep1 = view(CurationLoop.keepListAsOfCommitted(spark, root))
+    val labels1 = view(CurationLoop.labelsAsOfCommitted(spark, root))
+    val shards1 = CurationLoop.shardsAsOfCommitted(spark, root).count()
+    val docs1 = CurationLoop.docsAsOfCommitted(spark, root).count()
+    val band1 = CurationLoop.indexAsOfCommitted(spark, root, "band_index")
+      .count()
+    assert(shards1 == r1.shardRows && docs1 == corpus1.count())
+    // day 2 ingests EXACT COPIES of committed docs under fresh ids —
+    // guaranteed band pairs and a guaranteed label merge (fresh ids)
+    val delta2 = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 1)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+        col("text"))
+    val corpus2 = landDocs(delta2, 2L)
+    // CRASH after every sink landed but before the commit marker — the
+    // exact window the manifest exists for
+    CurationLoop.testFailpointBeforeCommit =
+      () => throw new RuntimeException("simulated crash before day commit")
+    try intercept[RuntimeException] {
+      CurationLoop.runDay(spark, corpus2, delta2, 2L, root)
+    } finally CurationLoop.testFailpointBeforeCommit = () => ()
+    // the crash is real: day-2 state physically landed ...
+    assert(spark.read.parquet(s"$root/docs")
+      .filter(col("batch") === 2L).count() > 0)
+    assert(new java.io.File(s"$root/labels_undo/day=2").exists(),
+      "day 2's merge must have captured its undo copies")
+    assert(view(Dedup.readClusterLabels(spark, s"$root/labels")) != labels1,
+      "the RAW label table must already be day-2 (else the test is vacuous)")
+    // ... yet every as-of-committed view still serves day 1, coherently
+    assert(CurationLoop.committedDay(spark, root) == 1L,
+      "an uncommitted day must not advance the manifest")
+    assert(view(CurationLoop.labelsAsOfCommitted(spark, root)) == labels1,
+      "labels: undo copies must override the uncommitted merge")
+    assert(view(CurationLoop.keepListAsOfCommitted(spark, root)) == keep1)
+    assert(CurationLoop.shardsAsOfCommitted(spark, root).count() == shards1)
+    assert(CurationLoop.docsAsOfCommitted(spark, root).count() == docs1)
+    assert(CurationLoop.indexAsOfCommitted(spark, root, "band_index")
+      .count() == band1)
+    assert(CurationLoop.pairsAsOfCommitted(spark, root)
+      .forall(_.filter(col("batch") === 2L).count() == 0),
+      "pair reads must hide the crashed day's landings")
+    // restart-heal: the replayed day completes and commits
+    val r2 = CurationLoop.runDay(spark, corpus2, delta2, 2L, root)
+    assert(CurationLoop.committedDay(spark, root) == 2L)
+    assert(view(CurationLoop.labelsAsOfCommitted(spark, root)) ==
+      view(Dedup.readClusterLabels(spark, s"$root/labels")),
+      "after the commit the as-of view IS the live state")
+    assert(CurationLoop.docsAsOfCommitted(spark, root).count() ==
+      corpus2.count())
+    assert(CurationLoop.shardsAsOfCommitted(spark, root).count() ==
+      r2.shardRows)
+    assert(!new java.io.File(s"$root/labels_undo/day=2").exists(),
+      "committed days' undo copies are pruned")
+    // replay of the committed day re-lands the same manifest and report
+    val r3 = CurationLoop.runDay(spark, corpus2, delta2, 2L, root)
+    assert(r3 == r2 && CurationLoop.committedDay(spark, root) == 2L)
+  }
+
   test("retrieval day loop: both indexes appended, probes served from " +
       "the maintained state equal the lifecycle demos, replay invisible") {
     import graft.engine.{RetrievalLoop, Sim, TermIndex}
