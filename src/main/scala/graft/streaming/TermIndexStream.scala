@@ -31,10 +31,16 @@ import graft.engine.{IndexMaintenance, TermIndex, TextOps}
 object TermIndexStream {
 
   /** Start the index ingest over a document stream (needs `doc_id`,
-    * `text`). */
+    * `text`). `availableNow = true` runs it as a DRAIN: the production
+    * restart pattern a SCHEDULED ingest uses — process exactly the
+    * backlog that exists at start (micro-batched by the source's own
+    * maxFilesPerTrigger sizing, so bounded batches, same exactly-once
+    * landing), then stop on its own; the next scheduled run resumes
+    * from the checkpoint and drains only what arrived since
+    * (StreamingSpec pins both halves). */
   def indexSink(docs: DataFrame, indexDir: String, checkpointDir: String,
-      compactEvery: Int = 0): StreamingQuery =
-    docs.writeStream
+      compactEvery: Int = 0, availableNow: Boolean = false): StreamingQuery = {
+    val w = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -44,7 +50,10 @@ object TermIndexStream {
           TermIndex.compactTermIndex(spark, indexDir)
         TermIndex.appendTermIndex(batch, indexDir, increment = batchId + 1L)
       }
-      .start()
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
 
   /** Probe terms of the q211 streamed-ingest gate — distinct from
     * TI_TERMS/PROBE_TERMS so its posting lists differ from q139/q81's. */

@@ -1416,4 +1416,72 @@ class StreamingSpec extends SparkSpecBase {
         "emission must come from the first-arrival slice")
     }
   }
+
+  // -------- Trigger.AvailableNow drain on the term-index ingest (r13) --
+
+  test("term-index ingest under Trigger.AvailableNow: drains exactly the " +
+      "pre-landed backlog then STOPS; a later run resumes from the " +
+      "checkpoint and drains only the new arrivals") {
+    import graft.engine.{IndexMaintenance, TermIndex, TextOps}
+    import graft.streaming.TermIndexStream
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val indexDir = tmpDir("graft-ti-an") + "/index"
+    val inDir = tmpDir("graft-ti-an-in")
+    val ckpt = tmpDir("graft-ti-an-ckpt")
+    TermIndex.buildTermIndex(docs.filter(col("doc_id") % 4 === 0), indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(inDir).getFileSystem(conf)
+    def land(d: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = tmpDir("graft-ti-an-slice")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new Path(s"$inDir/$name.parquet")
+      fs.rename(part, dst)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(dst, mtime, -1L)
+    }
+    // the pre-landed BACKLOG: three slice files, the state a scheduled
+    // nightly drain wakes up to
+    (1 to 3).foreach(sl => land(docs.filter(col("doc_id") % 4 === sl),
+      s"slice-$sl", 1000000L + sl * 60000L))
+    val schema = spark.read.parquet(inDir).schema
+    def drain(): Unit = {
+      val q = TermIndexStream.indexSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        indexDir, ckpt, availableNow = true)
+      // AvailableNow terminates ITSELF once the backlog is drained -
+      // no processAllAvailable/stop pair
+      assert(q.awaitTermination(180000),
+        "AvailableNow drain must stop on its own")
+      assert(!q.isActive)
+    }
+    drain()
+    // exactly the backlog: one increment per file batch, nothing more
+    assert(IndexMaintenance.maxIncrement(spark, s"$indexDir/postings") == 3L,
+      "three backlog files at maxFilesPerTrigger=1 = increments 1..3")
+    // the drained store serves EXACTLY what a batch-built index over the
+    // full corpus serves (the q211 equivalence, now through the drain)
+    val fullDir = tmpDir("graft-ti-an-full") + "/index"
+    TermIndex.buildTermIndex(docs, fullDir)
+    def serve(ix: String): Seq[String] =
+      TermIndex.probeTermIndex(spark, TermIndexStream.ST_TERMS, ix,
+        TextOps.RETRIEVAL_TOP_K).collect().map(_.toString).toSeq
+    assert(serve(indexDir) == serve(fullDir),
+      "drained store must serve identically to the batch-built index")
+    // a NEW arrival lands after the drain; the next scheduled drain
+    // processes ONLY it (checkpoint resume), as increment 4
+    land(docs.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+      "slice-4", 1300000L)
+    drain()
+    assert(IndexMaintenance.maxIncrement(spark, s"$indexDir/postings") == 4L,
+      "the second drain must process exactly the one new file")
+    assert(spark.read.parquet(s"$indexDir/postings")
+      .filter(col("increment") === 4L)
+      .filter(col("doc_id") < 10000000L).count() == 0L,
+      "increment 4 must hold only the new arrivals")
+  }
 }
