@@ -201,8 +201,8 @@ object EventsStream {
   /** (out dir) of each materialized watermark replay, keyed by corpus dir
     * — one lineage per corpus per session (the q180 contract). */
   /** Bench-only lineage concurrency (session conf `graft.stream.prewarm`
-    * = "1", set by [[graft.Bench]]): the FIFTEEN streaming replay
-    * lineages (q180/q197/q200/q201/q202/q205/q208–q212/q214–q217) are
+    * = "1", set by [[graft.Bench]]): the SIXTEEN streaming replay
+    * lineages (q180/q197/q200/q201/q202/q205/q208–q217) are
     * INDEPENDENT one-time builds (own scratch dirs, own checkpoints;
     * lineages over the same corpus share only the slice caches, which
     * hand every caller ONE slicing pass), yet a sequential bench pays
