@@ -3272,6 +3272,52 @@ object OracleTwins {
        |FROM px ORDER BY media_id""".stripMargin
   }
 
+  /** q229's twin — [[graft.multimodal.Multimodal.jpegProgressiveStats]]:
+    * q228's exact-integer device with q229's own constants. The oracle is
+    * wire-format-independent on purpose: progressive scans must
+    * accumulate to the SAME final coefficients a baseline encode of the
+    * blocks would carry, so the twin never mentions scans, bands, or
+    * EOB runs — any progressive-machinery defect surfaces as wrong
+    * pixels or a wrong DC-prediction sum. */
+  val jpegProgressiveStats: String = {
+    val x = "((p//3) % w)"
+    val y = "((p//3) // w)"
+    val bi = s"(($y//8)*64 + ($x//8))"
+    val mi = s"(($y//16)*64 + ($x//16))"
+    val a = s"((doc_id*23 + $bi*7) % 97 - 48)"
+    val b4 = s"((doc_id*3 + $bi*5) % 17 - 8)"
+    val c4 = s"((doc_id*29 + $bi*3) % 15 - 7)"
+    val d4 = s"((doc_id*31 + $bi) % 13 - 6)"
+    val sx = s"(CASE WHEN ($x % 4) IN (0, 3) THEN 1 ELSE -1 END)"
+    val sy = s"(CASE WHEN ($y % 4) IN (0, 3) THEN 1 ELSE -1 END)"
+    val ly = s"(128 + $a + $sx*$b4 + $sy*$c4 + $sx*$sy*$d4)"
+    val cb0 = s"((doc_id*37 + $mi*5) % 81 - 40)"
+    val cr0 = s"((doc_id*43 + $mi*3) % 81 - 40)"
+    def fd(n: String) = s"CAST(floor(($n)/65536.0) AS BIGINT)"
+    val rgb = s"""(CASE p % 3
+      WHEN 0 THEN $ly + ${fd(s"91881*$cr0 + 32768")}
+      WHEN 1 THEN $ly + ${fd(s"-22554*$cb0 - 46802*$cr0 + 32768")}
+      ELSE $ly + ${fd(s"116130*$cb0 + 32768")} END)"""
+    val dcSum = "list_aggregate(list_transform(range(0, bw2*bh2), " +
+      "k -> (doc_id*23 + ((k//bw2)*64 + (k%bw2))*7) % 97 - 48), 'sum')"
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 21 + 4) AS w, (n_chars % 17 + 4) AS h,
+       |    ((n_chars % 21 + 4 + 15)//16)*2 AS bw2,
+       |    ((n_chars % 17 + 4 + 15)//16)*2 AS bh2
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h, bw2, bh2,
+       |    list_transform(range(0, w*h*3),
+       |      p -> greatest(0, least(255, $rgb))) AS v
+       |  FROM d)
+       |SELECT doc_id AS media_id,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST($dcSum AS BIGINT) AS dc_sum_q,
+       |  ${channelSums("v", "w*h")},
+       |  ${rasterChecksum("v")}
+       |FROM px ORDER BY media_id""".stripMargin
+  }
+
   /** q204's twin — [[graft.multimodal.Multimodal.mixedDecodeStats]]:
     * q179's format-INDEPENDENT resize oracle (generative raster + the
     * same source-index arithmetic) with the fmt column restating the

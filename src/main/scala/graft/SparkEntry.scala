@@ -420,6 +420,9 @@ object SparkEntry {
     // entropy decode + IDCT hash-gated via coefficient-constructed
     // exactly-rational blocks (VERDICT r12 ask #1) ----
     "q228_jpeg_decode"             -> (graft.multimodal.Multimodal.jpegDecodeStats _),
+    // ---- round 13: PROGRESSIVE JPEG (SOF2) — multi-scan spectral
+    // selection + EOBn runs, same exact-integer oracle device ----
+    "q229_jpeg_progressive"        -> (graft.multimodal.Multimodal.jpegProgressiveStats _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -707,6 +710,7 @@ object SparkEntry {
     "q226_v2_ai_usage" -> OracleTwins.v2AiUsage,
     "q227_v2_top_rated" -> OracleTwins.v2TopRated,
     "q228_jpeg_decode" -> OracleTwins.jpegDecodeStats,
+    "q229_jpeg_progressive" -> OracleTwins.jpegProgressiveStats,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

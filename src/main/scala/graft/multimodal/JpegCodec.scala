@@ -23,8 +23,17 @@ import PpmCodec.PpmImage
   *  - fixed-point integer YCbCr→RGB (the exact arithmetic the q228
   *    DuckDB twin replays: `(91881·(Cr−128) + 32768) >> 16` etc.).
   *
-  * Progressive (SOF2) and the other non-baseline frame types are
-  * rejected LOUDLY by marker, never half-decoded.
+  * PROGRESSIVE (SOF2) decode landed in round 13 — the full T.81 G.2
+  * scan family: every scan accumulates into per-component quantized
+  * coefficient planes (reconstruction runs once at EOI), with
+  * interleaved DC first/refinement scans, single-component AC spectral-
+  * selection scans with EOBn run coding, and AC successive-approximation
+  * REFINEMENT (correction bits on nonzero history, ±(1<<Al) insertions,
+  * EOB-run blocks that still carry correction bits — the jdphuff-shaped
+  * logic). ImageIO's default progressive scan script (which uses
+  * successive approximation) is the spec's foreign-file oracle. The
+  * remaining non-baseline frame types (lossless, arithmetic, DNL,
+  * hierarchical) stay loud rejections.
   *
   * The encoder is corpus construction (the q218 device): it does no
   * forward DCT — the caller hands it QUANTIZED coefficient blocks, and
@@ -197,12 +206,19 @@ object JpegCodec {
 
   private final case class Component(id: Int, h: Int, v: Int, tq: Int)
 
-  /** Decode a baseline JPEG into top-down RGB (grayscale expands
-    * g→(g,g,g)), plus the sum of the decoded QUANTIZED DC values of
-    * component 0 across every block in the scan — a structural pin that
-    * the entropy decoder walked the whole MCU grid through the DC
-    * prediction chain (the q228 oracle recomputes it from the
-    * generative block formula, padding blocks included). */
+  /** Decode a baseline OR progressive JPEG into top-down RGB
+    * (grayscale expands g→(g,g,g)), plus the sum of the decoded
+    * QUANTIZED DC values of component 0 accumulated across every block
+    * of every Ah=0 DC scan — a structural pin that the entropy decoder
+    * walked the whole MCU grid through the DC prediction chain (the
+    * q228/q229 oracles recompute it from the generative block formula,
+    * padding blocks included).
+    *
+    * Architecture: every scan decodes into per-component QUANTIZED
+    * coefficient planes (the representation progressive scans refine
+    * across multiple passes — T.81 G.2), and reconstruction (dequant,
+    * IDCT, upsample, color) runs once at EOI. Baseline files are the
+    * one-scan special case of the same machinery. */
   def decodeWithDcSum(bytes: Array[Byte]): (PpmImage, Long) = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "not a JPEG (SOI missing)")
@@ -214,10 +230,16 @@ object JpegCodec {
     var w = -1
     var h = -1
     var comps: Array[Component] = null
+    var progressive = false
+    var coefs: Array[Array[Int]] = null // per comp: padded grid × 64, NATURAL
+    var blocksW: Array[Int] = null      // padded (interleaved-grid) blocks/row
+    var blocksH: Array[Int] = null
+    var sawScan = false
+    val dcSum = new Array[Long](1)
     var result: (PpmImage, Long) = null
 
     while (result == null) {
-      require(pos + 2 <= bytes.length, "truncated JPEG (no SOS)")
+      require(pos + 2 <= bytes.length, "truncated JPEG (no EOI)")
       require((bytes(pos) & 0xff) == 0xff,
         f"expected a marker at $pos, found ${bytes(pos) & 0xff}%02x")
       pos += 1
@@ -271,7 +293,9 @@ object JpegCodec {
             if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
           }
           require(pos == end, "DHT length disagrees with its tables")
-        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
+          require(comps == null, "multiple SOF segments")
+          progressive = marker == 0xc2
           val len = segLen()
           require((bytes(pos + 2) & 0xff) == 8,
             s"only 8-bit sample precision supported")
@@ -291,40 +315,70 @@ object JpegCodec {
             require(c.tq <= 3, "bad quant table selector")
             c
           }
+          val hmax = comps.map(_.h).max
+          val vmax = comps.map(_.v).max
+          val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          blocksW = comps.map(c => mcusX * c.h)
+          blocksH = comps.map(c => mcusY * c.v)
+          coefs = comps.indices.toArray.map(i =>
+            new Array[Int](blocksW(i) * blocksH(i) * 64))
           pos += len
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) not supported — baseline decoder")
         case m if (m >= 0xc3 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcb) ||
             (m >= 0xcd && m <= 0xcf) =>
           throw new IllegalArgumentException(
-            f"non-baseline frame type FF$m%02x not supported")
+            f"non-baseline frame type FF$m%02x not supported " +
+              "(sequential SOF0/SOF1 and progressive SOF2 are)")
         case 0xdd => // DRI
           require(segLen() == 4, "bad DRI length")
           restartInterval = be16(bytes, pos + 2)
           pos += 4
-        case 0xda => // SOS — decode the scan
+        case 0xda => // SOS — decode one scan into the coefficient planes
           require(comps != null, "SOS before SOF")
           val len = segLen()
           val ns = bytes(pos + 2) & 0xff
-          require(ns == comps.length,
-            "only single interleaved scans supported (baseline)")
+          require(ns >= 1 && ns <= comps.length, s"bad scan component count $ns")
           require(len == 6 + 2 * ns, "SOS length disagrees with components")
+          val scanCis = new Array[Int](ns)
           val useDc = new Array[Int](ns)
           val useAc = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val id = bytes(pos + 3 + 2 * i) & 0xff
             val ci = comps.indexWhere(_.id == id)
-            require(ci == i, s"scan component order must match frame ($id)")
+            require(ci >= 0, s"scan references unknown component id $id")
+            if (ns > 1) require(ci == i,
+              "interleaved scan component order must match the frame")
+            scanCis(i) = ci
             useDc(i) = (bytes(pos + 4 + 2 * i) & 0xff) >> 4
             useAc(i) = bytes(pos + 4 + 2 * i) & 0x0f
             i += 1
           }
+          val ss = bytes(pos + 3 + 2 * ns) & 0xff
+          val se = bytes(pos + 4 + 2 * ns) & 0xff
+          val ah = (bytes(pos + 5 + 2 * ns) & 0xff) >> 4
+          val al = bytes(pos + 5 + 2 * ns) & 0x0f
+          if (!progressive)
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "sequential scan must cover the full band unshifted")
+          else {
+            require(se >= ss && se <= 63 && al <= 13 &&
+              (ah == 0 || ah == al + 1),
+              s"bad progressive scan parameters Ss=$ss Se=$se Ah=$ah Al=$al")
+            require(ss == 0 || ns == 1,
+              "progressive AC scans must be single-component")
+            if (ss == 0) require(se == 0,
+              "progressive DC scan must have Se=0")
+          }
           pos += len
-          result = decodeScan(bytes, pos, w, h, comps, qt, dcTabs, acTabs,
-            useDc, useAc, restartInterval)
-        case 0xd9 =>
-          throw new IllegalArgumentException("EOI before SOS — no scan data")
+          pos = decodeScan(bytes, pos, w, h, comps, scanCis, useDc, useAc,
+            ss, se, ah, al, restartInterval, dcTabs, acTabs,
+            coefs, blocksW, blocksH, dcSum)
+          sawScan = true
+        case 0xd9 => // EOI: reconstruct
+          require(sawScan, "EOI before any scan — no image data")
+          result = (reconstruct(w, h, comps, qt, coefs, blocksW, blocksH),
+            dcSum(0))
         case 0xd8 =>
           throw new IllegalArgumentException("unexpected SOI inside stream")
         case m if m >= 0xd0 && m <= 0xd7 =>
@@ -338,105 +392,258 @@ object JpegCodec {
 
   def decode(bytes: Array[Byte]): PpmImage = decodeWithDcSum(bytes)._1
 
+  /** Decode ONE scan (sequential full-band, progressive DC first/refine,
+    * progressive AC first/refine — T.81 F.2 and G.2) into the quantized
+    * coefficient planes; returns the stream position after the scan's
+    * entropy data. Interleaved scans walk the MCU grid; single-component
+    * scans walk the component's OWN block grid (which excludes the MCU
+    * padding blocks — those keep zero AC, exactly what an encoder never
+    * sends). Restart markers byte-align, reset DC predictors AND the
+    * EOB run. */
   private def decodeScan(bytes: Array[Byte], at: Int, w: Int, h: Int,
-      comps: Array[Component], qt: Array[Array[Int]],
-      dcTabs: Array[JHuffman], acTabs: Array[JHuffman],
+      comps: Array[Component], scanCis: Array[Int],
       useDc: Array[Int], useAc: Array[Int],
-      restartInterval: Int): (PpmImage, Long) = {
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+      dcTabs: Array[JHuffman], acTabs: Array[JHuffman],
+      coefs: Array[Array[Int]], blocksW: Array[Int], blocksH: Array[Int],
+      dcSum: Array[Long]): Int = {
+    val ns = scanCis.length
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    scanCis.indices.foreach { i =>
+      val c = comps(scanCis(i))
+      if (ss == 0) require(dcTabs(useDc(i)) != null,
+        s"scan references missing DC table ${useDc(i)}")
+      if (se >= 1) require(acTabs(useAc(i)) != null,
+        s"scan references missing AC table ${useAc(i)}")
+      require(c.tq <= 3)
+    }
+    val br = new JBitReader(bytes, at)
+    val preds = new Array[Int](comps.length)
+    val eobrun = new Array[Int](1)
+    var rst = 0
+    var unit = 0 // restart-interval unit counter (MCUs, or blocks if ns==1)
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.restart(rst)
+        rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+        eobrun(0) = 0
+      }
+
+    // ---- per-block scan-type decoders over one NATURAL-order block ----
+
+    def decodeDc(si: Int, ci: Int, block: Array[Int], off: Int): Unit =
+      if (ah == 0) {
+        val t = dcTabs(useDc(si)).decode(br)
+        require(t <= 11, s"bad DC category $t")
+        preds(ci) += extend(br.bits(t), t)
+        block(off) = preds(ci) << al
+        if (ci == 0) dcSum(0) += preds(ci)
+      } else { // DC refinement: one correction bit per block
+        if (br.bit() == 1) block(off) |= (1 << al)
+      }
+
+    def acFirst(si: Int, block: Array[Int], off: Int,
+        allowEobrun: Boolean): Unit = {
+      if (eobrun(0) == 0) {
+        var k = math.max(ss, 1)
+        var done = false
+        while (!done && k <= se) {
+          val rs = acTabs(useAc(si)).decode(br)
+          val r = rs >> 4
+          val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              if (!allowEobrun) require(r == 0,
+                "EOBn run is a progressive symbol, invalid in a " +
+                  "sequential scan")
+              eobrun(0) = (1 << r) + (if (r > 0) br.bits(r) else 0)
+              done = true
+            }
+          } else {
+            k += r
+            require(k <= se, "AC run overruns the band")
+            require(s <= 10, s"bad AC size $s")
+            block(off + ZIGZAG(k)) = extend(br.bits(s), s) << al
+            k += 1
+          }
+        }
+      }
+      if (eobrun(0) > 0) eobrun(0) -= 1 // this block belongs to the run
+    }
+
+    /** AC successive-approximation refinement (T.81 G.2 / the jdphuff
+      * shape): every NONZERO-history coefficient encountered consumes a
+      * correction bit; zero-history positions count down the run before
+      * a ±(1<<Al) insertion; an EOBn ends insertions but the REST of the
+      * band still takes correction bits, as do whole blocks inside the
+      * EOB run. */
+    def acRefine(si: Int, block: Array[Int], off: Int): Unit = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      def correct(z: Int): Unit =
+        if (block(off + z) != 0) {
+          val b = br.bit()
+          if (b == 1 && (block(off + z) & p1) == 0)
+            block(off + z) += (if (block(off + z) >= 0) p1 else m1)
+        }
+      var k = ss
+      if (eobrun(0) == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = acTabs(useAc(si)).decode(br)
+          var r = rs >> 4
+          val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun(0) = (1 << r) + (if (r > 0) br.bits(r) else 0)
+              done = true
+            }
+            // r == 15: run of 16 zero-history positions, no insertion
+          } else {
+            require(s == 1, s"refinement magnitude must be 1, got $s")
+            newVal = if (br.bit() == 1) p1 else m1
+          }
+          if (!done) {
+            var placed = false
+            while (!placed && k <= se) {
+              val z = ZIGZAG(k)
+              if (block(off + z) != 0) correct(z)
+              else {
+                if (r == 0) {
+                  if (newVal != 0) block(off + z) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            require(placed || newVal == 0,
+              "refinement insertion overruns the band")
+          }
+        }
+      }
+      if (eobrun(0) > 0) {
+        while (k <= se) { correct(ZIGZAG(k)); k += 1 }
+        eobrun(0) -= 1
+      }
+    }
+
+    def decodeBlock(si: Int, ci: Int, bx: Int, by: Int): Unit = {
+      val block = coefs(ci)
+      val off = (by * blocksW(ci) + bx) * 64
+      if (ss == 0) decodeDc(si, ci, block, off)
+      if (se >= 1) {
+        if (ah == 0) acFirst(si, block, off, allowEobrun = ss >= 1)
+        else acRefine(si, block, off)
+      }
+    }
+
+    if (ns > 1) { // interleaved: walk the MCU grid
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          var si = 0
+          while (si < ns) {
+            val ci = scanCis(si)
+            val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(si, ci, mx * c.h + bx, my * c.v + by)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          unit += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else { // single component: its OWN block grid, one block per unit
+      val ci = scanCis(0)
+      val c = comps(ci)
+      val compW = (w * c.h + hmax - 1) / hmax
+      val compH = (h * c.v + vmax - 1) / vmax
+      val nbx = (compW + 7) / 8
+      val nby = (compH + 7) / 8
+      var by = 0
+      while (by < nby) {
+        var bx = 0
+        while (bx < nbx) {
+          maybeRestart()
+          decodeBlock(0, ci, bx, by)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    br.pos
+  }
+
+  /** Dequantize + IDCT every block of every component plane, then crop,
+    * replication-upsample, and color-convert — runs once at EOI. */
+  private def reconstruct(w: Int, h: Int, comps: Array[Component],
+      qt: Array[Array[Int]], coefs: Array[Array[Int]],
+      blocksW: Array[Int], blocksH: Array[Int]): PpmImage = {
     val nc = comps.length
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // per-component padded planes
-    val planeW = comps.map(c => mcusX * c.h * 8)
-    val planes = comps.zipWithIndex.map { case (c, i) =>
-      new Array[Int](planeW(i) * mcusY * c.v * 8)
-    }
-    comps.foreach(c => require(qt(c.tq) != null,
-      s"component ${c.id} references missing quant table ${c.tq}"))
-    (0 until nc).foreach { i =>
-      require(dcTabs(useDc(i)) != null && acTabs(useAc(i)) != null,
-        s"scan references missing Huffman table (dc=${useDc(i)} ac=${useAc(i)})")
-    }
-    val br = new JBitReader(bytes, at)
-    val preds = new Array[Int](nc)
-    val coef = new Array[Int](64)
+    val planeW = blocksW.map(_ * 8)
+    val planes = new Array[Array[Int]](nc)
+    val deq = new Array[Int](64)
     val samp = new Array[Int](64)
-    var dcSum = 0L
-    var mcu = 0
-    var rst = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.restart(rst)
-          rst = (rst + 1) % 8
-          java.util.Arrays.fill(preds, 0)
-        }
-        var ci = 0
-        while (ci < nc) {
-          val c = comps(ci)
-          val qtab = qt(c.tq)
-          val dcT = dcTabs(useDc(ci))
-          val acT = acTabs(useAc(ci))
-          var by = 0
-          while (by < c.v) {
-            var bx = 0
-            while (bx < c.h) {
-              java.util.Arrays.fill(coef, 0)
-              val t = dcT.decode(br)
-              require(t <= 11, s"bad DC category $t")
-              preds(ci) += extend(br.bits(t), t)
-              if (ci == 0) dcSum += preds(ci)
-              coef(0) = preds(ci) * qtab(0)
-              var k = 1
-              while (k < 64) {
-                val rs = acT.decode(br)
-                val r = rs >> 4
-                val s = rs & 15
-                if (s == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else k = 64 // EOB
-                } else {
-                  k += r
-                  require(k < 64, "AC run overruns the block")
-                  require(s <= 10, s"bad AC size $s")
-                  coef(ZIGZAG(k)) = extend(br.bits(s), s) * qtab(k)
-                  k += 1
-                }
-              }
-              idctBlock(coef, samp)
-              // place into the component plane
-              val px0 = (mx * c.h + bx) * 8
-              val py0 = (my * c.v + by) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  planes(ci)((py0 + yy) * planeW(ci) + px0 + xx) =
-                    samp(8 * yy + xx)
-                  xx += 1
-                }
-                yy += 1
-              }
-              bx += 1
-            }
-            by += 1
-          }
-          ci += 1
-        }
-        mcu += 1
-        mx += 1
-      }
-      my += 1
-    }
-    // crop + replication upsample + integer color convert
-    val rgb = new Array[Byte](w * h * 3)
-    def sampleOf(ci: Int, x: Int, y: Int): Int = {
+    var ci = 0
+    while (ci < nc) {
       val c = comps(ci)
-      planes(ci)((y * c.v / vmax) * planeW(ci) + (x * c.h / hmax))
+      require(qt(c.tq) != null,
+        s"component ${c.id} references missing quant table ${c.tq}")
+      // natural-order quantizer (DQT stores zigzag)
+      val qn = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qn(ZIGZAG(k)) = qt(c.tq)(k); k += 1 }
+      val plane = new Array[Int](planeW(ci) * blocksH(ci) * 8)
+      val block = coefs(ci)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val off = (by * blocksW(ci) + bx) * 64
+          var i = 0
+          while (i < 64) { deq(i) = block(off + i) * qn(i); i += 1 }
+          idctBlock(deq, samp)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((by * 8 + yy) * planeW(ci) + bx * 8 + xx) =
+                samp(8 * yy + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      planes(ci) = plane
+      ci += 1
+    }
+    val rgb = new Array[Byte](w * h * 3)
+    def sampleOf(i: Int, x: Int, y: Int): Int = {
+      val c = comps(i)
+      planes(i)((y * c.v / vmax) * planeW(i) + (x * c.h / hmax))
     }
     var y = 0
     while (y < h) {
@@ -451,7 +658,7 @@ object JpegCodec {
           val cb0 = sampleOf(1, x, y) - 128
           val cr0 = sampleOf(2, x, y) - 128
           // fixed-point JFIF conversion; >> 16 is floor division, the
-          // exact arithmetic the q228 oracle replays
+          // exact arithmetic the q228/q229 oracles replay
           def clamp(v: Int): Byte =
             (if (v < 0) 0 else if (v > 255) 255 else v).toByte
           rgb(o) = clamp(yv + ((91881 * cr0 + 32768) >> 16))
@@ -462,7 +669,7 @@ object JpegCodec {
       }
       y += 1
     }
-    (PpmImage(w, h, 255, rgb), dcSum)
+    PpmImage(w, h, 255, rgb)
   }
 
   // ----------------------------------------------------------- encoding
@@ -473,15 +680,17 @@ object JpegCodec {
     Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private val ENC_DC_VALS = Array.tabulate(12)(identity)
 
-  /** Custom AC table: EOB, ZRL, and every (run 0..15, size 1..10) as
-    * length-8 canonical codes (162 ≤ 255, all-ones unused). One-length
-    * tables keep the encoder trivial while the DECODER still builds
-    * them through the general canonical construction — and the spec's
-    * ImageIO files bring the standard variable-length tables. */
+  /** Custom AC table: EOB0..EOB14 (the progressive EOBn run family —
+    * EOB0 doubles as the sequential EOB), ZRL, and every (run 0..15,
+    * size 1..10) as length-8 canonical codes (176 ≤ 255, all-ones
+    * unused). One-length tables keep the encoder trivial while the
+    * DECODER still builds them through the general canonical
+    * construction — and the spec's ImageIO files bring the standard
+    * variable-length tables. */
   private val ENC_AC_BITS =
-    Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+    Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
   private val ENC_AC_VALS: Array[Int] =
-    (Seq(0x00, 0xf0) ++
+    ((0 to 14).map(_ << 4) ++ Seq(0xf0) ++
       (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
 
   private def encCode(vals: Array[Int], sym: Int, len: Int): (Int, Int) = {
@@ -618,6 +827,166 @@ object JpegCodec {
     }
     bw.align()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** DC-only block encode (progressive DC scan): category + diff bits,
+    * no AC symbols. Returns the new predictor. */
+  private def encodeDcOnly(bw: JBitWriter, q: Array[Int], pred: Int): Int = {
+    val dc = q(0)
+    val diff = dc - pred
+    val s = catOf(diff)
+    require(s <= 11, s"DC diff $diff out of range")
+    val (c, l) = encCode(ENC_DC_VALS, s, 4)
+    bw.put(c, l)
+    if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    dc
+  }
+
+  /** Write a PROGRESSIVE (SOF2, spectral selection, Al=0) 4:2:0 JFIF
+    * from the same quantized coefficient inputs as
+    * [[encodeBaseline420]]. Scan script: one interleaved DC scan over
+    * the padded MCU grid (so the DC prediction chain — and q229's
+    * `dc_sum_q` — covers every block, like baseline), then per-component
+    * AC scans over each component's OWN block grid with the luma band
+    * SPLIT (1..13 / 14..63 — the generative coefficients at zigzag 10,
+    * 14, 39 straddle the split, so reconstruction genuinely needs both
+    * scans) and full-band chroma scans whose all-zero bands exercise
+    * the EOBn run coding hard (one run spanning every block). With
+    * `restartInterval > 0` every scan carries real RSTn markers
+    * (per-scan numbering, predictor AND EOB-run resets). Successive
+    * approximation is not emitted (Al=0 everywhere — legal progressive);
+    * the DECODER's refinement path is exercised by ImageIO's default
+    * progressive scan script in the spec. */
+  def encodeProgressive420(w: Int, h: Int,
+      yQ: (Int, Int) => Array[Int],
+      cbQ: (Int, Int) => Array[Int],
+      crQ: (Int, Int) => Array[Int],
+      qLuma: Array[Int], qChroma: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, "bad dims")
+    require(qLuma.length == 64 && qChroma.length == 64, "bad quant tables")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xe0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    def dqt(tq: Int, tab: Array[Int]): Unit = {
+      marker(0xdb); u16(2 + 65); u8(tq)
+      var k = 0
+      while (k < 64) { u8(tab(ZIGZAG(k))); k += 1 }
+    }
+    dqt(0, qLuma); dqt(1, qChroma)
+    marker(0xc2); u16(8 + 9) // SOF2: progressive, 3 components
+    u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(0x22); u8(0)
+    u8(2); u8(0x11); u8(1)
+    u8(3); u8(0x11); u8(1)
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8((tc << 4) | th); bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, 0, ENC_DC_BITS, ENC_DC_VALS); dht(1, 0, ENC_AC_BITS, ENC_AC_VALS)
+    dht(0, 1, ENC_DC_BITS, ENC_DC_VALS); dht(1, 1, ENC_AC_BITS, ENC_AC_VALS)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+
+    // ---- scan 1: interleaved DC, Ss=0 Se=0 Ah=0 Al=0 ----
+    marker(0xda); u16(6 + 6)
+    u8(3); u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
+    u8(0); u8(0); u8(0)
+    locally {
+      val bw = new JBitWriter(out)
+      var predY = 0
+      var predCb = 0
+      var predCr = 0
+      var mcu = 0
+      var rst = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.align()
+          marker(0xd0 + rst)
+          rst = (rst + 1) % 8
+          predY = 0; predCb = 0; predCr = 0
+        }
+        for (dy <- 0 to 1; dx <- 0 to 1)
+          predY = encodeDcOnly(bw, yQ(2 * mx + dx, 2 * my + dy), predY)
+        predCb = encodeDcOnly(bw, cbQ(mx, my), predCb)
+        predCr = encodeDcOnly(bw, crQ(mx, my), predCr)
+        mcu += 1
+      }
+      bw.align()
+    }
+
+    // ---- AC scans: single-component, spectral bands, EOBn runs ----
+    def acScan(compId: Int, tabSel: Int, nbx: Int, nby: Int,
+        blockOf: (Int, Int) => Array[Int], ss: Int, se: Int): Unit = {
+      marker(0xda); u16(6 + 2)
+      u8(1); u8(compId); u8(tabSel)
+      u8(ss); u8(se); u8(0) // Ah=0, Al=0: spectral selection only
+      val bw = new JBitWriter(out)
+      var eobrun = 0
+      var rst = 0
+      var unit = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var n = 0
+        while ((2 << n) <= eobrun) n += 1 // n = floor(log2(eobrun))
+        val (c, l) = encCode(ENC_AC_VALS, n << 4, 8)
+        bw.put(c, l)
+        if (n > 0) bw.put(eobrun - (1 << n), n)
+        eobrun = 0
+      }
+      for (by <- 0 until nby; bx <- 0 until nbx) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          flushEob()
+          bw.align()
+          marker(0xd0 + rst)
+          rst = (rst + 1) % 8
+        }
+        val q = blockOf(bx, by)
+        if ((ss to se).forall(k => q(ZIGZAG(k)) == 0)) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob() // EOB14 ceiling
+        } else {
+          flushEob()
+          var run = 0
+          for (k <- ss to se) {
+            val v = q(ZIGZAG(k))
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = encCode(ENC_AC_VALS, 0xf0, 8)
+                bw.put(zc, zl)
+                run -= 16
+              }
+              val sz = catOf(v)
+              require(sz <= 10, s"AC value $v out of range")
+              val (ac, al2) = encCode(ENC_AC_VALS, (run << 4) | sz, 8)
+              bw.put(ac, al2)
+              bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+              run = 0
+            }
+          }
+          if (run > 0) eobrun = 1 // trailing zeros open an EOB run
+        }
+        unit += 1
+      }
+      flushEob()
+      bw.align()
+    }
+    val lumaNbx = (w + 7) / 8
+    val lumaNby = (h + 7) / 8
+    val chromaNbx = ((w + 1) / 2 + 7) / 8
+    val chromaNby = ((h + 1) / 2 + 7) / 8
+    acScan(1, 0x00, lumaNbx, lumaNby, yQ, 1, 13)   // luma low band
+    acScan(1, 0x00, lumaNbx, lumaNby, yQ, 14, 63)  // luma high band
+    acScan(2, 0x01, chromaNbx, chromaNby, cbQ, 1, 63)
+    acScan(3, 0x01, chromaNbx, chromaNby, crQ, 1, 63)
+    marker(0xd9)
     out.toByteArray
   }
 }

@@ -423,6 +423,71 @@ object Multimodal {
       }).toDF().orderBy("media_id")
   }
 
+  /** q229's generative corpus — the q228 coefficient-space device over
+    * a PROGRESSIVE (SOF2) wire: its own constants (a parallel-gate bug
+    * in either path cannot hide behind the other), dims n%21+4 × n%17+4,
+    * luma q00/q40/q04/q44 = (doc·23+bi·7)%97−48, (doc·3+bi·5)%17−8,
+    * (doc·29+bi·3)%15−7, (doc·31+bi)%13−6; chroma DC
+    * (doc·37+mi·5)%81−40 / (doc·43+mi·3)%81−40. The wire is a real
+    * multi-scan progressive file: interleaved DC scan, luma AC split
+    * across TWO spectral bands (the nonzero zigzag positions 10/14/39
+    * straddle the 13|14 split, so reconstruction needs both scans),
+    * all-zero chroma AC bands that ride a single EOBn run each, and
+    * RSTn restarts in every scan for a fifth of the corpus. Final
+    * coefficients equal a baseline encode of the same blocks, so the
+    * SAME exact-integer oracle applies — Spark just has to reach it
+    * through the progressive scan machinery. */
+  def synthJpegProgressive(docId: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars % 21 + 4).toInt
+    val h = (nChars % 17 + 4).toInt
+    val q8 = Array.fill(64)(8)
+    def luma(bx: Int, by: Int): Array[Int] = {
+      val bi = by * 64L + bx
+      val c = new Array[Int](64)
+      c(0) = (((docId * 23 + bi * 7) % 97) - 48).toInt
+      c(4) = (((docId * 3 + bi * 5) % 17) - 8).toInt
+      c(32) = (((docId * 29 + bi * 3) % 15) - 7).toInt
+      c(36) = (((docId * 31 + bi) % 13) - 6).toInt
+      c
+    }
+    def cb(mx: Int, my: Int): Array[Int] = {
+      val mi = my * 64L + mx
+      val c = new Array[Int](64)
+      c(0) = (((docId * 37 + mi * 5) % 81) - 40).toInt
+      c
+    }
+    def cr(mx: Int, my: Int): Array[Int] = {
+      val mi = my * 64L + mx
+      val c = new Array[Int](64)
+      c(0) = (((docId * 43 + mi * 3) % 81) - 40).toInt
+      c
+    }
+    JpegCodec.encodeProgressive420(w, h, luma, cb, cr, q8, q8,
+      restartInterval = if (docId % 5 == 0) 3 else 0)
+  }
+
+  /** q229: PROGRESSIVE-JPEG decode oracle-gated — the q228 gate with the
+    * wire swapped for a real SOF2 multi-scan file (spectral selection,
+    * EOBn runs, per-scan restarts). The decoder must accumulate
+    * coefficients across five scans before reconstruction; a lost AC
+    * band, a broken EOB run, a DC scan that missed padding blocks, or
+    * wrong per-scan restart numbering all flip hashed cells. Successive
+    * approximation (which this corpus does not emit — Al=0 spectral
+    * selection is legal progressive) is exercised by MultimodalSpec
+    * against ImageIO's default scan script. */
+  def jpegProgressiveStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val wire = synthJpegProgressive(id, nc)                // real bytes
+        val (img, dcSum) = JpegCodec.decodeWithDcSum(wire)     // real parse
+        val s = statsOf(id, img)
+        JpegStats(id, s.width, s.height, dcSum,
+          s.sum_r, s.sum_g, s.sum_b, s.checksum)
+      }).toDF().orderBy("media_id")
+  }
+
   final case class MixedStats(media_id: Long, fmt: String, width: Long,
     height: Long, n_bytes: Long, sum_r: Long, sum_g: Long, sum_b: Long,
     checksum: Long)

@@ -758,16 +758,142 @@ class MultimodalSpec extends SparkSpecBase {
         "the wire must be standards-readable, not merely self-consistent")
   }
 
-  test("JPEG corruption is rejected loudly: progressive, truncation, " +
-      "mid-stream markers, missing tables") {
+  test("progressive JPEG: the coefficient-constructed multi-scan corpus " +
+      "decodes to the exact generative pixels (spectral selection, EOBn " +
+      "runs, per-scan restarts)") {
     import graft.multimodal.JpegCodec
-    val bi = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val prog = imageioJpeg(bi, 0.8f, progressive = true)
-    val e = intercept[IllegalArgumentException] { JpegCodec.decode(prog) }
-    assert(e.getMessage.contains("progressive"),
-      s"progressive must be named in the rejection, got: ${e.getMessage}")
+    for (id <- Seq(0L, 1L, 4L, 5L, 10L, 100L); nc <- Seq(0L, 6L, 20L, 47L, 500L)) {
+      val wire = Multimodal.synthJpegProgressive(id, nc)
+      // it really is SOF2 (marker FF C2 present before any SOS)
+      assert((2 until wire.length - 1).exists(i =>
+        (wire(i) & 0xff) == 0xff && (wire(i + 1) & 0xff) == 0xc2))
+      val (img, dcSum) = JpegCodec.decodeWithDcSum(wire)
+      val w = (nc % 21 + 4).toInt
+      val h = (nc % 17 + 4).toInt
+      assert(img.width == w && img.height == h)
+      var expDc = 0L
+      val bw2 = ((w + 15) / 16) * 2
+      val bh2 = ((h + 15) / 16) * 2
+      for (by <- 0 until bh2; bx <- 0 until bw2)
+        expDc += ((id * 23 + (by * 64L + bx) * 7) % 97) - 48
+      assert(dcSum == expDc, s"dc_sum id=$id nc=$nc")
+      def fd(a: Long): Long = a >> 16
+      for (y <- 0 until h; x <- 0 until w) {
+        val bi = (y / 8) * 64L + (x / 8)
+        val a = ((id * 23 + bi * 7) % 97) - 48
+        val b4 = ((id * 3 + bi * 5) % 17) - 8
+        val c4 = ((id * 29 + bi * 3) % 15) - 7
+        val d4 = ((id * 31 + bi) % 13) - 6
+        val sx = if (x % 4 == 0 || x % 4 == 3) 1L else -1L
+        val sy = if (y % 4 == 0 || y % 4 == 3) 1L else -1L
+        val ly = 128 + a + sx * b4 + sy * c4 + sx * sy * d4
+        val mi = (y / 16) * 64L + (x / 16)
+        val cb0 = ((id * 37 + mi * 5) % 81) - 40
+        val cr0 = ((id * 43 + mi * 3) % 81) - 40
+        def clamp(v: Long): Int =
+          (if (v < 0) 0L else if (v > 255) 255L else v).toInt
+        val o = 3 * (y * w + x)
+        assert((img.rgb(o) & 0xff) == clamp(ly + fd(91881 * cr0 + 32768)) &&
+          (img.rgb(o + 1) & 0xff) ==
+            clamp(ly + fd(-22554 * cb0 - 46802 * cr0 + 32768)) &&
+          (img.rgb(o + 2) & 0xff) == clamp(ly + fd(116130 * cb0 + 32768)),
+          s"pixel ($x,$y) id=$id nc=$nc")
+      }
+    }
+  }
+
+  test("progressive JPEG: ImageIO's DEFAULT scan script (successive " +
+      "approximation) decodes within ±1 of ImageIO's own decoder on " +
+      "grayscale — the AC/DC refinement path against a foreign encoder") {
+    import graft.multimodal.JpegCodec
+    val rnd = new java.util.Random(13)
+    for ((w, h) <- Seq((32, 24), (19, 15), (64, 48));
+         q <- Seq(0.95f, 0.7f, 0.4f)) {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0,
+          (x * 11 + y * 3 + rnd.nextInt(48)) % 256)
+      val wire = imageioJpeg(bi, q, progressive = true)
+      // the default script really uses successive approximation: some
+      // SOS must carry Ah>0 or Al>0 (else this test proves nothing)
+      def sosParams: Seq[(Int, Int, Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int)]()
+        var i = 2
+        while (i + 3 < wire.length) {
+          if ((wire(i) & 0xff) == 0xff && (wire(i + 1) & 0xff) == 0xda) {
+            val ns = wire(i + 4) & 0xff
+            val o = i + 5 + 2 * ns
+            out += (((wire(o) & 0xff), wire(o + 1) & 0xff,
+              (wire(o + 2) & 0xff) >> 4, wire(o + 2) & 0x0f))
+          }
+          i += 1
+        }
+        out.toSeq
+      }
+      assert(sosParams.exists(p => p._3 > 0 || p._4 > 0),
+        s"ImageIO default progressive script must use successive " +
+          s"approximation (scans: $sosParams)")
+      val ours = JpegCodec.decode(wire)
+      val theirs = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(wire))
+      assert(ours.width == w && ours.height == h)
+      var maxD = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs((ours.rgb(3 * (y * w + x)) & 0xff) -
+          theirs.getRaster.getSample(x, y, 0))
+        if (d > maxD) maxD = d
+      }
+      assert(maxD <= 1, s"progressive gray ${w}x$h q=$q: max |diff| $maxD")
+    }
+    // color interop both ways on the progressive wire
+    val (w, h) = (48, 32)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 4 + 40) << 16) | ((y * 6 + 30) << 8) | (x * 2 + y * 3 + 20))
+    val cw = imageioJpeg(bi, 0.9f, progressive = true)
+    val ours = JpegCodec.decode(cw)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cw))
+    var maxD = 0
+    var sumD = 0L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val t = (theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours.rgb(3 * (y * w + x) + c) & 0xff) - t)
+      if (d > maxD) maxD = d
+      sumD += d
+    }
+    assert(maxD <= 12 && sumD.toDouble / (w * h * 3) <= 2.0,
+      s"progressive color: max=$maxD mean=${sumD.toDouble / (w * h * 3)}")
+    // and OUR progressive wire is standards-readable
+    val myWire = Multimodal.synthJpegProgressive(7L, 500L)
+    val mine = JpegCodec.decode(myWire)
+    val their2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(myWire))
+    assert(their2.getWidth == mine.width && their2.getHeight == mine.height)
+    var sum2 = 0L
+    for (y <- 0 until mine.height; x <- 0 until mine.width; c <- 0 until 3)
+      sum2 += math.abs((mine.rgb(3 * (y * mine.width + x) + c) & 0xff) -
+        ((their2.getRGB(x, y) >> (16 - 8 * c)) & 0xff))
+    assert(sum2.toDouble / (mine.width * mine.height * 3) <= 4.0,
+      "ImageIO must be able to read our progressive wire")
+  }
+
+  test("JPEG corruption is rejected loudly: non-baseline frames, " +
+      "truncation, mid-stream markers, missing tables") {
+    import graft.multimodal.JpegCodec
     val wire = Multimodal.synthJpeg(3L, 100L)
+    // lossless SOF3: still rejected by frame type
+    val lossless = wire.clone()
+    val sofAt = {
+      var i = 2
+      while ((lossless(i + 1) & 0xff) != 0xc0)
+        i += 2 + (((lossless(i + 2) & 0xff) << 8) | (lossless(i + 3) & 0xff))
+      i
+    }
+    lossless(sofAt + 1) = 0xc3.toByte
+    val e = intercept[IllegalArgumentException] { JpegCodec.decode(lossless) }
+    assert(e.getMessage.contains("frame type"))
     intercept[IllegalArgumentException] {
       JpegCodec.decode(wire.take(wire.length / 2)) // truncated entropy data
     }
