@@ -3318,6 +3318,131 @@ object OracleTwins {
        |FROM px ORDER BY media_id""".stripMargin
   }
 
+  /** Shared by q230/q231 — [[graft.engine.Crawl]]'s generative crawl
+    * corpus restated arithmetically: the EXTRACTED page text is
+    * `title ' ' title ' ' tokens.join(' ')` where title =
+    * `Doc <id> :: crawl <id%53>` (the `<title>` element plus its `<h1>`
+    * repeat) and token i is the %7-first CASE the Scala side encodes as
+    * entities on the wire (`x&amp;k` / `&#65;&#x42;k`). Spark can only
+    * reach this string through gzip inflate → WARC framing → HTTP
+    * envelope → comment/script/style removal → quote-aware tag strip →
+    * entity decode → whitespace collapse; the twin never mentions any
+    * of that — a defect anywhere flips `md5(text)`. */
+  private val crawlTextCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, (n_chars % 37 + 5) AS nt FROM documents),
+      |tok AS (
+      |  SELECT doc_id, nt,
+      |    array_to_string(list_transform(range(0, nt), i ->
+      |      CASE WHEN i % 7 = 3
+      |             THEN 'x&' || CAST((doc_id + i) % 10 AS VARCHAR)
+      |           WHEN i % 11 = 5
+      |             THEN 'AB' || CAST((doc_id * 2 + i) % 10 AS VARCHAR)
+      |           ELSE 'w' || CAST((doc_id * 61 + i * 29) % 9973 AS VARCHAR)
+      |      END), ' ') AS toks
+      |  FROM d),
+      |t AS (
+      |  SELECT doc_id, nt,
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' :: crawl ' ||
+      |      CAST(doc_id % 53 AS VARCHAR) AS title,
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' :: crawl ' ||
+      |      CAST(doc_id % 53 AS VARCHAR) || ' ' ||
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' :: crawl ' ||
+      |      CAST(doc_id % 53 AS VARCHAR) || ' ' || toks AS text
+      |  FROM tok)""".stripMargin
+
+  /** q230's twin — [[graft.engine.Crawl.warcIngest]]. */
+  val warcIngest: String =
+    s"""$crawlTextCte
+       |SELECT doc_id,
+       |  'https://h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com/p/' ||
+       |    CAST((doc_id * 47) % 1009 AS VARCHAR) AS url,
+       |  CAST(200 AS BIGINT) AS status,
+       |  CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS BIGINT)
+       |    AS n_records,
+       |  title,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(nt + 10 AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q231's twin — [[graft.engine.Crawl.crawlHostStats]]: the same
+    * generative text, aggregated at host grain (host = `h<id%53>`, the
+    * URL formula's registrable part). */
+  val crawlHostStats: String =
+    s"""$crawlTextCte
+       |SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com' AS host,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nt + 10) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_redirects
+       |FROM t GROUP BY host ORDER BY host""".stripMargin
+
+  /** q233's twin — [[graft.engine.Crawl.charsetPages]]: the expected
+    * DECODED codepoints stated via `chr()` — é/ñ/em-dash per the doc's
+    * charset arm. A body decoded with the wrong charset (UTF-8 read of
+    * a latin-1 é, latin-1 read of the cp1252 em-dash byte → the C1
+    * control U+0097) produces different codepoints and flips
+    * `md5(text)`; the twin never mentions bytes or charsets beyond the
+    * label column. */
+  val charsetPages: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 29 + 4) AS nt FROM documents),
+       |tok AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE WHEN i % 5 = 2 THEN
+       |        (CASE doc_id % 3 WHEN 0 THEN chr(233)
+       |              WHEN 1 THEN chr(241) ELSE chr(8212) END)
+       |          || CAST((doc_id + i) % 10 AS VARCHAR)
+       |      ELSE 'm' || CAST((doc_id*37 + i*13) % 9973 AS VARCHAR)
+       |      END), ' ') AS toks
+       |  FROM d),
+       |t AS (
+       |  SELECT doc_id, nt,
+       |    'Charset ' || CAST(doc_id AS VARCHAR) AS title,
+       |    'Charset ' || CAST(doc_id AS VARCHAR) || ' ' || toks AS text
+       |  FROM tok)
+       |SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+       |       ELSE 'windows-1252' END AS charset,
+       |  title,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(nt + 2 AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q232's twin — [[graft.multimodal.Multimodal.gifDecodeStats]]: the
+    * indexed-color formula pair composed directly — palette entry
+    * (doc·3+j·5, doc·5+j·11, doc·7+j·13) mod 256 looked up at index
+    * j = (doc·29 + pixel·17) mod 2^bpp. The Spark side can only reach
+    * these pixels through the hand-rolled LZW decode (variable-width
+    * codes, dictionary growth, interlace on a fifth of the corpus,
+    * extension-block skip on a third); the twin never mentions any of
+    * it. */
+  val gifDecodeStats: String = {
+    val j = "((doc_id*29 + (p//3)*17) % psize)"
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 19 + 3) AS w, (n_chars % 13 + 3) AS h,
+       |    CAST(1 << CAST((doc_id % 7) + 2 AS INTEGER) AS BIGINT) AS psize
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h, psize,
+       |    list_transform(range(0, w*h*3), p ->
+       |      CASE p % 3
+       |        WHEN 0 THEN (doc_id*3 + $j*5) % 256
+       |        WHEN 1 THEN (doc_id*5 + $j*11) % 256
+       |        ELSE (doc_id*7 + $j*13) % 256 END) AS v
+       |  FROM d)
+       |SELECT doc_id AS media_id,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  psize AS palette_size,
+       |  ${channelSums("v", "w*h")},
+       |  ${rasterChecksum("v")}
+       |FROM px ORDER BY media_id""".stripMargin
+  }
+
   /** q204's twin — [[graft.multimodal.Multimodal.mixedDecodeStats]]:
     * q179's format-INDEPENDENT resize oracle (generative raster + the
     * same source-index arithmetic) with the fmt column restating the

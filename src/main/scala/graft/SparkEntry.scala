@@ -423,6 +423,19 @@ object SparkEntry {
     // ---- round 13: PROGRESSIVE JPEG (SOF2) — multi-scan spectral
     // selection + EOBn runs, same exact-integer oracle device ----
     "q229_jpeg_progressive"        -> (graft.multimodal.Multimodal.jpegProgressiveStats _),
+    // ---- round 13: crawl-archive ingestion — .warc.gz member decode
+    // (RFC 1952 over the hand-rolled inflate), WARC/HTTP envelopes,
+    // HTML→text extraction; md5(text) gated cross-engine ----
+    "q230_warc_ingest"             -> (Crawl.warcIngest _),
+    "q231_crawl_host_stats"        -> (Crawl.crawlHostStats _),
+    // ---- round 13: GIF — fifth image format, third hand-rolled
+    // compression family (LZW: variable-width codes, dict growth,
+    // KwKwK, interlace) ----
+    "q232_gif_decode"              -> (graft.multimodal.Multimodal.gifDecodeStats _),
+    // ---- round 13: charset-aware page decode — Content-Type charset
+    // parameter honored (UTF-8 / latin-1 / cp1252), wrong-charset
+    // decodes cannot hash-match ----
+    "q233_charset_pages"           -> (Crawl.charsetPages _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -711,6 +724,10 @@ object SparkEntry {
     "q227_v2_top_rated" -> OracleTwins.v2TopRated,
     "q228_jpeg_decode" -> OracleTwins.jpegDecodeStats,
     "q229_jpeg_progressive" -> OracleTwins.jpegProgressiveStats,
+    "q230_warc_ingest" -> OracleTwins.warcIngest,
+    "q231_crawl_host_stats" -> OracleTwins.crawlHostStats,
+    "q232_gif_decode" -> OracleTwins.gifDecodeStats,
+    "q233_charset_pages" -> OracleTwins.charsetPages,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

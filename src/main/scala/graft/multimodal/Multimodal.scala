@@ -105,6 +105,7 @@ object Multimodal {
       case ('B', 'M') => BmpCodec.decode(payload)
       case ('\u0089', 'P') => PngCodec.decode(payload)
       case ('\u00ff', '\u00d8') => JpegCodec.decode(payload)
+      case ('G', 'I') => GifCodec.decode(payload)
       case (a, b) =>
         throw new IllegalArgumentException(f"unknown image format ${a.toInt}%02x ${b.toInt}%02x")
     }
@@ -484,6 +485,53 @@ object Multimodal {
         val (img, dcSum) = JpegCodec.decodeWithDcSum(wire)     // real parse
         val s = statsOf(id, img)
         JpegStats(id, s.width, s.height, dcSum,
+          s.sum_r, s.sum_g, s.sum_b, s.checksum)
+      }).toDF().orderBy("media_id")
+  }
+
+  /** q232's generative corpus: INDEXED-color images — palette entry j
+    * and the index plane are both integer formulas (palette r/g/b =
+    * (doc·3+j·5, doc·5+j·11, doc·7+j·13) mod 256; index of pixel p =
+    * (doc·29 + p·17) mod 2^bpp with bpp = doc%7+2, so every palette
+    * depth 4..256 colors occurs), a fifth of the corpus interlaced
+    * (the 4-pass row order must be undone) and a third written as
+    * GIF89a with an extension block (the sub-block walk must skip it).
+    * The oracle composes the two formulas; Spark can only reach the
+    * pixels through the real LZW decode. */
+  def synthGif(docId: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars % 19 + 3).toInt
+    val h = (nChars % 13 + 3).toInt
+    val psize = 1 << (docId % 7 + 2).toInt
+    val pal = Array.tabulate(psize) { j =>
+      val r = ((docId * 3 + j * 5) % 256).toInt
+      val g = ((docId * 5 + j * 11) % 256).toInt
+      val b = ((docId * 7 + j * 13) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    val idx = Array.tabulate(w * h)(pp =>
+      ((docId * 29 + pp * 17) % psize).toByte)
+    GifCodec.encode(w, h, pal, idx,
+      interlace = docId % 5 == 0, gce = docId % 3 == 0)
+  }
+
+  final case class GifStats(media_id: Long, width: Long, height: Long,
+    palette_size: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+    checksum: Long)
+
+  /** q232: REAL GIF decode — every document becomes an actual GIF87a/89a
+    * file ([[synthGif]]) parsed back by the hand-rolled
+    * [[GifCodec.decode]] (container grammar, extension skip, LZW with
+    * width growth and interlace) and aggregated into channel sums + the
+    * raster checksum. `palette_size` comes from the parsed color table.
+    * Map-only (narrow), like the rest of the decode family. */
+  def gifDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (img, psize) = GifCodec.decodeWithPalette(synthGif(id, nc))
+        val s = statsOf(id, img)
+        GifStats(id, s.width, s.height, psize.toLong,
           s.sum_r, s.sum_g, s.sum_b, s.checksum)
       }).toDF().orderBy("media_id")
   }

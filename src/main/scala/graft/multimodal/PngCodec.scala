@@ -252,6 +252,113 @@ object PngCodec {
     out
   }
 
+  /** Inflate a raw DEFLATE stream whose decompressed size is NOT known
+    * upfront — gzip (RFC 1952) puts CRC32/ISIZE AFTER the compressed
+    * stream, so a multi-member reader ([[graft.sources.WarcCodec]])
+    * cannot size the output before decoding. Output grows on demand;
+    * returns the decompressed bytes and the index of the first byte
+    * after the stream's final block. That index is byte-aligned by
+    * construction: [[BitReader.bits]] refills one byte at a time only
+    * while short, so at any inter-symbol point at most 7 buffered bits
+    * remain — all from the byte at `pos - 1` — and the gzip trailer
+    * begins exactly at `pos`. Same block loop as [[inflate]]; the
+    * separate exact-size variant keeps PNG's stricter contract (IHDR
+    * fixes the size, so over/under-production is corruption mid-stream,
+    * not at the end). */
+  private[graft] def inflateDynamic(data: Array[Byte],
+      from: Int): (Array[Byte], Int) = {
+    var out = new Array[Byte](8192)
+    var o = 0
+    def ensure(extra: Int): Unit = {
+      if (o.toLong + extra > out.length) {
+        var cap = out.length.toLong
+        while (cap < o.toLong + extra) cap *= 2
+        require(cap <= Int.MaxValue - 8, "deflate output exceeds 2 GiB")
+        out = java.util.Arrays.copyOf(out, cap.toInt)
+      }
+    }
+    val br = new BitReader(data, from)
+    var fin = 0
+    do {
+      fin = br.bits(1)
+      br.bits(2) match {
+        case 0 => // stored
+          br.alignByte()
+          require(br.pos + 4 <= data.length, "stored block truncated")
+          val len = (data(br.pos) & 0xff) | ((data(br.pos + 1) & 0xff) << 8)
+          val nlen = (data(br.pos + 2) & 0xff) |
+            ((data(br.pos + 3) & 0xff) << 8)
+          require((len ^ 0xffff) == nlen, "stored block LEN/NLEN mismatch")
+          br.pos += 4
+          require(br.pos + len <= data.length, "stored block truncated")
+          ensure(len)
+          System.arraycopy(data, br.pos, out, o, len)
+          br.pos += len
+          o += len
+        case tpe @ (1 | 2) =>
+          val (lit, dist) =
+            if (tpe == 1) (fixedLit, fixedDist)
+            else {
+              val hlit = br.bits(5) + 257
+              val hdist = br.bits(5) + 1
+              val hclen = br.bits(4) + 4
+              val clens = new Array[Int](19)
+              for (i <- 0 until hclen) clens(CLEN_ORDER(i)) = br.bits(3)
+              val clh = new Huffman(clens)
+              val lens = new Array[Int](hlit + hdist)
+              var i = 0
+              while (i < lens.length) {
+                clh.decode(br) match {
+                  case 16 =>
+                    require(i > 0, "repeat with no previous length")
+                    val rep = 3 + br.bits(2)
+                    require(i + rep <= lens.length,
+                      "code-length repeat overruns the length table")
+                    val prev = lens(i - 1)
+                    for (_ <- 0 until rep) { lens(i) = prev; i += 1 }
+                  case 17 =>
+                    val rep = 3 + br.bits(3)
+                    require(i + rep <= lens.length,
+                      "code-length zero-run overruns the length table")
+                    i += rep
+                  case 18 =>
+                    val rep = 11 + br.bits(7)
+                    require(i + rep <= lens.length,
+                      "code-length zero-run overruns the length table")
+                    i += rep
+                  case l =>
+                    lens(i) = l; i += 1
+                }
+              }
+              (new Huffman(lens.take(hlit)), new Huffman(lens.drop(hlit)))
+            }
+          var sym = lit.decode(br)
+          while (sym != 256) {
+            if (sym < 256) {
+              ensure(1)
+              out(o) = sym.toByte
+              o += 1
+            } else {
+              val li = sym - 257
+              require(li < LEN_BASE.length, s"bad length symbol $sym")
+              val len = LEN_BASE(li) + br.bits(LEN_EXTRA(li))
+              val di = dist.decode(br)
+              require(di < DIST_BASE.length, s"bad distance symbol $di")
+              val d = DIST_BASE(di) + br.bits(DIST_EXTRA(di))
+              require(d <= o, s"back-reference distance $d beyond output $o")
+              ensure(len)
+              var k = 0
+              while (k < len) { out(o) = out(o - d); o += 1; k += 1 }
+            }
+            sym = lit.decode(br)
+          }
+        case 3 =>
+          throw new IllegalArgumentException("reserved deflate block type")
+      }
+    } while (fin == 0)
+    (java.util.Arrays.copyOf(out, o), br.pos)
+  }
+
   /** Strip the zlib wrapper (RFC 1950) and inflate: CMF/FLG header check
     * (method 8, no preset dictionary, header checksum mod 31), then the
     * trailing big-endian Adler-32 verified over the decompressed bytes. */

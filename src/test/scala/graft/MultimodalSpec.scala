@@ -63,8 +63,14 @@ class MultimodalSpec extends SparkSpecBase {
     val img = Multimodal.synthImage(7, 25)
     assert(Multimodal.decodeImage(PpmCodec.encode(img)).rgb.toSeq == img.rgb.toSeq)
     assert(Multimodal.decodeImage(BmpCodec.encode(img)).rgb.toSeq == img.rgb.toSeq)
-    val e = intercept[IllegalArgumentException] {
+    // GIF is no longer unknown (round 13: the dispatch's fifth arm) —
+    // a truncated GIF now fails inside the GIF parser, not the sniffer
+    val g = intercept[IllegalArgumentException] {
       Multimodal.decodeImage("GIF89a....".getBytes("US-ASCII"))
+    }
+    assert(g.getMessage.contains("GIF"))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage("ZZunknown!".getBytes("US-ASCII"))
     }
     assert(e.getMessage.contains("unknown image format"))
   }
