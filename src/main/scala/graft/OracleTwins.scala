@@ -3413,6 +3413,28 @@ object OracleTwins {
        |  md5(text) AS text_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q234's twin — [[graft.engine.Crawl.robotsGate]]: RFC 9309
+    * longest-match precedence restated as prefix algebra. For the
+    * governing graftbot group, path `/p/N` is blocked iff `N` starts
+    * with the host's Disallow digit d UNLESS it also starts with the
+    * longer Allow carve-out d·e — the twin never parses robots.txt, so
+    * a group-selection bug (wildcard fallback, decoy group), a
+    * precedence bug (Disallow beating a longer Allow), or a matcher
+    * bug all flip `allowed` cells. */
+  val robotsGate: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST((doc_id * 47) % 1009 AS VARCHAR) AS ns,
+       |    CAST((doc_id % 53) % 10 AS VARCHAR) AS dd,
+       |    CAST((doc_id % 53) % 7 AS VARCHAR) AS ee
+       |  FROM documents)
+       |SELECT doc_id,
+       |  'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com' AS host,
+       |  '/p/' || ns AS path,
+       |  NOT (starts_with(ns, dd) AND NOT starts_with(ns, dd || ee))
+       |    AS allowed
+       |FROM d ORDER BY doc_id""".stripMargin
+
   /** q232's twin — [[graft.multimodal.Multimodal.gifDecodeStats]]: the
     * indexed-color formula pair composed directly — palette entry
     * (doc·3+j·5, doc·5+j·11, doc·7+j·13) mod 256 looked up at index

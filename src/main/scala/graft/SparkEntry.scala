@@ -436,6 +436,9 @@ object SparkEntry {
     // parameter honored (UTF-8 / latin-1 / cp1252), wrong-charset
     // decodes cannot hash-match ----
     "q233_charset_pages"           -> (Crawl.charsetPages _),
+    // ---- round 13: robots.txt (RFC 9309) frontier gate — broadcast
+    // per-host rules, longest-match precedence, map-side verdicts ----
+    "q234_robots_gate"             -> (Crawl.robotsGate _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -728,6 +731,7 @@ object SparkEntry {
     "q231_crawl_host_stats" -> OracleTwins.crawlHostStats,
     "q232_gif_decode" -> OracleTwins.gifDecodeStats,
     "q233_charset_pages" -> OracleTwins.charsetPages,
+    "q234_robots_gate" -> OracleTwins.robotsGate,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

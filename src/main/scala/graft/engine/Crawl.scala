@@ -321,6 +321,58 @@ object Crawl {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------- robots frontier gate
+
+  /** q234's per-host robots.txt, formula-generated: a decoy group
+    * (`otherbot`: disallow all), the governing `graftbot` group — a
+    * Disallow prefix `/p/<d>` with a LONGER Allow `/p/<d><e>` carved
+    * out of it (d = host%10, e = host%7), so RFC 9309 longest-match
+    * precedence decides every URL — and a `*` group that disallows all
+    * of `/p/`: a parser that falls back to the wildcard group (or picks
+    * the decoy) blocks everything and cannot match. Mixed field case,
+    * comments, a Sitemap line and Crawl-delay exercise parse
+    * tolerance on the gated path. */
+  private[graft] def robotsText(h: Long): String = {
+    val d = h % 10
+    val e = h % 7
+    s"""# robots for ${host(h)}
+       |User-agent: otherbot
+       |Disallow: /
+       |
+       |USER-AGENT: graftbot
+       |Allow: /p/$d$e
+       |Disallow: /p/$d
+       |Crawl-delay: 5
+       |Sitemap: https://${host(h)}/sitemap.xml
+       |
+       |User-agent: *
+       |Disallow: /p/
+       |""".stripMargin
+  }
+
+  /** q234: the crawl-frontier gate — every corpus URL judged against
+    * its host's robots.txt as `graftbot`. The 53 parsed rule sets are
+    * control-plane state: built driver-side, BROADCAST to the fetch
+    * fleet, and applied map-side (one documents scan reading one
+    * column; zero shuffles before the ordering) — the shape a
+    * 100 TB frontier filter must have, since robots state is per-host
+    * bounded while the URL stream is corpus-sized. */
+  def robotsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ruleSets = (0L until 53L)
+      .map(h => host(h) -> graft.sources.RobotsTxt.parse(robotsText(h)))
+      .toMap
+    val bc = spark.sparkContext.broadcast(ruleSets)
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val hst = host(id)
+        val pth = path(id)
+        (id, hst, pth, bc.value(hst).allowed("graftbot", pth))
+      }).toDF("doc_id", "host", "path", "allowed")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------- file-based reader
 
   /** User-facing archive reader: every record of every `.warc.gz` under

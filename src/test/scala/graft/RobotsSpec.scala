@@ -1,0 +1,99 @@
+package graft
+
+import graft.engine.Crawl
+import graft.sources.RobotsTxt
+
+/** RFC 9309 robots.txt: pattern matching (`*`, `$`), longest-match
+  * precedence with Allow winning ties, group selection by longest
+  * user-agent token, parse tolerances (case, CR, comments, consecutive
+  * agent lines, unknown directives), and the q234 corpus arms. */
+class RobotsSpec extends SparkSpecBase {
+
+  test("pattern matching: literals, *, $ anchor") {
+    import RobotsTxt.patternMatches
+    assert(patternMatches("/p/", "/p/123"))       // implicit prefix
+    assert(!patternMatches("/p/", "/q/123"))
+    assert(patternMatches("/p/*/x", "/p/a/b/x/y")) // * spans segments
+    assert(patternMatches("/p/*/x", "/p//x"))
+    assert(!patternMatches("/p/*/x", "/p/ab"))
+    assert(patternMatches("/*.php", "/index.php"))
+    assert(patternMatches("/*.php$", "/index.php")) // anchored hit
+    assert(!patternMatches("/*.php$", "/index.php3")) // anchored miss
+    assert(patternMatches("/fish$", "/fish"))
+    assert(!patternMatches("/fish$", "/fishing"))
+    assert(patternMatches("", "/anything")) // empty = match all
+  }
+
+  test("rule precedence: longest pattern wins, Allow wins ties") {
+    val r = RobotsTxt.parse(
+      """User-agent: bot
+        |Disallow: /p/
+        |Allow: /p/public/
+        |Disallow: /dup
+        |Allow: /dup
+        |""".stripMargin)
+    assert(!r.allowed("bot", "/p/secret"))
+    assert(r.allowed("bot", "/p/public/x")) // longer allow overrides
+    assert(r.allowed("bot", "/dup/x"))      // equal length: allow wins
+    assert(r.allowed("bot", "/elsewhere"))  // no rule matches
+  }
+
+  test("group selection: longest agent token, * fallback, no-group " +
+      "default-allow; consecutive agent lines share a group") {
+    val r = RobotsTxt.parse(
+      """# global
+        |User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graft
+        |Disallow: /a/
+        |
+        |USER-AGENT: graftbot
+        |user-agent: graftbot-img
+        |Disallow: /b/
+        |""".stripMargin.replace("\n", "\r\n"))
+    // longest token (graftbot) beats shorter (graft) and *
+    assert(r.allowed("graftbot", "/a/x"))
+    assert(!r.allowed("graftbot", "/b/x"))
+    // shorter product token falls to the graft group
+    assert(!r.allowed("graftling", "/a/x"))
+    assert(r.allowed("graftling", "/b/x"))
+    // unrelated agent gets the * group
+    assert(!r.allowed("otherbot", "/anything"))
+    // the shared group binds both agent aliases
+    assert(!r.allowed("graftbot-img", "/b/x"))
+    // no * group, no match → allowed
+    val r2 = RobotsTxt.parse("User-agent: x\nDisallow: /\n")
+    assert(r2.allowed("unrelated", "/a"))
+  }
+
+  test("parse tolerances: comments, empty Disallow, unknown directives") {
+    val r = RobotsTxt.parse(
+      """User-agent: bot  # trailing comment
+        |Disallow:
+        |Crawl-delay: 10
+        |Sitemap: https://x/sitemap.xml
+        |Disallow: /real/  # this one counts
+        |not-a-directive-line
+        |""".stripMargin)
+    assert(r.allowed("bot", "/anything")) // empty Disallow = no rule
+    assert(!r.allowed("bot", "/real/x"))
+  }
+
+  test("q234 corpus arms: the graftbot group governs, not *") {
+    for (h <- Seq(0L, 7L, 13L, 30L, 52L)) {
+      val r = RobotsTxt.parse(Crawl.robotsText(h))
+      val d = (h % 10).toString
+      val e = (h % 7).toString
+      // a path hitting the Disallow prefix but not the longer Allow
+      val blocked = s"/p/$d${if (e == "9") "8" else (e.toInt + 1)}"
+      assert(!r.allowed("graftbot", blocked), s"h=$h $blocked")
+      // the longer Allow overrides
+      assert(r.allowed("graftbot", s"/p/$d$e"), s"h=$h allow arm")
+      // a path outside the prefix: allowed for graftbot, though * blocks
+      val other = s"/p/${if (d == "9") "8" else (d.toInt + 1)}"
+      assert(r.allowed("graftbot", other), s"h=$h $other")
+      assert(!r.allowed("randombot", other), s"h=$h * group")
+    }
+  }
+}
