@@ -3435,6 +3435,47 @@ object OracleTwins {
        |    AS allowed
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** q235's twin — [[graft.engine.Crawl.crawlCuration]]: the extracted
+    * text regenerated arithmetically, then the SAME SQL text algebra
+    * the q24/q44 twins use (whitespace split, stopword filter, the
+    * shared thresholds) — decode chain and gate composition under one
+    * hash. */
+  val crawlCuration: String = {
+    val stopList = TextOps.STOPWORDS.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 37 + 5) AS nt FROM documents),
+       |tok AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE WHEN doc_id % 11 <> 0 AND i % ((doc_id % 5) + 3) = 1
+       |        THEN ([$stopList])[CAST((doc_id + i) % 8 AS INTEGER) + 1]
+       |        ELSE 'v' || CAST((doc_id*53 + i*19) % 9973 AS VARCHAR)
+       |      END), ' ') AS toks
+       |  FROM d),
+       |t AS (
+       |  SELECT doc_id,
+       |    'Page ' || CAST(doc_id AS VARCHAR) || ' ' || toks AS text
+       |  FROM tok),
+       |q AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      sw -> sw IN ($stopList)))::BIGINT AS n_stop
+       |  FROM t),
+       |v AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens < ${TextOps.MIN_TOKENS} THEN 'short'
+       |         WHEN n_stop::DOUBLE / n_tokens::DOUBLE >
+       |           ${TextOps.MAX_STOP_RATIO} THEN 'stopword_heavy'
+       |         WHEN n_stop::DOUBLE / n_tokens::DOUBLE <
+       |           ${TextOps.STOP_RATIO_EN} THEN 'non_en'
+       |         ELSE 'kept' END AS verdict
+       |  FROM q)
+       |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+  }
+
   /** q232's twin — [[graft.multimodal.Multimodal.gifDecodeStats]]: the
     * indexed-color formula pair composed directly — palette entry
     * (doc·3+j·5, doc·5+j·11, doc·7+j·13) mod 256 looked up at index

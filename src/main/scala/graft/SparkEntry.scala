@@ -439,6 +439,10 @@ object SparkEntry {
     // ---- round 13: robots.txt (RFC 9309) frontier gate — broadcast
     // per-host rules, longest-match precedence, map-side verdicts ----
     "q234_robots_gate"             -> (Crawl.robotsGate _),
+    // ---- round 13: crawl → curation end-to-end — wire bytes through
+    // the decode chain into the shared quality gates and per-verdict
+    // corpus accounting ----
+    "q235_crawl_curation"          -> (Crawl.crawlCuration _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -732,6 +736,7 @@ object SparkEntry {
     "q232_gif_decode" -> OracleTwins.gifDecodeStats,
     "q233_charset_pages" -> OracleTwins.charsetPages,
     "q234_robots_gate" -> OracleTwins.robotsGate,
+    "q235_crawl_curation" -> OracleTwins.crawlCuration,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

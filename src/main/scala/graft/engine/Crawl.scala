@@ -373,6 +373,70 @@ object Crawl {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------- crawl → curation
+
+  /** q235's corpus: the q230 archive machinery with ENGLISH-ISH tokens —
+    * a per-doc stopword cadence (every ((doc%5)+3)rd token is one of
+    * [[TextOps.STOPWORDS]]) so the downstream quality gates are
+    * load-bearing: cadence 3 lands above MAX_STOP_RATIO
+    * (stopword_heavy), cadence 7 between the en threshold and the cap
+    * (kept), and short docs trip MIN_TOKENS. One gzip member, one 200
+    * text/html response record. */
+  private def enToken(docId: Long, i: Int): String =
+    if (docId % 11 != 0 && i % ((docId % 5) + 3) == 1)
+      TextOps.STOPWORDS(((docId + i) % 8).toInt)
+    else s"v${(docId * 53 + i * 19) % 9973}" // doc%11==0: no stopwords → non_en
+
+  private[graft] def synthEnWarcGz(docId: Long, nChars: Long): Array[Byte] = {
+    val nt = (nChars % 37 + 5).toInt
+    val toks = (0 until nt).map(enToken(docId, _))
+    val html =
+      s"""<html><head><title>Page $docId</title></head>
+         |<body><p>
+         |${toks.mkString(" ")}
+         |</p></body></html>""".stripMargin
+    val body = html.getBytes("UTF-8")
+    val head = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    val block = new java.io.ByteArrayOutputStream(head.length + body.length)
+    block.write(head.getBytes("US-ASCII"))
+    block.write(body)
+    val rec = record(docId, 0, "response",
+      "application/http; msgtype=response", block.toByteArray,
+      Some(url(docId)))
+    WarcCodec.gzipMember(rec, ((docId % 9) + 1).toInt)
+  }
+
+  /** q235: the END-TO-END crawl curation story — wire bytes through the
+    * full decode chain into [[TextOps.langQualityOf]]'s quality gates
+    * and the per-verdict corpus accounting. The twin rebuilds the
+    * extracted text arithmetically and applies the SAME SQL text
+    * algebra (split/stopword-filter/thresholds), so both the decode
+    * chain and the gate composition are under one hash. */
+  def crawlCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val recs = WarcCodec.gunzipMembers(synthEnWarcGz(id, nc))
+          .flatMap(WarcCodec.parseRecords)
+        val http = WarcCodec.parseHttpResponse(recs.head.block)
+        val html = new String(http.body,
+          java.nio.charset.StandardCharsets.UTF_8)
+        (id, "web", WarcCodec.htmlText(html))
+      }).toDF("doc_id", "lang", "text")
+    TextOps.langQualityOf(docs)
+      .withColumn("verdict",
+        when(col("n_tokens") < TextOps.MIN_TOKENS, "short")
+          .when(col("stop_ratio") > TextOps.MAX_STOP_RATIO, "stopword_heavy")
+          .when(col("predicted_lang") =!= "en", "non_en")
+          .otherwise("kept"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("verdict")
+  }
+
   // ---------------------------------------------- file-based reader
 
   /** User-facing archive reader: every record of every `.warc.gz` under
@@ -380,9 +444,19 @@ object Crawl {
     * target URI, and — for HTTP responses — status and Content-Type).
     * Parallelism is per FILE (`binaryFile` source): gzip members are
     * not block-splittable, so the archive file is the task unit, the
-    * same contract Common Crawl's ~1 GiB shards are sized for. WarcSpec
-    * drives it over real files on disk. */
-  def readWarcArchives(spark: SparkSession, dirGlob: String): DataFrame = {
+    * same contract Common Crawl's ~1 GiB shards are sized for.
+    *
+    * `permissive = true` is the 100 TB posture: a corrupt archive (bad
+    * CRC, truncated member, broken framing) yields ONE quarantine row
+    * (`error` set, everything else null) instead of failing the job —
+    * real crawl dumps contain damaged files, and an ingest's contract
+    * is skip-and-count, not die. Strict mode (the default) keeps
+    * corruption loud for curated stores, and names the failing FILE in
+    * the error — at fleet scale an unattributed parse error is
+    * undebuggable. WarcSpec drives both modes over real files on
+    * disk. */
+  def readWarcArchives(spark: SparkSession, dirGlob: String,
+      permissive: Boolean = false): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz")
@@ -390,18 +464,34 @@ object Crawl {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        WarcCodec.gunzipMembers(bytes).flatMap(WarcCodec.parseRecords)
-          .zipWithIndex.map { case (r, i) =>
-            val http = if (r.warcType == "response")
-              Some(WarcCodec.parseHttpResponse(r.block)) else None
-            (p, i.toLong, r.warcType,
-              r.header("WARC-Target-URI").orNull,
-              http.map(_.status.toLong),
-              http.flatMap(_.header("Content-Type")).orNull,
-              r.block.length.toLong)
+        val parsed =
+          try Right(WarcCodec.gunzipMembers(bytes)
+            .flatMap(WarcCodec.parseRecords))
+          catch {
+            case e: Exception if permissive => Left(e.getMessage)
+            case e: Exception =>
+              throw new IllegalArgumentException(s"$p: ${e.getMessage}", e)
           }
+        parsed match {
+          case Left(err) =>
+            Seq((p, None: Option[Long], None: Option[String],
+              None: Option[String], None: Option[Long],
+              None: Option[String], None: Option[Long],
+              Some(Option(err).getOrElse("parse failure").take(200))))
+          case Right(recs) =>
+            recs.zipWithIndex.map { case (r, i) =>
+              val http = if (r.warcType == "response")
+                Some(WarcCodec.parseHttpResponse(r.block)) else None
+              (p, Some(i.toLong), Some(r.warcType),
+                r.header("WARC-Target-URI"),
+                http.map(_.status.toLong),
+                http.flatMap(_.header("Content-Type")),
+                Some(r.block.length.toLong),
+                None: Option[String])
+            }
+        }
       }
       .toDF("path", "seq", "warc_type", "target_uri", "http_status",
-        "content_type", "block_len")
+        "content_type", "block_len", "error")
   }
 }
