@@ -9,9 +9,10 @@ import graft.sources.WarcCodec
   * inflate (JDK `GZIPOutputStream`/`GZIPInputStream` as the spec oracle
   * in both directions), WARC record framing (binary-safe, by length),
   * the HTTP response envelope, the HTML→text extraction law's traps,
-  * and the file-based archive reader. The QUERY gate is q230/q231
-  * (DuckDB regenerates the extracted text arithmetically); this spec
-  * pins the mechanisms and the rejects no generative corpus reaches. */
+  * and the file-based archive reader (strict + permissive modes). The
+  * QUERY gates are q230/q231/q233/q235 (DuckDB regenerates the
+  * extracted text arithmetically); this spec pins the mechanisms and
+  * the rejects no generative corpus reaches. */
 class WarcSpec extends SparkSpecBase {
 
   private def jdkGzip(payload: Array[Byte]): Array[Byte] = {
