@@ -85,8 +85,9 @@ object DedupStream {
                   checkpointDir: String, appendToIndex: Boolean = true,
                   compactEvery: Int = 0, labelDir: String = "",
                   headDir: String = "", contOutDir: String = "",
-                  winnowDir: String = "", winnowOutDir: String = ""): StreamingQuery =
-    docs.writeStream
+                  winnowDir: String = "", winnowOutDir: String = "",
+                  availableNow: Boolean = false): StreamingQuery = {
+    val w = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -114,7 +115,14 @@ object DedupStream {
               .select("doc_a", "doc_b"))
         }
       }
-      .start()
+    // `availableNow = true` is the scheduled-DRAIN form (r13, shared
+    // with TermIndexStream.indexSink): process exactly the backlog
+    // present at start, stop on its own, resume from the checkpoint
+    // next run — the restart pattern a nightly dedup ingest uses.
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
 
   /** (out dir) of each materialized near-dup replay lineage, keyed by
     * corpus dir — the replay streams once per corpus per session

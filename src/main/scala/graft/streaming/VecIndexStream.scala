@@ -49,8 +49,9 @@ object VecIndexStream {
     * `vec_id`, `embedding`). `driftThresholdPpm = 0` disables the
     * maintenance hook (append-only ingest). */
   def indexSink(vecs: DataFrame, indexDir: String, checkpointDir: String,
-      driftThresholdPpm: Long = 0L): StreamingQuery =
-    vecs.writeStream
+      driftThresholdPpm: Long = 0L,
+      availableNow: Boolean = false): StreamingQuery = {
+    val w = vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -61,7 +62,13 @@ object VecIndexStream {
           ()
         }
       }
-      .start()
+    // `availableNow = true` is the scheduled-DRAIN form (r13, shared
+    // with TermIndexStream.indexSink): drain the backlog, stop on its
+    // own, resume from the checkpoint next run.
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
 
   /** The SERVING half as a stream — probe batches arrive continuously
     * and each micro-batch is answered from the persisted index

@@ -1484,4 +1484,92 @@ class StreamingSpec extends SparkSpecBase {
       .filter(col("doc_id") < 10000000L).count() == 0L,
       "increment 4 must hold only the new arrivals")
   }
+
+  test("band-index ingest under Trigger.AvailableNow: drains the backlog, " +
+      "stops on its own, and the drained index equals build+append") {
+    import graft.engine.{Dedup, IndexMaintenance}
+    import graft.streaming.DedupStream
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    val rest = docs.filter(col("doc_id") % 4 =!= 0)
+    val indexDir = tmpDir("graft-dd-an") + "/index"
+    val inDir = tmpDir("graft-dd-an-in")
+    val outDir = tmpDir("graft-dd-an-out") + "/pairs"
+    val ckpt = tmpDir("graft-dd-an-ckpt")
+    Dedup.buildMinhashIndex(base, indexDir)
+    val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
+    (1 to 3).foreach { sl =>
+      val tmp = tmpDir("graft-dd-an-slice")
+      docs.filter(col("doc_id") % 4 === sl).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new Path(s"$inDir/slice-$sl.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val q = DedupStream.nearDupSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      indexDir, outDir, ckpt, availableNow = true)
+    assert(q.awaitTermination(180000),
+      "AvailableNow drain must stop on its own")
+    assert(!q.isActive)
+    assert(IndexMaintenance.maxIncrement(spark, indexDir) == 3L)
+    // drained store ≡ build + one batch append over the same slices,
+    // modulo the increment layout column
+    val refDir = tmpDir("graft-dd-an-ref") + "/index"
+    Dedup.buildMinhashIndex(base, refDir)
+    Dedup.dedupIncrement(rest, refDir, increment = 1L,
+      outDir = tmpDir("graft-dd-an-refout") + "/pairs")
+    def bandSet(d: String): Set[String] =
+      spark.read.parquet(d).drop("increment")
+        .collect().map(_.toString).toSet
+    assert(bandSet(indexDir) == bandSet(refDir),
+      "drained band index must equal the batch build+append store")
+  }
+
+  test("vector-index ingest under Trigger.AvailableNow: drains the " +
+      "backlog, stops on its own, and the drained index equals " +
+      "build+append") {
+    import graft.engine.{IndexMaintenance, Sim}
+    import graft.streaming.VecIndexStream
+    import org.apache.hadoop.fs.Path
+    val vecs = Tables.embeddings(spark, sf)
+    val base = vecs.filter(col("vec_id") % 4 === 0)
+    val rest = vecs.filter(col("vec_id") % 4 =!= 0)
+    val indexDir = tmpDir("graft-vec-an") + "/index"
+    val inDir = tmpDir("graft-vec-an-in")
+    val ckpt = tmpDir("graft-vec-an-ckpt")
+    Sim.buildIvfIndex(base, indexDir)
+    val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
+    (1 to 3).foreach { sl =>
+      val tmp = tmpDir("graft-vec-an-slice")
+      vecs.filter(col("vec_id") % 4 === sl).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new Path(s"$inDir/slice-$sl.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val q = VecIndexStream.indexSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      indexDir, ckpt, availableNow = true)
+    assert(q.awaitTermination(180000),
+      "AvailableNow drain must stop on its own")
+    assert(!q.isActive)
+    assert(IndexMaintenance.maxIncrement(spark, s"$indexDir/vectors") == 3L)
+    // same base ⇒ same centroids ⇒ cell assignments comparable: the
+    // drained store must equal build + one batch append
+    val refDir = tmpDir("graft-vec-an-ref") + "/index"
+    Sim.buildIvfIndex(base, refDir)
+    Sim.appendIvfIndex(rest, refDir, increment = 1L)
+    def cellSet(d: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$d/vectors")
+        .select(col("vec_id").cast("long"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellSet(indexDir) == cellSet(refDir),
+      "drained vector index must equal the batch build+append store")
+  }
 }
