@@ -279,7 +279,7 @@ object GifCodec {
       val r = u8(); val g = u8(); val b = u8()
       (r << 16) | (g << 8) | b
     }
-    u16(); u16() // logical screen dims (the image carries its own)
+    val sw = u16(); val sh = u16() // logical screen dims
     val packed = u8()
     u8(); u8() // background index, aspect
     val gct =
@@ -296,9 +296,18 @@ object GifCodec {
             n = u8()
           }
         case 0x2c =>
-          u16(); u16() // left, top
+          // still-image contract: the single frame must BE the logical
+          // screen. A first frame offset within (or smaller than) the
+          // screen is animation-style compositing — returning it as a
+          // full-size image would be silently wrong geometry, so reject
+          // loudly instead (ADVICE r13).
+          val left = u16(); val top = u16()
           val w = u16()
           val h = u16()
+          require(left == 0 && top == 0,
+            s"GIF frame offset ($left,$top) != (0,0): composited frame")
+          require(w == sw && h == sh,
+            s"GIF frame ${w}x$h != logical screen ${sw}x$sh")
           val ip = u8()
           val pal =
             if ((ip & 0x80) != 0) colorTable(2 << (ip & 7)) else gct

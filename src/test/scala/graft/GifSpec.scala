@@ -122,6 +122,15 @@ class GifSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { // encoder rejects out-of-palette
       GifCodec.encode(2, 2, pal, Array[Byte](0, 1, 2, 9))
     }
+    // still-image geometry (ADVICE r13): a frame offset within the
+    // logical screen, or smaller than it, is composited animation
+    // geometry — reject, never silently return wrong-geometry pixels.
+    // Image descriptor starts at 6 (header) + 7 (LSD) + 12 (GCT) = 25:
+    // 0x2c, left@26, top@28, w@30, h@32.
+    val offset = wire.clone(); offset(26) = 1
+    intercept[IllegalArgumentException] { GifCodec.decode(offset) }
+    val small = wire.clone(); small(30) = 3 // frame w=3 < screen w=4
+    intercept[IllegalArgumentException] { GifCodec.decode(small) }
   }
 
   test("q232 corpus arms: palette depths, interlace fifth, 89a third") {
