@@ -26,31 +26,63 @@ object RobotsTxt {
 
   final case class Rules(groups: Vector[Group]) {
 
-    /** The group whose agent token longest-prefix-matches `agent`
-      * (case-insensitive), `*` as fallback. */
-    private def groupFor(agent: String): Option[Group] = {
+    /** The rules governing `agent`: RFC 9309 §2.2.1 requires MERGING
+      * the rules of every group whose matching user-agent token ties
+      * for the longest prefix match (case-insensitive) — a robots.txt
+      * with two `User-agent: bot` groups applies BOTH groups' rules
+      * (ADVICE r13). With no named match, the union of all `*` groups'
+      * rules applies; with no `*` group either, there are no governing
+      * rules (allow everything). */
+    private def rulesFor(agent: String): Option[Vector[Rule]] = {
       val a = agent.toLowerCase(java.util.Locale.ROOT)
       val named = groups.flatMap { g =>
         g.agents.filter(t => t != "*" && a.startsWith(t))
           .map(t => (t.length, g))
       }
-      if (named.nonEmpty) Some(named.maxBy(_._1)._2)
-      else groups.find(_.agents.contains("*"))
+      if (named.nonEmpty) {
+        val best = named.map(_._1).max
+        Some(named.collect { case (len, g) if len == best => g }
+          .distinct.flatMap(_.rules))
+      } else {
+        val wild = groups.filter(_.agents.contains("*"))
+        if (wild.nonEmpty) Some(wild.flatMap(_.rules)) else None
+      }
     }
 
-    /** RFC 9309 §2.2.2: longest-pattern rule wins; Allow wins ties. */
+    /** The resolved rule list governing `agent` — group selection and
+      * merging applied, patterns untouched. Empty when no group governs
+      * (everything allowed). This is the precompiled per-(host, agent)
+      * relation the JOINED form of the frontier gate materializes as a
+      * table ([[graft.engine.Crawl.robotsRulesDf]]): group selection
+      * happens once per host at build time, and the per-URL decision is
+      * [[decide]] over this list. */
+    def effectiveRules(agent: String): Vector[Rule] =
+      rulesFor(agent).getOrElse(Vector.empty)
+
+    /** RFC 9309 §2.2.2: longest-pattern rule wins; Allow wins ties.
+      * Delegates to [[RobotsTxt.decide]] over [[effectiveRules]] — the
+      * single decision algebra both gate forms share. */
     def allowed(agent: String, path: String): Boolean =
-      groupFor(agent) match {
-        case None => true
-        case Some(g) =>
-          val hits = g.rules.filter(r =>
-            r.pattern.nonEmpty && patternMatches(r.pattern, path))
-          if (hits.isEmpty) true
-          else {
-            val best = hits.map(_.pattern.length).max
-            hits.filter(_.pattern.length == best).exists(_.allow)
-          }
+      decide(effectiveRules(agent), path)
+  }
+
+  /** The RFC 9309 §2.2.2 decision over an already-resolved rule list
+    * (the [[Rules.effectiveRules]] output): longest matching pattern
+    * wins, Allow wins ties, no match means allowed. Shared by the
+    * broadcast and joined forms of the frontier gate so the two forms
+    * cannot drift. */
+  def decide(rules: Seq[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (r.pattern.nonEmpty && r.pattern.length >= bestLen &&
+          patternMatches(r.pattern, path)) {
+        if (r.pattern.length > bestLen) {
+          bestLen = r.pattern.length; bestAllow = r.allow
+        } else bestAllow ||= r.allow // tie: Allow wins
       }
+    }
+    bestLen < 0 || bestAllow
   }
 
   /** Glob match with `*` (any sequence) and a trailing `$` end anchor;
