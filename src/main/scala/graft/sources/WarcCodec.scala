@@ -103,8 +103,16 @@ object WarcCodec {
     * member's CRC32 and ISIZE trailer. Rejects reserved FLG bits,
     * non-deflate methods, header-CRC mismatches, and truncation —
     * cleanly, never with an index error. */
-  def gunzipMembers(wire: Array[Byte]): Vector[Array[Byte]] = {
-    val members = Vector.newBuilder[Array[Byte]]
+  def gunzipMembers(wire: Array[Byte]): Vector[Array[Byte]] =
+    gunzipMembersWithSpans(wire).map(_._1)
+
+  /** [[gunzipMembers]] plus each member's WIRE SPAN `(offset, length)`
+    * within `wire` — the record-grain coordinates a CDX-style sidecar
+    * index stores so a later probe can decode ONE member by byte range
+    * ([[gunzipMemberAt]]) instead of the whole archive. */
+  def gunzipMembersWithSpans(
+      wire: Array[Byte]): Vector[(Array[Byte], Int, Int)] = {
+    val members = Vector.newBuilder[(Array[Byte], Int, Int)]
     var p = 0
     require(wire.length >= 18, "gzip stream truncated (no room for a member)")
     while (p < wire.length) {
@@ -149,10 +157,27 @@ object WarcCodec {
       val isize = le32(wire, end + 4)
       require(isize == (data.length & 0xffffffffL),
         s"gzip ISIZE mismatch: stored $isize != ${data.length}")
-      members += data
+      members += ((data, p, end + 8 - p))
       p = end + 8
     }
     members.result()
+  }
+
+  /** Decode exactly ONE gzip member from its CDX-recorded span. The
+    * slice must be a complete member — offset or length drift anywhere
+    * (a stale index, a rewritten archive) fails the member's own
+    * CRC32/ISIZE check or the completeness check here, never returns
+    * wrong bytes silently. */
+  def gunzipMemberAt(wire: Array[Byte], offset: Int,
+      length: Int): Array[Byte] = {
+    require(offset >= 0 && length > 0 &&
+      offset.toLong + length <= wire.length,
+      s"member span [$offset,+$length) outside the archive of ${wire.length}")
+    val members = gunzipMembersWithSpans(
+      java.util.Arrays.copyOfRange(wire, offset, offset + length))
+    require(members.length == 1,
+      s"member span decoded to ${members.length} members, expected 1")
+    members.head._1
   }
 
   // ------------------------------------------------ WARC (ISO 28500)
@@ -265,10 +290,15 @@ object WarcCodec {
   }
 
   /** Parse an HTTP/1.1 response envelope: status line, field lines,
-    * blank line, body = the rest of the block. When a `Content-Length`
-    * header is present it must equal the body length — our archives
-    * are written consistently, and a disagreement means the framing
-    * above it is broken (fail loudly, don't guess). */
+    * blank line, body = the rest of the block. The WARC record's
+    * `Content-Length` (the block framing above us) is AUTHORITATIVE for
+    * the body extent; the HTTP-level `Content-Length` header is kept as
+    * data but NOT enforced against the body — real crawl archives
+    * routinely violate it (e.g. Common Crawl truncates captures at
+    * 1 MiB while keeping the server's original headers), so a hard
+    * check would reject valid real-world archives (ADVICE r13).
+    * Consumers that care can compare `header("Content-Length")` to
+    * `body.length` themselves. */
   def parseHttpResponse(block: Array[Byte]): HttpResponse = {
     val se = lineEnd(block, 0)
     val statusLine = new String(block, 0, se, "US-ASCII")
@@ -280,12 +310,7 @@ object WarcCodec {
     val status = parts(1).toInt
     val (fields, afterHdr) = parseFields(block, se + 2)
     val body = java.util.Arrays.copyOfRange(block, afterHdr, block.length)
-    val resp = HttpResponse(status, fields, body)
-    resp.header("Content-Length").foreach { cl =>
-      require(cl.toLong == body.length,
-        s"HTTP Content-Length $cl != body ${body.length}")
-    }
-    resp
+    HttpResponse(status, fields, body)
   }
 
   /** The charset named by a `Content-Type` header's `charset=` parameter
@@ -325,17 +350,162 @@ object WarcCodec {
       stripComments(html)))))
 
   /** First `<title>...</title>` content, entity-decoded and
-    * whitespace-collapsed; empty when absent. */
+    * whitespace-collapsed; empty when absent. The character after the
+    * matched `<title` must be `>`, whitespace, or `/` — the same element
+    * boundary check [[stripElement]] does — so `<titlebar>` (or `<title`
+    * inside an attribute value) is never mistaken for the title element
+    * (ADVICE r13). */
   def htmlTitle(html: String): String = {
     val s = stripComments(html)
     val lower = s.toLowerCase(java.util.Locale.ROOT)
-    val open = lower.indexOf("<title")
-    if (open < 0) return ""
-    val gt = s.indexOf('>', open)
-    if (gt < 0) return ""
-    val close = lower.indexOf("</title", gt + 1)
-    if (close < 0) return ""
-    collapseWs(decodeEntities(s.substring(gt + 1, close)))
+    var from = 0
+    while (from >= 0) {
+      val open = lower.indexOf("<title", from)
+      if (open < 0) return ""
+      val after = open + "<title".length
+      val boundary = after >= s.length || {
+        val c = s.charAt(after)
+        c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+          c == '/'
+      }
+      if (boundary) {
+        val gt = s.indexOf('>', open)
+        if (gt < 0) return ""
+        val close = lower.indexOf("</title", gt + 1)
+        if (close < 0) return ""
+        return collapseWs(decodeEntities(s.substring(gt + 1, close)))
+      }
+      from = open + 1
+    }
+    ""
+  }
+
+  // ------------------------------------------------ main content
+
+  /** Minimum characters for a plain block to count as content. */
+  val MAIN_MIN_BLOCK_CHARS = 25
+
+  /** A plain block is link-farm chrome when `linkChars * 3 >= chars`. */
+  val MAIN_LINK_DENSITY_NUM = 3
+
+  private val BLOCK_TAGS = Set("html", "head", "body", "title", "p",
+    "div", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+    "table", "thead", "tbody", "tr", "td", "th", "section", "article",
+    "main", "aside", "nav", "header", "footer", "br", "blockquote",
+    "pre", "form")
+
+  /** MAIN-CONTENT extraction — the jusText/trafilatura-shaped block
+    * classifier real crawl curation (C4, RefinedWeb) applies before any
+    * quality gate, in pure integer arithmetic for cross-engine
+    * determinism. After comment and script/style removal, the page
+    * splits into BLOCKS at every block-level tag boundary; each block's
+    * text (entity-decoded, whitespace-collapsed) is classified by the
+    * documented LAW, in precedence order:
+    *
+    *  1. a block inside `<head>`, `<nav>`, `<header>`, `<footer>`, or
+    *     `<aside>` is CHROME — dropped regardless of length (the
+    *     ancestry rule; a sidebar promo paragraph is chrome even when
+    *     long);
+    *  2. a block inside `<article>` or `<main>` is CONTENT — kept
+    *     regardless of length or link density (the main-container
+    *     override: the page author named the payload);
+    *  3. otherwise the block is content iff it has at least
+    *     [[MAIN_MIN_BLOCK_CHARS]] characters AND its link-anchored
+    *     characters satisfy `linkChars · MAIN_LINK_DENSITY_NUM <
+    *     chars` (a menu of links fails density even outside `<nav>`).
+    *
+    * Kept blocks join with one space. Unlike [[htmlText]] (the
+    * rough-extraction grade), head text — including the title — is NOT
+    * part of main content. Ancestry is constant within a block because
+    * every ancestry-changing tag is itself a block boundary. */
+  def mainContent(html: String): String = {
+    val s = stripElements(stripComments(html))
+    val out = new StringBuilder
+    val raw = new StringBuilder
+    val linkRaw = new StringBuilder
+    var chromeDepth = 0
+    var mainDepth = 0
+    var headDepth = 0
+    var linkDepth = 0
+    def flush(): Unit = {
+      val text = collapseWs(decodeEntities(raw.toString))
+      val link = collapseWs(decodeEntities(linkRaw.toString))
+      raw.setLength(0); linkRaw.setLength(0)
+      if (text.nonEmpty) {
+        val keep =
+          if (chromeDepth > 0 || headDepth > 0) false
+          else if (mainDepth > 0) true
+          else text.length >= MAIN_MIN_BLOCK_CHARS &&
+            link.length * MAIN_LINK_DENSITY_NUM < text.length
+        if (keep) {
+          if (out.nonEmpty) out.append(' ')
+          out.append(text)
+        }
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < s.length && {
+        val n = s.charAt(i + 1)
+        n.isLetter || n == '/' || n == '!' || n == '?'
+      }) {
+        val closing = s.charAt(i + 1) == '/'
+        var j = i + (if (closing) 2 else 1)
+        val nameStart = j
+        while (j < s.length && (s.charAt(j).isLetterOrDigit)) j += 1
+        val name = s.substring(nameStart, j)
+          .toLowerCase(java.util.Locale.ROOT)
+        // scan to the tag's real '>' (quote-aware, like stripTags)
+        var closed = false
+        var selfClose = false
+        while (j < s.length && !closed) {
+          s.charAt(j) match {
+            case '"' =>
+              j += 1
+              while (j < s.length && s.charAt(j) != '"') j += 1
+              if (j < s.length) j += 1
+            case '\'' =>
+              j += 1
+              while (j < s.length && s.charAt(j) != '\'') j += 1
+              if (j < s.length) j += 1
+            case '>' =>
+              selfClose = j > nameStart && s.charAt(j - 1) == '/'
+              closed = true; j += 1
+            case _ => j += 1
+          }
+        }
+        if (BLOCK_TAGS.contains(name)) {
+          flush() // text before this tag belongs to the prior block
+          if (!selfClose) {
+            val d = if (closing) -1 else 1
+            name match {
+              case "nav" | "header" | "footer" | "aside" =>
+                chromeDepth = math.max(0, chromeDepth + d)
+              case "article" | "main" =>
+                mainDepth = math.max(0, mainDepth + d)
+              case "head" | "title" =>
+                headDepth = math.max(0, headDepth + d)
+              case _ => ()
+            }
+          }
+        } else if (name == "a" && !selfClose) {
+          linkDepth = math.max(0, linkDepth + (if (closing) -1 else 1))
+          raw.append(' '); linkRaw.append(' ')
+        } else {
+          // inline tag: a word boundary in both streams
+          raw.append(' ')
+          if (linkDepth > 0) linkRaw.append(' ')
+        }
+        i = j
+      } else {
+        raw.append(c)
+        if (linkDepth > 0) linkRaw.append(c)
+        i += 1
+      }
+    }
+    flush()
+    out.toString
   }
 
   private[sources] def stripComments(s: String): String = {
