@@ -3379,6 +3379,39 @@ object OracleTwins {
        |    AS n_redirects
        |FROM t GROUP BY host ORDER BY host""".stripMargin
 
+  /** q238's twin — [[graft.engine.Crawl.cdxProbe]]: the RESTRICTION of
+    * the full-decode law. The q230 text formula joins through URL
+    * EQUALITY to the seed set (doc_id%37==3) — captures sharing a
+    * seed's URL are all returned, with the doc%4==0 archives
+    * contributing their 301 capture as a second, text-less row. The
+    * twin never mentions the sidecar, member offsets, or spans: the
+    * Spark side must reach these rows through index lookup + span
+    * random access, and a stale span fails CRC loudly while a missed
+    * capture flips rows here. */
+  val cdxProbe: String =
+    s"""$crawlTextCte,
+       |caps AS (
+       |  SELECT doc_id,
+       |    'https://h' || CAST(doc_id % 53 AS VARCHAR) ||
+       |      '.example.com/p/' ||
+       |      CAST((doc_id * 47) % 1009 AS VARCHAR) AS urlkey
+       |  FROM documents),
+       |seeds AS (
+       |  SELECT DISTINCT urlkey FROM caps WHERE doc_id % 37 = 3),
+       |m AS (
+       |  SELECT c.urlkey, c.doc_id FROM caps c
+       |  JOIN seeds s ON c.urlkey = s.urlkey),
+       |r AS (
+       |  SELECT m.urlkey, m.doc_id, CAST(200 AS BIGINT) AS status,
+       |    md5(t.text) AS text_md5
+       |  FROM m JOIN t ON m.doc_id = t.doc_id
+       |  UNION ALL
+       |  SELECT urlkey, doc_id, CAST(301 AS BIGINT) AS status,
+       |    CAST(NULL AS VARCHAR) AS text_md5
+       |  FROM m WHERE doc_id % 4 = 0)
+       |SELECT urlkey, doc_id, status, text_md5
+       |FROM r ORDER BY urlkey, doc_id, status""".stripMargin
+
   /** q233's twin — [[graft.engine.Crawl.charsetPages]]: the expected
     * DECODED codepoints stated via `chr()` — é/ñ/em-dash per the doc's
     * charset arm. A body decoded with the wrong charset (UTF-8 read of
@@ -3475,6 +3508,95 @@ object OracleTwins {
        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
   }
+
+  /** q237's twin — [[graft.engine.Crawl.mainContentExtract]]: the two
+    * candidate paragraph blocks regenerated arithmetically, then the
+    * SAME integer classification law (len ≥ 25; 3·linkChars < chars)
+    * replayed in SQL. The chrome/link-farm/short blocks never appear
+    * here: the Spark side must drop them by the ancestry/density/length
+    * rules to match — surviving sidebar text or a lost paragraph flips
+    * `md5(text)`. */
+  val mainContentExtract: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 37 + 5) AS nt FROM documents),
+       |p AS (
+       |  SELECT doc_id, nt // 2 + 3 AS n0, (nt + 1) // 2 + 3 AS n1
+       |  FROM d),
+       |b AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(range(0, n0), i ->
+       |      'm' || CAST((doc_id*43 + i*7) % 9973 AS VARCHAR)), ' ') AS b0,
+       |    array_to_string(list_transform(range(0, n1), i ->
+       |      'm' || CAST((doc_id*43 + 29 + i*7) % 9973 AS VARCHAR)), ' ')
+       |      AS b1,
+       |    'm' || CAST((doc_id*43 + 7) % 9973 AS VARCHAR) AS l0
+       |  FROM p),
+       |k AS (
+       |  SELECT doc_id,
+       |    (length(b0) >= 25 AND 3*length(l0) < length(b0)) AS keep0,
+       |    (length(b1) >= 25) AS keep1, b0, b1
+       |  FROM b),
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN keep0 AND keep1 THEN b0 || ' ' || b1
+       |         WHEN keep0 THEN b0
+       |         WHEN keep1 THEN b1
+       |         ELSE '' END AS text
+       |  FROM k)
+       |SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(CASE WHEN text = '' THEN 0
+       |            ELSE len(string_split(text, ' ')) END AS BIGINT)
+       |    AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q236's twin — [[graft.engine.Crawl.pdfTextIngest]]: both dispatch
+    * arms' EXTRACTED text regenerated arithmetically. The PDF arm's
+    * tokens restate [[graft.engine.Crawl.pdfToken]]'s CASE (paren /
+    * octal / hex / WinAnsi-é / plain — the wire encodes each through a
+    * different PDF mechanism: literal-string escapes, `\\101` octal,
+    * `<68 78 ..>` hex strings, a cp1252 high byte under
+    * /WinAnsiEncoding, four separator op families); the twin never
+    * mentions xref tables, zlib, or text operators — Spark can only
+    * reach these strings through the full
+    * gzip → WARC → HTTP → dispatch → PDF subset decode, and a defect
+    * anywhere flips `md5(text)`. */
+  val pdfTextIngest: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 33 + 6) AS nt FROM documents),
+       |tok AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE WHEN doc_id % 3 = 0
+       |             THEN 'g' || CAST((doc_id*71 + i*23) % 9973 AS VARCHAR)
+       |           WHEN i % 9 = 2
+       |             THEN 'p(' || CAST((doc_id + i) % 10 AS VARCHAR) || ')'
+       |           WHEN i % 9 = 5
+       |             THEN 'A' || CAST((doc_id + i) % 10 AS VARCHAR)
+       |           WHEN i % 9 = 7
+       |             THEN 'hx' || CAST((doc_id + i) % 10 AS VARCHAR)
+       |           WHEN i % 7 = 4
+       |             THEN chr(233) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |           ELSE 't' || CAST((doc_id*67 + i*31) % 9973 AS VARCHAR)
+       |      END), ' ') AS toks
+       |  FROM d),
+       |t AS (
+       |  SELECT doc_id, nt,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN 'Web ' || CAST(doc_id AS VARCHAR) || ' ' || toks
+       |         ELSE toks END AS text
+       |  FROM tok)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'html' ELSE 'pdf' END AS fmt,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+       |            WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+       |    AS n_pages,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN nt + 2 ELSE nt END AS BIGINT)
+       |    AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** q232's twin — [[graft.multimodal.Multimodal.gifDecodeStats]]: the
     * indexed-color formula pair composed directly — palette entry

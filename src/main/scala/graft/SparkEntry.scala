@@ -443,6 +443,24 @@ object SparkEntry {
     // the decode chain into the shared quality gates and per-verdict
     // corpus accounting ----
     "q235_crawl_curation"          -> (Crawl.crawlCuration _),
+    // ---- round 14: PDF text extraction, dependency-free ISO 32000
+    // subset (xref table → object graph → page tree → FlateDecode zlib
+    // inflate → Tj/TJ/'/" operator machine), reached through the crawl
+    // ingest's Content-Type DISPATCH next to HTML (VERDICT r13 ask #1) ----
+    "q236_pdf_text"                -> (Crawl.pdfTextIngest _),
+    // ---- round 14: MAIN-CONTENT extraction — the jusText-shaped
+    // block classifier (chrome ancestry / main-container override /
+    // integer length+link-density law); q235's corpus gained chrome and
+    // its gate rides the same extractor (VERDICT r13 ask #4) ----
+    "q237_main_content"            -> (Crawl.mainContentExtract _),
+    // ---- round 14: CDX record-grain index — response captures indexed
+    // (urlkey, archive, member byte span) at ingest; a URL probe decodes
+    // ONLY matched members by random access (VERDICT r13 ask #5) ----
+    "q238_cdx_probe"               -> (Crawl.cdxProbe _),
+    // ---- round 14: the beyond-broadcast robots gate — rules as a
+    // host-keyed TABLE met in a sort-merge join (the 10⁷-host regime's
+    // shape); same oracle as q234 (VERDICT r13 ask #2) ----
+    "q239_robots_gate_joined"      -> (Crawl.robotsGateJoined _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -737,6 +755,13 @@ object SparkEntry {
     "q233_charset_pages" -> OracleTwins.charsetPages,
     "q234_robots_gate" -> OracleTwins.robotsGate,
     "q235_crawl_curation" -> OracleTwins.crawlCuration,
+    "q236_pdf_text" -> OracleTwins.pdfTextIngest,
+    "q237_main_content" -> OracleTwins.mainContentExtract,
+    "q238_cdx_probe" -> OracleTwins.cdxProbe,
+    // q239 shares q234's oracle STRING (the q41/q112 device): one
+    // decision algebra, two execution strategies — broadcast map-side
+    // vs host-keyed sort-merge join — provably interchangeable.
+    "q239_robots_gate_joined" -> OracleTwins.robotsGate,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

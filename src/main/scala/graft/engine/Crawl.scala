@@ -350,25 +350,100 @@ object Crawl {
        |""".stripMargin
   }
 
-  /** q234: the crawl-frontier gate — every corpus URL judged against
-    * its host's robots.txt as `graftbot`. The 53 parsed rule sets are
-    * control-plane state: built driver-side, BROADCAST to the fetch
-    * fleet, and applied map-side (one documents scan reading one
-    * column; zero shuffles before the ordering) — the shape a
-    * 100 TB frontier filter must have, since robots state is per-host
-    * bounded while the URL stream is corpus-sized. */
-  def robotsGate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ruleSets = (0L until 53L)
+  /** Host-count ceiling for the BROADCAST form of the frontier gate.
+    * Robots state is host-bounded, not corpus-bounded — but "bounded"
+    * has a number: a real web frontier has 10⁷–10⁸ registrable hosts at
+    * ~1 KB of parsed rules each, i.e. a 10–100 GB broadcast that no
+    * executor should hold. Below this ceiling (~100 MB of rules) the
+    * broadcast form wins (zero shuffles, pure map-side verdicts); above
+    * it the JOINED form is the scale-safe shape: rules as a TABLE,
+    * hash-partitioned alongside the URL stream on `host`
+    * ([[robotsGateJoined]]). [[robotsGate]] dispatches on the domain's
+    * host cardinality; q234 gates the small-domain fast path and q239
+    * gates the joined form against the SAME oracle. */
+  val ROBOTS_BROADCAST_MAX_HOSTS: Long = 100000L
+
+  /** One precompiled per-host rule: the post-group-selection relation
+    * the joined gate materializes as a table. */
+  final case class RobotsRule(allow: Boolean, pattern: String)
+
+  private def parsedRuleSets(): Map[String, graft.sources.RobotsTxt.Rules] =
+    (0L until 53L)
       .map(h => host(h) -> graft.sources.RobotsTxt.parse(robotsText(h)))
       .toMap
-    val bc = spark.sparkContext.broadcast(ruleSets)
+
+  /** q234: the crawl-frontier gate — every corpus URL judged against
+    * its host's robots.txt as `graftbot`. Dispatches on the host
+    * domain's cardinality: at ≤ [[ROBOTS_BROADCAST_MAX_HOSTS]] hosts
+    * the parsed rule sets broadcast ([[robotsGateBroadcast]]); past the
+    * ceiling the rules ride a host-keyed table join
+    * ([[robotsGateJoined]]) — same decision algebra
+    * ([[graft.sources.RobotsTxt.decide]]), same oracle. */
+  def robotsGate(spark: SparkSession, dir: String): DataFrame =
+    if (53L <= ROBOTS_BROADCAST_MAX_HOSTS) robotsGateBroadcast(spark, dir)
+    else robotsGateJoined(spark, dir)
+
+  /** The small-domain fast path: rule sets built driver-side, BROADCAST
+    * to the fetch fleet, applied map-side (one documents scan reading
+    * one column; zero shuffles before the ordering). Correct ONLY below
+    * [[ROBOTS_BROADCAST_MAX_HOSTS]] — see the ceiling's scaladoc. */
+  private[graft] def robotsGateBroadcast(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(parsedRuleSets())
     Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val hst = host(id)
         val pth = path(id)
         (id, hst, pth, bc.value(hst).allowed("graftbot", pth))
+      }).toDF("doc_id", "host", "path", "allowed")
+      .orderBy("doc_id")
+  }
+
+  /** The per-host effective-rule TABLE for `agent`: group selection and
+    * merging run once per host at build time
+    * ([[graft.sources.RobotsTxt.Rules.effectiveRules]]); the relation is
+    * one row per host with the resolved rule array — the store a real
+    * frontier maintains from its robots fetch loop. Demo-scale it is
+    * built from the 53-host formula; the SHAPE (host-keyed rows, rules
+    * as data) is what the joined gate needs. */
+  private[graft] def robotsRulesDf(spark: SparkSession,
+      agent: String): DataFrame = {
+    import spark.implicits._
+    (0L until 53L).map { h =>
+      (host(h), graft.sources.RobotsTxt.parse(robotsText(h))
+        .effectiveRules(agent)
+        .map(r => RobotsRule(r.allow, r.pattern)))
+    }.toDF("host", "rules")
+  }
+
+  /** q239: the beyond-broadcast form of the frontier gate — the URL
+    * stream and the rule table meet in a host-keyed SORT-MERGE join
+    * (hinted: the joined form EXISTS for the regime where the rules
+    * side cannot broadcast, so its plan is pinned to that regime's
+    * shape), and the verdict is map-side [[graft.sources.RobotsTxt
+    * .decide]] over the row's rule array — one row per URL in and out,
+    * no fan-out, no re-aggregation. A host absent from the rule table
+    * is allowed (no governing group). Same oracle as q234: the two
+    * forms share the decision algebra, so the driver gate proves them
+    * interchangeable. */
+  def robotsGateJoined(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, host(id), path(id))))
+      .toDF("doc_id", "host", "path")
+    urls.join(robotsRulesDf(spark, "graftbot").hint("merge"),
+        Seq("host"), "left")
+      .select(col("doc_id"), col("host"), col("path"), col("rules"))
+      .as[(Long, String, String, Seq[RobotsRule])]
+      .mapPartitions(_.map { case (id, hst, pth, rs) =>
+        val rules =
+          if (rs == null) Vector.empty[graft.sources.RobotsTxt.Rule]
+          else rs.map(r =>
+            graft.sources.RobotsTxt.Rule(r.allow, r.pattern)).toVector
+        (id, hst, pth, graft.sources.RobotsTxt.decide(rules, pth))
       }).toDF("doc_id", "host", "path", "allowed")
       .orderBy("doc_id")
   }
@@ -387,14 +462,30 @@ object Crawl {
       TextOps.STOPWORDS(((docId + i) % 8).toInt)
     else s"v${(docId * 53 + i * 19) % 9973}" // doc%11==0: no stopwords → non_en
 
+  /** Round 14: the page carries nav/footer/sidebar CHROME and the
+    * payload paragraph sits in `<article>` — [[crawlCuration]] now
+    * extracts via [[WarcCodec.mainContent]], which must DROP the chrome
+    * (ancestry rule) and keep the article payload (main-container
+    * override) for the q235 gate to stay green: the twin's text law is
+    * unchanged (`Page <id> <toks>`), so surviving chrome or a lost
+    * payload flips every hash. The old `<title>` source of the `Page
+    * <id>` prefix moved INSIDE the article (head text is not main
+    * content). */
   private[graft] def synthEnWarcGz(docId: Long, nChars: Long): Array[Byte] = {
     val nt = (nChars % 37 + 5).toInt
     val toks = (0 until nt).map(enToken(docId, _))
     val html =
       s"""<html><head><title>Page $docId</title></head>
-         |<body><p>
-         |${toks.mkString(" ")}
-         |</p></body></html>""".stripMargin
+         |<body>
+         |<header><nav><a href="/">Home ${docId % 5}</a>
+         |<a href="/about">About</a> <a href="/contact">Contact</a></nav></header>
+         |<aside><p>SIDEBAR $docId subscribe now for updates and offers
+         |every week</p></aside>
+         |<article><p>
+         |Page $docId ${toks.mkString(" ")}
+         |</p></article>
+         |<footer>© graft $docId privacy terms contact imprint</footer>
+         |</body></html>""".stripMargin
     val body = html.getBytes("UTF-8")
     val head = "HTTP/1.1 200 OK\r\n" +
       "Content-Type: text/html; charset=UTF-8\r\n" +
@@ -424,7 +515,7 @@ object Crawl {
         val http = WarcCodec.parseHttpResponse(recs.head.block)
         val html = new String(http.body,
           java.nio.charset.StandardCharsets.UTF_8)
-        (id, "web", WarcCodec.htmlText(html))
+        (id, "web", WarcCodec.mainContent(html))
       }).toDF("doc_id", "lang", "text")
     TextOps.langQualityOf(docs)
       .withColumn("verdict",
@@ -435,6 +526,441 @@ object Crawl {
       .groupBy("verdict")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
       .orderBy("verdict")
+  }
+
+  // ------------------------------------- main-content extraction (r14)
+
+  /** q237's block token — para p ∈ {0,1}, token i. */
+  private def blockToken(docId: Long, p: Int, i: Int): String =
+    s"m${(docId * 43 + p * 29 + i * 7) % 9973}"
+
+  /** q237's chrome-laden page. Five candidate block families, each
+    * targeting one arm of the [[WarcCodec.mainContent]] LAW:
+    * header/nav + footer (chrome-tag drop), a LONG sidebar paragraph
+    * (ancestry beats length), a link-farm div outside any nav (density
+    * drop), a sub-minimum paragraph (length drop), and two plain
+    * paragraphs whose keep/drop the law itself decides — paragraph 0
+    * carries one link token (its density check is live), paragraph 1
+    * none. The paragraphs are deliberately NOT in `<article>`, so their
+    * length/density arithmetic is load-bearing; the twin replays the
+    * identical integer law over the regenerated block strings. */
+  private[graft] def synthChromeHtml(docId: Long, nt: Int): String = {
+    val n0 = nt / 2 + 3
+    val n1 = (nt + 1) / 2 + 3
+    def para(p: Int, n: Int, linkAt: Int): String =
+      (0 until n).map { i =>
+        val t = blockToken(docId, p, i)
+        if (i == linkAt) s"""<a href="/l$p">$t</a>""" else t
+      }.mkString(" ")
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head><title>Chrome $docId</title>
+       |<style>.x { color: red } CHROMESTYLE</style></head>
+       |<body>
+       |<header><h1>Site ${docId % 7}</h1>
+       |<nav><a href="/">Home</a> <a href="/a">About</a>
+       |<a href="/c">Contact</a></nav></header>
+       |<aside><p>PROMO $docId subscribe now for weekly updates special
+       |offers and breaking news delivered to you</p></aside>
+       |<div><a href="/x">x${docId % 10}</a> <a href="/y">y${(docId + 1) % 10}</a>
+       |<a href="/z">z${(docId + 2) % 10}</a></div>
+       |<p>shorty</p>
+       |<p>${para(0, n0, 1)}</p>
+       |<p>${para(1, n1, -1)}</p>
+       |<footer>© example $docId all rights reserved privacy terms</footer>
+       |</body>
+       |</html>""".stripMargin
+  }
+
+  /** q238-style archive wrap for the q237 corpus: one 200 text/html
+    * response record per doc. */
+  private[graft] def synthChromeWarcGz(docId: Long,
+      nChars: Long): Array[Byte] = {
+    val nt = (nChars % 37 + 5).toInt
+    val body = synthChromeHtml(docId, nt).getBytes("UTF-8")
+    val head = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    val block = new java.io.ByteArrayOutputStream(head.length + body.length)
+    block.write(head.getBytes("US-ASCII"))
+    block.write(body)
+    val rec = record(docId, 0, "response",
+      "application/http; msgtype=response", block.toByteArray,
+      Some(url(docId)))
+    WarcCodec.gzipMember(rec, ((docId % 9) + 1).toInt)
+  }
+
+  /** q237: MAIN-CONTENT extraction through the crawl wire — the decode
+    * chain into [[WarcCodec.mainContent]]'s block classifier. The twin
+    * regenerates the two candidate paragraphs arithmetically and
+    * replays the SAME integer law (len ≥ 25, 3·linkChars < chars) —
+    * chrome and link-farm and short blocks never appear in it because
+    * the law drops them BY CONSTRUCTION on the Spark side; a classifier
+    * that kept the sidebar or lost a paragraph flips `md5(text)` and
+    * the kept-block count. */
+  def mainContentExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val recs = WarcCodec.gunzipMembers(synthChromeWarcGz(id, nc))
+          .flatMap(WarcCodec.parseRecords)
+        val http = WarcCodec.parseHttpResponse(recs.head.block)
+        val text = WarcCodec.mainContent(new String(http.body,
+          java.nio.charset.StandardCharsets.UTF_8))
+        (id, text)
+      }).toDF("doc_id", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens",
+        when(length(col("text")) === 0, 0L)
+          .otherwise(size(split(col("text"), " ")).cast("long")))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------- PDF + dispatch (r14)
+
+  /** q236 token i as it appears in the EXTRACTED text. PDF-arm
+    * precedence: the %9 arms first (2: paren-escape, 5: octal-escape,
+    * 7: hex-string), then the %7==4 WinAnsi arm (é), else plain —
+    * restated identically in the twin. */
+  private def pdfToken(docId: Long, i: Int): String = {
+    val k = (docId + i) % 10
+    if (i % 9 == 2) s"p($k)"
+    else if (i % 9 == 5) s"A$k"
+    else if (i % 9 == 7) s"hx$k"
+    else if (i % 7 == 4) s"é$k"
+    else s"t${(docId * 67 + i * 31) % 9973}"
+  }
+
+  /** Token i's WIRE form inside a page's content stream — the show op
+    * plus the separator mechanism joining it to its predecessor, chosen
+    * by i mod 4 (0: TJ with a −250 kern — the word-break kern law;
+    * 1: `Td` reposition; 2: `T*` next line; 3: the `'`/`"`
+    * line-advancing shows). The decoded text is always
+    * `' ' + pdfToken(i)` — four wire mechanisms, one extraction law. */
+  private def pdfShowOp(docId: Long, i: Int): String = {
+    val t = pdfToken(docId, i)
+    val lit = t
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val wire =
+      if (i % 9 == 5) "\\101" + ((docId + i) % 10) // octal escape for 'A'
+      else if (i % 9 == 7) { // hex string with embedded whitespace
+        val hex = t.getBytes("windows-1252").map(b => f"$b%02x")
+          .mkString(" ")
+        return (i % 4) match {
+          case 0 => s" [ -250 <$hex> ] TJ"
+          case 1 => s" 0 -14 Td <$hex> Tj"
+          case 2 => s" T* <$hex> Tj"
+          case _ => s" <$hex> '"
+        }
+      } else lit
+    (i % 4) match {
+      case 0 => s" [ -250 ($wire) ] TJ"
+      case 1 => s" 0 -14 Td ($wire) Tj"
+      case 2 => s" T* ($wire) Tj"
+      case _ => if (i % 8 == 3) s" ($wire) '" else s" 0 0 ($wire) \""
+    }
+  }
+
+  /** One page's content stream source: `BT`, font selection, leading
+    * position, the token shows, `ET` — plus inert graphics ops the
+    * operator machine must skip. Page 1 shows its first token under
+    * `/F2` (Courier, ASCII arm) then switches to `/F1` (WinAnsi) —
+    * the `Tf` switch is load-bearing. */
+  private def pdfPageContent(docId: Long, from: Int, until: Int,
+      firstPage: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append("q 0.9 0 0 0.9 0 0 cm\nBT\n")
+    // token 0 (i=0) is always the plain ASCII arm (0%9==0, 0%7==0), so
+    // page 1 may show it under /F2 (Courier, no /Encoding); page 2's
+    // first token can be any arm and is shown as an escaped literal
+    // under /F1 — same decoded text, different wire mechanism
+    val first = pdfToken(docId, from)
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    if (firstPage)
+      sb.append(s"/F2 10 Tf 14 TL 72 720 Td ($first) Tj\n/F1 12 Tf")
+    else
+      sb.append(s"/F1 12 Tf 14 TL 72 720 Td ($first) Tj")
+    var i = from + 1
+    while (i < until) {
+      sb.append(pdfShowOp(docId, i))
+      if (i % 6 == 0) sb.append("\n")
+      i += 1
+    }
+    sb.append("\nET\nQ\n")
+    sb.toString
+  }
+
+  /** The q236 PDF: 2 pages when docId is even (the page tree walk and
+    * the page-boundary separator are load-bearing), 1 otherwise;
+    * `/Length` indirect on docId%5==0 (the single-pass-writer layout);
+    * compression level (docId+3)%10 so stored/fixed/dynamic zlib
+    * DEFLATE blocks all occur. */
+  private[graft] def synthPdf(docId: Long, nt: Int): Array[Byte] = {
+    val pages =
+      if (docId % 2 == 0 && nt >= 4) {
+        val half = nt / 2
+        Seq(pdfPageContent(docId, 0, half, firstPage = true),
+          pdfPageContent(docId, half, nt, firstPage = false))
+      } else Seq(pdfPageContent(docId, 0, nt, firstPage = true))
+    graft.sources.PdfCodec.encode(pages, level = ((docId + 3) % 10).toInt,
+      indirectLength = docId % 5 == 0)
+  }
+
+  /** q236's HTML arm (docId%3==0): a minimal page whose extracted text
+    * is `Web <id> <tokens>`. */
+  private[graft] def synthDispatchHtml(docId: Long, nt: Int): String = {
+    val toks = (0 until nt)
+      .map(i => s"g${(docId * 71 + i * 23) % 9973}").mkString(" ")
+    s"""<html><head><title>Web $docId</title></head>
+       |<body><p>
+       |$toks
+       |</p></body></html>""".stripMargin
+  }
+
+  /** The per-record extractor DISPATCH — the arm a real crawl ingest
+    * needs next to HTML: `application/pdf` through
+    * [[graft.sources.PdfCodec.extractText]], `text/html` through the
+    * charset-aware HTML chain. Anything else rejects loudly (an ingest
+    * should count unsupported types, not silently pass bytes through
+    * as text). Returns (fmt, n_pages, text). */
+  private[graft] def extractResponse(contentType: String,
+      body: Array[Byte]): (String, Long, String) =
+    if (contentType.startsWith("application/pdf")) {
+      val d = graft.sources.PdfCodec.extractText(body)
+      ("pdf", d.nPages.toLong, d.text)
+    } else if (contentType.startsWith("text/html")) {
+      val html = new String(body, WarcCodec.charsetOf(contentType))
+      ("html", 1L, WarcCodec.htmlText(html))
+    } else throw new IllegalArgumentException(
+      s"no extractor for Content-Type: $contentType")
+
+  /** q236's archive: one 200 response record whose Content-Type rotates
+    * the dispatch — text/html on docId%3==0, application/pdf
+    * otherwise. */
+  private[graft] def synthPdfWarcGz(docId: Long, nChars: Long): Array[Byte] = {
+    val nt = (nChars % 33 + 6).toInt
+    val (ct, body) =
+      if (docId % 3 == 0)
+        ("text/html; charset=UTF-8",
+          synthDispatchHtml(docId, nt).getBytes("UTF-8"))
+      else ("application/pdf", synthPdf(docId, nt))
+    val head = "HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: $ct\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    val block = new java.io.ByteArrayOutputStream(head.length + body.length)
+    block.write(head.getBytes("US-ASCII"))
+    block.write(body)
+    val rec = record(docId, 0, "response",
+      "application/http; msgtype=response", block.toByteArray,
+      Some(url(docId)))
+    WarcCodec.gzipMember(rec, ((docId % 9) + 1).toInt)
+  }
+
+  /** q236: PDF text extraction inside the crawl ingest — wire bytes
+    * through gzip → WARC → HTTP → the Content-Type DISPATCH, where the
+    * PDF arm runs the full xref → object graph → page tree →
+    * FlateDecode(zlib) inflate → text-operator machine and the HTML arm
+    * runs the established chain. The twin regenerates both arms' text
+    * arithmetically (never mentioning the wire); `md5(text)` is the
+    * gate — a defect anywhere in the PDF subset (a mis-parsed xref
+    * offset, a wrong escape, an unresolved indirect /Length, a missed
+    * TJ kern space, a WinAnsi byte misread) flips it. Map-only decode
+    * over one documents scan, like the q230 family. */
+  def pdfTextIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val recs = WarcCodec.gunzipMembers(synthPdfWarcGz(id, nc))
+          .flatMap(WarcCodec.parseRecords)
+        require(recs.length == 1 && recs.head.warcType == "response",
+          s"doc $id: expected the single response record")
+        val http = WarcCodec.parseHttpResponse(recs.head.block)
+        val ct = http.header("Content-Type").getOrElse("")
+        val (fmt, nPages, text) = extractResponse(ct, http.body)
+        (id, fmt, nPages, text)
+      }).toDF("doc_id", "fmt", "n_pages", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------- CDX record index (r14)
+
+  /** The corpus URL as a Column — the [[url]] formula in expression
+    * form, for index/probe relations. */
+  private def urlCol(doc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit("https://h"), (doc % 53).cast("string"),
+      lit(".example.com/p/"), ((doc * 47) % 1009).cast("string"))
+
+  private[graft] final case class CdxRow(urlkey: String, doc_id: Long,
+      seq: Long, offset: Long, length: Long, status: Long)
+
+  /** The CDX sidecar rows of the generative archive corpus: one row per
+    * RESPONSE capture — (urlkey, archive id, member seq, member byte
+    * span, HTTP status). Built in the same map-only pass that ingest
+    * already pays ([[WarcCodec.gunzipMembersWithSpans]] hands the spans
+    * out of the decode it was doing anyway) — a CDX build is free at
+    * ingest time; only a RETROFIT over existing archives costs a full
+    * decode pass. */
+  private[graft] def cdxRowsOf(spark: SparkSession,
+      dir: String): Dataset[CdxRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        WarcCodec.gunzipMembersWithSpans(synthWarcGz(id, nc))
+          .iterator.zipWithIndex.flatMap { case ((payload, off, len), seq) =>
+            WarcCodec.parseRecords(payload)
+              .filter(_.warcType == "response").map { r =>
+                val http = WarcCodec.parseHttpResponse(r.block)
+                CdxRow(r.header("WARC-Target-URI").getOrElse(""),
+                  id, seq.toLong, off.toLong, len.toLong,
+                  http.status.toLong)
+              }
+          }
+      })
+  }
+
+  /** q238: the CDX-served URL probe — a URL set answered by index
+    * lookup + MEMBER-GRAIN random access instead of decoding whole
+    * archives. The index lands urlkey-clustered (probe pushdown prunes
+    * files, the term/band/IVF probe-cost law's lexical twin at record
+    * grain); the probe set (every capture URL of seed docs
+    * doc_id%37==3) semi-joins the index, the matched captures fetch
+    * their archive (one documents-row join — the "read the archive
+    * file" analog) and decode ONLY the indexed span
+    * ([[WarcCodec.gunzipMemberAt]]: wrong offsets fail CRC, never
+    * return wrong bytes). The twin states the RESTRICTION of the full
+    * decode (the q230 text law joined through URL equality) and never
+    * mentions offsets — so a stale span, a missed capture (the 301+200
+    * double rows), or a lost multi-capture URL all flip rows. */
+  def cdxProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scratch = IndexMaintenance.scratchIndexDir(spark, "cdx")
+    cdxRowsOf(spark, dir).toDF()
+      .repartition(col("urlkey"))
+      .sortWithinPartitions("urlkey")
+      .write.parquet(scratch)
+    val index = spark.read.parquet(scratch)
+    val seeds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 37 === 3)
+      .select(urlCol(col("doc_id")).as("urlkey")).distinct()
+    // unhinted: AQE broadcasts the measured-small probe set at test
+    // scale and falls back to the partitioned join at fleet scale
+    val matched = index.join(seeds, Seq("urlkey"), "left_semi")
+    val fetched = matched.join(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq("doc_id"))
+    fetched.select(col("urlkey"), col("doc_id"), col("offset"),
+        col("length"), col("status"), col("n_chars"))
+      .as[(String, Long, Long, Long, Long, Long)]
+      .mapPartitions(_.map { case (uk, id, off, len, status, nc) =>
+        val member = WarcCodec.gunzipMemberAt(synthWarcGz(id, nc),
+          off.toInt, len.toInt)
+        val recs = WarcCodec.parseRecords(member)
+        require(recs.length == 1 && recs.head.warcType == "response",
+          s"span ($id,$off) is not a single response record")
+        val http = WarcCodec.parseHttpResponse(recs.head.block)
+        require(http.status == status,
+          s"span ($id,$off): status ${http.status} != indexed $status")
+        val text =
+          if (http.status == 200)
+            WarcCodec.htmlText(new String(http.body,
+              java.nio.charset.StandardCharsets.UTF_8))
+          else null
+        (uk, id, status, text)
+      }).toDF("urlkey", "doc_id", "status", "text")
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("urlkey", "doc_id", "status")
+  }
+
+  /** Build a persisted CDX index over REAL `.warc.gz` files: one row
+    * per response capture — (urlkey, archive path, member seq, member
+    * byte span, status, content type) — landed as `increment=<n>` under
+    * the index-family exactly-once contract (a replayed build replaces
+    * its own partition), urlkey-sorted within files for probe
+    * pushdown. */
+  def buildCdxIndex(spark: SparkSession, archiveDir: String,
+      indexDir: String, increment: Long = 0L): Unit = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(archiveDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        WarcCodec.gunzipMembersWithSpans(bytes)
+          .iterator.zipWithIndex.flatMap { case ((payload, off, len), seq) =>
+            WarcCodec.parseRecords(payload)
+              .filter(_.warcType == "response").map { r =>
+                val http = WarcCodec.parseHttpResponse(r.block)
+                (r.header("WARC-Target-URI").getOrElse(""), p,
+                  seq.toLong, off.toLong, len.toLong,
+                  http.status.toLong,
+                  http.header("Content-Type").orNull)
+              }
+          }
+      }
+      .toDF("urlkey", "path", "seq", "offset", "length", "status",
+        "content_type")
+      .withColumn("increment", lit(increment))
+      .repartition(col("urlkey"))
+      .sortWithinPartitions("urlkey")
+      .write.partitionBy("increment")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(indexDir)
+  }
+
+  /** Probe a [[buildCdxIndex]] sidecar for a bounded URL set: the
+    * lookup pushes `urlkey IN (...)` into the index scan (file-level
+    * min/max pruning via the build's urlkey clustering), the matched
+    * ARCHIVE paths — a probe-bounded driver set — are loaded
+    * explicitly (non-matching archives are never opened, let alone
+    * decoded), and each matched member decodes by its indexed byte
+    * span. Returns one row per matched capture. WarcSpec pins the
+    * restriction equality against a full decode AND that a corrupt
+    * non-matching archive cannot fail a probe (the file-pruning
+    * proof). */
+  def probeCdxRecords(spark: SparkSession, indexDir: String,
+      urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val hits = spark.read.parquet(indexDir)
+      .filter(col("urlkey").isin(urls: _*))
+      .select("urlkey", "path", "seq", "offset", "length", "status",
+        "content_type")
+      .localCheckpoint() // materialize before the bounded path collect
+    val paths = hits.select("path").distinct().as[String].collect()
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, String, Long, Long, String, Long)]
+        .toDF("urlkey", "path", "seq", "status", "content_type",
+          "block_len")
+    val archives = spark.read.format("binaryFile")
+      .load(paths: _*)
+      .select(col("path"), col("content").as("bytes"))
+    hits.join(archives, Seq("path"))
+      .select(col("urlkey"), col("path"), col("seq"), col("offset"),
+        col("length"), col("status"), col("content_type"), col("bytes"))
+      .as[(String, String, Long, Long, Long, Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (uk, p, seq, off, len, status, ct, bytes) =>
+        val member = WarcCodec.gunzipMemberAt(bytes, off.toInt, len.toInt)
+        val recs = WarcCodec.parseRecords(member)
+        require(recs.length == 1, s"$p span $off: not a single record")
+        val http = WarcCodec.parseHttpResponse(recs.head.block)
+        require(http.status == status && recs.head
+            .header("WARC-Target-URI").contains(uk),
+          s"$p span $off: indexed row does not match the decoded record")
+        (uk, p, seq, status, ct, recs.head.block.length.toLong)
+      }).toDF("urlkey", "path", "seq", "status", "content_type",
+        "block_len")
+      .orderBy("urlkey", "path", "seq")
   }
 
   // ---------------------------------------------- file-based reader
@@ -480,14 +1006,27 @@ object Crawl {
               Some(Option(err).getOrElse("parse failure").take(200))))
           case Right(recs) =>
             recs.zipWithIndex.map { case (r, i) =>
-              val http = if (r.warcType == "response")
-                Some(WarcCodec.parseHttpResponse(r.block)) else None
+              // HTTP-level corruption is also skip-and-count in
+              // permissive mode (ADVICE r13): a malformed response
+              // envelope inside an otherwise-valid archive yields that
+              // RECORD's row with null http fields and the error set,
+              // never a failed job. Strict mode still names the file.
+              val http =
+                if (r.warcType != "response") Right(None)
+                else try Right(Some(WarcCodec.parseHttpResponse(r.block)))
+                catch {
+                  case e: Exception if permissive => Left(e.getMessage)
+                  case e: Exception =>
+                    throw new IllegalArgumentException(
+                      s"$p record $i: ${e.getMessage}", e)
+                }
               (p, Some(i.toLong), Some(r.warcType),
                 r.header("WARC-Target-URI"),
-                http.map(_.status.toLong),
-                http.flatMap(_.header("Content-Type")),
+                http.toOption.flatten.map(_.status.toLong),
+                http.toOption.flatten.flatMap(_.header("Content-Type")),
                 Some(r.block.length.toLong),
-                None: Option[String])
+                http.left.toOption.map(m =>
+                  Option(m).getOrElse("http parse failure").take(200)))
             }
         }
       }
