@@ -452,4 +452,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       "reconstruction must never reassemble through a shuffled join")
   }
+
+  test("robots gate: broadcast form crosses zero hash exchanges; joined " +
+      "form shuffles both sides on host and never broadcasts the rules") {
+    // the small-domain fast path (q234): verdicts are map-side against
+    // the broadcast rule sets — the only exchange is the final ordering
+    val b = finalPlan(graft.engine.Crawl.robotsGateBroadcast(spark, sf))
+    assert(!b.contains("hashpartitioning"),
+      "broadcast form must not shuffle the URL stream")
+    assert(!b.contains("Join"), "broadcast form has no relational join")
+    // the beyond-broadcast form (q239): rules-as-a-table met in a
+    // host-keyed sort-merge join — the shape that survives a 10⁷-host
+    // rule table no executor could hold
+    val j = finalPlan(graft.engine.Crawl.robotsGateJoined(spark, sf))
+    assert(j.contains("SortMergeJoin"),
+      "joined form must sort-merge on the host key")
+    assert(j.contains("hashpartitioning(host"),
+      "joined form must hash-partition on host")
+    assert(!j.contains("BroadcastHashJoin"),
+      "the joined form exists for the regime where rules cannot broadcast")
+  }
 }

@@ -67,6 +67,39 @@ class RobotsSpec extends SparkSpecBase {
     assert(r2.allowed("unrelated", "/a"))
   }
 
+  test("equally-specific groups MERGE (RFC 9309 §2.2.1): two groups " +
+      "naming the same token apply the union of their rules; multiple " +
+      "* groups likewise") {
+    val r = RobotsTxt.parse(
+      """User-agent: bot
+        |Disallow: /a/
+        |
+        |User-agent: other
+        |Disallow: /
+        |
+        |User-agent: bot
+        |Disallow: /b/
+        |Allow: /a/ok
+        |""".stripMargin)
+    // rules from BOTH `bot` groups govern, and precedence runs over the
+    // merged set (the second group's longer Allow carves the first
+    // group's Disallow)
+    assert(!r.allowed("bot", "/a/x"))
+    assert(!r.allowed("bot", "/b/x"))
+    assert(r.allowed("bot", "/a/ok"))
+    assert(r.allowed("bot", "/c/x"))
+    val w = RobotsTxt.parse(
+      """User-agent: *
+        |Disallow: /x/
+        |
+        |User-agent: *
+        |Disallow: /y/
+        |""".stripMargin)
+    assert(!w.allowed("anybot", "/x/1"))
+    assert(!w.allowed("anybot", "/y/1"))
+    assert(w.allowed("anybot", "/z/1"))
+  }
+
   test("parse tolerances: comments, empty Disallow, unknown directives") {
     val r = RobotsTxt.parse(
       """User-agent: bot  # trailing comment
@@ -95,5 +128,19 @@ class RobotsSpec extends SparkSpecBase {
       assert(r.allowed("graftbot", other), s"h=$h $other")
       assert(!r.allowed("randombot", other), s"h=$h * group")
     }
+  }
+
+  test("decide over effectiveRules ≡ allowed; broadcast and joined " +
+      "gate forms produce identical verdicts (q234 ≡ q239)") {
+    // the shared decision algebra: decide(effectiveRules) IS allowed
+    for (h <- Seq(0L, 13L, 52L); p <- Seq("/p/0", "/p/31", "/p/847")) {
+      val r = RobotsTxt.parse(Crawl.robotsText(h))
+      assert(RobotsTxt.decide(r.effectiveRules("graftbot"), p)
+        == r.allowed("graftbot", p), s"h=$h $p")
+    }
+    // the two Spark forms, row-for-row
+    val b = Crawl.robotsGateBroadcast(spark, sf).collect().toSeq
+    val j = Crawl.robotsGateJoined(spark, sf).collect().toSeq
+    assert(b.nonEmpty && b == j)
   }
 }
