@@ -90,78 +90,103 @@ object CurationLoop {
   // the day-keyed stores, the day-versioned shard set, and the label
   // table's pre-merge undo copies). Readers pay only partition pruning.
 
-  private def commitsDir(root: String): String = s"$root/_commits"
-
   /** Write day `n`'s commit marker — the LAST write of a day. Idempotent
     * (a replayed day re-creates the same marker). */
-  def commitDay(spark: SparkSession, root: String, day: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"${commitsDir(root)}/day=$day")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(p.getParent)
-    try fs.create(p, false).close()
-    catch { case _: java.io.IOException => () } // replay: marker exists
-  }
+  def commitDay(spark: SparkSession, root: String, day: Long): Unit =
+    DayCommit.mark(spark, root, day)
 
-  /** Highest committed day (−1 before [[seed]]). One directory listing. */
-  def committedDay(spark: SparkSession, root: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(commitsDir(root))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) -1L
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("day=")).map(_.stripPrefix("day=").toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  /** Highest committed day (−1 before [[seed]]). One directory listing —
+    * compositions reading several stores should resolve it ONCE and use
+    * the day-parameterized readers (or [[asOfCommitted]]), not call a
+    * per-store `*AsOfCommitted` five times (each pays a listing — a
+    * billable round trip against an object store). */
+  def committedDay(spark: SparkSession, root: String): Long =
+    DayCommit.highest(spark, root)
 
-  /** The document store as of the last committed day: `batch` partitions
-    * beyond the marker (a crashed day's stage-0 landing) are pruned at
-    * the scan. */
+  /** The document store as of day `day`: `batch` partitions beyond it
+    * (a crashed day's stage-0 landing) are pruned at the scan. */
+  def docsAsOf(spark: SparkSession, root: String, day: Long): DataFrame =
+    spark.read.parquet(s"$root/docs").filter(col("batch") <= day)
+
   def docsAsOfCommitted(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/docs")
-      .filter(col("batch") <= committedDay(spark, root))
+    docsAsOf(spark, root, committedDay(spark, root))
 
-  /** A pair sink (`pairs`, `cont_pairs`, `winnow_pairs`) as of the last
-    * committed day — same batch-partition pruning. Missing/empty sinks
-    * read as zero pairs (a corpus can legitimately land none). */
-  def pairsAsOfCommitted(spark: SparkSession, root: String,
-      sink: String = "pairs"): Option[DataFrame] = {
+  /** A pair sink (`pairs`, `cont_pairs`, `winnow_pairs`) as of day
+    * `day` — same batch-partition pruning. Missing/empty sinks read as
+    * zero pairs (a corpus can legitimately land none). */
+  def pairsAsOf(spark: SparkSession, root: String, sink: String,
+      day: Long): Option[DataFrame] = {
     val path = s"$root/$sink"
     if (new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sessionState.newHadoopConf())
           .exists(new org.apache.hadoop.fs.Path(path)) &&
         IndexMaintenance.parquetFileCount(spark, path) > 0L)
-      Some(spark.read.parquet(path)
-        .filter(col("batch") <= committedDay(spark, root)))
+      Some(spark.read.parquet(path).filter(col("batch") <= day))
     else None
   }
 
+  def pairsAsOfCommitted(spark: SparkSession, root: String,
+      sink: String = "pairs"): Option[DataFrame] =
+    pairsAsOf(spark, root, sink, committedDay(spark, root))
+
   /** A dedup index (`band_index`, `head_index`, `winnow_index`) as of
-    * the last committed day: `increment` partitions beyond the marker
-    * are pruned — the as-of form of a probe serve. */
+    * day `day`: `increment` partitions beyond it are pruned — the
+    * as-of form of a probe serve. */
+  def indexAsOf(spark: SparkSession, root: String, index: String,
+      day: Long): DataFrame =
+    spark.read.parquet(s"$root/$index").filter(col("increment") <= day)
+
   def indexAsOfCommitted(spark: SparkSession, root: String,
       index: String): DataFrame =
-    spark.read.parquet(s"$root/$index")
-      .filter(col("increment") <= committedDay(spark, root))
+    indexAsOf(spark, root, index, committedDay(spark, root))
 
-  /** The label table as of the last committed day: if an uncommitted
-    * day's merge already landed (the crash window), its touched buckets
-    * are served from the pre-merge undo copies. */
-  def labelsAsOfCommitted(spark: SparkSession, root: String): DataFrame =
+  /** The label table as of day `day`: if day `day+1`'s merge already
+    * landed (the crash window), its touched buckets are served from the
+    * pre-merge undo copies. */
+  def labelsAsOf(spark: SparkSession, root: String, day: Long): DataFrame =
     Dedup.readClusterLabelsAsOf(spark, s"$root/labels",
-      s"$root/labels_undo/day=${committedDay(spark, root) + 1}")
+      s"$root/labels_undo/day=${day + 1}")
 
-  /** The keep/drop audit as of the last committed day — committed corpus
-    * against committed labels. */
-  def keepListAsOfCommitted(spark: SparkSession, root: String): DataFrame =
+  def labelsAsOfCommitted(spark: SparkSession, root: String): DataFrame =
+    labelsAsOf(spark, root, committedDay(spark, root))
+
+  /** The keep/drop audit as of day `day` — that day's corpus against
+    * its labels. */
+  def keepListAsOf(spark: SparkSession, root: String,
+      day: Long): DataFrame =
     Dedup.keepListOfLabels(
-      docsAsOfCommitted(spark, root).select("doc_id", "lang", "text"),
-      labelsAsOfCommitted(spark, root))
+      docsAsOf(spark, root, day).select("doc_id", "lang", "text"),
+      labelsAsOf(spark, root, day))
 
-  /** The training shard set as of the last committed day: [[runDay]]
-    * lands each day's refresh under `shards/day=<n>`, so the committed
-    * day's set is immutable while the next day writes its own. */
+  def keepListAsOfCommitted(spark: SparkSession, root: String): DataFrame =
+    keepListAsOf(spark, root, committedDay(spark, root))
+
+  /** The training shard set of day `day` — [[runDay]] lands each day's
+    * refresh under `shards/day=<n>`, so a committed day's set is
+    * immutable while the next day writes its own. */
+  def shardsAsOf(spark: SparkSession, root: String, day: Long): DataFrame =
+    spark.read.parquet(s"$root/shards/day=$day")
+
   def shardsAsOfCommitted(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(
-      s"$root/shards/day=${committedDay(spark, root)}")
+    shardsAsOf(spark, root, committedDay(spark, root))
+
+  /** One consistent reader snapshot across every store — the committed
+    * day resolved by ONE listing and threaded through all six views
+    * (the composition form; round 14, closing r13 "what's wrong" #3). */
+  final case class CurationView(day: Long, docs: DataFrame,
+      labels: DataFrame, keepList: DataFrame, shards: DataFrame,
+      bandIndex: DataFrame, pairs: Option[DataFrame])
+
+  def asOfCommitted(spark: SparkSession, root: String): CurationView = {
+    val day = committedDay(spark, root)
+    CurationView(day,
+      docs = docsAsOf(spark, root, day),
+      labels = labelsAsOf(spark, root, day),
+      keepList = keepListAsOf(spark, root, day),
+      shards = shardsAsOf(spark, root, day),
+      bandIndex = indexAsOf(spark, root, "band_index", day),
+      pairs = pairsAsOf(spark, root, "pairs", day))
+  }
 
   /** Drop superseded day-versioned artifacts once day `n` is committed:
     * shard sets of earlier days and label-undo copies for days ≤ n (the

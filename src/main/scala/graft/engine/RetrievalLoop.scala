@@ -35,7 +35,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: each stage is the already-audited incremental
   * operator; the report's counts ride `observe()` on the probe jobs
   * and file-pruned scans of the just-written increment partitions
-  * (bounded by the increment) — never a second corpus pass. */
+  * (bounded by the increment) — never a second corpus pass.
+  *
+  * Round 14 adds the DAY-COMMIT MANIFEST ([[DayCommit]], the protocol
+  * [[CurationLoop]] proved in round 13): the `day=<n>` marker lands
+  * LAST in [[runDay]], and [[asOfCommitted]] hands readers one
+  * consistent view across all six sinks — postings, stats sidecar,
+  * vector store, both serving sinks, reports — resolved by ONE
+  * listing. PipelineSpec crashes a day between its last sink and the
+  * marker and pins every view at day N−1, then heals to day N. */
 object RetrievalLoop {
 
   /** Per-day audit line across both modalities. */
@@ -48,12 +56,56 @@ object RetrievalLoop {
       vecAssignRows: Long,     // assignment rows the vector probe scanned
       vecCellsProbed: Long)    // distinct cells the vector probe touched
 
-  /** Bootstrap day-0 state: both indexes built over the base corpus. */
+  /** Bootstrap day-0 state: both indexes built over the base corpus,
+    * committed as day 0. */
   def seed(spark: SparkSession, baseDocs: DataFrame, baseVecs: DataFrame,
       root: String): Unit = {
     TermIndex.buildTermIndex(baseDocs, s"$root/term_index")
     Sim.buildIvfIndex(baseVecs, s"$root/vec_index")
+    DayCommit.mark(spark, root, 0L)
   }
+
+  // ------------------- day-commit manifest (round 14) -------------------
+  //
+  // The r13 manifest covered the curation loop only; a mid-crash
+  // external reader of THIS loop could see the postings index at day N
+  // and the vector index at day N−1 (r13 "what's missing" #4). Same
+  // protocol ([[DayCommit]]): the `day=<n>` marker lands LAST in
+  // [[runDay]]; as-of readers key every store on it. All six sinks are
+  // increment/batch-keyed, so the as-of view is pure partition pruning.
+  // The committed day resolves with ONE listing per composition
+  // ([[asOfCommitted]] threads it through all six views).
+
+  /** Highest committed day (−1 before [[seed]]). One listing. */
+  def committedDay(spark: SparkSession, root: String): Long =
+    DayCommit.highest(spark, root)
+
+  /** One consistent reader snapshot across all six retrieval sinks —
+    * postings + stats sidecar, vector store, both serving sinks, and
+    * the report trail — as of one committed day, resolved by ONE
+    * listing. */
+  final case class RetrievalView(day: Long, postings: DataFrame,
+      stats: DataFrame, vectors: DataFrame, lexResults: DataFrame,
+      vecResults: DataFrame, reports: DataFrame)
+
+  def asOfCommitted(spark: SparkSession, root: String): RetrievalView = {
+    val day = DayCommit.highest(spark, root)
+    def inc(path: String) =
+      spark.read.parquet(path).filter(col("increment") <= day)
+    def bat(path: String) =
+      spark.read.parquet(path).filter(col("batch") <= day)
+    RetrievalView(day,
+      postings = inc(s"$root/term_index/postings"),
+      stats = inc(s"$root/term_index/stats"),
+      vectors = inc(s"$root/vec_index/vectors"),
+      lexResults = bat(s"$root/lex_serving/results"),
+      vecResults = bat(s"$root/vec_serving/results"),
+      reports = bat(s"$root/reports"))
+  }
+
+  /** Spec-only failpoint: invoked just before the commit marker lands
+    * (after every sink wrote) — the window the manifest exists for. */
+  private[graft] var testFailpointBeforeCommit: () => Unit = () => ()
 
   /** Run one day: append `docsBatch` (doc_id, text) and `vecsBatch`
     * (vec_id, embedding) as `increment`, then serve `terms` and
@@ -92,6 +144,11 @@ object RetrievalLoop {
       vecCellsProbed = vecObs.get("cells_probed").asInstanceOf[Long])
     import spark.implicits._
     landKeyed(Seq(report).toDS().toDF(), increment, s"$root/reports")
+    // the day COMMITS last: until the marker lands, as-of readers serve
+    // day N−1 from every sink; a crash anywhere above heals by replay
+    // (idempotent sinks) and re-lands the same marker
+    testFailpointBeforeCommit()
+    DayCommit.mark(spark, root, increment)
     report
   }
 

@@ -259,6 +259,67 @@ class PipelineSpec extends SparkSpecBase {
       s"replayed forget must remove nothing: $f2")
   }
 
+  test("retrieval day-commit manifest: a mid-crash reader sees day N-1 " +
+      "across all six sinks; restart heals; replay re-lands the marker") {
+    import graft.engine.{RetrievalLoop, Sim, TermIndex}
+    val root = tmpDir("graft-retrievalcommit")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    RetrievalLoop.seed(spark,
+      docs.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0),
+      vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0), root)
+    assert(RetrievalLoop.committedDay(spark, root) == 0L,
+      "seed must commit day 0")
+    val probes = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    RetrievalLoop.runDay(spark,
+      docs.filter(col("doc_id") % Dedup.DELTA_MOD === 0),
+      vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0),
+      probes, TermIndex.TI_TERMS, increment = 1L, root)
+    // the snapshot resolves the committed day ONCE and threads it
+    def counts(v: RetrievalLoop.RetrievalView): Seq[Long] =
+      Seq(v.postings.count(), v.stats.count(), v.vectors.count(),
+        v.lexResults.count(), v.vecResults.count(), v.reports.count())
+    val v1 = RetrievalLoop.asOfCommitted(spark, root)
+    assert(v1.day == 1L)
+    val c1 = counts(v1)
+    val lex1 = v1.lexResults.collect().map(_.toString).sorted.toSeq
+    // day 2 lands every sink, then CRASHES before the marker
+    val docs2 = docs.filter(col("doc_id") % Dedup.DELTA_MOD === 1)
+    val vecs2 = vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 1)
+    RetrievalLoop.testFailpointBeforeCommit =
+      () => throw new RuntimeException("simulated crash before day commit")
+    try intercept[RuntimeException] {
+      RetrievalLoop.runDay(spark, docs2, vecs2, probes,
+        TermIndex.TI_TERMS, increment = 2L, root)
+    } finally RetrievalLoop.testFailpointBeforeCommit = () => ()
+    // the crash is real: day-2 partitions physically landed...
+    assert(spark.read.parquet(s"$root/term_index/postings")
+      .filter(col("increment") === 2L).count() > 0)
+    assert(spark.read.parquet(s"$root/vec_index/vectors")
+      .filter(col("increment") === 2L).count() > 0)
+    // ...yet the manifest and every as-of view still serve day 1
+    val vCrash = RetrievalLoop.asOfCommitted(spark, root)
+    assert(vCrash.day == 1L,
+      "an uncommitted day must not advance the manifest")
+    assert(counts(vCrash) == c1,
+      "every sink view must still be the day-1 state")
+    assert(vCrash.lexResults.collect().map(_.toString).sorted.toSeq
+      == lex1, "serving rows must be the day-1 rows")
+    // restart-heal: the replayed day completes and commits
+    val r2 = RetrievalLoop.runDay(spark, docs2, vecs2, probes,
+      TermIndex.TI_TERMS, increment = 2L, root)
+    val v2 = RetrievalLoop.asOfCommitted(spark, root)
+    assert(v2.day == 2L)
+    assert(v2.postings.filter(col("increment") === 2L).count()
+      == r2.batchPostings)
+    assert(v2.reports.filter(col("batch") === 2L).count() == 1L)
+    // replay of the committed day: identical report, marker unchanged
+    val r3 = RetrievalLoop.runDay(spark, docs2, vecs2, probes,
+      TermIndex.TI_TERMS, increment = 2L, root)
+    assert(r3 == r2 && RetrievalLoop.committedDay(spark, root) == 2L)
+  }
+
   test("forget propagates a deletion through every artifact; cluster " +
       "connectivity re-derives exactly; replay removes nothing") {
     val root = tmpDir("graft-forget")
