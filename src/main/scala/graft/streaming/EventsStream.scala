@@ -59,7 +59,14 @@ object EventsStream {
     * watermark for late data. Columns match Kpis.eventsHourly exactly. */
   def hourly(spark: SparkSession, dir: String,
       filesPerTrigger: Option[Int] = None): DataFrame =
-    readEvents(spark, dir, filesPerTrigger)
+    hourlyOf(readEvents(spark, dir, filesPerTrigger))
+
+  /** The hourly transform over ANY streaming events relation (needs
+    * `ts`, `event_type`, `value`) — the file reader above and the
+    * rate-source twin ([[runHourlyFromRate]]) share it, so the gated
+    * plan is provably source-independent. */
+  private[graft] def hourlyOf(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -898,5 +905,68 @@ object EventsStream {
       .start()
     try q.processAllAvailable() finally q.stop()
     outDir
+  }
+
+  /** The q200 lineage from a NON-FILE streaming source (r13 ask #3):
+    * a `rate-micro-batch` stream — the deterministic rate source, fixed
+    * rows per batch — whose `value` column indexes into the STATIC
+    * time-ordered event corpus via a stream-static join, feeding the
+    * SAME [[hourlyOf]] transform and the same batch-keyed exactly-once
+    * landing. Batch k carries values [k·perBatch, (k+1)·perBatch), and
+    * perBatch = ⌈n/3⌉ of the time-ordered index, so batch contents —
+    * and therefore watermark advancement and append-mode emission —
+    * reproduce the file replay's three time-thirds slices exactly;
+    * values past the corpus join to nothing and later batches only
+    * flush the final watermark. StreamingSpec pins the landed set
+    * row-for-row equal to [[streamHourlyProbe]] (whose q200 gate is
+    * unchanged) — the streaming surface is not file-replay-specific.
+    * Spec-scale only: the dense `row_number` index is a global sort. */
+  private[graft] def runHourlyFromRate(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.engine.{IndexMaintenance, Tables}
+    import org.apache.spark.sql.expressions.Window
+    val indexed = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ts"), col("event_id"))).cast("long") - 1L)
+      .localCheckpoint() // freeze the index; re-planning per batch must
+                         // not re-derive it
+    val n = indexed.count()
+    val perBatch = (n + 2L) / 3L
+    val outDir = IndexMaintenance.scratchIndexDir(spark, "rate-hr-out")
+    val ckpt = IndexMaintenance.scratchIndexDir(spark, "rate-hr-ckpt")
+    val stream = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", perBatch.toString)
+      .option("numPartitions", "4")
+      .load()
+      // the rate source's own `value` is the row INDEX; rename before
+      // the join so events' money `value` column stays unambiguous
+      .select(col("value").as("idx"))
+      .join(indexed, col("idx") === col("rn"))
+      .select(col("ts"), col("event_type"), col("value"))
+    val q = hourlyOf(stream).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch", lit(batchId))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .start()
+    // the rate source never ends: run until the corpus batches (0..2)
+    // plus two flush batches have committed, then stop
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      while ((Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < 5L)
+          && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100L)
+      }
+      require(Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= 5L,
+        "rate-sourced lineage did not reach the flush batches in time")
+    } finally q.stop()
+    spark.read.parquet(outDir)
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        col("total_value"), col("avg_value"))
+      .orderBy("hour_start", "event_type")
   }
 }

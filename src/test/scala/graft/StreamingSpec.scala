@@ -1572,4 +1572,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(cellSet(indexDir) == cellSet(refDir),
       "drained vector index must equal the batch build+append store")
   }
+
+  test("rate-sourced hourly lineage equals the file-replay twin " +
+      "row-for-row: the gated streaming surface is not " +
+      "file-replay-specific") {
+    // the q200 gate rides the file replay (unchanged); this pins that
+    // the SAME transform fed from a rate-micro-batch source — a
+    // non-file source with its own offset/commit machinery — lands the
+    // identical final set under the identical watermark construction
+    val fromFiles = graft.streaming.EventsStream
+      .streamHourlyProbe(spark, sf).collect().map(_.toString).toSeq
+    val fromRate = graft.streaming.EventsStream
+      .runHourlyFromRate(spark, sf).collect().map(_.toString).toSeq
+    assert(fromFiles.nonEmpty)
+    assert(fromRate == fromFiles,
+      s"rate-sourced landed set diverged: ${fromRate.length} rows vs " +
+        s"${fromFiles.length}")
+  }
 }
