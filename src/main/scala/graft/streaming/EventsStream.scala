@@ -257,12 +257,21 @@ object EventsStream {
         "loj" -> (() => { streamOuterJoinProbe(spark, dir).count(); () }),
         "foj" -> (() => { streamFullOuterJoinProbe(spark, dir).count(); () }))
       family.filter(_._1 != except).map { case (tag, build) =>
-        val t = new Thread(() =>
-          try build() catch {
+        val t = new Thread(() => {
+          // per-lineage build seconds document the wall's width-scaling:
+          // the wall is max(lineage), not sum — these lines in the bench
+          // log show which lineage sets the critical path
+          val t0 = System.nanoTime()
+          try {
+            build()
+            System.err.println(f"[prewarm] $tag built in " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          } catch {
             case e: Throwable => System.err.println(
               s"[prewarm] $tag lineage background build failed " +
                 s"(timed query will rebuild): ${e.getMessage}")
-          }, s"graft-prewarm-$tag")
+          }
+        }, s"graft-prewarm-$tag")
         t.setDaemon(true)
         t.start()
         t
