@@ -235,20 +235,46 @@ object V2Demo {
 
   // ------------------------------------------------------- the pipeline
 
+  /** Run independent per-table jobs of ONE stage concurrently — the
+    * stage's tables have no cross-dependencies and its jobs are mostly
+    * 1-task (single-file CSV writes/reads), i.e. LATENCY-bound with
+    * idle cores, which made the sequential form the prewarm wall's
+    * ×100 critical path (666 s while the 16 other lineages packed into
+    * ~215 s — SCALE_r14 §4). Stage BARRIERS are unchanged ([[ensure]]
+    * still runs fixtures → bronze → silver → gold sequentially); the
+    * first per-table failure rethrows after the join, so a silver
+    * enum violation still aborts the stage loudly. */
+  private def perTable(tag: String, work: Seq[(String, () => Unit)]): Unit = {
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = work.map { case (name, w) =>
+      val t = new Thread(() =>
+        try w() catch { case e: Throwable => failures.add(e) },
+        s"v2-$tag-$name")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+  }
+
   /** Land the fixtures as CSV — real headers, quoting, embedded newlines.
     * Timestamps are written as `yyyy-MM-dd HH:mm:ss` text (the reference
     * CSVs' shape); bronze parses them back under the declared schema. */
   def writeCsvFixtures(spark: SparkSession, dir: String,
       root: String): Unit =
-    fixtures(spark, dir).foreach { case (name, df) =>
-      val out = df.schema.fields.foldLeft(df) { (d, f) =>
-        if (f.dataType == TimestampType)
-          d.withColumn(f.name,
-            date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
-        else d
-      }
-      Sources.writeCsv(out.coalesce(1), s"$root/csv/$name")
-    }
+    perTable("fixtures", fixtures(spark, dir).map { case (name, df) =>
+      name -> (() => {
+        val out = df.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.dataType == TimestampType)
+            d.withColumn(f.name,
+              date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
+          else d
+        }
+        Sources.writeCsv(out.coalesce(1), s"$root/csv/$name")
+      })
+    })
 
   /** Declared silver schemas (`table_creation_2` types, Spark-typed):
     * schema inference on 100 TB of CSV is not a plan. */
@@ -305,10 +331,11 @@ object V2Demo {
   /** Bronze: CSV → parquet per table under the declared schema (ref
     * bronze_ingestion_script.py's land-as-is stage, S8 reader). */
   def bronze(spark: SparkSession, root: String): Unit =
-    schemas.keys.toSeq.sorted.foreach { t =>
-      Sources.readCsv(spark, s"$root/csv/$t", schemas(t))
-        .write.mode("overwrite").parquet(s"$root/bronze/$t")
-    }
+    perTable("bronze", schemas.keys.toSeq.sorted.map { t =>
+      t -> (() =>
+        Sources.readCsv(spark, s"$root/csv/$t", schemas(t))
+          .write.mode("overwrite").parquet(s"$root/bronze/$t"))
+    })
 
   /** Silver: enforce + validate + enum-domain fail-fast (the reference's
     * transformations stage). A non-empty violation set aborts the stage
@@ -319,16 +346,18 @@ object V2Demo {
       "payment_records" -> ("status", PAYMENT_STATUS),
       "dispute_requests" -> ("status", DISPUTE_STATUS),
       "service_providers" -> ("verificationStatus", VERIFICATION))
-    schemas.keys.toSeq.sorted.foreach { t =>
-      val df = spark.read.parquet(s"$root/bronze/$t")
-      Silver.validate(df, schemas(t))
-      val clean = Silver.enforce(df, schemas(t))
-      enums.get(t).foreach { case (c, domain) =>
-        val bad = Silver.enumViolations(clean, c, domain.toSet).count()
-        require(bad == 0L, s"$t.$c: $bad enum violations")
-      }
-      clean.write.mode("overwrite").parquet(s"$root/silver/$t")
-    }
+    perTable("silver", schemas.keys.toSeq.sorted.map { t =>
+      t -> (() => {
+        val df = spark.read.parquet(s"$root/bronze/$t")
+        Silver.validate(df, schemas(t))
+        val clean = Silver.enforce(df, schemas(t))
+        enums.get(t).foreach { case (c, domain) =>
+          val bad = Silver.enumViolations(clean, c, domain.toSet).count()
+          require(bad == 0L, s"$t.$c: $bad enum violations")
+        }
+        clean.write.mode("overwrite").parquet(s"$root/silver/$t")
+      })
+    })
   }
 
   /** Gold: the reference's star schema under its own names
@@ -351,9 +380,12 @@ object V2Demo {
       .withColumn("year", year(col("created_at")))
       .withColumn("month", month(col("created_at")))
       .filter(col("booking_id").isNotNull)
+    val writes = Seq[(String, () => Unit)](
+    "fact_booking" -> (() =>
     fact.write.mode("overwrite").partitionBy("year", "month")
-      .parquet(s"$root/gold/fact_booking")
+      .parquet(s"$root/gold/fact_booking")),
 
+    "dim_user" -> (() =>
     sv("users").alias("u")
       .join(sv("service_providers").alias("sp"),
         col("u.user_id") === col("sp.user_id"), "left")
@@ -362,26 +394,30 @@ object V2Demo {
         col("sp.verificationStatus"), col("u.status").as("user_status"),
         concat(col("u.first_name"), lit(" "), col("u.last_name"))
           .as("full_name"), col("u.created_at"))
-      .write.mode("overwrite").parquet(s"$root/gold/dim_user")
+      .write.mode("overwrite").parquet(s"$root/gold/dim_user")),
 
+    "dim_service" -> (() =>
     sv("services").alias("s")
       .join(sv("categories").alias("c"), Seq("category_id"), "left")
       .select(col("s.service_id"), col("s.provider_id"),
         col("category_id"), col("c.category_name"), col("s.service_name"),
         col("s.price"), col("s.created_at"))
-      .write.mode("overwrite").parquet(s"$root/gold/dim_service")
+      .write.mode("overwrite").parquet(s"$root/gold/dim_service")),
 
+    "dim_location" -> (() =>
     sv("service_providers")
       .select(col("location").as("location_name"))
       .filter(col("location_name").isNotNull).distinct()
-      .write.mode("overwrite").parquet(s"$root/gold/dim_location")
+      .write.mode("overwrite").parquet(s"$root/gold/dim_location")),
 
+    "dim_review" -> (() =>
     sv("provider_reviews")
       .withColumn("sentiment_label",
         when(col("rating") >= 4, "positive")
           .when(col("rating") === 3, "neutral").otherwise("negative"))
-      .write.mode("overwrite").parquet(s"$root/gold/dim_review")
+      .write.mode("overwrite").parquet(s"$root/gold/dim_review")),
 
+    "dim_date" -> (() =>
     spark.sql(
       "SELECT explode(sequence(to_date('2025-01-01'), to_date('2025-12-31'), interval 1 day)) AS date")
       .select(col("date"),
@@ -390,7 +426,8 @@ object V2Demo {
         quarter(col("date")).as("quarter"), year(col("date")).as("year"),
         dayofweek(col("date")).as("day_of_week"),
         dayofweek(col("date")).isin(1, 7).as("is_weekend"))
-      .write.mode("overwrite").parquet(s"$root/gold/dim_date")
+      .write.mode("overwrite").parquet(s"$root/gold/dim_date")))
+    perTable("gold", writes)
   }
 
   // -------------------------------------------------- staged runner
