@@ -3135,6 +3135,45 @@ object OracleTwins {
     s"CAST(list_reduce(list_prepend(7, $vec), " +
       s"(ca, cx) -> (ca*31 + cx) % $P) AS BIGINT) AS checksum"
 
+  /** q242's twin — [[graft.multimodal.Multimodal.tarShardSamples]]:
+    * sample keys (including the >100-byte arm the ustar prefix split
+    * must carry), class labels, text stats and the q178 pixel formulas
+    * regenerated arithmetically; the twin never mentions tar blocks,
+    * octal fields, or member grouping — Spark only reaches these rows
+    * through the full ustar write → parse → group-by-key → decode
+    * chain, so a checksum bug, a prefix-blind name read, a desynced
+    * data block, or a lost sample member flips rows. */
+  val tarShardSamples: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, (n_chars % 23 + 4) AS nt,
+       |    (n_chars % 16 + 1) AS w, (n_chars % 12 + 1) AS h
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, nt, w, h,
+       |    CASE WHEN doc_id % 13 = 0
+       |      THEN repeat('x', 90) || '/' || CAST(doc_id % 7 AS VARCHAR) ||
+       |        '/sample' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+       |      ELSE 'train/' || CAST(doc_id % 7 AS VARCHAR) ||
+       |        '/sample' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+       |    END AS key,
+       |    array_to_string(list_transform(range(0, nt),
+       |      i -> 's' || CAST((doc_id * 29 + i * 11) % 9973 AS VARCHAR)),
+       |      ' ') AS text
+       |  FROM d)
+       |SELECT key,
+       |  CAST(doc_id % 10 AS BIGINT) AS cls,
+       |  CAST(nt AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5,
+       |  CASE WHEN doc_id % 3 = 0 THEN CAST(w AS BIGINT) END AS width,
+       |  CASE WHEN doc_id % 3 = 0 THEN CAST(h AS BIGINT) END AS height,
+       |  CASE WHEN doc_id % 3 = 0 THEN
+       |    CAST(list_reduce(list_prepend(7,
+       |      list_transform(range(0, w*h*3),
+       |        pp -> (doc_id*31 + pp*7) % 256)),
+       |      (ca, cx) -> (ca*31 + cx) % $P) AS BIGINT)
+       |  END AS checksum
+       |FROM t ORDER BY key""".stripMargin
+
   /** q178's twin — [[graft.multimodal.Multimodal.imageDecodeStats]]. */
   val imageDecodeStats: String =
     s"""WITH $ppmBaseSql
@@ -3467,6 +3506,124 @@ object OracleTwins {
        |  NOT (starts_with(ns, dd) AND NOT starts_with(ns, dd || ee))
        |    AS allowed
        |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE prefix of the sitemap twins — the discovery population
+    * (h, c, k, m) regenerated arithmetically from
+    * [[graft.engine.Crawl.sitemapUrlCount]] /
+    * [[graft.engine.Crawl.sitemapPathNum]]; never mentions XML. */
+  private val sitemapCte: String =
+    s"""WITH hosts AS (SELECT DISTINCT doc_id % 53 AS h FROM documents),
+       |ck AS MATERIALIZED (
+       |  -- MATERIALIZED: DuckDB's binder mis-resolves the unnest column
+       |  -- when this CTE is inlined under a downstream anti-join +
+       |  -- window (the q207 inlining lesson, binder flavor)
+       |  SELECT h, c,
+       |    unnest(range(0, CASE WHEN c = 0 THEN h % 4 + 4
+       |                         ELSE (h * 3) % 5 + 3 END)) AS k
+       |  FROM hosts CROSS JOIN (SELECT unnest([0, 1]) AS c)),
+       |e AS (
+       |  SELECT h, c, k, (h * 31 + c * 501 + k * 17) % 1009 AS m
+       |  FROM ck)""".stripMargin
+
+  /** q240's twin — [[graft.engine.Crawl.sitemapDiscover]]: the entries
+    * of every host's two child sitemaps regenerated arithmetically —
+    * loc (with the k%5==4 query arm's DECODED `&`), lastmod (date and
+    * W3C-datetime forms), the k%6==3 changefreq, the k%4==2 omitted
+    * priority. The twin never parses XML: a scanner defect anywhere
+    * (entity pass, CDATA literal, prefixed local names, extension-
+    * element skipping, whitespace trim, the decoy `<image:loc>`) flips
+    * rows. */
+  val sitemapDiscover: String =
+    s"""$sitemapCte,
+       |r AS (
+       |  SELECT
+       |    'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       |    'https://h' || CAST(h AS VARCHAR) || '.example.com/sitemap-' ||
+       |      CAST(c AS VARCHAR) || '.xml' AS sitemap,
+       |    'https://h' || CAST(h AS VARCHAR) || '.example.com/p/' ||
+       |      CAST(m AS VARCHAR) ||
+       |      CASE WHEN k % 5 = 4 THEN '?x=' || CAST(k AS VARCHAR) ||
+       |        '&y=' || CAST(h % 10 AS VARCHAR) ELSE '' END AS loc,
+       |    '2026-' || lpad(CAST(h % 9 + 1 AS VARCHAR), 2, '0') || '-' ||
+       |      lpad(CAST((k * 3 + c) % 28 + 1 AS VARCHAR), 2, '0') ||
+       |      CASE WHEN k % 3 = 1 THEN 'T' ||
+       |        lpad(CAST((h + k) % 24 AS VARCHAR), 2, '0') || ':00:00+00:00'
+       |      ELSE '' END AS lastmod,
+       |    CASE WHEN k % 6 = 3 THEN
+       |      CASE WHEN (h + k) % 2 = 0 THEN 'daily' ELSE 'weekly' END
+       |    END AS changefreq,
+       |    CASE WHEN k % 4 = 2 THEN NULL
+       |         ELSE (((h + 2 * k + c) % 10)::DOUBLE) / (10.0::DOUBLE)
+       |    END AS priority
+       |  FROM e)
+       |SELECT host, sitemap, loc, lastmod, changefreq, priority
+       |FROM r ORDER BY host, loc""".stripMargin
+
+  /** q241's twin — [[graft.engine.Crawl.crawlFrontier]]: discovery
+    * restated arithmetically at the PATH grain (the query arm strips
+    * back to the same `/p/m`), the seen-before subtraction as NOT
+    * EXISTS against the corpus URL formula, the robots gate as the
+    * q234 prefix algebra, and the politeness wave as the same
+    * per-host window (omitted priority ranks at the protocol default
+    * 0.5; rank totality holds because a host's paths are distinct by
+    * construction). */
+  val crawlFrontier: String =
+    s"""$sitemapCte,
+       |cand AS (
+       |  SELECT h, m,
+       |    'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       |    '/p/' || CAST(m AS VARCHAR) AS path,
+       |    CAST(m AS VARCHAR) AS ns,
+       |    CASE WHEN k % 4 = 2 THEN NULL
+       |         ELSE (((h + 2 * k + c) % 10)::DOUBLE) / (10.0::DOUBLE)
+       |    END AS priority
+       |  FROM e),
+       |seen AS (
+       |  SELECT DISTINCT doc_id % 53 AS h, (doc_id * 47) % 1009 AS m
+       |  FROM documents),
+       |fresh AS (
+       |  SELECT ca.host AS host, ca.path AS path, ca.ns AS ns,
+       |         ca.priority AS priority, ca.h AS h
+       |  FROM cand ca
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM seen s WHERE s.h = ca.h AND s.m = ca.m)),
+       |ok AS (
+       |  SELECT host, path, priority, coalesce(priority, 0.5) AS prio_eff
+       |  FROM fresh
+       |  WHERE NOT (starts_with(ns, CAST(h % 10 AS VARCHAR))
+       |    AND NOT starts_with(ns,
+       |      CAST(h % 10 AS VARCHAR) || CAST(h % 7 AS VARCHAR)))),
+       |w AS (
+       |  SELECT host, path, priority,
+       |    (row_number() OVER (PARTITION BY host
+       |       ORDER BY prio_eff DESC, path) - 1)
+       |      // ${engine.Crawl.PER_HOST_FETCH_BUDGET} AS wave
+       |  FROM ok)
+       |SELECT host, path, priority, CAST(wave AS BIGINT) AS wave
+       |FROM w ORDER BY host, wave, path""".stripMargin
+
+  /** q243's twin — [[graft.engine.Crawl.zipArchiveProbe]]: member
+    * names, methods, uncompressed sizes and the seed rows' text hashes
+    * regenerated arithmetically; compressed sizes are excluded (a
+    * compressor property, the q218 lesson). Spark only reaches these
+    * rows through EOCD scan-back → central directory → (seeds only)
+    * local header + raw inflate + CRC32 — a drifted offset, a
+    * mis-parsed length field, or an inflate defect flips rows or fails
+    * loudly. */
+  val zipArchiveProbe: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 27 + 5) AS nt FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(range(0, nt),
+       |      i -> 'z' || CAST((doc_id * 41 + i * 13) % 9973 AS VARCHAR)),
+       |      ' ') AS text
+       |  FROM d)
+       |SELECT 'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+       |  CASE WHEN doc_id % 4 = 0 THEN 'stored' ELSE 'deflate' END AS method,
+       |  CAST(length(text) AS BIGINT) AS usize,
+       |  CASE WHEN doc_id % 31 = 5 THEN md5(text) END AS text_md5
+       |FROM t ORDER BY name""".stripMargin
 
   /** q235's twin — [[graft.engine.Crawl.crawlCuration]]: the extracted
     * text regenerated arithmetically, then the SAME SQL text algebra

@@ -461,6 +461,25 @@ object SparkEntry {
     // host-keyed TABLE met in a sort-merge join (the 10⁷-host regime's
     // shape); same oracle as q234 (VERDICT r13 ask #2) ----
     "q239_robots_gate_joined"      -> (Crawl.robotsGateJoined _),
+    // ---- round 14: sitemap discovery (sitemaps.org protocol) — each
+    // host's sitemapindex fetched and parsed, child urlsets fetched BY
+    // THE PARSED LOCS; namespace-prefixed and default forms, CDATA,
+    // entities, extension elements with decoy locs all on the wire ----
+    "q240_sitemap_discover"        -> (Crawl.sitemapDiscover _),
+    // ---- round 14: crawl-frontier construction — the composition the
+    // crawl surface exists for: sitemap-discovered ∖ seen-before ∩
+    // robots-allowed, scheduled into per-host politeness waves ----
+    "q241_crawl_frontier"          -> (Crawl.crawlFrontier _),
+    // ---- round 14: WebDataset-style tar shard ingest — the ustar
+    // distribution wrapper of real multimodal training corpora: shard
+    // bytes parsed, members grouped into samples by key, text + class +
+    // image members decoded map-side (the file IS the row) ----
+    "q242_tar_shard_samples"       -> (graft.multimodal.Multimodal.tarShardSamples _),
+    // ---- round 14: ZIP document-dump probe — central-directory
+    // listing (an archive-tail read) + selective CRC-checked extraction
+    // of seed members only: the container whose record-grain random
+    // access is native to the wire ----
+    "q243_zip_probe"               -> (Crawl.zipArchiveProbe _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -762,6 +781,10 @@ object SparkEntry {
     // decision algebra, two execution strategies — broadcast map-side
     // vs host-keyed sort-merge join — provably interchangeable.
     "q239_robots_gate_joined" -> OracleTwins.robotsGate,
+    "q240_sitemap_discover" -> OracleTwins.sitemapDiscover,
+    "q241_crawl_frontier" -> OracleTwins.crawlFrontier,
+    "q242_tar_shard_samples" -> OracleTwins.tarShardSamples,
+    "q243_zip_probe" -> OracleTwins.zipArchiveProbe,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -448,6 +448,217 @@ object Crawl {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------- sitemap discovery (r14)
+
+  /** Entries in host `h`'s child sitemap `c` (0 or 1): 3–7 each, so
+    * every wire trap arm below fires on some (h, c, k). */
+  private[graft] def sitemapUrlCount(h: Long, c: Int): Int =
+    if (c == 0) (h % 4 + 4).toInt else ((h * 3) % 5 + 3).toInt
+
+  /** Path number of entry (h, c, k). Within a host the raw offsets
+    * `c*501 + k*17` (k ≤ 6) are distinct values < 1009, and adding
+    * `h*31` shifts them all by the same amount mod 1009 — so every
+    * entry of a host has a DISTINCT path, which is what makes the
+    * frontier's (host, path) grain and the politeness rank total. */
+  private[graft] def sitemapPathNum(h: Long, c: Int, k: Int): Long =
+    (h * 31 + c * 501 + k * 17) % 1009
+
+  private def sitemapLastmod(h: Long, c: Int, k: Int): String = {
+    val mm = h % 9 + 1
+    val dd = (k * 3 + c) % 28 + 1
+    val base = f"2026-$mm%02d-$dd%02d"
+    if (k % 3 == 1) base + f"T${(h + k) % 24}%02d:00:00+00:00"
+    else base
+  }
+
+  /** One `<url>` entry as it appears ON THE WIRE — each arm targets one
+    * parser pass: k%5==4 carries a query string whose `&` is
+    * entity-encoded (`&amp;` must decode); k%7==6 wraps the loc in
+    * CDATA (content taken literally, no entity pass); even k pads the
+    * loc with whitespace the parser must trim; k%4==2 omits
+    * `<priority>`; k%6==3 adds `<changefreq>`; k%5==2 injects a
+    * self-closing extension element; k%7==5 injects a NESTED extension
+    * (`image:image`) whose inner `<image:loc>` must be skipped whole —
+    * an extension-blind parser would take the decoy loc — placed
+    * BEFORE the entry's own loc. */
+  private def sitemapUrlWire(h: Long, c: Int, k: Int): String = {
+    val m = sitemapPathNum(h, c, k)
+    val plain = s"https://${host(h)}/p/$m"
+    val locTxt =
+      if (k % 5 == 4) s"$plain?x=$k&amp;y=${h % 10}"
+      else plain
+    val locElem =
+      if (k % 7 == 6) s"<loc><![CDATA[$plain]]></loc>"
+      else if (k % 2 == 0) s"<loc>\n      $locTxt </loc>"
+      else s"<loc>$locTxt</loc>"
+    val ext =
+      if (k % 7 == 5)
+        s"<image:image><image:loc>https://${host(h)}/decoy.png</image:loc>" +
+          s"<image:caption>d$k</image:caption></image:image>"
+      else if (k % 5 == 2) "<mobile:mobile/>"
+      else ""
+    val lastmod = s"<lastmod>${sitemapLastmod(h, c, k)}</lastmod>"
+    val prio =
+      if (k % 4 == 2) ""
+      else s"<priority>0.${(h + 2 * k + c) % 10}</priority>"
+    val freq =
+      if (k % 6 == 3)
+        s"<changefreq>${if ((h + k) % 2 == 0) "daily" else "weekly"}</changefreq>"
+      else ""
+    val fields =
+      if (k % 7 == 5) ext + locElem + lastmod + freq + prio
+      else locElem + ext + lastmod + freq + prio
+    s"  <url>$fields</url>"
+  }
+
+  /** Child sitemap `c` of host `h` as wire bytes: c=0 uses the default
+    * namespace, c=1 the PREFIXED form (`<sm:urlset>`/`<sm:url>` — local
+    * -name matching is load-bearing), plus an attribute value holding a
+    * raw `>` (the quoted-attribute trap), comments between entries, and
+    * an XML declaration. */
+  private[graft] def sitemapChildWire(h: Long, c: Int): String = {
+    val n = sitemapUrlCount(h, c)
+    val entries = (0 until n).map(k => sitemapUrlWire(h, c, k))
+    val body = entries.mkString("\n  <!-- e -->\n")
+    if (c == 0)
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" data-trap="a>b">
+         |$body
+         |</urlset>""".stripMargin
+    else
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<!-- prefixed form -->
+         |<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+         |${body.replace("<url>", "<sm:url>").replace("</url>", "</sm:url>")
+             .replace("<loc>", "<sm:loc>").replace("</loc>", "</sm:loc>")
+             .replace("<lastmod>", "<sm:lastmod>")
+             .replace("</lastmod>", "</sm:lastmod>")
+             .replace("<priority>", "<sm:priority>")
+             .replace("</priority>", "</sm:priority>")
+             .replace("<changefreq>", "<sm:changefreq>")
+             .replace("</changefreq>", "</sm:changefreq>")}
+         |</sm:urlset>""".stripMargin
+  }
+
+  /** Host `h`'s root sitemap index: two child sitemaps (one loc padded
+    * with whitespace, one bare), a comment decoy, lastmod on the first
+    * child only. */
+  private[graft] def sitemapIndexWire(h: Long): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+       |  <sitemap><loc> https://${host(h)}/sitemap-0.xml </loc><lastmod>2026-0${h % 9 + 1}-01</lastmod></sitemap>
+       |  <!-- decoy -->
+       |  <sitemap><loc>https://${host(h)}/sitemap-1.xml</loc></sitemap>
+       |</sitemapindex>""".stripMargin
+
+  /** Simulated fetch of a sitemap URL on host `h` — the PARSED child
+    * locs drive it (a mis-extracted loc fails here loudly), standing in
+    * for the HTTP GET a real frontier issues. */
+  private[graft] def fetchSitemap(h: Long, loc: String): String = {
+    val base = s"https://${host(h)}/"
+    require(loc.startsWith(base), s"sitemap loc $loc is off-host for ${host(h)}")
+    val name = loc.substring(base.length)
+    if (name == "sitemap.xml") sitemapIndexWire(h)
+    else if (name.startsWith("sitemap-") && name.endsWith(".xml")) {
+      val c = name.substring(8, name.length - 4).toInt
+      require(c == 0 || c == 1, s"unknown child sitemap $name")
+      sitemapChildWire(h, c)
+    } else sys.error(s"unknown sitemap url $loc")
+  }
+
+  /** q240: sitemap URL discovery — each corpus host's `sitemap.xml`
+    * (a sitemapindex) fetched and parsed, its child urlsets fetched BY
+    * THE PARSED LOCS and parsed in turn, one row per discovered URL
+    * entry with the protocol's optional metadata.
+    *
+    * Oracle device: the wires are generative
+    * ([[sitemapIndexWire]]/[[sitemapChildWire]] — namespace-prefixed
+    * and default-namespace forms, CDATA and entity-encoded locs,
+    * whitespace padding, comment decoys, nested extension elements
+    * carrying DECOY `<image:loc>`s, omitted optional fields) and the
+    * twin regenerates the extracted entries arithmetically from
+    * (h, c, k), never mentioning XML — any drift in the scanner
+    * (entity pass, CDATA literal, local-name matching, extension
+    * skipping, trim) flips rows.
+    *
+    * Scale shape: discovery is a flatMap over the HOSTS relation (one
+    * bounded control-plane document per host, parsed map-side, entries
+    * emitted as rows — never a driver-side collection); one distinct
+    * shuffle derives hosts from the corpus, the final ordering is the
+    * verify wrapper. */
+  def sitemapDiscover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = Tables.documents(spark, dir)
+      .select((col("doc_id") % 53).as("h")).distinct().as[Long]
+    hosts.mapPartitions(_.flatMap { h =>
+      val idx = graft.sources.Sitemaps.parse(fetchSitemap(h, s"https://${host(h)}/sitemap.xml"))
+      require(idx.kind == "sitemapindex", s"host $h: root is not an index")
+      idx.entries.iterator.flatMap { child =>
+        val doc = graft.sources.Sitemaps.parse(fetchSitemap(h, child.loc))
+        require(doc.kind == "urlset", s"host $h: ${child.loc} is not a urlset")
+        doc.entries.iterator.map { e =>
+          (host(h), child.loc, e.loc, e.lastmod, e.changefreq, e.priority)
+        }
+      }
+    }).toDF("host", "sitemap", "loc", "lastmod", "changefreq", "priority")
+      .orderBy("host", "loc")
+  }
+
+  /** Per-host fetch budget of one politeness wave: a real fleet fetches
+    * at most this many URLs from one host per scheduling round. */
+  val PER_HOST_FETCH_BUDGET: Int = 4
+
+  /** q241: crawl-frontier construction — the composition the whole
+    * crawl surface exists for. Discovered sitemap URLs
+    * ([[sitemapDiscover]], query strings stripped to the path grain)
+    * MINUS the seen-before set (the corpus's already-captured URLs —
+    * the CDX law's population) INTERSECT robots-allowed
+    * ([[graft.sources.RobotsTxt.decide]] as `graftbot`, broadcast form
+    * — 53 hosts is far below [[ROBOTS_BROADCAST_MAX_HOSTS]]), then
+    * scheduled into per-host politeness WAVES: rank within host by
+    * (priority DESC, path) — an omitted priority ranks at the
+    * protocol's documented default 0.5 — and wave =
+    * (rank−1) / [[PER_HOST_FETCH_BUDGET]].
+    *
+    * Scale shape: discovery is map-side per host; the seen set is the
+    * corpus-shaped side of the anti-join, shuffled on (host, path)
+    * with the sitemap-shaped candidates (AQE broadcasts the measured-
+    * small side at demo scale); the robots verdict is a broadcast
+    * map-side filter; the politeness window is partitioned by host and
+    * bounded by the host's SITEMAP size, never the corpus. The twin
+    * restates discovery arithmetically, the subtraction as NOT EXISTS,
+    * the gate as the q234 prefix algebra, and the wave as the same
+    * window — rank totality is guaranteed by per-host path
+    * distinctness ([[sitemapPathNum]]). */
+  def crawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val disc = sitemapDiscover(spark, dir)
+      .withColumn("path",
+        substring_index(expr("substring(loc, 9 + length(host))"), "?", 1))
+      .select(col("host"), col("path"), col("priority"))
+    val seen = Tables.documents(spark, dir)
+      .select((col("doc_id") % 53).as("h"), col("doc_id"))
+      .withColumn("host", concat(lit("h"), col("h"), lit(".example.com")))
+      .withColumn("path",
+        concat(lit("/p/"), (col("doc_id") * 47) % 1009))
+      .select("host", "path").distinct()
+    val fresh = disc.join(seen, Seq("host", "path"), "left_anti")
+    val bc = spark.sparkContext.broadcast(parsedRuleSets())
+    val allowed = fresh
+      .as[(String, String, Option[Double])]
+      .mapPartitions(_.flatMap { case (hst, pth, prio) =>
+        if (bc.value(hst).allowed("graftbot", pth)) Iterator((hst, pth, prio))
+        else Iterator.empty
+      }).toDF("host", "path", "priority")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host")
+      .orderBy(coalesce(col("priority"), lit(0.5)).desc, col("path"))
+    allowed
+      .withColumn("wave",
+        ((row_number().over(w) - 1) / PER_HOST_FETCH_BUDGET).cast("long"))
+      .orderBy("host", "wave", "path")
+  }
+
   // ---------------------------------------------- crawl → curation
 
   /** q235's corpus: the q230 archive machinery with ENGLISH-ISH tokens —
@@ -961,6 +1172,71 @@ object Crawl {
       }).toDF("urlkey", "path", "seq", "status", "content_type",
         "block_len")
       .orderBy("urlkey", "path", "seq")
+  }
+
+  // ------------------------------------------- ZIP document dumps (r14)
+
+  /** Docs per ZIP archive — the tar-shard grouping's sibling. */
+  val ZIP_SHARD_MOD: Long = 32L
+
+  private[graft] def zipToken(docId: Long, i: Int): String =
+    s"z${(docId * 41 + i * 13) % 9973}"
+
+  private[graft] def zipText(docId: Long, nChars: Long): String =
+    (0 until (nChars % 27 + 5).toInt).map(zipToken(docId, _)).mkString(" ")
+
+  /** One shard's archive: a member per doc (ascending), stored for
+    * doc%4==0 and DEFLATE at level doc%9+1 otherwise (stored / fixed /
+    * dynamic blocks all occur on the wire), plus an EOCD comment the
+    * locator must scan back over. */
+  private[graft] def buildShardZip(docs: Array[(Long, Long)]): Array[Byte] = {
+    import graft.sources.ZipCodec
+    ZipCodec.write(
+      docs.sortBy(_._1).toIndexedSeq.map { case (id, nc) =>
+        ZipCodec.ZipMember(s"docs/$id.txt",
+          zipText(id, nc).getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+          stored = id % 4 == 0, level = (id % 9 + 1).toInt)
+      }, comment = "graft document dump")
+  }
+
+  /** q243: ZIP document-dump probe — a listing + selective extraction
+    * over the container format whose RANDOM ACCESS is native: the
+    * central directory (an archive-tail read) lists every member's
+    * metadata, and only the SEED docs (doc%31==5) are decoded — by
+    * local-header offset, CRC32-checked, through the hand-rolled raw
+    * inflate. Output: one row per member with name, method,
+    * uncompressed size, and the seed rows' text hash.
+    *
+    * The twin regenerates names/sizes/hashes arithmetically and never
+    * mentions the wire; compressed sizes are deliberately NOT in the
+    * gate (they are a property of the compressor, not the data — the
+    * q218 PNG lesson). The selective-decode law (non-seed data spans
+    * are never touched) is pinned behaviorally in ZipSpec by
+    * corrupting a non-seed member's bytes.
+    *
+    * Scale shape: same map-side file-is-the-row law as the tar shards;
+    * one groupByKey assembles the generative archives. */
+  def zipArchiveProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ZipCodec
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .groupByKey(_._1 % ZIP_SHARD_MOD)
+      .mapGroups { (_, it) => buildShardZip(it.toArray) }
+      .flatMap { bytes =>
+        ZipCodec.centralDirectory(bytes).iterator.map { e =>
+          val id = e.name.stripPrefix("docs/").stripSuffix(".txt").toLong
+          val text =
+            if (id % 31 == 5)
+              new String(ZipCodec.extract(bytes, e),
+                java.nio.charset.StandardCharsets.US_ASCII)
+            else null
+          (e.name, if (e.method == 0) "stored" else "deflate",
+            e.usize.toLong, text)
+        }
+      }.toDF("name", "method", "usize", "text")
+      .withColumn("text_md5", md5(col("text"))).drop("text")
+      .orderBy("name")
   }
 
   // ---------------------------------------------- file-based reader

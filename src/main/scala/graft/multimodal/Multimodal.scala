@@ -1075,4 +1075,143 @@ object Multimodal {
         greatest(col("na"), col("nb")).as("n_frames"), col("match_ppm"))
       .orderBy("id_a", "id_b")
   }
+
+  // ------------------------------- WebDataset-style tar shards (r14)
+
+  /** Docs per tar shard key — WebDataset sizes shards to hundreds of
+    * MB; the demo keys on doc_id so the twin can restate membership. */
+  val TAR_SHARD_MOD: Long = 64L
+
+  /** The sample KEY of a document (WebDataset convention: the member
+    * path minus its extension; members sharing it form one sample).
+    * The doc%13==0 arm is deliberately longer than 100 bytes so the
+    * ustar prefix/name SPLIT is on the wire — a reader that ignores
+    * the prefix field truncates these keys and flips rows. */
+  private[graft] def tarKey(docId: Long): String = {
+    val base = f"sample$docId%09d"
+    if (docId % 13 == 0) ("x" * 90) + s"/${docId % 7}/$base"
+    else s"train/${docId % 7}/$base"
+  }
+
+  private[graft] def tarToken(docId: Long, i: Int): String =
+    s"s${(docId * 29 + i * 11) % 9973}"
+
+  private[graft] def tarText(docId: Long, nChars: Long): String = {
+    val nt = (nChars % 23 + 4).toInt
+    (0 until nt).map(tarToken(docId, _)).mkString(" ")
+  }
+
+  /** One shard's tar bytes: a leading directory entry, then per doc
+    * (ascending) `<key>.txt`, `<key>.cls`, and — for doc%3==0 —
+    * `<key>.ppm` ([[synthImage]] through the real PPM encoder). Member
+    * mtime = doc_id (octal field arithmetic on real values); the
+    * `.cls` members carry the old-style NUL typeflag and every second
+    * member space-terminated octals, so both wire dialects occur. */
+  private[graft] def buildShardTar(docs: Array[(Long, Long)]): Array[Byte] = {
+    import graft.sources.TarCodec
+    val members = Vector.newBuilder[TarCodec.TarMember]
+    members += TarCodec.TarMember("train/", 0L, Array.emptyByteArray,
+      typeflag = '5'.toByte)
+    docs.sortBy(_._1).foreach { case (id, nc) =>
+      val key = tarKey(id)
+      members += TarCodec.TarMember(s"$key.txt", id,
+        tarText(id, nc).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      members += TarCodec.TarMember(s"$key.cls", id,
+        (id % 10).toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+        typeflag = 0.toByte)
+      if (id % 3 == 0)
+        members += TarCodec.TarMember(s"$key.ppm", id,
+          PpmCodec.encode(synthImage(id, nc)))
+    }
+    TarCodec.write(members.result())
+  }
+
+  /** q242: WebDataset-style tar shard ingest — the distribution format
+    * of real multimodal training corpora. Documents are packed into
+    * [[TAR_SHARD_MOD]] tar shards (REAL ustar bytes, prefix-split long
+    * names, both octal terminators, both file typeflags, a directory
+    * entry to skip), then each shard is parsed back by
+    * [[graft.sources.TarCodec]] and its members grouped into samples
+    * by key; `.txt` + `.cls` are required per sample, `.ppm` optional,
+    * an unknown extension rejects loudly. Output: one row per sample
+    * with the text stats, the class label, and the decoded image stats
+    * (null for text-only samples).
+    *
+    * Scale shape: the shard FILE is the task unit (tar members are not
+    * block-splittable) and the whole pipeline is map-side — build,
+    * parse, group, and decode all happen inside one row's computation
+    * (the q190 law: the file IS the row, so a sample's members never
+    * fan out into a relational group-by). One groupByKey shuffles the
+    * (doc_id, n_chars) projection to assemble shards — the demo's
+    * generative stand-in for reading shard files off disk
+    * ([[readTarShards]] is the real-file form).
+    *
+    * The twin regenerates keys, labels, text and pixel stats
+    * arithmetically — Spark can only reach them through the full
+    * write → parse → group → decode chain. */
+  def tarShardSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .groupByKey(_._1 % TAR_SHARD_MOD)
+      .mapGroups { (_, it) => buildShardTar(it.toArray) }
+      .flatMap { bytes =>
+        val entries = graft.sources.TarCodec.parseEntries(bytes)
+        entries.groupBy { e =>
+          val dot = e.name.lastIndexOf('.')
+          require(dot > 0, s"member ${e.name} has no extension")
+          e.name.substring(0, dot)
+        }.iterator.map { case (key, members) =>
+          val byExt = members.map { e =>
+            e.name.substring(e.name.lastIndexOf('.') + 1) -> e
+          }.toMap
+          require(byExt.size == members.size,
+            s"sample $key has duplicate extensions")
+          byExt.keySet.diff(Set("txt", "cls", "ppm")).foreach(x =>
+            sys.error(s"sample $key has unknown member .$x"))
+          val text = new String(byExt("txt").data,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val cls = new String(byExt("cls").data,
+            java.nio.charset.StandardCharsets.US_ASCII).toLong
+          val img = byExt.get("ppm").map(e => PpmCodec.decode(e.data))
+          val chk = img.map { im =>
+            var acc = 7L
+            var i = 0
+            while (i < im.rgb.length) {
+              acc = (acc * 31L + (im.rgb(i) & 0xff)) % TextFns.P
+              i += 1
+            }
+            acc
+          }
+          (key, cls, text.split(" ").length.toLong, text,
+            img.map(_.width.toLong), img.map(_.height.toLong), chk)
+        }
+      }
+      .toDF("key", "cls", "n_tokens", "text", "width", "height",
+        "checksum")
+      .withColumn("text_md5", md5(col("text"))).drop("text")
+      .select("key", "cls", "n_tokens", "text_md5", "width", "height",
+        "checksum")
+      .orderBy("key")
+  }
+
+  /** User-facing shard reader over real `.tar` files: one row per
+    * regular-file member (shard path, member name, size, mtime,
+    * extension). Per-FILE parallelism, the WebDataset contract. */
+  def readTarShards(spark: SparkSession, dirGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .load(dirGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        graft.sources.TarCodec.parseEntries(bytes).map { e =>
+          val dot = e.name.lastIndexOf('.')
+          (p, e.name, e.size, e.mtime,
+            if (dot > 0) e.name.substring(dot + 1) else null)
+        }
+      }
+      .toDF("path", "name", "size", "mtime", "ext")
+  }
 }
