@@ -3405,6 +3405,20 @@ object OracleTwins {
        |  md5(text) AS text_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q244's twin — [[graft.engine.Crawl.wetRoundTrip]]: the q230 text
+    * law's columns (the emit→re-decode round trip must be invisible to
+    * the gate — emitted WET text ≡ extracted text, the same-oracle
+    * family as q239/q212). */
+  val wetRoundTrip: String =
+    s"""$crawlTextCte
+       |SELECT doc_id,
+       |  'https://h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com/p/' ||
+       |    CAST((doc_id * 47) % 1009 AS VARCHAR) AS url,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(nt + 10 AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
   /** q231's twin — [[graft.engine.Crawl.crawlHostStats]]: the same
     * generative text, aggregated at host grain (host = `h<id%53>`, the
     * URL formula's registrable part). */

@@ -480,6 +480,11 @@ object SparkEntry {
     // of seed members only: the container whose record-grain random
     // access is native to the wire ----
     "q243_zip_probe"               -> (Crawl.zipArchiveProbe _),
+    // ---- round 14: WET emission — the crawl surface gains its EMIT
+    // side: extracted text serialized as real conversion records
+    // (WARC envelope + gzip member framing) and read back through the
+    // hand-rolled decode; gate columns are the q230 text law's ----
+    "q244_wet_roundtrip"           -> (Crawl.wetRoundTrip _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -785,6 +790,7 @@ object SparkEntry {
     "q241_crawl_frontier" -> OracleTwins.crawlFrontier,
     "q242_tar_shard_samples" -> OracleTwins.tarShardSamples,
     "q243_zip_probe" -> OracleTwins.zipArchiveProbe,
+    "q244_wet_roundtrip" -> OracleTwins.wetRoundTrip,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

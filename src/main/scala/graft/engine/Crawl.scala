@@ -1174,6 +1174,96 @@ object Crawl {
       .orderBy("urlkey", "path", "seq")
   }
 
+  // ------------------------------------------------ WET emission (r14)
+
+  /** One document's WET conversion record as `.warc.wet.gz` member
+    * bytes — the Common Crawl convention for distributing EXTRACTED
+    * text next to the raw captures: a `WARC-Type: conversion` record
+    * whose block is the plain text, `WARC-Refers-To` naming the source
+    * capture. The record id carries the doc id (real WET stamps a
+    * urn:uuid here; a deterministic urn keeps the round trip
+    * twin-restatable). gzip level rotates 0–9 so stored/fixed/dynamic
+    * DEFLATE blocks all occur on the emitted wire. */
+  private[graft] def wetMember(id: Long, uri: String,
+      text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val rec = WarcCodec.writeRecord("conversion", Seq(
+      "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+      "WARC-Refers-To" -> s"<urn:graft:capture:$id>",
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "text/plain"), body)
+    WarcCodec.gzipMember(rec, level = (id % 10).toInt)
+  }
+
+  /** q244: WET round trip — the EMIT side of the crawl surface (the
+    * engine could previously only read archives). Each document's
+    * extracted text ([[parsedDocs]], the full q230 decode chain) is
+    * serialized as a real WET conversion member
+    * ([[WarcCodec.writeRecord]] envelope + [[WarcCodec.gzipMember]]
+    * framing) and read BACK through the hand-rolled inflate + WARC
+    * parse; the gate columns are the q230 text law's, so a defect in
+    * either direction — a mis-counted Content-Length, a broken gzip
+    * trailer, an envelope the parser can't round-trip — flips
+    * `md5(text)` or fails loudly.
+    *
+    * Scale shape: map-only over documents (decode → emit → re-decode
+    * inside one row's computation); the real-file form is
+    * [[writeWetArchives]] (shard-grouped files on disk). */
+  def wetRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parsedDocs(spark, dir)
+      .mapPartitions(_.map { d =>
+        val wire = wetMember(d.doc_id, d.url, d.text)
+        val recs = WarcCodec.gunzipMembers(wire)
+          .flatMap(WarcCodec.parseRecords)
+        require(recs.length == 1 && recs.head.warcType == "conversion",
+          s"doc ${d.doc_id}: expected one conversion record")
+        val rec = recs.head
+        val id = rec.header("WARC-Record-ID")
+          .getOrElse(sys.error(s"doc ${d.doc_id}: no record id"))
+          .stripPrefix("<urn:graft:doc:").stripSuffix(">").toLong
+        require(id == d.doc_id, s"record id $id != doc ${d.doc_id}")
+        (id, rec.header("WARC-Target-URI").getOrElse(""),
+          new String(rec.block, java.nio.charset.StandardCharsets.UTF_8))
+      }).toDF("doc_id", "url", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  /** Docs per emitted WET archive file. */
+  val WET_SHARD_MOD: Long = 16L
+
+  /** Real-file WET emission: the corpus's extracted text lands as
+    * [[WET_SHARD_MOD]] multi-member `.warc.wet.gz` archives under
+    * `outDir` (one gzip member per conversion record, docs ascending
+    * within a shard — the Common Crawl layout). WarcSpec reads the
+    * files back through [[readWarcArchives]] and pins record counts,
+    * types, and text equality. */
+  def writeWetArchives(spark: SparkSession, dir: String,
+      outDir: String): Unit = {
+    import spark.implicits._
+    parsedDocs(spark, dir)
+      .groupByKey(_.doc_id % WET_SHARD_MOD)
+      .mapGroups { (shard, it) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        it.toArray.sortBy(_.doc_id).foreach { d =>
+          bos.write(wetMember(d.doc_id, d.url, d.text))
+        }
+        (shard, bos.toByteArray)
+      }
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        it.foreach { case (shard, bytes) =>
+          val p = java.nio.file.Paths.get(outDir,
+            f"graft-$shard%05d.warc.wet.gz")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, bytes)
+        }
+      }
+  }
+
   // ------------------------------------------- ZIP document dumps (r14)
 
   /** Docs per ZIP archive — the tar-shard grouping's sibling. */
@@ -1258,10 +1348,11 @@ object Crawl {
     * undebuggable. WarcSpec drives both modes over real files on
     * disk. */
   def readWarcArchives(spark: SparkSession, dirGlob: String,
-      permissive: Boolean = false): DataFrame = {
+      permissive: Boolean = false,
+      glob: String = "*.warc.gz"): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc.gz")
+      .option("pathGlobFilter", glob)
       .load(dirGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
