@@ -3639,6 +3639,49 @@ object OracleTwins {
        |  CASE WHEN doc_id % 31 = 5 THEN md5(text) END AS text_md5
        |FROM t ORDER BY name""".stripMargin
 
+  /** q245's twin — [[graft.engine.Crawl.frontierSchedule]]: q241's
+    * frontier with each host's Crawl-delay (h%7+1 by the corpus
+    * formula) pacing its waves. The twin never parses robots.txt —
+    * a delay mis-scoped to the wrong group (the decoy or `*` group
+    * declare none) or mis-parsed flips every fetch_at_s cell of that
+    * host. */
+  val frontierSchedule: String =
+    s"""$sitemapCte,
+       |cand AS (
+       |  SELECT h, m,
+       |    'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       |    '/p/' || CAST(m AS VARCHAR) AS path,
+       |    CAST(m AS VARCHAR) AS ns,
+       |    CASE WHEN k % 4 = 2 THEN NULL
+       |         ELSE (((h + 2 * k + c) % 10)::DOUBLE) / (10.0::DOUBLE)
+       |    END AS priority
+       |  FROM e),
+       |seen AS (
+       |  SELECT DISTINCT doc_id % 53 AS h, (doc_id * 47) % 1009 AS m
+       |  FROM documents),
+       |fresh AS (
+       |  SELECT ca.host AS host, ca.path AS path, ca.ns AS ns,
+       |         ca.priority AS priority, ca.h AS h
+       |  FROM cand ca
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM seen s WHERE s.h = ca.h AND s.m = ca.m)),
+       |ok AS (
+       |  SELECT host, path, priority, h,
+       |    coalesce(priority, 0.5) AS prio_eff
+       |  FROM fresh
+       |  WHERE NOT (starts_with(ns, CAST(h % 10 AS VARCHAR))
+       |    AND NOT starts_with(ns,
+       |      CAST(h % 10 AS VARCHAR) || CAST(h % 7 AS VARCHAR)))),
+       |w AS (
+       |  SELECT host, path, priority, h,
+       |    (row_number() OVER (PARTITION BY host
+       |       ORDER BY prio_eff DESC, path) - 1)
+       |      // ${engine.Crawl.PER_HOST_FETCH_BUDGET} AS wave
+       |  FROM ok)
+       |SELECT host, path, priority, CAST(wave AS BIGINT) AS wave,
+       |  CAST(wave * (h % 7 + 1) AS BIGINT) AS fetch_at_s
+       |FROM w ORDER BY host, wave, path""".stripMargin
+
   /** q235's twin — [[graft.engine.Crawl.crawlCuration]]: the extracted
     * text regenerated arithmetically, then the SAME SQL text algebra
     * the q24/q44 twins use (whitespace split, stopword filter, the

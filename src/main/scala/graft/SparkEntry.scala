@@ -485,6 +485,10 @@ object SparkEntry {
     // (WARC envelope + gzip member framing) and read back through the
     // hand-rolled decode; gate columns are the q230 text law's ----
     "q244_wet_roundtrip"           -> (Crawl.wetRoundTrip _),
+    // ---- round 14: the frontier SCHEDULE — q241's politeness waves
+    // paced by each host's Crawl-delay (surfaced from robots.txt, the
+    // de-facto extension real fleets honor) into fetch times ----
+    "q245_frontier_schedule"       -> (Crawl.frontierSchedule _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -791,6 +795,7 @@ object SparkEntry {
     "q242_tar_shard_samples" -> OracleTwins.tarShardSamples,
     "q243_zip_probe" -> OracleTwins.zipArchiveProbe,
     "q244_wet_roundtrip" -> OracleTwins.wetRoundTrip,
+    "q245_frontier_schedule" -> OracleTwins.frontierSchedule,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -342,7 +342,7 @@ object Crawl {
        |USER-AGENT: graftbot
        |Allow: /p/$d$e
        |Disallow: /p/$d
-       |Crawl-delay: 5
+       |Crawl-delay: ${h % 7 + 1}
        |Sitemap: https://${host(h)}/sitemap.xml
        |
        |User-agent: *
@@ -630,7 +630,12 @@ object Crawl {
     * the gate as the q234 prefix algebra, and the wave as the same
     * window — rank totality is guaranteed by per-host path
     * distinctness ([[sitemapPathNum]]). */
-  def crawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+  def crawlFrontier(spark: SparkSession, dir: String): DataFrame =
+    frontierRows(spark, dir).orderBy("host", "wave", "path")
+
+  /** The frontier relation without the verify ordering — shared by
+    * q241 and the q245 schedule. */
+  private def frontierRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val disc = sitemapDiscover(spark, dir)
       .withColumn("path",
@@ -653,9 +658,32 @@ object Crawl {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host")
       .orderBy(coalesce(col("priority"), lit(0.5)).desc, col("path"))
-    allowed
-      .withColumn("wave",
-        ((row_number().over(w) - 1) / PER_HOST_FETCH_BUDGET).cast("long"))
+    allowed.withColumn("wave",
+      ((row_number().over(w) - 1) / PER_HOST_FETCH_BUDGET).cast("long"))
+  }
+
+  /** Fallback politeness delay when a host declares no Crawl-delay —
+    * part of the schedule's contract (restated in the twin). */
+  val DEFAULT_CRAWL_DELAY_S: Long = 2L
+
+  /** q245: the frontier SCHEDULE — the q241 waves turned into fetch
+    * times: each host's `Crawl-delay` (a de-facto robots extension the
+    * parser now surfaces; the corpus varies it per host) paces that
+    * host's waves, `fetch_at_s = wave × delay` with
+    * [[DEFAULT_CRAWL_DELAY_S]] when undeclared. The delay map is the
+    * same broadcast control-plane state as the gate's rules — one more
+    * map-side column, zero extra shuffles over q241. */
+  def frontierSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      parsedRuleSets().map { case (h, r) => h -> r.crawlDelay("graftbot") })
+    frontierRows(spark, dir)
+      .as[(String, String, Option[Double], Long)]
+      .mapPartitions(_.map { case (hst, pth, prio, wave) =>
+        val delay = bc.value(hst).map(_.toLong)
+          .getOrElse(DEFAULT_CRAWL_DELAY_S)
+        (hst, pth, prio, wave, wave * delay)
+      }).toDF("host", "path", "priority", "wave", "fetch_at_s")
       .orderBy("host", "wave", "path")
   }
 

@@ -22,7 +22,8 @@ object RobotsTxt {
 
   final case class Rule(allow: Boolean, pattern: String)
 
-  final case class Group(agents: Vector[String], rules: Vector[Rule])
+  final case class Group(agents: Vector[String], rules: Vector[Rule],
+      crawlDelay: Option[Double] = None)
 
   final case class Rules(groups: Vector[Group]) {
 
@@ -33,7 +34,7 @@ object RobotsTxt {
       * (ADVICE r13). With no named match, the union of all `*` groups'
       * rules applies; with no `*` group either, there are no governing
       * rules (allow everything). */
-    private def rulesFor(agent: String): Option[Vector[Rule]] = {
+    private def governing(agent: String): Option[Vector[Group]] = {
       val a = agent.toLowerCase(java.util.Locale.ROOT)
       val named = groups.flatMap { g =>
         g.agents.filter(t => t != "*" && a.startsWith(t))
@@ -41,13 +42,26 @@ object RobotsTxt {
       }
       if (named.nonEmpty) {
         val best = named.map(_._1).max
-        Some(named.collect { case (len, g) if len == best => g }
-          .distinct.flatMap(_.rules))
+        Some(named.collect { case (len, g) if len == best => g }.distinct)
       } else {
         val wild = groups.filter(_.agents.contains("*"))
-        if (wild.nonEmpty) Some(wild.flatMap(_.rules)) else None
+        if (wild.nonEmpty) Some(wild) else None
       }
     }
+
+    private def rulesFor(agent: String): Option[Vector[Rule]] =
+      governing(agent).map(_.flatMap(_.rules))
+
+    /** The `Crawl-delay` governing `agent` (a de-facto extension, not
+      * RFC 9309 — parsed because real fleets honor it): the MAX over
+      * the governing groups' declared delays (the conservative read
+      * when merged groups disagree); None when no governing group
+      * declares one. */
+    def crawlDelay(agent: String): Option[Double] =
+      governing(agent).flatMap { gs =>
+        val ds = gs.flatMap(_.crawlDelay)
+        if (ds.isEmpty) None else Some(ds.max)
+      }
 
     /** The resolved rule list governing `agent` — group selection and
       * merging applied, patterns untouched. Empty when no group governs
@@ -117,10 +131,11 @@ object RobotsTxt {
     val groups = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay: Option[Double] = None
     var inAgents = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None
     }
     text.split("\n", -1).foreach { raw =>
       val line = raw.stripSuffix("\r")
@@ -146,7 +161,12 @@ object RobotsTxt {
             // empty Disallow = no rule (allow everything)
             if (agents.nonEmpty && value.nonEmpty)
               rules :+= Rule(allow = false, value)
-          case _ => () // sitemap, crawl-delay, unknown: inert
+          case "crawl-delay" =>
+            inAgents = false
+            // non-numeric values are inert (tolerance, like unknowns)
+            if (agents.nonEmpty)
+              delay = value.toDoubleOption.orElse(delay)
+          case _ => () // sitemap, unknown: inert
         }
       }
     }

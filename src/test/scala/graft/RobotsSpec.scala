@@ -143,4 +143,47 @@ class RobotsSpec extends SparkSpecBase {
     val j = Crawl.robotsGateJoined(spark, sf).collect().toSeq
     assert(b.nonEmpty && b == j)
   }
+
+  test("crawl-delay: group-scoped, merged-max, non-numeric inert, absent -> None") {
+    val r = RobotsTxt.parse(
+      """User-agent: bot
+        |Crawl-delay: 3
+        |Disallow: /x
+        |
+        |User-agent: bot
+        |Crawl-delay: 7.5
+        |
+        |User-agent: other
+        |Crawl-delay: 99
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin)
+    // both 'bot' groups govern (equal-length match): max of their delays
+    assert(r.crawlDelay("bot").contains(7.5))
+    // the wildcard group declares none
+    assert(r.crawlDelay("randombot").isEmpty)
+    // the decoy group's 99 never leaks to bot
+    assert(!r.crawlDelay("bot").contains(99.0))
+    val bad = RobotsTxt.parse(
+      "User-agent: bot\nCrawl-delay: fast\nDisallow: /x\n")
+    assert(bad.crawlDelay("bot").isEmpty) // non-numeric: inert
+    val none = RobotsTxt.parse("User-agent: bot\nDisallow: /x\n")
+    assert(none.crawlDelay("bot").isEmpty)
+    // the q234 corpus: graftbot's delay is the h%7+1 formula, and the
+    // decoy/wildcard groups never contribute
+    for (h <- Seq(0L, 6L, 13L, 52L))
+      assert(RobotsTxt.parse(Crawl.robotsText(h))
+        .crawlDelay("graftbot").contains((h % 7 + 1).toDouble), s"h=$h")
+  }
+
+  test("frontier schedule: fetch_at_s = wave * host delay; wave 0 fetches now") {
+    val rows = Crawl.frontierSchedule(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getString(0).drop(1).takeWhile(_.isDigit).toLong
+      assert(r.getLong(4) == r.getLong(3) * (h % 7 + 1), r.toString)
+    }
+    assert(rows.filter(_.getLong(3) == 0L).forall(_.getLong(4) == 0L))
+  }
 }
