@@ -286,6 +286,12 @@ object Sitemaps {
           val end = s.indexOf("]]>", pos + 9)
           require(end >= 0, "unterminated CDATA section")
           pos = end + 3
+        } else if (s.startsWith("<?", pos)) {
+          // a PI inside an extension is not an element — skipping it as
+          // one would corrupt the depth count
+          val end = s.indexOf("?>", pos + 2)
+          require(end >= 0, "unterminated processing instruction")
+          pos = end + 2
         } else if (s.startsWith("<!--", pos)) {
           val end = s.indexOf("-->", pos + 4)
           require(end >= 0, "unterminated comment")

@@ -130,6 +130,8 @@ object TarCodec {
         val prefix = str(bytes, off + 345, 155)
         val name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
         val size = octal(bytes, off + 124, 12, s"size of $name")
+        if (size > Int.MaxValue - 2L * BLOCK)
+          fail(s"$name: size $size exceeds this reader's in-memory bound")
         val mtime = octal(bytes, off + 136, 12, s"mtime of $name")
         val tf = bytes(off + 156)
         val dataBlocks = ((size + BLOCK - 1) / BLOCK).toInt

@@ -472,4 +472,59 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!j.contains("BroadcastHashJoin"),
       "the joined form exists for the regime where rules cannot broadcast")
   }
+
+  test("frontier (q241): one anti-join, host-partitioned window, two corpus scans") {
+    val df = graft.engine.Crawl.crawlFrontier(spark, sf)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // the seen-before subtraction is ONE anti-join; the robots gate is
+    // map-side (broadcast rules) and must not appear as a join
+    val joins = nodes.filter(n => n.nodeName.contains("Join"))
+    assert(joins.size == 1, s"expected one (anti) join, got: " +
+      joins.map(_.nodeName).mkString(", "))
+    assert(joins.head.toString.contains("LeftAnti"),
+      "the seen-before subtraction must plan as a left-anti join")
+    // the politeness window is per-host — bounded by the host's sitemap
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(
+      _.partitionSpec.exists(_.toString.contains("host"))),
+      "the wave rank must partition by host")
+    // discovery + seen read the corpus once each — no third scan
+    val scans = nodes.count(n =>
+      n.nodeName.contains("Scan") && n.toString.contains("documents"))
+    assert(scans <= 2, s"frontier must not re-scan the corpus: $scans scans")
+  }
+
+  test("container ingests (q242/q243) are one scan, one shard exchange, no joins") {
+    for (df <- Seq(graft.multimodal.Multimodal.tarShardSamples(spark, sf),
+        graft.engine.Crawl.zipArchiveProbe(spark, sf))) {
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.nodeName.contains("Join")),
+        "sample grouping must stay map-side (the file IS the row)")
+      val hashEx = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashEx.size == 1,
+        s"exactly the shard-assembly shuffle expected, got: " +
+          hashEx.map(_.outputPartitioning.toString).mkString(" ;; "))
+    }
+  }
+
+  test("WET round trip (q244) is map-only: no hash exchange, no join") {
+    val df = graft.engine.Crawl.wetRoundTrip(spark, sf)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Join")))
+    assert(!nodes.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }, "emit -> re-decode must happen inside one row's computation")
+  }
 }
