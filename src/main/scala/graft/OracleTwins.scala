@@ -3682,6 +3682,38 @@ object OracleTwins {
        |  CAST(wave * (h % 7 + 1) AS BIGINT) AS fetch_at_s
        |FROM w ORDER BY host, wave, path""".stripMargin
 
+  /** q246's twin — [[graft.engine.Crawl.recrawlDue]]: the discovered
+    * lastmod dates and the per-URL LATEST capture date (the WARC-Date
+    * formula, Jan by construction while lastmod spans Jan–Sep) joined
+    * and compared as ISO date strings. The twin never mentions the
+    * archive wire — Spark must read each capture's WARC-Date through
+    * the real decode, so a header-read defect, a lost latest-capture
+    * reduction, or an off-by-one date slice flips `due` cells. */
+  val recrawlDue: String =
+    s"""$sitemapCte,
+       |disc AS (
+       |  SELECT h, m,
+       |    'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       |    '/p/' || CAST(m AS VARCHAR) AS path,
+       |    '2026-' || lpad(CAST(h % 9 + 1 AS VARCHAR), 2, '0') || '-' ||
+       |      lpad(CAST((k * 3 + c) % 28 + 1 AS VARCHAR), 2, '0')
+       |      AS lastmod_date
+       |  FROM e),
+       |caps AS (
+       |  SELECT doc_id % 53 AS h, (doc_id * 47) % 1009 AS m,
+       |    '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       |      AS cap
+       |  FROM documents),
+       |last AS (
+       |  SELECT h, m, max(cap) AS last_capture FROM caps GROUP BY h, m),
+       |j AS (
+       |  SELECT d.host AS host, d.path AS path,
+       |    l.last_capture AS last_capture, d.lastmod_date AS lastmod_date
+       |  FROM disc d JOIN last l ON d.h = l.h AND d.m = l.m)
+       |SELECT host, path, last_capture, lastmod_date,
+       |  (lastmod_date > last_capture) AS due
+       |FROM j ORDER BY host, path""".stripMargin
+
   /** q235's twin — [[graft.engine.Crawl.crawlCuration]]: the extracted
     * text regenerated arithmetically, then the SAME SQL text algebra
     * the q24/q44 twins use (whitespace split, stopword filter, the

@@ -489,6 +489,10 @@ object SparkEntry {
     // paced by each host's Crawl-delay (surfaced from robots.txt, the
     // de-facto extension real fleets honor) into fetch times ----
     "q245_frontier_schedule"       -> (Crawl.frontierSchedule _),
+    // ---- round 14: recrawl-due — the frontier's other half: seen URLs
+    // whose sitemap lastmod is strictly newer than their LATEST
+    // capture's WARC-Date (read through the real archive decode) ----
+    "q246_recrawl_due"             -> (Crawl.recrawlDue _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -796,6 +800,7 @@ object SparkEntry {
     "q243_zip_probe" -> OracleTwins.zipArchiveProbe,
     "q244_wet_roundtrip" -> OracleTwins.wetRoundTrip,
     "q245_frontier_schedule" -> OracleTwins.frontierSchedule,
+    "q246_recrawl_due" -> OracleTwins.recrawlDue,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -687,6 +687,47 @@ object Crawl {
       .orderBy("host", "wave", "path")
   }
 
+  /** q246: recrawl-due — the frontier's other half. q241 fetches URLs
+    * never captured; this re-fetches STALE ones: for every discovered
+    * URL that HAS been captured, compare the sitemap `<lastmod>`
+    * against the capture's `WARC-Date` (read through the real archive
+    * decode — gzip → WARC envelope → header) and mark it due when the
+    * host published a strictly newer date. Dates compare as ISO-8601
+    * DATE strings (the first 10 chars — lexicographic order IS date
+    * order for this form; a same-day touch is NOT due), and a URL
+    * captured more than once is governed by its LATEST capture.
+    *
+    * Scale shape: the capture-date read is the map-only decode chain;
+    * the latest-capture reduction is a map-side-combined aggregate on
+    * (host, path); the sitemap side joins it host/path-keyed (AQE
+    * broadcasts the measured-small discovery side at demo scale). */
+  def recrawlDue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val disc = sitemapDiscover(spark, dir)
+      .withColumn("path",
+        substring_index(expr("substring(loc, 9 + length(host))"), "?", 1))
+      .withColumn("lastmod_date", substring(col("lastmod"), 1, 10))
+      .select("host", "path", "lastmod_date")
+    val caps = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val recs = WarcCodec.gunzipMembers(synthWarcGz(id, nc))
+          .flatMap(WarcCodec.parseRecords)
+        val resp = recs.find(r => r.warcType == "response" &&
+          WarcCodec.parseHttpResponse(r.block).status == 200)
+          .getOrElse(sys.error(s"doc $id: no 200 capture"))
+        val date = resp.header("WARC-Date")
+          .getOrElse(sys.error(s"doc $id: no WARC-Date")).take(10)
+        (host(id), path(id), date)
+      }).toDF("host", "path", "cap")
+    val last = caps.groupBy("host", "path")
+      .agg(max("cap").as("last_capture"))
+    disc.join(last, Seq("host", "path"))
+      .withColumn("due", col("lastmod_date") > col("last_capture"))
+      .select("host", "path", "last_capture", "lastmod_date", "due")
+      .orderBy("host", "path")
+  }
+
   // ---------------------------------------------- crawl → curation
 
   /** q235's corpus: the q230 archive machinery with ENGLISH-ISH tokens —

@@ -170,4 +170,26 @@ class SitemapSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     rows.foreach(r => assert(disc.contains((r.getString(0), r.getString(1)))))
   }
+
+  test("recrawl-due: strict ISO-date comparison over discovered ∩ seen") {
+    // sf0.001's 50 docs rarely intersect the discovery set — use the
+    // 500-doc slice where both branches of `due` are populated
+    val dir = "/root/testdata/sf0.01"
+    val rows = Crawl.recrawlDue(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "corpus must exercise both due branches (incl. the same-day tie)")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getString(3) > r.getString(2)))
+      assert(r.getString(2).startsWith("2026-01-"),
+        "captures are January by the corpus formula")
+    }
+    // every row's path was actually captured (it is in the seen set)
+    val seen = engine.Tables.documents(spark, dir)
+      .selectExpr("concat('h', doc_id % 53, '.example.com') AS host",
+        "concat('/p/', (doc_id * 47) % 1009) AS path")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    rows.foreach(r => assert(seen.contains((r.getString(0), r.getString(1)))))
+  }
 }
