@@ -493,6 +493,13 @@ object SparkEntry {
     // whose sitemap lastmod is strictly newer than their LATEST
     // capture's WARC-Date (read through the real archive decode) ----
     "q246_recrawl_due"             -> (Crawl.recrawlDue _),
+    // ---- round 14: discovery via robots.txt Sitemap lines — the real
+    // frontier's entry point; same oracle as q240 ----
+    "q247_sitemap_via_robots"      -> (Crawl.sitemapDiscoverViaRobots _),
+    // ---- round 14: tar reshard — loader-parallelism resharding of
+    // WebDataset corpora through the real ustar writer; same oracle as
+    // q242 (resharding must be invisible to the sample set) ----
+    "q248_tar_reshard"             -> (graft.multimodal.Multimodal.tarReshard _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -801,6 +808,10 @@ object SparkEntry {
     "q244_wet_roundtrip" -> OracleTwins.wetRoundTrip,
     "q245_frontier_schedule" -> OracleTwins.frontierSchedule,
     "q246_recrawl_due" -> OracleTwins.recrawlDue,
+    // q247 shares q240's oracle STRING; q248 shares q242's (the
+    // q41/q112 device: one semantics, two execution paths, one oracle)
+    "q247_sitemap_via_robots" -> OracleTwins.sitemapDiscover,
+    "q248_tar_reshard" -> OracleTwins.tarShardSamples,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -588,18 +588,57 @@ object Crawl {
     * verify wrapper. */
   def sitemapDiscover(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hosts = Tables.documents(spark, dir)
+    corpusHosts(spark, dir).mapPartitions(_.flatMap { h =>
+      discoverHost(h, Seq(s"https://${host(h)}/sitemap.xml"))
+    }).toDF("host", "sitemap", "loc", "lastmod", "changefreq", "priority")
+      .orderBy("host", "loc")
+  }
+
+  private def corpusHosts(spark: SparkSession, dir: String)
+      : Dataset[Long] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
       .select((col("doc_id") % 53).as("h")).distinct().as[Long]
-    hosts.mapPartitions(_.flatMap { h =>
-      val idx = graft.sources.Sitemaps.parse(fetchSitemap(h, s"https://${host(h)}/sitemap.xml"))
-      require(idx.kind == "sitemapindex", s"host $h: root is not an index")
-      idx.entries.iterator.flatMap { child =>
-        val doc = graft.sources.Sitemaps.parse(fetchSitemap(h, child.loc))
-        require(doc.kind == "urlset", s"host $h: ${child.loc} is not a urlset")
+  }
+
+  /** Walk one host's sitemap roots: a root may be a urlset directly or
+    * a sitemapindex whose children are fetched BY THE PARSED LOCS —
+    * both shapes the protocol allows. */
+  private def discoverHost(h: Long, roots: Seq[String]): Iterator[
+      (String, String, String, Option[String], Option[String],
+        Option[Double])] =
+    roots.iterator.flatMap { root =>
+      val doc = graft.sources.Sitemaps.parse(fetchSitemap(h, root))
+      if (doc.kind == "urlset")
         doc.entries.iterator.map { e =>
-          (host(h), child.loc, e.loc, e.lastmod, e.changefreq, e.priority)
+          (host(h), root, e.loc, e.lastmod, e.changefreq, e.priority)
         }
-      }
+      else
+        doc.entries.iterator.flatMap { child =>
+          val cd = graft.sources.Sitemaps.parse(fetchSitemap(h, child.loc))
+          require(cd.kind == "urlset",
+            s"host $h: ${child.loc} is not a urlset")
+          cd.entries.iterator.map { e =>
+            (host(h), child.loc, e.loc, e.lastmod, e.changefreq, e.priority)
+          }
+        }
+    }
+
+  /** q247: discovery STARTING FROM robots.txt — the entry point a real
+    * frontier actually has: each host's `Sitemap:` lines (surfaced by
+    * [[graft.sources.RobotsTxt]]; file-scoped per the protocol, never
+    * group-scoped) name the roots, and the walk proceeds exactly as
+    * [[sitemapDiscover]]. Gated by q240's ORACLE STRING (the q41/q112
+    * device): the two entry points must be indistinguishable — a
+    * Sitemap line mis-parsed, group-swallowed, or dropped loses that
+    * host's rows and flips the shared hash. */
+  def sitemapDiscoverViaRobots(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    corpusHosts(spark, dir).mapPartitions(_.flatMap { h =>
+      val roots = graft.sources.RobotsTxt.parse(robotsText(h)).sitemaps
+      require(roots.nonEmpty, s"host $h: robots.txt declares no sitemap")
+      discoverHost(h, roots)
     }).toDF("host", "sitemap", "loc", "lastmod", "changefreq", "priority")
       .orderBy("host", "loc")
   }

@@ -1151,48 +1151,102 @@ object Multimodal {
     * write → parse → group → decode chain. */
   def tarShardSamples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    val samples = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .groupByKey(_._1 % TAR_SHARD_MOD)
       .mapGroups { (_, it) => buildShardTar(it.toArray) }
-      .flatMap { bytes =>
-        val entries = graft.sources.TarCodec.parseEntries(bytes)
-        entries.groupBy { e =>
-          val dot = e.name.lastIndexOf('.')
-          require(dot > 0, s"member ${e.name} has no extension")
-          e.name.substring(0, dot)
-        }.iterator.map { case (key, members) =>
-          val byExt = members.map { e =>
-            e.name.substring(e.name.lastIndexOf('.') + 1) -> e
-          }.toMap
-          require(byExt.size == members.size,
-            s"sample $key has duplicate extensions")
-          byExt.keySet.diff(Set("txt", "cls", "ppm")).foreach(x =>
-            sys.error(s"sample $key has unknown member .$x"))
-          val text = new String(byExt("txt").data,
-            java.nio.charset.StandardCharsets.UTF_8)
-          val cls = new String(byExt("cls").data,
-            java.nio.charset.StandardCharsets.US_ASCII).toLong
-          val img = byExt.get("ppm").map(e => PpmCodec.decode(e.data))
-          val chk = img.map { im =>
-            var acc = 7L
-            var i = 0
-            while (i < im.rgb.length) {
-              acc = (acc * 31L + (im.rgb(i) & 0xff)) % TextFns.P
-              i += 1
-            }
-            acc
-          }
-          (key, cls, text.split(" ").length.toLong, text,
-            img.map(_.width.toLong), img.map(_.height.toLong), chk)
+      .flatMap(samplesFromTar _)
+    sampleGate(samples)
+  }
+
+  /** Parse one shard's tar bytes and group its members into samples —
+    * shared by q242 and the q248 reshard (the file IS the row: the
+    * grouping happens inside one row's computation). */
+  private[graft] def samplesFromTar(bytes: Array[Byte])
+      : Iterator[(String, Long, Long, String,
+          Option[Long], Option[Long], Option[Long])] = {
+    val entries = graft.sources.TarCodec.parseEntries(bytes)
+    entries.groupBy { e =>
+      val dot = e.name.lastIndexOf('.')
+      require(dot > 0, s"member ${e.name} has no extension")
+      e.name.substring(0, dot)
+    }.iterator.map { case (key, members) =>
+      val byExt = members.map { e =>
+        e.name.substring(e.name.lastIndexOf('.') + 1) -> e
+      }.toMap
+      require(byExt.size == members.size,
+        s"sample $key has duplicate extensions")
+      byExt.keySet.diff(Set("txt", "cls", "ppm")).foreach(x =>
+        sys.error(s"sample $key has unknown member .$x"))
+      val text = new String(byExt("txt").data,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val cls = new String(byExt("cls").data,
+        java.nio.charset.StandardCharsets.US_ASCII).toLong
+      val img = byExt.get("ppm").map(e => PpmCodec.decode(e.data))
+      val chk = img.map { im =>
+        var acc = 7L
+        var i = 0
+        while (i < im.rgb.length) {
+          acc = (acc * 31L + (im.rgb(i) & 0xff)) % TextFns.P
+          i += 1
         }
+        acc
       }
+      (key, cls, text.split(" ").length.toLong, text,
+        img.map(_.width.toLong), img.map(_.height.toLong), chk)
+    }
+  }
+
+  /** The q242 gate projection over extracted samples. */
+  private def sampleGate(samples: Dataset[(String, Long, Long, String,
+      Option[Long], Option[Long], Option[Long])]): DataFrame =
+    samples
       .toDF("key", "cls", "n_tokens", "text", "width", "height",
         "checksum")
       .withColumn("text_md5", md5(col("text"))).drop("text")
       .select("key", "cls", "n_tokens", "text_md5", "width", "height",
         "checksum")
       .orderBy("key")
+
+  /** Shard count after the q248 reshard. */
+  val TAR_RESHARD_MOD: Int = 16
+
+  /** q248: tar shard RESHARD — the loader-parallelism operation real
+    * training pipelines run on WebDataset corpora: existing shards are
+    * parsed, members regrouped by sample key into
+    * [[TAR_RESHARD_MOD]] new shards (key-hash assignment, members of a
+    * sample kept adjacent, keys ascending within a shard), REPACKED
+    * through the real ustar writer, and the final sample extraction
+    * runs over the repacked wire. Gated by q242's ORACLE STRING (the
+    * q41/q112 device): resharding must be invisible to the sample
+    * set — a member lost in repack, a split sample, or a writer
+    * defect (checksum, padding, prefix split) flips the shared hash.
+    *
+    * Scale shape: two shuffles total — the original shard assembly and
+    * the member regroup (member-grain rows: name/mtime/payload). The
+    * repack and the decode are map-side. */
+  def tarReshard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TarCodec
+    val members = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .groupByKey(_._1 % TAR_SHARD_MOD)
+      .mapGroups { (_, it) => buildShardTar(it.toArray) }
+      .flatMap { bytes =>
+        TarCodec.parseEntries(bytes).map(e => (e.name, e.mtime, e.data))
+      }
+    val resharded = members
+      .groupByKey { case (name, _, _) =>
+        val key = name.substring(0, name.lastIndexOf('.'))
+        math.floorMod(key.hashCode, TAR_RESHARD_MOD)
+      }
+      .mapGroups { (_, it) =>
+        val ms = it.toArray.sortBy(m => (m._1: String))
+        TarCodec.write(ms.toIndexedSeq.map { case (name, mtime, data) =>
+          TarCodec.TarMember(name, mtime, data)
+        })
+      }
+    sampleGate(resharded.flatMap(samplesFromTar _))
   }
 
   /** User-facing shard reader over real `.tar` files: one row per

@@ -25,7 +25,8 @@ object RobotsTxt {
   final case class Group(agents: Vector[String], rules: Vector[Rule],
       crawlDelay: Option[Double] = None)
 
-  final case class Rules(groups: Vector[Group]) {
+  final case class Rules(groups: Vector[Group],
+      sitemaps: Vector[String] = Vector.empty) {
 
     /** The rules governing `agent`: RFC 9309 §2.2.1 requires MERGING
       * the rules of every group whose matching user-agent token ties
@@ -132,6 +133,7 @@ object RobotsTxt {
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
     var delay: Option[Double] = None
+    var sitemaps = Vector.empty[String]
     var inAgents = false
     def flush(): Unit = {
       if (agents.nonEmpty) groups += Group(agents, rules, delay)
@@ -166,11 +168,16 @@ object RobotsTxt {
             // non-numeric values are inert (tolerance, like unknowns)
             if (agents.nonEmpty)
               delay = value.toDoubleOption.orElse(delay)
-          case _ => () // sitemap, unknown: inert
+          case "sitemap" =>
+            // NOT group-scoped (per the sitemaps.org protocol the line
+            // applies to the whole file, wherever it appears) and not a
+            // group break either
+            if (value.nonEmpty) sitemaps :+= value
+          case _ => () // unknown: inert
         }
       }
     }
     flush()
-    Rules(groups.result())
+    Rules(groups.result(), sitemaps)
   }
 }

@@ -171,6 +171,26 @@ class SitemapSpec extends SparkSpecBase {
     rows.foreach(r => assert(disc.contains((r.getString(0), r.getString(1)))))
   }
 
+  test("discovery via robots.txt Sitemap lines ≡ direct discovery (q247 ≡ q240)") {
+    val direct = Crawl.sitemapDiscover(spark, sf).collect().toSeq
+    val via = Crawl.sitemapDiscoverViaRobots(spark, sf).collect().toSeq
+    assert(direct.nonEmpty && via == direct)
+    // Sitemap lines are FILE-scoped: one declared inside a group and
+    // one after it both surface, in file order; empty values drop
+    val r = graft.sources.RobotsTxt.parse(
+      """User-agent: bot
+        |Disallow: /x
+        |Sitemap: https://a.example/s1.xml
+        |
+        |Sitemap:
+        |Sitemap: https://a.example/s2.xml
+        |""".stripMargin)
+    assert(r.sitemaps ==
+      Vector("https://a.example/s1.xml", "https://a.example/s2.xml"))
+    // ...and the Sitemap line neither joins nor breaks the group
+    assert(!r.allowed("bot", "/x/1"))
+  }
+
   test("recrawl-due: strict ISO-date comparison over discovered ∩ seen") {
     // sf0.001's 50 docs rarely intersect the discovery set — use the
     // 500-doc slice where both branches of `due` are populated

@@ -110,6 +110,12 @@ class TarSpec extends SparkSpecBase {
     assert(rows.map(_.getString(4)).toSeq == Seq("cls", "txt", "txt"))
   }
 
+  test("reshard is invisible to the sample set (q248 ≡ q242)") {
+    val orig = Multimodal.tarShardSamples(spark, sf).collect().toSeq
+    val rs = Multimodal.tarReshard(spark, sf).collect().toSeq
+    assert(orig.nonEmpty && rs == orig)
+  }
+
   test("q242 grain: one row per document, image stats only on doc%3==0") {
     val df = Multimodal.tarShardSamples(spark, sf)
     val n = engine.Tables.documents(spark, sf).count()
