@@ -3616,6 +3616,22 @@ object OracleTwins {
        |SELECT host, path, priority, CAST(wave AS BIGINT) AS wave
        |FROM w ORDER BY host, wave, path""".stripMargin
 
+  /** q249's twin — [[graft.engine.Crawl.avroRoundTrip]]: the field
+    * formulas restated directly (é via chr(233); eighths are exact in
+    * doubles). Spark only reaches these values through the full OCF
+    * decode — header map, embedded JSON schema, zigzag varints,
+    * little-endian doubles, multi-byte UTF-8 lengths, deflate blocks,
+    * sync checks — so a wire defect anywhere flips rows. */
+  val avroRoundTrip: String =
+    s"""SELECT doc_id,
+       |  'Avro ' || CAST(doc_id AS VARCHAR) ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN ' ' || chr(233) || CAST(doc_id % 9 AS VARCHAR)
+       |      ELSE '' END AS title,
+       |  (((doc_id * 7) % 1000)::DOUBLE) / (8.0::DOUBLE) AS score,
+       |  (doc_id % 3 = 0) AS flag
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** q243's twin — [[graft.engine.Crawl.zipArchiveProbe]]: member
     * names, methods, uncompressed sizes and the seed rows' text hashes
     * regenerated arithmetically; compressed sizes are excluded (a

@@ -500,6 +500,10 @@ object SparkEntry {
     // WebDataset corpora through the real ustar writer; same oracle as
     // q242 (resharding must be invisible to the sample set) ----
     "q248_tar_reshard"             -> (graft.multimodal.Multimodal.tarReshard _),
+    // ---- round 14: Avro OCF round trip — the row-oriented interchange
+    // container, hand-rolled (the distribution has no spark-avro):
+    // embedded JSON schema, zigzag varints, deflate blocks, sync law ----
+    "q249_avro_roundtrip"          -> (Crawl.avroRoundTrip _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -812,6 +816,7 @@ object SparkEntry {
     // q41/q112 device: one semantics, two execution paths, one oracle)
     "q247_sitemap_via_robots" -> OracleTwins.sitemapDiscover,
     "q248_tar_reshard" -> OracleTwins.tarShardSamples,
+    "q249_avro_roundtrip" -> OracleTwins.avroRoundTrip,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -1372,6 +1372,79 @@ object Crawl {
       }
   }
 
+  // ------------------------------------------- Avro containers (r14)
+
+  /** Docs per Avro object container file. */
+  val AVRO_SHARD_MOD: Long = 16L
+
+  private[graft] def avroTitle(id: Long): String =
+    s"Avro $id" + (if (id % 5 == 0) s" é${id % 9}" else "")
+
+  /** q249: Avro OCF round trip — the row-oriented interchange
+    * container, hand-rolled ([[graft.sources.AvroCodec]]: the
+    * distribution ships avro-core but not the spark-avro source).
+    * Documents land as [[AVRO_SHARD_MOD]] container files — embedded
+    * JSON schema, zigzag varints, little-endian doubles, UTF-8
+    * strings (an é arm exercises multi-byte lengths), 7-row blocks
+    * (multi-block files), deflate codec on odd shards and null on
+    * even, per-shard sync markers — and parse back through the full
+    * header → schema → block → value decode. The twin restates the
+    * field formulas and never mentions the wire: a varint defect, a
+    * wrong-endian double, a codec mix-up, or a lost block flips rows.
+    *
+    * Scale shape: the container-file map-side law again (one shard
+    * assembly shuffle; write → parse inside one row's computation). */
+  def avroRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.AvroCodec
+    val fields = Vector(
+      AvroCodec.AvroField("doc_id", "long"),
+      AvroCodec.AvroField("title", "string"),
+      AvroCodec.AvroField("score", "double"),
+      AvroCodec.AvroField("flag", "boolean"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .groupByKey(_ % AVRO_SHARD_MOD)
+      .mapGroups { (shard, it) =>
+        val rows = it.toArray.sorted.toIndexedSeq.map { id =>
+          Vector[Any](id, avroTitle(id),
+            ((id * 7) % 1000).toDouble / 8.0, id % 3 == 0)
+        }
+        val codec = if (shard % 2 == 1) "deflate" else "null"
+        AvroCodec.write(fields, rows, codec, rowsPerBlock = 7,
+          seed = shard)
+      }
+      .flatMap { bytes =>
+        val ocf = graft.sources.AvroCodec.read(bytes)
+        require(ocf.fields == fields, s"schema drifted: ${ocf.fields}")
+        ocf.rows.iterator.map { r =>
+          (r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+            r(2).asInstanceOf[Double], r(3).asInstanceOf[Boolean])
+        }
+      }.toDF("doc_id", "title", "score", "flag")
+      .orderBy("doc_id")
+  }
+
+  /** Real-file Avro reader: one row per record of every `.avro` under
+    * `dirGlob`, schema-checked against the subset, per-FILE
+    * parallelism. Values are stringified per field for the dynamic
+    * relation (a typed reader would bind a schema first). */
+  def readAvroFiles(spark: SparkSession, dirGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro")
+      .load(dirGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val ocf = graft.sources.AvroCodec.read(bytes)
+        ocf.rows.iterator.zipWithIndex.map { case (r, i) =>
+          (p, i.toLong, ocf.fields.map(_.name).zip(r.map(String.valueOf))
+            .toMap)
+        }
+      }.toDF("path", "row", "values")
+  }
+
   // ------------------------------------------- ZIP document dumps (r14)
 
   /** Docs per ZIP archive — the tar-shard grouping's sibling. */
