@@ -504,6 +504,10 @@ object SparkEntry {
     // container, hand-rolled (the distribution has no spark-avro):
     // embedded JSON schema, zigzag varints, deflate blocks, sync law ----
     "q249_avro_roundtrip"          -> (Crawl.avroRoundTrip _),
+    // ---- round 14: sitemap REWRITE — the emit side of discovery:
+    // parsed urlsets written back (entity re-encoding, optional-field
+    // preservation) and re-parsed; same oracle as q240 ----
+    "q250_sitemap_rewrite"         -> (Crawl.sitemapRewrite _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -817,6 +821,9 @@ object SparkEntry {
     "q247_sitemap_via_robots" -> OracleTwins.sitemapDiscover,
     "q248_tar_reshard" -> OracleTwins.tarShardSamples,
     "q249_avro_roundtrip" -> OracleTwins.avroRoundTrip,
+    // q250 shares q240's oracle STRING: the write→parse round trip
+    // must be invisible to the discovered entries (the q244 device)
+    "q250_sitemap_rewrite" -> OracleTwins.sitemapDiscover,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

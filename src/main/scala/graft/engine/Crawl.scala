@@ -643,6 +643,32 @@ object Crawl {
       .orderBy("host", "loc")
   }
 
+  /** q250: sitemap REWRITE — the emit side of discovery (a host, or a
+    * mirror, republishing its sitemaps): every child urlset's parsed
+    * entries are written back through [[graft.sources.Sitemaps.write]]
+    * (entity re-encoding the decoded `&` of the query arm, optional
+    * fields preserved-or-omitted, one-decimal priorities) and
+    * re-parsed; the gate reuses q240's ORACLE STRING, so the
+    * write→parse round trip must be invisible to the discovered
+    * entries — the q244 emit-law device on the discovery layer. */
+  def sitemapRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpusHosts(spark, dir).mapPartitions(_.flatMap { h =>
+      val idx = graft.sources.Sitemaps.parse(
+        fetchSitemap(h, s"https://${host(h)}/sitemap.xml"))
+      idx.entries.iterator.flatMap { child =>
+        val doc = graft.sources.Sitemaps.parse(fetchSitemap(h, child.loc))
+        val rewritten = graft.sources.Sitemaps.parse(
+          graft.sources.Sitemaps.write("urlset", doc.entries))
+        require(rewritten.kind == "urlset", s"host $h: rewrite drifted")
+        rewritten.entries.iterator.map { e =>
+          (host(h), child.loc, e.loc, e.lastmod, e.changefreq, e.priority)
+        }
+      }
+    }).toDF("host", "sitemap", "loc", "lastmod", "changefreq", "priority")
+      .orderBy("host", "loc")
+  }
+
   /** Per-host fetch budget of one politeness wave: a real fleet fetches
     * at most this many URLs from one host per scheduling round. */
   val PER_HOST_FETCH_BUDGET: Int = 4

@@ -54,6 +54,51 @@ object Sitemaps {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"sitemap: $msg")
 
+  /** Entity-encode character data for emission (law pass 5's inverse):
+    * `&` `<` `>` must be escaped, everything else is literal. */
+  private[graft] def encodeEntities(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case c   => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Emit one sitemap document — the WRITER side of the protocol (a
+    * host publishing its own sitemap): XML declaration, the default
+    * namespace, one entry element per [[Entry]] with `<loc>` required
+    * and the optional fields present when set. Priorities print with
+    * one decimal (the protocol's 0.0–1.0 granularity in this engine's
+    * corpora). [[parse]]([[write]](e)) == e is the round-trip law the
+    * spec pins; the q250 gate proves it on the discovery surface by
+    * reusing q240's oracle. */
+  def write(kind: String, entries: Seq[Entry]): String = {
+    require(kind == "urlset" || kind == "sitemapindex",
+      s"cannot write a '$kind' document")
+    val entryName = if (kind == "urlset") "url" else "sitemap"
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append(s"""<$kind xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""")
+    sb.append('\n')
+    entries.foreach { e =>
+      sb.append(s"  <$entryName><loc>")
+        .append(encodeEntities(e.loc)).append("</loc>")
+      e.lastmod.foreach(v =>
+        sb.append("<lastmod>").append(encodeEntities(v)).append("</lastmod>"))
+      e.changefreq.foreach(v =>
+        sb.append("<changefreq>").append(encodeEntities(v))
+          .append("</changefreq>"))
+      e.priority.foreach(p =>
+        sb.append("<priority>").append(f"$p%.1f").append("</priority>"))
+      sb.append(s"</$entryName>\n")
+    }
+    sb.append(s"</$kind>\n")
+    sb.toString
+  }
+
   /** Parse one sitemap document per the law above. */
   def parse(xml: String): Doc = {
     val p = new Parser(xml)

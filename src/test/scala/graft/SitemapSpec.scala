@@ -191,6 +191,32 @@ class SitemapSpec extends SparkSpecBase {
     assert(!r.allowed("bot", "/x/1"))
   }
 
+  test("writer: parse(write(e)) == e, entities re-encoded on the wire") {
+    val entries = Vector(
+      Sitemaps.Entry("https://w.example/p?a=1&b=2", Some("2026-03-04"),
+        Some("daily"), Some(0.7)),
+      Sitemaps.Entry("https://w.example/<odd>&", None, None, None),
+      Sitemaps.Entry("https://w.example/plain",
+        Some("2026-03-04T05:00:00+00:00"), None, Some(0.0)))
+    val wire = Sitemaps.write("urlset", entries)
+    // the decoded & / < / > must be ENCODED on the wire
+    assert(wire.contains("https://w.example/p?a=1&amp;b=2"))
+    assert(wire.contains("&lt;odd&gt;&amp;"))
+    val back = Sitemaps.parse(wire)
+    assert(back.kind == "urlset" && back.entries == entries)
+    // index documents round-trip too
+    val idx = Vector(Sitemaps.Entry("https://w.example/s-0.xml",
+      Some("2026-01-01"), None, None))
+    assert(Sitemaps.parse(Sitemaps.write("sitemapindex", idx)).entries == idx)
+    intercept[IllegalArgumentException](Sitemaps.write("feed", entries))
+  }
+
+  test("rewrite is invisible to discovery (q250 ≡ q240)") {
+    val direct = Crawl.sitemapDiscover(spark, sf).collect().toSeq
+    val rewritten = Crawl.sitemapRewrite(spark, sf).collect().toSeq
+    assert(direct.nonEmpty && rewritten == direct)
+  }
+
   test("recrawl-due: strict ISO-date comparison over discovered ∩ seen") {
     // sf0.001's 50 docs rarely intersect the discovery set — use the
     // 500-doc slice where both branches of `due` are populated
