@@ -438,7 +438,7 @@ object SparkEntry {
     "q233_charset_pages"           -> (Crawl.charsetPages _),
     // ---- round 13: robots.txt (RFC 9309) frontier gate — broadcast
     // per-host rules, longest-match precedence, map-side verdicts ----
-    "q234_robots_gate"             -> (Crawl.robotsGate _),
+    "q234_robots_gate"             -> ((s, d) => Crawl.robotsGate(s, d)),
     // ---- round 13: crawl → curation end-to-end — wire bytes through
     // the decode chain into the shared quality gates and per-verdict
     // corpus accounting ----

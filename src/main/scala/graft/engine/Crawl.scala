@@ -38,7 +38,7 @@ object Crawl {
 
   // ---------------------------------------------- generative corpus
 
-  private def host(docId: Long): String = s"h${docId % 53}.example.com"
+  private[graft] def host(docId: Long): String = s"h${docId % 53}.example.com"
   private def path(docId: Long): String = s"/p/${(docId * 47) % 1009}"
   private def url(docId: Long): String = s"https://${host(docId)}${path(docId)}"
   private def titleTxt(docId: Long): String =
@@ -121,8 +121,13 @@ object Crawl {
       "User-Agent: graftbot/1.0 (+https://example.com/bot)\r\n" +
       "Accept: text/html\r\n\r\n").getBytes("US-ASCII")
 
+  /** Zero-pad in Locale.ROOT — the `f` interpolator's `%02d` localizes
+    * digits under digit-localizing default locales. */
+  private def pad2(n: Long): String =
+    String.format(java.util.Locale.ROOT, "%02d", java.lang.Long.valueOf(n))
+
   private def warcDate(docId: Long): String =
-    f"2026-01-${(docId % 28) + 1}%02dT00:00:00Z"
+    s"2026-01-${pad2((docId % 28) + 1)}T00:00:00Z"
 
   private def record(docId: Long, seq: Int, warcType: String,
       contentType: String, block: Array[Byte],
@@ -363,24 +368,38 @@ object Crawl {
     * gates the joined form against the SAME oracle. */
   val ROBOTS_BROADCAST_MAX_HOSTS: Long = 100000L
 
+  /** The demo domain's registrable-host cardinality (hosts 0–52 by the
+    * [[host]] formula) — the default argument of [[robotsGate]]'s
+    * dispatch, NOT a constant folded into it: callers with a bigger
+    * rule store pass their own count and the dispatch actually flips
+    * (RobotsSpec drives both branches through the one call site). */
+  val DEMO_HOST_COUNT: Long = 53L
+
   /** One precompiled per-host rule: the post-group-selection relation
     * the joined gate materializes as a table. */
   final case class RobotsRule(allow: Boolean, pattern: String)
 
   private def parsedRuleSets(): Map[String, graft.sources.RobotsTxt.Rules] =
-    (0L until 53L)
+    (0L until DEMO_HOST_COUNT)
       .map(h => host(h) -> graft.sources.RobotsTxt.parse(robotsText(h)))
       .toMap
 
   /** q234: the crawl-frontier gate — every corpus URL judged against
-    * its host's robots.txt as `graftbot`. Dispatches on the host
-    * domain's cardinality: at ≤ [[ROBOTS_BROADCAST_MAX_HOSTS]] hosts
-    * the parsed rule sets broadcast ([[robotsGateBroadcast]]); past the
-    * ceiling the rules ride a host-keyed table join
-    * ([[robotsGateJoined]]) — same decision algebra
-    * ([[graft.sources.RobotsTxt.decide]]), same oracle. */
-  def robotsGate(spark: SparkSession, dir: String): DataFrame =
-    if (53L <= ROBOTS_BROADCAST_MAX_HOSTS) robotsGateBroadcast(spark, dir)
+    * its host's robots.txt as `graftbot`. Dispatches on the RULE
+    * STORE's host cardinality, passed by the caller (the frontier
+    * knows how many hosts its robots fetch loop has seen; the demo
+    * domain's count is the default): at ≤
+    * [[ROBOTS_BROADCAST_MAX_HOSTS]] hosts the parsed rule sets
+    * broadcast ([[robotsGateBroadcast]]); past the ceiling the rules
+    * ride a host-keyed table join ([[robotsGateJoined]]) — same
+    * decision algebra ([[graft.sources.RobotsTxt.decide]]), same
+    * oracle. Both branches are reachable through THIS call site
+    * (RobotsSpec drives each); q234 gates the broadcast path and q239
+    * the joined form against the same oracle. */
+  def robotsGate(spark: SparkSession, dir: String,
+      hostCount: Long = DEMO_HOST_COUNT): DataFrame =
+    if (hostCount <= ROBOTS_BROADCAST_MAX_HOSTS)
+      robotsGateBroadcast(spark, dir)
     else robotsGateJoined(spark, dir)
 
   /** The small-domain fast path: rule sets built driver-side, BROADCAST
@@ -411,7 +430,7 @@ object Crawl {
   private[graft] def robotsRulesDf(spark: SparkSession,
       agent: String): DataFrame = {
     import spark.implicits._
-    (0L until 53L).map { h =>
+    (0L until DEMO_HOST_COUNT).map { h =>
       (host(h), graft.sources.RobotsTxt.parse(robotsText(h))
         .effectiveRules(agent)
         .map(r => RobotsRule(r.allow, r.pattern)))
@@ -466,8 +485,8 @@ object Crawl {
   private def sitemapLastmod(h: Long, c: Int, k: Int): String = {
     val mm = h % 9 + 1
     val dd = (k * 3 + c) % 28 + 1
-    val base = f"2026-$mm%02d-$dd%02d"
-    if (k % 3 == 1) base + f"T${(h + k) % 24}%02d:00:00+00:00"
+    val base = s"2026-${pad2(mm)}-${pad2(dd)}"
+    if (k % 3 == 1) base + s"T${pad2((h + k) % 24)}:00:00+00:00"
     else base
   }
 
@@ -551,19 +570,42 @@ object Crawl {
        |  <sitemap><loc>https://${host(h)}/sitemap-1.xml</loc></sitemap>
        |</sitemapindex>""".stripMargin
 
+  /** Whether host `h` serves document `which` (-1 = the index, 0/1 =
+    * child c) gzipped. A third of hosts gzip EVERYTHING
+    * (content-encoding transport — loc names unchanged, so the
+    * discovery oracles are byte-identical to the plain era); another
+    * third gzip only child 1, the mixed-within-host case. */
+  private[graft] def sitemapGzipped(h: Long, which: Int): Boolean =
+    h % 3 == 1 || (h % 3 == 2 && which == 1)
+
+  private def gzipBytes(xml: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gz.close()
+    bos.toByteArray
+  }
+
   /** Simulated fetch of a sitemap URL on host `h` — the PARSED child
     * locs drive it (a mis-extracted loc fails here loudly), standing in
-    * for the HTTP GET a real frontier issues. */
-  private[graft] def fetchSitemap(h: Long, loc: String): String = {
+    * for the HTTP GET a real frontier issues. Returns WIRE BYTES:
+    * gzipped for the [[sitemapGzipped]] share (real-world sitemaps are
+    * predominantly compressed), plain UTF-8 XML otherwise — consumers
+    * go through [[graft.sources.Sitemaps.parseWire]], which sniffs the
+    * magic. */
+  private[graft] def fetchSitemap(h: Long, loc: String): Array[Byte] = {
     val base = s"https://${host(h)}/"
     require(loc.startsWith(base), s"sitemap loc $loc is off-host for ${host(h)}")
     val name = loc.substring(base.length)
-    if (name == "sitemap.xml") sitemapIndexWire(h)
-    else if (name.startsWith("sitemap-") && name.endsWith(".xml")) {
-      val c = name.substring(8, name.length - 4).toInt
-      require(c == 0 || c == 1, s"unknown child sitemap $name")
-      sitemapChildWire(h, c)
-    } else sys.error(s"unknown sitemap url $loc")
+    val (xml, which) =
+      if (name == "sitemap.xml") (sitemapIndexWire(h), -1)
+      else if (name.startsWith("sitemap-") && name.endsWith(".xml")) {
+        val c = name.substring(8, name.length - 4).toInt
+        require(c == 0 || c == 1, s"unknown child sitemap $name")
+        (sitemapChildWire(h, c), c)
+      } else sys.error(s"unknown sitemap url $loc")
+    if (sitemapGzipped(h, which)) gzipBytes(xml)
+    else xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** q240: sitemap URL discovery — each corpus host's `sitemap.xml`
@@ -608,14 +650,14 @@ object Crawl {
       (String, String, String, Option[String], Option[String],
         Option[Double])] =
     roots.iterator.flatMap { root =>
-      val doc = graft.sources.Sitemaps.parse(fetchSitemap(h, root))
+      val doc = graft.sources.Sitemaps.parseWire(fetchSitemap(h, root))
       if (doc.kind == "urlset")
         doc.entries.iterator.map { e =>
           (host(h), root, e.loc, e.lastmod, e.changefreq, e.priority)
         }
       else
         doc.entries.iterator.flatMap { child =>
-          val cd = graft.sources.Sitemaps.parse(fetchSitemap(h, child.loc))
+          val cd = graft.sources.Sitemaps.parseWire(fetchSitemap(h, child.loc))
           require(cd.kind == "urlset",
             s"host $h: ${child.loc} is not a urlset")
           cd.entries.iterator.map { e =>
@@ -654,10 +696,10 @@ object Crawl {
   def sitemapRewrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     corpusHosts(spark, dir).mapPartitions(_.flatMap { h =>
-      val idx = graft.sources.Sitemaps.parse(
+      val idx = graft.sources.Sitemaps.parseWire(
         fetchSitemap(h, s"https://${host(h)}/sitemap.xml"))
       idx.entries.iterator.flatMap { child =>
-        val doc = graft.sources.Sitemaps.parse(fetchSitemap(h, child.loc))
+        val doc = graft.sources.Sitemaps.parseWire(fetchSitemap(h, child.loc))
         val rewritten = graft.sources.Sitemaps.parse(
           graft.sources.Sitemaps.write("urlset", doc.entries))
         require(rewritten.kind == "urlset", s"host $h: rewrite drifted")

@@ -1088,7 +1088,9 @@ object Multimodal {
     * ustar prefix/name SPLIT is on the wire — a reader that ignores
     * the prefix field truncates these keys and flips rows. */
   private[graft] def tarKey(docId: Long): String = {
-    val base = f"sample$docId%09d"
+    // Locale.ROOT: `f"%09d"` localizes digits under some default locales.
+    val base = "sample" + String.format(java.util.Locale.ROOT, "%09d",
+      java.lang.Long.valueOf(docId))
     if (docId % 13 == 0) ("x" * 90) + s"/${docId % 7}/$base"
     else s"train/${docId % 7}/$base"
   }

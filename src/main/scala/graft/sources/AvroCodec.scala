@@ -222,15 +222,19 @@ object AvroCodec {
       // zigzag
       (acc >>> 1) ^ -(acc & 1)
     }
-    def bytes(n: Int, what: String): Array[Byte] = {
-      if (n < 0 || pos + n > b.length) fail(s"$what: truncated ($n bytes)")
-      val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
-      pos += n
+    def bytes(n: Long, what: String): Array[Byte] = {
+      // Compare in Long space: a varint length near Int.MaxValue would
+      // overflow pos + n.toInt to negative and slip past an Int check.
+      if (n < 0 || n > (b.length - pos).toLong)
+        fail(s"$what: truncated ($n bytes)")
+      val ni = n.toInt
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + ni)
+      pos += ni
       out
     }
     def str(what: String): String = {
       val n = varLong(what)
-      new String(bytes(n.toInt, what),
+      new String(bytes(n, what),
         java.nio.charset.StandardCharsets.UTF_8)
     }
     def atEof: Boolean = pos >= b.length
@@ -257,7 +261,7 @@ object AvroCodec {
       var i = 0L
       while (i < count) {
         val k = r.str("meta key")
-        val vLen = r.varLong("meta value length").toInt
+        val vLen = r.varLong("meta value length")
         meta += (k -> r.bytes(vLen, s"meta value of $k"))
         i += 1
       }
@@ -277,11 +281,19 @@ object AvroCodec {
     while (!r.atEof) {
       val rowCount = r.varLong("block row count")
       if (rowCount < 0) fail("negative block row count")
-      val byteLen = r.varLong("block byte length").toInt
+      val byteLen = r.varLong("block byte length")
       val payload0 = r.bytes(byteLen, "block payload")
       val payload =
         if (codec == "null") payload0
-        else PngCodec.inflateDynamic(payload0, 0)._1
+        else {
+          // Symmetric strictness with the null codec's trailing-bytes
+          // check: the DEFLATE stream must end exactly at the declared
+          // block length, not leave silent garbage after its last block.
+          val (out, end) = PngCodec.inflateDynamic(payload0, 0)
+          if (end != payload0.length)
+            fail("deflate block has trailing bytes after the stream")
+          out
+        }
       val blockSync = r.bytes(16, "block sync")
       if (!java.util.Arrays.equals(sync, blockSync))
         fail("block sync marker differs from the header's")

@@ -92,11 +92,40 @@ object Sitemaps {
         sb.append("<changefreq>").append(encodeEntities(v))
           .append("</changefreq>"))
       e.priority.foreach(p =>
-        sb.append("<priority>").append(f"$p%.1f").append("</priority>"))
+        sb.append("<priority>")
+          // Locale.ROOT: the default-locale `f` interpolator would emit
+          // a comma decimal separator under fr/de and break parse().
+          .append(String.format(java.util.Locale.ROOT, "%.1f",
+            java.lang.Double.valueOf(p)))
+          .append("</priority>"))
       sb.append(s"</$entryName>\n")
     }
     sb.append(s"</$kind>\n")
     sb.toString
+  }
+
+  /** Parse a sitemap from WIRE BYTES — the fetch-side entry point.
+    * Real-world sitemaps are predominantly gzipped (the protocol's
+    * 50 MB / 50k-URL limits push publishers to compression, whether as
+    * `.xml.gz` names or `Content-Encoding: gzip` transport): if the
+    * bytes carry the RFC 1952 magic they are gunzipped through the
+    * member reader the WARC ingest already owns
+    * ([[WarcCodec.gunzipMembers]]) — a sitemap must be exactly ONE
+    * member (a multi-member file is a concatenation accident or a
+    * different format wearing gzip's magic; it rejects loudly, never
+    * parses the first member silently). Plain bytes parse as UTF-8
+    * XML directly. */
+  def parseWire(bytes: Array[Byte]): Doc = {
+    val xml =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+          (bytes(1) & 0xff) == 0x8b) {
+        val members = WarcCodec.gunzipMembers(bytes)
+        if (members.length != 1)
+          fail(s"gzipped sitemap carries ${members.length} members " +
+            "(want exactly 1)")
+        new String(members(0), java.nio.charset.StandardCharsets.UTF_8)
+      } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    parse(xml)
   }
 
   /** Parse one sitemap document per the law above. */

@@ -139,7 +139,18 @@ object ZipCodec {
       fail(s"${e.name}: data span runs past the archive end")
     val out =
       if (e.method == 0) java.util.Arrays.copyOfRange(bytes, data, data + e.csize)
-      else PngCodec.inflate(bytes, data, e.usize)
+      else {
+        // Inflate over a SLICE bounded at data + csize so the DEFLATE
+        // stream cannot read past the declared compressed span (into the
+        // next member or the central directory), and require the stream
+        // to end exactly at csize — span validity on the compressed side,
+        // not just CRC/usize on the decoded side.
+        val span = java.util.Arrays.copyOfRange(bytes, data, data + e.csize)
+        val (inflated, end) = PngCodec.inflateDynamic(span, 0)
+        if (end != span.length)
+          fail(s"${e.name}: deflate stream ends at $end, csize ${e.csize}")
+        inflated
+      }
     if (out.length != e.usize)
       fail(s"${e.name}: inflated ${out.length} != declared ${e.usize}")
     val crc = PngCodec.crc32(out, 0, out.length) & 0xffffffffL

@@ -128,6 +128,54 @@ class AvroSpec extends SparkSpecBase {
   private def indexOfSlice(h: Array[Byte], n: Array[Byte]): Int =
     h.indexOfSlice(n)
 
+  private def zigzagVar(v: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var z = (v << 1) ^ (v >> 63)
+    var done = false
+    while (!done) {
+      val b = (z & 0x7f).toInt; z >>>= 7
+      if (z == 0) { bos.write(b); done = true } else bos.write(b | 0x80)
+    }
+    bos.toByteArray
+  }
+
+  test("deflate block with trailing bytes after the stream rejects") {
+    // Hand-built OCF: one long field, one deflate block whose payload
+    // carries one garbage byte AFTER the DEFLATE stream's final block.
+    // The null codec rejects trailing payload bytes; the deflate codec
+    // must be symmetric (the end index of inflateDynamic is checked).
+    val schema =
+      """{"type":"record","name":"t","fields":[{"name":"id","type":"long"}]}"""
+    def kv(k: String, v: Array[Byte]): Array[Byte] =
+      zigzagVar(k.length.toLong) ++ k.getBytes("UTF-8") ++
+        zigzagVar(v.length.toLong) ++ v
+    val rowBytes = zigzagVar(42L)
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(rowBytes); d.finish()
+    val buf = new Array[Byte](64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val payload = out.toByteArray :+ 0x5a.toByte // trailing garbage
+    val sync = Array.tabulate(16)(i => (i * 7 + 3).toByte)
+    val wire = Array[Byte]('O', 'b', 'j', 1) ++
+      zigzagVar(2L) ++ kv("avro.schema", schema.getBytes("UTF-8")) ++
+      kv("avro.codec", "deflate".getBytes("US-ASCII")) ++
+      zigzagVar(0L) ++ sync ++
+      zigzagVar(1L) ++ zigzagVar(payload.length.toLong) ++ payload ++ sync
+    val e = intercept[IllegalArgumentException](AvroCodec.read(wire))
+    assert(e.getMessage.contains("trailing bytes"), s"got: ${e.getMessage}")
+  }
+
+  test("near-Int.MaxValue varint length fails as the named 'truncated'") {
+    // A length whose pos + n overflows Int must hit the codec's own
+    // Long-space check, not a raw JDK copyOfRange error or allocation.
+    val wire = Array[Byte]('O', 'b', 'j', 1) ++
+      zigzagVar(1L) ++ zigzagVar((Int.MaxValue - 2).toLong)
+    val e = intercept[IllegalArgumentException](AvroCodec.read(wire))
+    assert(e.getMessage.contains("truncated"), s"got: ${e.getMessage}")
+  }
+
   test("q249 grain: one row per doc; title é arm survives UTF-8 lengths") {
     val rows = graft.engine.Crawl.avroRoundTrip(spark, sf).collect()
     val nDocs = engine.Tables.documents(spark, sf).count()

@@ -144,6 +144,23 @@ class RobotsSpec extends SparkSpecBase {
     assert(b.nonEmpty && b == j)
   }
 
+  test("robotsGate dispatch flips on the host-cardinality argument: " +
+      "demo count -> broadcast plan, beyond-ceiling count -> joined plan") {
+    // BOTH branches through the ONE call site — the dispatch is a
+    // mechanism, not a constant-folded literal. The branch taken is
+    // observable in the plan: the joined form has a relational Join,
+    // the broadcast form has none (map-side verdicts).
+    val viaDefault = Crawl.robotsGate(spark, sf)
+    assert(!viaDefault.queryExecution.optimizedPlan.toString
+      .contains("Join"), "demo-domain count must take the broadcast form")
+    val viaJoined = Crawl.robotsGate(spark, sf,
+      hostCount = Crawl.ROBOTS_BROADCAST_MAX_HOSTS + 1)
+    assert(viaJoined.queryExecution.optimizedPlan.toString.contains("Join"),
+      "beyond-ceiling count must take the joined form")
+    // and the verdicts are identical either way
+    assert(viaDefault.collect().toSeq == viaJoined.collect().toSeq)
+  }
+
   test("crawl-delay: group-scoped, merged-max, non-numeric inert, absent -> None") {
     val r = RobotsTxt.parse(
       """User-agent: bot

@@ -123,10 +123,40 @@ class SitemapSpec extends SparkSpecBase {
       assert(idx.kind == "sitemapindex" && idx.entries.length == 2)
       idx.entries.zipWithIndex.foreach { case (child, c) =>
         val body = Crawl.fetchSitemap(h, child.loc)
-        assert(Sitemaps.parse(body).entries.length ==
+        assert(Sitemaps.parseWire(body).entries.length ==
           Crawl.sitemapUrlCount(h, c))
       }
     }
+  }
+
+  test("gzipped wire share: gz magic exactly where the formula says, " +
+      "parseWire ≡ parse on the decoded bytes, multi-member rejects") {
+    def isGz(b: Array[Byte]) =
+      (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+    var sawGz = 0; var sawPlain = 0
+    for (h <- 0L until 53L; which <- -1 to 1) {
+      val loc =
+        if (which == -1) s"https://${Crawl.host(h)}/sitemap.xml"
+        else s"https://${Crawl.host(h)}/sitemap-$which.xml"
+      val body = Crawl.fetchSitemap(h, loc)
+      assert(isGz(body) == Crawl.sitemapGzipped(h, which),
+        s"h=$h which=$which")
+      if (isGz(body)) sawGz += 1 else sawPlain += 1
+      // transport is invisible to the parsed entries
+      val viaWire = Sitemaps.parseWire(body)
+      val plainXml =
+        if (which == -1) Crawl.sitemapIndexWire(h)
+        else Crawl.sitemapChildWire(h, which)
+      assert(viaWire == Sitemaps.parse(plainXml), s"h=$h which=$which")
+    }
+    assert(sawGz > 0 && sawPlain > 0, "both transports must be on the wire")
+    // a concatenation of two valid gzip members must reject loudly,
+    // never silently parse the first member
+    val one = Crawl.fetchSitemap(1L, s"https://${Crawl.host(1L)}/sitemap.xml")
+    assert(isGz(one))
+    val e = intercept[IllegalArgumentException](
+      Sitemaps.parseWire(one ++ one))
+    assert(e.getMessage.contains("members"), s"got: ${e.getMessage}")
   }
 
   // ------------------------------------------------ frontier invariants
@@ -209,6 +239,21 @@ class SitemapSpec extends SparkSpecBase {
       Some("2026-01-01"), None, None))
     assert(Sitemaps.parse(Sitemaps.write("sitemapindex", idx)).entries == idx)
     intercept[IllegalArgumentException](Sitemaps.write("feed", entries))
+  }
+
+  test("writer priority is locale-stable: '0.7' even under fr_FR default") {
+    // The `f"%.1f"` interpolator formats in the DEFAULT locale — under
+    // fr/de it emits '0,7', which parse() then rejects ('priority is
+    // not a number'). The writer must format in Locale.ROOT.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      val entries = Vector(
+        Sitemaps.Entry("https://w.example/p", None, None, Some(0.7)))
+      val wire = Sitemaps.write("urlset", entries)
+      assert(wire.contains("<priority>0.7</priority>"), wire)
+      assert(Sitemaps.parse(wire).entries == entries)
+    } finally java.util.Locale.setDefault(saved)
   }
 
   test("rewrite is invisible to discovery (q250 ≡ q240)") {

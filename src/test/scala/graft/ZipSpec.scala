@@ -83,6 +83,22 @@ class ZipSpec extends SparkSpecBase {
     intercept[Exception](ZipCodec.extract(w, cd(0)))
   }
 
+  test("compressed-span law: a lying (oversized) central csize rejects") {
+    // Two members so the inflated span of member 1, extended past its
+    // true csize, runs into member 2's local header — the DEFLATE
+    // stream ends before the declared span's end, which must reject
+    // (span validity on the COMPRESSED side, not just CRC on output).
+    val wire = ZipCodec.write(Seq(
+      m("docs/1.txt", "payload one payload one payload one"),
+      m("docs/2.txt", "payload two")))
+    val cd = ZipCodec.centralDirectory(wire)
+    val lying = cd(0).copy(csize = cd(0).csize + 4)
+    val e = intercept[IllegalArgumentException](
+      ZipCodec.extract(wire, lying))
+    assert(e.getMessage.contains("deflate stream ends at"),
+      s"got: ${e.getMessage}")
+  }
+
   test("q243 grain: one row per doc, md5 only on seeds, methods by formula") {
     val rows = Crawl.zipArchiveProbe(spark, sf).collect()
     val n = engine.Tables.documents(spark, sf).count()
