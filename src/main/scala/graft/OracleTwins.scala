@@ -3860,6 +3860,99 @@ object OracleTwins {
        |  md5(text) AS text_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q251's twin — [[graft.engine.Crawl.pdfXrefStreamIngest]]: the
+    * extracted text regenerated arithmetically from (doc_id, i). The
+    * twin never mentions xref streams, object streams, W columns, or
+    * predictors — Spark can only reach these strings through the PDF
+    * 1.5+ bootstrap chain (q251's corpus is written EXCLUSIVELY in
+    * that layout, rotating all four machinery arms on doc_id%4), so a
+    * defect anywhere in it flips `md5(text)`. */
+  val pdfXrefStreamIngest: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 29 + 5) AS nt FROM documents),
+       |t AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE WHEN i % 5 = 3
+       |             THEN chr(233) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |           ELSE 'z' || CAST((doc_id*73 + i*37) % 9973 AS VARCHAR)
+       |      END), ' ') AS text
+       |  FROM d)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+       |    AS n_pages,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(nt AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q252's twin — [[graft.engine.Crawl.pdfFormTextIngest]]: the
+    * body/form/nested-form/body token order restated as plain list
+    * concatenation. The twin never mentions XObjects, resource maps,
+    * or Do — the é arms are reachable only if the reader scopes each
+    * form's fonts to ITS resources and restores the page font at form
+    * exit, so a scoping or restore defect flips `md5(text)` (or
+    * rejects outright on the planted unresolvable names). */
+  val pdfFormTextIngest: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 27 + 4) AS nt FROM documents),
+       |t AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(
+       |      list_transform(range(0, nt // 2), i ->
+       |        CASE WHEN i % 4 = 1
+       |               THEN chr(233) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |             ELSE 'b' || CAST((doc_id*59 + i*13) % 9973 AS VARCHAR)
+       |        END) ||
+       |      list_transform(range(0, 3), i ->
+       |        'f' || CAST((doc_id*61 + i*17) % 9973 AS VARCHAR)) ||
+       |      CASE WHEN doc_id % 3 = 1
+       |           THEN ['w' || CAST((doc_id*3) % 10 AS VARCHAR) || chr(233)]
+       |           ELSE [] END ||
+       |      list_transform(range(nt // 2, nt), i ->
+       |        CASE WHEN i % 4 = 1
+       |               THEN chr(233) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |             ELSE 'b' || CAST((doc_id*59 + i*13) % 9973 AS VARCHAR)
+       |        END), ' ') AS text
+       |  FROM d)
+       |SELECT doc_id,
+       |  CAST(1 AS BIGINT) AS n_pages,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(nt + 3 + CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q253's twin — [[graft.engine.Crawl.frontierSkewedWaves]]: the
+    * candidate relation regenerated arithmetically (one cold row per
+    * doc on its formula host + the hot host's fanout), waved by the
+    * PLAIN per-host window. The Spark side's two-path rank
+    * decomposition (cold window ∪ hot leading-key split) must be
+    * exactly rank-equal to the naive form — an off-by-one in the
+    * offset cumulation, a wrong salt grain, or a tie-order drift all
+    * flip rows. */
+  val frontierSkewedWaves: String =
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |cand AS (
+       |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com'
+       |      AS host,
+       |    '/q/' || CAST(doc_id AS VARCHAR) AS path,
+       |    CAST((doc_id*7) % 11 AS DOUBLE)/10.0 AS priority
+       |  FROM docs
+       |  UNION ALL
+       |  SELECT 'hot0.example.com',
+       |    '/z/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR),
+       |    CAST((doc_id + j) % 11 AS DOUBLE)/10.0
+       |  FROM docs, range(0, 20) t(j)),
+       |r AS (
+       |  SELECT host, path, priority,
+       |    row_number() OVER (PARTITION BY host
+       |      ORDER BY priority DESC, path) AS rn
+       |  FROM cand)
+       |SELECT host, path, priority,
+       |  CAST((rn - 1) // 4 AS BIGINT) AS wave
+       |FROM r ORDER BY host, wave, path""".stripMargin
+
   /** q232's twin — [[graft.multimodal.Multimodal.gifDecodeStats]]: the
     * indexed-color formula pair composed directly — palette entry
     * (doc·3+j·5, doc·5+j·11, doc·7+j·13) mod 256 looked up at index

@@ -508,6 +508,22 @@ object SparkEntry {
     // parsed urlsets written back (entity re-encoding, optional-field
     // preservation) and re-parsed; same oracle as q240 ----
     "q250_sitemap_rewrite"         -> (Crawl.sitemapRewrite _),
+    // ---- round 15: PDF 1.5+ layout — cross-reference STREAMS
+    // (W-typed binary rows, PNG-predicted on half the corpus)
+    // resolving objects INTO object streams; the modern layout the
+    // majority of real-world PDFs use (VERDICT r14 ask #1) ----
+    "q251_pdf_xref_stream"         -> (Crawl.pdfXrefStreamIngest _),
+    // ---- round 15: PDF Form XObjects — text riding /Subtype /Form
+    // draws (headers/footers/stamps): form-scoped resources (name
+    // shadowing), nested forms, Do's implicit state save/restore, the
+    // form-boundary separator law (VERDICT r14 ask #6) ----
+    "q252_pdf_forms"               -> (Crawl.pdfFormTextIngest _),
+    // ---- round 15: the politeness window at HOST-SKEW scale — a
+    // planted Zipf-head host, two-path on measured cardinalities (the
+    // q125/q61 device): cold hosts keep the plain window, hot hosts
+    // decompose the rank over the bounded leading sort key
+    // (VERDICT r14 ask #8) ----
+    "q253_frontier_skew"           -> (Crawl.frontierSkewedWaves _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -824,6 +840,11 @@ object SparkEntry {
     // q250 shares q240's oracle STRING: the write→parse round trip
     // must be invisible to the discovered entries (the q244 device)
     "q250_sitemap_rewrite" -> OracleTwins.sitemapDiscover,
+    "q251_pdf_xref_stream" -> OracleTwins.pdfXrefStreamIngest,
+    "q252_pdf_forms" -> OracleTwins.pdfFormTextIngest,
+    // q253's twin computes the PLAIN per-host window — the two-path
+    // decomposition must be exactly rank-equal to it
+    "q253_frontier_skew" -> OracleTwins.frontierSkewedWaves,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

@@ -835,6 +835,100 @@ object Crawl {
       .orderBy("host", "path")
   }
 
+  // --------------------------------- frontier at host skew (r15)
+
+  /** Candidate-row count per host above which the politeness window
+    * takes the decomposed (salted) path — the q125 device's measured
+    * dispatch, applied to a WINDOW instead of a join. */
+  val HOT_HOST_THRESHOLD: Long = 1000L
+
+  /** Planted hot-host multiplier: every corpus doc contributes this
+    * many candidates to the one hot host, so the hot host carries
+    * ~[[HOT_HOST_FANOUT]]·|docs| rows while a cold host carries
+    * ~|docs|/53 — the Zipf head a real frontier faces (one host =
+    * millions of URLs). */
+  val HOT_HOST_FANOUT: Int = 20
+
+  /** The q253 candidate relation: one cold candidate per doc on its
+    * formula host plus [[HOT_HOST_FANOUT]] candidates on the single
+    * hot host. Paths embed doc_id (distinct within host ⇒ the
+    * politeness rank is total); priorities are one-decimal doubles
+    * from integer arithmetic (bit-identical cross-engine). */
+  private[graft] def skewedCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val cold = Iterator.single(
+          (host(id), s"/q/$id", ((id * 7) % 11).toDouble / 10.0))
+        val hot = (0 until HOT_HOST_FANOUT).iterator.map(j =>
+          ("hot0.example.com", s"/z/$id/$j",
+            (((id + j) % 11).toDouble / 10.0)))
+        cold ++ hot
+      }).toDF("host", "path", "priority")
+  }
+
+  /** q253: the politeness window at HOST-SKEW scale — q241's wave
+    * assignment under a planted Zipf head. A single
+    * `Window.partitionBy(host)` puts the hot host's millions of rows
+    * on ONE task; this operator splits two-path on MEASURED host
+    * cardinalities (the q125/q61 device):
+    *
+    *  - cold hosts keep the plain per-host window (their sort stays
+    *    exactly as small as before — no full re-sort of the cold
+    *    side rides the hot path's plan);
+    *  - hot hosts decompose the rank over the window's LEADING sort
+    *    key: `priority` has a bounded one-decimal domain (11 values),
+    *    so `rank = offset(host, priority) + rank within (host,
+    *    priority)` — the inner window partitions by (host, priority),
+    *    spreading the hot host |domain|× wider, and the offset
+    *    relation (one row per (host, priority) — tiny) cumulates with
+    *    a window over the AGGREGATED counts and broadcasts back. The
+    *    q61 salted-aggregation shape, with the leading sort key as
+    *    the salt (exactness needs order-aligned salting, which a hash
+    *    salt cannot give a rank).
+    *
+    * Same wave law as q241; the twin computes the plain window — the
+    * decomposition must be EXACTLY rank-equal (paths are distinct
+    * within host, so no tie nondeterminism). */
+  def frontierSkewedWaves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = skewedCandidates(spark, dir)
+    // measured dispatch input: the hot set is data-derived, bounded
+    // by the host domain (a frontier has few Zipf-head hosts)
+    val hotHosts = cand.groupBy("host").count()
+      .filter(col("count") > HOT_HOST_THRESHOLD)
+      .select("host").as[String].collect().toSeq
+    val isHot = col("host").isin(hotHosts: _*)
+    val wCold = org.apache.spark.sql.expressions.Window
+      .partitionBy("host")
+      .orderBy(col("priority").desc, col("path"))
+    val coldRanked = cand.filter(!isHot)
+      .withColumn("rn", row_number().over(wCold).cast("long"))
+    val hot = cand.filter(isHot)
+    val wSub = org.apache.spark.sql.expressions.Window
+      .partitionBy("host", "priority").orderBy("path")
+    val subRanked = hot.withColumn("sub_rn",
+      row_number().over(wSub).cast("long"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("priority").desc)
+    val offsets = hot.groupBy("host", "priority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", (sum("n").over(wOff) - col("n")).cast("long"))
+      .select("host", "priority", "off")
+    val hotRanked = subRanked
+      .join(broadcast(offsets), Seq("host", "priority"))
+      .withColumn("rn", col("off") + col("sub_rn"))
+      .select("host", "path", "priority", "rn")
+    coldRanked.select("host", "path", "priority", "rn")
+      .unionByName(hotRanked)
+      .withColumn("wave",
+        ((col("rn") - 1) / PER_HOST_FETCH_BUDGET).cast("long"))
+      .select("host", "path", "priority", "wave")
+      .orderBy("host", "wave", "path")
+  }
+
   // ---------------------------------------------- crawl → curation
 
   /** q235's corpus: the q230 archive machinery with ENGLISH-ISH tokens —
@@ -1084,7 +1178,11 @@ object Crawl {
     * the page-boundary separator are load-bearing), 1 otherwise;
     * `/Length` indirect on docId%5==0 (the single-pass-writer layout);
     * compression level (docId+3)%10 so stored/fixed/dynamic zlib
-    * DEFLATE blocks all occur. */
+    * DEFLATE blocks all occur. Since r15 the docId%7==6 share is
+    * written in the PDF 1.5+ LAYOUT (xref stream, half with object
+    * streams, half predicted) — the oracle is layout-blind, so the
+    * modern chain must extract the identical text to keep q236's
+    * hash. */
   private[graft] def synthPdf(docId: Long, nt: Int): Array[Byte] = {
     val pages =
       if (docId % 2 == 0 && nt >= 4) {
@@ -1092,8 +1190,14 @@ object Crawl {
         Seq(pdfPageContent(docId, 0, half, firstPage = true),
           pdfPageContent(docId, half, nt, firstPage = false))
       } else Seq(pdfPageContent(docId, 0, nt, firstPage = true))
-    graft.sources.PdfCodec.encode(pages, level = ((docId + 3) % 10).toInt,
-      indirectLength = docId % 5 == 0)
+    if (docId % 7 == 6)
+      graft.sources.PdfCodec.encode15(pages,
+        level = ((docId + 3) % 10).toInt,
+        objStm = docId % 2 == 1, predictor = docId % 4 < 2)
+    else
+      graft.sources.PdfCodec.encode(pages,
+        level = ((docId + 3) % 10).toInt,
+        indirectLength = docId % 5 == 0)
   }
 
   /** q236's HTML arm (docId%3==0): a minimal page whose extracted text
@@ -1170,6 +1274,143 @@ object Crawl {
         val (fmt, nPages, text) = extractResponse(ct, http.body)
         (id, fmt, nPages, text)
       }).toDF("doc_id", "fmt", "n_pages", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------- PDF 1.5+ layout and forms (r15)
+
+  /** q251 token i: plain or WinAnsi-é arm. The surface under test is
+    * the PDF 1.5+ xref MACHINERY (xref streams, object streams,
+    * predictors), not the string mechanisms — q236 owns those. */
+  private def pdf15Token(docId: Long, i: Int): String =
+    if (i % 5 == 3) s"é${(docId + i) % 10}"
+    else s"z${(docId * 73 + i * 37) % 9973}"
+
+  private def pdf15PageContent(docId: Long, from: Int,
+      until: Int): String = {
+    val sb = new StringBuilder
+    sb.append("BT\n/F1 11 Tf 14 TL 72 720 Td ")
+    var i = from
+    while (i < until) {
+      val lit = pdf15Token(docId, i).replace("\\", "\\\\")
+        .replace("(", "\\(").replace(")", "\\)")
+      if (i == from) sb.append(s"($lit) Tj")
+      else sb.append(s" 0 -14 Td ($lit) Tj")
+      i += 1
+    }
+    sb.append("\nET\n")
+    sb.toString
+  }
+
+  /** The q251 PDF: 2 pages when docId is even (the page-tree walk
+    * through the NEW xref chain), 1 otherwise; the four modern-layout
+    * arms rotate on docId%4 — xref stream alone, + object stream,
+    * + object stream + PNG-predicted xref, + predicted xref alone —
+    * so every combination of the 1.5+ machinery is on the wire. */
+  private[graft] def synthPdf15(docId: Long, nt: Int): Array[Byte] = {
+    val pages =
+      if (docId % 2 == 0)
+        Seq(pdf15PageContent(docId, 0, nt / 2),
+          pdf15PageContent(docId, nt / 2, nt))
+      else Seq(pdf15PageContent(docId, 0, nt))
+    graft.sources.PdfCodec.encode15(pages,
+      level = ((docId + 5) % 10).toInt,
+      objStm = docId % 4 == 1 || docId % 4 == 2,
+      predictor = docId % 4 == 2 || docId % 4 == 3)
+  }
+
+  /** q251: PDF 1.5+ text extraction — the modern cross-reference
+    * layout the majority of real-world PDFs use: `/Type /XRef` streams
+    * (W-typed binary rows, FlateDecode, PNG-Up-predicted on half the
+    * corpus) resolving objects INTO `/Type /ObjStm` object streams.
+    * The twin regenerates the text arithmetically from (docId, i) and
+    * never mentions xref rows or predictors — Spark can only reach
+    * these strings through the new bootstrap chain (a mis-typed W
+    * column, a wrong type-2 index, an un-predicted row, a mis-parsed
+    * ObjStm header all flip `md5(text)`). Map-only decode over one
+    * documents scan — the q236 class. */
+  def pdfXrefStreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val nt = (nc % 29 + 5).toInt
+        val d = graft.sources.PdfCodec.extractText(synthPdf15(id, nt))
+        (id, d.nPages.toLong, d.text)
+      }).toDF("doc_id", "n_pages", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  /** q252 page-body token i (page /F1 = WinAnsi; é on the %4==1 arm —
+    * the post-Do é is what proves Do's state restore). */
+  private def formPageToken(docId: Long, i: Int): String =
+    if (i % 4 == 1) s"é${(docId + i) % 10}"
+    else s"b${(docId * 59 + i * 13) % 9973}"
+
+  /** q252 header token (inside /Fm1, whose own resources bind /F9 =
+    * Courier — ASCII only by construction). */
+  private def formHdrToken(docId: Long, i: Int): String =
+    s"f${(docId * 61 + i * 17) % 9973}"
+
+  /** q252 nested-form token (inside /Fm2, whose own resources bind
+    * /F1 = WinAnsi — the é is unreachable through /Fm1's map). */
+  private def formFtrToken(docId: Long): String =
+    s"w${(docId * 3) % 10}é"
+
+  /** The q252 PDF: one page whose text is split around a `/Fm1 Do` —
+    * body tokens, the form's header tokens under its OWN `/F9`
+    * (unknown to the page map), a nested `/Fm2` token on docId%3==1
+    * (under /Fm2's own `/F1`, unknown to /Fm1's map), then the rest of
+    * the body WITHOUT a new Tf (the restore proof: é decodes only if
+    * Do restored the page's WinAnsi font). */
+  private[graft] def synthPdfForms(docId: Long, nt: Int): Array[Byte] = {
+    def lit(s: String) = s.replace("\\", "\\\\")
+      .replace("(", "\\(").replace(")", "\\)")
+    val nb = nt / 2
+    val before = (0 until nb).map(i =>
+      s"${if (i == 0) "" else " 0 -14 Td "}(${lit(formPageToken(docId, i))}) Tj")
+      .mkString
+    val after = (nb until nt).map(i =>
+      s" 0 -14 Td (${lit(formPageToken(docId, i))}) Tj").mkString
+    val page = s"BT\n/F1 12 Tf 14 TL 72 720 Td $before\nET\n/Fm1 Do\nBT$after\nET\n"
+    val hdr = (0 until 3).map(i =>
+      s"${if (i == 0) "" else " 0 -10 Td "}(${lit(formHdrToken(docId, i))}) Tj")
+      .mkString
+    val nested = docId % 3 == 1
+    val form1 = s"BT\n/F9 9 Tf 10 TL 30 760 Td $hdr\nET\n" +
+      (if (nested) "/Fm2 Do\n" else "")
+    val form2 =
+      if (nested) Some(s"BT\n/F1 8 Tf 30 20 Td (${lit(formFtrToken(docId))}) Tj\nET\n")
+      else None
+    graft.sources.PdfCodec.encodeForms(Seq(page), form1, form2,
+      level = ((docId + 1) % 10).toInt)
+  }
+
+  /** q252: Form-XObject text extraction — headers/footers/stamps, the
+    * common real-document pattern where text rides `/Subtype /Form`
+    * XObjects drawn by `Do`. The extraction order (body, form, nested
+    * form, rest of body), the form-boundary separators, the form's OWN
+    * resource scoping (two deliberately unresolvable-through-the-
+    * wrong-map font names), and Do's state restore are all on the
+    * gated path; the twin restates the token list arithmetically.
+    * Map-only decode — the q236 class. */
+  def pdfFormTextIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val nt = (nc % 27 + 4).toInt
+        val d = graft.sources.PdfCodec.extractText(synthPdfForms(id, nt))
+        (id, d.nPages.toLong, d.text)
+      }).toDF("doc_id", "n_pages", "text")
       .withColumn("text_chars", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("text_md5", md5(col("text")))
@@ -1433,7 +1674,8 @@ object Crawl {
       .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
         it.foreach { case (shard, bytes) =>
           val p = java.nio.file.Paths.get(outDir,
-            f"graft-$shard%05d.warc.wet.gz")
+            "graft-" + String.format(java.util.Locale.ROOT, "%05d",
+              java.lang.Long.valueOf(shard)) + ".warc.wet.gz")
           java.nio.file.Files.createDirectories(p.getParent)
           java.nio.file.Files.write(p, bytes)
         }

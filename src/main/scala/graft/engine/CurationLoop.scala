@@ -177,8 +177,13 @@ object CurationLoop {
       labels: DataFrame, keepList: DataFrame, shards: DataFrame,
       bandIndex: DataFrame, pairs: Option[DataFrame])
 
-  def asOfCommitted(spark: SparkSession, root: String): CurationView = {
-    val day = committedDay(spark, root)
+  def asOfCommitted(spark: SparkSession, root: String): CurationView =
+    asOf(spark, root, committedDay(spark, root))
+
+  /** The day-parameterized form of [[asOfCommitted]] — compositions
+    * that pin the day EXTERNALLY (e.g. [[ComposedDay]]'s cross-loop
+    * marker) resolve it once and thread it here. */
+  def asOf(spark: SparkSession, root: String, day: Long): CurationView =
     CurationView(day,
       docs = docsAsOf(spark, root, day),
       labels = labelsAsOf(spark, root, day),
@@ -186,7 +191,6 @@ object CurationLoop {
       shards = shardsAsOf(spark, root, day),
       bandIndex = indexAsOf(spark, root, "band_index", day),
       pairs = pairsAsOf(spark, root, "pairs", day))
-  }
 
   /** Drop superseded day-versioned artifacts once day `n` is committed:
     * shard sets of earlier days and label-undo copies for days ≤ n (the
@@ -194,7 +198,7 @@ object CurationLoop {
     * marker; a crash between marker and prune just leaves garbage the
     * next day's prune removes. */
   private def pruneCommitted(spark: SparkSession, root: String,
-      day: Long): Unit = {
+      retainFrom: Long): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     def sweep(dir: String, keepFrom: Long): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -206,8 +210,10 @@ object CurationLoop {
           fs.delete(s.getPath, true)
       }
     }
-    sweep(s"$root/shards", day)          // keep day=n only
-    sweep(s"$root/labels_undo", day + 1) // undo ≤ n is dead once n commits
+    // keep shard sets a reader pinned at `retainFrom` still serves,
+    // and the undo copies its labelsAsOf consults (day retainFrom+1)
+    sweep(s"$root/shards", retainFrom)
+    sweep(s"$root/labels_undo", retainFrom + 1)
   }
 
   /** Spec-only failpoint: invoked just before the commit marker lands,
@@ -218,9 +224,16 @@ object CurationLoop {
   /** Run one day: `batch` (needs doc_id, lang, text) against the state
     * rooted at `root` (band index, head index, pair sinks, labels,
     * shards — all previously seeded), with `corpus` the post-ingest
-    * document set stages 4–5 serve. */
+    * document set stages 4–5 serve. `retainAsOf` is the oldest day a
+    * reader may still be PINNED at (a composition commits its own
+    * marker after this loop's — [[ComposedDay]] passes its committed
+    * day): day-versioned artifacts at or above it survive the
+    * post-commit prune. Standalone callers keep the default (this
+    * day), which prunes everything superseded — the pre-r15
+    * behavior. */
   def runDay(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
-      increment: Long, root: String): DayReport = {
+      increment: Long, root: String,
+      retainAsOf: Long = Long.MaxValue): DayReport = {
     // stage 1+2: both channels consume ONE observed batch projection —
     // the ingest count rides the channels' own jobs
     val obsBatch = Observation()
@@ -288,7 +301,7 @@ object CurationLoop {
     // (idempotent sinks) and re-lands the same marker
     testFailpointBeforeCommit()
     commitDay(spark, root, increment)
-    pruneCommitted(spark, root, increment)
+    pruneCommitted(spark, root, math.min(increment, retainAsOf))
     report
   }
 

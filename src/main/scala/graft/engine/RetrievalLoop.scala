@@ -88,8 +88,14 @@ object RetrievalLoop {
       stats: DataFrame, vectors: DataFrame, lexResults: DataFrame,
       vecResults: DataFrame, reports: DataFrame)
 
-  def asOfCommitted(spark: SparkSession, root: String): RetrievalView = {
-    val day = DayCommit.highest(spark, root)
+  def asOfCommitted(spark: SparkSession, root: String): RetrievalView =
+    asOf(spark, root, DayCommit.highest(spark, root))
+
+  /** The day-parameterized form of [[asOfCommitted]] — compositions
+    * that pin the day EXTERNALLY (e.g. [[ComposedDay]]'s cross-loop
+    * marker) resolve it once and thread it here. */
+  def asOf(spark: SparkSession, root: String,
+      day: Long): RetrievalView = {
     def inc(path: String) =
       spark.read.parquet(path).filter(col("increment") <= day)
     def bat(path: String) =

@@ -8,20 +8,28 @@ import graft.multimodal.PngCodec
   * response records) next to HTML. The subset covers what a text
   * curation pipeline needs and rejects everything else LOUDLY:
   *
-  *  - classic cross-reference TABLES (`xref` … `trailer`); PDF 1.5+
-  *    cross-reference STREAMS and object streams reject;
+  *  - classic cross-reference TABLES (`xref` … `trailer`) AND PDF 1.5+
+  *    cross-reference STREAMS (`/Type /XRef`, W-typed binary columns)
+  *    with `/Type /ObjStm` object streams — the layout the majority of
+  *    real-world PDFs written in the last ~20 years use; HYBRID
+  *    reference files (`/XRefStm` in a classic trailer) reject;
   *  - incremental updates (`/Prev`) and encryption (`/Encrypt`) reject;
   *  - content streams stored raw or `/FlateDecode` (RFC 1950 zlib over
   *    the hand-rolled DEFLATE inflate, [[PngCodec.inflateDynamic]] —
-  *    the same engine PNG/WARC already run); any other filter, and any
-  *    `/DecodeParms`, rejects;
+  *    the same engine PNG/WARC already run); `/DecodeParms` is accepted
+  *    in exactly one shape — the PNG row-predictor family xref streams
+  *    almost universally carry (`/Predictor 10–15`, one 8-bit
+  *    component) — and rejects loudly otherwise;
   *  - simple fonts with `/WinAnsiEncoding` (≅ Windows-1252; the five
   *    undefined slots reject) or Standard/absent encoding (ASCII
   *    subset); `/Type0`/CID fonts reject when selected;
   *  - the text-showing operator family `Tj TJ ' "` with the positioning
-  *    family `Td TD Tm T*` driving word separation; XObject draws
-  *    (`Do`) and inline images (`BI`) reject — silently losing their
-  *    text would be worse than failing.
+  *    family `Td TD Tm T*` driving word separation; FORM XObject draws
+  *    (`Do` on `/Subtype /Form`) execute with the form's own resources
+  *    under an implicit state save/restore (ISO 32000-1 §8.10.1), the
+  *    form boundary separating words like a page boundary; image
+  *    XObjects, recursive forms, and inline images (`BI`) reject —
+  *    silently losing their text would be worse than failing.
   *
   * EXTRACTION LAW (the twin-restatable contract, like
   * [[WarcCodec.htmlText]]'s): each show operator appends its decoded
@@ -292,6 +300,14 @@ object PdfCodec {
 
   // ------------------------------------------------ document reader
 
+  /** Where an object lives: at a byte offset in the file (classic
+    * `n` entries and xref-stream type-1 rows), or compressed inside a
+    * `/Type /ObjStm` object stream (type-2 rows: stream object number
+    * + index within it). */
+  private sealed trait XrefEntry
+  private final case class InFile(off: Int) extends XrefEntry
+  private final case class InObjStm(stm: Int, idx: Int) extends XrefEntry
+
   /** The parsed document graph a caller walks: xref-resolved objects,
     * lazily fetched and memoized. */
   private final class Doc(bytes: Array[Byte]) {
@@ -299,7 +315,7 @@ object PdfCodec {
       new String(bytes, 0, 5, "US-ASCII") == "%PDF-",
       "not a PDF (missing %PDF- header)")
 
-    private val (xref: Map[Int, Int], trailer: Map[String, Any]) = {
+    private val (xref: Map[Int, XrefEntry], trailer: Map[String, Any]) = {
       val sxAt = lastIndexOf(bytes, "startxref")
       require(sxAt >= 0, "missing startxref")
       val lx = new Lex(bytes, sxAt + "startxref".length)
@@ -309,19 +325,15 @@ object PdfCodec {
         s"bad startxref offset $off")
       val x = new Lex(bytes, off.toInt)
       x.ws()
-      if (!x.tryKeyword("xref")) {
-        // a `N G obj` at the xref offset is a PDF 1.5+ xref STREAM
-        val probe = new Lex(bytes, off.toInt)
-        probe.ws()
-        val isObj =
-          try { probe.parseNumber(); probe.ws(); probe.parseNumber()
-            probe.ws(); probe.tryKeyword("obj") }
-          catch { case _: Exception => false }
-        throw new IllegalArgumentException(
-          if (isObj) "cross-reference streams (PDF 1.5+) unsupported"
-          else s"no xref table at offset ${off.toInt}")
-      }
-      val entries = Map.newBuilder[Int, Int]
+      if (x.tryKeyword("xref")) parseClassicXref(x)
+      else parseXrefStream(off.toInt)
+    }
+
+    /** Classic `xref` table + `trailer` dictionary. `x` sits just
+      * after the `xref` keyword. */
+    private def parseClassicXref(x: Lex)
+        : (Map[Int, XrefEntry], Map[String, Any]) = {
+      val entries = Map.newBuilder[Int, XrefEntry]
       var done = false
       while (!done) {
         x.ws()
@@ -342,7 +354,7 @@ object PdfCodec {
             require(kind == 'n' || kind == 'f',
               s"bad xref entry kind at offset ${x.p}")
             x.p += 1
-            if (kind == 'n') entries += ((start + i, o.toInt))
+            if (kind == 'n') entries += ((start + i, InFile(o.toInt)))
             i += 1
           }
         }
@@ -355,15 +367,130 @@ object PdfCodec {
       require(!t.contains("Encrypt"), "encrypted PDF unsupported")
       require(!t.contains("Prev"),
         "incremental updates (/Prev) unsupported")
+      require(!t.contains("XRefStm"),
+        "hybrid-reference files (/XRefStm) unsupported")
       (entries.result(), t)
+    }
+
+    /** PDF 1.5+ cross-reference STREAM: the startxref offset holds
+      * `N G obj` with a `/Type /XRef` stream whose DATA is the table —
+      * binary rows of `/W`-typed columns over the `/Index` subsections,
+      * FlateDecode'd (usually PNG-predicted) through the same
+      * [[decodeStream]] every other stream runs. The stream's dict IS
+      * the trailer. Its `/Length` must be direct: the xref is what
+      * resolves indirect references, so it cannot depend on itself. */
+    private def parseXrefStream(off: Int)
+        : (Map[Int, XrefEntry], Map[String, Any]) = {
+      val lx = new Lex(bytes, off)
+      lx.ws()
+      val okHeader =
+        try { lx.parseNumber(); lx.ws(); lx.parseNumber(); lx.ws()
+          lx.tryKeyword("obj") }
+        catch { case _: Exception => false }
+      require(okHeader, s"no xref table or xref stream at offset $off")
+      val dict = lx.parseObject() match {
+        case d: Map[_, _] => d.asInstanceOf[Map[String, Any]]
+        case other => throw new IllegalArgumentException(
+          s"object at startxref is not a stream dictionary: $other")
+      }
+      lx.ws()
+      require(lx.tryKeyword("stream"),
+        "object at startxref carries no stream (not an xref stream)")
+      if (lx.peek == '\r') lx.p += 1
+      require(lx.peek == '\n', "missing EOL after 'stream'")
+      lx.p += 1
+      val len = intOf(dict.getOrElse("Length",
+        throw new IllegalArgumentException("xref stream missing /Length")))
+      require(len >= 0 && lx.p.toLong + len <= bytes.length,
+        s"xref stream of $len bytes overruns the file")
+      val data = java.util.Arrays.copyOfRange(bytes, lx.p, lx.p + len)
+      require(dict.get("Type").contains(PName("XRef")),
+        s"stream at startxref is not /Type /XRef: ${dict.get("Type")}")
+      require(!dict.contains("Encrypt"), "encrypted PDF unsupported")
+      require(!dict.contains("Prev"),
+        "incremental updates (/Prev) unsupported")
+      val table = decodeStream(PStream(dict, data))
+      val w = dict.getOrElse("W", throw new IllegalArgumentException(
+        "xref stream missing /W")) match {
+        case v: Vector[_] if v.length == 3 => v.map(intOf)
+        case other => throw new IllegalArgumentException(
+          s"/W is not a 3-array: $other")
+      }
+      require(w.forall(x => x >= 0 && x <= 4), s"bad /W widths $w")
+      val size = intOf(dict.getOrElse("Size",
+        throw new IllegalArgumentException("xref stream missing /Size")))
+      val index: Vector[Int] = dict.get("Index") match {
+        case None => Vector(0, size)
+        case Some(v: Vector[_]) if v.length % 2 == 0 =>
+          v.map(intOf).toVector
+        case Some(other) => throw new IllegalArgumentException(
+          s"/Index is not an even-length array: $other")
+      }
+      val rowW = w.sum
+      require(rowW > 0, "/W declares zero-width rows")
+      val nRows = index.grouped(2).map(_(1)).sum
+      require(table.length == nRows * rowW,
+        s"xref table of ${table.length} bytes != $nRows rows of $rowW")
+      val entries = Map.newBuilder[Int, XrefEntry]
+      var pos = 0
+      def field(width: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < width) {
+          v = (v << 8) | (table(pos) & 0xffL); pos += 1; i += 1
+        }
+        v
+      }
+      index.grouped(2).foreach { pair =>
+        val start = pair(0)
+        val count = pair(1)
+        require(start >= 0 && count >= 0, s"bad /Index subsection $pair")
+        var i = 0
+        while (i < count) {
+          // a zero-width type column defaults the type to 1 (ISO
+          // 32000-1 Table 17)
+          val tpe = if (w(0) == 0) 1L else field(w(0))
+          val f2 = field(w(1))
+          val f3 = field(w(2))
+          tpe match {
+            case 0 => () // free
+            case 1 =>
+              require(f2 <= Int.MaxValue, s"xref offset $f2 overruns")
+              entries += ((start + i, InFile(f2.toInt)))
+            case 2 =>
+              require(f2 <= Int.MaxValue && f3 <= Int.MaxValue,
+                s"xref type-2 fields overrun: $f2 $f3")
+              entries += ((start + i, InObjStm(f2.toInt, f3.toInt)))
+            case other => throw new IllegalArgumentException(
+              s"xref entry type $other is outside the subset")
+          }
+          i += 1
+        }
+      }
+      (entries.result(), dict)
     }
 
     private val cache =
       scala.collection.mutable.Map.empty[Int, Any]
+    private val objStmCache =
+      scala.collection.mutable.Map.empty[Int, Vector[(Int, Any)]]
 
-    def obj(num: Int): Any = cache.getOrElseUpdate(num, {
-      val off = xref.getOrElse(num,
-        throw new IllegalArgumentException(s"object $num not in xref"))
+    def obj(num: Int): Any = cache.getOrElseUpdate(num,
+      xref.getOrElse(num, throw new IllegalArgumentException(
+        s"object $num not in xref")) match {
+        case InFile(off) => objAt(num, off)
+        case InObjStm(stm, idx) =>
+          val objs = objStmObjects(stm)
+          require(idx >= 0 && idx < objs.length,
+            s"object $num: index $idx outside object stream $stm")
+          val (foundNum, v) = objs(idx)
+          require(foundNum == num,
+            s"object stream $stm index $idx holds object $foundNum, " +
+              s"xref says $num")
+          v
+      })
+
+    private def objAt(num: Int, off: Int): Any = {
       val lx = new Lex(bytes, off)
       lx.ws()
       val n = lx.parseNumber().toInt
@@ -393,7 +520,56 @@ object PdfCodec {
         lx.expectKeyword("endstream")
         PStream(dict, data)
       } else v
-    })
+    }
+
+    /** All objects of object stream `stm`, parsed once: `/N` pairs of
+      * (object number, relative offset) head the DECODED bytes, each
+      * object parsed at `/First` + offset. Streams cannot nest inside
+      * an object stream (ISO 32000-1 §7.5.7) — a `stream` keyword
+      * there rejects; so does an object stream not stored directly in
+      * the file (a type-2 entry pointing at another type-2 object
+      * would recurse). */
+    private def objStmObjects(stm: Int): Vector[(Int, Any)] =
+      objStmCache.getOrElseUpdate(stm, {
+        require(xref.get(stm).exists(_.isInstanceOf[InFile]),
+          s"object stream $stm must itself live in the file")
+        val s = obj(stm) match {
+          case st: PStream => st
+          case other => throw new IllegalArgumentException(
+            s"object $stm is not an object stream: $other")
+        }
+        require(s.dict.get("Type").contains(PName("ObjStm")),
+          s"object $stm is not /Type /ObjStm: ${s.dict.get("Type")}")
+        val n = intOf(resolve(s.dict.getOrElse("N",
+          throw new IllegalArgumentException(
+            s"object stream $stm missing /N"))))
+        val first = intOf(resolve(s.dict.getOrElse("First",
+          throw new IllegalArgumentException(
+            s"object stream $stm missing /First"))))
+        val data = decodeStream(s)
+        require(first >= 0 && first <= data.length,
+          s"object stream $stm: /First $first outside the data")
+        val hdr = new Lex(data, 0)
+        val pairs = (0 until n).map { _ =>
+          hdr.ws()
+          val num = hdr.parseNumber().toInt
+          hdr.ws()
+          val rel = hdr.parseNumber().toInt
+          (num, rel)
+        }
+        require(hdr.p <= first,
+          s"object stream $stm: header overruns /First")
+        pairs.map { case (num, rel) =>
+          require(rel >= 0 && first + rel < data.length,
+            s"object stream $stm: object $num offset $rel outside data")
+          val ox = new Lex(data, first + rel)
+          val v = ox.parseObject()
+          ox.ws()
+          require(!ox.tryKeyword("stream"),
+            "streams cannot live inside an object stream")
+          (num, v)
+        }.toVector
+      })
 
     def resolve(v: Any): Any = v match {
       case PRef(n) => resolve(obj(n))
@@ -429,24 +605,91 @@ object PdfCodec {
       throw new IllegalArgumentException(s"expected dictionary, got $other")
   }
 
-  /** Decode a content stream's bytes: raw, or `/FlateDecode` through
-    * the zlib wrapper over the hand-rolled inflate (header check,
-    * Adler-32 verified). Any other filter, and any `/DecodeParms`,
-    * rejects loudly. */
+  /** Decode a stream's bytes: raw, or `/FlateDecode` through the zlib
+    * wrapper over the hand-rolled inflate (header check, Adler-32
+    * verified). `/DecodeParms` is accepted in exactly one shape — the
+    * PNG row-predictor family cross-reference streams almost
+    * universally carry (`/Predictor 10–15`, `/Colors 1`,
+    * `/BitsPerComponent 8`, `/Columns N`) — and rejects loudly
+    * otherwise (TIFF predictor 2, multi-component rows, parms on a
+    * raw stream, a parms value that is not a direct dictionary). */
   private def decodeStream(s: PStream): Array[Byte] = {
-    (s.dict.get("DecodeParms") orElse s.dict.get("DP")).foreach {
-      case PNull => ()
-      case parms => throw new IllegalArgumentException(
-        s"/DecodeParms unsupported: $parms")
-    }
-    s.dict.get("Filter") match {
-      case None | Some(PNull) => s.data
+    val parms: Option[Map[String, Any]] =
+      (s.dict.get("DecodeParms") orElse s.dict.get("DP")) match {
+        case None | Some(PNull) => None
+        case Some(d: Map[_, _]) => Some(d.asInstanceOf[Map[String, Any]])
+        case Some(other) => throw new IllegalArgumentException(
+          s"/DecodeParms unsupported: $other")
+      }
+    val inflated = s.dict.get("Filter") match {
+      case None | Some(PNull) =>
+        require(parms.isEmpty, "/DecodeParms on an unfiltered stream")
+        return s.data
       case Some(PName("FlateDecode")) => zlibInflate(s.data)
       case Some(v: Vector[_]) if v == Vector(PName("FlateDecode")) =>
         zlibInflate(s.data)
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported stream filter: $other")
     }
+    parms match {
+      case None => inflated
+      case Some(d) => unpredict(inflated, d)
+    }
+  }
+
+  /** Undo PNG row predictors (ISO 32000-1 §7.4.4.4 — the same filter
+    * algebra as RFC 2083, which [[PngCodec]] already decodes for
+    * rasters): one 8-bit component, so rows are `Columns` bytes each,
+    * prefixed by a per-row filter tag, and the left/up neighbours are
+    * single bytes (bpp = 1). Predictor 1 is the identity; 2 (TIFF)
+    * and multi-component shapes are outside the subset. */
+  private def unpredict(data: Array[Byte],
+      parms: Map[String, Any]): Array[Byte] = {
+    val pred = intOf(parms.getOrElse("Predictor", 1.0))
+    if (pred == 1) return data
+    require(pred >= 10 && pred <= 15, s"predictor $pred unsupported")
+    val colors = intOf(parms.getOrElse("Colors", 1.0))
+    val bpc = intOf(parms.getOrElse("BitsPerComponent", 8.0))
+    require(colors == 1 && bpc == 8,
+      s"predictor subset is Colors 1 / BitsPerComponent 8, " +
+        s"got $colors/$bpc")
+    val cols = intOf(parms.getOrElse("Columns",
+      throw new IllegalArgumentException("/Predictor without /Columns")))
+    require(cols > 0, s"bad /Columns $cols")
+    require(data.length % (cols + 1) == 0,
+      s"predicted data of ${data.length} bytes is not rows of ${cols + 1}")
+    val nRows = data.length / (cols + 1)
+    val out = new Array[Byte](nRows * cols)
+    var r = 0
+    while (r < nRows) {
+      val tag = data(r * (cols + 1)) & 0xff
+      var c = 0
+      while (c < cols) {
+        val x = data(r * (cols + 1) + 1 + c) & 0xff
+        val a = if (c > 0) out(r * cols + c - 1) & 0xff else 0 // left
+        val b = if (r > 0) out((r - 1) * cols + c) & 0xff else 0 // up
+        val ul = if (r > 0 && c > 0) out((r - 1) * cols + c - 1) & 0xff
+          else 0 // upper-left
+        val v = tag match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth
+            val p = a + b - ul
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else ul)
+          case other => throw new IllegalArgumentException(
+            s"bad PNG filter tag $other in predicted stream")
+        }
+        out(r * cols + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** RFC 1950 over [[PngCodec.inflateDynamic]] for unknown output size
@@ -493,43 +736,47 @@ object PdfCodec {
     }
   }
 
-  /** Run the operator machine over one page's (decoded, concatenated)
-    * content, appending to `sb` under the extraction law. */
-  private def pageText(doc: Doc, page: Map[String, Any],
-      sb: StringBuilder): Unit = {
-    val resources = dictOf(doc.resolve(page.getOrElse("Resources",
-      Map.empty[String, Any])))
-    val fontRefs = resources.get("Font")
-      .map(f => dictOf(doc.resolve(f))).getOrElse(Map.empty)
-    val fontEnc = scala.collection.mutable.Map.empty[String, Enc]
-    def encFor(name: String): Enc = fontEnc.getOrElseUpdate(name,
-      encodingOf(doc, dictOf(doc.resolve(fontRefs.getOrElse(name,
-        throw new IllegalArgumentException(s"font /$name not in resources"))))))
+  /** The text-operator machine: runs content streams against the
+    * extraction law, recursing through Form XObject draws (`Do`). One
+    * instance per document; [[page]] resets the per-page text state
+    * (the page boundary separates, and a page's first show needs its
+    * own `Tf`). */
+  private final class TextMachine(doc: Doc, sb: StringBuilder) {
+    private var enc: Enc = null
+    private var needSep = true
+    private val executing = scala.collection.mutable.Set.empty[Int]
+
+    def page(pg: Map[String, Any]): Unit = {
+      enc = null
+      needSep = true // page boundary separates
+      val resources = dictOf(doc.resolve(pg.getOrElse("Resources",
+        Map.empty[String, Any])))
+      run(contentBytesOf(pg), resources)
+    }
+
     // /Contents: one stream or an array; array parts concatenate with
     // an EOL between (ISO 32000-1 §7.8.2)
-    val content: Array[Byte] = doc.resolve(page.getOrElse("Contents",
-      throw new IllegalArgumentException("page missing /Contents"))) match {
-      case s: PStream => decodeStream(s)
-      case parts: Vector[_] =>
-        val out = new java.io.ByteArrayOutputStream()
-        parts.foreach { ref =>
-          val s = doc.resolve(ref) match {
-            case st: PStream => st
-            case other => throw new IllegalArgumentException(
-              s"contents element is not a stream: $other")
+    private def contentBytesOf(pg: Map[String, Any]): Array[Byte] =
+      doc.resolve(pg.getOrElse("Contents",
+        throw new IllegalArgumentException("page missing /Contents"))) match {
+        case s: PStream => decodeStream(s)
+        case parts: Vector[_] =>
+          val out = new java.io.ByteArrayOutputStream()
+          parts.foreach { ref =>
+            val s = doc.resolve(ref) match {
+              case st: PStream => st
+              case other => throw new IllegalArgumentException(
+                s"contents element is not a stream: $other")
+            }
+            out.write(decodeStream(s))
+            out.write('\n')
           }
-          out.write(decodeStream(s))
-          out.write('\n')
-        }
-        out.toByteArray
-      case other => throw new IllegalArgumentException(
-        s"unsupported /Contents: $other")
-    }
-    val lx = new Lex(content, 0)
-    val operands = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var enc: Enc = null
-    var needSep = true // page boundary separates
-    def append(bytes: Array[Byte]): Unit = {
+          out.toByteArray
+        case other => throw new IllegalArgumentException(
+          s"unsupported /Contents: $other")
+      }
+
+    private def append(bytes: Array[Byte]): Unit = {
       require(enc != null, "text shown before any Tf font selection")
       val s = enc match {
         case WinAnsi => decodeWinAnsi(bytes)
@@ -539,57 +786,124 @@ object PdfCodec {
       needSep = false
       sb.append(s)
     }
-    def strOperand(): Array[Byte] = operands.lastOption match {
-      case Some(b: Array[Byte]) => b
-      case other => throw new IllegalArgumentException(
-        s"show operator without a string operand: $other")
-    }
-    var done = false
-    while (!done) {
-      lx.ws()
-      val c = lx.peek
-      if (c == -1) done = true
-      else if (c == '(' || c == '<' || c == '[' || c == '/' ||
-          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9'))
-        operands += lx.parseObject()
-      else {
-        // operator token: regular characters (includes ' and ")
-        val start = lx.p
-        while (lx.peek != -1 && !isWs(lx.peek) && !isDelim(lx.peek))
-          lx.p += 1
-        require(lx.p > start, s"unparseable content at offset $start")
-        val op = new String(content, start, lx.p - start, "US-ASCII")
-        op match {
-          case "BT" => needSep = true
-          case "Td" | "TD" | "Tm" | "T*" => needSep = true
-          case "Tf" =>
-            require(operands.length >= 2, "Tf needs font and size")
-            operands(operands.length - 2) match {
-              case PName(n) => enc = encFor(n)
-              case other => throw new IllegalArgumentException(
-                s"Tf font operand is not a name: $other")
-            }
-          case "Tj" => append(strOperand())
-          case "'" => needSep = true; append(strOperand())
-          case "\"" => needSep = true; append(strOperand())
-          case "TJ" => operands.lastOption match {
-            case Some(arr: Vector[_]) => arr.foreach {
-              case b: Array[Byte] => append(b)
-              case n: Double => if (n <= TJ_SPACE_KERN) needSep = true
-              case other => throw new IllegalArgumentException(
-                s"bad TJ element: $other")
-            }
-            case other => throw new IllegalArgumentException(
-              s"TJ without an array operand: $other")
-          }
-          case "Do" => throw new IllegalArgumentException(
-            "form/image XObjects (Do) unsupported — their text would be lost")
-          case "BI" => throw new IllegalArgumentException(
-            "inline images (BI) unsupported")
-          case _ => () // ET, graphics state, color, path ops: inert
-        }
-        operands.clear()
+
+    /** One content stream under `resources` — a page's, or a form's
+      * (with the FORM's resources, the shadowing the spec pins). */
+    private def run(content: Array[Byte],
+        resources: Map[String, Any]): Unit = {
+      val fontRefs = resources.get("Font")
+        .map(f => dictOf(doc.resolve(f))).getOrElse(Map.empty)
+      val xobjRefs = resources.get("XObject")
+        .map(f => dictOf(doc.resolve(f))).getOrElse(Map.empty)
+      val fontEnc = scala.collection.mutable.Map.empty[String, Enc]
+      def encFor(name: String): Enc = fontEnc.getOrElseUpdate(name,
+        encodingOf(doc, dictOf(doc.resolve(fontRefs.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"font /$name not in resources"))))))
+      val lx = new Lex(content, 0)
+      val operands = scala.collection.mutable.ArrayBuffer.empty[Any]
+      def strOperand(): Array[Byte] = operands.lastOption match {
+        case Some(b: Array[Byte]) => b
+        case other => throw new IllegalArgumentException(
+          s"show operator without a string operand: $other")
       }
+      var done = false
+      while (!done) {
+        lx.ws()
+        val c = lx.peek
+        if (c == -1) done = true
+        else if (c == '(' || c == '<' || c == '[' || c == '/' ||
+            c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9'))
+          operands += lx.parseObject()
+        else {
+          // operator token: regular characters (includes ' and ")
+          val start = lx.p
+          while (lx.peek != -1 && !isWs(lx.peek) && !isDelim(lx.peek))
+            lx.p += 1
+          require(lx.p > start, s"unparseable content at offset $start")
+          val op = new String(content, start, lx.p - start, "US-ASCII")
+          op match {
+            case "BT" => needSep = true
+            case "Td" | "TD" | "Tm" | "T*" => needSep = true
+            case "Tf" =>
+              require(operands.length >= 2, "Tf needs font and size")
+              operands(operands.length - 2) match {
+                case PName(n) => enc = encFor(n)
+                case other => throw new IllegalArgumentException(
+                  s"Tf font operand is not a name: $other")
+              }
+            case "Tj" => append(strOperand())
+            case "'" => needSep = true; append(strOperand())
+            case "\"" => needSep = true; append(strOperand())
+            case "TJ" => operands.lastOption match {
+              case Some(arr: Vector[_]) => arr.foreach {
+                case b: Array[Byte] => append(b)
+                case n: Double => if (n <= TJ_SPACE_KERN) needSep = true
+                case other => throw new IllegalArgumentException(
+                  s"bad TJ element: $other")
+              }
+              case other => throw new IllegalArgumentException(
+                s"TJ without an array operand: $other")
+            }
+            case "Do" => doXObject(operands.toSeq, xobjRefs, resources)
+            case "BI" => throw new IllegalArgumentException(
+              "inline images (BI) unsupported")
+            case _ => () // ET, graphics state, color, path ops: inert
+          }
+          operands.clear()
+        }
+      }
+    }
+
+    /** `Do` — execute a Form XObject (ISO 32000-1 §8.10.1): Do
+      * brackets the form in an implicit graphics-state save/restore,
+      * so the form INHERITS the current font and its own `Tf`
+      * selections are discarded at exit; the form boundary separates
+      * words on both sides (the page-boundary law one level down).
+      * The form's OWN `/Resources` bind inside it (name SHADOWING: a
+      * form's `/F1` may be a different font than the page's); a form
+      * without `/Resources` inherits the caller's. Image XObjects and
+      * recursive forms reject loudly — their content would otherwise
+      * be lost or loop. */
+    private def doXObject(operands: Seq[Any],
+        xobjRefs: Map[String, Any],
+        callerRes: Map[String, Any]): Unit = {
+      val name = operands.lastOption match {
+        case Some(PName(n)) => n
+        case other => throw new IllegalArgumentException(
+          s"Do without a name operand: $other")
+      }
+      val ref = xobjRefs.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"XObject /$name not in resources"))
+      val refNum = ref match {
+        case PRef(n) => n
+        case other => throw new IllegalArgumentException(
+          s"XObject /$name is not an indirect stream: $other")
+      }
+      val st = doc.resolve(ref) match {
+        case s: PStream => s
+        case other => throw new IllegalArgumentException(
+          s"XObject /$name is not a stream: $other")
+      }
+      st.dict.get("Subtype") match {
+        case Some(PName("Form")) => ()
+        case Some(PName("Image")) => throw new IllegalArgumentException(
+          "image XObjects (Do) unsupported")
+        case other => throw new IllegalArgumentException(
+          s"unsupported XObject subtype: $other")
+      }
+      require(!executing.contains(refNum),
+        s"recursive form XObject (object $refNum draws itself)")
+      executing += refNum
+      val savedEnc = enc
+      needSep = true
+      val formRes = st.dict.get("Resources")
+        .map(r => dictOf(doc.resolve(r))).getOrElse(callerRes)
+      run(decodeStream(st), formRes)
+      enc = savedEnc
+      needSep = true
+      executing -= refNum
     }
   }
 
@@ -618,7 +932,8 @@ object PdfCodec {
       .empty[Map[String, Any]]
     collectPages(doc, pagesRoot, pages)
     val sb = new StringBuilder
-    pages.foreach(pageText(doc, _, sb))
+    val machine = new TextMachine(doc, sb)
+    pages.foreach(machine.page)
     PdfDoc(pages.length, collapse(sb.toString))
   }
 
@@ -709,9 +1024,248 @@ object PdfCodec {
     val xrefOff = out.size()
     w(s"xref\n0 ${nObjs + 1}\n")
     w("0000000000 65535 f \n")
-    (1 to nObjs).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    (1 to nObjs).foreach(i => w(s"${pad10(offsets(i))} 00000 n \n"))
     w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Zero-pad an xref offset in Locale.ROOT — the `f` interpolator's
+    * `%010d` localizes digits under digit-localizing locales, and an
+    * xref table with non-ASCII digits is unreadable. */
+  private def pad10(n: Int): String =
+    String.format(java.util.Locale.ROOT, "%010d",
+      java.lang.Integer.valueOf(n))
+
+  private def zlibDeflate(raw: Array[Byte], level: Int): Array[Byte] = {
+    val defl = new java.util.zip.Deflater(level) // zlib wrapper
+    defl.setInput(raw)
+    defl.finish()
+    val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    comp.toByteArray
+  }
+
+  private val BINARY_MARK = Array[Byte](0xe2.toByte, 0xe3.toByte,
+    0xcf.toByte, 0xd3.toByte)
+
+  /** Write a PDF 1.5 document — same page/font layout as [[encode]]
+    * but with the cross-reference as a `/Type /XRef` STREAM (W-typed
+    * binary rows `[1 4 2]`, FlateDecode'd), the modern layout the
+    * majority of real-world PDFs use. `objStm = true` additionally
+    * packs every NON-stream object (catalog, page tree, fonts, page
+    * dicts) into one `/Type /ObjStm` object stream reached through
+    * type-2 xref rows — content streams stay top-level (streams cannot
+    * nest, ISO 32000-1 §7.5.7). `predictor = true` PNG-Up-predicts the
+    * xref rows (`/DecodeParms << /Predictor 12 /Columns 7 >>`), the
+    * shape single-pass writers actually emit. Encode side is corpus
+    * machinery; the gated path is [[extractText]] (q251). */
+  def encode15(pages: Seq[String], level: Int = 6,
+      objStm: Boolean = false, predictor: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    // numbering mirrors [[encode]]: 1 catalog, 2 pages root, 3/4
+    // fonts, 5+2i page dict, 6+2i content stream; then the ObjStm
+    // (when packing) and the xref stream LAST
+    val stmObj = if (objStm) Some(4 + 2 * n + 1) else None
+    val xrefObj = 4 + 2 * n + (if (objStm) 2 else 1)
+    val nObjs = xrefObj
+    val offsets = new Array[Int](nObjs + 1)
+    val inStm = Array.fill(nObjs + 1)(-1)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    w("%PDF-1.5\n%")
+    out.write(BINARY_MARK)
+    w("\n")
+    val kids = (0 until n).map(i => s"${5 + 2 * i} 0 R").mkString(" ")
+    val dictObjs: Seq[(Int, String)] = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>",
+      3 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+        " /Encoding /WinAnsiEncoding >>"),
+      4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>") ++
+      (0 until n).map { i =>
+        (5 + 2 * i) -> (s"<< /Type /Page /Parent 2 0 R" +
+          " /MediaBox [0 0 612 792]" +
+          " /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >>" +
+          s" /Contents ${6 + 2 * i} 0 R >>")
+      }
+    pages.zipWithIndex.foreach { case (content, i) =>
+      val contObj = 6 + 2 * i
+      val bytes = zlibDeflate(content.getBytes(CP1252), level)
+      offsets(contObj) = out.size()
+      w(s"$contObj 0 obj\n<< /Length ${bytes.length}" +
+        " /Filter /FlateDecode >>\nstream\n")
+      out.write(bytes)
+      w("\nendstream\nendobj\n")
+    }
+    if (objStm) {
+      val dataSb = new StringBuilder
+      val pairs = dictObjs.map { case (num, body) =>
+        val off = dataSb.length
+        dataSb.append(body).append('\n')
+        (num, off)
+      }
+      val header = pairs.map { case (nn, oo) => s"$nn $oo" }
+        .mkString(" ") + "\n"
+      val stmRaw = (header + dataSb.toString).getBytes("US-ASCII")
+      val stmDefl = zlibDeflate(stmRaw, 6)
+      dictObjs.zipWithIndex.foreach { case ((num, _), idx) =>
+        inStm(num) = idx
+      }
+      val sNum = stmObj.get
+      offsets(sNum) = out.size()
+      w(s"$sNum 0 obj\n<< /Type /ObjStm /N ${dictObjs.length}" +
+        s" /First ${header.length} /Length ${stmDefl.length}" +
+        " /Filter /FlateDecode >>\nstream\n")
+      out.write(stmDefl)
+      w("\nendstream\nendobj\n")
+    } else dictObjs.foreach { case (num, body) =>
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n$body\nendobj\n")
+    }
+    // the xref stream: one row per object 0..nObjs, W = [1 4 2]
+    val xrefOff = out.size()
+    val cols = 7
+    val rows = new java.io.ByteArrayOutputStream()
+    def row(t: Int, f2: Int, f3: Int): Unit = {
+      rows.write(t)
+      rows.write((f2 >> 24) & 0xff); rows.write((f2 >> 16) & 0xff)
+      rows.write((f2 >> 8) & 0xff); rows.write(f2 & 0xff)
+      rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+    }
+    row(0, 0, 0xffff) // object 0: head of the free list
+    (1 to nObjs).foreach { num =>
+      if (num == xrefObj) row(1, xrefOff, 0)
+      else if (inStm(num) >= 0) row(2, stmObj.get, inStm(num))
+      else row(1, offsets(num), 0)
+    }
+    val rowBytes = rows.toByteArray
+    val predicted =
+      if (!predictor) rowBytes
+      else {
+        // PNG Up filter (tag 2) per row: filt(x) = raw(x) − up(x)
+        val nr = rowBytes.length / cols
+        val o = new java.io.ByteArrayOutputStream()
+        var r = 0
+        while (r < nr) {
+          o.write(2)
+          var c = 0
+          while (c < cols) {
+            val cur = rowBytes(r * cols + c) & 0xff
+            val up = if (r > 0) rowBytes((r - 1) * cols + c) & 0xff else 0
+            o.write((cur - up) & 0xff)
+            c += 1
+          }
+          r += 1
+        }
+        o.toByteArray
+      }
+    val xdefl = zlibDeflate(predicted, 6)
+    val parms =
+      if (predictor) s" /DecodeParms << /Predictor 12 /Columns $cols >>"
+      else ""
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${nObjs + 1} /W [1 4 2]" +
+      s" /Root 1 0 R /Filter /FlateDecode$parms" +
+      s" /Length ${xdefl.length} >>\nstream\n")
+    out.write(xdefl)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Write a PDF 1.4 document whose text rides FORM XObjects: each
+    * page's content draws `/Fm1` (classic xref — q251 owns the 1.5
+    * layout). `/Fm1`'s OWN resources bind `/F9` = Courier (a name the
+    * PAGE resources do not know — a reader resolving the form's fonts
+    * from the page map fails loudly) and, when `form2` is set, `/Fm2`;
+    * `/Fm2`'s resources bind `/F1` = the WinAnsi font (a name the
+    * FORM-1 map does not know — nested resource scoping is
+    * load-bearing in both directions). Encode side is corpus
+    * machinery; the gated path is [[extractText]] (q252). */
+  def encodeForms(pages: Seq[String], form1: String,
+      form2: Option[String], level: Int = 6): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val f1Obj = 4 + 2 * n + 1
+    val f2Obj = f1Obj + 1
+    val nObjs = if (form2.isDefined) f2Obj else f1Obj
+    val offsets = new Array[Int](nObjs + 1)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    def streamObj(num: Int, dictHead: String, content: String): Unit = {
+      val bytes = zlibDeflate(content.getBytes(CP1252), level)
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n$dictHead /Length ${bytes.length}" +
+        " /Filter /FlateDecode >>\nstream\n")
+      out.write(bytes)
+      w("\nendstream\nendobj\n")
+    }
+    w("%PDF-1.4\n%")
+    out.write(BINARY_MARK)
+    w("\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    val kids = (0 until n).map(i => s"${5 + 2 * i} 0 R").mkString(" ")
+    obj(2)(w(s"<< /Type /Pages /Kids [$kids] /Count $n >>\n"))
+    obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+      " /Encoding /WinAnsiEncoding >>\n"))
+    obj(4)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\n"))
+    pages.zipWithIndex.foreach { case (content, i) =>
+      obj(5 + 2 * i)(w(s"<< /Type /Page /Parent 2 0 R" +
+        " /MediaBox [0 0 612 792]" +
+        " /Resources << /Font << /F1 3 0 R /F2 4 0 R >>" +
+        s" /XObject << /Fm1 $f1Obj 0 R >> >>" +
+        s" /Contents ${6 + 2 * i} 0 R >>\n"))
+      streamObj(6 + 2 * i, "<<", content)
+    }
+    val fm2Res =
+      if (form2.isDefined) s" /XObject << /Fm2 $f2Obj 0 R >>" else ""
+    streamObj(f1Obj, "<< /Type /XObject /Subtype /Form" +
+      " /BBox [0 0 612 792]" +
+      s" /Resources << /Font << /F9 4 0 R >>$fm2Res >>", form1)
+    form2.foreach { f2 =>
+      streamObj(f2Obj, "<< /Type /XObject /Subtype /Form" +
+        " /BBox [0 0 612 60]" +
+        " /Resources << /Font << /F1 3 0 R >> >>", f2)
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${nObjs + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to nObjs).foreach(i => w(s"${pad10(offsets(i))} 00000 n \n"))
+    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Assemble a classic-xref PDF from raw OBJECT BODIES — a
+    * test/corpus device for graphs the real encoders refuse to
+    * produce (rejection suites: recursive forms, hybrid-reference
+    * trailers, malformed page trees). Object i+1 gets body `objs(i)`
+    * verbatim, including any `stream … endstream` section (the caller
+    * computes `/Length`); the xref table and trailer are computed.
+    * `extraTrailer` splices additional trailer keys (e.g. `/XRefStm 9`
+    * for the hybrid-reference rejection). */
+  private[graft] def assemble(objs: Seq[String], root: Int = 1,
+      extraTrailer: String = ""): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(CP1252))
+    w("%PDF-1.4\n")
+    val offsets = objs.zipWithIndex.map { case (body, i) =>
+      val off = out.size()
+      w(s"${i + 1} 0 obj\n$body\nendobj\n")
+      off
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(s"${pad10(o)} 00000 n \n"))
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root $root 0 R" +
+      s"$extraTrailer >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 }

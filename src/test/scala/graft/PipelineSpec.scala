@@ -320,6 +320,111 @@ class PipelineSpec extends SparkSpecBase {
     assert(r3 == r2 && RetrievalLoop.committedDay(spark, root) == 2L)
   }
 
+  test("composed day commit: a crash in EITHER cross-loop window pins " +
+      "the composed reader at day N-1 in BOTH loops; replay heals") {
+    import graft.engine.{ComposedDay, RetrievalLoop, Sim, TermIndex}
+    val curRoot = tmpDir("graft-composed-cur")
+    val retRoot = tmpDir("graft-composed-ret")
+    val compRoot = tmpDir("graft-composed-marker")
+    val docs3 = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val docs2c = docs3.select("doc_id", "text")
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    // seed both loops, then compose-commit day 0 (order: cur, ret, marker)
+    ComposedDay.publishDay(spark, compRoot, 0L) {
+      CurationLoop.seed(spark,
+        docs3.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0), curRoot)
+    } {
+      RetrievalLoop.seed(spark,
+        docs2c.filter(col("doc_id") % Dedup.DELTA_MOD =!= 0),
+        vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0), retRoot)
+    }
+    assert(ComposedDay.committedDay(spark, compRoot) == 0L)
+    def landDocs(d: org.apache.spark.sql.DataFrame,
+        day: Long): org.apache.spark.sql.DataFrame = {
+      d.withColumn("batch", lit(day)).write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$curRoot/docs")
+      spark.read.parquet(s"$curRoot/docs").select("doc_id", "lang", "text")
+    }
+    def publish(day: Long, corpus: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame,
+        rDocs: org.apache.spark.sql.DataFrame,
+        rVecs: org.apache.spark.sql.DataFrame): Unit =
+      ComposedDay.publishDay(spark, compRoot, day) {
+        // retention holds back to the COMPOSED committed day: a reader
+        // may still be pinned there until this publish's marker lands
+        CurationLoop.runDay(spark, corpus, batch, day, curRoot,
+          retainAsOf = ComposedDay.committedDay(spark, compRoot))
+      } {
+        RetrievalLoop.runDay(spark, rDocs, rVecs, probes,
+          TermIndex.TI_TERMS, day, retRoot)
+      }
+    val delta1 = docs3.filter(col("doc_id") % Dedup.DELTA_MOD === 0)
+    val corpus1 = landDocs(delta1, 1L)
+    publish(1L, corpus1, delta1,
+      docs2c.filter(col("doc_id") % Dedup.DELTA_MOD === 0),
+      vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 0))
+    def snapshot(v: ComposedDay.ComposedView): Seq[Long] = Seq(
+      v.day, v.curation.docs.count(), v.curation.shards.count(),
+      v.curation.bandIndex.count(), v.retrieval.postings.count(),
+      v.retrieval.vectors.count(), v.retrieval.lexResults.count())
+    val v1 = ComposedDay.asOf(spark, compRoot, curRoot, retRoot)
+    assert(v1.day == 1L)
+    val s1 = snapshot(v1)
+    val labels1 = v1.curation.labels.collect().map(_.toString).sorted.toSeq
+    // ---- window A: crash BETWEEN the loops — curation fully commits
+    // day 2 INTERNALLY (marker, prune), retrieval never runs: the
+    // exact cross-loop skew the composed marker exists for
+    val delta2 = docs3.filter(col("doc_id") % Dedup.DELTA_MOD === 1)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+        col("text"))
+    val corpus2 = landDocs(delta2, 2L)
+    val rDocs2 = docs2c.filter(col("doc_id") % Dedup.DELTA_MOD === 1)
+    val rVecs2 = vecs.filter(col("vec_id") % Sim.ANN_DELTA_MOD === 1)
+    ComposedDay.testFailpointBetweenLoops =
+      () => throw new RuntimeException("simulated crash between loops")
+    try intercept[RuntimeException] {
+      publish(2L, corpus2, delta2, rDocs2, rVecs2)
+    } finally ComposedDay.testFailpointBetweenLoops = () => ()
+    // the skew is real: the per-loop markers DISAGREE
+    assert(CurationLoop.committedDay(spark, curRoot) == 2L)
+    assert(RetrievalLoop.committedDay(spark, retRoot) == 1L)
+    // yet the composed reader sees ONE day everywhere: day 1
+    val vA = ComposedDay.asOf(spark, compRoot, curRoot, retRoot)
+    assert(vA.day == 1L,
+      "a composed reader must never see the loops' own (skewed) markers")
+    assert(snapshot(vA) == s1, "every view must still serve day 1")
+    assert(vA.curation.labels.collect().map(_.toString).sorted.toSeq
+      == labels1,
+      "day-1 labels must survive curation's internal day-2 commit " +
+        "(retention held back to the composed day)")
+    // ---- window B: both loops land day 2, crash BEFORE the composed
+    // marker
+    ComposedDay.testFailpointBeforeCommit =
+      () => throw new RuntimeException("simulated crash before marker")
+    try intercept[RuntimeException] {
+      publish(2L, corpus2, delta2, rDocs2, rVecs2)
+    } finally ComposedDay.testFailpointBeforeCommit = () => ()
+    assert(CurationLoop.committedDay(spark, curRoot) == 2L)
+    assert(RetrievalLoop.committedDay(spark, retRoot) == 2L)
+    val vB = ComposedDay.asOf(spark, compRoot, curRoot, retRoot)
+    assert(vB.day == 1L && snapshot(vB) == s1,
+      "both loops committed, but the COMPOSITION did not — day 1 holds")
+    // ---- heal: the replayed publish completes; the composed reader
+    // advances to day 2 in both loops at once
+    publish(2L, corpus2, delta2, rDocs2, rVecs2)
+    val v2 = ComposedDay.asOf(spark, compRoot, curRoot, retRoot)
+    assert(v2.day == 2L)
+    assert(v2.curation.docs.count() == corpus2.count())
+    assert(v2.retrieval.postings
+      .filter(col("increment") === 2L).count() > 0)
+    // replaying the committed day is byte-stable on the marker
+    publish(2L, corpus2, delta2, rDocs2, rVecs2)
+    assert(ComposedDay.committedDay(spark, compRoot) == 2L)
+  }
+
   test("forget propagates a deletion through every artifact; cluster " +
       "connectivity re-derives exactly; replay removes nothing") {
     val root = tmpDir("graft-forget")

@@ -111,6 +111,11 @@ class PlanAuditSpec extends SparkSpecBase {
     * the same corpus recomputed per CONSUMER, which these are not).
     * Unlisted queries: <= 2. */
   private val DOC_SCAN_BUDGET: Map[String, Int] = Map(
+    // q253's three passes are the two-path split's own anatomy: the
+    // measured host-cardinality dispatch (one narrow doc_id scan) plus
+    // the cold and hot filter branches — each a one-column scan, never
+    // the corpus recomputed per consumer (the q194 class)
+    "q253_frontier_skew" -> 3,
     "q130_boilerplate_ngrams" -> 3,
     "q132_heavy_gram_monitor" -> 3,
     "q141_temperature_sample" -> 3,

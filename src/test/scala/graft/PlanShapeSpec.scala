@@ -515,6 +515,48 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("skewed frontier (q253): cold hosts keep the per-host window, " +
+      "hot rows rank on (host, priority), offsets broadcast back") {
+    val df = graft.engine.Crawl.frontierSkewedWaves(spark, sf)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // the two-path split is visible as two Window grains: the cold
+    // per-host window and the hot (host, priority) sub-rank — plus the
+    // tiny offset cumulation (also per-host, over the AGGREGATED
+    // counts, not the rows)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val grains = windows.map(_.partitionSpec.map(e =>
+      e.toString.replaceAll("#\\d+L?", "")).mkString(","))
+    assert(grains.exists(_.contains("priority")),
+      s"hot rows must sub-rank on (host, priority): $grains")
+    assert(grains.count(!_.contains("priority")) >= 1,
+      s"cold hosts must keep the plain host window: $grains")
+    // NO full re-sort of the cold hosts on the hot path: every Window
+    // that partitions by host ALONE is either the cold-side window
+    // (above the anti-hot filter — hot rows never ride it) or the
+    // offset cumulation (above the tiny (host, priority) AGGREGATE,
+    // never the hot rows themselves)
+    windows.filter(w => !w.partitionSpec.exists(
+        _.toString.contains("priority")))
+      .foreach { w =>
+        val subtree = allNodes(w)
+        val coldSide = subtree.exists(n => n.nodeName.contains("Filter") &&
+          n.toString.contains("NOT"))
+        val overCounts = subtree.exists(
+          _.nodeName.contains("HashAggregate"))
+        assert(coldSide || overCounts,
+          "a host-grain window may consume only cold-filtered rows or " +
+            s"aggregated counts, not the hot rows: $w")
+      }
+    // the offset relation is broadcast back, never shuffled row-wise
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "the (host, priority) offsets must broadcast into the hot rows")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "no row-grain shuffle join belongs in the rank decomposition")
+  }
+
   test("WET round trip (q244) is map-only: no hash exchange, no join") {
     val df = graft.engine.Crawl.wetRoundTrip(spark, sf)
     df.collect()
