@@ -3499,6 +3499,75 @@ object OracleTwins {
        |  md5(text) AS text_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q256's twin — [[graft.engine.TextOps.unicodeNormalize]]: the
+    * mixed-form corpus rebuilt via chr() composition; NFC gated
+    * against DuckDB's OWN `nfc_normalize` (utf8proc vs the JDK — two
+    * independent UAX #15 implementations must agree byte-for-byte),
+    * NFKC against the arithmetically restated fold images (é/Å
+    * compose, ﬁ→fi, fullwidth g→g, ²→2, ASCII unchanged). */
+  val unicodeNormalize: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 17 + 6) AS nt FROM documents),
+       |r AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE i % 6
+       |        WHEN 0 THEN 'e' || chr(769) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |        WHEN 1 THEN 'A' || chr(778)
+       |        WHEN 2 THEN chr(64257)
+       |        WHEN 3 THEN chr(65351)
+       |        WHEN 4 THEN chr(178)
+       |        ELSE 'n' || CAST((doc_id*97 + i*29) % 9973 AS VARCHAR)
+       |      END), ' ') AS raw,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE i % 6
+       |        WHEN 0 THEN chr(233) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |        WHEN 1 THEN chr(197)
+       |        WHEN 2 THEN 'fi'
+       |        WHEN 3 THEN 'g'
+       |        WHEN 4 THEN '2'
+       |        ELSE 'n' || CAST((doc_id*97 + i*29) % 9973 AS VARCHAR)
+       |      END), ' ') AS nfkc
+       |  FROM d)
+       |SELECT doc_id,
+       |  CAST(length(raw) AS BIGINT) AS raw_chars,
+       |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+       |  md5(nfc_normalize(raw)) AS nfc_md5,
+       |  CAST(length(nfkc) AS BIGINT) AS nfkc_chars,
+       |  md5(nfkc) AS nfkc_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q257's twin — [[graft.engine.Crawl.bomCharsetPages]]: ONE text
+    * law for all four transport arms (the twin never mentions BOMs,
+    * headers, or endianness — only the `bom` column names the sniff).
+    * A header-trusting decode of the lying arms, a BOM leaked into
+    * the title, or a wrong endianness each flip `md5(text)` or the
+    * pinned `bom` cell. */
+  val bomCharsetPages: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 21 + 4) AS nt FROM documents),
+       |tok AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE WHEN i % 3 = 1
+       |             THEN chr(233) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |           ELSE 'v' || CAST((doc_id*89 + i*19) % 9973 AS VARCHAR)
+       |      END), ' ') AS toks
+       |  FROM d),
+       |t AS (
+       |  SELECT doc_id, nt,
+       |    'Bom ' || CAST(doc_id AS VARCHAR) AS title,
+       |    'Bom ' || CAST(doc_id AS VARCHAR) || ' ' || toks AS text
+       |  FROM tok)
+       |SELECT doc_id,
+       |  CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'utf-16le'
+       |       WHEN 2 THEN 'utf-16be' ELSE 'utf-8' END AS bom,
+       |  title,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(nt + 2 AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
   /** q234's twin — [[graft.engine.Crawl.robotsGate]]: RFC 9309
     * longest-match precedence restated as prefix algebra. For the
     * governing graftbot group, path `/p/N` is blocked iff `N` starts
@@ -3922,6 +3991,70 @@ object OracleTwins {
        |    AS BIGINT) AS n_tokens,
        |  md5(text) AS text_md5
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q254's twin — [[graft.engine.Crawl.pdfCidTextIngest]]: the token
+    * text regenerated arithmetically from (doc_id, i). The twin never
+    * mentions CIDs, CMaps, bfranges, or hex strings — the corpus
+    * writes every character as a 2-byte Identity-H CID resolvable
+    * only through the embedded ToUnicode CMap (é and 𝐀 through
+    * bfchar singles, one of them a surrogate pair; ASCII through the
+    * shifted incrementing bfrange), so a defect anywhere in the CMap
+    * chain flips `md5(text)`. */
+  val pdfCidTextIngest: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 25 + 4) AS nt FROM documents),
+       |t AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE WHEN i % 7 = 2
+       |             THEN chr(233) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |           WHEN i % 7 = 5
+       |             THEN chr(119808) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |           ELSE 'k' || CAST((doc_id*79 + i*41) % 9973 AS VARCHAR)
+       |      END), ' ') AS text
+       |  FROM d)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+       |    AS n_pages,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(nt AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q255's twin — [[graft.engine.Crawl.pdfIncrementalIngest]]: the
+    * FINAL-generation token text per update arm, regenerated
+    * arithmetically. The twin never mentions /Prev, sections, or
+    * freed rows — every superseded generation's text is still fully
+    * parseable in the file bytes, so a chain-merge defect (oldest
+    * wins, a missed subsection, an unmasked ObjStm copy) surfaces as
+    * rev-N−1 tokens and flips `md5(text)`. */
+  val pdfIncrementalIngest: String = {
+    def toks(rev: Int): String =
+      s"""array_to_string(list_transform(range(0, nt), i ->
+         |      CASE WHEN i % 5 = 3
+         |             THEN chr(233) || CAST((doc_id + $rev + i) % 10 AS VARCHAR)
+         |           ELSE 'u' || CAST((doc_id*83 + $rev*101 + i*43) % 9973 AS VARCHAR)
+         |      END), ' ')""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 23 + 4) AS nt, doc_id % 4 AS arm
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, nt, arm,
+       |    CASE arm
+       |      WHEN 0 THEN ${toks(1)}
+       |      WHEN 1 THEN ${toks(0)} || ' ' || ${toks(1)}
+       |      WHEN 2 THEN ${toks(2)}
+       |      ELSE ${toks(1)}
+       |    END AS text
+       |  FROM d)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN arm = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_pages,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(CASE WHEN arm = 1 THEN 2*nt ELSE nt END AS BIGINT)
+       |    AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
 
   /** q253's twin — [[graft.engine.Crawl.frontierSkewedWaves]]: the
     * candidate relation regenerated arithmetically (one cold row per

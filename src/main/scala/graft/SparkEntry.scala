@@ -524,6 +524,25 @@ object SparkEntry {
     // decompose the rank over the bounded leading sort key
     // (VERDICT r14 ask #8) ----
     "q253_frontier_skew"           -> (Crawl.frontierSkewedWaves _),
+    // ---- round 15: Type0/CID fonts — Identity-H 2-byte CIDs through
+    // a /ToUnicode CMap (bfchar singles incl. a surrogate pair,
+    // incrementing bfrange), the composite-font layout CJK documents
+    // and subset-embedded fonts ship (VERDICT r14 missing #2) ----
+    "q254_pdf_cid_text"            -> (Crawl.pdfCidTextIngest _),
+    // ---- round 15: incremental updates — /Prev xref chains (classic
+    // AND xref-stream sections), newest-section-wins shadowing, freed
+    // entries masking older generations; the append-only save layout
+    // editors actually write ----
+    "q255_pdf_incremental"         -> (Crawl.pdfIncrementalIngest _),
+    // ---- round 15: Unicode normalization as a native codegen
+    // expression (Spark has no built-in): NFC for dedup-ahead
+    // canonicalization, NFKC for compatibility folding; NFC gated
+    // against DuckDB's independent utf8proc implementation ----
+    "q256_unicode_normalize"       -> (TextOps.unicodeNormalize _),
+    // ---- round 15: BOM-precedence HTML decode (HTML5 sniffing step
+    // 1): the byte-order mark outranks a lying Content-Type charset
+    // header; four transport arms under ONE arithmetic text law ----
+    "q257_bom_charset"             -> (Crawl.bomCharsetPages _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -845,6 +864,10 @@ object SparkEntry {
     // q253's twin computes the PLAIN per-host window — the two-path
     // decomposition must be exactly rank-equal to it
     "q253_frontier_skew" -> OracleTwins.frontierSkewedWaves,
+    "q254_pdf_cid_text" -> OracleTwins.pdfCidTextIngest,
+    "q255_pdf_incremental" -> OracleTwins.pdfIncrementalIngest,
+    "q256_unicode_normalize" -> OracleTwins.unicodeNormalize,
+    "q257_bom_charset" -> OracleTwins.bomCharsetPages,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

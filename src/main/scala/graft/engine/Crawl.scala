@@ -326,6 +326,97 @@ object Crawl {
       .orderBy("doc_id")
   }
 
+  /** q257's corpus: the SAME page text on four TRANSPORT arms — the
+    * text law is arm-independent, so the oracle restates it once and
+    * every wire variation must be invisible. Arms on docId%4:
+    * (0) UTF-8, truthful header, no BOM — the q233 control;
+    * (1) UTF-16LE with BOM under a LYING `charset=iso-8859-1` header —
+    * a header-trusting reader decodes NUL-riddled mojibake;
+    * (2) UTF-16BE with BOM and NO charset parameter — the UTF-8
+    * default would mangle every wide char;
+    * (3) UTF-8 with BOM under a lying `charset=windows-1252` header —
+    * the BOM must be both honored AND consumed (a cp1252 read leaks
+    * "ï»¿" into the title). Every token carries é so each arm's
+    * decode is load-bearing. */
+  private def bomToken(docId: Long, i: Int): String =
+    if (i % 3 == 1) s"é${(docId + i) % 10}"
+    else s"v${(docId * 89 + i * 19) % 9973}"
+
+  private[graft] def synthBomWarcGz(docId: Long,
+      nChars: Long): Array[Byte] = {
+    val nt = (nChars % 21 + 4).toInt
+    val toks = (0 until nt).map(bomToken(docId, _)).mkString(" ")
+    val html =
+      s"""<html><head><title>Bom $docId</title></head>
+         |<body><p>
+         |$toks
+         |</p></body></html>""".stripMargin
+    import java.nio.charset.StandardCharsets._
+    val (ctParam, body) = (docId % 4) match {
+      case 0 => ("; charset=UTF-8", html.getBytes(UTF_8))
+      case 1 =>
+        val b = html.getBytes(UTF_16LE)
+        val out = new Array[Byte](b.length + 2)
+        out(0) = 0xff.toByte; out(1) = 0xfe.toByte
+        System.arraycopy(b, 0, out, 2, b.length)
+        ("; charset=iso-8859-1", out) // lying header; BOM wins
+      case 2 =>
+        val b = html.getBytes(UTF_16BE)
+        val out = new Array[Byte](b.length + 2)
+        out(0) = 0xfe.toByte; out(1) = 0xff.toByte
+        System.arraycopy(b, 0, out, 2, b.length)
+        ("", out) // no charset param; BOM beats the UTF-8 default
+      case _ =>
+        val b = html.getBytes(UTF_8)
+        val out = new Array[Byte](b.length + 3)
+        out(0) = 0xef.toByte; out(1) = 0xbb.toByte; out(2) = 0xbf.toByte
+        System.arraycopy(b, 0, out, 3, b.length)
+        ("; charset=windows-1252", out) // lying header; BOM wins
+    }
+    val head = "HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: text/html$ctParam\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    val block = new java.io.ByteArrayOutputStream(head.length + body.length)
+    block.write(head.getBytes("US-ASCII"))
+    block.write(body)
+    val rec = record(docId, 0, "response",
+      "application/http; msgtype=response", block.toByteArray,
+      Some(url(docId)))
+    WarcCodec.gzipMember(rec, ((docId % 9) + 1).toInt)
+  }
+
+  /** q257: BOM-precedence page decode — the HTML5 sniffing rule the
+    * charset-param chain (q233) still lacked: a byte-order mark
+    * outranks the transport header, which REAL servers get wrong
+    * constantly (the classic: UTF-16 content behind a latin-1
+    * header). The corpus serves the SAME text law over four transport
+    * arms (two lying headers, one absent parameter, one control), so
+    * the single arithmetic twin gates all of them: a header-trusting
+    * decode, a BOM left in the text, or a wrong endianness each flip
+    * `md5(text)` or the pinned `bom` column. Map-only — the q233
+    * class. */
+  def bomCharsetPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val recs = WarcCodec.gunzipMembers(synthBomWarcGz(id, nc))
+          .flatMap(WarcCodec.parseRecords)
+        require(recs.length == 1 && recs.head.warcType == "response",
+          s"doc $id: expected the single response record")
+        val http = WarcCodec.parseHttpResponse(recs.head.block)
+        val ct = http.header("Content-Type").getOrElse("")
+        val bom = WarcCodec.sniffBom(http.body).map(_._1).getOrElse("none")
+        val html = WarcCodec.decodeHtml(http.body, ct)
+        (id, bom, WarcCodec.htmlTitle(html), WarcCodec.htmlText(html))
+      }).toDF("doc_id", "bom", "title", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------- robots frontier gate
 
   /** q234's per-host robots.txt, formula-generated: a decoy group
@@ -1223,7 +1314,9 @@ object Crawl {
       val d = graft.sources.PdfCodec.extractText(body)
       ("pdf", d.nPages.toLong, d.text)
     } else if (contentType.startsWith("text/html")) {
-      val html = new String(body, WarcCodec.charsetOf(contentType))
+      // BOM-first decode (r15): identical to the charset-param path on
+      // BOM-less bodies, so q236's oracle is untouched
+      val html = WarcCodec.decodeHtml(body, contentType)
       ("html", 1L, WarcCodec.htmlText(html))
     } else throw new IllegalArgumentException(
       s"no extractor for Content-Type: $contentType")
@@ -1409,6 +1502,179 @@ object Crawl {
       .mapPartitions(_.map { case (id, nc) =>
         val nt = (nc % 27 + 4).toInt
         val d = graft.sources.PdfCodec.extractText(synthPdfForms(id, nt))
+        (id, d.nPages.toLong, d.text)
+      }).toDF("doc_id", "n_pages", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  /** q254 token i: the three CID-law arms — é (a bfchar single),
+    * 𝐀 U+1D400 (the TWO-code-unit bfchar — surrogate pair on the
+    * string side, <D835DC00> on the CMap side), and printable ASCII
+    * through the shifted bfrange. */
+  private def cidToken(docId: Long, i: Int): String =
+    if (i % 7 == 2) s"é${(docId + i) % 10}"
+    else if (i % 7 == 5) "𝐀" + ((docId + i) % 10)
+    else s"k${(docId * 79 + i * 41) % 9973}"
+
+  private def cidPageContent(docId: Long, from: Int,
+      until: Int): String = {
+    val sb = new StringBuilder
+    sb.append("BT\n/F1 11 Tf 14 TL 72 720 Td ")
+    var i = from
+    while (i < until) {
+      val tok = cidToken(docId, i)
+      val sep = if (i == from) "" else " 0 -14 Td "
+      // three string MECHANISMS for the same CID bytes: hex string,
+      // TJ array of hex strings, literal string with octal escapes —
+      // the decode arm must be byte-source-agnostic
+      val show =
+        if (i % 3 == 1) s"[${graft.sources.PdfCodec.type0Hex(tok)}] TJ"
+        else if (i % 7 == 5) {
+          // the 𝐀 arm as a LITERAL string: raw CID bytes via octal
+          val hex = graft.sources.PdfCodec.type0Hex(tok)
+          val bytes = hex.substring(1, hex.length - 1).grouped(2)
+            .map(h => Integer.parseInt(h, 16)).toSeq
+          bytes.map(b => String.format(java.util.Locale.ROOT, "\\%03o",
+            java.lang.Integer.valueOf(b))).mkString("(", "", ") Tj")
+        } else s"${graft.sources.PdfCodec.type0Hex(tok)} Tj"
+      sb.append(sep).append(show)
+      i += 1
+    }
+    sb.append("\nET\n")
+    sb.toString
+  }
+
+  /** The q254 PDF: 2 pages when docId is even, 1 otherwise; the CMap
+    * stream rotates stored/FlateDecode on docId%3. */
+  private[graft] def synthPdfType0(docId: Long, nt: Int): Array[Byte] = {
+    val pages =
+      if (docId % 2 == 0)
+        Seq(cidPageContent(docId, 0, nt / 2),
+          cidPageContent(docId, nt / 2, nt))
+      else Seq(cidPageContent(docId, 0, nt))
+    graft.sources.PdfCodec.encodeType0(pages,
+      level = ((docId + 7) % 10).toInt, rawCMap = docId % 3 == 0)
+  }
+
+  /** q254: Type0/CID text extraction — the composite-font layout CJK
+    * documents and subset-embedded fonts ship (`/Identity-H` 2-byte
+    * CIDs resolved through a `/ToUnicode` CMap). The corpus writes
+    * every token's CIDs through the law's SHIFTED bfrange or its two
+    * bfchar singles (one of them a surrogate pair), across three
+    * string mechanisms (hex, TJ-array, octal-escaped literal); the
+    * twin restates the token text arithmetically and never mentions
+    * CIDs or CMaps — a defect in the CMap block parser, the bfrange
+    * increment, the UTF-16BE multi-unit decode, or the 2-byte string
+    * segmentation flips `md5(text)`. Map-only decode over one
+    * documents scan — the q236 class. */
+  def pdfCidTextIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val nt = (nc % 25 + 4).toInt
+        val d = graft.sources.PdfCodec.extractText(synthPdfType0(id, nt))
+        (id, d.nPages.toLong, d.text)
+      }).toDF("doc_id", "n_pages", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  /** q255 token i at revision `rev` — the rev term is what makes a
+    * stale-generation read visible (every masked object still holds
+    * parseable rev-N−1 text; only the chain merge chooses right). */
+  private def incrToken(docId: Long, rev: Int, i: Int): String =
+    if (i % 5 == 3) s"é${(docId + rev + i) % 10}"
+    else s"u${(docId * 83 + rev * 101 + i * 43) % 9973}"
+
+  private def incrPageContent(docId: Long, rev: Int, nt: Int): String = {
+    val sb = new StringBuilder
+    sb.append("BT\n/F1 11 Tf 14 TL 72 720 Td ")
+    var i = 0
+    while (i < nt) {
+      if (i > 0) sb.append(" 0 -14 Td ")
+      sb.append(s"(${incrToken(docId, rev, i)}) Tj")
+      i += 1
+    }
+    sb.append("\nET\n")
+    sb.toString
+  }
+
+  private val INCR_PAGE2_DICT =
+    "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+      " /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >>" +
+      " /Contents 8 0 R >>"
+
+  /** The q255 PDF: an incrementally-saved document, rotating the four
+    * update shapes on docId%4 — (0) one classic update replacing the
+    * page's content; (1) one classic update APPENDING a page (the
+    * rewritten page tree + two new objects land in non-contiguous
+    * subsections); (2) TWO chained classic updates re-replacing the
+    * same content (chain length 3 — only newest-wins survives); (3) a
+    * PDF 1.5 base (object streams + predicted xref) updated by an
+    * xref-STREAM section that shadows the ObjStm page dict with a
+    * top-level rewrite, points it at a new content object, and FREES
+    * the old one (the type-0 row must mask the base's type-1). */
+  private[graft] def synthPdfIncr(docId: Long, nt: Int): Array[Byte] = {
+    import graft.sources.PdfCodec
+    val lvl = ((docId + 2) % 10).toInt
+    (docId % 4) match {
+      case 0 =>
+        val base = PdfCodec.encode(
+          Seq(incrPageContent(docId, 0, nt)), lvl)
+        PdfCodec.appendUpdate(base, 7,
+          Seq(6 -> PdfCodec.UpdStream(incrPageContent(docId, 1, nt), lvl)))
+      case 1 =>
+        val base = PdfCodec.encode(
+          Seq(incrPageContent(docId, 0, nt)), lvl)
+        PdfCodec.appendUpdate(base, 9, Seq(
+          2 -> PdfCodec.UpdDict(
+            "<< /Type /Pages /Kids [5 0 R 7 0 R] /Count 2 >>"),
+          7 -> PdfCodec.UpdDict(INCR_PAGE2_DICT),
+          8 -> PdfCodec.UpdStream(incrPageContent(docId, 1, nt), lvl)))
+      case 2 =>
+        val base = PdfCodec.encode(
+          Seq(incrPageContent(docId, 0, nt)), lvl)
+        val g1 = PdfCodec.appendUpdate(base, 7,
+          Seq(6 -> PdfCodec.UpdStream(incrPageContent(docId, 1, nt), lvl)))
+        PdfCodec.appendUpdate(g1, 7,
+          Seq(6 -> PdfCodec.UpdStream(incrPageContent(docId, 2, nt), lvl)))
+      case _ =>
+        val base = PdfCodec.encode15(
+          Seq(incrPageContent(docId, 0, nt)), lvl,
+          objStm = true, predictor = true)
+        PdfCodec.appendUpdate(base, 11, Seq(
+          5 -> PdfCodec.UpdDict(
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+              " /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >>" +
+              " /Contents 9 0 R >>"),
+          9 -> PdfCodec.UpdStream(incrPageContent(docId, 1, nt), lvl)),
+          freed = Seq(6), xrefStream = Some(10))
+    }
+  }
+
+  /** q255: incremental-update text extraction — the append-only save
+    * layout editors write (`/Prev` chains). Every arm leaves the
+    * SUPERSEDED generation's fully-parseable text in the file; the
+    * reader only extracts the right tokens by walking the chain
+    * newest-section-wins (including a freed row masking a live base
+    * object, and a type-1 row shadowing an ObjStm copy), so a chain
+    * defect surfaces as rev-0 text and flips `md5(text)`. Map-only
+    * decode over one documents scan — the q236 class. */
+  def pdfIncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val nt = (nc % 23 + 4).toInt
+        val d = graft.sources.PdfCodec.extractText(synthPdfIncr(id, nt))
         (id, d.nPages.toLong, d.text)
       }).toDF("doc_id", "n_pages", "text")
       .withColumn("text_chars", length(col("text")).cast("long"))

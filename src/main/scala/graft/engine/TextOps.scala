@@ -250,6 +250,52 @@ object TextOps {
          |FROM docs_v GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** q256: Unicode normalization over a PLANTED mixed-form corpus —
+    * the preprocessing step byte-level dedup needs (the same logical
+    * text arrives NFC-composed from one crawl and NFD-decomposed from
+    * another; without normalization the pair never hashes equal) and
+    * tokenizers need as NFKC compatibility folding (ligatures,
+    * fullwidth forms, superscripts). Six token arms rotate per
+    * position: combining-acute é, combining-ring Å (both change under
+    * NFC), the ﬁ ligature, a fullwidth g, a superscript ² (all three
+    * NFC-invariant but NFKC-folded), and plain ASCII. Both directions
+    * run through the SQL-registered codegen expression
+    * ([[graft.functions.UnicodeNormE]]); the oracle checks NFC against
+    * DuckDB's OWN independent `nfc_normalize` (utf8proc vs the JDK —
+    * two implementations of UAX #15 gating each other) and NFKC
+    * against the arithmetically restated fold images. Map-only over
+    * one documents scan. */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // decomposed/compat forms spelled as \u escapes — the SOURCE file
+    // must not carry the very sequences an editor might re-normalize
+    def tok(i: org.apache.spark.sql.Column,
+        docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(i % 6 === 0, concat(lit("e\u0301"),
+        ((docId + i) % 10).cast("string")))
+        .when(i % 6 === 1, lit("A\u030A"))
+        .when(i % 6 === 2, lit("\uFB01"))
+        .when(i % 6 === 3, lit("\uFF47"))
+        .when(i % 6 === 4, lit("\u00B2"))
+        .otherwise(concat(lit("n"),
+          ((docId * 97 + i * 29) % 9973).cast("string")))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        ((col("n_chars") % 17) + 6).cast("int").as("nt"))
+      .withColumn("raw", array_join(
+        transform(sequence(lit(0), col("nt") - 1),
+          i => tok(i, col("doc_id"))), " "))
+      .withColumn("nfc", expr("nfc_normalize(raw)"))
+      .withColumn("nfkc", expr("nfkc_normalize(raw)"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("raw_chars"),
+        length(col("nfc")).cast("long").as("nfc_chars"),
+        md5(col("nfc")).as("nfc_md5"),
+        length(col("nfkc")).cast("long").as("nfkc_chars"),
+        md5(col("nfkc")).as("nfkc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash-bucket sampling — how a pipeline carves
     * reproducible eval/held-out sets: bucket = contentHash % K, sample =
     * bucket 0 (train = the rest). Content-keyed, so the split survives

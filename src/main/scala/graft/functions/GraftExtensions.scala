@@ -91,6 +91,14 @@ object GraftFunctions {
     }),
     "explode_pairs" -> ((es: Seq[Expression]) => {
       arity("explode_pairs", es, 1, 1); ExplodePairsE(es.head)
+    }),
+    "nfc_normalize" -> ((es: Seq[Expression]) => {
+      arity("nfc_normalize", es, 1, 1)
+      UnicodeNormE(es.head, nfkc = false)
+    }),
+    "nfkc_normalize" -> ((es: Seq[Expression]) => {
+      arity("nfkc_normalize", es, 1, 1)
+      UnicodeNormE(es.head, nfkc = true)
     }))
 
   /** Register into an existing session (idempotent). */

@@ -37,6 +37,15 @@ object TextHash {
   def tokenize(text: UTF8String): Array[String] =
     WS.split(text.trim.toString, -1)
 
+  /** UAX #15 normalization via the JDK ([[UnicodeNormE]]): NFC, or
+    * NFKC when `nfkc`. Already-normalized input (the common case on a
+    * real corpus) is a quick-check pass inside Normalizer — no
+    * allocation beyond the UTF8String round trip. */
+  def unicodeNorm(s: UTF8String, nfkc: Boolean): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString,
+      if (nfkc) java.text.Normalizer.Form.NFKC
+      else java.text.Normalizer.Form.NFC))
+
   /** Fold acc = (acc*31 + codePoint) % P over the string, acc0 = 7 —
     * identical to aggregate(filter(split(s,""),...), 7, ...) with `ascii`
     * yielding the code point (empty-regex split keeps surrogate pairs). */
@@ -407,6 +416,30 @@ case class SimHashE(child: Expression, bits: Int) extends TextHashExpr {
     copy(child = c)
 }
 
+/** Unicode normalization (UAX #15) as a native codegen expression —
+  * Spark ships no built-in for it, and a training-data pipeline needs
+  * NFC before hashing/dedup (the same logical text arrives composed
+  * from one crawl and decomposed from another — byte-level dedup
+  * misses the pair entirely) and NFKC for compatibility folding
+  * (ligatures, fullwidth forms, superscripts) ahead of tokenization.
+  * `java.text.Normalizer` is the JDK's ICU-equivalent implementation;
+  * q256's oracle cross-checks NFC against DuckDB's OWN independent
+  * `nfc_normalize` (utf8proc), so the two implementations gate each
+  * other. */
+case class UnicodeNormE(child: Expression, nfkc: Boolean)
+    extends TextHashExpr {
+  override protected def expectedInput: DataType = StringType
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (nfkc) "nfkc_normalize" else "nfc_normalize"
+  override def nullSafeEval(s: Any): Any =
+    TextHash.unicodeNorm(s.asInstanceOf[UTF8String], nfkc)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash.unicodeNorm($c, $nfkc)"
+  override protected def withNewChildInternal(c: Expression): UnicodeNormE =
+    copy(child = c)
+}
+
 object TextHashExprs {
   def polyHash(c: Column): Column =
     SqlBridge.column(PolyHashE(SqlBridge.expression(c)))
@@ -422,4 +455,8 @@ object TextHashExprs {
     SqlBridge.column(WinnowHashesE(SqlBridge.expression(c), k, w))
   def simHash(c: Column, bits: Int): Column =
     SqlBridge.column(SimHashE(SqlBridge.expression(c), bits))
+  def nfcNormalize(c: Column): Column =
+    SqlBridge.column(UnicodeNormE(SqlBridge.expression(c), nfkc = false))
+  def nfkcNormalize(c: Column): Column =
+    SqlBridge.column(UnicodeNormE(SqlBridge.expression(c), nfkc = true))
 }

@@ -13,7 +13,11 @@ import graft.multimodal.PngCodec
   *    with `/Type /ObjStm` object streams — the layout the majority of
   *    real-world PDFs written in the last ~20 years use; HYBRID
   *    reference files (`/XRefStm` in a classic trailer) reject;
-  *  - incremental updates (`/Prev`) and encryption (`/Encrypt`) reject;
+  *  - incremental updates: `/Prev` chains of classic AND xref-stream
+  *    sections merge newest-section-wins, with freed (`f`/type-0)
+  *    rows MASKING older generations (a reference to a freed object
+  *    reads as null, §7.3.10); chain loops, encryption (`/Encrypt`)
+  *    and hybrid-reference files (`/XRefStm`) reject on any section;
   *  - content streams stored raw or `/FlateDecode` (RFC 1950 zlib over
   *    the hand-rolled DEFLATE inflate, [[PngCodec.inflateDynamic]] —
   *    the same engine PNG/WARC already run); `/DecodeParms` is accepted
@@ -22,7 +26,11 @@ import graft.multimodal.PngCodec
   *    component) — and rejects loudly otherwise;
   *  - simple fonts with `/WinAnsiEncoding` (≅ Windows-1252; the five
   *    undefined slots reject) or Standard/absent encoding (ASCII
-  *    subset); `/Type0`/CID fonts reject when selected;
+  *    subset); `/Type0` composite fonts with `/Encoding /Identity-H`
+  *    and a `/ToUnicode` CMap (bfchar + incrementing bfrange, 2-byte
+  *    code space — the CJK/subset-embedding layout); `Identity-V`,
+  *    named CMaps, array-destination bfranges, `usecmap` imports, and
+  *    Type0 WITHOUT ToUnicode reject (glyph ids are not text);
   *  - the text-showing operator family `Tj TJ ' "` with the positioning
   *    family `Td TD Tm T*` driving word separation; FORM XObject draws
   *    (`Do` on `/Subtype /Form`) execute with the form's own resources
@@ -315,25 +323,62 @@ object PdfCodec {
       new String(bytes, 0, 5, "US-ASCII") == "%PDF-",
       "not a PDF (missing %PDF- header)")
 
-    private val (xref: Map[Int, XrefEntry], trailer: Map[String, Any]) = {
+    /** Merged cross-reference over the `/Prev` chain: the NEWEST
+      * section deciding each object number wins — including its `f`
+      * (freed) rows, which must MASK an older generation's copy
+      * rather than let it resurrect (an incremental save that deletes
+      * an object writes exactly such a row). `None` = freed; a
+      * reference to a freed object reads as null (ISO 32000-1
+      * §7.3.10), which downstream consumers then reject in their own
+      * terms. The trailer is the newest section's; `/Encrypt` and
+      * hybrid-reference `/XRefStm` reject on EVERY section of the
+      * chain; a `/Prev` loop or out-of-file offset rejects. */
+    private val (xref: Map[Int, Option[XrefEntry]],
+        trailer: Map[String, Any]) = {
       val sxAt = lastIndexOf(bytes, "startxref")
       require(sxAt >= 0, "missing startxref")
       val lx = new Lex(bytes, sxAt + "startxref".length)
       lx.ws()
-      val off = lx.parseNumber()
-      require(off >= 0 && off == math.floor(off) && off < bytes.length,
-        s"bad startxref offset $off")
-      val x = new Lex(bytes, off.toInt)
-      x.ws()
-      if (x.tryKeyword("xref")) parseClassicXref(x)
-      else parseXrefStream(off.toInt)
+      val off0 = lx.parseNumber()
+      require(off0 >= 0 && off0 == math.floor(off0) &&
+        off0 < bytes.length, s"bad startxref offset $off0")
+      val decided =
+        scala.collection.mutable.Map.empty[Int, Option[XrefEntry]]
+      var newest: Map[String, Any] = null
+      val seen = scala.collection.mutable.Set.empty[Int]
+      var at = off0.toInt
+      while (at >= 0) {
+        require(seen.add(at), s"xref /Prev chain loops at offset $at")
+        val x = new Lex(bytes, at)
+        x.ws()
+        val (entries, t) =
+          if (x.tryKeyword("xref")) parseClassicXref(x)
+          else parseXrefStream(at)
+        entries.foreach { case (n, e) =>
+          if (!decided.contains(n)) decided(n) = e
+        }
+        require(!t.contains("Encrypt"), "encrypted PDF unsupported")
+        require(!t.contains("XRefStm"),
+          "hybrid-reference files (/XRefStm) unsupported")
+        if (newest == null) newest = t
+        at = t.get("Prev") match {
+          case None => -1
+          case Some(v) =>
+            val p = intOf(v)
+            require(p >= 0 && p < bytes.length,
+              s"/Prev offset $p outside the file")
+            p
+        }
+      }
+      (decided.toMap, newest)
     }
 
     /** Classic `xref` table + `trailer` dictionary. `x` sits just
-      * after the `xref` keyword. */
+      * after the `xref` keyword. Entries come back in SECTION order
+      * (freed rows included) for the chain merge to arbitrate. */
     private def parseClassicXref(x: Lex)
-        : (Map[Int, XrefEntry], Map[String, Any]) = {
-      val entries = Map.newBuilder[Int, XrefEntry]
+        : (Seq[(Int, Option[XrefEntry])], Map[String, Any]) = {
+      val entries = Seq.newBuilder[(Int, Option[XrefEntry])]
       var done = false
       while (!done) {
         x.ws()
@@ -354,7 +399,8 @@ object PdfCodec {
             require(kind == 'n' || kind == 'f',
               s"bad xref entry kind at offset ${x.p}")
             x.p += 1
-            if (kind == 'n') entries += ((start + i, InFile(o.toInt)))
+            entries += ((start + i,
+              if (kind == 'n') Some(InFile(o.toInt)) else None))
             i += 1
           }
         }
@@ -364,11 +410,6 @@ object PdfCodec {
         case other => throw new IllegalArgumentException(
           s"trailer is not a dictionary: $other")
       }
-      require(!t.contains("Encrypt"), "encrypted PDF unsupported")
-      require(!t.contains("Prev"),
-        "incremental updates (/Prev) unsupported")
-      require(!t.contains("XRefStm"),
-        "hybrid-reference files (/XRefStm) unsupported")
       (entries.result(), t)
     }
 
@@ -380,7 +421,7 @@ object PdfCodec {
       * the trailer. Its `/Length` must be direct: the xref is what
       * resolves indirect references, so it cannot depend on itself. */
     private def parseXrefStream(off: Int)
-        : (Map[Int, XrefEntry], Map[String, Any]) = {
+        : (Seq[(Int, Option[XrefEntry])], Map[String, Any]) = {
       val lx = new Lex(bytes, off)
       lx.ws()
       val okHeader =
@@ -406,9 +447,6 @@ object PdfCodec {
       val data = java.util.Arrays.copyOfRange(bytes, lx.p, lx.p + len)
       require(dict.get("Type").contains(PName("XRef")),
         s"stream at startxref is not /Type /XRef: ${dict.get("Type")}")
-      require(!dict.contains("Encrypt"), "encrypted PDF unsupported")
-      require(!dict.contains("Prev"),
-        "incremental updates (/Prev) unsupported")
       val table = decodeStream(PStream(dict, data))
       val w = dict.getOrElse("W", throw new IllegalArgumentException(
         "xref stream missing /W")) match {
@@ -431,7 +469,7 @@ object PdfCodec {
       val nRows = index.grouped(2).map(_(1)).sum
       require(table.length == nRows * rowW,
         s"xref table of ${table.length} bytes != $nRows rows of $rowW")
-      val entries = Map.newBuilder[Int, XrefEntry]
+      val entries = Seq.newBuilder[(Int, Option[XrefEntry])]
       var pos = 0
       def field(width: Int): Long = {
         var v = 0L
@@ -453,14 +491,14 @@ object PdfCodec {
           val f2 = field(w(1))
           val f3 = field(w(2))
           tpe match {
-            case 0 => () // free
+            case 0 => entries += ((start + i, None)) // freed
             case 1 =>
               require(f2 <= Int.MaxValue, s"xref offset $f2 overruns")
-              entries += ((start + i, InFile(f2.toInt)))
+              entries += ((start + i, Some(InFile(f2.toInt))))
             case 2 =>
               require(f2 <= Int.MaxValue && f3 <= Int.MaxValue,
                 s"xref type-2 fields overrun: $f2 $f3")
-              entries += ((start + i, InObjStm(f2.toInt, f3.toInt)))
+              entries += ((start + i, Some(InObjStm(f2.toInt, f3.toInt))))
             case other => throw new IllegalArgumentException(
               s"xref entry type $other is outside the subset")
           }
@@ -478,8 +516,9 @@ object PdfCodec {
     def obj(num: Int): Any = cache.getOrElseUpdate(num,
       xref.getOrElse(num, throw new IllegalArgumentException(
         s"object $num not in xref")) match {
-        case InFile(off) => objAt(num, off)
-        case InObjStm(stm, idx) =>
+        case None => PNull // freed by an incremental update (§7.3.10)
+        case Some(InFile(off)) => objAt(num, off)
+        case Some(InObjStm(stm, idx)) =>
           val objs = objStmObjects(stm)
           require(idx >= 0 && idx < objs.length,
             s"object $num: index $idx outside object stream $stm")
@@ -531,7 +570,7 @@ object PdfCodec {
       * would recurse). */
     private def objStmObjects(stm: Int): Vector[(Int, Any)] =
       objStmCache.getOrElseUpdate(stm, {
-        require(xref.get(stm).exists(_.isInstanceOf[InFile]),
+        require(xref.get(stm).flatten.exists(_.isInstanceOf[InFile]),
           s"object stream $stm must itself live in the file")
         val s = obj(stm) match {
           case st: PStream => st
@@ -719,13 +758,165 @@ object PdfCodec {
   private sealed trait Enc
   private case object WinAnsi extends Enc
   private case object StdAscii extends Enc
+  private final case class CidIdentity(map: ToUnicode) extends Enc
 
-  /** Resolve a page's font resource to its decode arm; Type0/CID and
-    * unknown encodings reject loudly. */
+  /** A parsed `/ToUnicode` CMap's mapping: single-CID entries
+    * (`bfchar`) and incrementing ranges (`bfrange` with a hex-string
+    * destination — the array form rejects at parse time). Destinations
+    * are UTF-16BE, so one CID may expand to several code units (the
+    * surrogate-pair path for astral characters is just the 2-unit
+    * case, nothing special). */
+  private final case class ToUnicode(singles: Map[Int, String],
+      ranges: Vector[(Int, Int, String)]) {
+    def decode(cid: Int): String = singles.get(cid) match {
+      case Some(s) => s
+      case None =>
+        val r = ranges.find(r => cid >= r._1 && cid <= r._2)
+          .getOrElse(throw new IllegalArgumentException(
+            f"CID 0x$cid%04x has no ToUnicode mapping"))
+        val (lo, _, dst) = r
+        // bfrange increments the LAST UTF-16 code unit (ISO 32000-1
+        // §9.10.3's "last byte" law lifted to the code-unit grain the
+        // parser already validated against overflow)
+        val last = dst.charAt(dst.length - 1) + (cid - lo)
+        dst.substring(0, dst.length - 1) + last.toChar
+    }
+  }
+
+  /** Parse a `/ToUnicode` CMap (decoded stream bytes): a PostScript
+    * operand-stack walk where only the three block constructs matter —
+    * `begincodespacerange` (the subset requires every range be 2-byte:
+    * Identity-H CIDs are uint16 and a mixed-width code space would
+    * make string segmentation stateful), `beginbfchar` (src/dst hex
+    * pairs), `beginbfrange` (lo/hi/dst triples; the ARRAY destination
+    * form and `usecmap` imports reject loudly). Every other token
+    * (dict framing, `def`, CMap metadata) clears the operand stack and
+    * is inert, like the graphics operators in the text machine. */
+  private def parseToUnicode(bytes: Array[Byte]): ToUnicode = {
+    val lx = new Lex(bytes, 0)
+    val operands = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val singles = Map.newBuilder[Int, String]
+    val ranges = Vector.newBuilder[(Int, Int, String)]
+    var sawCodespace = false
+    def hex(v: Any, what: String): Array[Byte] = v match {
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"$what is not a hex string: $other")
+    }
+    def cid2(v: Any, what: String): Int = {
+      val b = hex(v, what)
+      require(b.length == 2, s"$what must be 2 bytes, got ${b.length}")
+      ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+    }
+    def utf16(v: Any, what: String): String = {
+      val b = hex(v, what)
+      require(b.length >= 2 && b.length % 2 == 0,
+        s"$what must be nonempty UTF-16BE bytes, got ${b.length}")
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    def block(end: String)(entry: () => Unit): Unit = {
+      var done = false
+      while (!done) {
+        lx.ws()
+        require(lx.peek != -1, s"CMap ends inside a block ($end missing)")
+        if (lx.tryKeyword(end)) done = true else entry()
+      }
+    }
+    var done = false
+    while (!done) {
+      lx.ws()
+      val c = lx.peek
+      if (c == -1) done = true
+      else if (c == '<' || c == '[' || c == '(' || c == '/' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9'))
+        operands += lx.parseObject()
+      else {
+        val start = lx.p
+        while (lx.peek != -1 && !isWs(lx.peek) && !isDelim(lx.peek))
+          lx.p += 1
+        require(lx.p > start, s"unparseable CMap token at offset $start")
+        val op = new String(lx.b, start, lx.p - start, "US-ASCII")
+        op match {
+          case "begincodespacerange" => block("endcodespacerange") { () =>
+            val lo = lx.parseObject(); lx.ws(); val hi = lx.parseObject()
+            cid2(lo, "codespace low"); cid2(hi, "codespace high")
+            sawCodespace = true
+          }
+          case "beginbfchar" => block("endbfchar") { () =>
+            val src = lx.parseObject(); lx.ws(); val dst = lx.parseObject()
+            singles += ((cid2(src, "bfchar source"),
+              utf16(dst, "bfchar destination")))
+          }
+          case "beginbfrange" => block("endbfrange") { () =>
+            val lo = lx.parseObject(); lx.ws()
+            val hi = lx.parseObject(); lx.ws()
+            val dst = lx.parseObject()
+            dst match {
+              case _: Vector[_] => throw new IllegalArgumentException(
+                "bfrange array destinations are outside the subset")
+              case _ => ()
+            }
+            val l = cid2(lo, "bfrange low")
+            val h = cid2(hi, "bfrange high")
+            require(l <= h, f"bfrange low 0x$l%04x > high 0x$h%04x")
+            val d = utf16(dst, "bfrange destination")
+            val lastUnit = d.charAt(d.length - 1)
+            require(lastUnit + (h - l) <= 0xffff,
+              "bfrange increment overflows the last UTF-16 code unit")
+            require(!Character.isHighSurrogate(lastUnit) || l == h,
+              "bfrange cannot increment through a surrogate")
+            ranges += ((l, h, d))
+          }
+          case "usecmap" => throw new IllegalArgumentException(
+            "usecmap CMap imports are outside the subset")
+          case _ => operands.clear() // def / begin / end / metadata
+        }
+        operands.clear()
+      }
+    }
+    require(sawCodespace, "ToUnicode CMap missing codespacerange")
+    ToUnicode(singles.result(), ranges.result())
+  }
+
+  /** Resolve a page's font resource to its decode arm. `/Type0` fonts
+    * are in the subset iff `/Encoding /Identity-H` (CID = the 2-byte
+    * big-endian code, the layout CJK and subset-embedded fonts
+    * actually ship) with a single descendant CIDFont and a
+    * `/ToUnicode` CMap — extraction without ToUnicode would need
+    * per-font glyph knowledge this reader does not have, so its
+    * absence rejects loudly rather than emitting glyph ids as text.
+    * `Identity-V` (vertical) and named CMaps reject. */
   private def encodingOf(doc: Doc, fontDict: Map[String, Any]): Enc = {
     fontDict.get("Subtype") match {
-      case Some(PName("Type0")) => throw new IllegalArgumentException(
-        "Type0/CID fonts unsupported")
+      case Some(PName("Type0")) =>
+        doc.resolve(fontDict.getOrElse("Encoding", PNull)) match {
+          case PName("Identity-H") => ()
+          case other => throw new IllegalArgumentException(
+            s"Type0 encoding outside the subset (need Identity-H): $other")
+        }
+        doc.resolve(fontDict.getOrElse("DescendantFonts",
+          throw new IllegalArgumentException(
+            "Type0 font missing /DescendantFonts"))) match {
+          case v: Vector[_] if v.length == 1 =>
+            val d = dictOf(doc.resolve(v(0)))
+            d.get("Subtype") match {
+              case Some(PName("CIDFontType0")) |
+                   Some(PName("CIDFontType2")) => ()
+              case other => throw new IllegalArgumentException(
+                s"descendant font subtype outside the subset: $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"/DescendantFonts is not a 1-element array: $other")
+        }
+        val tu = doc.resolve(fontDict.getOrElse("ToUnicode",
+          throw new IllegalArgumentException(
+            "Type0 font without /ToUnicode (glyph ids are not text)")))
+        val stream = tu match {
+          case s: PStream => s
+          case other => throw new IllegalArgumentException(
+            s"/ToUnicode is not a stream: $other")
+        }
+        return CidIdentity(parseToUnicode(decodeStream(stream)))
       case _ => ()
     }
     doc.resolve(fontDict.getOrElse("Encoding", PNull)) match {
@@ -781,6 +972,20 @@ object PdfCodec {
       val s = enc match {
         case WinAnsi => decodeWinAnsi(bytes)
         case StdAscii => decodeStandard(bytes)
+        case CidIdentity(map) =>
+          // Identity-H: the string is a sequence of 2-byte big-endian
+          // CIDs (the string MECHANISM — literal vs hex — is
+          // irrelevant; both hand raw bytes here)
+          require(bytes.length % 2 == 0,
+            s"CID string of odd length ${bytes.length}")
+          val out = new StringBuilder(bytes.length)
+          var i = 0
+          while (i < bytes.length) {
+            out.append(map.decode(
+              ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)))
+            i += 2
+          }
+          out.toString
       }
       if (needSep && sb.nonEmpty) sb.append(' ')
       needSep = false
@@ -1240,6 +1445,235 @@ object PdfCodec {
     (1 to nObjs).foreach(i => w(s"${pad10(offsets(i))} 00000 n \n"))
     w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------- Type0/CID encoder
+
+  /** The corpus CID law [[encodeType0]]'s CMap publishes and
+    * [[type0Hex]] applies: printable ASCII rides ONE bfrange shifted
+    * by 0xDF (CID 0x0100–0x015D → U+0021–U+007E — extraction must
+    * walk the range arithmetic, not a table), and two bfchar singles
+    * carry the non-ASCII proofs: CID 2 → é (one UTF-16 unit) and CID
+    * 3 → 𝐀 U+1D400 (TWO units — the surrogate-pair path). */
+  private[graft] val CID_ASCII_SHIFT = 0xdf
+  private[graft] val CID_EACUTE = 2
+  private[graft] val CID_MATH_A = 3
+
+  /** Encode `s` as an Identity-H hex string under the corpus CID law;
+    * code points outside the law reject (the corpus controls its
+    * alphabet). */
+  private[graft] def type0Hex(s: String): String = {
+    val sb = new StringBuilder(s.length * 4 + 2)
+    sb.append('<')
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cid =
+        if (cp == 0xe9) CID_EACUTE
+        else if (cp == 0x1d400) CID_MATH_A
+        else if (cp >= 0x21 && cp <= 0x7e) cp + CID_ASCII_SHIFT
+        else throw new IllegalArgumentException(
+          f"code point U+$cp%04X outside the corpus CID law")
+      sb.append(String.format(java.util.Locale.ROOT, "%04X",
+        java.lang.Integer.valueOf(cid)))
+      i += Character.charCount(cp)
+    }
+    sb.append('>')
+    sb.toString
+  }
+
+  /** The ToUnicode CMap [[encodeType0]] embeds (the read side must
+    * parse the block constructs, the bfrange increment, and both
+    * bfchar shapes to undo [[type0Hex]]). */
+  private[graft] def corpusCMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CMapName /Graft-Identity-UCS def
+      |/CMapType 2 def
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0002> <00E9>
+      |<0003> <D835DC00>
+      |endbfchar
+      |1 beginbfrange
+      |<0100> <015D> <0021>
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end
+      |""".stripMargin
+
+  /** Write a PDF 1.4 document whose `/F1` is a `/Type0` font
+    * (`/Encoding /Identity-H`, CIDFontType2 descendant, `/ToUnicode`
+    * = [[corpusCMap]]) — the layout CJK text and subset-embedded
+    * fonts ship. Page content strings must carry 2-byte CIDs (build
+    * them with [[type0Hex]], or literal strings with the same bytes).
+    * `rawCMap` stores the CMap unfiltered; otherwise FlateDecode.
+    * Encode side is corpus machinery; the gated path is
+    * [[extractText]] (q254). */
+  def encodeType0(pages: Seq[String], level: Int = 6,
+      rawCMap: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val nObjs = 5 + 2 * n
+    val offsets = new Array[Int](nObjs + 1)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    def streamObj(num: Int, dictHead: String, bytes: Array[Byte],
+        filtered: Boolean): Unit = {
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n$dictHead /Length ${bytes.length}" +
+        (if (filtered) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      out.write(bytes)
+      w("\nendstream\nendobj\n")
+    }
+    w("%PDF-1.4\n%")
+    out.write(BINARY_MARK)
+    w("\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    val kids = (0 until n).map(i => s"${6 + 2 * i} 0 R").mkString(" ")
+    obj(2)(w(s"<< /Type /Pages /Kids [$kids] /Count $n >>\n"))
+    obj(3)(w("<< /Type /Font /Subtype /Type0 /BaseFont /GraftSynth" +
+      " /Encoding /Identity-H /DescendantFonts [4 0 R]" +
+      " /ToUnicode 5 0 R >>\n"))
+    obj(4)(w("<< /Type /Font /Subtype /CIDFontType2" +
+      " /BaseFont /GraftSynth /CIDSystemInfo" +
+      " << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >>" +
+      " /CIDToGIDMap /Identity >>\n"))
+    val cmapRaw = corpusCMap.getBytes("US-ASCII")
+    if (rawCMap) streamObj(5, "<<", cmapRaw, filtered = false)
+    else streamObj(5, "<<", zlibDeflate(cmapRaw, 6), filtered = true)
+    pages.zipWithIndex.foreach { case (content, i) =>
+      obj(6 + 2 * i)(w(s"<< /Type /Page /Parent 2 0 R" +
+        " /MediaBox [0 0 612 792]" +
+        " /Resources << /Font << /F1 3 0 R >> >>" +
+        s" /Contents ${7 + 2 * i} 0 R >>\n"))
+      // content streams carry only ASCII operators + hex/escaped
+      // strings; CP1252 passes the bytes through 1:1
+      streamObj(7 + 2 * i, "<<",
+        zlibDeflate(content.getBytes(CP1252), level), filtered = true)
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${nObjs + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to nObjs).foreach(i => w(s"${pad10(offsets(i))} 00000 n \n"))
+    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // --------------------------------------- incremental updates
+
+  /** An object body an incremental update (re)writes: a plain
+    * dictionary/value body, or a FlateDecode'd content stream. */
+  private[graft] sealed trait UpdObj
+  private[graft] final case class UpdDict(body: String) extends UpdObj
+  private[graft] final case class UpdStream(content: String,
+      level: Int = 6) extends UpdObj
+
+  /** Append ONE incremental-save generation to `base` (any PDF this
+    * module wrote — or a previous appendUpdate output; chains
+    * compose): the updated/new object bodies, then a cross-reference
+    * SECTION covering exactly those numbers (plus `freed` rows
+    * masking deleted objects) with `/Prev` pointing at the base's
+    * newest section — classic table by default, or a `/Type /XRef`
+    * stream when `xrefStream` carries the stream's own object number
+    * (the 1.5+ incremental layout; the stream indexes itself like
+    * real writers do). Non-contiguous numbers emit MULTIPLE
+    * subsections — the sparse layout incremental saves actually
+    * produce, and the shape that exercises the reader's subsection
+    * walk. `size` is the new `/Size` (max object number + 1 across
+    * all generations). `prevOverride` exists for the chain-loop
+    * rejection device. Corpus machinery; the gated path is
+    * [[extractText]] (q255). */
+  private[graft] def appendUpdate(base: Array[Byte], size: Int,
+      objs: Seq[(Int, UpdObj)], freed: Seq[Int] = Nil,
+      xrefStream: Option[Int] = None,
+      prevOverride: Option[Int] = None): Array[Byte] = {
+    val prev = prevOverride.getOrElse {
+      val sxAt = lastIndexOf(base, "startxref")
+      require(sxAt >= 0, "base has no startxref")
+      val lx = new Lex(base, sxAt + "startxref".length)
+      lx.ws()
+      lx.parseNumber().toInt
+    }
+    val out = new java.io.ByteArrayOutputStream(base.length + 1024)
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val written = objs.map { case (num, body) =>
+      val off = out.size()
+      body match {
+        case UpdDict(b) => w(s"$num 0 obj\n$b\nendobj\n")
+        case UpdStream(content, level) =>
+          val bytes = zlibDeflate(content.getBytes(CP1252), level)
+          w(s"$num 0 obj\n<< /Length ${bytes.length}" +
+            " /Filter /FlateDecode >>\nstream\n")
+          out.write(bytes)
+          w("\nendstream\nendobj\n")
+      }
+      num -> off
+    }.toMap
+    require(written.keySet.intersect(freed.toSet).isEmpty,
+      "an update cannot both write and free an object")
+    val xrefOff = out.size()
+    // rows this section decides, ascending; None = freed
+    val rows: Seq[(Int, Option[Int])] =
+      (written.map { case (n, o) => n -> Some(o) } ++
+        freed.map(_ -> None) ++
+        xrefStream.map(_ -> Some(xrefOff))).toSeq.sortBy(_._1)
+    require(rows.nonEmpty, "an update must decide at least one object")
+    require(rows.map(_._1).max < size, s"/Size $size too small")
+    // consecutive-run subsections (the sparse incremental layout)
+    val runs = rows.foldLeft(Vector.empty[Vector[(Int, Option[Int])]]) {
+      case (acc, r) =>
+        if (acc.nonEmpty && acc.last.last._1 + 1 == r._1)
+          acc.init :+ (acc.last :+ r)
+        else acc :+ Vector(r)
+    }
+    xrefStream match {
+      case None =>
+        w("xref\n")
+        runs.foreach { run =>
+          w(s"${run.head._1} ${run.length}\n")
+          run.foreach {
+            case (_, Some(off)) => w(s"${pad10(off)} 00000 n \n")
+            case (_, None) => w("0000000000 65535 f \n")
+          }
+        }
+        w(s"trailer\n<< /Size $size /Root 1 0 R /Prev $prev >>\n" +
+          s"startxref\n$xrefOff\n%%EOF\n")
+      case Some(xn) =>
+        val body = new java.io.ByteArrayOutputStream()
+        runs.foreach(_.foreach {
+          case (_, Some(off)) =>
+            body.write(1)
+            body.write((off >> 24) & 0xff); body.write((off >> 16) & 0xff)
+            body.write((off >> 8) & 0xff); body.write(off & 0xff)
+            body.write(0); body.write(0)
+          case (_, None) =>
+            body.write(0)
+            body.write(0); body.write(0); body.write(0); body.write(0)
+            body.write(0xff); body.write(0xff)
+        })
+        val defl = zlibDeflate(body.toByteArray, 6)
+        val index = runs.map(r => s"${r.head._1} ${r.length}")
+          .mkString(" ")
+        w(s"$xn 0 obj\n<< /Type /XRef /Size $size /W [1 4 2]" +
+          s" /Index [$index] /Root 1 0 R /Prev $prev" +
+          s" /Filter /FlateDecode /Length ${defl.length} >>\nstream\n")
+        out.write(defl)
+        w("\nendstream\nendobj\n")
+        w(s"startxref\n$xrefOff\n%%EOF\n")
+    }
     out.toByteArray
   }
 

@@ -327,6 +327,39 @@ object WarcCodec {
     else java.nio.charset.StandardCharsets.UTF_8
   }
 
+  /** BOM sniff per the HTML5 encoding-sniffing algorithm's FIRST step:
+    * a byte-order mark outranks everything, INCLUDING the transport's
+    * `Content-Type` charset parameter (servers lie about charsets
+    * constantly; the BOM is the document speaking for itself). Exactly
+    * the three HTML5 table entries — UTF-8 `EF BB BF`, UTF-16BE
+    * `FE FF`, UTF-16LE `FF FE`; UTF-32 is not in the table (HTML
+    * forbids it). Returns (label, charset, bom length), or None. */
+  def sniffBom(body: Array[Byte])
+      : Option[(String, java.nio.charset.Charset, Int)] = {
+    import java.nio.charset.StandardCharsets._
+    if (body.length >= 3 && body(0) == 0xef.toByte &&
+      body(1) == 0xbb.toByte && body(2) == 0xbf.toByte)
+      Some(("utf-8", UTF_8, 3))
+    else if (body.length >= 2 && body(0) == 0xfe.toByte &&
+      body(1) == 0xff.toByte) Some(("utf-16be", UTF_16BE, 2))
+    else if (body.length >= 2 && body(0) == 0xff.toByte &&
+      body(1) == 0xfe.toByte) Some(("utf-16le", UTF_16LE, 2))
+    else None
+  }
+
+  /** Decode an HTML body: BOM first (consumed — U+FEFF is not
+    * content), Content-Type charset parameter otherwise, UTF-8 default
+    * ([[charsetOf]]). The charset-confusion failure this forbids: a
+    * UTF-16 page read through a lying `charset=iso-8859-1` header
+    * decodes every other byte as NUL — "text" that passes a
+    * best-effort reader and poisons every downstream gate. */
+  def decodeHtml(body: Array[Byte], contentType: String): String =
+    sniffBom(body) match {
+      case Some((_, cs, skip)) =>
+        new String(body, skip, body.length - skip, cs)
+      case None => new String(body, charsetOf(contentType))
+    }
+
   // ------------------------------------------------ HTML → text
 
   /** Rough text extraction — the documented LAW, in order:

@@ -96,14 +96,19 @@ class PdfSpec extends SparkSpecBase {
       PdfCodec.extractText(xs.getBytes("ISO-8859-1"))
     }
     assert(e.getMessage.contains("carries no stream"), e.getMessage)
-    // /Prev (incremental update) and /Encrypt reject
-    for (extra <- Seq("/Prev 99", "/Encrypt 9 0 R")) {
-      val t = s.replace("/Root 1 0 R", s"/Root 1 0 R $extra")
-      val err = intercept[IllegalArgumentException] {
-        PdfCodec.extractText(t.getBytes("ISO-8859-1"))
-      }
-      assert(err.getMessage.contains("unsupported"), err.getMessage)
+    // /Encrypt rejects; /Prev is now WALKED (r15) — a garbage offset
+    // fails loudly at the chain step, never silently ignored
+    val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    val encErr = intercept[IllegalArgumentException] {
+      PdfCodec.extractText(enc.getBytes("ISO-8859-1"))
     }
+    assert(encErr.getMessage.contains("unsupported"), encErr.getMessage)
+    val prevGarbage = s.replace("/Root 1 0 R", "/Root 1 0 R /Prev 99")
+    val prevErr = intercept[IllegalArgumentException] {
+      PdfCodec.extractText(prevGarbage.getBytes("ISO-8859-1"))
+    }
+    assert(prevErr.getMessage.contains("no xref table or xref stream"),
+      prevErr.getMessage)
     // truncated stream (endstream gone)
     intercept[IllegalArgumentException] {
       PdfCodec.extractText(good.take(
@@ -217,7 +222,7 @@ class PdfSpec extends SparkSpecBase {
     }
   }
 
-  test("1.5+ rejection family: /Prev, hybrid /XRefStm, bad /W, bad " +
+  test("1.5+ rejection family: garbage /Prev, hybrid /XRefStm, bad /W, bad " +
       "predictor parms, non-XRef stream at startxref") {
     val wire = PdfCodec.encode15(Seq("BT /F1 9 Tf (ok) Tj ET"),
       objStm = true, predictor = true)
@@ -233,7 +238,9 @@ class PdfSpec extends SparkSpecBase {
         PdfCodec.extractText(bad))
       assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
     }
-    rejects(patched("/Type /XRef", "/Type /XRef /Prev 99"), "/Prev")
+    // /Prev is walked since r15: a mid-file garbage offset is loud
+    rejects(patched("/Type /XRef", "/Type /XRef /Prev 99"),
+      "no xref table or xref stream")
     rejects(patched("/W [1 4 2]", "/W [1 4 2 1]"), "3-array")
     rejects(patched("/Predictor 12", "/Predictor 12 /Colors 2"),
       "Colors 1")
@@ -347,6 +354,208 @@ class PdfSpec extends SparkSpecBase {
         (nb until nt).map(pageTok)).mkString(" ")
       val d = PdfCodec.extractText(Crawl.synthPdfForms(id, nt))
       assert(d.nPages == 1 && d.text == expected, s"id=$id: ${d.text}")
+    }
+  }
+
+  // ------------------------------------------ Type0/CID (q254)
+
+  test("Type0: Identity-H CIDs decode through the ToUnicode CMap " +
+      "(bfrange shift, bfchar singles, surrogate pair, all three " +
+      "string mechanisms)") {
+    for (raw <- Seq(false, true)) {
+      val hexShow = PdfCodec.type0Hex("Hi!") + " Tj"
+      val tjShow = s"[${PdfCodec.type0Hex("zap")} -300 " +
+        s"${PdfCodec.type0Hex("q9")}] TJ"
+      // é (bfchar CID 2) and 𝐀 (bfchar CID 3 → TWO UTF-16 units) as
+      // an octal-escaped LITERAL string: bytes 00 02 00 03
+      val litShow = "(\\000\\002\\000\\003) Tj"
+      val content = s"BT /F1 11 Tf 72 720 Td $hexShow 0 -14 Td " +
+        s"$tjShow 0 -14 Td $litShow ET"
+      val d = PdfCodec.extractText(
+        PdfCodec.encodeType0(Seq(content), rawCMap = raw))
+      assert(d.text == "Hi! zap q9 é𝐀", s"raw=$raw: ${d.text}")
+    }
+  }
+
+  test("Type0 rejects: odd CID string, unmapped CID, Identity-V, " +
+      "missing ToUnicode, bfrange array destination, usecmap") {
+    def cidPdf(cmap: String, fontExtra: String = "",
+        content: String = s"BT /F1 9 Tf ${PdfCodec.type0Hex("A")} Tj ET")
+        : Array[Byte] = {
+      def stream(dict: String, data: String) =
+        s"$dict /Length ${data.length} >>\nstream\n$data\nendstream"
+      PdfCodec.assemble(Seq(
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+          " /Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>",
+        "<< /Type /Font /Subtype /Type0 /BaseFont /S" +
+          s" /Encoding /Identity-H /DescendantFonts [5 0 R]$fontExtra" +
+          " /ToUnicode 7 0 R >>",
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /S >>",
+        stream("<<", content),
+        stream("<<", cmap)))
+    }
+    val goodCMap = PdfCodec.corpusCMap
+    // the assemble-built good shape extracts (the devices below each
+    // differ from it by exactly one defect)
+    assert(PdfCodec.extractText(cidPdf(goodCMap)).text == "A")
+    // odd-length CID string
+    val odd = intercept[IllegalArgumentException](PdfCodec.extractText(
+      cidPdf(goodCMap, content = "BT /F1 9 Tf <0100A1> Tj ET")))
+    assert(odd.getMessage.contains("odd length"), odd.getMessage)
+    // unmapped CID (0x9999 is in no bfchar/bfrange)
+    val unmapped = intercept[IllegalArgumentException](
+      PdfCodec.extractText(
+        cidPdf(goodCMap, content = "BT /F1 9 Tf <9999> Tj ET")))
+    assert(unmapped.getMessage.contains("no ToUnicode mapping"),
+      unmapped.getMessage)
+    // Identity-V rejects (vertical writing is outside the subset)
+    val vert = intercept[IllegalArgumentException] {
+      val b = cidPdf(goodCMap)
+      val s = new String(b, "ISO-8859-1").replace(
+        "/Identity-H", "/Identity-V")
+      PdfCodec.extractText(s.getBytes("ISO-8859-1"))
+    }
+    assert(vert.getMessage.contains("Identity-H"), vert.getMessage)
+    // bfrange with an ARRAY destination
+    val arrCMap = goodCMap.replace("<0100> <015D> <0021>",
+      "<0100> <0101> [<0041> <0042>]")
+    val arr = intercept[IllegalArgumentException](
+      PdfCodec.extractText(cidPdf(arrCMap)))
+    assert(arr.getMessage.contains("array destinations"), arr.getMessage)
+    // usecmap imports
+    val useCMap = goodCMap.replace("endcmap",
+      "/Adobe-Identity-UCS usecmap\nendcmap")
+    val use = intercept[IllegalArgumentException](
+      PdfCodec.extractText(cidPdf(useCMap)))
+    assert(use.getMessage.contains("usecmap"), use.getMessage)
+    // a Type0 font WITHOUT /ToUnicode must reject, not emit glyph ids
+    def noTuPdf: Array[Byte] = {
+      def stream(dict: String, data: String) =
+        s"$dict /Length ${data.length} >>\nstream\n$data\nendstream"
+      PdfCodec.assemble(Seq(
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+          " /Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>",
+        "<< /Type /Font /Subtype /Type0 /BaseFont /S" +
+          " /Encoding /Identity-H /DescendantFonts [5 0 R] >>",
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /S >>",
+        stream("<<", s"BT /F1 9 Tf ${PdfCodec.type0Hex("A")} Tj ET")))
+    }
+    val noTu = intercept[IllegalArgumentException](
+      PdfCodec.extractText(noTuPdf))
+    assert(noTu.getMessage.contains("ToUnicode"), noTu.getMessage)
+  }
+
+  test("q254 corpus: synthPdfType0 extracts to the token formula") {
+    for ((id, nc) <- Seq((0L, 9L), (1L, 21L), (3L, 13L), (6L, 30L),
+        (9L, 5L))) {
+      val nt = (nc % 25 + 4).toInt
+      def tok(i: Int) =
+        if (i % 7 == 2) s"é${(id + i) % 10}"
+        else if (i % 7 == 5) "𝐀" + ((id + i) % 10)
+        else s"k${(id * 79 + i * 41) % 9973}"
+      val expected = (0 until nt).map(tok).mkString(" ")
+      val d = PdfCodec.extractText(Crawl.synthPdfType0(id, nt))
+      assert(d.nPages == (if (id % 2 == 0) 2 else 1), s"id=$id")
+      assert(d.text == expected, s"id=$id: ${d.text}")
+    }
+  }
+
+  // ------------------------------------- incremental updates (q255)
+
+  test("incremental: replace, append, two-generation chains, " +
+      "xref-stream updates over ObjStm bases") {
+    val base = pdf("BT /F1 9 Tf (old) Tj ET")
+    // one classic update replaces the content: newest wins
+    val g1 = PdfCodec.appendUpdate(base, 7,
+      Seq(6 -> PdfCodec.UpdStream("BT /F1 9 Tf (new) Tj ET")))
+    assert(text(g1) == "new")
+    // a second generation re-replaces: chain of three sections
+    val g2 = PdfCodec.appendUpdate(g1, 7,
+      Seq(6 -> PdfCodec.UpdStream("BT /F1 9 Tf (newest) Tj ET")))
+    assert(text(g2) == "newest")
+    // appending a page rewrites the tree and lands non-contiguous
+    // subsections (2; 7–8)
+    val added = PdfCodec.appendUpdate(base, 9, Seq(
+      2 -> PdfCodec.UpdDict(
+        "<< /Type /Pages /Kids [5 0 R 7 0 R] /Count 2 >>"),
+      7 -> PdfCodec.UpdDict("<< /Type /Page /Parent 2 0 R" +
+        " /MediaBox [0 0 612 792]" +
+        " /Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>"),
+      8 -> PdfCodec.UpdStream("BT /F1 9 Tf (p2) Tj ET")))
+    val dAdded = PdfCodec.extractText(added)
+    assert(dAdded.nPages == 2 && dAdded.text == "old p2")
+    // xref-STREAM update over a 1.5 ObjStm base: a type-1 row shadows
+    // the ObjStm page dict, the old content object is freed
+    val base15 = PdfCodec.encode15(Seq("BT /F1 9 Tf (old15) Tj ET"),
+      objStm = true, predictor = true)
+    val g15 = PdfCodec.appendUpdate(base15, 11, Seq(
+      5 -> PdfCodec.UpdDict("<< /Type /Page /Parent 2 0 R" +
+        " /MediaBox [0 0 612 792]" +
+        " /Resources << /Font << /F1 3 0 R >> >> /Contents 9 0 R >>"),
+      9 -> PdfCodec.UpdStream("BT /F1 9 Tf (new15) Tj ET")),
+      freed = Seq(6), xrefStream = Some(10))
+    assert(text(g15) == "new15")
+  }
+
+  test("incremental rejects and masking: freed reads as null, /Prev " +
+      "loops and hybrid chains are loud") {
+    val base = pdf("BT /F1 9 Tf (old) Tj ET")
+    // an update that FREES the live content object: the page's
+    // /Contents reference now reads null → loud, not stale rev-0 text
+    val freedLive = PdfCodec.appendUpdate(base, 7,
+      Seq(5 -> PdfCodec.UpdDict("<< /Type /Page /Parent 2 0 R" +
+        " /MediaBox [0 0 612 792]" +
+        " /Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>")),
+      freed = Seq(6))
+    val e = intercept[IllegalArgumentException](text(freedLive))
+    assert(e.getMessage.contains("/Contents"), e.getMessage)
+    // /Prev pointing at the update's own section: loop, loud
+    val loopAt = base.length
+    val loop = PdfCodec.appendUpdate(base, 7,
+      Seq(6 -> PdfCodec.UpdStream("BT /F1 9 Tf (x) Tj ET")),
+      prevOverride = Some(-1))
+    // find the update's xref offset (after the base bytes) and point
+    // /Prev at it — parse startxref from the tail
+    val tail = new String(loop, loopAt, loop.length - loopAt,
+      "ISO-8859-1")
+    val xOff = tail.substring(tail.lastIndexOf("startxref") + 9)
+      .trim.takeWhile(_.isDigit).toInt
+    val looped = new String(loop, "ISO-8859-1")
+      .replace("/Prev -1", s"/Prev $xOff")
+    val e2 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(looped.getBytes("ISO-8859-1")))
+    assert(e2.getMessage.contains("loop"), e2.getMessage)
+    // hybrid /XRefStm still rejects even mid-chain
+    val hybrid = new String(PdfCodec.appendUpdate(base, 7,
+      Seq(6 -> PdfCodec.UpdStream("BT /F1 9 Tf (x) Tj ET"))),
+      "ISO-8859-1").replace("/Prev", "/XRefStm 9 /Prev")
+    val e3 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(hybrid.getBytes("ISO-8859-1")))
+    assert(e3.getMessage.contains("XRefStm"), e3.getMessage)
+  }
+
+  test("q255 corpus: synthPdfIncr extracts to the final-generation " +
+      "formula on every arm") {
+    for ((id, nc) <- Seq((0L, 9L), (1L, 21L), (2L, 13L), (3L, 30L),
+        (4L, 5L), (7L, 17L))) {
+      val nt = (nc % 23 + 4).toInt
+      def tok(rev: Int, i: Int) =
+        if (i % 5 == 3) s"é${(id + rev + i) % 10}"
+        else s"u${(id * 83 + rev * 101 + i * 43) % 9973}"
+      def toks(rev: Int) = (0 until nt).map(tok(rev, _)).mkString(" ")
+      val expected = (id % 4) match {
+        case 0 => toks(1)
+        case 1 => toks(0) + " " + toks(1)
+        case 2 => toks(2)
+        case _ => toks(1)
+      }
+      val d = PdfCodec.extractText(Crawl.synthPdfIncr(id, nt))
+      assert(d.nPages == (if (id % 4 == 1) 2 else 1), s"id=$id")
+      assert(d.text == expected, s"id=$id: ${d.text}")
     }
   }
 }

@@ -116,4 +116,36 @@ class TextHashSpec extends SparkSpecBase {
     val r = lit1.collect().head
     assert(r.getLong(0) > 0 && r.getInt(1) >= 1)
   }
+
+  test("unicode normalization: NFC composes, NFKC folds, idempotent, " +
+      "null-safe, SQL registry == Column API") {
+    import graft.functions.TextHashExprs
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq(
+      ("e\u0301", "\u00e9", "\u00e9"), // combining acute composes
+      ("A\u030a", "\u00c5", "\u00c5"), // combining ring composes
+      ("\ufb01", "\ufb01", "fi"),       // ligature: NFC-invariant, NFKC folds
+      ("\uff47", "\uff47", "g"),        // fullwidth form
+      ("\u00b2", "\u00b2", "2"),        // superscript
+      ("\u00e9", "\u00e9", "\u00e9"),  // already composed: idempotent
+      ("plain", "plain", "plain"),
+      ("", "", ""))
+    val df = cases.toDF("raw", "nfc_want", "nfkc_want")
+      .withColumn("nfc_got", expr("nfc_normalize(raw)"))
+      .withColumn("nfkc_got", expr("nfkc_normalize(raw)"))
+      .withColumn("nfc_api", TextHashExprs.nfcNormalize(col("raw")))
+    val bad = df.filter(col("nfc_got") =!= col("nfc_want") ||
+      col("nfkc_got") =!= col("nfkc_want") ||
+      col("nfc_api") =!= col("nfc_got"))
+    assert(bad.count() == 0, bad.take(3).mkString("; "))
+    // null in → null out (NullIntolerant unary)
+    val n = spark.sql(
+      "SELECT nfc_normalize(CAST(NULL AS STRING)) AS x").collect().head
+    assert(n.isNullAt(0))
+    // NFC(NFC(s)) == NFC(s) over the real corpus (idempotence at scale)
+    val docs2 = Tables.documents(spark, sf).select(col("text"))
+      .withColumn("once", expr("nfc_normalize(text)"))
+      .withColumn("twice", expr("nfc_normalize(nfc_normalize(text))"))
+    assert(docs2.filter(col("once") =!= col("twice")).count() == 0)
+  }
 }

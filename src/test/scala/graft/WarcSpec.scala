@@ -552,4 +552,57 @@ class WarcSpec extends SparkSpecBase {
       .stripPrefix("<urn:graft:doc:").stripSuffix(">").toLong)
     assert(ids == ids.sorted)
   }
+
+  test("BOM sniff: the three HTML5 entries, precedence over lying " +
+      "headers, BOM consumed, none falls back to the charset param") {
+    import java.nio.charset.StandardCharsets._
+    import graft.sources.WarcCodec
+    val text = "caf\u00e9 page"
+    val html = s"<html><body><p>$text</p></body></html>"
+    def withBom(bom: Array[Int], body: Array[Byte]): Array[Byte] =
+      bom.map(_.toByte).toArray ++ body
+    // UTF-16LE behind a LYING latin-1 header: BOM wins
+    val le = withBom(Array(0xff, 0xfe), html.getBytes(UTF_16LE))
+    assert(WarcCodec.sniffBom(le).map(_._1).contains("utf-16le"))
+    assert(WarcCodec.htmlText(WarcCodec.decodeHtml(le,
+      "text/html; charset=iso-8859-1")) == text)
+    // UTF-16BE with no charset param: BOM beats the UTF-8 default
+    val be = withBom(Array(0xfe, 0xff), html.getBytes(UTF_16BE))
+    assert(WarcCodec.sniffBom(be).map(_._1).contains("utf-16be"))
+    assert(WarcCodec.htmlText(WarcCodec.decodeHtml(be, "text/html"))
+      == text)
+    // UTF-8 BOM under a lying cp1252 header: honored AND consumed
+    val u8 = withBom(Array(0xef, 0xbb, 0xbf), html.getBytes(UTF_8))
+    assert(WarcCodec.sniffBom(u8).map(_._1).contains("utf-8"))
+    val decoded = WarcCodec.decodeHtml(u8, "text/html; charset=windows-1252")
+    assert(!decoded.startsWith("\ufeff"), "BOM leaked into content")
+    assert(WarcCodec.htmlText(decoded) == text)
+    // no BOM: the charset parameter decides (the q233 path unchanged)
+    val plain = html.getBytes(ISO_8859_1)
+    assert(WarcCodec.sniffBom(plain).isEmpty)
+    assert(WarcCodec.htmlText(WarcCodec.decodeHtml(plain,
+      "text/html; charset=iso-8859-1")) == text)
+    // a lone FE (too short for a BOM) is not sniffed
+    assert(WarcCodec.sniffBom(Array(0xfe.toByte)).isEmpty)
+  }
+
+  test("q257 corpus: synthBomWarcGz serves one text law over four " +
+      "transport arms") {
+    for ((id, nc) <- Seq((0L, 9L), (1L, 21L), (2L, 13L), (3L, 30L),
+        (5L, 17L))) {
+      val nt = (nc % 21 + 4).toInt
+      def tok(i: Int) =
+        if (i % 3 == 1) s"\u00e9${(id + i) % 10}"
+        else s"v${(id * 89 + i * 19) % 9973}"
+      val expected = s"Bom $id " + (0 until nt).map(tok).mkString(" ")
+      val recs = graft.sources.WarcCodec.gunzipMembers(
+        Crawl.synthBomWarcGz(id, nc))
+        .flatMap(graft.sources.WarcCodec.parseRecords)
+      val http = graft.sources.WarcCodec.parseHttpResponse(recs.head.block)
+      val got = graft.sources.WarcCodec.htmlText(
+        graft.sources.WarcCodec.decodeHtml(http.body,
+          http.header("Content-Type").getOrElse("")))
+      assert(got == expected, s"id=$id: $got")
+    }
+  }
 }
