@@ -3568,6 +3568,36 @@ object OracleTwins {
        |  md5(text) AS text_md5
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q258's twin — [[graft.engine.Crawl.chunkedPages]]: one text law
+    * over both HTTP framings (the twin never mentions chunks, sizes,
+    * or CRLFs). A framing leak (hex lines in the text), a dropped
+    * byte at a chunk seam, an honored chunk extension, or a lost
+    * trailer field each flip `md5(text)` or the `trailer` cell. */
+  val chunkedPages: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (n_chars % 19 + 4) AS nt FROM documents),
+       |tok AS (
+       |  SELECT doc_id, nt,
+       |    array_to_string(list_transform(range(0, nt), i ->
+       |      CASE WHEN i % 3 = 2
+       |             THEN chr(233) || CAST((doc_id + i) % 10 AS VARCHAR)
+       |           ELSE 'c' || CAST((doc_id*101 + i*23) % 9973 AS VARCHAR)
+       |      END), ' ') AS toks
+       |  FROM d),
+       |t AS (
+       |  SELECT doc_id, nt,
+       |    'Chunk ' || CAST(doc_id AS VARCHAR) || ' ' || toks AS text
+       |  FROM tok)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'content-length' ELSE 'chunked'
+       |    END AS framing,
+       |  CASE WHEN doc_id % 3 = 0 THEN 't' || CAST(doc_id % 97 AS VARCHAR)
+       |       ELSE 'none' END AS trailer,
+       |  CAST(length(text) AS BIGINT) AS text_chars,
+       |  CAST(nt + 2 AS BIGINT) AS n_tokens,
+       |  md5(text) AS text_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+
   /** q234's twin — [[graft.engine.Crawl.robotsGate]]: RFC 9309
     * longest-match precedence restated as prefix algebra. For the
     * governing graftbot group, path `/p/N` is blocked iff `N` starts

@@ -543,6 +543,11 @@ object SparkEntry {
     // 1): the byte-order mark outranks a lying Content-Type charset
     // header; four transport arms under ONE arithmetic text law ----
     "q257_bom_charset"             -> (Crawl.bomCharsetPages _),
+    // ---- round 15: chunked transfer-coding decode (RFC 9112 §7.1):
+    // WARC stores the raw wire, so chunked captures are common; the
+    // framing must be removed (sizes, extensions) and trailers kept,
+    // under one text law shared with the Content-Length control ----
+    "q258_chunked_http"            -> (Crawl.chunkedPages _),
   )
 
   /** Shared by q41 (window form) and q112 (native sorted-merge form):
@@ -868,6 +873,7 @@ object SparkEntry {
     "q255_pdf_incremental" -> OracleTwins.pdfIncrementalIngest,
     "q256_unicode_normalize" -> OracleTwins.unicodeNormalize,
     "q257_bom_charset" -> OracleTwins.bomCharsetPages,
+    "q258_chunked_http" -> OracleTwins.chunkedPages,
     "q20_embedding_topk"   -> OracleTwins.embeddingTopK,
     "q21_text_stats"       -> OracleTwins.textStats,
     "q22_simhash_neardup"  -> OracleTwins.simhashNearDup,

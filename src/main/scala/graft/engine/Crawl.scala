@@ -417,6 +417,100 @@ object Crawl {
       .orderBy("doc_id")
   }
 
+  /** q258's corpus: the SAME page on two HTTP framings — a
+    * `Content-Length` body (control) and a `Transfer-Encoding:
+    * chunked` capture whose chunk sizes walk a docId-keyed formula
+    * (1..900 bytes, so single-byte chunks, mid-token splits, and
+    * whole-body chunks all occur across the corpus), with chunk
+    * extensions planted on every third chunk (MUST-ignore) and a
+    * trailer field on docId%3==0 (part of the message — surfaced and
+    * pinned). A reader that passes the raw wire through as body
+    * leaves hex size lines inside the text and flips the hash. */
+  private def chunkToken(docId: Long, i: Int): String =
+    if (i % 3 == 2) s"é${(docId + i) % 10}"
+    else s"c${(docId * 101 + i * 23) % 9973}"
+
+  private[graft] def synthChunkedWarcGz(docId: Long,
+      nChars: Long): Array[Byte] = {
+    val nt = (nChars % 19 + 4).toInt
+    val toks = (0 until nt).map(chunkToken(docId, _)).mkString(" ")
+    val html =
+      s"""<html><head><title>Chunk $docId</title></head>
+         |<body><p>
+         |$toks
+         |</p></body></html>""".stripMargin
+    val body = html.getBytes("UTF-8")
+    val trailer =
+      if (docId % 3 == 0) Some(s"X-Trail: t${docId % 97}") else None
+    val (framing, wire) =
+      if (docId % 2 == 0)
+        (s"Content-Length: ${body.length}", body)
+      else {
+        val out = new java.io.ByteArrayOutputStream(body.length + 64)
+        def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+        var p = 0
+        var k = 0
+        while (p < body.length) {
+          val size = math.min(body.length - p,
+            ((docId * 13 + k * 17) % 900 + 1).toInt)
+          val ext = if (k % 3 == 1) ";planted=ext" else ""
+          w(java.lang.Long.toHexString(size.toLong) + ext + "\r\n")
+          out.write(body, p, size)
+          w("\r\n")
+          p += size
+          k += 1
+        }
+        w("0\r\n")
+        trailer.foreach(t => w(t + "\r\n"))
+        w("\r\n")
+        ("Transfer-Encoding: chunked", out.toByteArray)
+      }
+    val head = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      s"$framing\r\n" +
+      (if (docId % 2 == 0) trailer.map(_ + "\r\n").getOrElse("") else "") +
+      "\r\n"
+    val block = new java.io.ByteArrayOutputStream(head.length + wire.length)
+    block.write(head.getBytes("US-ASCII"))
+    block.write(wire)
+    val rec = record(docId, 0, "response",
+      "application/http; msgtype=response", block.toByteArray,
+      Some(url(docId)))
+    WarcCodec.gzipMember(rec, ((docId % 9) + 1).toInt)
+  }
+
+  /** q258: chunked transfer-coding decode — WARC stores the RAW wire,
+    * and a large share of real captures are chunked; a reader that
+    * skips dechunking leaves `1a3\r\n` framing lines inside the
+    * extracted text (silent corruption that survives every downstream
+    * gate). One text law over both framings: the twin never mentions
+    * chunks, so a framing leak, a dropped byte at a chunk seam, an
+    * honored-instead-of-ignored extension, or a lost trailer each
+    * flip `md5(text)` or the pinned `trailer` column. Map-only — the
+    * q233 class. */
+  def chunkedPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val recs = WarcCodec.gunzipMembers(synthChunkedWarcGz(id, nc))
+          .flatMap(WarcCodec.parseRecords)
+        require(recs.length == 1 && recs.head.warcType == "response",
+          s"doc $id: expected the single response record")
+        val http = WarcCodec.parseHttpResponse(recs.head.block)
+        val ct = http.header("Content-Type").getOrElse("")
+        val html = WarcCodec.decodeHtml(http.body, ct)
+        val framing = if (id % 2 == 0) "content-length" else "chunked"
+        val trail = http.header("X-Trail").getOrElse("none")
+        (id, framing, trail, WarcCodec.htmlText(html))
+      }).toDF("doc_id", "framing", "trailer", "text")
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_md5", md5(col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------- robots frontier gate
 
   /** q234's per-host robots.txt, formula-generated: a decoy group

@@ -309,8 +309,66 @@ object WarcCodec {
     require(parts.length >= 2, s"malformed status line: $statusLine")
     val status = parts(1).toInt
     val (fields, afterHdr) = parseFields(block, se + 2)
-    val body = java.util.Arrays.copyOfRange(block, afterHdr, block.length)
-    HttpResponse(status, fields, body)
+    val raw = java.util.Arrays.copyOfRange(block, afterHdr, block.length)
+    // Transfer-Encoding wins over Content-Length (RFC 9112 §6.3) — a
+    // WARC response record stores the RAW wire, so chunked captures
+    // are common and passing the framing through as "body" would leave
+    // chunk-size lines inside the extracted text
+    val te = fields.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("Transfer-Encoding") => v
+    }
+    te match {
+      case Some(v) if v.toLowerCase(java.util.Locale.ROOT)
+          .split(",").map(_.trim).contains("chunked") =>
+        val (body, trailers) = dechunk(raw)
+        HttpResponse(status, fields ++ trailers, body)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported Transfer-Encoding: $other")
+      case None => HttpResponse(status, fields, raw)
+    }
+  }
+
+  /** Decode a `chunked` transfer coding (RFC 9112 §7.1), strictly:
+    * `<hex-size>[;extensions]CRLF <data> CRLF` repeated, a `0`-size
+    * last chunk, then trailer fields up to the final blank line.
+    * Chunk EXTENSIONS are ignored per spec (MUST-ignore), trailer
+    * fields are returned (they are part of the message); everything
+    * else rejects loudly — a bad hex digit, a missing CRLF after a
+    * chunk's data, truncation mid-chunk, or bytes after the final
+    * CRLF (the framing is self-delimiting; trailing garbage means the
+    * capture is corrupt, not that the body was longer). */
+  def dechunk(raw: Array[Byte])
+      : (Array[Byte], Seq[(String, String)]) = {
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    var p = 0
+    var last = false
+    while (!last) {
+      val le = lineEnd(raw, p)
+      val line = new String(raw, p, le - p, "US-ASCII")
+      val sizeHex = line.indexOf(';') match {
+        case -1 => line.trim
+        case i => line.substring(0, i).trim // extensions: ignored
+      }
+      require(sizeHex.nonEmpty && sizeHex.forall(c =>
+        Character.digit(c, 16) >= 0),
+        s"bad chunk size line: '$line'")
+      require(sizeHex.length <= 7, s"chunk size overflows: $sizeHex")
+      val size = Integer.parseInt(sizeHex, 16)
+      p = le + 2
+      if (size == 0) last = true
+      else {
+        require(p + size + 2 <= raw.length,
+          s"chunk of $size bytes truncated")
+        out.write(raw, p, size)
+        require(raw(p + size) == '\r' && raw(p + size + 1) == '\n',
+          "chunk data not followed by CRLF")
+        p = p + size + 2
+      }
+    }
+    val (trailers, after) = parseFields(raw, p)
+    require(after == raw.length,
+      s"${raw.length - after} bytes after the final chunk trailer")
+    (out.toByteArray, trailers)
   }
 
   /** The charset named by a `Content-Type` header's `charset=` parameter

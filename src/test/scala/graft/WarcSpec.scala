@@ -605,4 +605,67 @@ class WarcSpec extends SparkSpecBase {
       assert(got == expected, s"id=$id: $got")
     }
   }
+
+  test("chunked transfer coding: framing removed, extensions ignored, " +
+      "trailers kept, TE wins over Content-Length, strict rejects") {
+    import graft.sources.WarcCodec
+    def resp(headers: String, wire: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n" + wire)
+        .getBytes("ISO-8859-1")
+    // basic: two chunks, one with an extension, a trailer field
+    val r = WarcCodec.parseHttpResponse(resp(
+      "Content-Type: text/plain\r\nTransfer-Encoding: chunked",
+      "5\r\nhello\r\n6;ext=1\r\n world\r\n0\r\nX-T: v\r\n\r\n"))
+    assert(new String(r.body, "US-ASCII") == "hello world")
+    assert(r.header("X-T").contains("v"), "trailer lost")
+    // TE wins over a (stale) Content-Length (RFC 9112 \u00a76.3)
+    val both = WarcCodec.parseHttpResponse(resp(
+      "Content-Length: 999\r\nTransfer-Encoding: chunked",
+      "3\r\nabc\r\n0\r\n\r\n"))
+    assert(new String(both.body, "US-ASCII") == "abc")
+    // single-byte chunks reassemble exactly
+    val tiny = WarcCodec.parseHttpResponse(resp(
+      "Transfer-Encoding: chunked",
+      "1\r\na\r\n1\r\nb\r\n1\r\nc\r\n0\r\n\r\n"))
+    assert(new String(tiny.body, "US-ASCII") == "abc")
+    // rejects: bad hex, missing CRLF after data, truncation, trailing
+    // garbage, non-chunked codings
+    def rejects(headers: String, wire: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        WarcCodec.parseHttpResponse(resp(headers, wire)))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    rejects("Transfer-Encoding: chunked", "zz\r\nxx\r\n0\r\n\r\n",
+      "bad chunk size")
+    rejects("Transfer-Encoding: chunked", "3\r\nabcX\r\n0\r\n\r\n",
+      "not followed by CRLF")
+    rejects("Transfer-Encoding: chunked", "ff\r\nshort\r\n",
+      "truncated")
+    rejects("Transfer-Encoding: chunked", "1\r\na\r\n0\r\n\r\nJUNK",
+      "after the final chunk")
+    rejects("Transfer-Encoding: gzip", "x", "unsupported Transfer-Encoding")
+  }
+
+  test("q258 corpus: chunked and content-length framings serve one " +
+      "text law; trailers surface on the %3 arm") {
+    for ((id, nc) <- Seq((0L, 9L), (1L, 21L), (2L, 13L), (3L, 30L),
+        (6L, 17L), (9L, 5L))) {
+      val nt = (nc % 19 + 4).toInt
+      def tok(i: Int) =
+        if (i % 3 == 2) s"\u00e9${(id + i) % 10}"
+        else s"c${(id * 101 + i * 23) % 9973}"
+      val expected = s"Chunk $id " + (0 until nt).map(tok).mkString(" ")
+      val recs = graft.sources.WarcCodec.gunzipMembers(
+        Crawl.synthChunkedWarcGz(id, nc))
+        .flatMap(graft.sources.WarcCodec.parseRecords)
+      val http = graft.sources.WarcCodec.parseHttpResponse(recs.head.block)
+      val got = graft.sources.WarcCodec.htmlText(
+        graft.sources.WarcCodec.decodeHtml(http.body,
+          http.header("Content-Type").getOrElse("")))
+      assert(got == expected, s"id=$id: $got")
+      val trail = http.header("X-Trail")
+      if (id % 3 == 0) assert(trail.contains(s"t${id % 97}"), s"id=$id")
+      else assert(trail.isEmpty, s"id=$id")
+    }
+  }
 }
