@@ -239,9 +239,10 @@ object AsOfStream {
     // them CONCURRENTLY and drain each: wall cost ≈ the slowest run
     // instead of the sum (each run is micro-batch-scheduling-bound, not
     // CPU-bound, so they overlap almost perfectly)
+    val bs = EventsStream.buildSession(spark, s"$dir/events.parquet")
     val qs = Seq("backward", "forward", "nearest").map { d =>
       val ckpt = IndexMaintenance.scratchIndexDir(spark, s"stream-asof-ckpt-$d")
-      clickPurchaseAsOf(spark, inDir, Some(SS_TOL_US), d,
+      clickPurchaseAsOf(bs, inDir, Some(SS_TOL_US), d,
           filesPerTrigger = Some(1)).toDF
         .writeStream
         .outputMode("append")
@@ -282,10 +283,11 @@ object AsOfStream {
     val inDir = EventsStream.writeTimeSlices(spark, dir, "stream-asink")
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-asink-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-asink-ckpt")
-    val probe = EventsStream.readEvents(spark, inDir, filesPerTrigger = Some(1))
+    val bs = EventsStream.buildSession(spark, s"$dir/events.parquet")
+    val probe = EventsStream.readEvents(bs, inDir, filesPerTrigger = Some(1))
       .select(col("event_id"),
         (col("user_id") % Kpis.RATE_NATIONS).as("nk"), col("ts"))
-    val q = asOfSink(probe, Kpis.nationRateBook(spark),
+    val q = asOfSink(probe, Kpis.nationRateBook(bs),
       Seq("nk" -> "rnk"), "ts", "rate_from", "rate_id",
       outDir = outDir, checkpointDir = ckpt)
     try q.processAllAvailable() finally q.stop()

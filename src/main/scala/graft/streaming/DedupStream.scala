@@ -182,8 +182,9 @@ object DedupStream {
       // if both writes land in the same clock tick
       fs.setTimes(dst, 1000000L + s * 60000L, -1L)
     }
-    val schema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream.schema(schema)
+    val bs = EventsStream.buildSession(spark, s"$dir/documents.parquet")
+    val schema = bs.read.parquet(inDir).schema
+    val stream = bs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = nearDupSink(stream, indexDir, outDir, ckpt)
     try q.processAllAvailable() finally q.stop()

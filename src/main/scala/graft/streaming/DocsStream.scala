@@ -228,7 +228,8 @@ object DocsStream {
       fs.rename(part, new org.apache.hadoop.fs.Path(s"$inDir/slice-$s.parquet"))
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
-    val q = curatedSink(spark, inDir, outDir, ckpt, filesPerTrigger = Some(1))
+    val bs = EventsStream.buildSession(spark, s"$dir/documents.parquet")
+    val q = curatedSink(bs, inDir, outDir, ckpt, filesPerTrigger = Some(1))
     try q.processAllAvailable() finally q.stop()
     compactCurated(spark, outDir)
     (inDir, outDir, ckpt)

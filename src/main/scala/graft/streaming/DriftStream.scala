@@ -125,11 +125,12 @@ object DriftStream {
     val frozen = frozenDf.collect()
     require(frozen.nonEmpty, "baseline centroids evaluated empty — " +
       "refusing to start the drift stream against nothing")
-    val cents = spark.createDataFrame(
+    val bs = EventsStream.buildSession(spark, s"$dir/embeddings.parquet")
+    val cents = bs.createDataFrame(
       java.util.Arrays.asList(frozen: _*), frozenDf.schema)
-    val schema = spark.read.parquet(inDir).schema
+    val schema = bs.read.parquet(inDir).schema
     val q = driftSink(
-      spark.readStream.schema(schema)
+      bs.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir),
       cents, outDir, ckpt)
     try q.processAllAvailable() finally q.stop()

@@ -324,6 +324,37 @@ object EventsStream {
     ()
   }
 
+  /** Session for the one-time lineage BUILDS (r15, guide §2.2/§2.5):
+    * stateful streaming execs cannot use AQE, so the state/shuffle
+    * partition count is frozen at checkpoint-create time — and a count
+    * tuned to the HOST (cpus) pays `cpus` state-store commits, task
+    * launches and landed files per micro-batch regardless of data size.
+    * Measured (StreamProfile, sf0.1): the q202 backward drain is 7.4 s
+    * at 32 state partitions vs 2.8 s at 4, identical output rows.
+    * Derive the count from the INPUT SIZE instead — one partition per
+    * ~32 MB of the stream's input bytes, capped at 4×cores — so the
+    * replays stay scale-adaptive: kB-sized sf0.1 slices run one state
+    * partition, a ×100 corpus grows the count with the data, and a real
+    * deployment overrides via `graft.stream.statePartitions`. Only the
+    * BUILD runs here; probes/serves stay on the caller's session, so
+    * their plans and numbers are untouched. */
+  private[graft] def buildSession(spark: SparkSession,
+      sizePath: String): SparkSession = {
+    val s2 = graft.engine.Sessions.tune(spark.newSession())
+    val n = spark.conf.getOption("graft.stream.statePartitions")
+      .map(_.toInt).getOrElse {
+        val p = new org.apache.hadoop.fs.Path(sizePath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val bytes =
+          try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
+        val target = bytes / (32L << 20) + 1L
+        math.min(target,
+          spark.sparkContext.defaultParallelism.toLong * 4L).toInt
+      }
+    s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s2
+  }
+
   private[graft] val hourlyProbeState =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -512,7 +543,8 @@ object EventsStream {
     val inDir = writeTimeSlices(spark, dir, "stream-sess")
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-sess-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-sess-ckpt")
-    val q = sessionize(spark, inDir, filesPerTrigger = Some(1)).toDF
+    val bs = buildSession(spark, s"$dir/events.parquet")
+    val q = sessionize(bs, inDir, filesPerTrigger = Some(1)).toDF
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", ckpt)
@@ -568,7 +600,8 @@ object EventsStream {
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-sesswin-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-sesswin-ckpt")
     val delaySec = spanUs / 1000000L + 60L // ≥ span: scrambled rows never late
-    val q = readEvents(spark, inDir, filesPerTrigger = Some(1))
+    val bs = buildSession(spark, s"$dir/events.parquet")
+    val q = readEvents(bs, inDir, filesPerTrigger = Some(1))
       .withWatermark("ts", s"$delaySec seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -624,7 +657,8 @@ object EventsStream {
     val inDir = writeTimeSlices(spark, dir, "stream-ivj")
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-ivj-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-ivj-ckpt")
-    val q = clickPurchase(spark, inDir, filesPerTrigger = Some(1))
+    val bs = buildSession(spark, s"$dir/events.parquet")
+    val q = clickPurchase(bs, inDir, filesPerTrigger = Some(1))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -666,7 +700,8 @@ object EventsStream {
     val inDir = writeTimeSlices(spark, dir, "stream-drift")
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-drift-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-drift-ckpt")
-    val q = valueHistogram(spark, inDir, filesPerTrigger = Some(1))
+    val bs = buildSession(spark, s"$dir/events.parquet")
+    val q = valueHistogram(bs, inDir, filesPerTrigger = Some(1))
       .writeStream
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
@@ -713,7 +748,8 @@ object EventsStream {
       flushTypes = Seq("purchase", "click"))
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-loj-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-loj-ckpt")
-    val q = clickPurchase(spark, inDir, filesPerTrigger = Some(1),
+    val bs = buildSession(spark, s"$dir/events.parquet")
+    val q = clickPurchase(bs, inDir, filesPerTrigger = Some(1),
         joinType = "left_outer")
       .writeStream
       .outputMode("append")
@@ -761,7 +797,8 @@ object EventsStream {
       flushTypes = Seq("purchase", "click"))
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-foj-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-foj-ckpt")
-    val q = clickPurchase(spark, inDir, filesPerTrigger = Some(1),
+    val bs = buildSession(spark, s"$dir/events.parquet")
+    val q = clickPurchase(bs, inDir, filesPerTrigger = Some(1),
         joinType = "full_outer")
       .writeStream
       .outputMode("append")
@@ -849,8 +886,9 @@ object EventsStream {
     // to batch 3, so the landed lake the driver's q215 gate hashes is
     // the RESTARTED lineage — checkpoint recovery is oracle-gated on
     // every round, not demonstrated once in a spec.
+    val bs = buildSession(spark, s"$dir/events.parquet")
     def sinkQuery(killAtBatch: Long): StreamingQuery =
-      readEvents(spark, inDir, filesPerTrigger = Some(1))
+      readEvents(bs, inDir, filesPerTrigger = Some(1))
         .withWatermark("ts", s"$delaySec seconds")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream
@@ -900,7 +938,8 @@ object EventsStream {
     val inDir = writeTimeSlices(spark, dir, "stream-hr")
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-hr-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-hr-ckpt")
-    val q = hourly(spark, inDir, filesPerTrigger = Some(1)).writeStream
+    val bs = buildSession(spark, s"$dir/events.parquet")
+    val q = hourly(bs, inDir, filesPerTrigger = Some(1)).writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

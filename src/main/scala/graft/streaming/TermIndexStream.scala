@@ -104,8 +104,9 @@ object TermIndexStream {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
     }
-    val schema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream.schema(schema)
+    val bs = EventsStream.buildSession(spark, s"$dir/documents.parquet")
+    val schema = bs.read.parquet(inDir).schema
+    val stream = bs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = indexSink(stream, indexDir, ckpt, compactEvery = 1)
     try q.processAllAvailable() finally q.stop()

@@ -154,9 +154,10 @@ object VecIndexStream {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
     }
-    val schema = spark.read.parquet(inDir).schema
+    val bs = EventsStream.buildSession(spark, s"$dir/embeddings.parquet")
+    val schema = bs.read.parquet(inDir).schema
     val ingest = indexSink(
-      spark.readStream.schema(schema)
+      bs.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir),
       indexDir, IndexMaintenance.scratchIndexDir(spark, "stream-vec-ckpt"))
     try ingest.processAllAvailable() finally ingest.stop()
@@ -165,9 +166,9 @@ object VecIndexStream {
     e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("probe_id"), col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(probeDir)
-    val pSchema = spark.read.parquet(probeDir).schema
+    val pSchema = bs.read.parquet(probeDir).schema
     val serve = probeSink(
-      spark.readStream.schema(pSchema).parquet(probeDir),
+      bs.readStream.schema(pSchema).parquet(probeDir),
       indexDir, outDir,
       IndexMaintenance.scratchIndexDir(spark, "stream-vec-pckpt"))
     try serve.processAllAvailable() finally serve.stop()
