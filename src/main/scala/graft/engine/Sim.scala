@@ -486,17 +486,13 @@ object Sim {
         .select(col("j"), col("embedding")),
       "j", "cv")
 
-  /** [[pqEncode]] against an explicit (frozen) codebook. */
-  private def pqEncodeAgainst(e: DataFrame, cb: DataFrame): DataFrame = {
-    val sub = subvectors(e, "vec_id", "sv")
-    sub.join(broadcast(cb), "m")
+  /** PQ scored stream against an explicit (frozen) codebook —
+    * (vec_id, m, j, dp), map-only; [[pqBests]] collapses it. */
+  private def pqScoredAgainst(e: DataFrame, cb: DataFrame): DataFrame =
+    subvectors(e, "vec_id", "sv")
+      .join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("j"),
         VecFns.dot(col("sv"), col("cv")).as("dp"))
-      .groupBy("vec_id", "m")
-      .agg(max_by(struct(col("j"), col("dp")),
-        struct(col("dp"), -col("j"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.j").as("j"))
-  }
 
   /** Build-once half of the compressed-index lifecycle: coarse centroids
     * AND the PQ codebook train on the build corpus and freeze; every
@@ -528,11 +524,9 @@ object Sim {
     val spark = e.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
-    val codes = pqEncodeAgainst(e.select(col("vec_id"), col("embedding")), cb)
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("j")))).as("cs"))
-      .select(col("vec_id"), transform(col("cs"), s => s.getField("j"))
-        .as("code"))
+    val codes = pqBests(
+        pqScoredAgainst(e.select(col("vec_id"), col("embedding")), cb))
+      .select(col("vec_id"), pqCodeOf(col("bests")).as("code"))
     assignWithVec(e, cents)
       .join(codes, "vec_id")
       .withColumn("increment", lit(increment))
@@ -1202,23 +1196,35 @@ object Sim {
         .select((col("vec_id") / PQ_STRIDE).cast("int").as("j"), col("embedding")),
       "j", "cv")
 
-  /** PQ encoding: per (vector, subspace) the argmax-inner-product centroid
-    * (tie → lowest j). N×M×K dot products with the codebook broadcast —
-    * map-only against the corpus; the argmax groups live inside one
-    * partition so the groupBy's partial aggregation collapses locally. */
-  private[engine] def pqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val sub = subvectors(spread(embeddings(spark, dir)), "vec_id", "sv")
-    // Same max_by-not-window argmax as ivfAssign: partial agg collapses the
-    // N×M×K scored rows map-side; tie (max dp, then min j) in the ordering.
-    sub.join(broadcast(pqCodebook(spark, dir)), "m")
-      .select(col("vec_id"), col("m"), col("j"),
-        VecFns.dot(col("sv"), col("cv")).as("dp"))
-      .groupBy("vec_id", "m")
-      .agg(max_by(struct(col("j"), col("dp")),
-        struct(col("dp"), -col("j"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.j").as("j"),
-        col("best.dp").as("dp"))
-  }
+  /** PQ encoding, scored stream: per (vector, subspace, codebook entry)
+    * the inner product — N×M×K rows with the codebook broadcast,
+    * map-only against the corpus. [[pqBests]] collapses it. */
+  private def pqScored(spark: SparkSession, dir: String): DataFrame =
+    pqScoredAgainst(
+      spread(embeddings(spark, dir)).select(col("vec_id"), col("embedding")),
+      pqCodebook(spark, dir))
+
+  /** Fused PQ argmax (r15, guide §2.3/§2.4): ONE groupBy(vec_id) with a
+    * max(struct) aggregate per subspace over the N×M×K scored stream.
+    * The previous two-stage shape — groupBy(vec_id, m) argmax, then
+    * groupBy(vec_id) collect_list — shuffled the N×M per-subspace
+    * winners a SECOND time just to assemble the M-slot array (and the
+    * lifecycle writer then joined the result back to the assignment on
+    * vec_id). Equivalence: max over struct(dp, -j) is the same total
+    * order as max_by(struct(j, dp), struct(dp, -j)) — highest dp, tie →
+    * lowest j — and max() skips the when()'s other-subspace NULLs, so
+    * each slot is bit-identical; the partial aggregation still collapses
+    * the expansion map-side, and only N rows cross the exchange (was
+    * N + N×M across two exchanges). `bests[m] = struct(dp, nj = -j)`. */
+  private def pqBests(scored: DataFrame): DataFrame =
+    scored.groupBy("vec_id").agg(
+      array((0 until PQ_M).map(m =>
+        max(when(col("m") === m,
+          struct(col("dp"), (-col("j")).as("nj"))))): _*).as("bests"))
+
+  /** Winner code array (j per subspace, m-ascending) off [[pqBests]]. */
+  private def pqCodeOf(bests: Column): Column =
+    transform(bests, b => -b.getField("nj"))
 
   /** PQ codes per vector: the M-byte compressed representation a 100 TB
     * vector store keeps in place of raw floats (64 dims × 4 B → 8 B, 32×),
@@ -1226,14 +1232,13 @@ object Sim {
     * subspace order (sorted struct array → left fold), never through a
     * float `sum()` aggregate whose order is partition-dependent. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    pqEncode(spark, dir)
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("j"), col("dp"))))
-        .as("cs"))
+    pqBests(pqScored(spark, dir))
       .select(col("vec_id"),
-        concat_ws("-", transform(col("cs"), s => s.getField("j").cast("string")))
+        concat_ws("-", transform(pqCodeOf(col("bests")), j => j.cast("string")))
           .as("codes"),
-        Num.round6(aggregate(transform(col("cs"), s => s.getField("dp")),
+        // fold in subspace order — bests is m-ascending by construction,
+        // the same order the previous array_sort(struct(m, j, dp)) gave
+        Num.round6(aggregate(transform(col("bests"), b => b.getField("dp")),
           lit(0.0), (acc, x) => acc + x)).as("approx_self_dot"))
       .orderBy("vec_id")
 
@@ -1243,11 +1248,8 @@ object Sim {
     * corpus side. This is the ADC search loop of an IVF-PQ index, the
     * standard shape for billion-vector ANN. */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val codes = pqEncode(spark, dir)
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("j")))).as("cs"))
-      .select(col("vec_id"),
-        transform(col("cs"), s => s.getField("j")).as("code"))
+    val codes = pqBests(pqScored(spark, dir))
+      .select(col("vec_id"), pqCodeOf(col("bests")).as("code"))
     val lut = subvectors(
         spread(embeddings(spark, dir)).filter(col("vec_id") < PQ_PROBES)
           .select(col("vec_id").as("probe_id"), col("embedding")),
@@ -1578,10 +1580,8 @@ object Sim {
     // joining them corpus-wide first would be an N×N shuffle join that
     // costs more than both build passes combined (measured 12.5s vs
     // 2.9+1.5s at sf0.1).
-    val codes = pqEncode(spark, dir)
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("j")))).as("cs"))
-      .select(col("vec_id"), transform(col("cs"), s => s.getField("j")).as("code"))
+    val codes = pqBests(pqScored(spark, dir))
+      .select(col("vec_id"), pqCodeOf(col("bests")).as("code"))
     // top-nprobe cells per probe via the sorted-slice aggregate (the
     // AQE-safe form ivfNprobeRecall uses — a window here kills DPP reuse)
     val pn = e.filter(col("vec_id") < PQ_PROBES)

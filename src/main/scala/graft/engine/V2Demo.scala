@@ -265,16 +265,39 @@ object V2Demo {
   def writeCsvFixtures(spark: SparkSession, dir: String,
       root: String): Unit =
     perTable("fixtures", fixtures(spark, dir).map { case (name, df) =>
-      name -> (() => {
-        val out = df.schema.fields.foldLeft(df) { (d, f) =>
-          if (f.dataType == TimestampType)
-            d.withColumn(f.name,
-              date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
-          else d
-        }
-        Sources.writeCsv(out.coalesce(1), s"$root/csv/$name")
-      })
+      name -> (() => csvOf(df, root, name))
     })
+
+  private def csvOf(df: DataFrame, root: String, name: String): Unit = {
+    val out = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == TimestampType)
+        d.withColumn(f.name,
+          date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
+      else d
+    }
+    Sources.writeCsv(out.coalesce(1), s"$root/csv/$name")
+  }
+
+  private def bronzeOf(spark: SparkSession, root: String, t: String): Unit =
+    Sources.readCsv(spark, s"$root/csv/$t", schemas(t))
+      .write.mode("overwrite").parquet(s"$root/bronze/$t")
+
+  private val silverEnums = Map(
+    "bookings" -> ("status", BOOKING_STATUS),
+    "payment_records" -> ("status", PAYMENT_STATUS),
+    "dispute_requests" -> ("status", DISPUTE_STATUS),
+    "service_providers" -> ("verificationStatus", VERIFICATION))
+
+  private def silverOf(spark: SparkSession, root: String, t: String): Unit = {
+    val df = spark.read.parquet(s"$root/bronze/$t")
+    Silver.validate(df, schemas(t))
+    val clean = Silver.enforce(df, schemas(t))
+    silverEnums.get(t).foreach { case (c, domain) =>
+      val bad = Silver.enumViolations(clean, c, domain.toSet).count()
+      require(bad == 0L, s"$t.$c: $bad enum violations")
+    }
+    clean.write.mode("overwrite").parquet(s"$root/silver/$t")
+  }
 
   /** Declared silver schemas (`table_creation_2` types, Spark-typed):
     * schema inference on 100 TB of CSV is not a plan. */
@@ -332,33 +355,16 @@ object V2Demo {
     * bronze_ingestion_script.py's land-as-is stage, S8 reader). */
   def bronze(spark: SparkSession, root: String): Unit =
     perTable("bronze", schemas.keys.toSeq.sorted.map { t =>
-      t -> (() =>
-        Sources.readCsv(spark, s"$root/csv/$t", schemas(t))
-          .write.mode("overwrite").parquet(s"$root/bronze/$t"))
+      t -> (() => bronzeOf(spark, root, t))
     })
 
   /** Silver: enforce + validate + enum-domain fail-fast (the reference's
     * transformations stage). A non-empty violation set aborts the stage
     * — the V3 error channel. */
-  def silver(spark: SparkSession, root: String): Unit = {
-    val enums = Map(
-      "bookings" -> ("status", BOOKING_STATUS),
-      "payment_records" -> ("status", PAYMENT_STATUS),
-      "dispute_requests" -> ("status", DISPUTE_STATUS),
-      "service_providers" -> ("verificationStatus", VERIFICATION))
+  def silver(spark: SparkSession, root: String): Unit =
     perTable("silver", schemas.keys.toSeq.sorted.map { t =>
-      t -> (() => {
-        val df = spark.read.parquet(s"$root/bronze/$t")
-        Silver.validate(df, schemas(t))
-        val clean = Silver.enforce(df, schemas(t))
-        enums.get(t).foreach { case (c, domain) =>
-          val bad = Silver.enumViolations(clean, c, domain.toSet).count()
-          require(bad == 0L, s"$t.$c: $bad enum violations")
-        }
-        clean.write.mode("overwrite").parquet(s"$root/silver/$t")
-      })
+      t -> (() => silverOf(spark, root, t))
     })
-  }
 
   /** Gold: the reference's star schema under its own names
     * (gold_data_curation_script.py:60–236) — fact_booking (bookings ⟕
@@ -441,12 +447,22 @@ object V2Demo {
   def ensure(spark: SparkSession, dir: String): String =
     state.computeIfAbsent(dir, _ => {
       val root = IndexMaintenance.scratchIndexDir(spark, "v2-demo")
-      Seq[(String, () => Unit)](
-        "fixtures" -> (() => writeCsvFixtures(spark, dir, root)),
-        "bronze" -> (() => bronze(spark, root)),
-        "silver" -> (() => silver(spark, root)),
-        "gold" -> (() => gold(spark, root))
-      ).foreach { case (_, stage) => Pipeline.retry()(stage()) }
+      // Per-TABLE pipelining (r15, guide §2.6): a table's fixture →
+      // bronze → silver chain is independent of every other table's —
+      // only gold joins across silver tables. One barrier instead of
+      // three: wall = max(per-table chain) + gold, where the stage-
+      // barrier form paid max(fixtures) + max(bronze) + max(silver).
+      // Retry stays per unit of work (one table's chain, then gold),
+      // and every write is an overwrite, so a retried chain replaces
+      // itself — the same idempotence the stage form had.
+      perTable("chain", fixtures(spark, dir).map { case (t, df) =>
+        t -> (() => Pipeline.retry() {
+          csvOf(df, root, t)
+          bronzeOf(spark, root, t)
+          silverOf(spark, root, t)
+        })
+      })
+      Pipeline.retry()(gold(spark, root))
       root
     })
 

@@ -164,7 +164,9 @@ object DedupStream {
     val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-nd-in")
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-nd-out")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-nd-ckpt")
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // base-index build on the size-derived session too (r15 §1)
+    val bs = EventsStream.buildSession(spark, s"$dir/documents.parquet")
+    val docs = Tables.documents(bs, dir).select("doc_id", "text")
     Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0), indexDir)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(inDir).getFileSystem(conf)
@@ -182,7 +184,6 @@ object DedupStream {
       // if both writes land in the same clock tick
       fs.setTimes(dst, 1000000L + s * 60000L, -1L)
     }
-    val bs = EventsStream.buildSession(spark, s"$dir/documents.parquet")
     val schema = bs.read.parquet(inDir).schema
     val stream = bs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)

@@ -89,7 +89,9 @@ object TermIndexStream {
     val indexDir = IndexMaintenance.scratchIndexDir(spark, "stream-ti-index")
     val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-ti-in")
     val ckpt = IndexMaintenance.scratchIndexDir(spark, "stream-ti-ckpt")
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // base-index build on the size-derived session too (r15 §1)
+    val bs = EventsStream.buildSession(spark, s"$dir/documents.parquet")
+    val docs = Tables.documents(bs, dir).select("doc_id", "text")
     TermIndex.buildTermIndex(docs.filter(col("doc_id") % 4 === 0), indexDir)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(inDir).getFileSystem(conf)
@@ -104,7 +106,6 @@ object TermIndexStream {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
     }
-    val bs = EventsStream.buildSession(spark, s"$dir/documents.parquet")
     val schema = bs.read.parquet(inDir).schema
     val stream = bs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)

@@ -136,7 +136,10 @@ object VecIndexStream {
     val indexDir = IndexMaintenance.scratchIndexDir(spark, "stream-vec-index")
     val inDir = IndexMaintenance.scratchIndexDir(spark, "stream-vec-in")
     val outDir = IndexMaintenance.scratchIndexDir(spark, "stream-vec-out")
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // the one-time base-index build is lineage-build work like the
+    // stream itself: run it on the size-derived session too (r15 §1)
+    val bs = EventsStream.buildSession(spark, s"$dir/embeddings.parquet")
+    val e = Tables.embeddings(bs, dir).select("vec_id", "embedding")
     Sim.buildIvfIndex(e.filter(col("vec_id") % Sim.ANN_DELTA_MOD =!= 0),
       indexDir, avoid = Sim.ANN_DELTA_MOD)
     val conf = spark.sessionState.newHadoopConf()
@@ -154,7 +157,6 @@ object VecIndexStream {
       fs.delete(new Path(tmp), true)
       fs.setTimes(dst, 1000000L + s * 60000L, -1L) // pinned arrival order
     }
-    val bs = EventsStream.buildSession(spark, s"$dir/embeddings.parquet")
     val schema = bs.read.parquet(inDir).schema
     val ingest = indexSink(
       bs.readStream.schema(schema)
