@@ -504,10 +504,29 @@ object Sim {
       avoid: Long = 0L): Unit = IndexMaintenance.withWriterLease(
       base.sparkSession, indexDir, "ivfpq-build") {
     val e = withNorm(base)
-    strideCentroids(e, avoid).write.mode("overwrite")
-      .parquet(s"$indexDir/centroids")
-    pqCodebookOf(base.select(col("vec_id"), col("embedding")))
-      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    // The two frozen training artifacts are independent of each other
+    // (centroids read only `e`, the codebook only `base`) and both must
+    // exist before the cell write reads them back — overlap the two
+    // small write jobs (guide §2.6) instead of paying their driver
+    // latencies back-to-back; failures stay loud via join.
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writes = Seq[(String, () => Unit)](
+      "centroids" -> (() => strideCentroids(e, avoid).write.mode("overwrite")
+        .parquet(s"$indexDir/centroids")),
+      "codebook" -> (() => pqCodebookOf(
+          base.select(col("vec_id"), col("embedding")))
+        .write.mode("overwrite").parquet(s"$indexDir/codebook"))
+    ).map { case (tag, w) =>
+      val t = new Thread(() =>
+        try w() catch { case e: Throwable => failures.add(e) },
+        s"ivfpq-build-$tag")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    writes.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
     writePqCells(e, indexDir, increment = 0L) // re-enters the root lease
   }
 

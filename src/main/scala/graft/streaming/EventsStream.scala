@@ -236,15 +236,30 @@ object EventsStream {
         // the v2 parity demo's CSV→bronze→silver→gold materialization is
         // the same one-time-build class — fold it into the wall
         "v2" -> (() => { graft.engine.V2Demo.ensure(spark, dir); () }),
+        // the maintained label store and term index (r15): the same
+        // build-once class as v2 — each previously landed its whole cold
+        // build (~12 s / ~3 s at sf0.1) inside whichever label-/term-
+        // family query a single-run bench reached first (q134/q139),
+        // breaking that query's cross-round series exactly the way the
+        // r12 q180 wall did. Consumers are unchanged cache serves.
+        "labels" -> (() => {
+          graft.engine.Dedup.lifecycleLabels(spark, dir); () }),
+        "tindex" -> (() => {
+          graft.engine.TermIndex.maintainedTermIndex(spark, dir); () }),
+        // under a bounded width the list order is the admission order —
+        // longest-serial builds (PrewarmProfile) lead so the wall's
+        // critical path starts at t=0 (LPT scheduling)
+        "asof" -> (() => { AsOfStream.streamAsOfProbe(spark, dir).count(); () }),
+        "vec" -> (() => { VecIndexStream.streamVecIndexProbe(spark, dir).count(); () }),
+        "loj" -> (() => { streamOuterJoinProbe(spark, dir).count(); () }),
+        "foj" -> (() => { streamFullOuterJoinProbe(spark, dir).count(); () }),
         "curated" -> (() => { DocsStream.streamCuratedProbe(spark, dir).count(); () }),
         "neardup" -> (() => { DedupStream.streamNearDupProbe(spark, dir).count(); () }),
         "hourly" -> (() => { streamHourlyProbe(spark, dir).count(); () }),
         "sessions" -> (() => { streamSessionsProbe(spark, dir).count(); () }),
-        "asof" -> (() => { AsOfStream.streamAsOfProbe(spark, dir).count(); () }),
         "sesswin" -> (() => { streamSessionWindowsProbe(spark, dir).count(); () }),
         "asink" -> (() => { AsOfStream.streamAsOfSinkProbe(spark, dir).count(); () }),
         "ti" -> (() => { TermIndexStream.streamTermIndexProbe(spark, dir).count(); () }),
-        "vec" -> (() => { VecIndexStream.streamVecIndexProbe(spark, dir).count(); () }),
         // dcells re-admitted (round 13): its r12 exclusion predates the
         // stride-coprime fix and the frozen-baseline/loud-empty guards —
         // the intermittent empty was the (scale-dependent) modulus
@@ -253,9 +268,12 @@ object EventsStream {
         "dcells" -> (() => { DriftStream.streamDriftCellsProbe(spark, dir).count(); () }),
         "ivj" -> (() => { streamIntervalJoinProbe(spark, dir).count(); () }),
         "drift" -> (() => { streamDriftProbe(spark, dir).count(); () }),
-        "dedup" -> (() => { streamDedupProbe(spark, dir).count(); () }),
-        "loj" -> (() => { streamOuterJoinProbe(spark, dir).count(); () }),
-        "foj" -> (() => { streamFullOuterJoinProbe(spark, dir).count(); () }))
+        "dedup" -> (() => { streamDedupProbe(spark, dir).count(); () }))
+      // Admission stays UNBOUNDED on purpose (r15, measured): these
+      // builds are micro-batch-commit/IO-wait bound, not CPU bound, so a
+      // bounded width only serializes wait — the full 19-lineage wall
+      // read 14.8 s unbounded vs 19.4/16.7/24.4 s at widths 6/10/4
+      // (PrewarmWall, same host, fresh JVM each).
       family.filter(_._1 != except).map { case (tag, build) =>
         val t = new Thread(() => {
           // per-lineage build seconds document the wall's width-scaling:

@@ -15,6 +15,10 @@ object CcBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus.toInt, "graft-ccbench")
+    // measurement knob (r15): isolate the shuffle-partition count's share
+    // of the per-round cost without touching the shared Sessions default
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p))
     spark.sparkContext.setLogLevel("ERROR")
     val pairs = Dedup.minhashNearDup(spark, sfDir)
       .select("doc_a", "doc_b").localCheckpoint()
